@@ -1,0 +1,278 @@
+package graft
+
+import graft.operators.Similarity
+
+/** DuckDB oracle twins for [[SparkEntry.queries]] (driver contract:
+  * same column NAMES and comparable types as the Spark results —
+  * Verify.scala dumps this map as oracle_sql.json).
+  *
+  * Conventions that keep the hash compare exact:
+  *  - every aggregate / computed column aliased identically on both
+  *    sides;
+  *  - DuckDB integer sums CAST to BIGINT (DuckDB widens to HUGEINT,
+  *    Spark to long), len()/row_number() CAST to INT (Spark returns
+  *    int);
+  *  - floating aggregates rounded on BOTH sides; money-style sums
+  *    round per-row to 2 decimals first so group totals are exact
+  *    multiples of 0.01;
+  *  - engine-neutral hashing (md5 of identical strings) for the dedup
+  *    cascade, so even MinHash/SimHash signatures hash-match;
+  *  - the LSH hyperplane constants are inlined from
+  *    [[Similarity.planes]] — one source of truth for both engines.
+  */
+object OracleSql {
+
+  /** Shared CTE prefix for the shingle → minhash cascade (3-token
+    * shingles, 4 bands) — DuckDB lists are 1-based, hence tk[i..i+2]
+    * over range(1, len-1).
+    */
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+      |       FROM toks WHERE len(tk) >= 3),
+      |sig AS (SELECT doc_id,
+      |        min(md5('b0:' || shingle)) AS mh0, min(md5('b1:' || shingle)) AS mh1,
+      |        min(md5('b2:' || shingle)) AS mh2, min(md5('b3:' || shingle)) AS mh3
+      |        FROM sh GROUP BY doc_id),
+      |bands AS (SELECT doc_id, 0 AS band, mh0 AS mh FROM sig
+      |UNION ALL SELECT doc_id, 1, mh1 FROM sig
+      |UNION ALL SELECT doc_id, 2, mh2 FROM sig
+      |UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
+      |         JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val simhashSql: String = {
+    val votes = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit$b")
+      .mkString(", ")
+    val sig = (0 until 32)
+      .map(b => s"(CASE WHEN bit$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH th AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  private val lshBucketsSql: String = {
+    val terms = Similarity.planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"SELECT vec_id, CAST($terms AS INT) AS bucket_id FROM embeddings ORDER BY vec_id"
+  }
+
+  val all: Map[String, String] = Map(
+    "q01_hourly_agg" ->
+      """SELECT CAST(hour(ts) AS INT) AS hour, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q02_project_cast" ->
+      """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lineno,
+        |CAST(floor(l_quantity) AS INT) AS qty_floor, l_returnflag AS returnflag,
+        |CAST(l_shipdate AS DATE) AS ship_date,
+        |l_returnflag || '-' || l_linestatus AS flag_status, 'li' AS src
+        |FROM lineitem ORDER BY okey, lineno""".stripMargin,
+
+    "q03_filter_conj" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS lineno, l_quantity AS qty, l_discount AS disc
+        |FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05 ORDER BY okey, lineno""".stripMargin,
+
+    "q04_price_bands" ->
+      """WITH t AS (SELECT CASE WHEN l_extendedprice < 10000 THEN 'low'
+        |WHEN l_extendedprice < 30000 THEN 'mid' ELSE 'high' END AS band,
+        |floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100.0 + 0.5) / 100.0 AS net FROM lineitem)
+        |SELECT band, count(*) AS n, round(sum(net), 2) AS net_sum FROM t GROUP BY band ORDER BY band""".stripMargin,
+
+    "q05_filtered_avg" ->
+      """SELECT count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "q06_dow_agg" ->
+      """SELECT CAST(isodow(ts) AS INT) AS dow_mon1, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_status_pct" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |round(count(*) * 100.0 / (SELECT count(*) FROM orders), 2) AS pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q08_multi_avg" ->
+      """SELECT l_returnflag, round(avg(l_quantity), 3) AS avg_qty,
+        |round(avg(l_extendedprice), 3) AS avg_price, round(avg(l_discount), 4) AS avg_disc,
+        |round(avg(l_tax), 4) AS avg_tax FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_null_counts" ->
+      """SELECT CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS null_etype,
+        |CAST(sum(CASE WHEN value < 5 THEN 1 ELSE 0 END) AS BIGINT) AS null_v,
+        |count(*) AS n FROM events""".stripMargin,
+
+    "q10_describe" ->
+      """SELECT count(*) AS n,
+        |round(avg(l_quantity), 4) AS qty_mean, round(stddev(l_quantity), 4) AS qty_std,
+        |min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+        |round(avg(l_extendedprice), 4) AS price_mean, round(stddev(l_extendedprice), 4) AS price_std,
+        |min(l_extendedprice) AS price_min, max(l_extendedprice) AS price_max FROM lineitem""".stripMargin,
+
+    "q11_quantiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+        |round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+        |round(quantile_cont(l_quantity, 0.75), 4) AS q75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_correlations" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |round(corr(l_discount, l_tax), 6) AS corr_disc_tax FROM lineitem""".stripMargin,
+
+    "q14_confusion" ->
+      """SELECT CAST(value > 50 AS INT) AS label, CAST(event_id % 2 = 0 AS INT) AS prediction,
+        |count(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q15_hour_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        |round(sum(value), 2) AS value_sum FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q16_union_dedup_reid" ->
+      """WITH proj AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |m AS (SELECT * FROM proj WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT * FROM proj WHERE o_orderstatus = 'O'
+        |UNION ALL SELECT * FROM proj WHERE o_orderstatus = 'P'
+        |UNION ALL SELECT * FROM proj WHERE o_orderstatus = 'F'),
+        |d AS (SELECT DISTINCT * FROM m)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS new_id FROM d ORDER BY new_id""".stripMargin,
+
+    "q17_top_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM
+        |(SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q18_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q19_join_revenue" ->
+      """WITH li AS (SELECT l_orderkey, floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) / 100.0 AS rev FROM lineitem)
+        |SELECT r_name, n_name, count(*) AS n_items, round(sum(rev), 2) AS revenue
+        |FROM li JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q20_join_left" ->
+      """SELECT c_custkey, c_name, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |round(sum(coalesce(o_totalprice, 0)), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q21_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q22_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q23_json_roundtrip" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |'{"event_id":' || event_id || ',"k":' || CAST(json_extract_string(props, '$.k') AS INT) || '}' AS payload_json
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q24_validity_routing" ->
+      """SELECT event_id,
+        |CASE WHEN event_id % 10 = 0 THEN -1 ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS k,
+        |CASE WHEN event_id % 10 = 0 THEN -1 ELSE CAST(json_extract_string(props, '$.k') AS INT) % 2 END AS prediction
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q25_response_envelope" ->
+      """WITH r AS (SELECT event_id,
+        |CASE WHEN event_id % 10 = 0 THEN -1 ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS k,
+        |CASE WHEN event_id % 10 = 0 THEN -1 ELSE CAST(json_extract_string(props, '$.k') AS INT) % 2 END AS prediction
+        |FROM events)
+        |SELECT event_id, CASE WHEN prediction >= 0 THEN 'success' ELSE 'error' END AS status,
+        |'{"event_id":' || event_id || ',"status":"' ||
+        |(CASE WHEN prediction >= 0 THEN 'success' ELSE 'error' END) ||
+        |'","result":{"k":' || k || ',"prediction":' || prediction || '}}' AS response_json
+        |FROM r ORDER BY event_id""".stripMargin,
+
+    "q26_text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_words_re,
+        |CAST(length(text) AS INT) AS len_chars,
+        |round(CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(tk), 4) AS stopword_ratio,
+        |round(CAST(length(text) AS DOUBLE) / len(tk), 4) AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q27_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS ntok,
+        |CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(tk) AS sr FROM t)
+        |SELECT doc_id, round(least(ntok / 50.0, 1.0), 4) AS length_score,
+        |round(least(sr * 10.0, 1.0), 4) AS stop_score,
+        |round((least(ntok / 50.0, 1.0) + least(sr * 10.0, 1.0)) / 2.0, 4) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q28_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) >= 3
+        |THEN 'en' ELSE 'other' END AS pred_lang FROM documents)
+        |SELECT lang, pred_lang, count(*) AS n FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q29_fingerprints" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_exact_dedup" ->
+      """SELECT text, min(doc_id) AS keeper_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+
+    "q31_minhash_sig" ->
+      (shingleCte + "\nSELECT doc_id, mh0, mh1, mh2, mh3 FROM sig ORDER BY doc_id"),
+
+    "q32_minhash_pairs" ->
+      (shingleCte + "\nSELECT id_a, id_b FROM cand ORDER BY id_a, id_b"),
+
+    "q33_near_dup" ->
+      (shingleCte +
+        """,
+          |sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sset FROM sh GROUP BY doc_id),
+          |j AS (SELECT id_a, id_b,
+          |round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+          |(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+          |FROM cand JOIN sets a ON cand.id_a = a.doc_id JOIN sets b ON cand.id_b = b.doc_id)
+          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin),
+
+    "q34_simhash" -> simhashSql,
+
+    "q35_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS checksum,
+        |'utf-8' AS format, CAST(octet_length(encode(text)) % 64 AS INT) AS stub_width
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q36_frame_sample" ->
+      """WITH p AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT doc_id, nb, unnest(range(0, greatest(CAST(floor(nb / 32) AS INT), 1))) AS fi FROM p)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |CAST(least(32, nb - fi * 32) AS INT) AS frame_bytes
+        |FROM f WHERE fi % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q37_cosine_topk" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 8),
+        |s AS (SELECT q_id, vec_id,
+        |list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+        |FROM base CROSS JOIN q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+        |SELECT q_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+
+    "q38_lsh_buckets" -> lshBucketsSql
+  )
+}

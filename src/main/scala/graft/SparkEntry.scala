@@ -1,13 +1,90 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.Tables
+import graft.ml.MlQueries
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry delegates to a documented operator in graft.operators /
+  * graft.ml; the oracle twins live in [[OracleSql]]. Queries without an
+  * oracle entry (RNG-dependent ML/sampling, approximate sketches,
+  * LSH-probed ANN) get the driver's rows-only check and are verified by
+  * ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Hourly activity rollup — the SURVEY §7 minimum slice (scan → hour()
+    * → groupBy → count/avg → orderBy).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregates.hourlyActivity(Tables.events(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // aggregation layer (A, X2/X3)
+    "q01_hourly_agg"       -> ((s, d) => Aggregates.hourlyActivity(Tables.events(s, d))),
+    "q05_filtered_avg"     -> ((s, d) => Projections.filteredAvg(Tables.events(s, d))),
+    "q06_dow_agg"          -> ((s, d) => Aggregates.dowActivity(Tables.events(s, d))),
+    "q07_status_pct"       -> ((s, d) => Aggregates.statusDistribution(Tables.orders(s, d))),
+    "q08_multi_avg"        -> ((s, d) => Aggregates.avgByGroup(Tables.lineitem(s, d))),
+    "q09_null_counts"      -> ((s, d) => Aggregates.nullCounts(Tables.events(s, d))),
+    "q10_describe"         -> ((s, d) => Aggregates.describeStats(Tables.lineitem(s, d))),
+    "q11_quantiles"        -> ((s, d) => Aggregates.quantilesByGroup(Tables.lineitem(s, d))),
+    "q12_approx_quantiles" -> ((s, d) => Aggregates.approxQuantilesByGroup(Tables.lineitem(s, d))),
+    "q13_correlations"     -> ((s, d) => Aggregates.correlations(Tables.lineitem(s, d))),
+    "q14_confusion"        -> ((s, d) => Aggregates.confusionMatrix(Tables.events(s, d))),
+    "q15_hour_window"      -> ((s, d) => Aggregates.hourWindowCounts(Tables.events(s, d))),
+    // projection / filter / scalar layer (P, F, X)
+    "q02_project_cast"     -> ((s, d) => Projections.projectAndCast(Tables.lineitem(s, d))),
+    "q03_filter_conj"      -> ((s, d) => Projections.thresholdFilter(Tables.lineitem(s, d))),
+    "q04_price_bands"      -> ((s, d) => Projections.priceBands(Tables.lineitem(s, d))),
+    // union / dedup / window / sort (U, W)
+    "q16_union_dedup_reid" -> ((s, d) => SetOps.unionDedupReid(Tables.orders(s, d))),
+    "q17_top_per_group"    -> ((s, d) => SetOps.topNPerGroup(Tables.orders(s, d))),
+    "q18_top_orders"       -> ((s, d) => SetOps.topOrders(Tables.orders(s, d))),
+    // joins (J1)
+    "q19_join_revenue"     -> ((s, d) => Joins.revenueByNation(Tables.lineitem(s, d),
+                                Tables.orders(s, d), Tables.customer(s, d),
+                                Tables.nation(s, d), Tables.region(s, d))),
+    "q20_join_left"        -> ((s, d) => Joins.ordersPerCustomer(Tables.customer(s, d), Tables.orders(s, d))),
+    "q21_join_semi"        -> ((s, d) => Joins.customersWithFinishedOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q22_join_anti"        -> ((s, d) => Joins.customersWithoutPendingOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    // JSON / struct / routing (X7-X9, T2)
+    "q23_json_roundtrip"   -> ((s, d) => JsonRouting.jsonRoundTrip(Tables.events(s, d))),
+    "q24_validity_routing" -> ((s, d) => JsonRouting.validityRouting(Tables.events(s, d))),
+    "q25_response_envelope" -> ((s, d) => JsonRouting.responseEnvelope(Tables.events(s, d))),
+    // text analysis
+    "q26_text_stats"       -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
+    "q27_quality_score"    -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q28_lang_id"          -> ((s, d) => TextAnalysis.langIdAgreement(Tables.documents(s, d))),
+    "q29_fingerprints"     -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    // dedup cascade
+    "q30_exact_dedup"      -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "q31_minhash_sig"      -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
+    "q32_minhash_pairs"    -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
+    "q33_near_dup"         -> ((s, d) => Dedup.nearDupPairs(Tables.documents(s, d))),
+    "q34_simhash"          -> ((s, d) => Dedup.simhashSignatures(Tables.documents(s, d))),
+    // multimodal plumbing
+    "q35_binary_meta"      -> ((s, d) => Multimodal.binaryMeta(Tables.documents(s, d))),
+    "q36_frame_sample"     -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
+    // similarity search
+    "q37_cosine_topk"      -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "q38_lsh_buckets"      -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
+    "q39_ann_topk"         -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
+    "q40_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.3)),
+    // ML / sampling (rows-only: RNG-dependent)
+    "q41_ml_confusion"     -> ((s, d) => MlQueries.trainEvalConfusion(s, d)),
+    "q42_sample_split"     -> ((s, d) => MlQueries.sampleSplitCounts(s, d))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (approximate sketches, RNG-dependent ML) → driver records a weaker
+    * rows-only check.
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,75 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Readers for the driver's TPC-H-ish testdata star schema (TESTDATA.md)
+  * plus explicit-schema CSV ingestion mirroring the reference's batch
+  * sources (reference: eda/main.py:22-27, eda/merge_datasets.py:27-34,
+  * ml/train_model.py:120-125 — CSV with header+inferSchema).
+  *
+  * Parquet is the scale path: columnar scans give Catalyst column
+  * pruning + predicate pushdown for free (`PushedFilters`/`ReadSchema`
+  * visible in `.explain("formatted")`), which a 100 TB deployment
+  * relies on. CSV is kept for reference parity only.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+
+  /** The events table's `ts` is parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects by default (PARQUET_TYPE_ILLEGAL). Read it as a long and
+    * convert ns → µs with exact integer division (`div`, not `/` —
+    * ns-since-epoch exceeds 2^53, double division would lose precision).
+    * Floor-truncation matches how DuckDB coerces ns to its µs
+    * timestamps, so oracle comparisons stay exact.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Occupancy sensor schema (reference dataset layout:
+    * eda/dataset/datatraining.txt:1 — id,date,Temperature,Humidity,
+    * Light,CO2,HumidityRatio,Occupancy). Declared explicitly rather
+    * than inferred so oracle-checked reads can't diverge on inference
+    * (SURVEY.md §7 gotchas).
+    */
+  val occupancySchema: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = true),
+    StructField("date", StringType, nullable = true),
+    StructField("Temperature", DoubleType, nullable = true),
+    StructField("Humidity", DoubleType, nullable = true),
+    StructField("Light", DoubleType, nullable = true),
+    StructField("CO2", DoubleType, nullable = true),
+    StructField("HumidityRatio", DoubleType, nullable = true),
+    StructField("Occupancy", IntegerType, nullable = true)
+  ))
+
+  /** CSV batch scan, reference-style (S1). `inferSchema` optional; an
+    * explicit schema wins when provided (the scale-safe default — one
+    * less full pass over the data, no type drift between runs).
+    */
+  def csv(spark: SparkSession, path: String,
+          schema: Option[StructType] = None,
+          header: Boolean = true, sep: String = ","): DataFrame = {
+    val r = spark.read.option("header", header.toString).option("sep", sep)
+    schema match {
+      case Some(sc) => r.schema(sc).csv(path)
+      case None     => r.option("inferSchema", "true").csv(path)
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** ML demonstrations over the driver's testdata (SparkEntry-facing).
+  * Model outputs are RNG-dependent, so these queries are rows-only in
+  * the driver's correctness gate; metric floors live in ScalaTest.
+  */
+object MlQueries {
+
+  /** R1+M1+M2+M3+M5+A10 end-to-end: assemble/scale/LR over lineitem,
+    * predicting high-quantity lines from price attributes, evaluated
+    * as a confusion matrix. maxIter kept small — this runs inside the
+    * per-round bench.
+    */
+  def trainEvalConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val data = li.select(
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      (col("l_quantity") > lit(25.0)).cast("double").as("label"))
+    val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
+    val pipeline = new Pipeline().setStages(Array(
+      new VectorAssembler()
+        .setInputCols(Array("l_extendedprice", "l_discount", "l_tax"))
+        .setOutputCol("features_raw"),
+      new StandardScaler()
+        .setInputCol("features_raw").setOutputCol("features")
+        .setWithStd(true).setWithMean(false),
+      new LogisticRegression().setMaxIter(10).setRegParam(0.01)))
+    val model = pipeline.fit(train)
+    model.transform(test)
+      .groupBy("label", "prediction").agg(count(lit(1)).as("n"))
+      .orderBy("label", "prediction")
+  }
+
+  /** R1+R2 demonstration: randomSplit + sample-with-replacement row
+    * accounting. Seed-dependent ⇒ rows-only check; the invariants
+    * (fractions, replacement blow-up) are asserted in ScalaTest.
+    */
+  def sampleSplitCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val Array(train, test) = orders.randomSplit(Array(0.7, 0.3), 42L)
+    val sampled = orders.sample(withReplacement = true, 0.5, 42L)
+    Seq(
+      ("total", orders.count()),
+      ("train", train.count()),
+      ("test", test.count()),
+      ("sampled_wr_0.5", sampled.count())
+    ).toDF("split", "n_rows").orderBy("split")
+  }
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation layer (SURVEY.md §2.6): grouped counts with derived
+  * percentages, multi-column averages, one-pass null counts,
+  * describe-style stats, exact + approximate quantiles, Pearson
+  * correlation, confusion-matrix counts, and time-bucketed aggregates.
+  *
+  * Scale notes: every groupBy here is a hash aggregate with map-side
+  * partial aggregation (HashAggregateExec partial → shuffle on the
+  * group key → final), so shuffled bytes are proportional to the
+  * number of groups, not rows. Group keys are tiny (flag/status/hour)
+  * → the shuffle is a few KB even at 100 TB input. `orderBy` on the
+  * post-aggregation frame sorts only the group rows.
+  */
+object Aggregates {
+
+  /** A12+X2: the flagship hourly-activity rollup, reproducing
+    * eda/eda_analysis.py:111-118 (hour-of-day occupancy pattern) over
+    * the events table.
+    */
+  def hourlyActivity(ev: DataFrame): DataFrame =
+    ev.select(hour(col("ts")).as("hour"), col("value"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("hour")
+
+  /** A12+X3: day-of-week rollup with the reference's Monday=1 remap
+    * `((dayofweek + 5) % 7) + 1` (eda/eda_analysis.py:103-107; Spark
+    * dayofweek is 1=Sunday).
+    */
+  def dowActivity(ev: DataFrame): DataFrame =
+    ev.withColumn("dow_mon1", ((dayofweek(col("ts")) + lit(5)) % lit(7)) + lit(1))
+      .groupBy("dow_mon1")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("dow_mon1")
+
+  /** A2+A3: class-distribution count with derived percentage
+    * (eda/eda_analysis.py:62-68). The total comes from an empty-frame
+    * window over the already-aggregated (tiny) result, not a second
+    * scan of the input.
+    */
+  def statusDistribution(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy() // post-agg frame is #distinct-statuses rows; single task is fine
+    orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct", round(col("n") * lit(100.0) / sum("n").over(w), 2))
+      .orderBy("o_orderstatus")
+  }
+
+  /** A4+X1: multi-column rounded averages per group
+    * (eda/eda_analysis.py:79-88).
+    */
+  def avgByGroup(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        round(avg("l_quantity"), 3).as("avg_qty"),
+        round(avg("l_extendedprice"), 3).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        round(avg("l_tax"), 4).as("avg_tax"))
+      .orderBy("l_returnflag")
+
+  /** A5+X11+F3: per-column null counts in ONE pass via
+    * sum(isNull.cast(int)) (eda/eda_analysis.py:35-39). The testdata
+    * has no nulls, so nulls are injected deterministically
+    * (event_type='error' → null; value<5 → null) to exercise the op.
+    */
+  def nullCounts(ev: DataFrame): DataFrame = {
+    val etype = when(col("event_type") === "error", lit(null)).otherwise(col("event_type"))
+    val v     = when(col("value") < lit(5.0), lit(null)).otherwise(col("value"))
+    ev.select(etype.as("etype"), v.as("v"))
+      .select(
+        sum(col("etype").isNull.cast("int")).as("null_etype"),
+        sum(col("v").isNull.cast("int")).as("null_v"),
+        count(lit(1)).as("n"))
+  }
+
+  /** A7: describe()-equivalent as an explicit single-pass aggregate
+    * (count/mean/stddev/min/max per numeric column,
+    * eda/eda_analysis.py:48) so the oracle can check it column by
+    * column. `df.describe()` itself returns stringly rows — tested in
+    * ScalaTest instead.
+    */
+  def describeStats(li: DataFrame): DataFrame =
+    li.agg(
+      count(lit(1)).as("n"),
+      round(avg("l_quantity"), 4).as("qty_mean"),
+      round(stddev("l_quantity"), 4).as("qty_std"),
+      min("l_quantity").as("qty_min"),
+      max("l_quantity").as("qty_max"),
+      round(avg("l_extendedprice"), 4).as("price_mean"),
+      round(stddev("l_extendedprice"), 4).as("price_std"),
+      min("l_extendedprice").as("price_min"),
+      max("l_extendedprice").as("price_max"))
+
+  /** A8 (exact twin): per-group exact percentiles via the `percentile`
+    * aggregate — linear interpolation, same definition as DuckDB's
+    * quantile_cont, so it is hash-comparable. approxQuantile itself is
+    * the next method.
+    */
+  def quantilesByGroup(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("q25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("q50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 4).as("q75"))
+      .orderBy("l_returnflag")
+
+  /** A8 (approximate, the reference's actual call —
+    * eda/eda_analysis.py:52 uses approxQuantile relErr 0.01):
+    * `percentile_approx` (Greenwald–Khanna). Approximate ⇒ no DuckDB
+    * hash oracle; driver records a rows-only check, ScalaTest bounds
+    * it against the exact values.
+    */
+  def approxQuantilesByGroup(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_quantity"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_q"))
+      .orderBy("l_returnflag")
+
+  /** A9: Pearson correlation as an aggregate (eda/eda_analysis.py:133-141
+    * uses df.stat.corr — same `corr` expression under the hood).
+    */
+  def correlations(li: DataFrame): DataFrame =
+    li.agg(
+      round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+      round(corr("l_discount", "l_tax"), 6).as("corr_disc_tax"))
+
+  /** A10: confusion-matrix-style two-key grouped count
+    * (ml/train_model.py:239-243), with deterministic stand-in
+    * label/prediction columns derived from the events table.
+    */
+  def confusionMatrix(ev: DataFrame): DataFrame =
+    ev.withColumn("label", (col("value") > lit(50.0)).cast("int"))
+      .withColumn("prediction", (col("event_id") % 2 === 0).cast("int"))
+      .groupBy("label", "prediction")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "prediction")
+
+  /** Tumbling event-time window aggregate — the batch twin of the
+    * Structured Streaming windowed count in
+    * [[graft.streaming.StreamPipeline]]. `window().start` ≡
+    * date_trunc('hour', ts) for a 1-hour tumble.
+    */
+  def hourWindowCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
+      .orderBy("window_start", "event_type")
+}

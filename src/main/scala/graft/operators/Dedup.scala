@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM-training-data pipelines:
+  *
+  *  - exact dedup           → hash groupBy on the raw text
+  *  - fingerprint dedup     → groupBy on a normalized md5 ([[TextAnalysis.fingerprints]])
+  *  - MinHash + LSH banding → shingle → per-band min-hash → bucket
+  *                            equi-join (NEVER an all-pairs cross
+  *                            join: candidate generation is a hash
+  *                            join on (band, minhash), so work scales
+  *                            with bucket collisions, not n²)
+  *  - n-gram Jaccard verify → exact similarity on LSH candidates only
+  *  - SimHash               → 32-bit bit-vote signature, Hamming-style
+  *                            near-dup key
+  *
+  * The md5-derived hashing is deliberately engine-neutral (md5 of the
+  * same string is identical everywhere), which makes even the MinHash
+  * signatures and LSH candidate pairs DuckDB-oracle-checkable — the
+  * whole cascade is verified end-to-end, not just "runs".
+  */
+object Dedup {
+
+  /** Exact dedup: one hash aggregate on the text, keeping the lowest
+    * doc_id as the canonical representative. Map-side partial
+    * aggregation means the shuffle carries one row per distinct text.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keeper_id")
+
+  /** Shingle stream: one row per (doc_id, n-token shingle). Documents
+    * shorter than n tokens drop out (consistent with the oracle's
+    * WHERE len >= n). Duplicate shingles are kept — min() is
+    * insensitive to multiplicity, and skipping the distinct saves a
+    * shuffle.
+    */
+  def shingleDocs(docs: DataFrame, n: Int = 3): DataFrame = {
+    val slots = (0 until n).map(j => s"tk[i+$j]").mkString(", ")
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', $slots))"))
+          .as("shingle"))
+  }
+
+  /** Per-band MinHash signature: band b's hash of a shingle is
+    * md5("b<b>:" ++ shingle); the signature is the per-document min.
+    * One explode + one hash aggregate — shuffle carries one row per
+    * document.
+    */
+  def minhashSignatures(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val sh = shingleDocs(docs)
+    val aggs = (0 until bands).map(b =>
+      min(md5(concat(lit(s"b$b:"), col("shingle")))).as(s"mh$b"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+  }
+
+  /** LSH banding: unpivot the signature to (doc_id, band, mh) rows and
+    * self-equi-join on (band, mh). Catalyst runs this as a hash join
+    * keyed on the band hash — the scale-safe LSH shape; doc_id < doc_id
+    * is a post-join filter, and distinct collapses pairs that collide
+    * in several bands.
+    */
+  def minhashCandidatePairs(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val sig = minhashSignatures(docs, bands)
+    val bandRows = (0 until bands)
+      .map(b => sig.select(col("doc_id"), lit(b).as("band"), col(s"mh$b").as("mh")))
+      .reduce(_.unionByName(_))
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** n-gram Jaccard near-dup: exact set similarity computed ONLY on
+    * the LSH candidate pairs (never all pairs). |A∩B| via
+    * array_intersect on the distinct shingle sets; |A∪B| by
+    * inclusion–exclusion.
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.2, bands: Int = 4): DataFrame = {
+    val cand = minhashCandidatePairs(docs, bands)
+    val sets = shingleDocs(docs).groupBy("doc_id").agg(collect_set("shingle").as("sset"))
+    val setsA = sets.select(col("doc_id").as("id_a"), col("sset").as("sa"))
+    val setsB = sets.select(col("doc_id").as("id_b"), col("sset").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val union = size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))
+    cand.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("jaccard", round(inter / union.cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 32-bit SimHash: per-token 32-bit hash from the first 8 hex chars
+    * of md5, per-bit ±1 votes summed per document, sign of each vote
+    * sets the bit. Duplicate tokens vote multiple times (multiset
+    * semantics) — deterministic and engine-neutral.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tokenHash = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val bitVotes = (0 until 32).map { bIdx =>
+      sum(when(shiftright(col("h"), bIdx).bitwiseAND(lit(1L)) === lit(1L), 1).otherwise(-1))
+        .as(s"bit$bIdx")
+    }
+    val votes = tokenHash.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sig: Column = (0 until 32)
+      .map(bIdx => when(col(s"bit$bIdx") > 0, lit(1L << bIdx)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Embedding-cosine near-dup: pairs of vectors above a cosine
+    * threshold, candidate-limited to shared LSH buckets (see
+    * [[Similarity.lshBucketId]]) — the vector-space analogue of the
+    * MinHash cascade, again no all-pairs join.
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val withBucket = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      Similarity.lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
+    val a = withBucket.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket_id"))
+    val b = withBucket.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket_id"))
+    a.join(b, Seq("bucket_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+}

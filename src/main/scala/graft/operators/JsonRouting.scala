@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSON / struct layer + the reference's dual-branch valid/invalid
+  * routing graph (SURVEY.md §2.9 X7-X9, §2.11 T2;
+  * reference: infrastructure/stream_inference.py:62-148).
+  *
+  * The exact same DataFrame graph runs in batch (oracle-checked here)
+  * and on a stream ([[graft.streaming.StreamPipeline]] wires it to
+  * readStream) — Structured Streaming's core promise, and the reason
+  * the reference's Kafka micro-service needs no separate engine.
+  */
+object JsonRouting {
+
+  /** Payload schema for events.props — fixed/declared, never inferred,
+    * exactly like the reference's request schema
+    * (stream_inference.py:28-42). from_json null-fills on mismatch,
+    * which is what drives the invalid branch.
+    */
+  val propsSchema: StructType = new StructType().add("k", IntegerType, nullable = true)
+
+  /** X7+X8+X9+P7: parse a JSON string column, flatten a nested field
+    * via dotted path, re-encode an envelope with to_json(struct(...))
+    * (stream_inference.py:65-78 and :132-148).
+    */
+  def jsonRoundTrip(ev: DataFrame): DataFrame =
+    ev.withColumn("parsed", from_json(col("props"), propsSchema))
+      .select(col("event_id"), col("parsed.k").as("k"))
+      .withColumn("payload_json", to_json(struct(col("event_id"), col("k"))))
+      .orderBy("event_id")
+
+  /** T2+F4+F5+X6+U2: the dual-branch routing graph. A deterministic
+    * tenth of the rows get a corrupted payload (standing in for the
+    * broken/missing/wrong-type Kafka messages of
+    * test_stream_interfaces.py:34-85); from_json null-fills those, the
+    * AND-folded validity flag routes them to the sentinel branch
+    * (prediction = -1, stream_inference.py:112-126), and unionByName
+    * reunites the branches.
+    */
+  def validityRouting(ev: DataFrame): DataFrame = {
+    val corrupted = ev.withColumn("raw",
+      when(col("event_id") % 10 === 0, lit("not-json")).otherwise(col("props")))
+    val parsed = corrupted.withColumn("data", from_json(col("raw"), propsSchema))
+    val checks = Seq(col("data").isNotNull, col("data.k").isNotNull, col("value").isNotNull)
+    val flagged = parsed.withColumn("is_valid", checks.reduce(_ && _))
+    val valid = flagged.filter("is_valid")
+      .select(col("event_id"), col("data.k").as("k"), (col("data.k") % 2).as("prediction"))
+    val invalid = flagged.filter("NOT is_valid")
+      .select(col("event_id"), lit(-1).as("k"), lit(-1).as("prediction"))
+    valid.unionByName(invalid).orderBy("event_id")
+  }
+
+  /** The full response-envelope shape of stream_inference.py:132-148:
+    * routed rows re-wrapped as a nested JSON envelope
+    * {event_id, status, result:{k, prediction}}.
+    */
+  def responseEnvelope(ev: DataFrame): DataFrame =
+    validityRouting(ev)
+      .withColumn("status", when(col("prediction") >= 0, lit("success")).otherwise(lit("error")))
+      .withColumn("response_json",
+        to_json(struct(col("event_id"), col("status"),
+          struct(col("k"), col("prediction")).as("result"))))
+      .select("event_id", "status", "response_json")
+      .orderBy("event_id")
+}

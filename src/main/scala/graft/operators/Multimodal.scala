@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, plus a decode / feature-extract /
+  * frame-sample stage over mapPartitions.
+  *
+  * The image/audio codec libraries are not in this container, so the
+  * DECODE STEP IS A DETERMINISTIC STUB (clearly marked below) — but
+  * everything Spark-side is real and tested: the binary encoding, the
+  * metadata schema, the batch shape of the partition-wise decoder,
+  * and the partitioning story (decode is a narrow per-partition map —
+  * no shuffle; at 100 TB you size `maxPartitionBytes` so one
+  * partition's payloads fit the executor decode buffer).
+  */
+object Multimodal {
+
+  /** Typed metadata row produced by the decode stage. */
+  case class MediaFeature(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                          mean_byte: Double, format: String)
+
+  /** Binary metadata extraction — payload as binary + checksum + byte
+    * length, all codegen'd built-ins. The `stub_width` column stands
+    * in for a decoded dimension (deterministic fake).
+    */
+  def binaryMeta(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("checksum"),
+        lit("utf-8").as("format"),
+        (length(col("payload")) % 64).as("stub_width"))
+      .orderBy("doc_id")
+
+  /** STUB: "decode" a media payload. A real deployment calls an image
+    * or audio codec here; this container has none, so dimensions and
+    * the mean byte are derived deterministically from the bytes
+    * themselves. The mapPartitions batch shape (decoder initialized
+    * once per partition, rows streamed through) is the real,
+    * production-correct part.
+    */
+  def decodeFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      // per-partition init would live here (codec handles, buffers)
+      it.map { case (id, bytes) =>
+        val meanByte =
+          if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+        MediaFeature(id, bytes.length,
+          width = bytes.length % 64, height = (bytes.length / 64) % 64,
+          mean_byte = math.rint(meanByte * 10000) / 10000, format = "stub")
+      }
+    }
+  }
+
+  /** Frame sampling: keep every `stride`-th fixed-size chunk of the
+    * payload (a video keyframe-sampling stand-in). posexplode keeps it
+    * a generator — no driver collect, no shuffle.
+    */
+  def sampleFrames(docs: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(int(length(payload) / $frameBytes) - 1, 0))," +
+          s" i -> substring(payload, i * $frameBytes + 1, $frameBytes))")))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+      .orderBy("doc_id", "frame_idx")
+}

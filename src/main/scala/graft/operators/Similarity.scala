@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>):
+  *
+  *  - brute-force cosine top-k against a small broadcast query set —
+  *    the correctness baseline; one linear scan of the corpus, no
+  *    shuffle of the big side;
+  *  - sign-random-projection LSH bucketing — the scale path: an
+  *    8-plane signature buckets the corpus so candidate generation is
+  *    an equi-join on bucket_id (IVF-style), probing ~1/2^8 of the
+  *    data per query instead of all of it.
+  *
+  * Dot products use zip_with + aggregate (sequential left fold), a
+  * deterministic evaluation order that DuckDB's list_dot_product
+  * reproduces bit-for-bit — so even the floating-point cosine results
+  * are hash-oracle-checkable.
+  *
+  * The projection hyperplanes are generated from a fixed seed at
+  * class-load; the SAME constants are inlined into the oracle SQL
+  * ([[graft.OracleSql]]), keeping Spark and DuckDB in exact agreement.
+  */
+object Similarity {
+
+  val dim = 64
+  val numPlanes = 8
+
+  /** Deterministic pseudo-random hyperplanes in [-1, 1]^dim. */
+  lazy val planes: Seq[Seq[Double]] = {
+    val rng = new java.util.Random(42L)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextDouble() * 2.0 - 1.0))
+  }
+
+  /** Sequential-fold dot product over two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** 8-bit LSH bucket id: bit i = sign(v · plane_i). */
+  def lshBucketId(v: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedLit(p)) >= lit(0.0), lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k: queries (vec_id < nQueries) are
+    * broadcast against the full corpus; ranking via a window
+    * partitioned by query. Exact — the recall baseline for ANN.
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Per-vector LSH bucket assignment (the IVF index build). */
+  def lshBuckets(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
+      .orderBy("vec_id")
+
+  /** ANN top-k: probe only the query's own bucket (single-probe IVF).
+    * Trades recall for a 2^numPlanes candidate reduction; recall vs
+    * [[bruteForceTopK]] is asserted in ScalaTest.
+    */
+  def annTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket_id"))
+    val scored = base.join(broadcast(q), Seq("bucket_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+import graft.operators.JsonRouting
+
+/** Structured-Streaming wiring of the reference's inference
+  * micro-service graph (infrastructure/stream_inference.py:45-181):
+  * source → from_json → flatten → validity split → sentinel union →
+  * to_json envelope → append sink with checkpoint.
+  *
+  * The Kafka connector jar is not in this container, so sources are
+  * file/rate/memory (the operator graph is IDENTICAL — Structured
+  * Streaming planning does not care which source feeds it; swapping
+  * in `format("kafka")` is a config change, not a code change). The
+  * plan itself is the batch [[JsonRouting]] graph applied to a
+  * streaming DataFrame — one definition, two execution modes.
+  *
+  * Stateless map-only pipeline (like the reference): no watermark
+  * needed. [[windowedCounts]] adds the stateful watermark+window
+  * variant our events table invites, which IS the 100 TB shape for
+  * streaming aggregation (state pruned by watermark, keys partitioned
+  * across executors).
+  */
+object StreamPipeline {
+
+  /** S2-equivalent: file-based streaming source with a declared schema
+    * (streaming sources must never infer — stream_inference.py:28-42
+    * declares its schema for the same reason).
+    */
+  def fileSource(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  /** T1+T2 on a stream: the exact batch routing graph from
+    * [[JsonRouting.responseEnvelope]] applied to a streaming frame.
+    */
+  def routedResponses(stream: DataFrame): DataFrame =
+    JsonRouting.responseEnvelope(stream)
+
+  /** T3: append-mode sink with mandatory checkpoint (the reference's
+    * exactly-once-ish contract, stream_inference.py:159-168).
+    * Format "memory"/"console" for tests, "kafka"/"parquet" in a real
+    * deployment.
+    */
+  def appendSink(df: DataFrame, format: String, checkpointDir: String,
+                 queryName: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format(format)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+
+  /** K3: console debug sink (stream_inference.py:171-178). */
+  def consoleSink(df: DataFrame): DataStreamWriter[Row] =
+    df.writeStream.format("console").option("truncate", "false")
+      .outputMode(OutputMode.Append)
+
+  /** Stateful extension: watermarked tumbling-window counts per
+    * event_type — the streaming twin of
+    * [[graft.operators.Aggregates.hourWindowCounts]]. Late data beyond
+    * the watermark is dropped and state is GC'd, which is what keeps
+    * executor state bounded on an unbounded 100 TB/day stream.
+    */
+  def windowedCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** T4: block on a started query (stream_inference.py:180-181). */
+  def awaitAll(queries: Seq[StreamingQuery]): Unit =
+    queries.foreach(_.awaitTermination())
+}

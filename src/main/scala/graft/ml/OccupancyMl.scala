@@ -34,7 +34,7 @@ object OccupancyMl {
     */
   def withClassWeights(df: DataFrame, labelCol: String = "label"): DataFrame = {
     val counts = df.groupBy(labelCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[Number](0).intValue() -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble
     val w0 = total / (2.0 * counts.getOrElse(0, 1L))
     val w1 = total / (2.0 * counts.getOrElse(1, 1L))
@@ -47,7 +47,7 @@ object OccupancyMl {
     */
   def oversampleMinority(df: DataFrame, labelCol: String = "label", seed: Long = 42L): DataFrame = {
     val counts = df.groupBy(labelCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[Number](0).intValue() -> r.getLong(1)).toMap
     val (major, minor) = if (counts.getOrElse(0, 0L) >= counts.getOrElse(1, 0L)) (0, 1) else (1, 0)
     val ratio = counts(major).toDouble / counts(minor).toDouble
     val majorDf = df.filter(col(labelCol) === major)

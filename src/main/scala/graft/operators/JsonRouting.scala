@@ -40,7 +40,10 @@ object JsonRouting {
     * (prediction = -1, stream_inference.py:112-126), and unionByName
     * reunites the branches.
     */
-  def validityRouting(ev: DataFrame): DataFrame = {
+  /** `ordered = false` for streaming frames — global sort is illegal on
+    * an unbounded stream (and meaningless: order is per-micro-batch).
+    */
+  def validityRouting(ev: DataFrame, ordered: Boolean = true): DataFrame = {
     val corrupted = ev.withColumn("raw",
       when(col("event_id") % 10 === 0, lit("not-json")).otherwise(col("props")))
     val parsed = corrupted.withColumn("data", from_json(col("raw"), propsSchema))
@@ -50,19 +53,21 @@ object JsonRouting {
       .select(col("event_id"), col("data.k").as("k"), (col("data.k") % 2).as("prediction"))
     val invalid = flagged.filter("NOT is_valid")
       .select(col("event_id"), lit(-1).as("k"), lit(-1).as("prediction"))
-    valid.unionByName(invalid).orderBy("event_id")
+    val routed = valid.unionByName(invalid)
+    if (ordered) routed.orderBy("event_id") else routed
   }
 
   /** The full response-envelope shape of stream_inference.py:132-148:
     * routed rows re-wrapped as a nested JSON envelope
     * {event_id, status, result:{k, prediction}}.
     */
-  def responseEnvelope(ev: DataFrame): DataFrame =
-    validityRouting(ev)
+  def responseEnvelope(ev: DataFrame, ordered: Boolean = true): DataFrame = {
+    val env = validityRouting(ev, ordered = false)
       .withColumn("status", when(col("prediction") >= 0, lit("success")).otherwise(lit("error")))
       .withColumn("response_json",
         to_json(struct(col("event_id"), col("status"),
           struct(col("k"), col("prediction")).as("result"))))
       .select("event_id", "status", "response_json")
-      .orderBy("event_id")
+    if (ordered) env.orderBy("event_id") else env
+  }
 }

@@ -40,7 +40,7 @@ object StreamPipeline {
     * [[JsonRouting.responseEnvelope]] applied to a streaming frame.
     */
   def routedResponses(stream: DataFrame): DataFrame =
-    JsonRouting.responseEnvelope(stream)
+    JsonRouting.responseEnvelope(stream, ordered = false)
 
   /** T3: append-mode sink with mandatory checkpoint (the reference's
     * exactly-once-ish contract, stream_inference.py:159-168).

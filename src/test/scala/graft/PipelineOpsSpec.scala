@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators._
+
+/** JSON routing, text analysis, dedup cascade, similarity search,
+  * multimodal plumbing — semantics and invariants (exact engine parity
+  * is covered by the DuckDB oracle).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private lazy val events = Tables.events(spark, sfDir).cache()
+  private lazy val documents = Tables.documents(spark, sfDir).cache()
+  private lazy val embeddings = Tables.embeddings(spark, sfDir).cache()
+
+  test("jsonRoundTrip parses k and re-encodes a canonical envelope") {
+    val r = JsonRouting.jsonRoundTrip(events).head()
+    assert(!r.isNullAt(1))
+    assert(r.getString(2) == s"""{"event_id":${r.getLong(0)},"k":${r.getInt(1)}}""")
+  }
+
+  test("validityRouting sends exactly the corrupted tenth to the sentinel branch") {
+    val res = JsonRouting.validityRouting(events).cache()
+    val sentinel = res.filter(col("prediction") === -1).count()
+    val expected = events.filter(col("event_id") % 10 === 0).count()
+    assert(sentinel == expected)
+    assert(res.count() == events.count()) // union loses nothing
+    assert(res.filter(col("prediction") =!= -1)
+      .filter(col("prediction") =!= col("k") % 2).count() == 0)
+  }
+
+  test("responseEnvelope status matches sentinel routing") {
+    val res = JsonRouting.responseEnvelope(events)
+    assert(res.filter(col("status") === "error").count() ==
+      events.filter(col("event_id") % 10 === 0).count())
+    val sample = res.filter(col("status") === "success").head()
+    assert(sample.getString(2).startsWith(s"""{"event_id":${sample.getLong(0)},"status":"success""""))
+  }
+
+  test("textStats counts tokens and chars consistently") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat", "en", "src", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.textStats(df).head()
+    assert(r.getInt(1) == 3)          // n_tokens
+    assert(r.getInt(2) == 3)          // n_words_re
+    assert(r.getInt(3) == 11)         // len_chars
+    assert(r.getDouble(4) == 0.3333)  // stopword_ratio: "the" of 3
+  }
+
+  test("fingerprints are whitespace/case-insensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The  Cat   sat", "en", "s", 0L),
+      (2L, "the cat sat", "en", "s", 0L),
+      (3L, "the dog sat", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fps = TextAnalysis.fingerprints(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("exactDedup keeps the lowest doc_id per text") {
+    import spark.implicits._
+    val df = Seq(
+      (5L, "aaa", "en", "s", 0L), (2L, "aaa", "en", "s", 0L), (9L, "bbb", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = Dedup.exactDedup(df).collect()
+    assert(res.length == 2)
+    assert(res.find(_.getString(0) == "aaa").get.getLong(1) == 2L)
+    assert(res.find(_.getString(0) == "aaa").get.getLong(2) == 2L)
+  }
+
+  test("minhash: identical docs collide in every band, disjoint docs in none") {
+    import spark.implicits._
+    val a = "spark table join filter window group agg sort"
+    val b = "totally different words with zero overlap here now"
+    val df = Seq((1L, a, "en", "s", 0L), (2L, a, "en", "s", 0L), (3L, b, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sig = Dedup.minhashSignatures(df).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    val pairs = Dedup.minhashCandidatePairs(df).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("nearDupPairs jaccard is exact on a hand-computed case") {
+    import spark.implicits._
+    // 12-token docs differing only in the last token:
+    // 10 shingles each, 9 shared → jaccard = 9 / 11 = 0.8182
+    val a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    val b = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 zz"
+    val df = Seq((1L, a, "en", "s", 0L), (2L, b, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = Dedup.nearDupPairs(df, threshold = 0.1).collect()
+    assert(res.length == 1, "high-overlap docs must collide in at least one band")
+    assert(res.head.getDouble(2) == 0.8182)
+  }
+
+  test("simhash: identical docs equal; near-identical docs close in Hamming distance") {
+    import spark.implicits._
+    val base = "spark makes big data processing fast and simple for everyone today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely unrelated tokens nothing shared at all whatsoever ok fine"
+    val df = Seq((1L, base, "en", "s", 0L), (2L, base, "en", "s", 0L),
+      (3L, near, "en", "s", 0L), (4L, far, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sig = Dedup.simhashSignatures(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sig(1L) == sig(2L))
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+  }
+
+  test("cosine top-k: self-similarity excluded, ranks strictly ordered, k respected") {
+    val res = Similarity.bruteForceTopK(embeddings, nQueries = 4, k = 5).cache()
+    assert(res.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    val perQuery = res.groupBy("q_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 5))
+    res.collect().groupBy(_.getLong(0)).values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ANN results are a subset of brute-force candidates with matching cosines") {
+    val ann = Similarity.annTopK(embeddings, nQueries = 8, k = 5)
+      .select("q_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Similarity.bruteForceTopK(embeddings, nQueries = 8, k = 200)
+      .select("q_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ann.foreach { case (pair, cos) =>
+      brute.get(pair).foreach(bc => assert(math.abs(bc - cos) < 1e-9))
+    }
+  }
+
+  test("lsh buckets are stable and in range") {
+    val res = Similarity.lshBuckets(embeddings).cache()
+    assert(res.filter(col("bucket_id") < 0 || col("bucket_id") > 255).count() == 0)
+    val again = Similarity.lshBuckets(embeddings)
+    assert(res.exceptAll(again).count() == 0)
+  }
+
+  test("embeddingNearDup pairs share a bucket and exceed the threshold") {
+    val res = Dedup.embeddingNearDup(embeddings, threshold = 0.3).collect()
+    assert(res.forall(_.getDouble(2) >= 0.3))
+    res.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
+  test("multimodal decode stub produces deterministic features with real batch shape") {
+    val feats = Multimodal.decodeFeatures(spark, documents).collect()
+    assert(feats.length == documents.count())
+    val byId = feats.map(f => f.doc_id -> f).toMap
+    val lens = documents.select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byId.foreach { case (id, f) =>
+      assert(f.n_bytes == lens(id)) // ascii corpus: bytes == chars
+      assert(f.width == f.n_bytes % 64)
+      assert(f.mean_byte > 0.0 && f.mean_byte < 255.0)
+    }
+  }
+
+  test("frame sampling keeps every stride-th frame only") {
+    val res = Multimodal.sampleFrames(documents, frameBytes = 32, stride = 4)
+    assert(res.filter(col("frame_idx") % 4 =!= 0).count() == 0)
+    assert(res.filter(col("frame_bytes") > 32).count() == 0)
+  }
+}

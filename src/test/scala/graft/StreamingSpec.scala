@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamPipeline
+
+/** Structured-Streaming wiring: the batch routing graph applied to a
+  * stream (MemoryStream stands in for Kafka — the plan is identical;
+  * reference: infrastructure/stream_inference.py + its E2E harness
+  * test_stream_interfaces.py payload classes).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def eventRows = Seq(
+    // (event_id, ts, user_id, event_type, value, props)
+    (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 7L, "click", 10.0, """{"k": 4}"""),
+    (2L, Timestamp.valueOf("2026-01-01 10:30:00"), 7L, "view", 20.0, """{"k": 7}"""),
+    (10L, Timestamp.valueOf("2026-01-01 11:00:00"), 8L, "click", 30.0, """{"k": 1}"""), // %10==0 → corrupt
+    (13L, Timestamp.valueOf("2026-01-01 11:10:00"), 8L, "view", 40.0, """{"k": 9}""")
+  )
+
+  test("routing graph produces identical results in batch and streaming (T1/T2/U2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.routedResponses(stream),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString,
+        queryName = "routed_mem").start()
+    try {
+      mem.addData(eventRows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("routed_mem").orderBy("event_id").collect()
+
+      val batch = graft.operators.JsonRouting.responseEnvelope(
+        eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .orderBy("event_id").collect()
+
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+      // the corrupted-payload row (event_id 10) took the sentinel path
+      val bad = streamed.find(_.getLong(0) == 10L).get
+      assert(bad.getString(1) == "error")
+      assert(bad.getString(2).contains("\"prediction\":-1"))
+    } finally query.stop()
+  }
+
+  test("watermarked windowed aggregation emits finalized windows (stateful scale path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.windowedCounts(stream),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString,
+        queryName = "windowed_mem").start()
+    try {
+      mem.addData(eventRows: _*)
+      query.processAllAvailable()
+      // advance event time far past the watermark so the 10:00 window finalizes
+      mem.addData((99L, Timestamp.valueOf("2026-01-01 13:00:00"), 9L, "view", 1.0, """{"k": 2}"""))
+      query.processAllAvailable()
+      mem.addData((100L, Timestamp.valueOf("2026-01-01 14:00:00"), 9L, "view", 1.0, """{"k": 2}"""))
+      query.processAllAvailable()
+
+      val out = spark.table("windowed_mem").collect()
+      val w10 = out.filter(_.getTimestamp(0) == Timestamp.valueOf("2026-01-01 10:00:00"))
+      assert(w10.map(r => r.getString(1) -> r.getLong(2)).toMap ==
+        Map("click" -> 1L, "view" -> 1L))
+    } finally query.stop()
+  }
+
+  test("file streaming source runs the same plan over parquet drops (S2-equivalent)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
+    val batchDf = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batchDf.write.mode("append").parquet(dir)
+
+    val stream = StreamPipeline.fileSource(spark, dir, batchDf.schema)
+    val query = StreamPipeline.appendSink(
+        graft.operators.JsonRouting.validityRouting(stream, ordered = false),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString,
+        queryName = "file_mem").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("file_mem").count() == eventRows.length)
+    } finally query.stop()
+  }
+}

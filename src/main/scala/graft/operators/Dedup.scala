@@ -84,12 +84,30 @@ object Dedup {
     * the LSH candidate pairs (never all pairs). |A∩B| via
     * array_intersect on the distinct shingle sets; |A∪B| by
     * inclusion–exclusion.
+    *
+    * One combined aggregation produces BOTH the band minima and the
+    * shingle set, so the expensive shingle explode runs once; the
+    * small per-document signature frame (one row per doc) is persisted
+    * and fanned out to the band-unpivot and both sides of the verify
+    * join.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.2, bands: Int = 4): DataFrame = {
-    val cand = minhashCandidatePairs(docs, bands)
-    val sets = shingleDocs(docs).groupBy("doc_id").agg(collect_set("shingle").as("sset"))
-    val setsA = sets.select(col("doc_id").as("id_a"), col("sset").as("sa"))
-    val setsB = sets.select(col("doc_id").as("id_b"), col("sset").as("sb"))
+    val sh = shingleDocs(docs)
+    val aggs = (0 until bands).map(b =>
+      min(md5(concat(lit(s"b$b:"), col("shingle")))).as(s"mh$b")) :+
+      collect_set("shingle").as("sset")
+    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = (0 until bands)
+      .map(b => sig.select(col("doc_id"), lit(b).as("band"), col(s"mh$b").as("mh")))
+      .reduce(_.unionByName(_))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val setsA = sig.select(col("doc_id").as("id_a"), col("sset").as("sa"))
+    val setsB = sig.select(col("doc_id").as("id_b"), col("sset").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val union = size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))
     cand.join(setsA, "id_a").join(setsB, "id_b")

@@ -34,12 +34,26 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextDouble() * 2.0 - 1.0))
   }
 
-  /** Sequential-fold dot product over two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product from built-in higher-order functions —
+    * the composable baseline; [[dot]] is the fused native expression
+    * with identical accumulation order (bit-equal results, asserted in
+    * ScalaTest).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
+
+  /** Native codegen'd dot product ([[graft.functions.DotProduct]]) —
+    * one fused loop, no intermediate array.
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotProduct(a, b)
+
+  /** Native one-pass cosine ([[graft.functions.CosineSimilarity]]). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** 8-bit LSH bucket id: bit i = sign(v · plane_i). */
   def lshBucketId(v: Column): Column =

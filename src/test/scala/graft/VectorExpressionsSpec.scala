@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.functions.{GraftExtensions, VectorFunctions}
+import graft.operators.Similarity
+
+/** Native Catalyst vector expressions: bit-parity with the
+  * higher-order-function form, codegen operation, and SQL
+  * registration via both the runtime registry and
+  * SparkSessionExtensions.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private lazy val vecs = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    .cache()
+
+  test("native dot/cosine are bit-identical to the zip_with/aggregate fold") {
+    val both = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .limit(2000)
+      .select(
+        Similarity.dot(col("a.v"), col("b.v")).as("dot_native"),
+        Similarity.dotHof(col("a.v"), col("b.v")).as("dot_hof"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cos_native"),
+        Similarity.cosineHof(col("a.v"), col("b.v")).as("cos_hof"))
+    val mismatches = both
+      .filter(col("dot_native") =!= col("dot_hof") || col("cos_native") =!= col("cos_hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("known values: cosine of identical = 1, orthogonal = 0") {
+    val df = spark.sql(
+      "SELECT array(1.0d, 2.0d, 3.0d) AS a, array(1.0d, 2.0d, 3.0d) AS b, array(0.0d, 0.0d, 1.0d) AS c, array(0.0d, 1.0d, 0.0d) AS d")
+    val r = df.select(
+      VectorFunctions.cosineSim(col("a"), col("b")),
+      VectorFunctions.cosineSim(col("c"), col("d")),
+      VectorFunctions.dotProduct(col("a"), col("b"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 14.0)
+  }
+
+  test("null array propagates null") {
+    val r = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS a, array(1.0d) AS b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("expressions are SQL-callable after runtime registration") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 1.0d)) AS c, dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head()
+    assert(math.abs(r.getDouble(0) - math.sqrt(0.5)) < 1e-12)
+    assert(r.getDouble(1) == 11.0)
+  }
+
+  test("GraftExtensions injects both functions at builder time") {
+    var injected = List.empty[String]
+    val ext = new org.apache.spark.sql.SparkSessionExtensions {
+      override def injectFunction(fd: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+          org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+          Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)): Unit = {
+        injected ::= fd._1.funcName
+        super.injectFunction(fd)
+      }
+    }
+    new GraftExtensions().apply(ext)
+    assert(injected.toSet == Set("dot_product", "cosine_sim"))
+  }
+
+  test("whole-stage codegen survives the native expression (no interpreted fallback)") {
+    val df = vecs.as("a").crossJoin(broadcast(vecs.as("b").limit(4)))
+      .select(Similarity.cosine(col("a.v"), col("b.v")).as("c"))
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen span in the tree string
+    assert("""\*\(\d+\) Project \[cosine_sim""".r.findFirstIn(plan).isDefined, plan)
+  }
+}

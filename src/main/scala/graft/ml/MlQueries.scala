@@ -34,8 +34,14 @@ object MlQueries {
         .setWithStd(true).setWithMean(false),
       new LogisticRegression().setMaxIter(10).setRegParam(0.01)))
     val model = pipeline.fit(train)
-    model.transform(test)
-      .groupBy("label", "prediction").agg(count(lit(1)).as("n"))
+    // X10+P8: probability vector → array<double>, index P(label=1)
+    val scored = model.transform(test)
+      .withColumn("probability_arr",
+        org.apache.spark.ml.functions.vector_to_array(col("probability")))
+      .withColumn("p1", col("probability_arr")(1))
+    scored
+      .groupBy("label", "prediction")
+      .agg(count(lit(1)).as("n"), round(avg("p1"), 4).as("avg_p1"))
       .orderBy("label", "prediction")
   }
 

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Projections}
+
+/** Property-based invariants (SURVEY §5 test strategy): union
+  * row-count additivity, dedup idempotence, class-weight formula,
+  * money-rounding laws — checked over ScalaCheck-generated inputs
+  * (sampled with fixed seeds; the scalatest-scalacheck glue artifact
+  * is not in the offline cache, so sampling is driven manually).
+  */
+class PropertiesSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("union row-count additivity: |A union-all B| = |A| + |B|") {
+    val lists = samples(Gen.listOf(Gen.choose(0, 100)), 10)
+    lists.sliding(2, 2).foreach {
+      case Seq(a, b) =>
+        assert(a.toDF("v").unionByName(b.toDF("v")).count() == a.size + b.size)
+      case _ =>
+    }
+  }
+
+  test("dropDuplicates is idempotent and bounded by distinct count") {
+    samples(Gen.nonEmptyListOf(Gen.choose(0, 20)), 8).foreach { xs =>
+      val once = xs.toDF("v").dropDuplicates("v")
+      assert(once.count() == xs.distinct.size)
+      assert(once.dropDuplicates("v").count() == once.count())
+    }
+  }
+
+  test("moneyRound output is always an exact multiple of 0.01 within a half-cent") {
+    val values = samples(Gen.choose(0.0, 1e6), 40)
+    val rs = values.toDF("x")
+      .select(col("x"), Projections.moneyRound(col("x")).as("r")).collect()
+    rs.foreach { row =>
+      val (x, r) = (row.getDouble(0), row.getDouble(1))
+      assert(math.abs(r - x) <= 0.005 + 1e-9, s"x=$x r=$r")
+      val cents = r * 100.0
+      assert(math.abs(cents - math.rint(cents)) < 1e-6, s"x=$x r=$r")
+    }
+  }
+
+  test("class weights are inversely proportional to class frequency") {
+    val pairs = samples(Gen.zip(Gen.choose(1, 50), Gen.choose(1, 50)), 6)
+    pairs.foreach { case (n0, n1) =>
+      val df = (List.fill(n0)(0) ++ List.fill(n1)(1)).toDF("label")
+      val w = graft.ml.OccupancyMl.withClassWeights(df)
+        .select("label", "classWeight").distinct().collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val total = (n0 + n1).toDouble
+      assert(math.abs(w(0) - total / (2.0 * n0)) < 1e-9)
+      assert(math.abs(w(1) - total / (2.0 * n1)) < 1e-9)
+      assert(math.abs(w(0) * n0 - w(1) * n1) < 1e-6) // balanced weighted mass
+    }
+  }
+
+  test("minhash candidate pairs are reflexive-free, ordered, and duplicate-free") {
+    val textsGen = Gen.listOfN(6,
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    samples(textsGen, 4).foreach { ts =>
+      val df = ts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val pairs = Dedup.minhashCandidatePairs(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      pairs.foreach { case (a, b) => assert(a < b) }
+      assert(pairs.distinct.length == pairs.length)
+    }
+  }
+}

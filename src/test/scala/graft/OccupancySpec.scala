@@ -160,4 +160,27 @@ class OccupancySpec extends AnyFunSuite {
     val corrLight = OccupancyEda.labelCorrelations(all)("Light")
     assert(corrLight > 0.89 && corrLight < 0.93) // published ≈ 0.91
   }
+
+  test("reference-dataset LR parity: accuracy/F1 clear the published floors (BASELINE.md)") {
+    assume(new java.io.File(s"$refDir/datatraining.txt").isFile, "reference dataset not present")
+    val dfs = Seq("datatraining.txt" -> "train", "datatest.txt" -> "test", "datatest2.txt" -> "test2")
+      .map { case (f, tag) => OccupancyEtl.loadOccupancyFile(spark, s"$refDir/$f", tag) }
+    val merged = OccupancyEtl.mergeAndDeduplicate(dfs)
+      .withColumn("label", col("Occupancy").cast("double"))
+    val weighted = OccupancyMl.withClassWeights(merged)
+    // reference protocol: 70/30 split seed 42 (ml/train_model.py:347)
+    val Array(train, test) = weighted.randomSplit(Array(0.7, 0.3), 42L)
+    val model = OccupancyMl.weightedLrPipeline().fit(train)
+    val metrics = OccupancyMl.evaluate(model.transform(test))
+    // published: accuracy 0.9822, F1 0.9824 (exact seed differs across
+    // Scala/Python RNGs → assert floors per SURVEY §7)
+    assert(metrics("accuracy") > 0.97, s"accuracy ${metrics("accuracy")}")
+    assert(metrics("f1") > 0.97, s"f1 ${metrics("f1")}")
+    assert(metrics("areaUnderROC") > 0.98, s"auc ${metrics("areaUnderROC")}")
+    // published coefficient ORDERING: Light dominates, CO2 second
+    // (ml/reports/lr_coefficients.csv)
+    val (_, coefs) = OccupancyMl.lrSummary(model)
+    val ranked = coefs.toSeq.sortBy { case (_, v) => -math.abs(v) }.map(_._1)
+    assert(ranked.head == "Light", s"ranking $ranked")
+  }
 }

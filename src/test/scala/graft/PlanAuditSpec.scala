@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audit over the driver-contract queries: the assertions
+  * here encode the shapes SCALE.md promises — no cartesian products
+  * outside the intentionally-broadcast top-k probe, partial
+  * aggregation before every shuffle, take-ordered for global top-k —
+  * so a regression in plan quality fails CI, not a 100 TB run.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("aggregations use partial (map-side) aggregation before the shuffle") {
+    for (q <- Seq("q01_hourly_agg", "q08_multi_avg", "q30_exact_dedup")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"), s"$q:\n$p")
+      assert(p.contains("partial_"), s"$q missing partial aggregation:\n$p")
+    }
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val p = plan("q18_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("minhash banding is an equi hash join, not a nested-loop join") {
+    val p = plan("q32_minhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("embedding near-dup joins on the LSH bucket key — no all-pairs product") {
+    val p = plan("q40_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bucket_id"), p)
+  }
+
+  test("the only cross join in top-k is against the broadcast 8-row query set") {
+    val p = plan("q37_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("star joins broadcast the dimension tables") {
+    val p = plan("q19_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("no driver-side collect hides in any query plan (all run as jobs)") {
+    // every query must be expressible as a single DataFrame action;
+    // constructing the frame must not itself trigger row collection to
+    // the driver beyond metadata (class-weight style 2-row aggs are
+    // allowed in ML queries, which are excluded here)
+    val nonMl = SparkEntry.queries.keys.filterNot(_.startsWith("q4"))
+    for (q <- nonMl) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(df.queryExecution.analyzed != null)
+    }
+  }
+}

@@ -32,7 +32,7 @@ object MlQueries {
       new StandardScaler()
         .setInputCol("features_raw").setOutputCol("features")
         .setWithStd(true).setWithMean(false),
-      new LogisticRegression().setMaxIter(10).setRegParam(0.01)))
+      new LogisticRegression().setMaxIter(5).setRegParam(0.01)))
     val model = pipeline.fit(train)
     // X10+P8: probability vector → array<double>, index P(label=1)
     val scored = model.transform(test)

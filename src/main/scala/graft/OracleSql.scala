@@ -273,6 +273,70 @@ object OracleSql {
         |SELECT q_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
 
-    "q38_lsh_buckets" -> lshBucketsSql
+    "q38_lsh_buckets" -> lshBucketsSql,
+
+    "q43_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q44_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q45_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        |coalesce(l_linestatus, '(all)') AS status,
+        |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |count(*) AS n, round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    "q46_pivot" ->
+      """SELECT CAST(isodow(ts) AS INT) AS dow_mon1,
+        |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_sessionize" ->
+      """WITH t AS (SELECT user_id, event_id, ts,
+        |lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |CASE WHEN prev_ts IS NULL
+        |  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |  THEN 1 ELSE 0 END AS new_session
+        |FROM t)
+        |SELECT user_id, event_id, ts,
+        |CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+        |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q48_distinct_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |count(*) AS n_events FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q50_tfidf_top_term" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, term,
+        |round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS tfidf_r
+        |FROM tf JOIN dfreq USING (term)),
+        |ranked AS (SELECT doc_id, term, tfidf_r,
+        |row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, term) AS rk FROM scored)
+        |SELECT doc_id, term AS top_term, round(tfidf_r, 4) AS tfidf
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q51_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

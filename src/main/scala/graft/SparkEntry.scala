@@ -78,7 +78,17 @@ object SparkEntry {
     "q40_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.3)),
     // ML / sampling (rows-only: RNG-dependent)
     "q41_ml_confusion"     -> ((s, d) => MlQueries.trainEvalConfusion(s, d)),
-    "q42_sample_split"     -> ((s, d) => MlQueries.sampleSplitCounts(s, d))
+    "q42_sample_split"     -> ((s, d) => MlQueries.sampleSplitCounts(s, d)),
+    // set ops / analytics extensions
+    "q43_intersect"        -> ((s, d) => SetOps.customersInBothStatuses(Tables.orders(s, d))),
+    "q44_except"           -> ((s, d) => SetOps.customersOnlyFinished(Tables.orders(s, d))),
+    "q45_rollup"           -> ((s, d) => Aggregates.rollupFlagStatus(Tables.lineitem(s, d))),
+    "q46_pivot"            -> ((s, d) => Aggregates.pivotDowByType(Tables.events(s, d))),
+    "q47_sessionize"       -> ((s, d) => Aggregates.sessionize(Tables.events(s, d))),
+    "q48_distinct_users"   -> ((s, d) => Aggregates.distinctUsersByType(Tables.events(s, d))),
+    "q49_approx_distinct"  -> ((s, d) => Aggregates.approxDistinctUsersByType(Tables.events(s, d))),
+    "q50_tfidf_top_term"   -> ((s, d) => TextAnalysis.tfidfTopTerm(Tables.documents(s, d))),
+    "q51_salted_agg"       -> ((s, d) => SetOps.saltedEventTypeCounts(Tables.events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -140,6 +140,76 @@ object Aggregates {
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "prediction")
 
+  /** ROLLUP hierarchy: (flag, status) → (flag) → grand total, with
+    * per-dimension grouping indicators. Super-aggregate rows surface
+    * their key as '(all)' so null semantics can't diverge between
+    * engines. One pass, same partial-aggregation shape as a flat
+    * groupBy.
+    */
+  def rollupFlagStatus(li: DataFrame): DataFrame =
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("qty_sum"),
+        grouping("l_returnflag").cast("int").as("g_flag"),
+        grouping("l_linestatus").cast("int").as("g_status"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("g_flag"), col("g_status"), col("n"), col("qty_sum"))
+      .orderBy("g_flag", "g_status", "flag", "status")
+
+  /** Pivot: day-of-week × event-type count matrix. The pivot values
+    * are declared (never discovered via an extra job) — the scale-safe
+    * form; absent combinations coalesce to 0.
+    */
+  def pivotDowByType(ev: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = ev
+      .withColumn("dow_mon1", ((dayofweek(col("ts")) + lit(5)) % lit(7)) + lit(1))
+      .groupBy("dow_mon1")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("dow_mon1")
+  }
+
+  /** Exact distinct-count per group (shuffles the distinct values). */
+  def distinctUsersByType(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** HyperLogLog++ distinct sketch (SURVEY §2.13) — fixed-size
+    * mergeable state, ONE pass, no distinct shuffle: the 100 TB path
+    * when ±2% suffices. Approximate ⇒ rows-only check; accuracy is
+    * bounded against the exact twin in ScalaTest.
+    */
+  def approxDistinctUsersByType(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Sessionization: gap-based session ids per user via lag + running
+    * sum — both windows partition by user_id, so the work distributes
+    * by user; no global ordering anywhere. The canonical time-series
+    * shape for clickstream/training-log data at scale.
+    */
+  def sessionize(ev: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("session_idx").cast("int").as("session_idx"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** Tumbling event-time window aggregate — the batch twin of the
     * Structured Streaming windowed count in
     * [[graft.streaming.StreamPipeline]]. `window().start` ≡

@@ -73,4 +73,37 @@ object SetOps {
     orders.orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(k)
       .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** INTERSECT (distinct semantics): customers that placed both an 'F'
+    * and an 'O' order. Planned as a left-semi aggregate join — scales
+    * like any equi-join.
+    */
+  def customersInBothStatuses(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
+
+  /** EXCEPT (distinct semantics): customers with an 'F' order but no
+    * 'O' order — the set-op twin of the anti join.
+    */
+  def customersOnlyFinished(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
+
+  /** Two-stage salted aggregation — the skew-mitigation shape for
+    * heavy-hitter group keys: stage 1 aggregates on (key, salt) so a
+    * hot key spreads over `salts` reducers, stage 2 merges the partial
+    * counts. Semantics identical to a direct groupBy (the oracle
+    * checks exactly that); the salt here is deterministic
+    * (event_id % salts) so results are reproducible — production code
+    * can use any uniform salt.
+    */
+  def saltedEventTypeCounts(ev: DataFrame, salts: Int = 8): DataFrame =
+    ev.withColumn("salt", (col("event_id") % salts).cast("int"))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("partial_n"), sum("value").as("partial_sum"))
+      .groupBy("event_type")
+      .agg(sum("partial_n").as("n"), round(sum("partial_sum"), 2).as("value_sum"))
+      .orderBy("event_type")
 }

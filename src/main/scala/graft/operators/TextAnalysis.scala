@@ -83,6 +83,30 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** TF-IDF top term per document: term frequency from one explode +
+    * aggregate, document frequency from a second small aggregate on
+    * distinct (doc, term), idf = ln(N/df), ranked per document. All
+    * shuffles are keyed on the term or the doc id — standard scale
+    * shape for corpus statistics.
+    */
+  def tfidfTopTerm(docs: DataFrame): DataFrame = {
+    val n = docs.count().toDouble
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // rank on a 6-decimal rounding so engine-level ln() ulp differences
+    // can never reorder near-equal scores (ties fall to the term)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf_r").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf_r", round(col("tf") * log(lit(n) / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        round(col("tfidf_r"), 4).as("tfidf"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash document fingerprint: md5 of the
     * whitespace-normalized, lowercased text. Identical fingerprints ⇒
     * exact duplicates modulo whitespace/case (the first stage of a

@@ -137,6 +137,37 @@ object Dedup {
     votes.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
   }
 
+  /** MLlib-built-in near-dup variant (SURVEY §2.13): term-presence
+    * vectors via binary HashingTF → `MinHashLSH` →
+    * `approxSimilarityJoin` under a Jaccard-distance threshold. Same
+    * banded-join discipline as [[minhashCandidatePairs]], with MLlib
+    * owning the hash family; kept alongside the md5 cascade because
+    * the latter is engine-neutral (DuckDB-checkable) while this one
+    * interops with the rest of spark.ml.
+    */
+  def minhashLshMllib(docs: DataFrame, distanceThreshold: Double = 0.8,
+                      numHashTables: Int = 4): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    // 3-token shingles (same universe as the md5 cascade): unigram
+    // token sets saturate on small vocabularies, shingles discriminate
+    val shingled = docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("shingles",
+        expr("transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 18)
+    val featured = tf.transform(shingled)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, distanceThreshold, "jaccard_dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(col("datasetA.doc_id").as("id_a"), col("datasetB.doc_id").as("id_b"),
+        round(col("jaccard_dist"), 4).as("jaccard_dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-dup: pairs of vectors above a cosine
     * threshold, candidate-limited to shared LSH buckets (see
     * [[Similarity.lshBucketId]]) — the vector-space analogue of the

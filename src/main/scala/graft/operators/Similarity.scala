@@ -86,6 +86,33 @@ object Similarity {
         lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
       .orderBy("vec_id")
 
+  /** MLlib-built-in ANN variant (SURVEY §2.13):
+    * `BucketedRandomProjectionLSH` over the embedding vectors
+    * (euclidean buckets; for unit-norm embeddings euclidean rank order
+    * = cosine rank order). approxSimilarityJoin against a small query
+    * set keeps the same bucket-equi-join shape as [[annTopK]].
+    */
+  def annMllib(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+               bucketLength: Double = 2.0, numHashTables: Int = 3): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(base)
+    val queries = base.filter(col("vec_id") < nQueries)
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("neighbor_id"))
+    model.approxSimilarityJoin(queries, base, 2.0, "dist")
+      .select(col("datasetA.vec_id").as("q_id"), col("datasetB.vec_id").as("neighbor_id"),
+        round(col("dist"), 6).as("dist"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("q_id", "rk")
+  }
+
   /** ANN top-k: probe only the query's own bucket (single-probe IVF).
     * Trades recall for a 2^numPlanes candidate reduction; recall vs
     * [[bruteForceTopK]] is asserted in ScalaTest.

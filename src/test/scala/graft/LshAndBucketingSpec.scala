@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** MLlib LSH variants (SURVEY §2.13 built-ins) and the bucketed-table
+  * co-located join — the shuffle-elimination demonstration SCALE.md
+  * promises for fact⋈fact joins at 100 TB.
+  */
+class LshAndBucketingSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("MLlib MinHashLSH finds a planted near-duplicate") {
+    import spark.implicits._
+    val base = "spark engines shuffle data between stages while catalyst optimizes plans for execution speed"
+    val near = base.replace("speed", "latency")
+    val far1 = "completely different subject matter entirely unrelated to query processing or anything similar"
+    val far2 = "one more standalone document with its own vocabulary set and nothing shared whatsoever again"
+    val docs = Seq((1L, base), (2L, near), (3L, far1), (4L, far2))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.minhashLshMllib(docs, distanceThreshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"planted pair missing from ${pairs.toSeq}")
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("MLlib BucketedRandomProjectionLSH ANN returns ranked neighbors consistent with cosine") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val ann = Similarity.annMllib(emb, nQueries = 4, k = 5).collect()
+    assert(ann.nonEmpty)
+    // per query: ranks contiguous from 1, distances non-decreasing
+    ann.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.head.getInt(3) == 1)
+      val dists = sorted.map(_.getDouble(2))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+    // euclidean rank order on unit vectors ≈ cosine rank order:
+    // the top-1 euclidean neighbor should appear in the cosine top-5
+    val cosTop = Similarity.bruteForceTopK(emb, nQueries = 4, k = 5).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    ann.filter(_.getInt(3) == 1).foreach { r =>
+      assert(cosTop(r.getLong(0)).contains(r.getLong(1)),
+        s"euclidean top-1 ${r.getLong(1)} for query ${r.getLong(0)} not in cosine top-5")
+    }
+  }
+
+  test("bucketed tables join with zero exchanges (co-located fact join)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_bucketed")
+
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey").agg(sum("l_quantity"))
+    joined.collect()
+
+    val plan = joined.queryExecution.executedPlan
+    val helper = new AdaptiveSparkPlanHelper {}
+    val exchanges = helper.collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed join should not shuffle, found ${exchanges.size} exchanges:\n$plan")
+
+    // same join on the raw (unbucketed) parquet DOES shuffle — the
+    // contrast that makes the bucketing win visible
+    val rawJoin = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey").agg(sum("l_quantity"))
+    rawJoin.collect()
+    val rawExchanges = helper.collectWithSubqueries(rawJoin.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(rawExchanges.nonEmpty)
+  }
+}

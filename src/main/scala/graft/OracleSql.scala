@@ -337,6 +337,11 @@ object OracleSql {
 
     "q51_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q54_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        |round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS dim_mean
+        |FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

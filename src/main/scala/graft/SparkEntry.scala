@@ -91,7 +91,8 @@ object SparkEntry {
     "q51_salted_agg"       -> ((s, d) => SetOps.saltedEventTypeCounts(Tables.events(s, d))),
     // MLlib LSH variants (model-based hash families ⇒ rows-only)
     "q52_minhash_mllib"    -> ((s, d) => Dedup.minhashLshMllib(Tables.documents(s, d))),
-    "q53_ann_mllib"        -> ((s, d) => Similarity.annMllib(Tables.embeddings(s, d)))
+    "q53_ann_mllib"        -> ((s, d) => Similarity.annMllib(Tables.embeddings(s, d))),
+    "q54_label_centroids"  -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

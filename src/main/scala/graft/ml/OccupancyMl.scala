@@ -28,6 +28,16 @@ object OccupancyMl {
   val featureCols: Array[String] =
     Array("Temperature", "Humidity", "Light", "CO2", "HumidityRatio")
 
+  /** The reference's load_data path (ml/train_model.py:119-147): CSV
+    * scan → label rename (P4) → defensive casts → na.drop on
+    * features+label (F7).
+    */
+  def loadOccupancy(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.engine.Tables.csv(spark, path, Some(graft.engine.Tables.occupancySchema))
+      .withColumnRenamed("Occupancy", "label")
+      .withColumn("label", col("label").cast("double"))
+      .na.drop((featureCols :+ "label").toSeq)
+
   /** Class-weight computation, reference formula w_i = total / (2·n_i)
     * (ml/train_model.py:150-175): one grouped count collected to the
     * driver (two rows), then a when/otherwise weight column.

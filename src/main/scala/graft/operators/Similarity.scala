@@ -86,6 +86,19 @@ object Similarity {
         lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
       .orderBy("vec_id")
 
+  /** Per-label mean embedding (IVF coarse-centroid build): posexplode
+    * to (label, dim, value) and average — fully distributed, and
+    * flat enough for an exact SQL oracle. The typed
+    * [[graft.functions.CentroidAggregator]] computes the same result
+    * in one pass without the explode (asserted equal in tests) — the
+    * shape to prefer when dimensions are wide.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy("label", "pos")
+      .agg(round(avg("col"), 6).as("dim_mean"))
+      .orderBy("label", "pos")
+
   /** MLlib-built-in ANN variant (SURVEY §2.13):
     * `BucketedRandomProjectionLSH` over the embedding vectors
     * (euclidean buckets; for unit-norm embeddings euclidean rank order

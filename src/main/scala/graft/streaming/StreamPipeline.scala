@@ -76,4 +76,30 @@ object StreamPipeline {
   /** T4: block on a started query (stream_inference.py:180-181). */
   def awaitAll(queries: Seq[StreamingQuery]): Unit =
     queries.foreach(_.awaitTermination())
+
+  /** Running per-user totals carried across micro-batches. */
+  case class UserActivity(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState — the arbitrary-state
+    * tier above watermarked windows: state is an explicit (count, sum)
+    * per user, updated per micro-batch, partitioned by key across
+    * executors. Used with `OutputMode.Update` (each batch re-emits the
+    * keys it touched). In production pair with a timeout
+    * (`GroupStateTimeout.ProcessingTimeTimeout`) so idle keys are
+    * evicted — the state-boundedness requirement at stream scale.
+    */
+  def runningUserTotals(stream: DataFrame): org.apache.spark.sql.Dataset[UserActivity] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    stream.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserActivity](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update((n, total))
+          UserActivity(uid, n, math.rint(total * 100) / 100)
+      }
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.functions.CentroidAggregator
+import graft.operators.Similarity
+import graft.streaming.StreamPipeline
+
+/** Arbitrary keyed state (mapGroupsWithState) and the centroid
+  * aggregation pair: posexplode+avg (oracle-checked) vs the typed
+  * one-pass Aggregator.
+  */
+class StatefulAndCentroidSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("mapGroupsWithState carries per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val query = StreamPipeline.runningUserTotals(stream)
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-state").toString)
+      .start()
+    try {
+      val t = Timestamp.valueOf("2026-01-01 10:00:00")
+      mem.addData((1L, t, 7L, "click", 10.0, "{}"), (2L, t, 7L, "view", 20.0, "{}"),
+        (3L, t, 8L, "click", 5.0, "{}"))
+      query.processAllAvailable()
+      mem.addData((4L, t, 7L, "click", 30.0, "{}"))
+      query.processAllAvailable()
+
+      // Update mode re-emits a row per touched key per batch — the
+      // LAST emission per user carries the accumulated state
+      val rows = spark.table("user_totals").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val latest = rows.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+      assert(latest(7L) == ((7L, 3L, 60.0))) // state crossed the batch boundary
+      assert(latest(8L) == ((8L, 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("typed CentroidAggregator equals the posexplode+avg formulation") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val viaExplode = Similarity.labelCentroids(emb).collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+
+    val viaAgg = emb
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(CentroidAggregator.toColumn.name("centroid"))
+      .collect().toMap
+    viaExplode.foreach { case (label, expected) =>
+      val got = viaAgg(label)
+      assert(got.length == expected.length)
+      expected.indices.foreach { i =>
+        assert(math.abs(got(i) - expected(i)) < 1e-6,
+          s"label=$label dim=$i ${got(i)} vs ${expected(i)}")
+      }
+    }
+  }
+}

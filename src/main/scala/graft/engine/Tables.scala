@@ -42,6 +42,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view so the whole engine
+    * surface is reachable from `spark.sql(...)` strings as well as the
+    * DataFrame API.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => table(spark, dir, n).createOrReplaceTempView(n)
+    }
+
   /** Occupancy sensor schema (reference dataset layout:
     * eda/dataset/datatraining.txt:1 — id,date,Temperature,Humidity,
     * Light,CO2,HumidityRatio,Occupancy). Declared explicitly rather

@@ -77,6 +77,19 @@ object StreamPipeline {
   def awaitAll(queries: Seq[StreamingQuery]): Unit =
     queries.foreach(_.awaitTermination())
 
+  /** foreachBatch sink: hands each micro-batch to arbitrary BATCH
+    * writer code with its batch id — the production pattern for sinks
+    * without a native streaming connector (JDBC, multi-table fan-out,
+    * idempotent-by-batch-id upserts). The batch id is stable across
+    * retries, which is what makes exactly-once writes implementable.
+    */
+  def foreachBatchSink(df: DataFrame, checkpointDir: String)(
+      write: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch(write)
+
   /** Running per-user totals carried across micro-batches. */
   case class UserActivity(user_id: Long, n_events: Long, total_value: Double)
 

@@ -163,10 +163,11 @@ class OccupancySpec extends AnyFunSuite {
 
   test("reference-dataset LR parity: accuracy/F1 clear the published floors (BASELINE.md)") {
     assume(new java.io.File(s"$refDir/datatraining.txt").isFile, "reference dataset not present")
-    val dfs = Seq("datatraining.txt" -> "train", "datatest.txt" -> "test", "datatest2.txt" -> "test2")
-      .map { case (f, tag) => OccupancyEtl.loadOccupancyFile(spark, s"$refDir/$f", tag) }
-    val merged = OccupancyEtl.mergeAndDeduplicate(dfs)
-      .withColumn("label", col("Occupancy").cast("double"))
+    // the reference's load path (rename → cast → na.drop, F7/P4) over all three files
+    val merged = Seq("datatraining.txt", "datatest.txt", "datatest2.txt")
+      .map(f => OccupancyMl.loadOccupancy(spark, s"$refDir/$f"))
+      .reduce(_ unionByName _)
+    assert(merged.count() == 20560) // na.drop removes nothing (0 nulls)
     val weighted = OccupancyMl.withClassWeights(merged)
     // reference protocol: 70/30 split seed 42 (ml/train_model.py:347)
     val Array(train, test) = weighted.randomSplit(Array(0.7, 0.3), 42L)

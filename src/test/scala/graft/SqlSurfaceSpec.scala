@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.streaming.StreamPipeline
+
+/** The spark.sql(...) string entry point over registered views, and
+  * the foreachBatch sink pattern.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("registered views make every table SQL-addressable; SQL equals DataFrame results") {
+    Tables.registerViews(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, round(avg(l_quantity), 3) AS avg_qty,
+        |round(avg(l_extendedprice), 3) AS avg_price,
+        |round(avg(l_discount), 4) AS avg_disc, round(avg(l_tax), 4) AS avg_tax
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    val viaDf = graft.operators.Aggregates.avgByGroup(Tables.lineitem(spark, sfDir)).collect()
+    assert(viaSql.sameElements(viaDf))
+    assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) ==
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("foreachBatch sink receives batches with stable ids and writes them as batch frames") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val query = StreamPipeline.foreachBatchSink(
+      graft.operators.JsonRouting.validityRouting(stream, ordered = false),
+      java.nio.file.Files.createTempDirectory("graft-feb").toString) { (batch, id) =>
+        seen.put(id, batch.count()) // arbitrary batch-writer code
+        ()
+      }.start()
+    try {
+      val t = Timestamp.valueOf("2026-01-01 09:00:00")
+      mem.addData((1L, t, 1L, "click", 1.0, """{"k": 3}"""), (2L, t, 1L, "view", 2.0, """{"k": 4}"""))
+      query.processAllAvailable()
+      mem.addData((10L, t, 2L, "click", 3.0, """{"k": 5}"""))
+      query.processAllAvailable()
+      assert(seen.keySet.toSeq.sorted == Seq(0L, 1L))
+      assert(seen.values.sum == 3L)
+    } finally query.stop()
+  }
+}

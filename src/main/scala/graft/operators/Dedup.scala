@@ -157,7 +157,10 @@ object Dedup {
         expr("transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setBinary(true).setNumFeatures(1 << 18)
+    // both sides of the self-similarity-join read this frame — persist
+    // so shingling+hashing runs once, not twice
     val featured = tf.transform(shingled)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(featured)

@@ -22,10 +22,34 @@ import graft.operators.Similarity
   */
 object OracleSql {
 
-  /** Shared CTE prefix for the shingle → minhash cascade (3-token
-    * shingles, 4 bands) — DuckDB lists are 1-based, hence tk[i..i+2]
-    * over range(1, len-1).
+  /** The shingle → minhash → banding cascade CTEs (3-token shingles,
+    * 4 bands) over an arbitrary source relation — DuckDB lists are
+    * 1-based, hence tk[i..i+2] over range(1, len-1).
     */
+  private def shingleCascade(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+       |       FROM toks WHERE len(tk) >= 3),
+       |sig AS (SELECT doc_id,
+       |        min(md5('b0:' || shingle)) AS mh0, min(md5('b1:' || shingle)) AS mh1,
+       |        min(md5('b2:' || shingle)) AS mh2, min(md5('b3:' || shingle)) AS mh3
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, 0 AS band, mh0 AS mh FROM sig
+       |UNION ALL SELECT doc_id, 1, mh1 FROM sig
+       |UNION ALL SELECT doc_id, 2, mh2 FROM sig
+       |UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
+       |         JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Jaccard-verify CTEs appended after [[shingleCascade]]. */
+  private val jaccardVerify =
+    """sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sset FROM sh GROUP BY doc_id),
+      |j AS (SELECT id_a, id_b,
+      |round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+      |(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+      |FROM cand JOIN sets a ON cand.id_a = a.doc_id JOIN sets b ON cand.id_b = b.doc_id)""".stripMargin
+
   private val shingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
@@ -342,6 +366,18 @@ object OracleSql {
     "q54_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos,
         |round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS dim_mean
-        |FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q55_cleaning_pipeline" ->
+      ("""WITH gated AS (SELECT doc_id, text FROM documents
+         |WHERE len(string_split(text, ' ')) >= 10),
+         |canon AS (SELECT min(doc_id) AS doc_id, text FROM gated GROUP BY text),
+         |""".stripMargin +
+        shingleCascade("canon") + ",\n" + jaccardVerify + ",\n" +
+        """losers AS (SELECT DISTINCT id_b AS doc_id FROM j WHERE jaccard >= 0.2)
+          |SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS INT) AS n_tokens,
+          |md5(c.text) AS fingerprint
+          |FROM canon c WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = c.doc_id)
+          |ORDER BY c.doc_id""".stripMargin)
   )
 }

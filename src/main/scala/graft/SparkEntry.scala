@@ -92,7 +92,9 @@ object SparkEntry {
     // MLlib LSH variants (model-based hash families ⇒ rows-only)
     "q52_minhash_mllib"    -> ((s, d) => Dedup.minhashLshMllib(Tables.documents(s, d))),
     "q53_ann_mllib"        -> ((s, d) => Similarity.annMllib(Tables.embeddings(s, d))),
-    "q54_label_centroids"  -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d)))
+    "q54_label_centroids"  -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
+    // flagship LLM-pipeline composite: gate → dedup → near-dup removal
+    "q55_cleaning_pipeline" -> ((s, d) => Dedup.cleaningPipeline(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -117,6 +117,27 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The end-to-end training-data cleaning pipeline in ONE plan:
+    * length gate → exact dedup (canonical = min doc_id per text) →
+    * near-dup removal (drop the higher id of every verified LSH pair)
+    * → per-survivor stats. Every stage is the oracle-checked operator
+    * from this file, chained — the flagship LLM-pipeline composite.
+    */
+  def cleaningPipeline(docs: DataFrame, minTokens: Int = 10,
+                       jaccardThreshold: Double = 0.2): DataFrame = {
+    val gated = docs.filter(size(split(col("text"), " ")) >= minTokens)
+    val canonical = gated
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+    val dupLosers = nearDupPairs(canonical, jaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    canonical.join(dupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        md5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash: per-token 32-bit hash from the first 8 hex chars
     * of md5, per-bit ±1 votes summed per document, sign of each vote
     * sets the bit. Duplicate tokens vote multiple times (multiset

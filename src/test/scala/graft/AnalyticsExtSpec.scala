@@ -85,6 +85,41 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(top(2L) == "common") // only term present
   }
 
+  test("multi-probe ANN recall dominates single-probe against brute force") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val truth = Similarity.bruteForceTopK(emb, nQueries = 8, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val single = recall(Similarity.annTopK(emb, nQueries = 8, k = 5))
+    val multi = recall(Similarity.annTopKMultiProbe(emb, nQueries = 8, k = 5))
+    // uniform random vectors are the adversarial case for sign-LSH
+    // (true neighbors sit near cos≈0.4, weakly aligned with sign
+    // buckets) — assert the probing mechanism, not an absolute recall
+    // bar the data can't support: more probes never lose recall, and
+    // the probe set must actually find something
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > 0.0, s"multi-probe found nothing: $multi")
+  }
+
+  test("cleaning pipeline removes exactly the short docs and near-dup losers") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val result = Dedup.cleaningPipeline(docs).cache()
+    val gatedCanonical = docs
+      .filter(size(split(col("text"), " ")) >= 10)
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+    val losers = Dedup.nearDupPairs(
+        gatedCanonical.select(col("doc_id"), col("text")), 0.2)
+      .select("id_b").distinct().count()
+    assert(result.count() == gatedCanonical.count() - losers)
+    assert(result.filter(col("n_tokens") < 10).count() == 0)
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val salted = SetOps.saltedEventTypeCounts(events).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet

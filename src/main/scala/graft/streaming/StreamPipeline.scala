@@ -77,6 +77,24 @@ object StreamPipeline {
   def awaitAll(queries: Seq[StreamingQuery]): Unit =
     queries.foreach(_.awaitTermination())
 
+  /** Streaming dedup on ingest: drop events whose key was already seen,
+    * with state bounded by the watermark (keys older than the horizon
+    * are forgotten — the only way dedup state survives an unbounded
+    * stream). The first stage of a training-data ingest pipeline.
+    */
+  def dedupOnIngest(stream: DataFrame, keyCols: Seq[String],
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    stream.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keyCols :+ "ts")
+
+  /** Stream-static enrichment join: each micro-batch hash-joins the
+    * (small, broadcastable) static dimension — stateless, no watermark
+    * needed; the static side is re-read per batch so dimension updates
+    * flow through.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** foreachBatch sink: hands each micro-batch to arbitrary BATCH
     * writer code with its batch id — the production pattern for sinks
     * without a native streaming connector (JDBC, multi-table fan-out,

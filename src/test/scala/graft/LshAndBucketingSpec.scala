@@ -49,6 +49,19 @@ class LshAndBucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned parquet writes enable partition pruning at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sfDir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_type#") && scan.contains("click"), scan)
+    // the pruned read touches only the matching directory's rows
+    val direct = Tables.events(spark, sfDir).filter(col("event_type") === "click").count()
+    assert(pruned.count() == direct)
+  }
+
   test("bucketed tables join with zero exchanges (co-located fact join)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")

@@ -79,6 +79,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.dedupOnIngest(stream, Seq("event_id")),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-dedup").toString,
+      queryName = "dedup_mem").start()
+    try {
+      val t = Timestamp.valueOf("2026-01-01 10:00:00")
+      mem.addData((1L, t, 7L, "click", 1.0, "{}"), (2L, t, 7L, "view", 2.0, "{}"))
+      query.processAllAvailable()
+      // same keys re-delivered in a later batch (at-least-once source)
+      mem.addData((1L, t, 7L, "click", 1.0, "{}"), (3L, t, 8L, "view", 3.0, "{}"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_mem").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L))) // duplicate 1L dropped across batches
+    } finally query.stop()
+  }
+
+  test("stream-static join enriches each micro-batch from a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq((7L, "alpha"), (8L, "beta")).toDF("user_id", "segment")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.enrichWithStatic(stream, users, "user_id")
+        .select("event_id", "user_id", "segment"),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-enrich").toString,
+      queryName = "enrich_mem").start()
+    try {
+      val t = Timestamp.valueOf("2026-01-01 10:00:00")
+      mem.addData((1L, t, 7L, "click", 1.0, "{}"), (2L, t, 9L, "view", 2.0, "{}"))
+      query.processAllAvailable()
+      val out = spark.table("enrich_mem").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(out(1L).contains("alpha"))
+      assert(out(2L).isEmpty) // unmatched key survives the left join
+    } finally query.stop()
+  }
+
   test("file streaming source runs the same plan over parquet drops (S2-equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
     val batchDf = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -60,6 +60,20 @@ object Multimodal {
     }
   }
 
+  /** Resize stand-in: subsample every `factor`-th byte of the payload
+    * (a decoded image's nearest-neighbor downscale has exactly this
+    * strided-read shape). Narrow transform, codegen'd filter over
+    * posexploded bytes kept as a generator — no shuffle.
+    */
+  def resizePayload(docs: DataFrame, factor: Int = 4): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).as("n_bytes_in"),
+        size(expr(
+          s"transform(sequence(1, length(payload), $factor), i -> substring(payload, i, 1))"))
+          .as("n_bytes_out"))
+      .orderBy("doc_id")
+
   /** Frame sampling: keep every `stride`-th fixed-size chunk of the
     * payload (a video keyframe-sampling stand-in). posexplode keeps it
     * a generator — no driver collect, no shuffle.

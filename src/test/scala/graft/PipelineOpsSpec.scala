@@ -170,4 +170,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res.filter(col("frame_idx") % 4 =!= 0).count() == 0)
     assert(res.filter(col("frame_bytes") > 32).count() == 0)
   }
+
+  test("resize subsamples ceil(n/factor) bytes") {
+    val res = Multimodal.resizePayload(documents, factor = 4).collect()
+    res.foreach { r =>
+      val (in, out) = (r.getInt(1), r.getInt(2))
+      assert(out == (in + 3) / 4, s"in=$in out=$out")
+    }
+  }
+
+  test("char-ngram profiles rank the most frequent bigrams per doc") {
+    import spark.implicits._
+    val df = Seq((1L, "aaabbbaaa", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val prof = TextAnalysis.charNgramProfile(df, n = 2, top = 3).collect()
+    // bigrams: aa,aa,ab,bb,bb,ba,aa,aa → aa:4, bb:2, ab:1/ba:1 (tie → lexicographic)
+    assert(prof.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("aa", 4L), ("bb", 2L), ("ab", 1L)))
+  }
 }

@@ -368,6 +368,13 @@ object OracleSql {
         |round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS dim_mean
         |FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q56_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM
+        |(SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |FROM orders) t WHERE rk <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
     "q55_cleaning_pipeline" ->
       ("""WITH gated AS (SELECT doc_id, text FROM documents
          |WHERE len(string_split(text, ' ')) >= 10),

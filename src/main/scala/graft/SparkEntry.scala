@@ -94,7 +94,15 @@ object SparkEntry {
     "q53_ann_mllib"        -> ((s, d) => Similarity.annMllib(Tables.embeddings(s, d))),
     "q54_label_centroids"  -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     // flagship LLM-pipeline composite: gate → dedup → near-dup removal
-    "q55_cleaning_pipeline" -> ((s, d) => Dedup.cleaningPipeline(Tables.documents(s, d)))
+    "q55_cleaning_pipeline" -> ((s, d) => Dedup.cleaningPipeline(Tables.documents(s, d))),
+    // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k
+    "q56_topk_custom"      -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.plans.TopK.perKey(Tables.orders(s, d), Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -138,8 +138,10 @@ object VectorFunctions {
   * path for existing sessions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorFunctions.registry.foreach { case (name, cls, builder) =>
       ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

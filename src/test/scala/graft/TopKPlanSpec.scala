@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.SetOps
+import graft.plans.{TopK, TopKPerKeyExec}
+
+/** The custom whole-operator extension: logical node → strategy →
+  * heap-based physical top-k, checked against the window formulation.
+  */
+class TopKPlanSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private lazy val orders = Tables.orders(spark, sfDir)
+
+  test("TopK.perKey matches row_number window + filter exactly") {
+    val viaPlan = TopK.perKey(orders,
+        Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val viaWindow = SetOps.topNPerGroup(orders, 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    assert(viaPlan.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaPlan).count() == 0)
+  }
+
+  test("the physical plan uses TopKPerKeyExec and no WindowExec") {
+    val df = TopK.perKey(orders,
+      Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("k=1 degenerates to per-key argmax; unknown column fails fast") {
+    val top1 = TopK.perKey(orders, Seq("o_orderstatus"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 1)
+      .select("o_orderstatus", "o_totalprice").collect()
+    assert(top1.length == orders.select("o_orderstatus").distinct().count())
+    val expected = orders.groupBy("o_orderstatus").agg(max("o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    top1.foreach(r => assert(r.getDouble(1) == expected(r.getString(0))))
+
+    intercept[IllegalArgumentException] {
+      TopK.perKey(orders, Seq("nope"), Seq(col("o_totalprice")), 3)
+    }
+  }
+
+  test("ordering without explicit direction defaults to ascending") {
+    val cheapest = TopK.perKey(orders, Seq("o_orderstatus"),
+        Seq(col("o_totalprice"), col("o_orderkey")), 1)
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expected = orders.groupBy("o_orderstatus").agg(min("o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cheapest == expected)
+  }
+
+  test("exec node reports a clustered distribution requirement (one shuffle, same as window)") {
+    val df = TopK.perKey(orders, Seq("o_custkey"), Seq(col("o_totalprice").desc), 2)
+    df.collect()
+    val execs = df.queryExecution.executedPlan.collect { case e: TopKPerKeyExec => e }
+    // with AQE the node may sit under adaptive wrappers; fall back to string check
+    if (execs.nonEmpty)
+      assert(execs.head.requiredChildDistribution.head
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution])
+    assert(df.queryExecution.executedPlan.toString.contains("Exchange") ||
+      df.queryExecution.toString.contains("Exchange"))
+  }
+}

@@ -113,12 +113,18 @@ object Aggregates {
     * eda/eda_analysis.py:52 uses approxQuantile relErr 0.01):
     * `percentile_approx` (Greenwald–Khanna). Approximate ⇒ no DuckDB
     * hash oracle; driver records a rows-only check, ScalaTest bounds
-    * it against the exact values.
+    * it against the exact values. Emitted as three SCALAR columns
+    * (not array&lt;double&gt;) so any tabular comparator can consume the
+    * result.
     */
   def approxQuantilesByGroup(li: DataFrame): DataFrame =
     li.groupBy("l_returnflag")
       .agg(percentile_approx(col("l_quantity"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_q"))
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("aq"))
+      .select(col("l_returnflag"),
+        element_at(col("aq"), 1).as("q25_approx"),
+        element_at(col("aq"), 2).as("q50_approx"),
+        element_at(col("aq"), 3).as("q75_approx"))
       .orderBy("l_returnflag")
 
   /** A9: Pearson correlation as an aggregate (eda/eda_analysis.py:133-141

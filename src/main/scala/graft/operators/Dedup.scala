@@ -59,17 +59,37 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
   }
 
+  /** Drop pathological LSH buckets before the self-join. A bucket of
+    * size s produces s·(s-1)/2 candidate pairs, so one hot bucket
+    * (boilerplate text, empty documents) can dominate the whole join;
+    * capping trades a bounded amount of recall on the degenerate
+    * cluster for a hard bound on join fan-out — the standard skew
+    * guard for LSH at scale.
+    */
+  private def capBuckets(bandRows: DataFrame, maxBucketSize: Option[Int]): DataFrame =
+    maxBucketSize match {
+      case Some(t) =>
+        val ok = bandRows.groupBy("band", "mh")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= t)
+          .select("band", "mh")
+        bandRows.join(ok, Seq("band", "mh"), "left_semi")
+      case None => bandRows
+    }
+
   /** LSH banding: unpivot the signature to (doc_id, band, mh) rows and
     * self-equi-join on (band, mh). Catalyst runs this as a hash join
     * keyed on the band hash — the scale-safe LSH shape; doc_id < doc_id
     * is a post-join filter, and distinct collapses pairs that collide
-    * in several bands.
+    * in several bands. `maxBucketSize` optionally caps hot buckets
+    * (see [[capBuckets]]).
     */
-  def minhashCandidatePairs(docs: DataFrame, bands: Int = 4): DataFrame = {
+  def minhashCandidatePairs(docs: DataFrame, bands: Int = 4,
+                            maxBucketSize: Option[Int] = None): DataFrame = {
     val sig = minhashSignatures(docs, bands)
-    val bandRows = (0 until bands)
+    val bandRows = capBuckets((0 until bands)
       .map(b => sig.select(col("doc_id"), lit(b).as("band"), col(s"mh$b").as("mh")))
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_)), maxBucketSize)
     val a = bandRows.as("a")
     val b = bandRows.as("b")
     a.join(b,
@@ -81,37 +101,57 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup: exact set similarity computed ONLY on
-    * the LSH candidate pairs (never all pairs). |A∩B| via
-    * array_intersect on the distinct shingle sets; |A∪B| by
-    * inclusion–exclusion.
+    * the LSH candidate pairs (never all pairs).
     *
-    * One combined aggregation produces BOTH the band minima and the
-    * shingle set, so the expensive shingle explode runs once; the
-    * small per-document signature frame (one row per doc) is persisted
-    * and fanned out to the band-unpivot and both sides of the verify
-    * join.
+    * Scale contract: NO array column ever crosses a shuffle. |A∩B| is
+    * computed by joining the candidate pairs back to the exploded
+    * (doc_id, shingle) rows and counting matches, and |A∪B| by
+    * inclusion–exclusion from the per-document distinct-shingle counts
+    * — every shuffled row is (long, long) or (long, shingle-string)
+    * narrow, so a pathologically long document costs rows, never a
+    * multi-megabyte array cell in a single shuffle block. (The
+    * previous formulation shipped collect_set(shingle) arrays through
+    * persist+shuffle+join; at 100 TB that dies on long documents.)
+    *
+    * The distinct shingle stream is persisted and read three times
+    * (signature aggregate + both sides of the intersection join); the
+    * one-row-per-doc signature frame fans out to the band unpivot and
+    * the size lookups.
     */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.2, bands: Int = 4): DataFrame = {
-    val sh = shingleDocs(docs)
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.2, bands: Int = 4,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
+    val sh = shingleDocs(docs).dropDuplicates("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs = (0 until bands).map(b =>
       min(md5(concat(lit(s"b$b:"), col("shingle")))).as(s"mh$b")) :+
-      collect_set("shingle").as("sset")
+      count(lit(1)).as("nsh")
     val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandRows = (0 until bands)
+    val bandRows = capBuckets((0 until bands)
       .map(b => sig.select(col("doc_id"), lit(b).as("band"), col(s"mh$b").as("mh")))
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_)), maxBucketSize)
     val cand = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val setsA = sig.select(col("doc_id").as("id_a"), col("sset").as("sa"))
-    val setsB = sig.select(col("doc_id").as("id_b"), col("sset").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    val union = size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))
-    cand.join(setsA, "id_a").join(setsB, "id_b")
-      .withColumn("jaccard", round(inter / union.cast("double"), 4))
+    // |A∩B|: fan each candidate pair out to A's shingles, then count
+    // which of those exist on the B side — an equi-join on
+    // (id_b, shingle), never an array comparison. A pair with an empty
+    // intersection simply produces no row, which the >= threshold
+    // filter would drop anyway (candidates share their band-min
+    // shingle, so in practice inter >= 1).
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sizes = sig.select(col("doc_id"), col("nsh"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -124,12 +164,16 @@ object Dedup {
     * from this file, chained — the flagship LLM-pipeline composite.
     */
   def cleaningPipeline(docs: DataFrame, minTokens: Int = 10,
-                       jaccardThreshold: Double = 0.2): DataFrame = {
+                       jaccardThreshold: Double = 0.2,
+                       maxBucketSize: Option[Int] = None): DataFrame = {
     val gated = docs.filter(size(split(col("text"), " ")) >= minTokens)
+    // read twice (shingle cascade + final anti-join) — persist so the
+    // exact-dedup shuffle over the full text runs once
     val canonical = gated
       .groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "text")
-    val dupLosers = nearDupPairs(canonical, jaccardThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupLosers = nearDupPairs(canonical, jaccardThreshold, maxBucketSize = maxBucketSize)
       .select(col("id_b").as("doc_id")).distinct()
     canonical.join(dupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),

@@ -87,10 +87,13 @@ object TextAnalysis {
     * aggregate, document frequency from a second small aggregate on
     * distinct (doc, term), idf = ln(N/df), ranked per document. All
     * shuffles are keyed on the term or the doc id — standard scale
-    * shape for corpus statistics.
+    * shape for corpus statistics. The corpus size N is a 1-row
+    * aggregate broadcast-joined INTO the plan (not a driver-side
+    * count()), so building the query triggers no eager scan and the
+    * whole thing stays one lazy plan.
     */
   def tfidfTopTerm(docs: DataFrame): DataFrame = {
-    val n = docs.count().toDouble
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -99,7 +102,8 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf_r").desc, col("term"))
     tf.join(dfreq, "term")
-      .withColumn("tfidf_r", round(col("tf") * log(lit(n) / col("df")), 6))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_r", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("term").as("top_term"),

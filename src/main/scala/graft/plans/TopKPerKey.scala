@@ -42,6 +42,18 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Memory contract: the per-partition heap map holds O(#keys-in-
+  * partition · k) UnsafeRow copies and does NOT spill. After the
+  * ClusteredDistribution shuffle a partition sees ≈ #distinct-keys /
+  * #partitions keys, so the resident set is (keys/partitions) · k ·
+  * rowSize — for real top-k use (k ≤ ~100, bounded key domains) that
+  * is a few MB per task even at 100 TB input. If #keys · k rows per
+  * partition could rival partition input size, this operator buys
+  * nothing over the sort-based window form — use that instead (the
+  * bit-identical formulation in [[graft.operators.SetOps.topNPerGroup]]);
+  * a size-triggered fallback would need spill hooks the exercise of
+  * which the window operator already IS.
+  */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                           child: SparkPlan) extends UnaryExecNode {
 

@@ -77,15 +77,19 @@ object StreamPipeline {
   def awaitAll(queries: Seq[StreamingQuery]): Unit =
     queries.foreach(_.awaitTermination())
 
-  /** Streaming dedup on ingest: drop events whose key was already seen,
-    * with state bounded by the watermark (keys older than the horizon
-    * are forgotten — the only way dedup state survives an unbounded
-    * stream). The first stage of a training-data ingest pipeline.
+  /** Streaming dedup on ingest: drop events whose KEY was already seen
+    * (regardless of their event time), with state bounded by the
+    * watermark — `dropDuplicatesWithinWatermark` forgets a key once
+    * the watermark passes its first sighting, the only way dedup state
+    * survives an unbounded stream. The first stage of a training-data
+    * ingest pipeline. (Plain `dropDuplicates(key :+ ts)` would treat
+    * the same key at a different timestamp as new — that is (key, ts)
+    * dedup, not key dedup.)
     */
   def dedupOnIngest(stream: DataFrame, keyCols: Seq[String],
                     watermarkDelay: String = "10 minutes"): DataFrame =
     stream.withWatermark("ts", watermarkDelay)
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Stream-static enrichment join: each micro-batch hash-joins the
     * (small, broadcastable) static dimension — stateless, no watermark

@@ -68,11 +68,10 @@ class OperatorsSpec extends AnyFunSuite {
     val approx = Aggregates.approxQuantilesByGroup(lineitem).collect()
     approx.foreach { r =>
       val (q25, q50, q75) = exact(r.getString(0))
-      val arr = r.getSeq[Double](1)
       // rank error ≤ 1% of group size ⇒ values should be within a few units here
-      assert(math.abs(arr(0) - q25) <= 3.0)
-      assert(math.abs(arr(1) - q50) <= 3.0)
-      assert(math.abs(arr(2) - q75) <= 3.0)
+      assert(math.abs(r.getDouble(1) - q25) <= 3.0)
+      assert(math.abs(r.getDouble(2) - q50) <= 3.0)
+      assert(math.abs(r.getDouble(3) - q75) <= 3.0)
     }
     // the DataFrame stat API variant (the reference's literal call, eda_analysis.py:52)
     val qs = lineitem.stat.approxQuantile("l_quantity", Array(0.25, 0.5, 0.75), 0.01)

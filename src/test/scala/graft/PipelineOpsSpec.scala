@@ -89,6 +89,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("maxBucketSize caps a hot LSH bucket's candidate fan-out") {
+    import spark.implicits._
+    // 20 identical docs = one hot bucket in EVERY band → C(20,2)=190
+    // pairs uncapped; plus one small near-dup cluster that must survive
+    val hot = (1L to 20L).map(i => (i, "boilerplate header repeated verbatim on every page"))
+    val a = (100L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12")
+    val b = (101L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 zz")
+    val df = (hot :+ a :+ b).map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val uncapped = Dedup.minhashCandidatePairs(df).count()
+    val capped = Dedup.minhashCandidatePairs(df, maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped == 190 + 1)
+    assert(capped.toSeq == Seq((100L, 101L)),
+      s"hot bucket must be dropped, small cluster kept: ${capped.toSeq}")
+    // the verify stage inherits the cap
+    val verified = Dedup.nearDupPairs(df, threshold = 0.1, maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(verified.toSeq == Seq((100L, 101L)))
+  }
+
   test("nearDupPairs jaccard is exact on a hand-computed case") {
     import spark.implicits._
     // 12-token docs differing only in the last token:

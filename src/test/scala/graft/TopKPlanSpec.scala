@@ -58,6 +58,18 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(cheapest == expected)
   }
 
+  test("wide key domain honors the O(#keys·k) memory contract (20k keys, k=2)") {
+    // 100k rows over 20k distinct keys: the per-partition heap map holds
+    // ~(20k/partitions)·2 tiny rows — the documented resident set. Top-2
+    // by id desc for key g are the ids g+80000 and g+60000.
+    val df = spark.range(100000L)
+      .selectExpr("id % 20000 AS g", "id AS v")
+    val top = graft.plans.TopK.perKey(df, Seq("g"), Seq(col("v").desc), 2)
+    assert(top.count() == 40000L)
+    val sample = top.filter(col("g") === 123L).collect().map(_.getLong(1)).sorted
+    assert(sample.toSeq == Seq(60123L, 80123L))
+  }
+
   test("exec node reports a clustered distribution requirement (one shuffle, same as window)") {
     val df = TopK.perKey(orders, Seq("o_custkey"), Seq(col("o_totalprice").desc), 2)
     df.collect()

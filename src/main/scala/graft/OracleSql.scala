@@ -375,6 +375,40 @@ object OracleSql {
         |FROM orders) t WHERE rk <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
+    "q57_deterministic_split" ->
+      """WITH t AS (SELECT doc_id,
+        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS INT) AS bucket
+        |FROM documents)
+        |SELECT doc_id, bucket,
+        |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q58_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |       FROM toks WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+        |o AS (SELECT doc_id, count(*) AS n_overlap FROM tr
+        |      WHERE shingle IN (SELECT shingle FROM ev) GROUP BY doc_id),
+        |s AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_shingles,
+        |CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / s.n_shingles, 4) AS contam_ratio
+        |FROM s LEFT JOIN o ON s.doc_id = o.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q59_repetition_ratio" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |       FROM toks WHERE len(tk) >= 3)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct,
+        |round(1.0 - CAST(count(DISTINCT shingle) AS DOUBLE) / count(*), 4) AS rep_ratio
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q55_cleaning_pipeline" ->
       ("""WITH gated AS (SELECT doc_id, text FROM documents
          |WHERE len(string_split(text, ' ')) >= 10),

@@ -95,6 +95,11 @@ object SparkEntry {
     "q54_label_centroids"  -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     // flagship LLM-pipeline composite: gate → dedup → near-dup removal
     "q55_cleaning_pipeline" -> ((s, d) => Dedup.cleaningPipeline(Tables.documents(s, d))),
+    // training-data corpus management (deterministic split, eval-set
+    // decontamination, repetition quality gate)
+    "q57_deterministic_split" -> ((s, d) => TrainingData.deterministicSplit(Tables.documents(s, d))),
+    "q58_decontaminate"    -> ((s, d) => TrainingData.evalDecontaminate(Tables.documents(s, d))),
+    "q59_repetition_ratio" -> ((s, d) => TrainingData.repetitionRatio(Tables.documents(s, d))),
     // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k
     "q56_topk_custom"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators for LLM-training-data pipelines, on top
+  * of the [[Dedup]]/[[TextAnalysis]] layers: reproducible splitting,
+  * eval-set decontamination, and repetition-based quality gating.
+  *
+  * All three are pure DataFrame plans over narrow rows — per-document
+  * transforms or shingle-keyed equi-joins — the shapes that scale
+  * linearly to 100 TB. Hashing is engine-neutral md5 (like the dedup
+  * cascade) so every operator here is DuckDB-oracle-checkable.
+  */
+object TrainingData {
+
+  /** Deterministic hash-based train/val/test assignment: bucket =
+    * first 4 hex chars of md5(doc_id) mod 100. Unlike `randomSplit`
+    * (RNG + partition-order sensitive), the assignment is a pure
+    * function of the document id: reruns, backfills, and incremental
+    * ingests all land each document in the same split — the property a
+    * reproducible training pipeline actually needs. No shuffle at all:
+    * this is a narrow per-row projection.
+    */
+  def deterministicSplit(docs: DataFrame, trainPct: Int = 80,
+                         valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+  }
+
+  /** Eval-set decontamination: per training document, how many of its
+    * distinct n-token shingles appear anywhere in the eval set
+    * (docs with doc_id % 10 == 0 stand in for the benchmark corpus).
+    * The overlap is a shingle-keyed left-semi join against the eval
+    * shingle vocabulary — narrow rows only, work ∝ matching shingles,
+    * never a per-pair array comparison. Downstream, drop or flag
+    * training docs above a contamination-ratio threshold before they
+    * leak benchmark answers into the model.
+    */
+  def evalDecontaminate(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalVocab = sh.filter(col("doc_id") % 10 === 0).select("shingle").distinct()
+    val train = sh.filter(col("doc_id") % 10 =!= 0)
+    val overlap = train.join(evalVocab, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contam_ratio",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4))
+      .select("doc_id", "n_shingles", "n_overlap", "contam_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition gate: fraction of a document's n-token
+    * shingles that are repeats (1 - distinct/total). Boilerplate,
+    * keyboard-mash, and template spam score high; clean prose scores
+    * near 0. One explode + one aggregate per document — the same
+    * linear shape as [[TextAnalysis.textStats]].
+    */
+  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame =
+    Dedup.shingleDocs(docs, n)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+}

@@ -53,6 +53,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("near-dup verify never aggregates arrays (no collect_set in plan)") {
+    // the 100 TB contract from SCALE.md: |A∩B| via narrow-row joins,
+    // never an array payload through a shuffle — regression guard for
+    // the round-2 scale-killer
+    for (q <- Seq("q33_near_dup", "q55_cleaning_pipeline")) {
+      val p = plan(q)
+      assert(!p.contains("collect_set"), s"$q ships array payloads:\n$p")
+      assert(!p.contains("array_intersect"), s"$q compares array cells:\n$p")
+    }
+  }
+
+  test("tf-idf folds the corpus count into the plan as a broadcast 1-row aggregate") {
+    val p = plan("q50_tfidf_top_term")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

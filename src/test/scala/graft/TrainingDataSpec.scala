@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.TrainingData
+
+/** Corpus-management operators: reproducible splitting, eval-set
+  * decontamination, repetition quality gate (q57-q59).
+  */
+class TrainingDataSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("deterministic split is a pure function of doc_id: stable across runs and text changes") {
+    val a = TrainingData.deterministicSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val b = TrainingData.deterministicSplit(docs.withColumn("text", lit("mutated")))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(a.sameElements(b), "split must not depend on anything but doc_id")
+    val bySplit = a.groupBy(_._2).view.mapValues(_.length).toMap
+    val n = a.length.toDouble
+    assert(bySplit.values.sum == a.length, "every doc lands in exactly one split")
+    // md5 buckets are uniform: fractions near the 80/10/10 targets
+    assert(math.abs(bySplit("train") / n - 0.80) < 0.10, bySplit.toString)
+    assert(math.abs(bySplit.getOrElse("val", 0) / n - 0.10) < 0.07, bySplit.toString)
+    assert(math.abs(bySplit.getOrElse("test", 0) / n - 0.10) < 0.07, bySplit.toString)
+  }
+
+  test("decontamination counts planted eval overlap exactly") {
+    import spark.implicits._
+    // doc 10 is EVAL (10 % 10 == 0); doc 11 shares 1 of its 2 shingles
+    // with it; doc 12 shares none
+    val df = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma epsilon"),
+      (12L, "one two three four"))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = TrainingData.evalDecontaminate(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!res.contains(10L), "eval docs are not themselves scored")
+    assert(res(11L) == ((2L, 1L, 0.5)))
+    assert(res(12L) == ((2L, 0L, 0.0)))
+  }
+
+  test("repetition ratio: hand-computed on a looping document") {
+    import spark.implicits._
+    // "a b a b a b" → shingles (a b a),(b a b),(a b a),(b a b): 4 total,
+    // 2 distinct → ratio 0.5; a no-repeat doc scores 0
+    val df = Seq((1L, "a b a b a b"), (2L, "w x y z"))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = TrainingData.repetitionRatio(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(res(1L) == ((4L, 2L, 0.5)))
+    assert(res(2L) == ((2L, 2L, 0.0)))
+  }
+}

@@ -409,6 +409,17 @@ object OracleSql {
         |round(1.0 - CAST(count(DISTINCT shingle) AS DOUBLE) / count(*), 4) AS rep_ratio
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q60_asof_attribution" ->
+      """WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+        |FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (SELECT user_id, ts, event_id AS purchase_id
+        |FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+        |c.click_id AS attr_click_id, c.ts AS attr_click_ts
+        |FROM purchases p ASOF JOIN clicks c
+        |ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.purchase_id""".stripMargin,
+
     "q55_cleaning_pipeline" ->
       ("""WITH gated AS (SELECT doc_id, text FROM documents
          |WHERE len(string_split(text, ' ')) >= 10),

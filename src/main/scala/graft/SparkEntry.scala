@@ -100,6 +100,8 @@ object SparkEntry {
     "q57_deterministic_split" -> ((s, d) => TrainingData.deterministicSplit(Tables.documents(s, d))),
     "q58_decontaminate"    -> ((s, d) => TrainingData.evalDecontaminate(Tables.documents(s, d))),
     "q59_repetition_ratio" -> ((s, d) => TrainingData.repetitionRatio(Tables.documents(s, d))),
+    // as-of join composed from built-ins (union + window carry-forward)
+    "q60_asof_attribution" -> ((s, d) => Joins.clickAttribution(Tables.events(s, d))),
     // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k
     "q56_topk_custom"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col

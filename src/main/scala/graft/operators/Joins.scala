@@ -57,4 +57,44 @@ object Joins {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
+
+  /** As-of join, composed from built-ins (tier (a) of the extension
+    * ladder — no custom node needed): for each purchase event, the
+    * same user's most recent click at or before the purchase
+    * timestamp (click attribution — the canonical time-series as-of).
+    *
+    * Shape: tag both sides, union, ONE window over (user, time) with a
+    * running last_value(click, ignoreNulls) carry-forward, keep the
+    * purchase rows. Cost is a single hash-partition on user_id plus a
+    * per-partition sort — the same exchange any per-user operator
+    * needs — instead of the range-join's candidate explosion. Clicks
+    * are pre-collapsed to one row per (user, ts) so ties are
+    * deterministic on both engines (DuckDB oracle uses its native
+    * ASOF JOIN against this plan).
+    */
+  def clickAttribution(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    // tag 0 sorts before tag 1 at equal ts ⇒ a click at exactly the
+    // purchase instant is attributable (ASOF's ts >= semantics)
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("click_id"), lit(null).cast("long").as("purchase_id"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("long").as("click_id"), col("purchase_id")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("attr_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("attr_click_ts",
+        last(when(col("click_id").isNotNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("attr_click_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("attr_click_id"), col("attr_click_ts"))
+      .orderBy("purchase_id")
+  }
 }

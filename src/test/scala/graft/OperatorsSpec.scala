@@ -78,6 +78,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
   }
 
+  test("as-of click attribution matches hand-computed nearest-earlier semantics") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2026-01-01 10:05:00"), 1L, "purchase", 5.0, "{}"),
+      (3L, ts("2026-01-01 10:10:00"), 1L, "click", 1.0, "{}"),
+      // tie: click at the exact purchase instant IS attributable
+      (4L, ts("2026-01-01 10:10:00"), 1L, "purchase", 9.0, "{}"),
+      // purchase with no prior click: excluded (inner as-of)
+      (5L, ts("2026-01-01 09:00:00"), 2L, "purchase", 7.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = Joins.clickAttribution(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getTimestamp(4)))).toMap
+    assert(res == Map(
+      2L -> ((1L, ts("2026-01-01 10:00:00"))),
+      4L -> ((3L, ts("2026-01-01 10:10:00")))))
+  }
+
   test("corr matches the df.stat.corr API (reference call shape)") {
     val viaAgg = Aggregates.correlations(lineitem).head().getDouble(0)
     val viaStat = lineitem.stat.corr("l_quantity", "l_extendedprice")

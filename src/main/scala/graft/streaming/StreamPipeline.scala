@@ -112,6 +112,59 @@ object StreamPipeline {
       .outputMode(OutputMode.Append)
       .foreachBatch(write)
 
+  /** Open-session state carried across micro-batches. */
+  case class OpenSession(start: java.sql.Timestamp, last: java.sql.Timestamp, n: Long)
+
+  /** A gap-closed session emitted downstream. */
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming sessionization via `flatMapGroupsWithState` — the
+    * emit-many tier of the arbitrary-state API (mapGroupsWithState
+    * emits exactly one row per key per batch; sessions need zero or
+    * MANY closed sessions per key). State per user is one open
+    * session; a gap > `gapSeconds` closes it and emits it. The batch
+    * twin is [[graft.operators.Aggregates.sessionize]] — same gap
+    * rule, so batch backfill and live stream agree.
+    *
+    * Scale contract: state is O(1) per active user (three fields), and
+    * keys spread across executors by group hash. In production add
+    * `GroupStateTimeout.EventTimeTimeout` + watermark to also close
+    * sessions on silence rather than only on the next event; kept
+    * NoTimeout here so results are deterministic under
+    * processAllAvailable in tests.
+    */
+  def sessionizeStream(stream: DataFrame, gapSeconds: Long = 1800)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    stream.selectExpr("user_id", "ts").as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          // micro-batch iterators carry no order guarantee; a user's
+          // per-batch slice is small — sort locally
+          val ts = rows.map(_._2).toArray.sortBy(_.getTime)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var open = state.getOption
+          ts.foreach { t =>
+            open match {
+              case Some(s) if (t.getTime - s.last.getTime) / 1000 <= gapSeconds =>
+                open = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(uid, s.start, s.last, s.n)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Running per-user totals carried across micro-batches. */
   case class UserActivity(user_id: Long, n_events: Long, total_value: Double)
 

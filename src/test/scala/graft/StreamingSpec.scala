@@ -101,6 +101,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gaps, matches the batch rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.sessionizeStream(stream).toDF(),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-sess").toString,
+      queryName = "sess_mem").start()
+    try {
+      // session 1 for user 7: two events 5 min apart
+      mem.addData(
+        (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+        (2L, Timestamp.valueOf("2026-01-01 10:05:00"), 7L, "view", 1.0, "{}"))
+      query.processAllAvailable()
+      assert(spark.table("sess_mem").isEmpty, "open session must not emit")
+      // >30 min gap closes it; state carries ACROSS micro-batches
+      mem.addData((3L, Timestamp.valueOf("2026-01-01 11:00:00"), 7L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      val closed = spark.table("sess_mem").collect()
+      assert(closed.length == 1)
+      val s = closed.head
+      assert(s.getLong(0) == 7L)
+      assert(s.getTimestamp(1) == Timestamp.valueOf("2026-01-01 10:00:00"))
+      assert(s.getTimestamp(2) == Timestamp.valueOf("2026-01-01 10:05:00"))
+      assert(s.getLong(3) == 2L)
+      // a second gap emits the second session; a fresh one stays open
+      mem.addData(
+        (4L, Timestamp.valueOf("2026-01-01 12:00:00"), 7L, "view", 1.0, "{}"),
+        (5L, Timestamp.valueOf("2026-01-01 12:01:00"), 7L, "view", 1.0, "{}"))
+      query.processAllAvailable()
+      val all = spark.table("sess_mem").orderBy("session_start").collect()
+      assert(all.length == 2)
+      assert(all(1).getTimestamp(1) == Timestamp.valueOf("2026-01-01 11:00:00"))
+      assert(all(1).getLong(3) == 1L)
+    } finally query.stop()
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val users = Seq((7L, "alpha"), (8L, "beta")).toDF("user_id", "segment")

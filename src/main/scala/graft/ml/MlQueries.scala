@@ -48,17 +48,19 @@ object MlQueries {
   /** R1+R2 demonstration: randomSplit + sample-with-replacement row
     * accounting. Seed-dependent ⇒ rows-only check; the invariants
     * (fractions, replacement blow-up) are asserted in ScalaTest.
+    * The four counts are UNIONED single-row aggregates — one lazy
+    * plan, one action, no driver-side count() loop.
     */
   def sampleSplitCounts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val orders = Tables.orders(spark, dir)
     val Array(train, test) = orders.randomSplit(Array(0.7, 0.3), 42L)
     val sampled = orders.sample(withReplacement = true, 0.5, 42L)
-    Seq(
-      ("total", orders.count()),
-      ("train", train.count()),
-      ("test", test.count()),
-      ("sampled_wr_0.5", sampled.count())
-    ).toDF("split", "n_rows").orderBy("split")
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("split"), col("n_rows"))
+    counted("total", orders)
+      .unionByName(counted("train", train))
+      .unionByName(counted("test", test))
+      .unionByName(counted("sampled_wr_0.5", sampled))
+      .orderBy("split")
   }
 }

@@ -420,6 +420,20 @@ object OracleSql {
         |ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.purchase_id""".stripMargin,
 
+    "q61_session_window" ->
+      """WITH t AS (SELECT user_id, ts, value,
+        |lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |THEN 1 ELSE 0 END AS ns FROM t),
+        |g AS (SELECT user_id, ts, value,
+        |sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
+        |SELECT user_id, min(ts) AS session_start,
+        |max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
     "q55_cleaning_pipeline" ->
       ("""WITH gated AS (SELECT doc_id, text FROM documents
          |WHERE len(string_split(text, ' ')) >= 10),

@@ -102,6 +102,8 @@ object SparkEntry {
     "q59_repetition_ratio" -> ((s, d) => TrainingData.repetitionRatio(Tables.documents(s, d))),
     // as-of join composed from built-ins (union + window carry-forward)
     "q60_asof_attribution" -> ((s, d) => Joins.clickAttribution(Tables.events(s, d))),
+    // native session_window aggregate (batch twin of the streaming form)
+    "q61_session_window"   -> ((s, d) => Aggregates.sessionWindowAgg(Tables.events(s, d))),
     // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k
     "q56_topk_custom"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col

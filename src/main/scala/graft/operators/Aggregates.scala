@@ -221,6 +221,25 @@ object Aggregates {
     * [[graft.streaming.StreamPipeline]]. `window().start` ≡
     * date_trunc('hour', ts) for a 1-hour tumble.
     */
+  /** Native session-window aggregate: Spark's `session_window`
+    * (dynamic-gap windows that merge while events arrive within the
+    * gap; end = last event + gap). The declarative twin of the manual
+    * lag/running-sum [[sessionize]] — and the form that runs unchanged
+    * as a streaming aggregation with a watermark. Boundary semantics
+    * (verified empirically, spec-pinned): an event exactly `gap` after
+    * the previous one still MERGES — a new session starts only when
+    * the difference EXCEEDS the gap, the same `> gap` rule as
+    * [[sessionize]].
+    */
+  def sessionWindowAgg(ev: DataFrame, gap: String = "30 minutes"): DataFrame =
+    ev.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+      .orderBy("user_id", "session_start")
+
   def hourWindowCounts(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("value_sum"))

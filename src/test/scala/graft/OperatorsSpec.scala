@@ -78,6 +78,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
   }
 
+  test("session_window merges within-gap events and splits at the exact-gap boundary") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2026-01-01 10:29:59"), 1L, "view", 2.0, "{}"),  // < gap: merges
+      (3L, ts("2026-01-01 10:59:59"), 1L, "view", 3.0, "{}"),  // < gap from prev: merges
+      (4L, ts("2026-01-01 11:29:59"), 1L, "view", 4.0, "{}"),  // EXACTLY 30:00 after #3: still merges (diff <= gap)
+      (5L, ts("2026-01-01 12:00:00"), 1L, "view", 6.0, "{}"),  // 30:01 after #4: NEW session
+      (6L, ts("2026-01-01 09:00:00"), 2L, "click", 5.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = Aggregates.sessionWindowAgg(ev).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(res.toSeq == Seq(
+      (1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 11:59:59"), 4L),
+      (1L, ts("2026-01-01 12:00:00"), ts("2026-01-01 12:30:00"), 1L),
+      (2L, ts("2026-01-01 09:00:00"), ts("2026-01-01 09:30:00"), 1L)), res.toSeq.toString)
+  }
+
   test("as-of click attribution matches hand-computed nearest-earlier semantics") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -70,6 +70,31 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(sample.toSeq == Seq(60123L, 80123L))
   }
 
+  test("optimizer rule rewrites the row_number<=k window idiom into TopKPerKeyExec") {
+    graft.plans.TopKRewrite.enable(spark)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val idiom = orders.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      idiom.collect()
+      val plan = idiom.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan)
+      assert(!plan.contains("WindowExec"), plan)
+      val viaWindow = SetOps.topNPerGroup(orders, 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      assert(idiom.exceptAll(viaWindow).count() == 0)
+      assert(viaWindow.exceptAll(idiom).count() == 0)
+
+      // rank column kept downstream ⇒ rule must NOT fire
+      val kept = orders.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select("o_custkey", "rk")
+      kept.collect()
+      assert(!kept.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    } finally graft.plans.TopKRewrite.disable(spark)
+  }
+
   test("exec node reports a clustered distribution requirement (one shuffle, same as window)") {
     val df = TopK.perKey(orders, Seq("o_custkey"), Seq(col("o_totalprice").desc), 2)
     df.collect()

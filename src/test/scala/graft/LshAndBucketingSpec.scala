@@ -62,6 +62,25 @@ class LshAndBucketingSpec extends AnyFunSuite {
     assert(pruned.count() == direct)
   }
 
+  test("ANN probe over a bucket-partitioned corpus is a partition-pruned scan (IVF shape)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val withBucket = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      Similarity.lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    withBucket.write.mode("overwrite").partitionBy("bucket_id").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    // single-probe ANN reads ONLY the query's bucket directory — the
+    // SCALE.md claim that probes become partition-pruned scans, not
+    // shuffles, once the corpus is written bucketed
+    val someBucket = withBucket.select("bucket_id").head().getInt(0)
+    val probed = corpus.filter(col("bucket_id") === someBucket)
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket_id"), scan)
+    assert(probed.count() ==
+      withBucket.filter(col("bucket_id") === someBucket).count())
+  }
+
   test("bucketed tables join with zero exchanges (co-located fact join)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")

@@ -85,4 +85,15 @@ object Tables {
       case None     => r.option("inferSchema", "true").csv(path)
     }
   }
+
+  /** JSON-Lines scan — the de-facto interchange format for LLM
+    * training corpora (one document object per line). The schema is
+    * REQUIRED: inference reads the whole corpus twice and silently
+    * unions divergent shapes, both unacceptable at 100 TB. Rows that
+    * do not parse land in `_corrupt_record` (PERMISSIVE) instead of
+    * failing the job — route them like [[graft.operators.JsonRouting]]
+    * routes bad payloads.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 }

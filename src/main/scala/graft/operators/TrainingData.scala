@@ -47,7 +47,10 @@ object TrainingData {
   def evalDecontaminate(docs: DataFrame, n: Int = 3): DataFrame = {
     val sh = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val evalVocab = sh.filter(col("doc_id") % 10 === 0).select("shingle").distinct()
+    // a benchmark suite's vocabulary is MBs even against a 100 TB
+    // training corpus — broadcast it so the train side never shuffles
+    val evalVocab = broadcast(
+      sh.filter(col("doc_id") % 10 === 0).select("shingle").distinct())
     val train = sh.filter(col("doc_id") % 10 =!= 0)
     val overlap = train.join(evalVocab, Seq("shingle"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))

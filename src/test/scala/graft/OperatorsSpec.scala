@@ -78,6 +78,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
   }
 
+  test("JSONL corpus source: declared schema; corrupt lines routed, not fatal") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    java.nio.file.Files.writeString(dir.resolve("part-0.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |{"doc_id": 2, "text": "bonjour", "lang": "fr"}
+        |this line is not json
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("_corrupt_record", StringType)))
+    val df = Tables.jsonl(spark, dir.toString, schema).cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("doc_id") === 1L).head().getString(1) == "hello world")
+    df.unpersist()
+  }
+
   test("session_window merges within-gap events and splits at the exact-gap boundary") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -36,6 +36,31 @@ object Multimodal {
         (length(col("payload")) % 64).as("stub_width"))
       .orderBy("doc_id")
 
+  /** REAL header decode — no codec library needed, because container
+    * formats carry their dimensions in fixed-offset header bytes:
+    * PNG's IHDR stores width/height as big-endian u32 at bytes 17-24,
+    * GIF's logical screen descriptor as little-endian u16 at bytes
+    * 7-10; JPEG is magic-detected (its dimensions live in variable
+    * SOF segments — a full scan belongs in [[decodeFeatures]]'s
+    * partition-wise decoder). Everything here is codegen'd built-ins
+    * (`substring`/`hex`/`conv`) over the binary column — a narrow
+    * per-row transform, no UDF, no shuffle.
+    */
+  def imageHeaderMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
+    val b = col(binCol)
+    def beU32(pos: Int) = conv(hex(substring(b, pos, 4)), 16, 10).cast("int")
+    def leU16(pos: Int) =
+      (conv(hex(substring(b, pos, 1)), 16, 10) +
+        conv(hex(substring(b, pos + 1, 1)), 16, 10) * 256).cast("int")
+    val isPng  = upper(hex(substring(b, 1, 8))) === lit("89504E470D0A1A0A")
+    val isJpeg = upper(hex(substring(b, 1, 3))) === lit("FFD8FF")
+    val isGif  = upper(hex(substring(b, 1, 4))) === lit("47494638")
+    df.withColumn("format",
+        when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif").otherwise("unknown"))
+      .withColumn("width",  when(isPng, beU32(17)).when(isGif, leU16(7)))
+      .withColumn("height", when(isPng, beU32(21)).when(isGif, leU16(9)))
+  }
+
   /** STUB: "decode" a media payload. A real deployment calls an image
     * or audio codec here; this container has none, so dimensions and
     * the mean byte are derived deterministically from the bytes

@@ -89,6 +89,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("image header decode parses real PNG/GIF dimensions from raw bytes") {
+    import spark.implicits._
+    // hand-built headers: PNG 64x32 (big-endian IHDR), GIF 320x200
+    // (little-endian screen descriptor), JPEG magic, garbage
+    val png = Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0, 0, 0, 0x40, 0, 0, 0, 0x20).map(_.toByte)
+    val gif = "GIF89a".getBytes("US-ASCII") ++ Array[Int](0x40, 0x01, 0xC8, 0x00).map(_.toByte)
+    val jpeg = Array[Int](0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte)
+    val junk = "hello".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, junk)).toDF("doc_id", "payload")
+    val res = Multimodal.imageHeaderMeta(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4)))).toMap
+    assert(res(1L) == (("png", 64, 32)))
+    assert(res(2L) == (("gif", 320, 200)))
+    assert(res(3L) == (("jpeg", -1, -1)))
+    assert(res(4L) == (("unknown", -1, -1)))
+  }
+
   test("maxBucketSize caps a hot LSH bucket's candidate fan-out") {
     import spark.implicits._
     // 20 identical docs = one hot bucket in EVERY band → C(20,2)=190

@@ -144,6 +144,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res.head.getDouble(2) == 0.8182)
   }
 
+  test("nearDupPairs equals brute-force Jaccard on every emitted pair (random corpus)") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus over a 12-token pool — small
+    // vocabulary guarantees LSH collisions to exercise the verify path
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 40L).map { i =>
+      val n = 8 + rnd.nextInt(12)
+      (i, Seq.fill(n)("t" + rnd.nextInt(12)).mkString(" "), "en", "s", 0L)
+    }
+    val df = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.nearDupPairs(df, threshold = 0.05).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    val sets = corpus.map { case (i, t, _, _, _) =>
+      i -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    got.foreach { case ((a, b), j) =>
+      val inter = sets(a).intersect(sets(b)).size.toDouble
+      val union = sets(a).size + sets(b).size - inter
+      val expected = BigDecimal(inter / union)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j == expected, s"pair ($a,$b): got $j expected $expected")
+    }
+  }
+
   test("simhash: identical docs equal; near-identical docs close in Hamming distance") {
     import spark.implicits._
     val base = "spark makes big data processing fast and simple for everyone today"

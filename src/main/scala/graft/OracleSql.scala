@@ -434,6 +434,15 @@ object OracleSql {
         |count(*) AS n_events, round(sum(value), 2) AS value_sum
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
+    "q62_mixture_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10000 AS INT) AS bucket
+        |FROM documents)
+        |SELECT doc_id, source, bucket FROM t
+        |WHERE bucket < (CASE WHEN source = 'src0' THEN 1.0
+        |WHEN source = 'src1' THEN 0.5 ELSE 0.25 END) * 10000
+        |ORDER BY doc_id""".stripMargin,
+
     "q55_cleaning_pipeline" ->
       ("""WITH gated AS (SELECT doc_id, text FROM documents
          |WHERE len(string_split(text, ' ')) >= 10),

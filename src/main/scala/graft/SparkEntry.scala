@@ -104,6 +104,8 @@ object SparkEntry {
     "q60_asof_attribution" -> ((s, d) => Joins.clickAttribution(Tables.events(s, d))),
     // native session_window aggregate (batch twin of the streaming form)
     "q61_session_window"   -> ((s, d) => Aggregates.sessionWindowAgg(Tables.events(s, d))),
+    // deterministic per-source mixture sampling (nested samples)
+    "q62_mixture_sample"   -> ((s, d) => TrainingData.mixtureSample(Tables.documents(s, d))),
     // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k
     "q56_topk_custom"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col

@@ -35,6 +35,28 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Deterministic data-mixture sampling: keep each document with a
+    * per-source probability (the mixture weights of a pretraining data
+    * recipe), decided by the same md5 bucket as
+    * [[deterministicSplit]] (mod 10000). Because the bucket is a pure
+    * function of doc_id, samples are NESTED: raising a source's weight
+    * only ADDS documents, never reshuffles the ones already kept —
+    * so mixture experiments stay comparable run over run. Narrow
+    * per-row filter, no shuffle, trivially 100 TB-safe.
+    */
+  def mixtureSample(docs: DataFrame,
+                    fractions: Map[String, Double] = Map("src0" -> 1.0, "src1" -> 0.5),
+                    defaultFraction: Double = 0.25): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 10000
+    val keepFrac = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
+      case (acc, (src, f)) => when(col("source") === src, lit(f)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .filter(col("bucket") < keepFrac * lit(10000.0))
+      .orderBy("doc_id")
+  }
+
   /** Eval-set decontamination: per training document, how many of its
     * distinct n-token shingles appear anywhere in the eval set
     * (docs with doc_id % 10 == 0 stand in for the benchmark corpus).

@@ -29,6 +29,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(math.abs(bySplit.getOrElse("test", 0) / n - 0.10) < 0.07, bySplit.toString)
   }
 
+  test("mixture sampling is deterministic and nested: raising a weight only adds docs") {
+    val f = Map("src0" -> 1.0, "src1" -> 0.5)
+    val a = TrainingData.mixtureSample(docs, f).collect().map(_.getLong(0)).toSet
+    val b = TrainingData.mixtureSample(docs, f).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same fractions must select the same documents")
+    // every fully-weighted source keeps ALL its docs
+    val src0Total = docs.filter(col("source") === "src0").count()
+    val src0Kept = TrainingData.mixtureSample(docs, f).filter(col("source") === "src0").count()
+    assert(src0Kept == src0Total)
+    // nested: kept-at-0.25 ⊆ kept-at-0.5 ⊆ kept-at-1.0 for the same source
+    def keptSrc1(frac: Double) = TrainingData.mixtureSample(docs, Map("src1" -> frac))
+      .filter(col("source") === "src1").collect().map(_.getLong(0)).toSet
+    val k25 = keptSrc1(0.25); val k50 = keptSrc1(0.5); val k100 = keptSrc1(1.0)
+    assert(k25.subsetOf(k50) && k50.subsetOf(k100))
+    assert(k100.size > k50.size && k50.size >= k25.size)
+  }
+
   test("decontamination counts planted eval overlap exactly") {
     import spark.implicits._
     // doc 10 is EVAL (10 % 10 == 0); doc 11 shares 1 of its 2 shingles

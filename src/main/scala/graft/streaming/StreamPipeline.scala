@@ -77,6 +77,22 @@ object StreamPipeline {
   def awaitAll(queries: Seq[StreamingQuery]): Unit =
     queries.foreach(_.awaitTermination())
 
+  /** Native session windows ON THE STREAM — the same
+    * `session_window` expression as the batch
+    * [[graft.operators.Aggregates.sessionWindowAgg]], plus a
+    * watermark: a session finalizes (and its state is freed) once the
+    * watermark passes session end. Append-mode emits only finalized
+    * sessions — exactly-once session records downstream.
+    */
+  def sessionWindowCounts(stream: DataFrame, gap: String = "30 minutes",
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    stream.withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+
   /** Streaming dedup on ingest: drop events whose KEY was already seen
     * (regardless of their event time), with state bounded by the
     * watermark — `dropDuplicatesWithinWatermark` forgets a key once

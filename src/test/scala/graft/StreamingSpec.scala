@@ -101,6 +101,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("native session_window on a stream finalizes sessions past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.sessionWindowCounts(stream),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-sw").toString,
+      queryName = "sw_mem").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+        (2L, Timestamp.valueOf("2026-01-01 10:05:00"), 7L, "view", 1.0, "{}"))
+      query.processAllAvailable()
+      // event time far past session end + watermark ⇒ session finalizes
+      mem.addData((3L, Timestamp.valueOf("2026-01-01 13:00:00"), 8L, "view", 1.0, "{}"))
+      query.processAllAvailable()
+      mem.addData((4L, Timestamp.valueOf("2026-01-01 15:00:00"), 8L, "view", 1.0, "{}"))
+      query.processAllAvailable()
+      val out = spark.table("sw_mem").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(out.contains((7L,
+        Timestamp.valueOf("2026-01-01 10:00:00"),
+        Timestamp.valueOf("2026-01-01 10:35:00"), 2L)), out.toSeq.toString)
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gaps, matches the batch rule") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]

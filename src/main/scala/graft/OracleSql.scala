@@ -377,7 +377,7 @@ object OracleSql {
 
     "q57_deterministic_split" ->
       """WITH t AS (SELECT doc_id,
-        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS INT) AS bucket
+        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
         |FROM documents)
         |SELECT doc_id, bucket,
         |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
@@ -436,7 +436,7 @@ object OracleSql {
 
     "q62_mixture_sample" ->
       """WITH t AS (SELECT doc_id, source,
-        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10000 AS INT) AS bucket
+        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS INT) AS bucket
         |FROM documents)
         |SELECT doc_id, source, bucket FROM t
         |WHERE bucket < (CASE WHEN source = 'src0' THEN 1.0

@@ -33,7 +33,13 @@ object MlQueries {
         .setInputCol("features_raw").setOutputCol("features")
         .setWithStd(true).setWithMean(false),
       new LogisticRegression().setMaxIter(5).setRegParam(0.01)))
+    // fit makes several passes over the training side (scaler fit,
+    // LR instance build, training summary) and each would otherwise
+    // re-run the parquet scan + randomSplit sampling — cache the split
+    // for the duration of fit only
+    train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = pipeline.fit(train)
+    train.unpersist(blocking = false)
     // X10+P8: probability vector → array<double>, index P(label=1)
     val scored = model.transform(test)
       .withColumn("probability_arr",

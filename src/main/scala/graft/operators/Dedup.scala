@@ -120,6 +120,10 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.2, bands: Int = 4,
                    maxBucketSize: Option[Int] = None): DataFrame = {
+    // the count-based intersection emits no row for an empty overlap,
+    // so threshold = 0 would silently diverge from the array
+    // formulation (which emitted jaccard 0.0 rows) — reject it
+    require(threshold > 0, "threshold must be > 0 (a 0-similarity pair is not a near-dup)")
     val sh = shingleDocs(docs).dropDuplicates("doc_id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs = (0 until bands).map(b =>
@@ -135,20 +139,29 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // size-ratio prefilter: jaccard <= min(na,nb)/max(na,nb) (best
+    // case inter = min, union = max), so a pair whose smaller shingle
+    // set is under threshold·larger can never pass — drop it BEFORE
+    // fanning the pair out to its shingle rows. The nsh counts were
+    // already paid for by the signature aggregate; the epsilon keeps
+    // exact-boundary pairs (min = t·max) from FP-rounding away.
+    val sizes = sig.select(col("doc_id"), col("nsh"))
+    val candSized = cand
+      .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")).cast("double") - lit(1e-9))
     // |A∩B|: fan each candidate pair out to A's shingles, then count
     // which of those exist on the B side — an equi-join on
     // (id_b, shingle), never an array comparison. A pair with an empty
     // intersection simply produces no row, which the >= threshold
     // filter would drop anyway (candidates share their band-min
-    // shingle, so in practice inter >= 1).
-    val inter = cand
+    // shingle, so in practice inter >= 1; threshold = 0 is rejected
+    // up front for exactly this reason).
+    candSized
       .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val sizes = sig.select(col("doc_id"), col("nsh"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 4))

@@ -14,8 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object TrainingData {
 
+  /** Shared md5 bucket: first 8 hex chars of md5(doc_id) as a 32-bit
+    * integer, reduced mod `buckets`. 8 hex chars (2^32 values) keep
+    * the modulo bias negligible (~2e-8 relative for mod 10000); a
+    * 4-char prefix (2^16) would skew buckets by up to ~7% relative at
+    * mod 10000 — enough to distort mixture weights.
+    */
+  private def md5Bucket(buckets: Int) =
+    (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets).cast("int")
+
   /** Deterministic hash-based train/val/test assignment: bucket =
-    * first 4 hex chars of md5(doc_id) mod 100. Unlike `randomSplit`
+    * first 8 hex chars of md5(doc_id) mod 100. Unlike `randomSplit`
     * (RNG + partition-order sensitive), the assignment is a pure
     * function of the document id: reruns, backfills, and incremental
     * ingests all land each document in the same split — the property a
@@ -25,9 +35,7 @@ object TrainingData {
   def deterministicSplit(docs: DataFrame, trainPct: Int = 80,
                          valPct: Int = 10): DataFrame = {
     require(trainPct + valPct < 100, "train+val must leave room for test")
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100
-    docs.select(col("doc_id"), bucket.as("bucket"))
+    docs.select(col("doc_id"), md5Bucket(100).as("bucket"))
       .withColumn("split",
         when(col("bucket") < trainPct, lit("train"))
           .when(col("bucket") < trainPct + valPct, lit("val"))
@@ -47,33 +55,52 @@ object TrainingData {
   def mixtureSample(docs: DataFrame,
                     fractions: Map[String, Double] = Map("src0" -> 1.0, "src1" -> 0.5),
                     defaultFraction: Double = 0.25): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 10000
     val keepFrac = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
       case (acc, (src, f)) => when(col("source") === src, lit(f)).otherwise(acc)
     }
-    docs.select(col("doc_id"), col("source"), bucket.as("bucket"))
+    docs.select(col("doc_id"), col("source"), md5Bucket(10000).as("bucket"))
       .filter(col("bucket") < keepFrac * lit(10000.0))
       .orderBy("doc_id")
   }
 
   /** Eval-set decontamination: per training document, how many of its
-    * distinct n-token shingles appear anywhere in the eval set
-    * (docs with doc_id % 10 == 0 stand in for the benchmark corpus).
-    * The overlap is a shingle-keyed left-semi join against the eval
+    * distinct n-token shingles appear anywhere in the eval set. The
+    * overlap is a shingle-keyed left-semi join against the eval
     * shingle vocabulary — narrow rows only, work ∝ matching shingles,
     * never a per-pair array comparison. Downstream, drop or flag
     * training docs above a contamination-ratio threshold before they
     * leak benchmark answers into the model.
+    *
+    * `evalDocs` is the benchmark corpus (same schema: doc_id, text);
+    * when None, docs with doc_id % 10 == 0 stand in for it and the
+    * rest are the training side. The join strategy is left to AQE by
+    * default: a real benchmark vocabulary is MBs and AQE will
+    * broadcast it from its runtime size, while an unexpectedly large
+    * eval side degrades to a shuffle join instead of a driver OOM.
+    * Pass `broadcastVocab = true` only when the caller KNOWS the eval
+    * set is small and wants the hint pinned (results are identical
+    * either way — spec-asserted).
+    *
+    * Caching contract: persists the training shingle stream for the
+    * duration of the returned plan; call
+    * `spark.catalog.clearCache()` (or unpersist) when done if reusing
+    * the session for unrelated work.
     */
-  def evalDecontaminate(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // a benchmark suite's vocabulary is MBs even against a 100 TB
-    // training corpus — broadcast it so the train side never shuffles
-    val evalVocab = broadcast(
-      sh.filter(col("doc_id") % 10 === 0).select("shingle").distinct())
-    val train = sh.filter(col("doc_id") % 10 =!= 0)
+  def evalDecontaminate(docs: DataFrame, n: Int = 3,
+                        evalDocs: Option[DataFrame] = None,
+                        broadcastVocab: Boolean = false): DataFrame = {
+    val (train, vocab0) = evalDocs match {
+      case Some(ev) =>
+        val tr = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (tr, Dedup.shingleDocs(ev, n).select("shingle").distinct())
+      case None =>
+        val sh = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (sh.filter(col("doc_id") % 10 =!= 0),
+          sh.filter(col("doc_id") % 10 === 0).select("shingle").distinct())
+    }
+    val evalVocab = if (broadcastVocab) broadcast(vocab0) else vocab0
     val overlap = train.join(evalVocab, Seq("shingle"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

@@ -57,13 +57,30 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
               projectList.forall(ne => !ne.exists(_.semanticEquals(alias.toAttribute))) =>
           rankBound(cond, alias.toAttribute) match {
             case Some(k) if k > 0 =>
-              // strip Spark's own group-limit node if present — TopKPerKey
-              // subsumes it
-              val child = w.child match {
-                case WindowGroupLimit(_, _, _, _, grandChild) => grandChild
-                case c => c
+              // strip Spark's own group-limit node ONLY when it provably
+              // belongs to this window (same partition/order specs, a
+              // row_number rank, and a limit that keeps at least our k) —
+              // TopKPerKey subsumes that bound. A WindowGroupLimit with
+              // ANY other shape (a future rule, a third-party plan) has
+              // row-pruning semantics of its own, so the rewrite backs
+              // off entirely rather than silently dropping it.
+              val strippedChild: Option[LogicalPlan] = w.child match {
+                case WindowGroupLimit(ps, os, fn, limit, grandChild) =>
+                  val sameSpecs =
+                    ps.length == partitionSpec.length &&
+                      ps.zip(partitionSpec).forall { case (x, y) => x.semanticEquals(y) } &&
+                      os.length == orderSpec.length &&
+                      os.zip(orderSpec).forall { case (x, y) => x.semanticEquals(y) }
+                  if (sameSpecs && fn.isInstanceOf[RowNumber] && limit >= k)
+                    Some(grandChild)
+                  else None
+                case c => Some(c)
               }
-              Project(projectList, TopKPerKey(partitionSpec, orderSpec, k, child))
+              strippedChild match {
+                case Some(child) =>
+                  Project(projectList, TopKPerKey(partitionSpec, orderSpec, k, child))
+                case None => p
+              }
             case _ => p
           }
         case _ => p

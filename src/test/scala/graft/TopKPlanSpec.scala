@@ -95,6 +95,39 @@ class TopKPlanSpec extends AnyFunSuite {
     } finally graft.plans.TopKRewrite.disable(spark)
   }
 
+  test("rewrite strips only a WindowGroupLimit that provably belongs to the window") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject, _}
+    import org.apache.spark.sql.types.IntegerType
+    val a = AttributeReference("a", IntegerType)()
+    val b = AttributeReference("b", IntegerType)()
+    val rel = LocalRelation(a, b)
+    val ps: Seq[Expression] = Seq(a)
+    val os = Seq(SortOrder(b, Ascending))
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val rk = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(ps, os, frame)), "rk")()
+    def idiom(child: LogicalPlan): LogicalPlan =
+      LProject(Seq(a, b), LFilter(LessThanOrEqual(rk.toAttribute, Literal(3)),
+        Window(Seq(rk), ps, os, child, None)))
+    // Spark's own inferred node (same specs, row_number, limit >= k):
+    // stripped, idiom rewritten to the heap operator
+    val matched = graft.plans.TopKRewriteRule(
+      idiom(WindowGroupLimit(ps, os, RowNumber(), 3, rel)))
+    assert(matched.collectFirst { case t: graft.plans.TopKPerKey => t }.isDefined, matched)
+    assert(matched.collectFirst { case w: WindowGroupLimit => w }.isEmpty, matched)
+    // foreign group-limits (different keys, tighter limit, different rank
+    // function) have pruning semantics of their own: plan left untouched
+    val foreign = Seq(
+      WindowGroupLimit(Seq(b), os, RowNumber(), 3, rel),
+      WindowGroupLimit(ps, os, RowNumber(), 2, rel),
+      WindowGroupLimit(ps, os, Rank(Seq(b)), 3, rel))
+    foreign.foreach { wgl =>
+      val plan = idiom(wgl)
+      assert(graft.plans.TopKRewriteRule(plan) == plan, s"must back off for $wgl")
+    }
+  }
+
   test("exec node reports a clustered distribution requirement (one shuffle, same as window)") {
     val df = TopK.perKey(orders, Seq("o_custkey"), Seq(col("o_totalprice").desc), 2)
     df.collect()

@@ -46,6 +46,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(k100.size > k50.size && k50.size >= k25.size)
   }
 
+  test("mixture fractions are accurate: 32-bit bucket keeps requested share within 1%") {
+    import spark.implicits._
+    // 100k synthetic ids: binomial noise ~0.16%, so a 1% band passes a
+    // uniform bucket but fails the old 16-bit formula (which kept 53.4%
+    // at a requested 0.5 — the 65536 % 10000 skew)
+    val big = spark.range(100000)
+      .select(col("id").as("doc_id"), lit("srcX").as("source"))
+    for (f <- Seq(0.25, 0.5, 0.75)) {
+      val kept = TrainingData.mixtureSample(big, Map("srcX" -> f)).count()
+      assert(math.abs(kept / 100000.0 - f) < 0.01,
+        s"requested $f, kept ${kept / 100000.0}")
+    }
+  }
+
   test("decontamination counts planted eval overlap exactly") {
     import spark.implicits._
     // doc 10 is EVAL (10 % 10 == 0); doc 11 shares 1 of its 2 shingles
@@ -61,6 +75,36 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(!res.contains(10L), "eval docs are not themselves scored")
     assert(res(11L) == ((2L, 1L, 0.5)))
     assert(res(12L) == ((2L, 0L, 0.0)))
+  }
+
+  test("decontamination: explicit eval corpus, broadcast and shuffle paths agree") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String)]) = rows
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // explicit eval corpus: no %10 stand-in — doc 10 is TRAIN here and
+    // gets scored against the external benchmark text
+    val train = mk(Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma epsilon"),
+      (12L, "one two three four")))
+    val eval_ = mk(Seq((99L, "alpha beta gamma")))
+    def run(bc: Boolean) =
+      TrainingData.evalDecontaminate(train, evalDocs = Some(eval_), broadcastVocab = bc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val shuffled = run(bc = false)
+    val hinted = run(bc = true)
+    assert(shuffled.sameElements(hinted), "join strategy must not change results")
+    val byId = shuffled.map(r => r._1 -> r).toMap
+    assert(byId(10L) == ((10L, 2L, 1L, 0.5)), "1 of doc 10's 2 shingles is in the eval vocab")
+    assert(byId(11L) == ((11L, 2L, 1L, 0.5)))
+    assert(byId(12L) == ((12L, 2L, 0L, 0.0)))
+    // the default (%10 stand-in) path also matches its hinted twin
+    val docsSf = docs
+    val defShuffled = TrainingData.evalDecontaminate(docsSf).collect().map(_.toString)
+    val defHinted = TrainingData.evalDecontaminate(docsSf, broadcastVocab = true)
+      .collect().map(_.toString)
+    assert(defShuffled.sameElements(defHinted))
   }
 
   test("repetition ratio: hand-computed on a looping document") {

@@ -443,6 +443,21 @@ object OracleSql {
         |WHEN source = 'src1' THEN 0.5 ELSE 0.25 END) * 10000
         |ORDER BY doc_id""".stripMargin,
 
+    "q63_paragraph_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |p0 AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(tk)/20.0) AS BIGINT)),
+        |    i -> {'pos': i, 'fp': md5(array_to_string(tk[i*20+1 : i*20+20], ' '))}) AS pf FROM tok),
+        |paras AS (SELECT doc_id, unnest(pf) AS u FROM p0),
+        |flat AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM paras),
+        |shared AS (SELECT fp FROM flat GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
+        |marked AS (SELECT f.doc_id, f.pos, f.fp, s.fp IS NOT NULL AS is_dup
+        |           FROM flat f LEFT JOIN shared s ON f.fp = s.fp)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+        |CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS INT) AS n_dropped,
+        |md5(coalesce(string_agg(fp, '|' ORDER BY pos) FILTER (WHERE NOT is_dup), '')) AS cleaned_fp
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q55_cleaning_pipeline" ->
       ("""WITH gated AS (SELECT doc_id, text FROM documents
          |WHERE len(string_split(text, ' ')) >= 10),

@@ -106,6 +106,8 @@ object SparkEntry {
     "q61_session_window"   -> ((s, d) => Aggregates.sessionWindowAgg(Tables.events(s, d))),
     // deterministic per-source mixture sampling (nested samples)
     "q62_mixture_sample"   -> ((s, d) => TrainingData.mixtureSample(Tables.documents(s, d))),
+    // cross-document paragraph-level exact dedup (C4-style cleaning tier)
+    "q63_paragraph_dedup"  -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
     // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k
     "q56_topk_custom"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col

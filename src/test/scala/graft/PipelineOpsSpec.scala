@@ -169,6 +169,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraphDedup drops exactly the cross-document shared chunks") {
+    import spark.implicits._
+    // 4-token paragraphs; P is a chunk-aligned paragraph shared by docs
+    // 1 and 2, doc 3 is all-unique, doc 4 repeats a paragraph only
+    // WITHIN itself (must NOT be dropped — the dup rule is cross-doc)
+    val P = "shared boiler plate text"
+    val df = Seq(
+      (1L, s"$P a1 a2 a3 a4"),
+      (2L, s"b1 b2 b3 b4 $P"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"),
+      (4L, "d1 d2 d3 d4 d1 d2 d3 d4"))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = Dedup.paragraphDedup(df, tokensPerPara = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(res(1L)._1 == 2 && res(1L)._2 == 1)
+    assert(res(2L)._1 == 2 && res(2L)._2 == 1)
+    assert(res(3L) == ((2, 0, res(3L)._3)))
+    assert(res(4L)._2 == 0, "within-doc repeats are kept")
+    // cleaned doc 1 = just "a1 a2 a3 a4"; its fingerprint must equal the
+    // md5 of that chunk's fp — reassembly preserves position order
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(res(1L)._3 == md5hex(md5hex("a1 a2 a3 a4")))
+    assert(res(2L)._3 == md5hex(md5hex("b1 b2 b3 b4")))
+    // an all-dropped doc reassembles to the empty fingerprint
+    val allDup = Seq((1L, P), (2L, P))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gone = Dedup.paragraphDedup(allDup, tokensPerPara = 4).collect()
+    gone.foreach(r => assert(r.getString(3) == md5hex("")))
+  }
+
   test("simhash: identical docs equal; near-identical docs close in Hamming distance") {
     import spark.implicits._
     val base = "spark makes big data processing fast and simple for everyone today"

@@ -108,6 +108,11 @@ object SparkEntry {
     "q62_mixture_sample"   -> ((s, d) => TrainingData.mixtureSample(Tables.documents(s, d))),
     // cross-document paragraph-level exact dedup (C4-style cleaning tier)
     "q63_paragraph_dedup"  -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
+    // IVF ANN over a materialized bucket-partitioned index: the probe
+    // scan is dynamically partition-pruned to the queried buckets
+    "q64_ann_ivf"          -> ((s, d) => Similarity.annTopKIvf(Tables.embeddings(s, d),
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_${new java.io.File(d).getName}").getAbsolutePath)),
     // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k
     "q56_topk_custom"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col

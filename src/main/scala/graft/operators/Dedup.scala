@@ -117,6 +117,12 @@ object Dedup {
     * (signature aggregate + both sides of the intersection join); the
     * one-row-per-doc signature frame fans out to the band unpivot and
     * the size lookups.
+    *
+    * Caching contract: the returned frame is lazy, so those persists
+    * stay registered for its lifetime — a caller reusing the session
+    * afterwards should `spark.catalog.clearCache()` (the harness mains
+    * do; otherwise Spark's ContextCleaner reclaims the blocks only
+    * when the frames are garbage-collected).
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.2, bands: Int = 4,
                    maxBucketSize: Option[Int] = None): DataFrame = {
@@ -175,6 +181,8 @@ object Dedup {
     * near-dup removal (drop the higher id of every verified LSH pair)
     * → per-survivor stats. Every stage is the oracle-checked operator
     * from this file, chained — the flagship LLM-pipeline composite.
+    * Same caching contract as [[nearDupPairs]] (persists `canonical`
+    * for the lifetime of the returned lazy frame).
     */
   def cleaningPipeline(docs: DataFrame, minTokens: Int = 10,
                        jaccardThreshold: Double = 0.2,
@@ -277,7 +285,9 @@ object Dedup {
     * banded-join discipline as [[minhashCandidatePairs]], with MLlib
     * owning the hash family; kept alongside the md5 cascade because
     * the latter is engine-neutral (DuckDB-checkable) while this one
-    * interops with the rest of spark.ml.
+    * interops with the rest of spark.ml. Same caching contract as
+    * [[nearDupPairs]] (the feature frame stays persisted while the
+    * returned join is alive).
     */
   def minhashLshMllib(docs: DataFrame, distanceThreshold: Double = 0.8,
                       numHashTables: Int = 4): DataFrame = {

@@ -154,6 +154,49 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** IVF with a MATERIALIZED index: write the corpus partitioned by
+    * LSH bucket (one directory per bucket — the inverted file), then
+    * probe by joining the partitioned table to the broadcast query set
+    * on `bucket_id`. Because `bucket_id` is the partition column and
+    * the probe side is broadcast, Spark's dynamic partition pruning
+    * rewrites the scan to read ONLY the probed buckets' directories —
+    * at 100 TB the probe does not even READ the other 255/256ths of
+    * the corpus, where [[annTopK]] (in-memory bucketing) must still
+    * scan everything to compute bucket ids. Index build is a one-off
+    * repartition-by-bucket write (≤ one file per bucket, no
+    * small-file explosion); results are identical to [[annTopK]]
+    * (spec-asserted), and the pruned scan is asserted in
+    * PlanAuditSpec.
+    *
+    * Like any index, the build is amortized: it runs only when
+    * `indexDir` has no committed index yet (or `rebuild = true`).
+    * Callers must rebuild when the corpus changes — the index is a
+    * materialized view of `emb`, not a cache Spark invalidates.
+    */
+  def annTopKIvf(emb: DataFrame, indexDir: String,
+                 nQueries: Int = 8, k: Int = 5,
+                 rebuild: Boolean = false): DataFrame = {
+    val spark = emb.sparkSession
+    val withBucket = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
+    if (rebuild || !new java.io.File(indexDir, "_SUCCESS").exists())
+      withBucket.repartition(col("bucket_id"))
+        .write.mode("overwrite").partitionBy("bucket_id").parquet(indexDir)
+    val corpus = spark.read.parquet(indexDir)
+    val q = withBucket.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket_id"))
+    val scored = corpus.join(broadcast(q), Seq("bucket_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   /** ANN top-k: probe only the query's own bucket (single-probe IVF).
     * Trades recall for a 2^numPlanes candidate reduction; recall vs
     * [[bruteForceTopK]] is asserted in ScalaTest.

@@ -81,6 +81,22 @@ class LshAndBucketingSpec extends AnyFunSuite {
       withBucket.filter(col("bucket_id") === someBucket).count())
   }
 
+  test("annTopKIvf: materialized index probe equals in-memory ANN and dynamically prunes partitions") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+    val ivf = Similarity.annTopKIvf(emb, dir)
+    // identical semantics to the in-memory single-probe ANN — the index
+    // only changes WHERE candidates are read from, never the result
+    val mem = Similarity.annTopK(emb)
+    assert(ivf.exceptAll(mem).count() == 0 && mem.exceptAll(ivf).count() == 0)
+    // the probe scan carries a dynamic pruning predicate on the
+    // partition column: only the queried bucket directories are read
+    ivf.collect()
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") && plan.contains("bucket_id"),
+      s"expected a dynamic partition-pruning filter on bucket_id in:\n$plan")
+  }
+
   test("bucketed tables join with zero exchanges (co-located fact join)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")

@@ -69,6 +69,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("rank-filtered window sites plan a WindowGroupLimit (bounded per-partition rows)") {
+    // these sites keep the rank column in their output, so the
+    // TopKRewriteRule can never fire on them; they are scale-safe only
+    // because Spark's InferWindowGroupLimit bounds each partition to
+    // the top k rows BEFORE the window sort. Pin that inference so a
+    // future conf or Spark change can't silently reintroduce full
+    // per-group sorts at these five sites.
+    for (q <- Seq("q37_cosine_topk", "q39_ann_topk", "q50_tfidf_top_term",
+        "q53_ann_mllib", "q64_ann_ivf")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost its group-limit bound:\n$p")
+    }
+    // annTopKMultiProbe is not a driver query; audit it directly
+    val mp = graft.operators.Similarity.annTopKMultiProbe(
+      graft.engine.Tables.embeddings(spark, sfDir))
+    assert(mp.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

@@ -443,6 +443,16 @@ object OracleSql {
         |WHEN source = 'src1' THEN 0.5 ELSE 0.25 END) * 10000
         |ORDER BY doc_id""".stripMargin,
 
+    "q65_incremental_dedup" ->
+      """WITH corpus AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents WHERE source <> 'src2'),
+        |batch AS (SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+        |min(doc_id) AS doc_id
+        |FROM documents WHERE source = 'src2' GROUP BY 1)
+        |SELECT b.doc_id, b.fingerprint FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint)
+        |ORDER BY b.doc_id""".stripMargin,
+
     "q63_paragraph_dedup" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |p0 AS (SELECT doc_id,

@@ -108,6 +108,15 @@ object SparkEntry {
     "q62_mixture_sample"   -> ((s, d) => TrainingData.mixtureSample(Tables.documents(s, d))),
     // cross-document paragraph-level exact dedup (C4-style cleaning tier)
     "q63_paragraph_dedup"  -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
+    // incremental-ingest dedup: new batch (source src2 stand-in)
+    // admitted against the existing corpus by fingerprint anti-join
+    "q65_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      import org.apache.spark.sql.functions.col
+      Dedup.incrementalDedup(
+        docs.filter(col("source") =!= "src2"),
+        docs.filter(col("source") === "src2"))
+    }),
     // IVF ANN over a materialized bucket-partitioned index: the probe
     // scan is dynamically partition-pruned to the queried buckets
     "q64_ann_ivf"          -> ((s, d) => Similarity.annTopKIvf(Tables.embeddings(s, d),

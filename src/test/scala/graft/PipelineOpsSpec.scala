@@ -169,6 +169,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalDedup admits only batch docs new to corpus and batch") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String)]) = rows
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = mk(Seq((1L, "Hello World"), (2L, "unique corpus text")))
+    val batch = mk(Seq(
+      (10L, "hello   world"),      // corpus dup modulo case/whitespace
+      (11L, "fresh content one"),
+      (12L, "fresh content one"),  // intra-batch dup of 11
+      (13L, "another new doc")))
+    val admitted = Dedup.incrementalDedup(corpus, batch)
+      .collect().map(_.getLong(0)).toSeq
+    assert(admitted == Seq(11L, 13L))
+    // equivalence with the full-recompute twin on the real table: the
+    // admitted set is exactly the batch-only fingerprints' min doc_ids
+    val docs = documents
+    val c = docs.filter(col("source") =!= "src2")
+    val b = docs.filter(col("source") === "src2")
+    val got = Dedup.incrementalDedup(c, b).collect().map(_.getLong(0)).toSet
+    def fps(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+    val corpusFps = fps(c).select("fp").distinct().collect().map(_.getString(0)).toSet
+    val expected = fps(b).collect().groupBy(_.getString(1))
+      .filterNot { case (fp, _) => corpusFps(fp) }
+      .map { case (_, rows) => rows.map(_.getLong(0)).min }.toSet
+    assert(got == expected)
+  }
+
   test("paragraphDedup drops exactly the cross-document shared chunks") {
     import spark.implicits._
     // 4-token paragraphs; P is a chunk-aligned paragraph shared by docs

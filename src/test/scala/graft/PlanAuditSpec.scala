@@ -87,6 +87,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(mp.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("runtime bloom-filter pruning fires on a filtered fact-to-fact shuffle join") {
+    // the fact⋈fact analogue of dynamic partition pruning: when the
+    // filtered side of a shuffle join is selective, Spark injects a
+    // bloom filter from it into the big side's scan, so most probe rows
+    // die before the exchange. At 100 TB (thresholds at their
+    // defaults: 10 MB creation side, 10 GB application side) this is
+    // exactly the join q19-style workloads compile to; the sf0.1
+    // fixture only needs the thresholds lowered to show the same plan.
+    import graft.engine.Tables
+    val conf = spark.conf
+    val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAppSide = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val joined = li.join(ord,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"no bloom runtime filter injected:\n$p")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        savedAppSide)
+    }
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

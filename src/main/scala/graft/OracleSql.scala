@@ -443,6 +443,27 @@ object OracleSql {
         |WHEN source = 'src1' THEN 0.5 ELSE 0.25 END) * 10000
         |ORDER BY doc_id""".stripMargin,
 
+    "q66_shard_assign" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+        |FROM documents)
+        |SELECT doc_id, shard,
+        |CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+        |FROM t ORDER BY shard, pos""".stripMargin,
+
+    "q67_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |FROM documents),
+        |o AS (SELECT doc_id, shard, n_tokens,
+        |CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |FROM t)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        |CAST(floor(start_offset / 256.0) AS INT) AS pack_id
+        |FROM o ORDER BY shard, start_offset, doc_id""".stripMargin,
+
     "q65_incremental_dedup" ->
       """WITH corpus AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents WHERE source <> 'src2'),

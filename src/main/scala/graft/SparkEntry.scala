@@ -108,6 +108,9 @@ object SparkEntry {
     "q62_mixture_sample"   -> ((s, d) => TrainingData.mixtureSample(Tables.documents(s, d))),
     // cross-document paragraph-level exact dedup (C4-style cleaning tier)
     "q63_paragraph_dedup"  -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
+    // deterministic shard layout + sequence packing for training runs
+    "q66_shard_assign"     -> ((s, d) => TrainingData.shardAssign(Tables.documents(s, d))),
+    "q67_sequence_pack"    -> ((s, d) => TrainingData.sequencePack(Tables.documents(s, d))),
     // incremental-ingest dedup: new batch (source src2 stand-in)
     // admitted against the existing corpus by fingerprint anti-join
     "q65_incremental_dedup" -> ((s, d) => {

@@ -112,6 +112,50 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Deterministic shard assignment + within-shard order for training
+    * data: shard = 32-bit md5 bucket of doc_id mod `nShards`, position
+    * = rank of the full md5 hash within the shard. The composition is
+    * a reproducible global shuffle — the order a training run reads
+    * documents in is a pure function of their ids (rerun-stable,
+    * backfill-stable), yet uncorrelated with ingestion order. Scale
+    * shape: one hash partition on `shard` + a per-shard sort; nShards
+    * scales with the cluster, so no single sort exceeds a shard.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val shard = (conv(substring(h, 1, 8), 16, 10).cast("long") % nShards).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), h.as("h"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  /** Sequence packing (concat-then-chunk): documents are laid out in
+    * the deterministic [[shardAssign]] order, concatenated per shard,
+    * and chunked into fixed `seqLen`-token training sequences; a
+    * document belongs to the pack where its first token lands
+    * (start_offset / seqLen). This is the standard pretraining packing
+    * that wastes no tokens on padding — and because the layout is the
+    * running token sum over a deterministic order, the whole mapping
+    * is reproducible and DuckDB-checkable. One window (running sum)
+    * per shard — the same partitioned-sort shape as [[shardAssign]].
+    */
+  def sequencePack(docs: DataFrame, nShards: Int = 8, seqLen: Int = 256): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val shard = (conv(substring(h, 1, 8), 16, 10).cast("long") % nShards).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), h.as("h"), shard.as("shard"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("start_offset", coalesce(
+        sum("n_tokens").over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("pack_id", floor(col("start_offset") / lit(seqLen)).cast("int"))
+      .select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
+      .orderBy("shard", "start_offset", "doc_id")
+  }
+
   /** Gopher-style repetition gate: fraction of a document's n-token
     * shingles that are repeats (1 - distinct/total). Boilerplate,
     * keyboard-mash, and template spam score high; clean prose scores

@@ -115,6 +115,38 @@ object StreamPipeline {
   def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream-stream interval join: purchases matched to the
+    * same user's clicks from the preceding `lookback` window — the
+    * streaming twin of the batch as-of/attribution family
+    * ([[graft.operators.Joins.clickAttribution]], which keeps only the
+    * LATEST click; this emits every in-window click, the
+    * interval-join contract). Both sides carry a watermark and the
+    * join condition time-bounds one side against the other, which is
+    * what lets Spark expire buffered rows: click state is held only
+    * until watermark > click_ts + lookback, purchase state until its
+    * watermark passes — O(in-flight window) state per side on an
+    * unbounded stream, never the whole history. Batch/stream parity is
+    * spec-asserted on the same input (StreamingSpec).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        lookback: String = "1 hour",
+                        watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** foreachBatch sink: hands each micro-batch to arbitrary BATCH
     * writer code with its batch id — the production pattern for sinks
     * without a native streaming connector (JDBC, multi-table fan-out,

@@ -168,6 +168,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches its batch twin and bounds state by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksMem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val purchasesMem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val clickStream = clicksMem.toDF().toDF(cols: _*)
+    val purchaseStream = purchasesMem.toDF().toDF(cols: _*)
+
+    // user 7: click 10:00 attributes to purchases 10:30 (in window) but
+    // not 12:00 (> 1h later); user 8's purchase has no click; user 7's
+    // second click 11:55 attributes to the 12:00 purchase
+    val clicks = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 7L),
+      (2L, Timestamp.valueOf("2026-01-01 11:55:00"), 7L))
+    val purchases = Seq(
+      (100L, Timestamp.valueOf("2026-01-01 10:30:00"), 7L),
+      (101L, Timestamp.valueOf("2026-01-01 12:00:00"), 7L),
+      (102L, Timestamp.valueOf("2026-01-01 10:45:00"), 8L))
+    def widen(rows: Seq[(Long, Timestamp, Long)]) =
+      rows.map { case (id, t, u) => (id, t, u, "x", 0.0, "{}") }
+
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.clickPurchaseJoin(clickStream, purchaseStream),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-ssj").toString,
+      queryName = "ssj_mem").start()
+    try {
+      clicksMem.addData(widen(clicks): _*)
+      purchasesMem.addData(widen(purchases): _*)
+      query.processAllAvailable()
+      val got = spark.table("ssj_mem").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got == Set((100L, 1L), (101L, 2L)),
+        s"expected in-window attributions only, got $got")
+      // batch twin on the same rows: identical pairs
+      val clickDf = widen(clicks).toDF(cols: _*)
+      val purchaseDf = widen(purchases).toDF(cols: _*)
+      val batch = StreamPipeline.clickPurchaseJoin(clickDf, purchaseDf)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(batch == got, "stream and batch must agree on the same input")
+    } finally query.stop()
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val users = Seq((7L, "alpha"), (8L, "beta")).toDF("user_id", "segment")

@@ -1,0 +1,59 @@
+package graft.apps
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** One-off stage timing for the q41 training query (bench hotspot):
+  * isolates split/persist, pipeline fit, and transform+aggregate so
+  * optimization effort goes where the time actually is.
+  *   runMain graft.apps.Q41Probe [sfDir]
+  */
+object Q41Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROBE $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+    }
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    val li = Tables.lineitem(spark, sfDir)
+    val data = li.select(col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      (col("l_quantity") > lit(25.0)).cast("double").as("label"))
+    val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
+    t("persist train") {
+      train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    }
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("l_extendedprice", "l_discount", "l_tax"))
+      .setOutputCol("features_raw")
+    val scaler = new StandardScaler().setInputCol("features_raw")
+      .setOutputCol("features").setWithStd(true).setWithMean(false)
+    val lr = new LogisticRegression().setMaxIter(5).setRegParam(0.01)
+    val model = t("pipeline.fit") {
+      new Pipeline().setStages(Array(assembler, scaler, lr)).fit(train)
+    }
+    train.unpersist(blocking = false)
+    t("transform+agg") {
+      val scored = model.transform(test)
+        .withColumn("p1",
+          org.apache.spark.ml.functions.vector_to_array(col("probability"))(1))
+      scored.groupBy("label", "prediction")
+        .agg(count(lit(1)).as("n"), round(avg("p1"), 4).as("avg_p1")).count()
+    }
+    // decomposed fit: where inside the pipeline?
+    val assembled = assembler.transform(train)
+    val scalerModel = t("scaler.fit") { scaler.fit(assembled) }
+    val scaled = scalerModel.transform(assembled)
+    t("lr.fit") { lr.fit(scaled) }
+    spark.stop()
+  }
+}

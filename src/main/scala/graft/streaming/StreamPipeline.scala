@@ -130,7 +130,8 @@ object StreamPipeline {
     */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                         lookback: String = "1 hour",
-                        watermarkDelay: String = "10 minutes"): DataFrame = {
+                        watermarkDelay: String = "10 minutes",
+                        joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -139,10 +140,17 @@ object StreamPipeline {
       .select(col("user_id"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("purchase_ts", watermarkDelay)
+    // joinType "left_outer": a purchase with no in-window click is
+    // emitted null-joined — but only once the click-side watermark
+    // passes purchase_ts, i.e. when Spark can PROVE no matching click
+    // is still in flight. That proof is what the time bound buys; an
+    // unbounded condition would make outer results undecidable on an
+    // infinite stream (and Spark rejects it).
     p.join(c,
       col("user_id") === col("c_user_id") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"),
+      joinType)
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"))
   }

@@ -211,6 +211,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched rows only after the watermark proves them") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksMem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val purchasesMem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def widen(rows: (Long, String, Long)*) =
+      rows.map { case (id, t, u) => (id, Timestamp.valueOf(t), u, "x", 0.0, "{}") }
+
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.clickPurchaseJoin(
+        clicksMem.toDF().toDF(cols: _*), purchasesMem.toDF().toDF(cols: _*),
+        joinType = "left_outer"),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-ssj-lo").toString,
+      queryName = "ssj_lo_mem").start()
+    try {
+      // user 7's purchase has a click; user 8's has none
+      clicksMem.addData(widen((1L, "2026-01-01 10:00:00", 7L)): _*)
+      purchasesMem.addData(widen(
+        (100L, "2026-01-01 10:30:00", 7L), (102L, "2026-01-01 10:45:00", 8L)): _*)
+      query.processAllAvailable()
+      val early = spark.table("ssj_lo_mem").collect().map(_.getLong(0)).toSet
+      assert(!early.contains(102L),
+        "the unmatched purchase must NOT appear while a matching click could still arrive")
+      // advance both watermarks past purchase_ts: 102's no-match is now provable
+      clicksMem.addData(widen((9L, "2026-01-01 14:00:00", 99L)): _*)
+      purchasesMem.addData(widen((900L, "2026-01-01 14:00:00", 99L)): _*)
+      query.processAllAvailable()
+      clicksMem.addData(widen((10L, "2026-01-01 15:00:00", 99L)): _*)
+      purchasesMem.addData(widen((901L, "2026-01-01 15:00:00", 99L)): _*)
+      query.processAllAvailable()
+      val out = spark.table("ssj_lo_mem").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      assert(out(100L).contains(1L))
+      assert(out.contains(102L) && out(102L).isEmpty,
+        s"expected null-joined purchase 102 after watermark passed, got $out")
+    } finally query.stop()
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val users = Seq((7L, "alpha"), (8L, "beta")).toDF("user_id", "segment")

@@ -443,6 +443,16 @@ object OracleSql {
         |WHEN source = 'src1' THEN 0.5 ELSE 0.25 END) * 10000
         |ORDER BY doc_id""".stripMargin,
 
+    "q68_dup_clusters" ->
+      ("WITH RECURSIVE " + shingleCascade("documents") + ",\n" + jaccardVerify + ",\n" +
+        """pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+          |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+          |UNION ALL SELECT id_b, id_a FROM pairs),
+          |reach(a, b) AS (SELECT a, b FROM und
+          |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+          |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+
     "q66_shard_assign" ->
       """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
         |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard

@@ -176,6 +176,58 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup CLUSTERS: connected components over the verified
+    * [[nearDupPairs]] graph, labeling every involved document with its
+    * component's minimum doc_id — the canonical representative. This
+    * is the real final stage of fuzzy dedup (pair lists alone
+    * under-delete transitive chains A~B~C where A≁C directly).
+    *
+    * Algorithm: HashMin label propagation — each round every node
+    * takes the min of its own and its neighbors' labels; converges in
+    * O(component diameter) rounds (near-dup clusters are shallow —
+    * chains of a few hops). Each round is one equi-join + one hash
+    * aggregate over (long, long) rows; the driver only coordinates
+    * rounds and reads a single convergence count, exactly Pregel's
+    * coordination model. Only documents appearing in at least one
+    * verified pair are labeled (singletons are their own trivial
+    * cluster and are omitted).
+    */
+  def dupClusters(docs: DataFrame, threshold: Double = 0.2, bands: Int = 4,
+                  maxBucketSize: Option[Int] = None,
+                  maxIterations: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = nearDupPairs(docs, threshold, bands, maxBucketSize)
+      .select("id_a", "id_b")
+    // localCheckpoint (not persist) on the per-round frames: an
+    // iterative plan that unions/joins its own previous round doubles
+    // its LOGICAL plan every iteration, so analysis/optimization time
+    // explodes even when the data is cached — checkpointing truncates
+    // the lineage to the materialized partitions, keeping every round's
+    // plan flat (the same reason GraphX/Pregel checkpoint periodically)
+    val edges = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id_a").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIterations) {
+      val viaNeighbor = edges.join(labels, edges("id_b") === labels("node"))
+        .select(col("id_a").as("node"), col("cluster_id"))
+      val updated = labels.unionByName(viaNeighbor)
+        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("node"))
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = updated
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("node").as("doc_id"), col("cluster_id")).orderBy("doc_id")
+  }
+
   /** The end-to-end training-data cleaning pipeline in ONE plan:
     * length gate → exact dedup (canonical = min doc_id per text) →
     * near-dup removal (drop the higher id of every verified LSH pair)

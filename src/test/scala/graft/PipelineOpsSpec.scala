@@ -231,6 +231,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     gone.foreach(r => assert(r.getString(3) == md5hex("")))
   }
 
+  test("dupClusters merges transitive chains a pair list would miss") {
+    import spark.implicits._
+    // A~B (jaccard 0.6) and B~C (0.6) but A~C only 0.333 < threshold:
+    // pairwise deletion keyed on pairs alone would treat (A,C) as
+    // unrelated; connected components must put all three in cluster 1
+    val a = "a b c d e f g h i j"
+    val b = "a b c d e f g h x y"
+    val c = "p q c d e f g h x y"
+    val lone = "completely different words with no shared shingles at all"
+    val df = Seq((1L, a), (2L, b), (3L, c), (9L, lone))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // sanity: the pair list itself lacks (1,3)
+    val pairs = Dedup.nearDupPairs(df, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs((1L, 2L)) && pairs((2L, 3L)) && !pairs((1L, 3L)), pairs.toString)
+    val clusters = Dedup.dupClusters(df, threshold = 0.4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"chain must collapse to the min-id cluster, got $clusters")
+  }
+
   test("simhash: identical docs equal; near-identical docs close in Hamming distance") {
     import spark.implicits._
     val base = "spark makes big data processing fast and simple for everyone today"

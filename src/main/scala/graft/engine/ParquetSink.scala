@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainingData
+
+/** Parquet maintenance sinks — the write-side operations a 100 TB
+  * corpus needs beyond plain `df.write.parquet`:
+  *
+  *  - small-file compaction (streaming ingest and fine-grained
+  *    partitioning both produce file counts that grind NameNode/
+  *    listing and scan planning to a halt; periodic rewrite to
+  *    size-targeted files is standard table maintenance);
+  *  - training-shard layout (documents written in [[TrainingData
+  *    .sequencePack]] order, one file per shard, so a training job
+  *    streams each shard sequentially with zero query-time work).
+  */
+object ParquetSink {
+
+  /** Rewrite a parquet directory into ~`targetFileBytes` files:
+    * output file count = ceil(total bytes / target), min 1. Returns
+    * (input file count, output file count). One shuffle
+    * (`repartition`) sized from the actual directory footprint — the
+    * same rewrite runs identically over a 100 TB table, where
+    * `targetFileBytes` ≈ the HDFS/object-store block size keeps scans
+    * one-block-per-file.
+    */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+              targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val df = spark.read.parquet(dir)
+    val inFiles = df.inputFiles.length
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    df.repartition(parts).write.mode("overwrite").parquet(outDir)
+    (inFiles, spark.read.parquet(outDir).inputFiles.length)
+  }
+
+  /** Materialize the training corpus in [[TrainingData.sequencePack]]
+    * layout: one directory per shard, rows physically ordered by pack
+    * offset, so a reader consumes each shard as a sequential stream of
+    * already-packed sequences. `repartition(shard)` + `partitionBy
+    * (shard)` yields one file per shard directory (no small-file
+    * explosion); `sortWithinPartitions` fixes the physical row order
+    * parquet preserves within a file.
+    */
+  def writeTrainingShards(docs: org.apache.spark.sql.DataFrame, outDir: String,
+                          nShards: Int = 8, seqLen: Int = 256): Unit =
+    TrainingData.sequencePack(docs, nShards, seqLen)
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "start_offset")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+}

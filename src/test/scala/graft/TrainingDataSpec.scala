@@ -139,6 +139,39 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(n == docs.count())
   }
 
+  test("compact rewrites a fragmented parquet directory to size-targeted files") {
+    val frag = java.nio.file.Files.createTempDirectory("graft-frag").toString
+    // 64 tiny files — the post-ingest shape compaction exists to fix
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val (inFiles, outFiles) = graft.engine.ParquetSink.compact(spark, frag, out,
+      targetFileBytes = 1L << 20)
+    assert(inFiles == 64)
+    assert(outFiles < 8, s"expected a handful of ~1MB files, got $outFiles")
+    // lossless: same rows, any order
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(out)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("training shards land one ordered file per shard directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    graft.engine.ParquetSink.writeTrainingShards(docs, dir, nShards = 4)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName}: one file per shard, got ${parts.length}")
+    }
+    // physical row order within a shard file is the packing order
+    val one = spark.read.parquet(shardDirs.head.getAbsolutePath)
+      .select("start_offset").collect().map(_.getLong(0))
+    assert(one.sameElements(one.sorted), "rows must stream in pack-offset order")
+    // layout is complete: every document appears exactly once
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
+
   test("repetition ratio: hand-computed on a looping document") {
     import spark.implicits._
     // "a b a b a b" → shingles (a b a),(b a b),(a b a),(b a b): 4 total,

@@ -61,6 +61,30 @@ object Multimodal {
       .withColumn("height", when(isPng, beU32(21)).when(isGif, leU16(9)))
   }
 
+  /** REAL audio header decode, same technique as [[imageHeaderMeta]]:
+    * a canonical PCM WAV file is RIFF("RIFF" at 1-4, "WAVE" at 9-12)
+    * with the fmt chunk immediately following ("fmt " at 13-16), so
+    * channels (LE u16 @ 23), sample rate (LE u32 @ 25) and bits per
+    * sample (LE u16 @ 35) sit at fixed offsets — all extractable with
+    * codegen'd `substring`/`hex`/`conv`, no codec, no UDF, narrow
+    * per-row transform. Files with re-ordered chunks (rare) fall
+    * through as nulls and belong to [[decodeFeatures]]'s
+    * partition-wise decoder.
+    */
+  def audioHeaderMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
+    val b = col(binCol)
+    def byteAt(pos: Int) = conv(hex(substring(b, pos, 1)), 16, 10)
+    def leU16(pos: Int) = (byteAt(pos) + byteAt(pos + 1) * 256).cast("int")
+    def leU32(pos: Int) = (byteAt(pos) + byteAt(pos + 1) * 256 +
+      byteAt(pos + 2) * 65536 + byteAt(pos + 3) * 16777216).cast("long")
+    val isWav = upper(hex(substring(b, 1, 4))) === lit("52494646") &&
+      upper(hex(substring(b, 9, 8))) === lit("57415645666D7420")
+    df.withColumn("audio_format", when(isWav, "wav").otherwise("unknown"))
+      .withColumn("channels", when(isWav, leU16(23)))
+      .withColumn("sample_rate", when(isWav, leU32(25)))
+      .withColumn("bits_per_sample", when(isWav, leU16(35)))
+  }
+
   /** STUB: "decode" a media payload. A real deployment calls an image
     * or audio codec here; this container has none, so dimensions and
     * the mean byte are derived deterministically from the bytes

@@ -231,6 +231,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     gone.foreach(r => assert(r.getString(3) == md5hex("")))
   }
 
+  test("dupClusters equals driver-side union-find on the random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 40L).map { i =>
+      val n = 8 + rnd.nextInt(12)
+      (i, Seq.fill(n)("t" + rnd.nextInt(12)).mkString(" "), "en", "s", 0L)
+    }
+    val df = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.nearDupPairs(df, threshold = 0.05).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = Dedup.dupClusters(df, threshold = 0.05).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "HashMin propagation must agree with union-find")
+  }
+
+  test("audio header decode parses a real canonical WAV header") {
+    import spark.implicits._
+    def le(v: Long, n: Int) = (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val wav = "RIFF".getBytes("US-ASCII") ++ le(36, 4) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      le(16, 4) ++ le(1, 2) ++ le(2, 2) ++ le(44100, 4) ++
+      le(176400, 4) ++ le(4, 2) ++ le(16, 2) ++
+      "data".getBytes("US-ASCII") ++ le(0, 4)
+    val notWav = "definitely not audio".getBytes("US-ASCII")
+    val df = Seq((1L, wav), (2L, notWav)).toDF("doc_id", "payload")
+    val res = Multimodal.audioHeaderMeta(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(res(1L).getString(2) == "wav")
+    assert(res(1L).getInt(3) == 2, "channels")
+    assert(res(1L).getLong(4) == 44100L, "sample rate")
+    assert(res(1L).getInt(5) == 16, "bits per sample")
+    assert(res(2L).getString(2) == "unknown" && res(2L).isNullAt(4))
+  }
+
   test("dupClusters merges transitive chains a pair list would miss") {
     import spark.implicits._
     // A~B (jaccard 0.6) and B~C (0.6) but A~C only 0.333 < threshold:

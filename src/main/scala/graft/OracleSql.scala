@@ -453,6 +453,21 @@ object OracleSql {
           |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
 
+    "q69_source_cap" ->
+      """WITH t AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id, source,
+        |row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM t)
+        |SELECT doc_id, source FROM r WHERE rk <= 50
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "q70_token_budget" ->
+      """WITH a AS (SELECT source, count(*) AS n_docs,
+        |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 4) AS token_share
+        |FROM a ORDER BY source""".stripMargin,
+
     "q66_shard_assign" ->
       """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
         |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard

@@ -111,6 +111,10 @@ object SparkEntry {
     // near-dup clustering: connected components over verified pairs,
     // canonical representative = component min doc_id
     "q68_dup_clusters"     -> ((s, d) => Dedup.dupClusters(Tables.documents(s, d))),
+    // per-source mixture controls: deterministic cap (runs on the
+    // custom TopKPerKey heap operator) + token accounting
+    "q69_source_cap"       -> ((s, d) => TrainingData.sourceCap(Tables.documents(s, d))),
+    "q70_token_budget"     -> ((s, d) => TrainingData.tokenBudget(Tables.documents(s, d))),
     // deterministic shard layout + sequence packing for training runs
     "q66_shard_assign"     -> ((s, d) => TrainingData.shardAssign(Tables.documents(s, d))),
     "q67_sequence_pack"    -> ((s, d) => TrainingData.sequencePack(Tables.documents(s, d))),

@@ -156,6 +156,43 @@ object TrainingData {
       .orderBy("shard", "start_offset", "doc_id")
   }
 
+  /** Deterministic per-source document cap: keep at most `k` documents
+    * per source, chosen by md5-hash order — the mixture-control knob
+    * for over-represented sources (a web crawl dwarfing curated sets).
+    * Hash order makes the kept subset a pure function of the ids
+    * (rerun-stable, like [[mixtureSample]]) rather than "first k
+    * ingested". Executes on the custom heap-based
+    * [[graft.plans.TopKPerKey]] physical operator: one shuffle on
+    * source, O(n log k) per-partition selection, no rank column, no
+    * full per-source sort — the production use of the operator beyond
+    * its dedicated demo query.
+    */
+  def sourceCap(docs: DataFrame, k: Int = 50): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopK.perKey(hashed, Seq("source"),
+        Seq(col("h").asc, col("doc_id").asc), k)
+      .select("doc_id", "source")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Dataset accounting: documents, tokens, and token share per
+    * source — the report a mixture recipe is tuned against. One hash
+    * aggregate; the share denominator is a window over the aggregated
+    * (sources-sized) frame, never a second scan of the corpus.
+    */
+  def tokenBudget(docs: DataFrame): DataFrame = {
+    val agg = docs
+      .select(col("source"), size(split(col("text"), " ")).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    agg.withColumn("token_share",
+        round(col("n_tokens") / sum("n_tokens").over(w), 4))
+      .orderBy("source")
+  }
+
   /** Gopher-style repetition gate: fraction of a document's n-token
     * shingles that are repeats (1 - distinct/total). Boilerplate,
     * keyboard-mash, and template spam score high; clean prose scores

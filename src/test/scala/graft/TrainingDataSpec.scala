@@ -139,6 +139,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(n == docs.count())
   }
 
+  test("sourceCap keeps exactly min(k, source size) docs via the heap operator") {
+    val capped = TrainingData.sourceCap(docs, k = 50)
+    capped.collect()
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"must run on the custom operator:\n$plan")
+    val perSource = capped.collect().map(_.getString(1))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, n) =>
+      assert(perSource(src) == math.min(50L, n), s"$src: ${perSource(src)} vs $n")
+    }
+    // rerun-stable: same kept set
+    val again = TrainingData.sourceCap(docs, k = 50).collect().map(_.getLong(0)).toSet
+    assert(again == capped.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("tokenBudget shares sum to 1 and counts every doc") {
+    val rows = TrainingData.tokenBudget(docs).collect()
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 0.01, s"shares sum to $shareSum")
+  }
+
   test("compact rewrites a fragmented parquet directory to size-targeted files") {
     val frag = java.nio.file.Files.createTempDirectory("graft-frag").toString
     // 64 tiny files — the post-ingest shape compaction exists to fix

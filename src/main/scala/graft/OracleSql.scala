@@ -66,18 +66,22 @@ object OracleSql {
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
       |         JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)""".stripMargin
 
-  private val simhashSql: String = {
+  /** Shared simhash CTEs ending in `ssig(doc_id, simhash)`. */
+  private val simhashCtes: String = {
     val votes = (0 until 32)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit$b")
       .mkString(", ")
     val sig = (0 until 32)
       .map(b => s"(CASE WHEN bit$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH th AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+    s"""th AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
-       |v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id)
-       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+       |v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |ssig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v)""".stripMargin
   }
+
+  private val simhashSql: String =
+    s"WITH $simhashCtes\nSELECT doc_id, simhash FROM ssig ORDER BY doc_id"
 
   private val lshBucketsSql: String = {
     val terms = Similarity.planes.zipWithIndex.map { case (p, i) =>
@@ -452,6 +456,21 @@ object OracleSql {
           |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
           |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+
+    "q71_simhash_pairs" ->
+      (s"WITH $simhashCtes,\n" +
+        """blocks AS (SELECT doc_id, 0 AS blk, (simhash >> 0) & 255 AS bv FROM ssig
+          |UNION ALL SELECT doc_id, 1, (simhash >> 8) & 255 FROM ssig
+          |UNION ALL SELECT doc_id, 2, (simhash >> 16) & 255 FROM ssig
+          |UNION ALL SELECT doc_id, 3, (simhash >> 24) & 255 FROM ssig),
+          |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM blocks a
+          |JOIN blocks b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+          |SELECT c.id_a, c.id_b,
+          |CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+          |FROM scand c JOIN ssig sa ON c.id_a = sa.doc_id
+          |JOIN ssig sb ON c.id_b = sb.doc_id
+          |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin),
 
     "q69_source_cap" ->
       """WITH t AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),

@@ -357,6 +357,40 @@ object Dedup {
     votes.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
   }
 
+  /** SimHash near-dup pairs: all pairs within `maxHamming` bit flips
+    * of each other, found WITHOUT an all-pairs comparison via
+    * pigeonhole banding — the 32-bit signature splits into 4 byte
+    * blocks, and two signatures differing in ≤3 bits must agree on at
+    * least one whole block (3 flips can touch at most 3 of 4 blocks),
+    * so candidate generation is an exact-recall equi-join on
+    * (block index, block value). Verification is one codegen'd
+    * `bit_count(xor)` per candidate. Same LSH discipline as the
+    * MinHash cascade: work ∝ block collisions, never n².
+    * `maxHamming` ≤ 3 is required — it is what makes the 4-block
+    * pigeonhole complete (wider radii need more/smaller blocks).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-block pigeonhole banding guarantees full recall only for maxHamming <= 3")
+    val sig = simhashSignatures(docs)
+    val blocks = (0 until 4).map(b =>
+        sig.select(col("doc_id"), lit(b).as("blk"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv")))
+      .reduce(_.unionByName(_))
+    val cand = blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("simhash").as("sa")), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("simhash").as("sb")), Seq("id_b"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
   /** MLlib-built-in near-dup variant (SURVEY §2.13): term-presence
     * vectors via binary HashingTF → `MinHashLSH` →
     * `approxSimilarityJoin` under a Jaccard-distance threshold. Same

@@ -299,6 +299,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"chain must collapse to the min-id cluster, got $clusters")
   }
 
+  test("simhashPairs equals brute-force Hamming: pigeonhole banding loses no pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 30L).map { i =>
+      val n = 8 + rnd.nextInt(12)
+      (i, Seq.fill(n)("t" + rnd.nextInt(12)).mkString(" "), "en", "s", 0L)
+    }
+    val df = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sigs = Dedup.simhashSignatures(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"missing ${expected -- got}, extra ${got -- expected}")
+    assert(expected.nonEmpty, "fixture should produce at least one close pair")
+  }
+
   test("simhash: identical docs equal; near-identical docs close in Hamming distance") {
     import spark.implicits._
     val base = "spark makes big data processing fast and simple for everyone today"

@@ -130,10 +130,13 @@ object SparkEntry {
         docs.filter(col("source") === "src2"))
     }),
     // IVF ANN over a materialized bucket-partitioned index: the probe
-    // scan is dynamically partition-pruned to the queried buckets
-    "q64_ann_ivf"          -> ((s, d) => Similarity.annTopKIvf(Tables.embeddings(s, d),
-      new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_${new java.io.File(d).getName}").getAbsolutePath)),
+    // scan is dynamically partition-pruned to the queried buckets;
+    // the index dir is content-addressed so it can never be stale
+    "q64_ann_ivf"          -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annTopKIvf(emb,
+        Similarity.ivfIndexDir(emb, System.getProperty("java.io.tmpdir")))
+    }),
     // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k
     "q56_topk_custom"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col

@@ -49,11 +49,15 @@ object Q41Probe {
       scored.groupBy("label", "prediction")
         .agg(count(lit(1)).as("n"), round(avg("p1"), 4).as("avg_p1")).count()
     }
-    // decomposed fit: where inside the pipeline?
+    // decomposed fit: where inside the pipeline? Re-cache first so the
+    // stage timings are comparable to pipeline.fit (which ran against
+    // the cached split) instead of silently re-paying scan+split
+    train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     val assembled = assembler.transform(train)
     val scalerModel = t("scaler.fit") { scaler.fit(assembled) }
     val scaled = scalerModel.transform(assembled)
     t("lr.fit") { lr.fit(scaled) }
+    train.unpersist(blocking = false)
     spark.stop()
   }
 }

@@ -149,14 +149,18 @@ object Dedup {
     // case inter = min, union = max), so a pair whose smaller shingle
     // set is under threshold·larger can never pass — drop it BEFORE
     // fanning the pair out to its shingle rows. The nsh counts were
-    // already paid for by the signature aggregate; the epsilon keeps
-    // exact-boundary pairs (min = t·max) from FP-rounding away.
+    // already paid for by the signature aggregate. The slack is the
+    // 4-decimal ROUNDING half-width (5e-5), not a bare FP epsilon:
+    // the final filter compares round(jaccard, 4) >= threshold, so a
+    // pair with true jaccard in [threshold - 5e-5, threshold) still
+    // rounds up and must survive the prefilter; 1e-9 alone would
+    // silently drop it and diverge from the oracle.
     val sizes = sig.select(col("doc_id"), col("nsh"))
     val candSized = cand
       .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
       .filter(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")).cast("double") - lit(1e-9))
+        lit(threshold - 0.5e-4) * greatest(col("na"), col("nb")).cast("double") - lit(1e-9))
     // |A∩B|: fan each candidate pair out to A's shingles, then count
     // which of those exist on the B side — an equi-join on
     // (id_b, shingle), never an array comparison. A pair with an empty
@@ -182,15 +186,17 @@ object Dedup {
     * is the real final stage of fuzzy dedup (pair lists alone
     * under-delete transitive chains A~B~C where A≁C directly).
     *
-    * Algorithm: HashMin label propagation — each round every node
-    * takes the min of its own and its neighbors' labels; converges in
-    * O(component diameter) rounds (near-dup clusters are shallow —
-    * chains of a few hops). Each round is one equi-join + one hash
-    * aggregate over (long, long) rows; the driver only coordinates
-    * rounds and reads a single convergence count, exactly Pregel's
-    * coordination model. Only documents appearing in at least one
-    * verified pair are labeled (singletons are their own trivial
-    * cluster and are omitted).
+    * Algorithm: HashMin label propagation with pointer jumping — each
+    * round every node takes the min over its own, its neighbors', and
+    * its current label's label; the jump doubles the propagation
+    * horizon per round, so convergence is O(log diameter) rounds.
+    * Each round is two equi-joins + one hash aggregate over
+    * (long, long) rows; the driver only coordinates rounds and reads
+    * a single convergence count, exactly Pregel's coordination model.
+    * Only documents appearing in at least one verified pair are
+    * labeled (singletons are their own trivial cluster and are
+    * omitted). Non-convergence at the cap throws rather than emitting
+    * non-canonical labels.
     */
   def dupClusters(docs: DataFrame, threshold: Double = 0.2, bands: Int = 4,
                   maxBucketSize: Option[Int] = None,
@@ -215,7 +221,14 @@ object Dedup {
     while (changed > 0 && rounds < maxIterations) {
       val viaNeighbor = edges.join(labels, edges("id_b") === labels("node"))
         .select(col("id_a").as("node"), col("cluster_id"))
-      val updated = labels.unionByName(viaNeighbor)
+      // pointer jumping: also adopt the label OF my current label, so
+      // label information travels 2^round hops instead of one — a
+      // path component converges in O(log diameter) rounds, making the
+      // iteration cap unreachable for any real graph
+      val viaLabel = labels.as("x")
+        .join(labels.as("y"), col("x.cluster_id") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.cluster_id").as("cluster_id"))
+      val updated = labels.unionByName(viaNeighbor).unionByName(viaLabel)
         .groupBy("node").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
       changed = updated
@@ -225,6 +238,11 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist(blocking = false)
+    // wrong clusters must never be emitted silently: with pointer
+    // jumping, hitting the cap means ~2^maxIterations-hop components —
+    // if that ever happens, fail rather than return non-canonical ids
+    if (changed > 0) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIterations rounds — raise maxIterations")
     labels.select(col("node").as("doc_id"), col("cluster_id")).orderBy("doc_id")
   }
 
@@ -327,8 +345,8 @@ object Dedup {
     * full corpus text, this touches its fingerprints once.
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    def fp(df: DataFrame) = df.select(col("doc_id"),
-      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+    def fp(df: DataFrame) =
+      df.select(col("doc_id"), TextAnalysis.fingerprintCol.as("fingerprint"))
     val corpusFp = fp(corpus).select("fingerprint").distinct()
     fp(batch)
       .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))

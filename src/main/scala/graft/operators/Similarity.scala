@@ -173,6 +173,24 @@ object Similarity {
     * Callers must rebuild when the corpus changes — the index is a
     * materialized view of `emb`, not a cache Spark invalidates.
     */
+  /** Content-addressed index location: `base`/ivf_<hash of the source
+    * files' (path, size, mtime)>. A changed or different corpus
+    * changes the address, so the amortized-build path of
+    * [[annTopKIvf]] can never serve a stale index — the reuse check
+    * and the data identity are the same key.
+    */
+  def ivfIndexDir(emb: DataFrame, base: String): String = {
+    val conf = emb.sparkSession.sparkContext.hadoopConfiguration
+    val sig = emb.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }.mkString("|")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    new java.io.File(base, s"ivf_$h").getAbsolutePath
+  }
+
   def annTopKIvf(emb: DataFrame, indexDir: String,
                  nQueries: Int = 8, k: Int = 5,
                  rebuild: Boolean = false): DataFrame = {

@@ -116,9 +116,15 @@ object TextAnalysis {
     * exact duplicates modulo whitespace/case (the first stage of a
     * dedup cascade — see [[Dedup]]).
     */
+  /** The normalization+hash expression itself — the single definition
+    * [[fingerprints]] and [[Dedup.incrementalDedup]] both key on, so
+    * the "admit only if the full recompute would" contract can't
+    * drift.
+    */
+  val fingerprintCol: org.apache.spark.sql.Column =
+    md5(regexp_replace(lower(col("text")), "\\s+", " "))
+
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(
-        col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+    docs.select(col("doc_id"), fingerprintCol.as("fingerprint"))
       .orderBy("doc_id")
 }

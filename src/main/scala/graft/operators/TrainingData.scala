@@ -14,15 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object TrainingData {
 
-  /** Shared md5 bucket: first 8 hex chars of md5(doc_id) as a 32-bit
+  /** The document hash every deterministic operator here derives from:
+    * md5 of the id — rerun/backfill-stable and engine-neutral.
+    */
+  private val docHash = md5(col("doc_id").cast("string"))
+
+  /** Shared md5 bucket: first 8 hex chars of [[docHash]] as a 32-bit
     * integer, reduced mod `buckets`. 8 hex chars (2^32 values) keep
     * the modulo bias negligible (~2e-8 relative for mod 10000); a
     * 4-char prefix (2^16) would skew buckets by up to ~7% relative at
     * mod 10000 — enough to distort mixture weights.
     */
   private def md5Bucket(buckets: Int) =
-    (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % buckets).cast("int")
+    (conv(substring(docHash, 1, 8), 16, 10).cast("long") % buckets).cast("int")
+
+  /** The shard-layout contract shared by [[shardAssign]] and
+    * [[sequencePack]] (and relied on by
+    * [[graft.engine.ParquetSink.writeTrainingShards]]): shard =
+    * [[md5Bucket]], within-shard order = (hash, doc_id). One
+    * definition so the two views of the layout cannot drift.
+    */
+  private val shardOrder = org.apache.spark.sql.expressions.Window
+    .partitionBy("shard").orderBy(col("h"), col("doc_id"))
 
   /** Deterministic hash-based train/val/test assignment: bucket =
     * first 8 hex chars of md5(doc_id) mod 100. Unlike `randomSplit`
@@ -89,14 +102,12 @@ object TrainingData {
   def evalDecontaminate(docs: DataFrame, n: Int = 3,
                         evalDocs: Option[DataFrame] = None,
                         broadcastVocab: Boolean = false): DataFrame = {
+    val sh = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (train, vocab0) = evalDocs match {
       case Some(ev) =>
-        val tr = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (tr, Dedup.shingleDocs(ev, n).select("shingle").distinct())
+        (sh, Dedup.shingleDocs(ev, n).select("shingle").distinct())
       case None =>
-        val sh = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (sh.filter(col("doc_id") % 10 =!= 0),
           sh.filter(col("doc_id") % 10 === 0).select("shingle").distinct())
     }
@@ -121,16 +132,11 @@ object TrainingData {
     * shape: one hash partition on `shard` + a per-shard sort; nShards
     * scales with the cluster, so no single sort exceeds a shard.
     */
-  def shardAssign(docs: DataFrame, nShards: Int = 8): DataFrame = {
-    val h = md5(col("doc_id").cast("string"))
-    val shard = (conv(substring(h, 1, 8), 16, 10).cast("long") % nShards).cast("int")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
-    docs.select(col("doc_id"), h.as("h"), shard.as("shard"))
-      .withColumn("pos", row_number().over(w))
+  def shardAssign(docs: DataFrame, nShards: Int = 8): DataFrame =
+    docs.select(col("doc_id"), docHash.as("h"), md5Bucket(nShards).as("shard"))
+      .withColumn("pos", row_number().over(shardOrder))
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
-  }
 
   /** Sequence packing (concat-then-chunk): documents are laid out in
     * the deterministic [[shardAssign]] order, concatenated per shard,
@@ -142,19 +148,14 @@ object TrainingData {
     * is reproducible and DuckDB-checkable. One window (running sum)
     * per shard — the same partitioned-sort shape as [[shardAssign]].
     */
-  def sequencePack(docs: DataFrame, nShards: Int = 8, seqLen: Int = 256): DataFrame = {
-    val h = md5(col("doc_id").cast("string"))
-    val shard = (conv(substring(h, 1, 8), 16, 10).cast("long") % nShards).cast("int")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
-    docs.select(col("doc_id"), h.as("h"), shard.as("shard"),
+  def sequencePack(docs: DataFrame, nShards: Int = 8, seqLen: Int = 256): DataFrame =
+    docs.select(col("doc_id"), docHash.as("h"), md5Bucket(nShards).as("shard"),
         size(split(col("text"), " ")).as("n_tokens"))
       .withColumn("start_offset", coalesce(
-        sum("n_tokens").over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+        sum("n_tokens").over(shardOrder.rowsBetween(Long.MinValue, -1)), lit(0L)))
       .withColumn("pack_id", floor(col("start_offset") / lit(seqLen)).cast("int"))
       .select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
       .orderBy("shard", "start_offset", "doc_id")
-  }
 
   /** Deterministic per-source document cap: keep at most `k` documents
     * per source, chosen by md5-hash order — the mixture-control knob
@@ -168,8 +169,7 @@ object TrainingData {
     * its dedicated demo query.
     */
   def sourceCap(docs: DataFrame, k: Int = 50): DataFrame = {
-    val hashed = docs.select(col("doc_id"), col("source"),
-      md5(col("doc_id").cast("string")).as("h"))
+    val hashed = docs.select(col("doc_id"), col("source"), docHash.as("h"))
     graft.plans.TopK.perKey(hashed, Seq("source"),
         Seq(col("h").asc, col("doc_id").asc), k)
       .select("doc_id", "source")

@@ -97,6 +97,23 @@ class LshAndBucketingSpec extends AnyFunSuite {
       s"expected a dynamic partition-pruning filter on bucket_id in:\n$plan")
   }
 
+  test("ivfIndexDir is content-addressed: same data same dir, changed data new dir") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-addr").toString
+    val d1 = Similarity.ivfIndexDir(emb, base)
+    assert(Similarity.ivfIndexDir(emb, base) == d1, "stable for unchanged data")
+    // a rewritten source (new files/mtimes) must resolve to a NEW
+    // index address — the stale-index-reuse failure mode is unreachable
+    val copy = java.nio.file.Files.createTempDirectory("graft-ivf-copy").toString
+    emb.write.mode("overwrite").parquet(copy)
+    val d2 = Similarity.ivfIndexDir(spark.read.parquet(copy), base)
+    assert(d2 != d1)
+    Thread.sleep(1100) // mtime granularity
+    emb.write.mode("overwrite").parquet(copy)
+    val d3 = Similarity.ivfIndexDir(spark.read.parquet(copy), base)
+    assert(d3 != d2, "rewritten corpus must get a fresh index address")
+  }
+
   test("bucketed tables join with zero exchanges (co-located fact join)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")

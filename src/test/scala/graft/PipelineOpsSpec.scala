@@ -144,6 +144,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res.head.getDouble(2) == 0.8182)
   }
 
+  test("size-ratio prefilter keeps pairs inside the rounding window (boundary regression)") {
+    import spark.implicits._
+    // A = 20002 unique tokens (20000 shingles); B = the 4001-token
+    // slice containing band-0's min shingle (guaranteeing LSH
+    // candidacy), so B's 3999 shingles are all in A: true jaccard =
+    // 3999/20000 = 0.19995 < threshold, but round(j, 4) = 0.2 passes
+    // the final filter — a prefilter with a bare FP epsilon would
+    // drop the pair pre-verification and diverge from the oracle
+    val toks = (0 until 20002).map(i => s"w$i")
+    val a = toks.mkString(" ")
+    val b = toks.slice(12943, 12943 + 4001).mkString(" ")
+    val df = Seq((1L, a), (2L, b))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = Dedup.nearDupPairs(df, threshold = 0.2).collect()
+    assert(res.length == 1, "the rounding-window pair must survive the prefilter")
+    assert(res.head.getLong(0) == 1L && res.head.getLong(1) == 2L)
+    assert(res.head.getDouble(2) == 0.2, s"round(0.19995, 4): ${res.head.getDouble(2)}")
+  }
+
   test("nearDupPairs equals brute-force Jaccard on every emitted pair (random corpus)") {
     import spark.implicits._
     // deterministic pseudo-random corpus over a 12-token pool — small

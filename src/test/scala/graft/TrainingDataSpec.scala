@@ -176,6 +176,10 @@ class TrainingDataSpec extends AnyFunSuite {
     val a = spark.read.parquet(frag)
     val b = spark.read.parquet(out)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // in-place rewrite would destroy the input mid-scan: rejected
+    intercept[IllegalArgumentException] {
+      graft.engine.ParquetSink.compact(spark, frag, frag)
+    }
   }
 
   test("training shards land one ordered file per shard directory") {

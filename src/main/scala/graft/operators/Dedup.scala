@@ -37,15 +37,17 @@ object Dedup {
     * WHERE len >= n). Duplicate shingles are kept — min() is
     * insensitive to multiplicity, and skipping the distinct saves a
     * shuffle.
+    *
+    * Runs on the native [[graft.functions.ShingleGenerator]] UDTF:
+    * ~1.6× faster than the composable split→transform→explode form
+    * (A/B in `graft.apps.ShinglePerf` — the generator emits shingles
+    * lazily from the token array instead of materializing the full
+    * shingle array per document), with the identical output multiset
+    * (spec-asserted, and every downstream oracle hash unchanged).
     */
-  def shingleDocs(docs: DataFrame, n: Int = 3): DataFrame = {
-    val slots = (0 until n).map(j => s"tk[i+$j]").mkString(", ")
-    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= n)
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', $slots))"))
-          .as("shingle"))
-  }
+  def shingleDocs(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ShingleGenerator.shingles(col("text"), n).as("shingle"))
 
   /** Per-band MinHash signature: band b's hash of a shingle is
     * md5("b<b>:" ++ shingle); the signature is the per-document min.

@@ -75,6 +75,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res.find(_.getString(0) == "aaa").get.getLong(2) == 2L)
   }
 
+  test("ShingleGenerator emits exactly the composable pipeline's shingle multiset") {
+    import spark.implicits._
+    import graft.functions.ShingleGenerator.shingles
+    // edge cases the two implementations must agree on: double spaces
+    // (empty tokens), exactly-n tokens, shorter-than-n, repeats
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a  b c"), (3L, "x y"), (4L, "t t t t t"))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the independent reference: the composable built-in pipeline the
+    // generator replaced in Dedup.shingleDocs
+    def composed(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+          .as("shingle"))
+    val native = df.select(col("doc_id"), shingles(col("text"), 3).as("shingle"))
+    assert(native.exceptAll(composed(df)).count() == 0 &&
+      composed(df).exceptAll(native).count() == 0,
+      s"native: ${native.collect().toSeq}\ncomposed: ${composed(df).collect().toSeq}")
+    // and on the real corpus
+    val n2 = documents.select(col("doc_id"), shingles(col("text"), 3).as("shingle"))
+    assert(n2.exceptAll(composed(documents)).count() == 0 &&
+      composed(documents).exceptAll(n2).count() == 0)
+    // null text emits nothing rather than failing
+    val withNull = df.withColumn("text",
+      when(col("doc_id") === 1L, lit(null: String)).otherwise(col("text")))
+    assert(withNull.select(shingles(col("text"), 3)).filter(col("shingle").isNull).count() == 0)
+  }
+
   test("minhash: identical docs collide in every band, disjoint docs in none") {
     import spark.implicits._
     val a = "spark table join filter window group agg sort"

@@ -107,6 +107,22 @@ object StreamPipeline {
     stream.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Content dedup on ingest: drop documents whose normalized text
+    * fingerprint ([[graft.operators.TextAnalysis.fingerprintCol]] —
+    * the same key the batch [[graft.operators.Dedup.incrementalDedup]]
+    * admits on) was already seen, with state bounded by the watermark.
+    * The streaming half of the ingest-dedup story: the live crawl
+    * dedups against the in-flight window here; the batch anti-join
+    * dedups against the historical corpus on the backfill path — same
+    * fingerprint, so the two tiers never disagree about identity.
+    */
+  def dedupContentOnIngest(stream: DataFrame,
+                           watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("fingerprint", graft.operators.TextAnalysis.fingerprintCol)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Stream-static enrichment join: each micro-batch hash-joins the
     * (small, broadcastable) static dimension — stateless, no watermark
     * needed; the static side is re-read per batch so dimension updates

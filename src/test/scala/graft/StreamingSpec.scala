@@ -168,6 +168,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("content dedup on ingest drops case/whitespace-variant duplicates by fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsMem = MemoryStream[(Long, Timestamp, String)]
+    val stream = docsMem.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.dedupContentOnIngest(stream).select("doc_id"),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-cdedup").toString,
+      queryName = "cdedup_mem").start()
+    try {
+      val t = Timestamp.valueOf("2026-01-01 10:00:00")
+      docsMem.addData(
+        (1L, t, "Hello World"),
+        (2L, t, "hello   world"), // same fingerprint as 1 → dropped
+        (3L, t, "something else"))
+      query.processAllAvailable()
+      val kept = spark.table("cdedup_mem").collect().map(_.getLong(0)).toSet
+      assert(kept.size == 2 && kept(3L), s"got $kept")
+      assert(kept(1L) ^ kept(2L), "exactly one of the variant pair survives")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches its batch twin and bounds state by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val clicksMem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]

@@ -134,8 +134,11 @@ object SparkEntry {
     // the index dir is content-addressed so it can never be stale
     "q64_ann_ivf"          -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.annTopKIvf(emb,
-        Similarity.ivfIndexDir(emb, System.getProperty("java.io.tmpdir")))
+      // per-dataset base: ivfIndexDir prunes superseded content hashes
+      // within it, so each corpus keeps exactly one live index
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_${new java.io.File(d).getName}").getAbsolutePath
+      Similarity.annTopKIvf(emb, Similarity.ivfIndexDir(emb, base))
     }),
     // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k
     "q56_topk_custom"      -> ((s, d) => {

@@ -29,11 +29,14 @@ object ParquetSink {
   def compact(spark: SparkSession, dir: String, outDir: String,
               targetFileBytes: Long = 128L << 20): (Int, Int) = {
     // in-place compaction would delete the input mid-scan (overwrite
-    // drops the directory before the lazy read executes) — reject it;
-    // write to a sibling and swap atomically at the table layer
-    require(new java.io.File(dir).getCanonicalPath !=
-      new java.io.File(outDir).getCanonicalPath,
-      "compact cannot rewrite in place: outDir must differ from dir")
+    // drops the directory before the lazy read executes), and an
+    // outDir NESTED in dir would leave the table reading originals +
+    // compacted copies (every row duplicated) — reject both; write to
+    // a sibling and swap atomically at the table layer
+    val inC = new java.io.File(dir).getCanonicalPath
+    val outC = new java.io.File(outDir).getCanonicalPath
+    require(outC != inC && !outC.startsWith(inC + java.io.File.separator),
+      "compact cannot write into its input: outDir must be outside dir")
     val df = spark.read.parquet(dir)
     val inFiles = df.inputFiles.length
     val path = new org.apache.hadoop.fs.Path(dir)

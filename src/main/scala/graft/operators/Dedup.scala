@@ -392,7 +392,12 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-block pigeonhole banding guarantees full recall only for maxHamming <= 3")
+    // the signature frame feeds 4 block branches on each side of the
+    // candidate join plus both verification joins — persist so the
+    // token explode + 32-sum aggregate runs once (same contract as
+    // nearDupPairs; caller clearCache applies)
     val sig = simhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = (0 until 4).map(b =>
         sig.select(col("doc_id"), lit(b).as("blk"),
           shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv")))

@@ -179,16 +179,32 @@ object Similarity {
     * [[annTopKIvf]] can never serve a stale index — the reuse check
     * and the data identity are the same key.
     */
+  /** `base` must be dedicated to ONE logical corpus: superseded
+    * `ivf_*` siblings (previous content hashes of the same corpus)
+    * are pruned here, so the tmp footprint stays bounded at one index
+    * per corpus rather than one per content revision.
+    */
   def ivfIndexDir(emb: DataFrame, base: String): String = {
+    val files = emb.inputFiles
+    // an in-memory frame has no file identity to address by — serving
+    // a content-keyed cached index for it would be a stale-read hole
+    require(files.nonEmpty,
+      "ivfIndexDir requires a file-backed corpus (inputFiles is empty)")
     val conf = emb.sparkSession.sparkContext.hadoopConfiguration
-    val sig = emb.inputFiles.sorted.map { f =>
+    val sig = files.sorted.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       val st = p.getFileSystem(conf).getFileStatus(p)
       s"$f:${st.getLen}:${st.getModificationTime}"
     }.mkString("|")
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    new java.io.File(base, s"ivf_$h").getAbsolutePath
+    val dir = new java.io.File(base, s"ivf_$h")
+    val baseDir = new java.io.File(base)
+    if (baseDir.isDirectory)
+      baseDir.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("ivf_") && f.getName != dir.getName)
+        .foreach(stale => org.apache.commons.io.FileUtils.deleteQuietly(stale))
+    dir.getAbsolutePath
   }
 
   def annTopKIvf(emb: DataFrame, indexDir: String,

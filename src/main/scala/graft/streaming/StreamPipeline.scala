@@ -122,6 +122,7 @@ object StreamPipeline {
       .withColumn("fingerprint", graft.operators.TextAnalysis.fingerprintCol)
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
+      .drop("fingerprint") // internal dedup key, not part of the contract
 
   /** Stream-static enrichment join: each micro-batch hash-joins the
     * (small, broadcastable) static dimension — stateless, no watermark

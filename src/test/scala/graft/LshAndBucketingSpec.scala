@@ -97,7 +97,7 @@ class LshAndBucketingSpec extends AnyFunSuite {
       s"expected a dynamic partition-pruning filter on bucket_id in:\n$plan")
   }
 
-  test("ivfIndexDir is content-addressed: same data same dir, changed data new dir") {
+  test("ivfIndexDir is content-addressed and prunes superseded indexes") {
     val emb = Tables.embeddings(spark, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft-ivf-addr").toString
     val d1 = Similarity.ivfIndexDir(emb, base)
@@ -105,13 +105,23 @@ class LshAndBucketingSpec extends AnyFunSuite {
     // a rewritten source (new files/mtimes) must resolve to a NEW
     // index address — the stale-index-reuse failure mode is unreachable
     val copy = java.nio.file.Files.createTempDirectory("graft-ivf-copy").toString
+    val base2 = java.nio.file.Files.createTempDirectory("graft-ivf-addr2").toString
     emb.write.mode("overwrite").parquet(copy)
-    val d2 = Similarity.ivfIndexDir(spark.read.parquet(copy), base)
+    val d2 = Similarity.ivfIndexDir(spark.read.parquet(copy), base2)
     assert(d2 != d1)
+    // simulate a built index for the old content, then rewrite the
+    // corpus: re-addressing must prune the superseded directory so
+    // the per-corpus footprint stays bounded at one live index
+    assert(new java.io.File(d2).mkdirs())
     Thread.sleep(1100) // mtime granularity
     emb.write.mode("overwrite").parquet(copy)
-    val d3 = Similarity.ivfIndexDir(spark.read.parquet(copy), base)
+    val d3 = Similarity.ivfIndexDir(spark.read.parquet(copy), base2)
     assert(d3 != d2, "rewritten corpus must get a fresh index address")
+    assert(!new java.io.File(d2).exists(), "superseded index must be pruned")
+    // in-memory frames have no file identity: addressing them is refused
+    import spark.implicits._
+    val mem = Seq((1L, Array(0.1f), 0)).toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] { Similarity.ivfIndexDir(mem, base) }
   }
 
   test("bucketed tables join with zero exchanges (co-located fact join)") {

@@ -176,9 +176,13 @@ class TrainingDataSpec extends AnyFunSuite {
     val a = spark.read.parquet(frag)
     val b = spark.read.parquet(out)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
-    // in-place rewrite would destroy the input mid-scan: rejected
+    // in-place rewrite would destroy the input mid-scan, and a nested
+    // outDir would duplicate every row on later reads: both rejected
     intercept[IllegalArgumentException] {
       graft.engine.ParquetSink.compact(spark, frag, frag)
+    }
+    intercept[IllegalArgumentException] {
+      graft.engine.ParquetSink.compact(spark, frag, frag + "/compacted")
     }
   }
 

@@ -133,12 +133,12 @@ object SparkEntry {
     // scan is dynamically partition-pruned to the queried buckets;
     // the index dir is content-addressed so it can never be stale
     "q64_ann_ivf"          -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
       // per-dataset base: ivfIndexDir prunes superseded content hashes
       // within it, so each corpus keeps exactly one live index
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_ivf_${new java.io.File(d).getName}").getAbsolutePath
-      Similarity.annTopKIvf(emb, Similarity.ivfIndexDir(emb, base))
+      Similarity.annTopKIvf(Tables.embeddings(s, d),
+        Similarity.ivfIndexDir(s, s"$d/embeddings.parquet", base))
     }),
     // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k
     "q56_topk_custom"      -> ((s, d) => {

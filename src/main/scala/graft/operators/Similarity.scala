@@ -183,19 +183,25 @@ object Similarity {
     * `ivf_*` siblings (previous content hashes of the same corpus)
     * are pruned here, so the tmp footprint stays bounded at one index
     * per corpus rather than one per content revision.
+    *
+    * The identity is taken from `dataPath`'s files directly (path,
+    * size, mtime via the Hadoop FS), NOT from `DataFrame.inputFiles`:
+    * the latter reads the analyzed plan's scan leaves, which cache
+    * substitution replaces with InMemoryRelation — a frame someone
+    * else cached would silently report no files and either fail or,
+    * worse, collapse every corpus to one address.
     */
-  def ivfIndexDir(emb: DataFrame, base: String): String = {
-    val files = emb.inputFiles
-    // an in-memory frame has no file identity to address by — serving
-    // a content-keyed cached index for it would be a stale-read hole
-    require(files.nonEmpty,
-      "ivfIndexDir requires a file-backed corpus (inputFiles is empty)")
-    val conf = emb.sparkSession.sparkContext.hadoopConfiguration
-    val sig = files.sorted.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"$f:${st.getLen}:${st.getModificationTime}"
-    }.mkString("|")
+  def ivfIndexDir(spark: org.apache.spark.sql.SparkSession,
+                  dataPath: String, base: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"ivfIndexDir: no corpus at $dataPath")
+    val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p)))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    require(files.nonEmpty, s"ivfIndexDir: no data files under $dataPath")
+    val sig = files.map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val dir = new java.io.File(base, s"ivf_$h")

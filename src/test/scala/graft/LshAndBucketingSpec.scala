@@ -98,30 +98,29 @@ class LshAndBucketingSpec extends AnyFunSuite {
   }
 
   test("ivfIndexDir is content-addressed and prunes superseded indexes") {
-    val emb = Tables.embeddings(spark, sfDir)
+    val embPath = s"$sfDir/embeddings.parquet"
     val base = java.nio.file.Files.createTempDirectory("graft-ivf-addr").toString
-    val d1 = Similarity.ivfIndexDir(emb, base)
-    assert(Similarity.ivfIndexDir(emb, base) == d1, "stable for unchanged data")
+    val d1 = Similarity.ivfIndexDir(spark, embPath, base)
+    assert(Similarity.ivfIndexDir(spark, embPath, base) == d1, "stable for unchanged data")
     // a rewritten source (new files/mtimes) must resolve to a NEW
     // index address — the stale-index-reuse failure mode is unreachable
     val copy = java.nio.file.Files.createTempDirectory("graft-ivf-copy").toString
     val base2 = java.nio.file.Files.createTempDirectory("graft-ivf-addr2").toString
-    emb.write.mode("overwrite").parquet(copy)
-    val d2 = Similarity.ivfIndexDir(spark.read.parquet(copy), base2)
+    Tables.embeddings(spark, sfDir).write.mode("overwrite").parquet(copy)
+    val d2 = Similarity.ivfIndexDir(spark, copy, base2)
     assert(d2 != d1)
     // simulate a built index for the old content, then rewrite the
     // corpus: re-addressing must prune the superseded directory so
     // the per-corpus footprint stays bounded at one live index
     assert(new java.io.File(d2).mkdirs())
     Thread.sleep(1100) // mtime granularity
-    emb.write.mode("overwrite").parquet(copy)
-    val d3 = Similarity.ivfIndexDir(spark.read.parquet(copy), base2)
+    Tables.embeddings(spark, sfDir).write.mode("overwrite").parquet(copy)
+    val d3 = Similarity.ivfIndexDir(spark, copy, base2)
     assert(d3 != d2, "rewritten corpus must get a fresh index address")
     assert(!new java.io.File(d2).exists(), "superseded index must be pruned")
-    // in-memory frames have no file identity: addressing them is refused
-    import spark.implicits._
-    val mem = Seq((1L, Array(0.1f), 0)).toDF("vec_id", "embedding", "label")
-    intercept[IllegalArgumentException] { Similarity.ivfIndexDir(mem, base) }
+    // a path with no data files has no identity to address by: refused
+    val empty = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
+    intercept[IllegalArgumentException] { Similarity.ivfIndexDir(spark, empty, base) }
   }
 
   test("bucketed tables join with zero exchanges (co-located fact join)") {

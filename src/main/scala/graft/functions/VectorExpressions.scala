@@ -123,9 +123,15 @@ object VectorFunctions {
 
   private[graft] val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("dot_product", classOf[DotProduct].getName, (e: Seq[Expression]) => DotProduct(e(0), e(1))),
-    ("cosine_sim", classOf[CosineSimilarity].getName, (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))))
+    ("cosine_sim", classOf[CosineSimilarity].getName, (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
+    ("shingles", classOf[ShingleGenerator].getName, (e: Seq[Expression]) =>
+      ShingleGenerator(e(0), e(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, org.apache.spark.sql.types.IntegerType) => n
+        case other => throw new IllegalArgumentException(
+          s"shingles(text, n): n must be an integer literal, got $other")
+      })))
 
-  /** Make dot_product / cosine_sim callable from SQL in a live session. */
+  /** Make dot_product / cosine_sim / shingles callable from SQL in a live session. */
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, cls, builder) =>
       ColumnBridge.registerFunction(spark, name, cls, builder)

@@ -59,6 +59,10 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .head()
     assert(math.abs(r.getDouble(0) - math.sqrt(0.5)) < 1e-12)
     assert(r.getDouble(1) == 11.0)
+    // the shingle UDTF generates rows straight from SQL, like explode
+    val sh = spark.sql("SELECT shingles('a b c d', 3) AS shingle")
+      .collect().map(_.getString(0)).toSeq
+    assert(sh == Seq("a b c", "b c d"))
   }
 
   test("GraftExtensions injects both functions at builder time") {
@@ -72,7 +76,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
       }
     }
     new GraftExtensions().apply(ext)
-    assert(injected.toSet == Set("dot_product", "cosine_sim"))
+    assert(injected.toSet == Set("dot_product", "cosine_sim", "shingles"))
   }
 
   test("whole-stage codegen survives the native expression (no interpreted fallback)") {

@@ -457,6 +457,24 @@ object OracleSql {
           |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
 
+    "q72_cleaning_clustered" ->
+      ("""WITH RECURSIVE gated AS (SELECT doc_id, text FROM documents
+         |WHERE len(string_split(text, ' ')) >= 10),
+         |canon AS (SELECT min(doc_id) AS doc_id, text FROM gated GROUP BY text),
+         |""".stripMargin +
+        shingleCascade("canon") + ",\n" + jaccardVerify + ",\n" +
+        """pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+          |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+          |UNION ALL SELECT id_b, id_a FROM pairs),
+          |reach(a, b) AS (SELECT a, b FROM und
+          |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          |losers AS (SELECT a AS doc_id FROM reach GROUP BY a
+          |           HAVING least(a, min(b)) <> a)
+          |SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS INT) AS n_tokens,
+          |md5(c.text) AS fingerprint
+          |FROM canon c WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = c.doc_id)
+          |ORDER BY c.doc_id""".stripMargin),
+
     "q71_simhash_pairs" ->
       (s"WITH $simhashCtes,\n" +
         """blocks AS (SELECT doc_id, 0 AS blk, (simhash >> 0) & 255 AS bv FROM ssig

@@ -108,6 +108,8 @@ object SparkEntry {
     "q62_mixture_sample"   -> ((s, d) => TrainingData.mixtureSample(Tables.documents(s, d))),
     // cross-document paragraph-level exact dedup (C4-style cleaning tier)
     "q63_paragraph_dedup"  -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
+    // cluster-canonical cleaning: one survivor per near-dup component
+    "q72_cleaning_clustered" -> ((s, d) => Dedup.cleaningPipelineClustered(Tables.documents(s, d))),
     // simhash near-dup pairs via pigeonhole block banding
     "q71_simhash_pairs"    -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     // near-dup clustering: connected components over verified pairs,

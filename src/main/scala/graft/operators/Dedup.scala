@@ -357,6 +357,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The cluster-canonical variant of [[cleaningPipeline]] — the
+    * C4/RefinedWeb convention: near-dup removal keeps exactly ONE
+    * representative per connected component of the verified-pair
+    * graph (the min doc_id), where the pair-based rule ("drop the
+    * higher id of each pair") keeps every document that only ever
+    * appears as a pair's lower id. The two diverge on star shapes —
+    * pairs (A,C),(B,C) with A≁B: pair-based keeps A AND B, clusters
+    * keep only A — so chains and stars can't leak multiple
+    * near-identical representatives into the training set
+    * (spec-pinned divergence case). Costs one [[dupClusters]] run on
+    * the exact-deduped corpus instead of a pair projection.
+    */
+  def cleaningPipelineClustered(docs: DataFrame, minTokens: Int = 10,
+                                jaccardThreshold: Double = 0.2,
+                                maxBucketSize: Option[Int] = None): DataFrame = {
+    val gated = docs.filter(size(split(col("text"), " ")) >= minTokens)
+    val canonical = gated
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val losers = dupClusters(canonical, jaccardThreshold, maxBucketSize = maxBucketSize)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    canonical.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        md5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash: per-token 32-bit hash from the first 8 hex chars
     * of md5, per-bit ±1 votes summed per document, sign of each vote
     * sets the bit. Duplicate tokens vote multiple times (multiset

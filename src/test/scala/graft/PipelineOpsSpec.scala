@@ -328,6 +328,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res(2L).getString(2) == "unknown" && res(2L).isNullAt(4))
   }
 
+  test("cluster-canonical cleaning keeps one survivor per star where pair-based keeps two") {
+    import spark.implicits._
+    // doc 3 is half doc 1 + half doc 2 (jaccard 0.25 to each), docs 1
+    // and 2 share nothing: pairs are (1,3),(2,3) only. Pair-based
+    // removal drops just 3; the cluster rule keeps only the component
+    // min — doc 2 is a near-identical leak the pair rule misses.
+    // (Token names chosen so both pairs land in an LSH band — pinned
+    // against md5, deterministic.)
+    val xs = (0 until 12).map(i => s"x4_$i")
+    val ys = (0 until 12).map(i => s"y4_$i")
+    val df = Seq(
+      (1L, xs.mkString(" ")),
+      (2L, ys.mkString(" ")),
+      (3L, (xs.take(6) ++ ys.take(6)).mkString(" ")),
+      (9L, (0 until 12).map(i => s"z_$i").mkString(" ")))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairKept = Dedup.cleaningPipeline(df).collect().map(_.getLong(0)).toSet
+    val clusterKept = Dedup.cleaningPipelineClustered(df).collect().map(_.getLong(0)).toSet
+    assert(pairKept == Set(1L, 2L, 9L), s"pair rule: $pairKept")
+    assert(clusterKept == Set(1L, 9L), s"cluster rule: $clusterKept")
+  }
+
   test("dupClusters merges transitive chains a pair list would miss") {
     import spark.implicits._
     // A~B (jaccard 0.6) and B~C (0.6) but A~C only 0.333 < threshold:

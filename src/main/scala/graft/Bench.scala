@@ -1,6 +1,42 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main (driver contract): runs every
+  * [[SparkEntry.queries]] entry against SPARK_GRAFT_SF_DIR and prints
+  * ONE JSON line `{"metric":"total","value":N,"unit":"sec",
+  * "queries":{...},"sf":...}`.
+  *
+  * The run is SELF-DIAGNOSING, so a slow number is attributable
+  * instead of narratable:
+  *  - a `BENCH_META` line records the machine conditions (1-minute
+  *    load average, available processors, heap) at start, and the
+  *    main JSON line repeats them plus the end-of-run load;
+  *  - a fixed CALIBRATION PROBE (q02's projection scan — a constant
+  *    workload whose timing varies only with external conditions) is
+  *    interleaved every 10 queries; its readings + the concurrent
+  *    load average are emitted in the JSON, so external-load
+  *    inflation is measured per segment of the run;
+  *  - a query that throws is recorded in an `"errors"` map with its
+  *    exception (value stays the elapsed time) — a crash can never
+  *    masquerade as a fast timing;
+  *  - between queries every SQL-cache entry AND every leftover
+  *    persisted RDD (MLlib fit internals) is dropped with BLOCKING
+  *    unpersist, and any query costing >5 s is followed by an
+  *    explicit GC — so no measurement inherits its predecessor's
+  *    eviction/GC debt (the r4 pattern: 7–10× spikes on the two
+  *    queries after the ML fit).
+  */
 object Bench {
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,24 +46,64 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val rt = Runtime.getRuntime
+    val loadStart = loadAvg
+    println(f"""BENCH_META {"load_avg_start":$loadStart%.2f,"available_processors":${rt.availableProcessors()},"heap_max_gb":${rt.maxMemory() / 1e9}%.1f,"spark_cpus":$cpus,"sf":${jsonStr(sfDir)}}""")
+
     // JIT/codegen warm-up so the first measured query doesn't absorb
     // one-time class-loading cost
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
-    // deterministic order + cache isolation: operators persist interior
-    // frames (LSH signatures, MLlib feature vectors); dropping them
-    // between queries keeps each measurement self-contained instead of
-    // paying the previous query's eviction/GC pressure
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def calibrate(): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
+      graft.operators.Projections
+        .projectAndCast(graft.engine.Tables.lineitem(spark, sfDir)).count()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    calibrate() // warm the probe's own path once; measured reads follow
+    val calibrations = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    def recordCal(after: String): Unit = calibrations += ((after, calibrate(), loadAvg))
+    recordCal("start")
+
+    def dropAllState(): Unit = {
+      // deterministic order + cache isolation: operators persist
+      // interior frames (LSH signatures, MLlib feature vectors);
+      // dropping them between queries — blocking, plus MLlib's
+      // internally-persisted RDDs that clearCache misses — keeps each
+      // measurement self-contained instead of paying the previous
+      // query's eviction/GC pressure
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), i) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropAllState()
+        if (dt > 5.0) System.gc()
+        if ((i + 1) % 10 == 0) recordCal(name)
+        name -> dt
+      }
+    recordCal("end")
+
+    val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val cal = calibrations
+      .map { case (after, sec, load) =>
+        f"""{"after":${jsonStr(after)},"sec":$sec%.3f,"load":$load%.2f}""" }
+      .mkString("[", ",", "]")
+    val errs = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+    val meta = f"""{"load_avg_start":$loadStart%.2f,"load_avg_end":$loadAvg%.2f,"available_processors":${rt.availableProcessors()},"heap_max_gb":${rt.maxMemory() / 1e9}%.1f,"spark_cpus":$cpus}"""
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"meta":$meta,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

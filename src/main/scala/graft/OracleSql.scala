@@ -83,13 +83,40 @@ object OracleSql {
   private val simhashSql: String =
     s"WITH $simhashCtes\nSELECT doc_id, simhash FROM ssig ORDER BY doc_id"
 
-  private val lshBucketsSql: String = {
-    val terms = Similarity.planes.zipWithIndex.map { case (p, i) =>
+  /** The 8-plane sign-LSH bucket id over a DOUBLE[] expression — the
+    * hyperplane constants inlined from [[Similarity.planes]] (one
+    * source of truth for both engines).
+    */
+  private def bucketTerms(vecExpr: String): String =
+    Similarity.planes.zipWithIndex.map { case (p, i) =>
       val arr = p.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+      s"(CASE WHEN list_dot_product($vecExpr, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
-    s"SELECT vec_id, CAST($terms AS INT) AS bucket_id FROM embeddings ORDER BY vec_id"
-  }
+
+  private val lshBucketsSql: String =
+    s"SELECT vec_id, CAST(${bucketTerms("CAST(embedding AS DOUBLE[])")} AS INT) AS bucket_id " +
+      "FROM embeddings ORDER BY vec_id"
+
+  /** Single-probe ANN (q39) — and, verbatim, the IVF probe (q64):
+    * the materialized index changes WHERE the corpus is scanned
+    * (bucket-partitioned parquet + dynamic partition pruning), never
+    * WHAT is computed, so both queries share one oracle. Everything is
+    * deterministic at query time: the planes are fixed-seed constants
+    * inlined by [[bucketTerms]], the candidate set is a bucket
+    * equi-join, and ties break on vec_id.
+    */
+  private val annProbeSql: String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, CAST(${bucketTerms("v")} AS INT) AS bucket_id FROM base),
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket_id FROM b WHERE vec_id < 8),
+       |s AS (SELECT q.q_id, b.vec_id,
+       |list_dot_product(b.v, q.qv) /
+       |(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       |FROM b JOIN q ON b.bucket_id = q.bucket_id WHERE b.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, cos,
+       |row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+       |SELECT q_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, CAST(rk AS INT) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   val all: Map[String, String] = Map(
     "q01_hourly_agg" ->
@@ -302,6 +329,10 @@ object OracleSql {
         |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
 
     "q38_lsh_buckets" -> lshBucketsSql,
+
+    "q39_ann_topk" -> annProbeSql,
+
+    "q64_ann_ivf" -> annProbeSql,
 
     "q43_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

@@ -136,9 +136,16 @@ object SparkEntry {
     // the index dir is content-addressed so it can never be stale
     "q64_ann_ivf"          -> ((s, d) => {
       // per-dataset base: ivfIndexDir prunes superseded content hashes
-      // within it, so each corpus keeps exactly one live index
+      // within it, so each corpus keeps exactly one live index. The
+      // base is keyed on a hash of the FULL dataset path (not just the
+      // basename): two datasets named e.g. sf0.1 under different
+      // parents must not share a base, or each probe would prune the
+      // other's live index (rebuild churn on every alternation)
+      val abs = new java.io.File(d).getAbsolutePath
+      val ph = java.security.MessageDigest.getInstance("MD5")
+        .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_${new java.io.File(d).getName}").getAbsolutePath
+        s"graft_ivf_${new java.io.File(d).getName}_$ph").getAbsolutePath
       Similarity.annTopKIvf(Tables.embeddings(s, d),
         Similarity.ivfIndexDir(s, s"$d/embeddings.parquet", base))
     }),

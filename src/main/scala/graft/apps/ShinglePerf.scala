@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.ShingleGenerator.shingles
-import graft.operators.Dedup
 
 /** A/B timing of the two shingle producers (composable split/
   * transform/explode vs the native Generator) under the cascade's
@@ -26,7 +25,15 @@ object ShinglePerf {
       val dt = (System.nanoTime() - t0) / 1e9
       assert(n > 0); dt
     }
-    def composed(): Long = Dedup.shingleDocs(docs, 3)
+    // the composable built-in pipeline the generator replaced — inlined
+    // here (NOT Dedup.shingleDocs, which now runs the generator itself;
+    // PipelineOpsSpec asserts this form's multiset-equivalence)
+    def composed(): Long = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+        .as("shingle"))
       .groupBy("shingle").agg(count(lit(1))).count()
     def native(): Long = docs
       .select(col("doc_id"), shingles(col("text"), 3).as("shingle"))

@@ -16,15 +16,22 @@ object MlQueries {
 
   /** R1+M1+M2+M3+M5+A10 end-to-end: assemble/scale/LR over lineitem,
     * predicting high-quantity lines from price attributes, evaluated
-    * as a confusion matrix. maxIter kept small — this runs inside the
-    * per-round bench.
+    * as a confusion matrix. This runs inside the per-round bench, and
+    * its result is rows-only (RNG-dependent) — so the FIT cost is
+    * bounded: the training side is capped at `maxTrainRows` via a
+    * seeded sample (the LBFGS pass count times the training-set scan
+    * is the only unbounded term in the query; the model-quality floors
+    * for the full M1-M10 surface are proven on the reference dataset
+    * in OccupancySpec, where nothing is capped). Evaluation still
+    * scores the FULL test split.
     */
-  def trainEvalConfusion(spark: SparkSession, dir: String): DataFrame = {
+  def trainEvalConfusion(spark: SparkSession, dir: String,
+                         maxTrainRows: Long = 100000L): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val data = li.select(
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       (col("l_quantity") > lit(25.0)).cast("double").as("label"))
-    val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
+    val Array(trainFull, test) = data.randomSplit(Array(0.7, 0.3), 42L)
     val pipeline = new Pipeline().setStages(Array(
       new VectorAssembler()
         .setInputCols(Array("l_extendedprice", "l_discount", "l_tax"))
@@ -36,10 +43,19 @@ object MlQueries {
     // fit makes several passes over the training side (scaler fit,
     // LR instance build, training summary) and each would otherwise
     // re-run the parquet scan + randomSplit sampling — cache the split
-    // for the duration of fit only
-    train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // for the duration of fit only. The count() that sizes the cap
+    // doubles as the materialization action.
+    trainFull.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrain = trainFull.count()
+    val train =
+      if (nTrain > maxTrainRows)
+        trainFull.sample(withReplacement = false, maxTrainRows.toDouble / nTrain, 42L)
+      else trainFull
     val model = pipeline.fit(train)
-    train.unpersist(blocking = false)
+    // blocking: the bench measures the NEXT query's wall-clock too —
+    // a lazy unpersist leaves block eviction + GC of MLlib's fit-time
+    // state to land inside whatever runs next (the r4 q42/q43 spikes)
+    trainFull.unpersist(blocking = true)
     // X10+P8: probability vector → array<double>, index P(label=1)
     val scored = model.transform(test)
       .withColumn("probability_arr",

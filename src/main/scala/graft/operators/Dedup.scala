@@ -199,25 +199,57 @@ object Dedup {
     * labeled (singletons are their own trivial cluster and are
     * omitted). Non-convergence at the cap throws rather than emitting
     * non-canonical labels.
+    *
+    * `checkpointDir`: None (default) truncates per-round lineage with
+    * `localCheckpoint` — blocks live on executors, fast, right for
+    * single-box and small-cluster runs; Some(dir) switches to RELIABLE
+    * `checkpoint` into that directory. The difference matters at
+    * 1000-executor scale: a localCheckpoint has no lineage to recompute
+    * from, so one lost executor aborts the whole CC job, while a
+    * reliable checkpoint survives any executor loss at the cost of a
+    * write to the cluster FS per round. Results are identical
+    * (spec-asserted).
     */
   def dupClusters(docs: DataFrame, threshold: Double = 0.2, bands: Int = 4,
                   maxBucketSize: Option[Int] = None,
-                  maxIterations: Int = 50): DataFrame = {
+                  maxIterations: Int = 50,
+                  checkpointDir: Option[String] = None): DataFrame =
+    dupClustersFromPairs(
+      nearDupPairs(docs, threshold, bands, maxBucketSize).select("id_a", "id_b"),
+      maxIterations, checkpointDir)
+
+  /** [[dupClusters]] over an ALREADY-VERIFIED pair list — the entry
+    * point for a production pipeline that runs the LSH cascade once
+    * and shares its output across pair reporting, clustering, and
+    * cleaning (see [[cleaningPipelineClustered]]'s `pairs` parameter).
+    * `pairs` must have (id_a, id_b) columns; direction is irrelevant
+    * (edges are symmetrized here).
+    */
+  def dupClustersFromPairs(verifiedPairs: DataFrame,
+                           maxIterations: Int = 50,
+                           checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = nearDupPairs(docs, threshold, bands, maxBucketSize)
-      .select("id_a", "id_b")
-    // localCheckpoint (not persist) on the per-round frames: an
+    val pairs = verifiedPairs.select("id_a", "id_b")
+    // lineage truncation (not mere persist) on the per-round frames: an
     // iterative plan that unions/joins its own previous round doubles
     // its LOGICAL plan every iteration, so analysis/optimization time
     // explodes even when the data is cached — checkpointing truncates
     // the lineage to the materialized partitions, keeping every round's
-    // plan flat (the same reason GraphX/Pregel checkpoint periodically)
+    // plan flat (the same reason GraphX/Pregel checkpoint periodically).
+    // Executor-local vs reliable is the caller's call (scaladoc above);
+    // a pre-existing session checkpoint dir is honored, not overridden.
+    val chk: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     val edges = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("id_a").as("node")).distinct()
-      .select(col("node"), col("node").as("cluster_id"))
-      .localCheckpoint()
+    var labels = chk(edges.select(col("id_a").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster_id")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxIterations) {
@@ -230,9 +262,8 @@ object Dedup {
       val viaLabel = labels.as("x")
         .join(labels.as("y"), col("x.cluster_id") === col("y.node"))
         .select(col("x.node").as("node"), col("y.cluster_id").as("cluster_id"))
-      val updated = labels.unionByName(viaNeighbor).unionByName(viaLabel)
-        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
+      val updated = chk(labels.unionByName(viaNeighbor).unionByName(viaLabel)
+        .groupBy("node").agg(min("cluster_id").as("cluster_id")))
       changed = updated
         .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("node"))
         .filter(col("cluster_id") =!= col("prev")).count()
@@ -368,16 +399,31 @@ object Dedup {
     * near-identical representatives into the training set
     * (spec-pinned divergence case). Costs one [[dupClusters]] run on
     * the exact-deduped corpus instead of a pair projection.
+    *
+    * `pairs`: a production pipeline that has ALREADY run the verify
+    * cascade (e.g. to report [[nearDupPairs]]) injects it here instead
+    * of recomputing shingles+signatures from scratch — the pairs must
+    * be verified near-dups over THIS pipeline's canonical corpus (the
+    * min-doc_id representative of each distinct gated text, i.e.
+    * `nearDupPairs` run on that frame); ids outside the canonical set
+    * are ignored by the final anti-join. None (the default, and what
+    * the bench's self-contained q72 entry uses) self-computes.
+    * `checkpointDir` is passed through to the CC rounds (see
+    * [[dupClusters]]).
     */
   def cleaningPipelineClustered(docs: DataFrame, minTokens: Int = 10,
                                 jaccardThreshold: Double = 0.2,
-                                maxBucketSize: Option[Int] = None): DataFrame = {
+                                maxBucketSize: Option[Int] = None,
+                                pairs: Option[DataFrame] = None,
+                                checkpointDir: Option[String] = None): DataFrame = {
     val gated = docs.filter(size(split(col("text"), " ")) >= minTokens)
     val canonical = gated
       .groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val losers = dupClusters(canonical, jaccardThreshold, maxBucketSize = maxBucketSize)
+    val verified = pairs.getOrElse(
+      nearDupPairs(canonical, jaccardThreshold, maxBucketSize = maxBucketSize))
+    val losers = dupClustersFromPairs(verified, checkpointDir = checkpointDir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     canonical.join(losers, Seq("doc_id"), "left_anti")

@@ -196,9 +196,18 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(dataPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"ivfIndexDir: no corpus at $dataPath")
-    val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else Seq(fs.getFileStatus(p)))
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    // RECURSIVE listing: a partitioned/nested corpus keeps its data
+    // files in subdirectories (exactly what partitionBy writes) — a
+    // top-level-only listing would sign the directory skeleton and
+    // miss every real data file, making stale-index reuse reachable
+    val files = (if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) buf += it.next()
+        buf.toSeq
+      } else Seq(fs.getFileStatus(p)))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
     require(files.nonEmpty, s"ivfIndexDir: no data files under $dataPath")
     val sig = files.map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString("|")

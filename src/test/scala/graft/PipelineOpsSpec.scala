@@ -373,6 +373,56 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"chain must collapse to the min-id cluster, got $clusters")
   }
 
+  test("dupClusters with a reliable checkpoint dir equals the localCheckpoint run") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 40L).map { i =>
+      val n = 8 + rnd.nextInt(12)
+      (i, Seq.fill(n)("t" + rnd.nextInt(12)).mkString(" "), "en", "s", 0L)
+    }
+    val df = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val local = Dedup.dupClusters(df, threshold = 0.05).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local.nonEmpty)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val reliable = Dedup.dupClusters(df, threshold = 0.05,
+        checkpointDir = Some(ckpt)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local,
+      "executor-local and reliable checkpointing must be semantically invisible")
+    // the reliable run actually wrote its rounds to the cluster FS
+    // (getCheckpointDir returns a file: URI — resolve to a local path)
+    val wrote = new java.io.File(new java.net.URI(
+      spark.sparkContext.getCheckpointDir.getOrElse(ckpt)).getPath)
+    assert(wrote.exists() && wrote.listFiles() != null && wrote.listFiles().nonEmpty,
+      s"reliable checkpoint left nothing under $wrote")
+  }
+
+  test("cleaningPipelineClustered with injected pairs equals the self-computed run") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val corpus = (1L to 60L).map { i =>
+      val n = 10 + rnd.nextInt(10)
+      (i, Seq.fill(n)("t" + rnd.nextInt(10)).mkString(" "), "en", "s", 0L)
+    }
+    val df = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the production calling pattern: run the verify cascade ONCE on
+    // the pipeline's canonical frame (gate → exact dedup, min doc_id
+    // per text), report/reuse the pairs, and inject them
+    val canonical = df.filter(size(split(col("text"), " ")) >= 10)
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(canonical, threshold = 0.05)
+    assert(pairs.count() > 0, "corpus must exercise the near-dup path")
+    val self = Dedup.cleaningPipelineClustered(df, jaccardThreshold = 0.05)
+    val injected = Dedup.cleaningPipelineClustered(df, jaccardThreshold = 0.05,
+      pairs = Some(pairs))
+    assert(self.exceptAll(injected).count() == 0 &&
+      injected.exceptAll(self).count() == 0,
+      "injected-pairs run must be row-identical to the self-computed run")
+    spark.catalog.clearCache()
+  }
+
   test("simhashPairs equals brute-force Hamming: pigeonhole banding loses no pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -53,6 +53,27 @@ object Bench {
     // JIT/codegen warm-up so the first measured query doesn't absorb
     // one-time class-loading cost
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    // ... and the MLlib path: loading MLlib + breeze is ~7 s of
+    // one-time class-loading/JIT that would otherwise land entirely
+    // inside q41's measurement (Q41Probe: cold 9.3 s vs warm 2.4 s for
+    // the identical entry) — a micro-fit over 200 in-memory rows warms
+    // the assembler/scaler/LR/vector_to_array classes the entry uses
+    locally {
+      import org.apache.spark.sql.functions.col
+      val warm = spark.range(200).selectExpr("cast(id as double) a",
+        "cast(id % 7 as double) b", "cast(id % 3 as double) c",
+        "cast(id % 2 as double) label")
+      val warmModel = new org.apache.spark.ml.Pipeline().setStages(Array(
+        new org.apache.spark.ml.feature.VectorAssembler()
+          .setInputCols(Array("a", "b", "c")).setOutputCol("features_raw"),
+        new org.apache.spark.ml.feature.StandardScaler()
+          .setInputCol("features_raw").setOutputCol("features"),
+        new org.apache.spark.ml.classification.LogisticRegression()
+          .setMaxIter(1))).fit(warm)
+      warmModel.transform(warm).select(
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))(1)).count()
+      spark.catalog.clearCache()
+    }
 
     def calibrate(): Double = {
       val t0 = System.nanoTime()

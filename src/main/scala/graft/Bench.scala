@@ -10,22 +10,30 @@ import org.apache.spark.sql.SparkSession
   * The run is SELF-DIAGNOSING, so a slow number is attributable
   * instead of narratable:
   *  - a `BENCH_META` line records the machine conditions (1-minute
-  *    load average, available processors, heap) at start, and the
-  *    main JSON line repeats them plus the end-of-run load;
+  *    load average, available processors, heap) at run start;
   *  - a fixed CALIBRATION PROBE (q02's projection scan — a constant
   *    workload whose timing varies only with external conditions) is
-  *    interleaved every 10 queries; its readings + the concurrent
-  *    load average are emitted in the JSON, so external-load
-  *    inflation is measured per segment of the run;
+  *    interleaved every 10 queries; the JSON's `"cal"` array holds
+  *    `[probe_sec, load_avg]` pairs in run order — one at start, one
+  *    after every 10th query, one at end — so external-load inflation
+  *    is measured per segment of the run (the last pair doubles as
+  *    the end-of-run conditions);
   *  - a query that throws is recorded in an `"errors"` map with its
   *    exception (value stays the elapsed time) — a crash can never
-  *    masquerade as a fast timing;
+  *    masquerade as a fast timing; the map is omitted when empty;
   *  - between queries every SQL-cache entry AND every leftover
   *    persisted RDD (MLlib fit internals) is dropped with BLOCKING
   *    unpersist, and any query costing >5 s is followed by an
   *    explicit GC — so no measurement inherits its predecessor's
   *    eviction/GC debt (the r4 pattern: 7–10× spikes on the two
   *    queries after the ML fit).
+  *
+  * The line is kept under ~1900 chars (2-decimal query values,
+  * basename `sf`, compact cal pairs) because the driver archives only
+  * the LAST 2000 characters of the run's output: a longer line gets
+  * its FRONT truncated in the artifact of record — every previous
+  * round lost q01–q11 that way — and a complete line beats a
+  * higher-precision one.
   */
 object Bench {
 
@@ -82,9 +90,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // warm the probe's own path once; measured reads follow
-    val calibrations = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
-    def recordCal(after: String): Unit = calibrations += ((after, calibrate(), loadAvg))
-    recordCal("start")
+    val calibrations = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def recordCal(): Unit = calibrations += ((calibrate(), loadAvg))
+    recordCal()
 
     def dropAllState(): Unit = {
       // deterministic order + cache isolation: operators persist
@@ -109,22 +117,22 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         dropAllState()
         if (dt > 5.0) System.gc()
-        if ((i + 1) % 10 == 0) recordCal(name)
+        if ((i + 1) % 10 == 0) recordCal()
         name -> dt
       }
-    recordCal("end")
+    recordCal()
 
-    val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
+    val qs = results.map { case (k, v) => jsonStr(k) + ":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val cal = calibrations
-      .map { case (after, sec, load) =>
-        f"""{"after":${jsonStr(after)},"sec":$sec%.3f,"load":$load%.2f}""" }
+      .map { case (sec, load) => f"[$sec%.2f,$load%.1f]" }
       .mkString("[", ",", "]")
-    val errs = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
-      .mkString("{", ",", "}")
-    val meta = f"""{"load_avg_start":$loadStart%.2f,"load_avg_end":$loadAvg%.2f,"available_processors":${rt.availableProcessors()},"heap_max_gb":${rt.maxMemory() / 1e9}%.1f,"spark_cpus":$cpus}"""
+    val errs =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+        .mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"meta":$meta,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errs,"cal":$cal,"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")
     spark.stop()
   }
 }

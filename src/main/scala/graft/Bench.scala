@@ -13,9 +13,9 @@ import org.apache.spark.sql.SparkSession
   *    load average, available processors, heap) at run start;
   *  - a fixed CALIBRATION PROBE (q02's projection scan — a constant
   *    workload whose timing varies only with external conditions) is
-  *    interleaved every 10 queries; the JSON's `"cal"` array holds
+  *    interleaved every 15 queries; the JSON's `"cal"` array holds
   *    `[probe_sec, load_avg]` pairs in run order — one at start, one
-  *    after every 10th query, one at end — so external-load inflation
+  *    after every 15th query, one at end — so external-load inflation
   *    is measured per segment of the run (the last pair doubles as
   *    the end-of-run conditions);
   *  - a query that throws is recorded in an `"errors"` map with its
@@ -44,6 +44,19 @@ object Bench {
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
+
+  /** 2-decimal number with trailing zeros stripped (1.50 → 1.5,
+    * 3.00 → 3) — valid JSON, and the char budget matters here (see the
+    * line-length note in the scaladoc).
+    */
+  private def num(v: Double): String = {
+    val s = f"$v%.2f"
+    if (!s.contains('.')) s
+    else {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -117,15 +130,15 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         dropAllState()
         if (dt > 5.0) System.gc()
-        if ((i + 1) % 10 == 0) recordCal()
+        if ((i + 1) % 15 == 0) recordCal()
         name -> dt
       }
     recordCal()
 
-    val qs = results.map { case (k, v) => jsonStr(k) + ":" + f"$v%.2f" }
+    val qs = results.map { case (k, v) => jsonStr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val cal = calibrations
-      .map { case (sec, load) => f"[$sec%.2f,$load%.1f]" }
+      .map { case (sec, load) => s"[${num(sec)},${num(load)}]" }
       .mkString("[", ",", "]")
     val errs =
       if (errors.isEmpty) ""

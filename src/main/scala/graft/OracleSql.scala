@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextAnalysis}
 
 /** DuckDB oracle twins for [[SparkEntry.queries]] (driver contract:
   * same column NAMES and comparable types as the Spark results —
@@ -113,6 +113,28 @@ object OracleSql {
        |list_dot_product(b.v, q.qv) /
        |(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
        |FROM b JOIN q ON b.bucket_id = q.bucket_id WHERE b.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, cos,
+       |row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+       |SELECT q_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, CAST(rk AS INT) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** Multi-probe ANN over the same deterministic buckets (q74): each
+    * query probes its own bucket plus the 8 single-bit flips. The
+    * probe list is generated per query; a corpus vector lives in
+    * exactly one bucket and the 9 probed buckets are distinct, so no
+    * candidate appears twice and no DISTINCT is needed.
+    */
+  private val annMultiProbeSql: String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, CAST(${bucketTerms("v")} AS INT) AS bucket_id FROM base),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, bucket_id FROM b WHERE vec_id < 8),
+       |probes AS (SELECT q_id, qv, bucket_id FROM q0
+       |UNION ALL SELECT q_id, qv, CAST(xor(bucket_id, (1 << i)) AS INT) AS bucket_id
+       |FROM q0, range(0, 8) t(i)),
+       |s AS (SELECT p.q_id, b.vec_id,
+       |list_dot_product(b.v, p.qv) /
+       |(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cos
+       |FROM b JOIN probes p ON b.bucket_id = p.bucket_id WHERE b.vec_id <> p.q_id),
        |r AS (SELECT q_id, vec_id, cos,
        |row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
        |SELECT q_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, CAST(rk AS INT) AS rk
@@ -333,6 +355,8 @@ object OracleSql {
     "q39_ann_topk" -> annProbeSql,
 
     "q64_ann_ivf" -> annProbeSql,
+
+    "q74_ann_multiprobe" -> annMultiProbeSql,
 
     "q43_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -592,6 +616,25 @@ object OracleSql {
           |SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS INT) AS n_tokens,
           |md5(c.text) AS fingerprint
           |FROM canon c WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = c.doc_id)
-          |ORDER BY c.doc_id""".stripMargin)
+          |ORDER BY c.doc_id""".stripMargin),
+
+    // PII scrub: the seeding CTE mirrors TextAnalysis.seedPii
+    // token-for-token; the patterns interpolate from the SAME Scala
+    // constants the Spark side compiles (Java-regex/RE2 common subset)
+    "q73_pii_scrub" ->
+      s"""WITH dirty AS (SELECT doc_id, text ||
+         |CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |CASE WHEN doc_id % 5 = 0 THEN ' host ' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) || '.10.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+         |CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+         |FROM documents)
+         |SELECT doc_id,
+         |regexp_replace(regexp_replace(regexp_replace(text,
+         |'${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+         |'${TextAnalysis.ipv4Pattern}', '<IP>', 'g'),
+         |'${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS clean_text,
+         |CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS INT) AS n_emails,
+         |CAST(len(regexp_extract_all(text, '${TextAnalysis.ipv4Pattern}')) AS INT) AS n_ips,
+         |CAST(len(regexp_extract_all(text, '${TextAnalysis.phonePattern}')) AS INT) AS n_phones
+         |FROM dirty ORDER BY doc_id""".stripMargin
   )
 }

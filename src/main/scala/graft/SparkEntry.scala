@@ -134,21 +134,13 @@ object SparkEntry {
     // IVF ANN over a materialized bucket-partitioned index: the probe
     // scan is dynamically partition-pruned to the queried buckets;
     // the index dir is content-addressed so it can never be stale
-    "q64_ann_ivf"          -> ((s, d) => {
-      // per-dataset base: ivfIndexDir prunes superseded content hashes
-      // within it, so each corpus keeps exactly one live index. The
-      // base is keyed on a hash of the FULL dataset path (not just the
-      // basename): two datasets named e.g. sf0.1 under different
-      // parents must not share a base, or each probe would prune the
-      // other's live index (rebuild churn on every alternation)
-      val abs = new java.io.File(d).getAbsolutePath
-      val ph = java.security.MessageDigest.getInstance("MD5")
-        .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_${new java.io.File(d).getName}_$ph").getAbsolutePath
-      Similarity.annTopKIvf(Tables.embeddings(s, d),
-        Similarity.ivfIndexDir(s, s"$d/embeddings.parquet", base))
-    }),
+    "q64_ann_ivf"          -> ((s, d) =>
+      Similarity.annTopKIvf(Tables.embeddings(s, d), ivfIndexFor(s, d))),
+    // multi-probe over the SAME materialized index (shared base ⇒ the
+    // build amortizes across q64/q74): own bucket + 8 Hamming-1
+    // neighbors, still DPP-pruned to 9/256 partitions
+    "q74_ann_multiprobe" -> ((s, d) =>
+      Similarity.annTopKIvfMultiProbe(Tables.embeddings(s, d), ivfIndexFor(s, d))),
     // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k
     "q56_topk_custom"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -156,8 +148,31 @@ object SparkEntry {
           Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
-    })
+    }),
+    // PII scrub (C4/Pile-style redaction stage); the synthetic corpus
+    // has no PII, so deterministic identifiers are seeded first —
+    // identically in the oracle — and the scrub is exercised for real
+    "q73_pii_scrub"        -> ((s, d) =>
+      TextAnalysis.piiScrub(TextAnalysis.seedPii(Tables.documents(s, d))))
   )
+
+  /** Content-addressed IVF index location for the dataset at `d`.
+    * Per-dataset base: ivfIndexDir prunes superseded content hashes
+    * within it, so each corpus keeps exactly one live index. The base
+    * is keyed on a hash of the FULL dataset path (not just the
+    * basename): two datasets named e.g. sf0.1 under different parents
+    * must not share a base, or each probe would prune the other's
+    * live index (rebuild churn on every alternation). Shared by
+    * q64/q74 so the one build serves every index-backed ANN variant.
+    */
+  private def ivfIndexFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    Similarity.ivfIndexDir(s, s"$d/embeddings.parquet", base)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

@@ -103,15 +103,7 @@ object Similarity {
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(probeBuckets).as("bucket_id"))
-    val scored = base.join(broadcast(q), Seq("bucket_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("v"), col("qv")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"), col("rk"))
-      .orderBy("q_id", "rk")
+    probeAndRank(base, q, k)
   }
 
   /** Per-label mean embedding (IVF coarse-centroid build): posexplode
@@ -222,19 +214,26 @@ object Similarity {
     dir.getAbsolutePath
   }
 
-  def annTopKIvf(emb: DataFrame, indexDir: String,
-                 nQueries: Int = 8, k: Int = 5,
-                 rebuild: Boolean = false): DataFrame = {
-    val spark = emb.sparkSession
+  /** Bucket-tagged projection of the corpus; also the index row
+    * layout. Ensures the partitioned index exists and returns the
+    * index-backed corpus frame (bucket_id is the partition column, so
+    * a probe join prunes to the probed partitions via DPP).
+    */
+  private def ensureIvfIndex(emb: DataFrame, indexDir: String,
+                             rebuild: Boolean): (DataFrame, DataFrame) = {
     val withBucket = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"),
       lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
     if (rebuild || !new java.io.File(indexDir, "_SUCCESS").exists())
       withBucket.repartition(col("bucket_id"))
         .write.mode("overwrite").partitionBy("bucket_id").parquet(indexDir)
-    val corpus = spark.read.parquet(indexDir)
-    val q = withBucket.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket_id"))
+    (withBucket, emb.sparkSession.read.parquet(indexDir))
+  }
+
+  /** Broadcast-probe the corpus on bucket_id and rank cosine top-k —
+    * the shared tail of every ANN variant.
+    */
+  private def probeAndRank(corpus: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = corpus.join(broadcast(q), Seq("bucket_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("v"), col("qv")))
@@ -244,6 +243,39 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos_sim"), col("rk"))
       .orderBy("q_id", "rk")
+  }
+
+  def annTopKIvf(emb: DataFrame, indexDir: String,
+                 nQueries: Int = 8, k: Int = 5,
+                 rebuild: Boolean = false): DataFrame = {
+    val (withBucket, corpus) = ensureIvfIndex(emb, indexDir, rebuild)
+    val q = withBucket.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket_id"))
+    probeAndRank(corpus, q, k)
+  }
+
+  /** Multi-probe over the MATERIALIZED index — the scale-path answer
+    * to single-probe's boundary recall loss: each query probes its own
+    * bucket plus the 8 at Hamming distance 1 (one sign bit flipped),
+    * and because the probe list explodes on the tiny broadcast query
+    * side while bucket_id is the index's partition column, the scan
+    * still prunes to 9/256 partitions via dynamic partition pruning —
+    * ~3.5% of a 100 TB corpus read for ~full single-bit recall.
+    * Results are deterministic (fixed hyperplanes), so this is
+    * exact-oracle-checked (q74) and spec-asserted equal to the
+    * in-memory [[annTopKMultiProbe]].
+    */
+  def annTopKIvfMultiProbe(emb: DataFrame, indexDir: String,
+                           nQueries: Int = 8, k: Int = 5,
+                           rebuild: Boolean = false): DataFrame = {
+    val (withBucket, corpus) = ensureIvfIndex(emb, indexDir, rebuild)
+    val probeBuckets = (0 until numPlanes).foldLeft(array(col("bucket_id"))) {
+      (acc, i) => concat(acc, array(col("bucket_id").bitwiseXOR(lit(1 << i))))
+    }
+    val q = withBucket.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(probeBuckets).as("bucket_id"))
+    probeAndRank(corpus, q, k)
   }
 
   /** ANN top-k: probe only the query's own bucket (single-probe IVF).
@@ -256,14 +288,6 @@ object Similarity {
       lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket_id"))
-    val scored = base.join(broadcast(q), Seq("bucket_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("v"), col("qv")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"), col("rk"))
-      .orderBy("q_id", "rk")
+    probeAndRank(base, q, k)
   }
 }

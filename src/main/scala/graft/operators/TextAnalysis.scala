@@ -127,4 +127,59 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprintCol.as("fingerprint"))
       .orderBy("doc_id")
+
+  /** PII patterns for the scrub stage. Conservative ASCII regexes
+    * valid in BOTH Java regex (Spark) and RE2 (the DuckDB oracle): no
+    * backreferences, no lookaround, `\b` on ASCII only — the subset
+    * where the two engines agree match-for-match.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction (the C4/Pile-style scrub stage of a training-data
+    * pipeline): replaces emails, IPv4 addresses, and phone-shaped
+    * digit runs with typed placeholder tokens and reports a per-doc
+    * count of each redaction class (the audit trail a compliance
+    * review wants). Pure per-row narrow projection — codegen'd regexp
+    * over the scan, no shuffle, no UDF — so at 100 TB it runs at scan
+    * speed and composes with any downstream stage. Counts are taken on
+    * the ORIGINAL text; replacements apply email → IP → phone (the
+    * patterns are mutually non-overlapping: the email's domain part
+    * has letters where the IP pattern wants digits).
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(t,
+            lit(emailPattern), lit("<EMAIL>")),
+          lit(ipv4Pattern), lit("<IP>")),
+          lit(phonePattern), lit("<PHONE>")).as("clean_text"),
+        regexp_count(t, lit(emailPattern)).as("n_emails"),
+        regexp_count(t, lit(ipv4Pattern)).as("n_ips"),
+        regexp_count(t, lit(phonePattern)).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic PII seeding for the q73 demonstration: the synthetic
+    * corpus contains no PII, so the query weaves synthetic identifiers
+    * (derived from doc_id — every 3rd doc an email, every 5th an IPv4,
+    * every 7th a phone) into the text identically on both engines, then
+    * scrubs them. Mirrored token-for-token in the oracle SQL.
+    */
+  def seedPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" host "), col("doc_id") % 256, lit("."),
+            col("doc_id") * 7 % 256, lit(".10."), col("doc_id") % 100))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
 }

@@ -97,6 +97,26 @@ class LshAndBucketingSpec extends AnyFunSuite {
       s"expected a dynamic partition-pruning filter on bucket_id in:\n$plan")
   }
 
+  test("annTopKIvfMultiProbe equals the in-memory multi-probe and dynamically prunes") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-mp").toString
+    val ivf = Similarity.annTopKIvfMultiProbe(emb, dir)
+    val mem = Similarity.annTopKMultiProbe(emb)
+    assert(ivf.exceptAll(mem).count() == 0 && mem.exceptAll(ivf).count() == 0)
+    ivf.collect()
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") && plan.contains("bucket_id"),
+      s"expected a dynamic partition-pruning filter on bucket_id in:\n$plan")
+    // recall dominance: every single-probe neighbor set is a subset of
+    // what multi-probe considered, so per-query top-1 cosine can only
+    // improve or stay equal
+    val single = Similarity.annTopKIvf(emb, dir)
+      .filter(col("rk") === 1).select(col("q_id"), col("cos_sim").as("s1"))
+    val multi = ivf.filter(col("rk") === 1)
+      .select(col("q_id"), col("cos_sim").as("m1"))
+    assert(single.join(multi, "q_id").filter(col("m1") < col("s1")).count() == 0)
+  }
+
   test("ivfIndexDir is content-addressed and prunes superseded indexes") {
     val embPath = s"$sfDir/embeddings.parquet"
     val base = java.nio.file.Files.createTempDirectory("graft-ivf-addr").toString

@@ -423,6 +423,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("piiScrub redacts planted identifiers, counts them, and is idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.co.uk or call 555-0199 thanks"),
+      (2L, "server 10.0.0.1 and 192.168.255.3 went down"),
+      (3L, "plain text with no identifiers at all"),
+      (4L, "a@b.io b@c.net 1.2.3.4 555-1234 999-0000")
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(res(1).getString(1) == "mail me at <EMAIL> or call <PHONE> thanks")
+    assert(res(1).getInt(2) == 1 && res(1).getInt(3) == 0 && res(1).getInt(4) == 1)
+    assert(res(2).getString(1) == "server <IP> and <IP> went down")
+    assert(res(2).getInt(3) == 2)
+    assert(res(3).getString(1) == "plain text with no identifiers at all"
+      && res(3).getInt(2) == 0 && res(3).getInt(3) == 0 && res(3).getInt(4) == 0)
+    assert(res(4).getString(1) == "<EMAIL> <EMAIL> <IP> <PHONE> <PHONE>")
+    assert(res(4).getInt(2) == 2 && res(4).getInt(3) == 1 && res(4).getInt(4) == 2)
+    // idempotence: a scrubbed corpus passes through unchanged
+    val once = TextAnalysis.piiScrub(docs).select(col("doc_id"),
+      col("clean_text").as("text"))
+    val twice = TextAnalysis.piiScrub(once)
+    assert(twice.filter(col("n_emails") + col("n_ips") + col("n_phones") > 0).count() == 0)
+    // the q73 fixture seeds a nonzero amount of every class
+    val seeded = TextAnalysis.piiScrub(TextAnalysis.seedPii(documents))
+    val tot = seeded.agg(sum("n_emails"), sum("n_ips"), sum("n_phones")).head()
+    assert(tot.getLong(0) > 0 && tot.getLong(1) > 0 && tot.getLong(2) > 0)
+  }
+
   test("simhashPairs equals brute-force Hamming: pigeonhole banding loses no pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

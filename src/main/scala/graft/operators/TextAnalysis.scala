@@ -148,18 +148,21 @@ object TextAnalysis {
     * patterns are mutually non-overlapping: the email's domain part
     * has letters where the IP pattern wants digits).
     */
-  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def piiScrub(docs: DataFrame, textCol: String = "text",
+               ordered: Boolean = true): DataFrame = {
     val t = col(textCol)
-    docs.select(
-        col("doc_id"),
-        regexp_replace(regexp_replace(regexp_replace(t,
-            lit(emailPattern), lit("<EMAIL>")),
-          lit(ipv4Pattern), lit("<IP>")),
-          lit(phonePattern), lit("<PHONE>")).as("clean_text"),
-        regexp_count(t, lit(emailPattern)).as("n_emails"),
-        regexp_count(t, lit(ipv4Pattern)).as("n_ips"),
-        regexp_count(t, lit(phonePattern)).as("n_phones"))
-      .orderBy("doc_id")
+    val scrubbed = docs.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+          lit(emailPattern), lit("<EMAIL>")),
+        lit(ipv4Pattern), lit("<IP>")),
+        lit(phonePattern), lit("<PHONE>")).as("clean_text"),
+      regexp_count(t, lit(emailPattern)).as("n_emails"),
+      regexp_count(t, lit(ipv4Pattern)).as("n_ips"),
+      regexp_count(t, lit(phonePattern)).as("n_phones"))
+    // stateless projection ⇒ stream-safe as-is; global order is a
+    // batch-only concept (ordered = false for streaming callers)
+    if (ordered) scrubbed.orderBy("doc_id") else scrubbed
   }
 
   /** Deterministic PII seeding for the q73 demonstration: the synthetic

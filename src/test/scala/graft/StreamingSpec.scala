@@ -295,6 +295,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("piiScrub runs unchanged on a stream: scrub-on-ingest equals the batch scrub") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "mail jane@example.com or 10.0.0.1"),
+      (2L, "call 555-0142 twice"),
+      (3L, "nothing sensitive here"))
+    val query = StreamPipeline.appendSink(
+        graft.operators.TextAnalysis.piiScrub(stream, ordered = false),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-pii").toString,
+        queryName = "pii_mem").start()
+    try {
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("pii_mem").orderBy("doc_id").collect()
+      val batch = graft.operators.TextAnalysis.piiScrub(
+        rows.toDF("doc_id", "text")).collect()
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+      assert(streamed(0).getString(1) == "mail <EMAIL> or <IP>")
+    } finally query.stop()
+  }
+
   test("file streaming source runs the same plan over parquet drops (S2-equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
     val batchDf = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -18,9 +18,12 @@ import org.apache.spark.sql.SparkSession
   *    after every 15th query, one at end — so external-load inflation
   *    is measured per segment of the run (the last pair doubles as
   *    the end-of-run conditions);
-  *  - a query that throws is recorded in an `"errors"` map with its
-  *    exception (value stays the elapsed time) — a crash can never
-  *    masquerade as a fast timing; the map is omitted when empty;
+  *  - a query that throws is counted in the main line (`"errs":N`,
+  *    omitted at zero; its value stays the elapsed time) with the
+  *    per-query exceptions on a `BENCH_ERRORS` line printed BEFORE
+  *    the main line — a crash can never masquerade as a fast timing,
+  *    and error details can never push the main line's front out of
+  *    the artifact window;
   *  - between queries every SQL-cache entry AND every leftover
   *    persisted RDD (MLlib fit internals) is dropped with BLOCKING
   *    unpersist, and any query costing >5 s is followed by an
@@ -45,12 +48,20 @@ object Bench {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
 
+  /** Locale-independent fixed-point format: the f interpolator uses
+    * the JVM default locale, which renders comma decimals (4,3) on
+    * e.g. de_DE boxes — invalid JSON. Everything this main emits must
+    * go through here or jsonStr.
+    */
+  private def dec(v: Double, places: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+
   /** 2-decimal number with trailing zeros stripped (1.50 → 1.5,
     * 3.00 → 3) — valid JSON, and the char budget matters here (see the
     * line-length note in the scaladoc).
     */
   private def num(v: Double): String = {
-    val s = f"$v%.2f"
+    val s = dec(v, 2)
     if (!s.contains('.')) s
     else {
       val t = s.reverse.dropWhile(_ == '0').reverse
@@ -69,7 +80,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val rt = Runtime.getRuntime
     val loadStart = loadAvg
-    println(f"""BENCH_META {"load_avg_start":$loadStart%.2f,"available_processors":${rt.availableProcessors()},"heap_max_gb":${rt.maxMemory() / 1e9}%.1f,"spark_cpus":$cpus,"sf":${jsonStr(sfDir)}}""")
+    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"sf":${jsonStr(sfDir)}}""")
+
+    def dropAllState(): Unit = {
+      // deterministic order + cache isolation: operators persist
+      // interior frames (LSH signatures, MLlib feature vectors);
+      // dropping them between queries — blocking, plus MLlib's
+      // internally-persisted RDDs that clearCache misses — keeps each
+      // measurement self-contained instead of paying the previous
+      // query's eviction/GC pressure
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
 
     // JIT/codegen warm-up so the first measured query doesn't absorb
     // one-time class-loading cost
@@ -93,7 +116,10 @@ object Bench {
           .setMaxIter(1))).fit(warm)
       warmModel.transform(warm).select(
         org.apache.spark.ml.functions.vector_to_array(col("probability"))(1)).count()
-      spark.catalog.clearCache()
+      // the warm-up fit leaves MLlib-persisted RDDs behind — drop them
+      // too (clearCache alone is the exact r4 mistake), so q01 starts
+      // from the same zero-state every measured query gets
+      dropAllState()
     }
 
     def calibrate(): Double = {
@@ -107,25 +133,13 @@ object Bench {
     def recordCal(): Unit = calibrations += ((calibrate(), loadAvg))
     recordCal()
 
-    def dropAllState(): Unit = {
-      // deterministic order + cache isolation: operators persist
-      // interior frames (LSH signatures, MLlib feature vectors);
-      // dropping them between queries — blocking, plus MLlib's
-      // internally-persisted RDDs that clearCache misses — keeps each
-      // measurement self-contained instead of paying the previous
-      // query's eviction/GC pressure
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-    }
-
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
       .map { case ((name, fn), i) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
         }
         val dt = (System.nanoTime() - t0) / 1e9
         dropAllState()
@@ -140,12 +154,16 @@ object Bench {
     val cal = calibrations
       .map { case (sec, load) => s"[${num(sec)},${num(load)}]" }
       .mkString("[", ",", "]")
-    val errs =
-      if (errors.isEmpty) ""
-      else errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
-        .mkString(""","errors":{""", ",", "}")
+    // error DETAILS go on their own line BEFORE the main one so they
+    // can never push the main line's front out of the 2000-char
+    // artifact window; the main line carries only the failure count
+    // (omitted when zero, like every other char it can spare)
+    if (errors.nonEmpty)
+      println("BENCH_ERRORS {" +
+        errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }.mkString(",") + "}")
+    val errs = if (errors.isEmpty) "" else s""","errs":${errors.size}"""
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errs,"cal":$cal,"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")
+    println(s"""{"metric":"total","value":${dec(total, 3)},"unit":"sec","queries":$qs$errs,"cal":$cal,"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")
     spark.stop()
   }
 }

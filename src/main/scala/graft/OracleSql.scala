@@ -620,21 +620,26 @@ object OracleSql {
 
     // PII scrub: the seeding CTE mirrors TextAnalysis.seedPii
     // token-for-token; the patterns interpolate from the SAME Scala
-    // constants the Spark side compiles (Java-regex/RE2 common subset)
+    // constants the Spark side compiles (Java-regex/RE2 common
+    // subset). Sequential counting mirrors the operator: each class
+    // counted on the text its replacement pass sees, so counts
+    // reconcile exactly with emitted placeholders.
     "q73_pii_scrub" ->
       s"""WITH dirty AS (SELECT doc_id, text ||
          |CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
          |CASE WHEN doc_id % 5 = 0 THEN ' host ' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) || '.10.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
          |CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
-         |FROM documents)
+         |FROM documents),
+         |passes AS (SELECT doc_id, text,
+         |regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g') AS after_email,
+         |regexp_replace(regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+         |'${TextAnalysis.ipv4Pattern}', '<IP>', 'g') AS after_ip
+         |FROM dirty)
          |SELECT doc_id,
-         |regexp_replace(regexp_replace(regexp_replace(text,
-         |'${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
-         |'${TextAnalysis.ipv4Pattern}', '<IP>', 'g'),
-         |'${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS clean_text,
+         |regexp_replace(after_ip, '${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS clean_text,
          |CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS INT) AS n_emails,
-         |CAST(len(regexp_extract_all(text, '${TextAnalysis.ipv4Pattern}')) AS INT) AS n_ips,
-         |CAST(len(regexp_extract_all(text, '${TextAnalysis.phonePattern}')) AS INT) AS n_phones
-         |FROM dirty ORDER BY doc_id""".stripMargin
+         |CAST(len(regexp_extract_all(after_email, '${TextAnalysis.ipv4Pattern}')) AS INT) AS n_ips,
+         |CAST(len(regexp_extract_all(after_ip, '${TextAnalysis.phonePattern}')) AS INT) AS n_phones
+         |FROM passes ORDER BY doc_id""".stripMargin
   )
 }

@@ -138,7 +138,8 @@ object SparkEntry {
       Similarity.annTopKIvf(Tables.embeddings(s, d), ivfIndexFor(s, d))),
     // multi-probe over the SAME materialized index (shared base ⇒ the
     // build amortizes across q64/q74): own bucket + 8 Hamming-1
-    // neighbors, still DPP-pruned to 9/256 partitions
+    // neighbors per query, DPP-pruned to the union of the probe lists
+    // (≤ 72/256 partitions for this 8-query batch)
     "q74_ann_multiprobe" -> ((s, d) =>
       Similarity.annTopKIvfMultiProbe(Tables.embeddings(s, d), ivfIndexFor(s, d))),
     // custom physical operator (LogicalPlan+Strategy+SparkPlan): heap top-k

@@ -209,6 +209,16 @@ object Dedup {
     * reliable checkpoint survives any executor loss at the cost of a
     * write to the cluster FS per round. Results are identical
     * (spec-asserted).
+    *
+    * Checkpoint-file lifecycle is the CALLER'S: Spark does not delete
+    * reliable checkpoints unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false, and even then only on GC of the frame). A run leaves
+    * O(log diameter) round-frames of (long, long) rows under the
+    * directory — bounded per run, unbounded across runs — so a
+    * recurring pipeline should point each run at a run-scoped
+    * subdirectory and delete it after materializing the result
+    * (sinking the returned frame consumes the last checkpoint).
     */
   def dupClusters(docs: DataFrame, threshold: Double = 0.2, bands: Int = 4,
                   maxBucketSize: Option[Int] = None,

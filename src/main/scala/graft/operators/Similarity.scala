@@ -258,9 +258,13 @@ object Similarity {
     * to single-probe's boundary recall loss: each query probes its own
     * bucket plus the 8 at Hamming distance 1 (one sign bit flipped),
     * and because the probe list explodes on the tiny broadcast query
-    * side while bucket_id is the index's partition column, the scan
-    * still prunes to 9/256 partitions via dynamic partition pruning —
-    * ~3.5% of a 100 TB corpus read for ~full single-bit recall.
+    * side while bucket_id is the index's partition column, dynamic
+    * partition pruning restricts the ONE shared scan to the UNION of
+    * all queries' probe lists — 9 partitions for a single query, up
+    * to min(9·nQueries, 256) for a batch (72/256 at the default 8
+    * queries; a large batch degrades toward a full scan, at which
+    * point batch-by-bucket-locality or per-query probing is the right
+    * call). Per-query CANDIDATE work is always 9 buckets regardless.
     * Results are deterministic (fixed hyperplanes), so this is
     * exact-oracle-checked (q74) and spec-asserted equal to the
     * in-memory [[annTopKMultiProbe]].

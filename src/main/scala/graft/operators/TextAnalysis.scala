@@ -143,23 +143,30 @@ object TextAnalysis {
     * count of each redaction class (the audit trail a compliance
     * review wants). Pure per-row narrow projection — codegen'd regexp
     * over the scan, no shuffle, no UDF — so at 100 TB it runs at scan
-    * speed and composes with any downstream stage. Counts are taken on
-    * the ORIGINAL text; replacements apply email → IP → phone (the
-    * patterns are mutually non-overlapping: the email's domain part
-    * has letters where the IP pattern wants digits).
+    * speed and composes with any downstream stage.
+    *
+    * Each class is counted on the text the corresponding replacement
+    * actually sees (email counted on the original, IP after the email
+    * pass, phone after the IP pass) so counts reconcile EXACTLY with
+    * emitted placeholders: an email whose local part is phone- or
+    * IP-shaped ("555-1234@corp.com" — the local-part class admits
+    * digits and '-') is one email redaction and zero phone
+    * redactions. Counting every class on the original text would
+    * report phantom redactions for such nested matches. Placeholders
+    * contain no digits or '@', so a replacement can never CREATE a
+    * later-pass match.
     */
   def piiScrub(docs: DataFrame, textCol: String = "text",
                ordered: Boolean = true): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, lit(emailPattern), lit("<EMAIL>"))
+    val afterIp = regexp_replace(afterEmail, lit(ipv4Pattern), lit("<IP>"))
     val scrubbed = docs.select(
       col("doc_id"),
-      regexp_replace(regexp_replace(regexp_replace(t,
-          lit(emailPattern), lit("<EMAIL>")),
-        lit(ipv4Pattern), lit("<IP>")),
-        lit(phonePattern), lit("<PHONE>")).as("clean_text"),
+      regexp_replace(afterIp, lit(phonePattern), lit("<PHONE>")).as("clean_text"),
       regexp_count(t, lit(emailPattern)).as("n_emails"),
-      regexp_count(t, lit(ipv4Pattern)).as("n_ips"),
-      regexp_count(t, lit(phonePattern)).as("n_phones"))
+      regexp_count(afterEmail, lit(ipv4Pattern)).as("n_ips"),
+      regexp_count(afterIp, lit(phonePattern)).as("n_phones"))
     // stateless projection ⇒ stream-safe as-is; global order is a
     // batch-only concept (ordered = false for streaming callers)
     if (ordered) scrubbed.orderBy("doc_id") else scrubbed

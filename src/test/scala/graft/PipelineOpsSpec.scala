@@ -441,6 +441,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       && res(3).getInt(2) == 0 && res(3).getInt(3) == 0 && res(3).getInt(4) == 0)
     assert(res(4).getString(1) == "<EMAIL> <EMAIL> <IP> <PHONE> <PHONE>")
     assert(res(4).getInt(2) == 2 && res(4).getInt(3) == 1 && res(4).getInt(4) == 2)
+    // counts reconcile with placeholders: a phone- or IP-shaped email
+    // LOCAL PART is consumed by the email pass and must NOT also be
+    // reported as a phone/IP redaction (no phantom audit entries)
+    val nested = TextAnalysis.piiScrub(Seq(
+        (9L, "reach 555-1234@corp.com or 10.0.0.1@host.ru today")
+      ).toDF("doc_id", "text")).head()
+    assert(nested.getString(1) == "reach <EMAIL> or <EMAIL> today")
+    assert(nested.getInt(2) == 2 && nested.getInt(3) == 0 && nested.getInt(4) == 0,
+      s"phantom counts: $nested")
     // idempotence: a scrubbed corpus passes through unchanged
     val once = TextAnalysis.piiScrub(docs).select(col("doc_id"),
       col("clean_text").as("text"))

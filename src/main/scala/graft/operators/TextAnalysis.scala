@@ -172,6 +172,52 @@ object TextAnalysis {
     if (ordered) scrubbed.orderBy("doc_id") else scrubbed
   }
 
+  /** Gopher/RefinedWeb-style composite quality gate: one narrow
+    * projection computes the rule features, a keep verdict, and a
+    * comma-joined list of the rules that failed — the per-document
+    * audit trail a production cleaning pipeline keeps next to the
+    * verdict. Rules (the classic subset computable without external
+    * models): token count in [minTokens, maxTokens], mean token
+    * length in [minMeanTokenLen, maxMeanTokenLen], stopword ratio ≥
+    * minStopwordRatio, duplicate-3-gram fraction ≤ maxRepetition.
+    *
+    * Repetition here is a PER-ROW array fold (transform →
+    * array_distinct — no explode, no shuffle), right when document
+    * length is bounded; for unbounded documents use the exploded twin
+    * [[graft.operators.TrainingData.repetitionRatio]], which never
+    * materializes a per-doc array. Stream-safe with `ordered = false`
+    * like every stateless stage.
+    */
+  def gopherGate(docs: DataFrame,
+                 minTokens: Int = 10, maxTokens: Int = 1000,
+                 minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 10.0,
+                 minStopwordRatio: Double = 0.01,
+                 maxRepetition: Double = 0.5,
+                 ordered: Boolean = true): DataFrame = {
+    val nTok = size(toks)
+    val meanLen = round(length(col("text")).cast("double") / nTok, 4)
+    val stopRatio = round(
+      size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / nTok, 4)
+    val grams = expr(
+      "transform(sequence(0, size(split(text, ' ')) - 3), " +
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))")
+    val repRatio = round(
+      when(nTok < 3, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)), 4)
+    val gated = docs.select(
+        col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_token_len"),
+        stopRatio.as("stopword_ratio"), repRatio.as("rep_ratio"))
+      .withColumn("reasons", array_join(array(
+        when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens,
+          lit("length")),
+        when(col("mean_token_len") < minMeanTokenLen ||
+          col("mean_token_len") > maxMeanTokenLen, lit("token_len")),
+        when(col("stopword_ratio") < minStopwordRatio, lit("stopwords")),
+        when(col("rep_ratio") > maxRepetition, lit("repetition"))), ","))
+      .withColumn("keep", col("reasons") === lit(""))
+    if (ordered) gated.orderBy("doc_id") else gated
+  }
+
   /** Deterministic PII seeding for the q73 demonstration: the synthetic
     * corpus contains no PII, so the query weaves synthetic identifiers
     * (derived from doc_id — every 3rd doc an email, every 5th an IPv4,

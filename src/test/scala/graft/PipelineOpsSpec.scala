@@ -461,6 +461,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tot.getLong(0) > 0 && tot.getLong(1) > 0 && tot.getLong(2) > 0)
   }
 
+  test("gopherGate flags each failing rule by name and keeps clean documents") {
+    import spark.implicits._
+    val good = "the cat sat on a mat of warm red wool and the dog ran by"
+    val docs = Seq(
+      (1L, good),                                          // passes all rules
+      (2L, "too short"),                                   // length
+      (3L, Seq.fill(20)("pneumonoultramicroscopic").mkString(" ")), // token_len + stopwords + repetition
+      (4L, ("the quick brown fox " * 5).trim),             // repetition (dup 3-grams)
+      (5L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff") // stopwords
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.gopherGate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(res(1).getBoolean(6) && res(1).getString(5) == "")
+    assert(!res(2).getBoolean(6) && res(2).getString(5).contains("length"))
+    assert(res(3).getString(5).contains("token_len") &&
+      res(3).getString(5).contains("stopwords") &&
+      res(3).getString(5).contains("repetition"))
+    assert(!res(4).getBoolean(6) && res(4).getString(5) == "repetition")
+    assert(!res(5).getBoolean(6) && res(5).getString(5) == "stopwords")
+    // hand-check one feature: doc 4 has 20 tokens → 18 3-grams, 4
+    // distinct (the repeating phrase cycles 4 token values) → 14/18 dup
+    assert(math.abs(res(4).getDouble(4) - (1.0 - 4.0 / 18.0)) < 5e-4)
+    // the corpus gate keeps a healthy majority at the defaults
+    val kept = TextAnalysis.gopherGate(documents).filter(col("keep")).count()
+    assert(kept > 0 && kept <= documents.count())
+  }
+
   test("simhashPairs equals brute-force Hamming: pigeonhole banding loses no pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

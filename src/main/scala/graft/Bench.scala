@@ -11,13 +11,17 @@ import org.apache.spark.sql.SparkSession
   * instead of narratable:
   *  - a `BENCH_META` line records the machine conditions (1-minute
   *    load average, available processors, heap) at run start;
-  *  - a fixed CALIBRATION PROBE (q02's projection scan — a constant
-  *    workload whose timing varies only with external conditions) is
-  *    interleaved every 15 queries; the JSON's `"cal"` array holds
-  *    `[probe_sec, load_avg]` pairs in run order — one at start, one
-  *    after every 15th query, one at end — so external-load inflation
-  *    is measured per segment of the run (the last pair doubles as
-  *    the end-of-run conditions);
+  *  - two fixed CALIBRATION PROBES are interleaved every 20 queries:
+  *    a scan probe (q02's projection scan) and a shuffle probe (a
+  *    data-independent range → hash exchange → aggregate). Both are
+  *    constant workloads whose timing varies only with external
+  *    conditions, and they react differently: external load barely
+  *    moves the scan but inflates exchange/GC-bound work — exactly
+  *    the profile of the expensive queries — so the pair brackets how
+  *    much of a segment's inflation is environmental. The JSON's
+  *    `"cal"` array holds `[scan_sec, shuffle_sec, load_avg]` triples
+  *    in run order — start, after every 20th query, end (the last
+  *    doubles as the end-of-run conditions);
   *  - a query that throws is counted in the main line (`"errs":N`,
   *    omitted at zero; its value stays the elapsed time) with the
   *    per-query exceptions on a `BENCH_ERRORS` line printed BEFORE
@@ -122,15 +126,20 @@ object Bench {
       dropAllState()
     }
 
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def calScan(): Double = timed {
       graft.operators.Projections
         .projectAndCast(graft.engine.Tables.lineitem(spark, sfDir)).count()
-      (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // warm the probe's own path once; measured reads follow
-    val calibrations = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    def recordCal(): Unit = calibrations += ((calibrate(), loadAvg))
+    def calShuffle(): Double = timed {
+      spark.range(4000000L).selectExpr("id % 1000 AS k")
+        .groupBy("k").count().count()
+    }
+    calScan(); calShuffle() // warm the probes' own paths once
+    val calibrations = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    def recordCal(): Unit = calibrations += ((calScan(), calShuffle(), loadAvg))
     recordCal()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -144,7 +153,7 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         dropAllState()
         if (dt > 5.0) System.gc()
-        if ((i + 1) % 15 == 0) recordCal()
+        if ((i + 1) % 20 == 0) recordCal()
         name -> dt
       }
     recordCal()
@@ -152,7 +161,7 @@ object Bench {
     val qs = results.map { case (k, v) => jsonStr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val cal = calibrations
-      .map { case (sec, load) => s"[${num(sec)},${num(load)}]" }
+      .map { case (scan, shuf, load) => s"[${num(scan)},${num(shuf)},${num(load)}]" }
       .mkString("[", ",", "]")
     // error DETAILS go on their own line BEFORE the main one so they
     // can never push the main line's front out of the 2000-char

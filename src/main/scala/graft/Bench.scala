@@ -126,8 +126,14 @@ object Bench {
       dropAllState()
     }
 
+    // a probe must never abort the run: a broken environment (e.g.
+    // missing data dir) should still produce BENCH_META, per-query
+    // error records, and the main JSON line — not a bare stack trace
+    // with no artifact. A failed probe reads -1.
     def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime()
+      try { f; (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     def calScan(): Double = timed {
       graft.operators.Projections

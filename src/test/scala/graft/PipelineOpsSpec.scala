@@ -461,6 +461,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tot.getLong(0) > 0 && tot.getLong(1) > 0 && tot.getLong(2) > 0)
   }
 
+  test("int8 embedding quantization: bounded reconstruction error, zero-vector safe") {
+    import spark.implicits._
+    val q = Similarity.quantizeEmbeddings(embeddings)
+    val dq = Similarity.dequantizeEmbeddings(q)
+    // per-component |orig - deq| <= scale/2 (round-to-nearest bound)
+    val joined = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(dq.withColumnRenamed("embedding", "w"), "vec_id")
+      .join(q.select(col("vec_id"), col("scale")), "vec_id")
+      .withColumn("max_err", aggregate(
+        zip_with(col("v"), col("w"), (a, b) => abs(a - b)),
+        lit(0.0), (acc, x) => greatest(acc, x)))
+    assert(joined.filter(col("max_err") > col("scale") * 0.5 + 1e-9).count() == 0)
+    // bytes stay in range and the quantized width matches the input
+    val stats = q.select(
+      aggregate(col("qvec"), lit(0), (acc, x) =>
+        greatest(acc, abs(x.cast("int")))).as("amax"),
+      size(col("qvec")).as("w")).agg(max("amax"), min("w"), max("w")).head()
+    assert(stats.getInt(0) <= 127)
+    assert(stats.getInt(1) == stats.getInt(2))
+    // all-zero vector: scale 0, zero bytes, exact round trip
+    val z = Similarity.dequantizeEmbeddings(Similarity.quantizeEmbeddings(
+      Seq((0L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "embedding"))).head()
+    assert(z.getSeq[Double](1) == Seq(0.0, 0.0, 0.0))
+  }
+
   test("gopherGate flags each failing rule by name and keeps clean documents") {
     import spark.implicits._
     val good = "the cat sat on a mat of warm red wool and the dog ran by"

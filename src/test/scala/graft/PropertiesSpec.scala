@@ -76,4 +76,39 @@ class PropertiesSpec extends AnyFunSuite {
       assert(pairs.distinct.length == pairs.length)
     }
   }
+
+  test("piiScrub is idempotent and count-consistent on adversarial random text") {
+    import graft.operators.TextAnalysis
+    // fragments that tile into strings straddling the pattern
+    // boundaries: partial emails, dotted digit runs, dashed digits
+    val frag = Gen.oneOf("a@b.co", "x@y", "1.2.3.4", "10.0.0", "555-0199",
+      "12-345", "@@", "..", "user.name+x", "example.com", "--", "7",
+      "t", " ")
+    val textGen = Gen.listOfN(12, frag).map(_.mkString(" "))
+    val docs = samples(textGen, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = TextAnalysis.piiScrub(docs)
+      .select(col("doc_id"), col("clean_text"),
+        (col("n_emails") + col("n_ips") + col("n_phones")).as("n"))
+    val rows1 = once.collect().map(r => r.getLong(0) -> r).toMap
+    // placeholder-count consistency: redactions reported = placeholder
+    // tokens emitted, class by class
+    TextAnalysis.piiScrub(docs).collect().foreach { r =>
+      def occurrences(s: String, sub: String): Int =
+        s.sliding(sub.length).count(_ == sub)
+      assert(occurrences(r.getString(1), "<EMAIL>") == r.getInt(2), r)
+      assert(occurrences(r.getString(1), "<IP>") == r.getInt(3), r)
+      assert(occurrences(r.getString(1), "<PHONE>") == r.getInt(4), r)
+    }
+    // idempotence: scrubbing a scrubbed corpus changes nothing
+    val twice = TextAnalysis.piiScrub(
+        once.select(col("doc_id"), col("clean_text").as("text")))
+      .select(col("doc_id"), col("clean_text"),
+        (col("n_emails") + col("n_ips") + col("n_phones")).as("n"))
+    twice.collect().foreach { r =>
+      assert(r.getInt(2) == 0, s"rescrub found new PII: $r")
+      assert(r.getString(1) == rows1(r.getLong(0)).getString(1),
+        s"rescrub changed text: $r")
+    }
+  }
 }

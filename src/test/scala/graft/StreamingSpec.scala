@@ -320,6 +320,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("gopherGate runs unchanged on a stream: gate-on-ingest equals the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "the cat sat on a mat of warm red wool and the dog ran by"),
+      (2L, "too short"),
+      (3L, ("the quick brown fox " * 5).trim))
+    val query = StreamPipeline.appendSink(
+        graft.operators.TextAnalysis.gopherGate(stream, ordered = false),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-gate").toString,
+        queryName = "gate_mem").start()
+    try {
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("gate_mem").orderBy("doc_id").collect()
+      val batch = graft.operators.TextAnalysis.gopherGate(
+        rows.toDF("doc_id", "text")).collect()
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+      assert(streamed(0).getBoolean(6) && !streamed(1).getBoolean(6))
+    } finally query.stop()
+  }
+
   test("file streaming source runs the same plan over parquet drops (S2-equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
     val batchDf = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

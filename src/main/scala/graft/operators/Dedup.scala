@@ -398,6 +398,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter admission variant of [[incrementalDedup]] — the
+    * 100 TB shape: the exact anti-join shuffles the corpus's DISTINCT
+    * fingerprint set every run, while a Bloom filter is built by a
+    * SHUFFLE-FREE scan (partial aggregates merge byte arrays; no
+    * distinct needed — Bloom insertion is idempotent) and admits most
+    * of the batch without touching the corpus again. Exactness is
+    * preserved: `might_contain = false` is a Bloom GUARANTEE of
+    * absence (admit immediately); only the `maybe` remainder — true
+    * duplicates plus the false-positive fraction (~`fpp` of genuinely
+    * new docs) — pays the exact anti-join, against a corpus side that
+    * could itself be pre-filtered at scale. Results are spec-asserted
+    * identical to [[incrementalDedup]].
+    *
+    * The filter itself is `numBits/8` bytes on the driver (8 MiB at
+    * the defaults, sized for ~10M corpus docs at ~2% fpp) and ships
+    * to executors as a literal — the bounded-driver-state exception
+    * of the same class as a broadcast dimension. Uses Spark's native
+    * `BloomFilterAggregate`/`BloomFilterMightContain` (the runtime
+    * join-pruning machinery) via the expression bridge, so the probe
+    * stays codegen'd.
+    */
+  def incrementalDedupBloom(corpus: DataFrame, batch: DataFrame,
+                            expectedItems: Long = 10000000L,
+                            numBits: Long = 67108864L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    def fp(df: DataFrame) =
+      df.select(col("doc_id"), TextAnalysis.fingerprintCol.as("fingerprint"))
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expressionEager(xxhash64(col("fingerprint"))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val corpusFps = fp(corpus).select("fingerprint")
+    val bfBytes = corpusFps.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val batchFp = fp(batch)
+      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+      .withColumn("maybe",
+        if (bfBytes == null) lit(false) // empty corpus → everything new
+        else ColumnBridge.column(BloomFilterMightContain(
+          Literal(bfBytes, BinaryType),
+          ColumnBridge.expressionEager(xxhash64(col("fingerprint"))))))
+    val definitelyNew = batchFp.filter(!col("maybe"))
+    val needExact = batchFp.filter(col("maybe"))
+      .join(corpusFps.distinct(), Seq("fingerprint"), "left_anti")
+    definitelyNew.unionByName(needExact)
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
   /** The cluster-canonical variant of [[cleaningPipeline]] — the
     * C4/RefinedWeb convention: near-dup removal keeps exactly ONE
     * representative per connected component of the verified-pair

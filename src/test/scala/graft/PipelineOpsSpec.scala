@@ -461,6 +461,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tot.getLong(0) > 0 && tot.getLong(1) > 0 && tot.getLong(2) > 0)
   }
 
+  test("bloom-admission incremental dedup equals the exact anti-join") {
+    import spark.implicits._
+    val corpus = documents.filter(col("source") =!= "src2")
+    val batch = documents.filter(col("source") === "src2")
+    val exact = Dedup.incrementalDedup(corpus, batch).collect().toSeq
+    val bloom = Dedup.incrementalDedupBloom(corpus, batch).collect().toSeq
+    assert(exact.nonEmpty && bloom == exact,
+      s"bloom path diverged: ${bloom.size} vs ${exact.size}")
+    // a deliberately tiny filter (high fpp) still yields exact results
+    // — false positives only route docs to the exact check
+    val tiny = Dedup.incrementalDedupBloom(corpus, batch,
+      expectedItems = 10L, numBits = 64L).collect().toSeq
+    assert(tiny == exact, "false positives must not change results")
+    // empty corpus admits the whole deduped batch
+    val empty = corpus.filter(lit(false))
+    val allNew = Dedup.incrementalDedupBloom(empty, batch)
+    assert(allNew.count() == Dedup.incrementalDedup(empty, batch).count())
+  }
+
   test("int8 embedding quantization: bounded reconstruction error, zero-vector safe") {
     import spark.implicits._
     val q = Similarity.quantizeEmbeddings(embeddings)

@@ -140,6 +140,20 @@ object OracleSql {
        |SELECT q_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, CAST(rk AS INT) AS rk
        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  /** q65 and q77 share this: the Bloom-admission variant is
+    * result-identical to the exact fingerprint anti-join by
+    * construction (see the q77 comment at the binding site).
+    */
+  private val incrementalDedupSql: String =
+    """WITH corpus AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents WHERE source <> 'src2'),
+      |batch AS (SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+      |min(doc_id) AS doc_id
+      |FROM documents WHERE source = 'src2' GROUP BY 1)
+      |SELECT b.doc_id, b.fingerprint FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint)
+      |ORDER BY b.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_hourly_agg" ->
       """SELECT CAST(hour(ts) AS INT) AS hour, count(*) AS n, round(avg(value), 4) AS avg_value
@@ -351,6 +365,21 @@ object OracleSql {
         |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
 
     "q38_lsh_buckets" -> lshBucketsSql,
+
+    // Embedding near-dup: candidates share a deterministic LSH bucket
+    // (same inlined hyperplanes as q38), the threshold filter runs on
+    // the RAW cosine on both engines (rounding happens only in the
+    // projection), and the cosine arithmetic is the bit-reproducible
+    // sequential fold q37 already hash-matches on.
+    "q40_embedding_neardup" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, CAST(${bucketTerms("v")} AS INT) AS bucket_id FROM base),
+         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |list_dot_product(a.v, c.v) /
+         |(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |FROM b a JOIN b c ON a.bucket_id = c.bucket_id AND a.vec_id < c.vec_id)
+         |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM p
+         |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
     "q39_ann_topk" -> annProbeSql,
 
@@ -581,15 +610,13 @@ object OracleSql {
         |CAST(floor(start_offset / 256.0) AS INT) AS pack_id
         |FROM o ORDER BY shard, start_offset, doc_id""".stripMargin,
 
-    "q65_incremental_dedup" ->
-      """WITH corpus AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
-        |FROM documents WHERE source <> 'src2'),
-        |batch AS (SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
-        |min(doc_id) AS doc_id
-        |FROM documents WHERE source = 'src2' GROUP BY 1)
-        |SELECT b.doc_id, b.fingerprint FROM batch b
-        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint)
-        |ORDER BY b.doc_id""".stripMargin,
+    "q65_incremental_dedup" -> incrementalDedupSql,
+
+    // Bloom admission only decides who SKIPS the exact anti-join —
+    // might_contain=false is a guarantee of absence, the maybe-set is
+    // re-checked exactly — so the result set is identical to q65's by
+    // construction and the two queries share one oracle.
+    "q77_bloom_dedup" -> incrementalDedupSql,
 
     "q63_paragraph_dedup" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -617,6 +644,49 @@ object OracleSql {
           |md5(c.text) AS fingerprint
           |FROM canon c WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = c.doc_id)
           |ORDER BY c.doc_id""".stripMargin),
+
+    // Gopher-style quality gate: thresholds compare the ROUNDED
+    // feature columns on both engines (the Spark operator reads back
+    // its own projected columns); concat_ws skips NULL branches in
+    // DuckDB exactly as array_join drops null elements in Spark, so
+    // the reason list and the keep verdict match byte-for-byte. The
+    // 3-gram denominator is len(tk)-2, the size of the gram list both
+    // engines build; docs under 3 tokens short-circuit to 0.0.
+    "q75_gopher_gate" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        |f AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+        |round(CAST(length(text) AS DOUBLE) / len(tk), 4) AS mean_token_len,
+        |round(CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(tk), 4) AS stopword_ratio,
+        |CASE WHEN len(tk) < 3 THEN 0.0 ELSE
+        |round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk) - 1),
+        |i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS DOUBLE) / (len(tk) - 2), 4) END AS rep_ratio
+        |FROM t),
+        |g AS (SELECT *, concat_ws(',',
+        |CASE WHEN n_tokens < 10 OR n_tokens > 1000 THEN 'length' END,
+        |CASE WHEN mean_token_len < 2.0 OR mean_token_len > 10.0 THEN 'token_len' END,
+        |CASE WHEN stopword_ratio < 0.01 THEN 'stopwords' END,
+        |CASE WHEN rep_ratio > 0.5 THEN 'repetition' END) AS reasons FROM f)
+        |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, rep_ratio, reasons,
+        |reasons = '' AS keep FROM g ORDER BY doc_id""".stripMargin,
+
+    // int8 quantization roundtrip: scale = max|v_i|/127 computed once
+    // and divided through exactly as the Spark side does, round() on
+    // identical IEEE doubles, codes summarized as integer stats (no
+    // array column in the compare), reconstruction error as the same
+    // max-fold both engines evaluate component-in-order.
+    "q76_quant_rt" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM base),
+        |q AS (SELECT vec_id, v, scale,
+        |CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
+        |ELSE list_transform(v, x -> CAST(round(x / scale) AS TINYINT)) END AS qvec FROM s),
+        |d AS (SELECT vec_id, v, scale, qvec,
+        |list_transform(qvec, c -> CAST(c AS DOUBLE) * scale) AS dv FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+        |CAST(list_min(qvec) AS INT) AS q_min, CAST(list_max(qvec) AS INT) AS q_max,
+        |round(list_max(list_transform(range(1, len(v) + 1), i -> abs(v[i] - dv[i]))), 6) AS max_abs_err
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     // PII scrub: the seeding CTE mirrors TextAnalysis.seedPii
     // token-for-token; the patterns interpolate from the SAME Scala

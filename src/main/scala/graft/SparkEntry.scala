@@ -154,7 +154,27 @@ object SparkEntry {
     // has no PII, so deterministic identifiers are seeded first —
     // identically in the oracle — and the scrub is exercised for real
     "q73_pii_scrub"        -> ((s, d) =>
-      TextAnalysis.piiScrub(TextAnalysis.seedPii(Tables.documents(s, d))))
+      TextAnalysis.piiScrub(TextAnalysis.seedPii(Tables.documents(s, d)))),
+    // Gopher-style composite quality gate with per-rule reason audit
+    "q75_gopher_gate"      -> ((s, d) => TextAnalysis.gopherGate(Tables.documents(s, d))),
+    // int8 quantize → dequantize roundtrip: per-vector scale, code
+    // stats, and reconstruction error (deterministic folds throughout)
+    "q76_quant_rt"         -> ((s, d) => Similarity.quantizationRoundtrip(Tables.embeddings(s, d))),
+    // Bloom-admission incremental dedup: same contract as q65 (results
+    // are identical by construction — the Bloom filter only decides who
+    // SKIPS the exact anti-join), so it shares q65's oracle SQL. The
+    // filter is sized for the test corpora (1 MiB), not the operator's
+    // 10M-doc production default: the literal ships inside every task
+    // binary that probes it, and sizing is semantics-free — a false
+    // positive only routes that row to the exact anti-join
+    "q77_bloom_dedup"      -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      import org.apache.spark.sql.functions.col
+      Dedup.incrementalDedupBloom(
+        docs.filter(col("source") =!= "src2"),
+        docs.filter(col("source") === "src2"),
+        expectedItems = 1000000L, numBits = 1L << 23)
+    })
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

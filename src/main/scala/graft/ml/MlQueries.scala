@@ -26,7 +26,7 @@ object MlQueries {
     * scores the FULL test split.
     */
   def trainEvalConfusion(spark: SparkSession, dir: String,
-                         maxTrainRows: Long = 100000L): DataFrame = {
+                         maxTrainRows: Long = 50000L): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val data = li.select(
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
@@ -39,7 +39,12 @@ object MlQueries {
       new StandardScaler()
         .setInputCol("features_raw").setOutputCol("features")
         .setWithStd(true).setWithMean(false),
-      new LogisticRegression().setMaxIter(5).setRegParam(0.01)))
+      // 3 iterations / 50k rows: the entry is a rows-only operator
+      // demonstration (M1-M10 quality floors are proven uncapped in
+      // OccupancySpec), so the fit cost is bounded as tightly as the
+      // demonstration allows — each LBFGS iteration is a full
+      // treeAggregate pass over the cached training sample
+      new LogisticRegression().setMaxIter(3).setRegParam(0.01)))
     // Size the cap from parquet row-group metadata (a count() on the
     // raw scan is metadata-only — no data pass), not by materializing
     // the full split: randomSplit(0.7) keeps 0.7·total in expectation,

@@ -274,11 +274,18 @@ object Dedup {
         .select(col("x.node").as("node"), col("y.cluster_id").as("cluster_id"))
       val updated = chk(labels.unionByName(viaNeighbor).unionByName(viaLabel)
         .groupBy("node").agg(min("cluster_id").as("cluster_id")))
-      changed = updated
-        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("node"))
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = updated
       rounds += 1
+      // convergence is a fixpoint (labels only ever decrease toward the
+      // component min), so checking every 2nd round detects it at most
+      // one cheap extra round late while halving the per-round driver
+      // round-trips — the one blocking action this loop has. The final
+      // allowed round always checks, so the non-convergence throw below
+      // can never be skipped.
+      if (rounds % 2 == 0 || rounds >= maxIterations)
+        changed = updated
+          .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("node"))
+          .filter(col("cluster_id") =!= col("prev")).count()
+      labels = updated
     }
     edges.unpersist(blocking = false)
     // wrong clusters must never be emitted silently: with pointer

@@ -311,6 +311,31 @@ object Similarity {
     q.select(col("vec_id"),
       transform(col("qvec"), x => x.cast("double") * col("scale")).as("embedding"))
 
+  /** Quantize → dequantize validation report (the q76 driver entry):
+    * per vector the rounded scale, integer code statistics, and the
+    * max reconstruction error against the original — every number a
+    * deterministic fold, so the whole pair of operators is
+    * exact-oracle-checkable. The original is re-joined on vec_id;
+    * that is the VALIDATION harness shape (run on a sample after a
+    * quantization pass), not the production write path, which stores
+    * (scale, qvec) and never joins back.
+    */
+  def quantizationRoundtrip(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val q = quantizeEmbeddings(emb, vecCol)
+    val dv = dequantizeEmbeddings(q).withColumnRenamed("embedding", "dv")
+    emb.select(col("vec_id"), col(vecCol).cast("array<double>").as("orig"))
+      .join(q, Seq("vec_id")).join(dv, Seq("vec_id"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        aggregate(col("qvec"), lit(127), (a, x) => least(a, x.cast("int"))).as("q_min"),
+        aggregate(col("qvec"), lit(-127), (a, x) => greatest(a, x.cast("int"))).as("q_max"),
+        round(aggregate(zip_with(col("orig"), col("dv"), (a, b) => abs(a - b)),
+          lit(0.0), (a, x) => greatest(a, x)), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   def annTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"),

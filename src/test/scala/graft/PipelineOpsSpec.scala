@@ -506,6 +506,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(z.getSeq[Double](1) == Seq(0.0, 0.0, 0.0))
   }
 
+  test("quantizationRoundtrip (q76): one row per vector, codes in range, error bounded") {
+    val rt = Similarity.quantizationRoundtrip(embeddings)
+    assert(rt.count() == embeddings.count())
+    assert(rt.filter(col("q_max") > 127 || col("q_min") < -127).count() == 0)
+    // reported max error obeys the round-to-nearest bound; both columns
+    // are 6-decimal-rounded, hence the 1e-6 slack
+    assert(rt.filter(col("max_abs_err") > col("scale_r") * 0.5 + 1e-6).count() == 0)
+    // a real corpus exercises the nonzero path: some scale must be > 0
+    assert(rt.filter(col("scale_r") > 0).count() > 0)
+  }
+
   test("gopherGate flags each failing rule by name and keeps clean documents") {
     import spark.implicits._
     val good = "the cat sat on a mat of warm red wool and the dog ran by"

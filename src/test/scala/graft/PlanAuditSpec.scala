@@ -120,6 +120,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("driver contract: oracle keys name real queries; qNN prefixes unique") {
+    // the driver joins oracleSql to queries by key, and Bench's main
+    // line keys results by the qNN prefix — both only work if every
+    // oracle key resolves and no two queries share a prefix
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracle SQL with no query: $orphans")
+    val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val dups = prefixes.groupBy(identity).collect { case (p, v) if v.size > 1 => p }
+    assert(dups.isEmpty, s"duplicate qNN prefixes: $dups")
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

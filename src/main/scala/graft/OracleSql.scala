@@ -688,6 +688,48 @@ object OracleSql {
         |round(list_max(list_transform(range(1, len(v) + 1), i -> abs(v[i] - dv[i]))), 6) AS max_abs_err
         |FROM d ORDER BY vec_id""".stripMargin,
 
+    // Duplicated 5-gram fraction: the DISTINCT (doc, gram) projection
+    // mirrors the Spark side's dropDuplicates; after it, a plain
+    // count(*) per gram IS the distinct-doc count, so `shared` is the
+    // same vocabulary both engines build. Docs under 5 tokens have no
+    // grams and are absent from both results.
+    "q78_dup_ngram_fraction" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM
+        |  (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+        |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS gram
+        |   FROM toks WHERE len(tk) >= 5)),
+        |shared AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |dup AS (SELECT doc_id, count(*) AS n_dup FROM g
+        |        WHERE gram IN (SELECT gram FROM shared) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+        |round(coalesce(d.n_dup, 0) / CAST(t.n_grams AS DOUBLE), 4) AS dup_fraction
+        |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // Semantic dedup: q40's bucketed-cosine pairs (same inlined
+    // hyperplanes, same raw-cosine threshold) fed through the q68-style
+    // recursive-CTE connected components; every vector is labeled with
+    // its component min (its own id when unclustered) and the keep
+    // verdict — the embedding-space twin of q72's cluster-canonical
+    // convention.
+    "q79_semantic_dedup" ->
+      s"""WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, CAST(${bucketTerms("v")} AS INT) AS bucket_id FROM base),
+         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |list_dot_product(a.v, c.v) /
+         |(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |FROM b a JOIN b c ON a.bucket_id = c.bucket_id AND a.vec_id < c.vec_id),
+         |pairs AS (SELECT id_a, id_b FROM p WHERE cos >= 0.3),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM und
+         |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |lbl AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+         |SELECT e.vec_id, CAST(coalesce(l.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+         |coalesce(l.cluster_id, e.vec_id) = e.vec_id AS keep
+         |FROM embeddings e LEFT JOIN lbl l ON l.vec_id = e.vec_id ORDER BY e.vec_id""".stripMargin,
+
     // PII scrub: the seeding CTE mirrors TextAnalysis.seedPii
     // token-for-token; the patterns interpolate from the SAME Scala
     // constants the Spark side compiles (Java-regex/RE2 common

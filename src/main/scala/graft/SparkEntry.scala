@@ -174,7 +174,14 @@ object SparkEntry {
         docs.filter(col("source") =!= "src2"),
         docs.filter(col("source") === "src2"),
         expectedItems = 1000000L, numBits = 1L << 23)
-    })
+    }),
+    // RefinedWeb-style duplicated n-gram fraction: the substring-level
+    // dup signal between doc-level dedup and paragraph dedup
+    "q78_dup_ngram_fraction" -> ((s, d) => Dedup.dupNgramFraction(Tables.documents(s, d))),
+    // embedding semantic dedup end-to-end: near-dup pairs → connected
+    // components → one canonical keeper per cluster, audit-style output
+    "q79_semantic_dedup"   -> ((s, d) =>
+      Dedup.semanticDedup(Tables.embeddings(s, d), threshold = 0.3))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

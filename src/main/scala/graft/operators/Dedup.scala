@@ -614,4 +614,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Per-document duplicated n-gram fraction — the substring-level dup
+    * signal between whole-document dedup and [[paragraphDedup]]: what
+    * share of a document's distinct n-grams also appear in at least
+    * one OTHER document. A high fraction flags boilerplate and
+    * cross-document template text that survives both exact and
+    * near-dup removal because no single pair clears the Jaccard bar.
+    *
+    * Scale shape, same contract as the cascade: the native shingle
+    * generator streams (doc_id, n-gram) rows, the shared-gram
+    * vocabulary is a hash aggregate on the gram (after the per-doc
+    * dropDuplicates, a plain count IS the distinct-doc count), and
+    * marking is a semi-join back on the gram string — no array ever
+    * crosses a shuffle, work ∝ total distinct (doc, gram) rows.
+    * Documents shorter than n tokens have no n-grams and are absent
+    * from the output (there is no fraction to report).
+    */
+  def dupNgramFraction(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = grams.groupBy("shingle")
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select("shingle")
+    val total = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dup = grams.join(shared, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    total.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 4)
+          .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end embedding semantic dedup: [[embeddingNearDup]] pairs →
+    * [[dupClustersFromPairs]] connected components → one canonical
+    * keeper (min vec_id) per cluster — the embedding-space twin of
+    * [[cleaningPipelineClustered]]'s C4 convention, so transitive
+    * near-duplicate chains (A≈B≈C with A̸≈C) collapse to a single
+    * representative instead of leaking pairwise survivors. Emits every
+    * vector with its cluster id (its own id when unclustered) and the
+    * keep verdict, audit-style, rather than silently dropping rows.
+    *
+    * Cost is the bucketed pair generation plus CC on the pair graph —
+    * both already bounded (LSH buckets, (long, long) CC rows); the
+    * final labeling is a broadcast-sized left join at any realistic
+    * cluster count, and Catalyst picks broadcast from the label-side
+    * size statistics.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.95,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = embeddingNearDup(emb, threshold).select("id_a", "id_b")
+    val labels = dupClustersFromPairs(pairs, checkpointDir = checkpointDir)
+      .withColumnRenamed("doc_id", "vec_id")
+    emb.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("keep"))
+      .orderBy("vec_id")
+  }
 }

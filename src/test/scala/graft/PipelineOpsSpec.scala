@@ -517,6 +517,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rt.filter(col("scale_r") > 0).count() > 0)
   }
 
+  test("dupNgramFraction: hand-computed shares, short docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),       // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),       // grams: "a b c d e", "b c d e x"
+      (3L, "z y x w v u t"),     // 3 unique grams
+      (4L, "a b c")              // < 5 tokens → no grams → absent
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupNgramFraction(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == ((2L, 0.5)) && r(2L) == ((2L, 0.5))) // share "a b c d e"
+    assert(r(3L) == ((3L, 0.0)))
+  }
+
+  test("semanticDedup: total audit, canonical keepers, pair-consistent labels") {
+    val labeled = Dedup.semanticDedup(embeddings, threshold = 0.3).cache()
+    assert(labeled.count() == embeddings.count()) // audit output loses no vector
+    // keep ⟺ the vector IS its cluster's min; every cluster keeps exactly one
+    assert(labeled.filter(col("keep") =!= (col("vec_id") === col("cluster_id"))).count() == 0)
+    assert(labeled.groupBy("cluster_id")
+      .agg(min("vec_id").as("mn")).filter(col("mn") =!= col("cluster_id")).count() == 0)
+    // every near-dup pair landed in one cluster (transitive closure holds)
+    val pairs = Dedup.embeddingNearDup(embeddings, threshold = 0.3)
+    val la = labeled.select(col("vec_id").as("id_a"), col("cluster_id").as("ca"))
+    val lb = labeled.select(col("vec_id").as("id_b"), col("cluster_id").as("cb"))
+    assert(pairs.join(la, Seq("id_a")).join(lb, Seq("id_b"))
+      .filter(col("ca") =!= col("cb")).count() == 0)
+    labeled.unpersist()
+  }
+
   test("gopherGate flags each failing rule by name and keeps clean documents") {
     import spark.implicits._
     val good = "the cat sat on a mat of warm red wool and the dog ran by"

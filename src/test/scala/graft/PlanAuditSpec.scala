@@ -42,6 +42,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("bucket_id"), p)
   }
 
+  test("dup-ngram fraction: semi-join vocabulary, no cartesian, no array aggregate") {
+    val p = plan("q78_dup_ngram_fraction")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("collect_set") && !p.contains("collect_list"), p)
+    assert(p.contains("LeftSemi"), p) // shared-gram marking is a semi-join
+  }
+
+  test("semantic dedup: labels joined back without a product") {
+    // the pair-generation half (LSH bucket equi-join) is pinned by the
+    // q40 test above; by the time q79's final plan exists, the CC loop
+    // has run and its checkpoint truncated that lineage — this plan is
+    // the label join, which must be an equi-join on vec_id
+    val p = plan("q79_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftOuter"), p)
+  }
+
   test("the only cross join in top-k is against the broadcast 8-row query set") {
     val p = plan("q37_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)

@@ -77,6 +77,27 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("dupNgramFraction laws on random corpora: range, duplicate saturation") {
+    // random 6–12-token docs over a tiny vocabulary (so shared grams
+    // actually occur), each duplicated under a second doc_id — a doc
+    // sharing EVERY gram with its copy must report fraction 1.0, and
+    // every fraction must lie in [0, 1]
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val textGen = Gen.choose(6, 12).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    val base = samples(textGen, 20).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = (base ++ base.map { case (i, t) => (i + 1000L, t) })
+      .toDF("doc_id", "text")
+    val r = Dedup.dupNgramFraction(docs).collect()
+    assert(r.length == base.count(_._2.split(" ").length >= 5) * 2)
+    r.foreach { row =>
+      val f = row.getDouble(2)
+      assert(f >= 0.0 && f <= 1.0, row)
+      assert(f == 1.0, s"duplicated doc must saturate: $row")
+    }
+  }
+
   test("piiScrub is idempotent and count-consistent on adversarial random text") {
     import graft.operators.TextAnalysis
     // fragments that tile into strings straddling the pattern

@@ -548,6 +548,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     labeled.unpersist()
   }
 
+  test("semanticDedup with no near-dup pairs keeps every vector as its own cluster") {
+    // threshold above the cosine range → provably empty pair graph →
+    // the CC loop must terminate on empty edges and every vector must
+    // come back as its own canonical keeper
+    val labeled = Dedup.semanticDedup(embeddings, threshold = 1.1)
+    assert(labeled.filter(!col("keep") || col("cluster_id") =!= col("vec_id")).count() == 0)
+    assert(labeled.count() == embeddings.count())
+  }
+
   test("gopherGate flags each failing rule by name and keeps clean documents") {
     import spark.implicits._
     val good = "the cat sat on a mat of warm red wool and the dog ran by"

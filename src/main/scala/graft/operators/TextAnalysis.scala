@@ -194,6 +194,43 @@ object TextAnalysis {
                  minStopwordRatio: Double = 0.01,
                  maxRepetition: Double = 0.5,
                  ordered: Boolean = true): DataFrame = {
+    val (nTok, meanLen, stopRatio, repRatio, reasons) = gateRuleExprs(
+      minTokens, maxTokens, minMeanTokenLen, maxMeanTokenLen,
+      minStopwordRatio, maxRepetition)
+    val gated = docs.select(
+        col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_token_len"),
+        stopRatio.as("stopword_ratio"), repRatio.as("rep_ratio"),
+        reasons.as("reasons"))
+      .withColumn("keep", col("reasons") === lit(""))
+    if (ordered) gated.orderBy("doc_id") else gated
+  }
+
+  /** [[gopherGate]] as a schema-preserving FILTER: keeps exactly the
+    * rows the gate keeps (identical rule expressions) but passes every
+    * input column through untouched — the shape a pipeline stage needs
+    * when later stages (dedup, scrub, packing) still want the text and
+    * timestamps. Stateless projection+filter ⇒ stream-safe as-is.
+    */
+  def gopherGateFilter(docs: DataFrame,
+                       minTokens: Int = 10, maxTokens: Int = 1000,
+                       minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 10.0,
+                       minStopwordRatio: Double = 0.01,
+                       maxRepetition: Double = 0.5): DataFrame = {
+    val (_, _, _, _, reasons) = gateRuleExprs(
+      minTokens, maxTokens, minMeanTokenLen, maxMeanTokenLen,
+      minStopwordRatio, maxRepetition)
+    docs.filter(reasons === lit(""))
+  }
+
+  /** The gate's rule columns, shared verbatim by [[gopherGate]] (audit
+    * projection) and [[gopherGateFilter]] (schema-preserving filter)
+    * so the two can never disagree on a verdict. Thresholds compare
+    * the ROUNDED features — the audit projection's own columns.
+    */
+  private def gateRuleExprs(minTokens: Int, maxTokens: Int,
+                            minMeanTokenLen: Double, maxMeanTokenLen: Double,
+                            minStopwordRatio: Double, maxRepetition: Double)
+      : (Column, Column, Column, Column, Column) = {
     val nTok = size(toks)
     val meanLen = round(length(col("text")).cast("double") / nTok, 4)
     val stopRatio = round(
@@ -204,18 +241,13 @@ object TextAnalysis {
     val repRatio = round(
       when(nTok < 3, lit(0.0)).otherwise(
         lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)), 4)
-    val gated = docs.select(
-        col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_token_len"),
-        stopRatio.as("stopword_ratio"), repRatio.as("rep_ratio"))
-      .withColumn("reasons", array_join(array(
-        when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens,
-          lit("length")),
-        when(col("mean_token_len") < minMeanTokenLen ||
-          col("mean_token_len") > maxMeanTokenLen, lit("token_len")),
-        when(col("stopword_ratio") < minStopwordRatio, lit("stopwords")),
-        when(col("rep_ratio") > maxRepetition, lit("repetition"))), ","))
-      .withColumn("keep", col("reasons") === lit(""))
-    if (ordered) gated.orderBy("doc_id") else gated
+    val reasons = array_join(array(
+      when(nTok < minTokens || nTok > maxTokens, lit("length")),
+      when(meanLen < minMeanTokenLen || meanLen > maxMeanTokenLen,
+        lit("token_len")),
+      when(stopRatio < minStopwordRatio, lit("stopwords")),
+      when(repRatio > maxRepetition, lit("repetition"))), ",")
+    (nTok, meanLen, stopRatio, repRatio, reasons)
   }
 
   /** Deterministic PII seeding for the q73 demonstration: the synthetic

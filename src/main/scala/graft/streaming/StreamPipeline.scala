@@ -124,6 +124,28 @@ object StreamPipeline {
       .dropDuplicatesWithinWatermark("fingerprint")
       .drop("fingerprint") // internal dedup key, not part of the contract
 
+  /** The full live-crawl ingest cleaning path in ONE streaming plan:
+    * quality gate → in-flight content dedup → PII scrub. Stage order
+    * is deliberate: the gate (stateless) runs first so rejected
+    * documents never enter dedup state; dedup runs on the RAW text
+    * fingerprint — the same identity key the batch backfill tier
+    * ([[graft.operators.Dedup.incrementalDedup]] /
+    * `incrementalDedupBloom`) admits on, so the two tiers can never
+    * disagree about what a duplicate is; the scrub runs last so only
+    * admitted documents pay the regex pass. State is the dedup
+    * window's alone, bounded by the watermark.
+    *
+    * Batch twin for the backfill path: `gopherGateFilter` →
+    * fingerprint dropDuplicates → `piiScrub` — equivalence
+    * spec-asserted (StreamingSpec).
+    */
+  def cleanIngest(stream: DataFrame,
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.operators.TextAnalysis.piiScrub(
+      dedupContentOnIngest(
+        graft.operators.TextAnalysis.gopherGateFilter(stream), watermarkDelay),
+      ordered = false)
+
   /** Stream-static enrichment join: each micro-batch hash-joins the
     * (small, broadcastable) static dimension — stateless, no watermark
     * needed; the static side is re-read per batch so dimension updates

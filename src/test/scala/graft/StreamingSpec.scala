@@ -345,6 +345,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cleanIngest composite: gate → dedup → scrub on a stream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val t = Timestamp.valueOf("2026-01-01 10:00:00")
+    val rows = Seq(
+      (1L, t, "the cat sat on a mat of warm red wool and the dog ran by"),
+      // fingerprint-duplicate of 1 (case/whitespace variant) — exactly
+      // one of the pair may survive
+      (2L, t, "The cat  sat on a mat of warm red wool and the dog ran by"),
+      (3L, t, "too short"), // gated out before dedup state
+      (4L, t, "the server at 10.0.0.1 sent a note of mail to jane@example.com and the log kept all of it"))
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.cleanIngest(stream),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-clean").toString,
+        queryName = "clean_mem").start()
+    try {
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("clean_mem").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      // batch twin: same stages, batch operators
+      val batchDf = rows.toDF("doc_id", "ts", "text")
+      val batch = graft.operators.TextAnalysis.piiScrub(
+          graft.operators.TextAnalysis.gopherGateFilter(batchDf)
+            .withColumn("fingerprint", graft.operators.TextAnalysis.fingerprintCol)
+            .dropDuplicates("fingerprint"))
+        .collect().map(r => r.getLong(0) -> r).toMap
+      // both keep exactly one of the duplicate pair plus doc 4
+      for (out <- Seq(streamed, batch)) {
+        assert(out.size == 2, s"got ${out.keySet}")
+        assert(out.contains(4L) && (out.contains(1L) ^ out.contains(2L)))
+      }
+      // the unambiguous row is identical field-for-field, scrub included
+      assert(streamed(4L) == batch(4L))
+      assert(streamed(4L).getString(1).contains("<IP>") &&
+        streamed(4L).getString(1).contains("<EMAIL>"))
+    } finally query.stop()
+  }
+
   test("file streaming source runs the same plan over parquet drops (S2-equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
     val batchDf = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -62,4 +62,25 @@ object ParquetSink {
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "start_offset")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Bucketed table write — the co-location half of SCALE.md §Joins:
+    * two fact tables bucketed on their join key into the same bucket
+    * count join WITHOUT a shuffle (each bucket pair joins in place;
+    * `EnsureRequirements` sees the bucketed output partitioning
+    * already satisfies the join's distribution and inserts no
+    * Exchange — spec-proven in PlanAuditSpec). At 100 TB this is the
+    * difference between re-shuffling both fact tables on every run of
+    * a recurring join and paying the partition once at write time.
+    * `sortCol` additionally orders within buckets so single-file
+    * buckets skip the join's sort. Bucketing requires the table
+    * catalog (`saveAsTable`) — bucket metadata lives there, not in
+    * the parquet files.
+    */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+                    bucketCol: String, numBuckets: Int = 32,
+                    sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(w.sortBy(_)).saveAsTable(table)
+  }
 }

@@ -67,6 +67,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bucketed fact tables join with NO Exchange — co-location is real") {
+    // the SCALE.md §Joins claim, proven: bucket both sides on the join
+    // key into the same bucket count, disable broadcast so the test
+    // can't pass for the wrong reason, and the join plan must contain
+    // no shuffle at all
+    import org.apache.spark.sql.functions.col
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity")
+    val ord = graft.engine.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+    graft.engine.ParquetSink.writeBucketed(li, "li_bucketed", "l_orderkey", 4)
+    graft.engine.ParquetSink.writeBucketed(ord, "ord_bucketed", "o_orderkey", 4)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bucketed").join(
+        spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      j.collect() // finalize the adaptive plan
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("star joins broadcast the dimension tables") {
     val p = plan("q19_join_revenue")
     assert(p.contains("BroadcastHashJoin"), p)

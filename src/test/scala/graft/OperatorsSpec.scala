@@ -96,6 +96,24 @@ class OperatorsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("JSONL sink roundtrips through the JSONL source, partition dirs included") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val docs = Seq((1L, "hello world", "en"), (2L, "bonjour", "fr"),
+      (3L, "with \"quotes\" and\nnewline", "en")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-sink").toString
+    graft.engine.JsonlSink.writePartitioned(docs, dir, partitionBy = Seq("lang"))
+    assert(new java.io.File(dir, "lang=en").isDirectory) // prunable layout
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val back = Tables.jsonl(spark, dir, schema)
+    assert(back.count() == 3)
+    // JSON escaping survives the roundtrip byte-for-byte
+    assert(back.filter(col("doc_id") === 3L).head().getString(1)
+      == "with \"quotes\" and\nnewline")
+  }
+
   test("session_window merges within-gap events and splits at the exact-gap boundary") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -1,0 +1,73 @@
+package graft.apps
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+import graft.engine.{JsonlSink, ParquetSink}
+import graft.operators.{Dedup, TextAnalysis, TrainingData}
+
+/** The end-to-end LLM-training-corpus pipeline — every stage an
+  * already-oracled operator, composed the way a production batch run
+  * would chain them:
+  *
+  *   raw docs
+  *     → quality gate (schema-preserving)   [[TextAnalysis.gopherGateFilter]]
+  *     → exact + cluster-canonical near-dup [[Dedup.cleaningPipelineClustered]]
+  *     → PII scrub                          [[TextAnalysis.piiScrub]]
+  *     → eval-set decontamination filter    [[TrainingData.evalDecontaminate]]
+  *     → packed training shards             [[ParquetSink.writeTrainingShards]]
+  *     → JSONL interchange export           [[JsonlSink.writePartitioned]]
+  *
+  * Stage order is the batch twin of the streaming tier's
+  * ([[graft.streaming.StreamPipeline.cleanIngest]]) reasoning: the
+  * stateless gate runs first so rejected docs never reach the dedup
+  * cascade; dedup runs on the RAW text (the same identity the
+  * incremental tiers admit on); the regex scrub runs after cleaning so
+  * only surviving documents pay it; decontamination sees the final
+  * text it will actually train on.
+  *
+  * The returned [[Report]] counts are hash-aggregate actions over
+  * already-computed frames (one count per stage, no data collected) —
+  * the audit numbers a production run records anyway. The heavy
+  * lineage (gate) is persisted once and released before returning.
+  */
+object CorpusPipeline {
+
+  /** Per-stage document counts: raw input → gate survivors → dedup
+    * canonical survivors → decontamination survivors (= what shipped).
+    */
+  case class Report(input: Long, gated: Long, cleaned: Long, kept: Long)
+
+  def run(docs: DataFrame, evalDocs: DataFrame,
+          shardDir: String, jsonlDir: String,
+          maxContamRatio: Double = 0.5,
+          nShards: Int = 4, seqLen: Int = 256,
+          checkpointDir: Option[String] = None): Report = {
+    val gated = TextAnalysis.gopherGateFilter(docs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cleaningPipelineClustered emits (doc_id, n_tokens, fingerprint);
+    // the text rides back in via a doc_id equi-join against the gated
+    // frame (cheap: survivors-sized build side, no text re-derivation)
+    val cleaned = Dedup.cleaningPipelineClustered(
+      gated, checkpointDir = checkpointDir)
+    val survivors = gated.join(
+      cleaned.select("doc_id"), Seq("doc_id"), "left_semi")
+    val scrubbed = TextAnalysis.piiScrub(survivors, ordered = false)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val contamOk = TrainingData.evalDecontaminate(
+        scrubbed, evalDocs = Some(evalDocs))
+      .filter(col("contam_ratio") <= maxContamRatio)
+      .select("doc_id")
+    val kept = scrubbed.join(contamOk, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ParquetSink.writeTrainingShards(kept, shardDir, nShards, seqLen)
+    JsonlSink.writePartitioned(kept, jsonlDir)
+    val report = Report(docs.count(), gated.count(), cleaned.count(), kept.count())
+    gated.unpersist(blocking = false)
+    scrubbed.unpersist(blocking = false)
+    kept.unpersist(blocking = false)
+    report
+  }
+}

@@ -70,4 +70,30 @@ object CorpusPipeline {
     kept.unpersist(blocking = false)
     report
   }
+
+  /** spark-submit entry: `runMain graft.apps.CorpusPipeline [sfDir outDir]`.
+    * Uses the corpus's own `doc_id % 10 == 0` slice as the eval set —
+    * the same convention [[TrainingData.evalDecontaminate]] defaults
+    * to when no explicit eval corpus is supplied.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-corpus").toString)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-corpus-pipeline")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val docs = graft.engine.Tables.documents(spark, sfDir)
+      val r = run(docs, docs.filter(col("doc_id") % 10 === 0),
+        s"$outDir/shards", s"$outDir/jsonl")
+      println(s"corpus pipeline: input=${r.input} gated=${r.gated} " +
+        s"cleaned=${r.cleaned} kept=${r.kept} out=$outDir")
+    } finally spark.stop()
+  }
 }

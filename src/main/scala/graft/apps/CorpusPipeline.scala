@@ -29,8 +29,14 @@ import graft.operators.{Dedup, TextAnalysis, TrainingData}
   *
   * The returned [[Report]] counts are hash-aggregate actions over
   * already-computed frames (one count per stage, no data collected) —
-  * the audit numbers a production run records anyway. The heavy
-  * lineage (gate) is persisted once and released before returning.
+  * the audit numbers a production run records anyway. On exit the run
+  * clears EVERY cached frame in the session (`clearCacheOnExit`,
+  * default true): the interior stages (`cleaningPipelineClustered`,
+  * `evalDecontaminate`) persist corpus-sized frames whose handles they
+  * do not expose, so a targeted unpersist cannot reach them and a
+  * long-lived session invoking the pipeline repeatedly would
+  * accumulate them. Pass false only when the caller owns other live
+  * caches and accepts releasing this run's blocks lazily via GC.
   */
 object CorpusPipeline {
 
@@ -43,7 +49,8 @@ object CorpusPipeline {
           shardDir: String, jsonlDir: String,
           maxContamRatio: Double = 0.5,
           nShards: Int = 4, seqLen: Int = 256,
-          checkpointDir: Option[String] = None): Report = {
+          checkpointDir: Option[String] = None,
+          clearCacheOnExit: Boolean = true): Report = {
     val gated = TextAnalysis.gopherGateFilter(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // cleaningPipelineClustered emits (doc_id, n_tokens, fingerprint);
@@ -56,8 +63,14 @@ object CorpusPipeline {
     val scrubbed = TextAnalysis.piiScrub(survivors, ordered = false)
       .select(col("doc_id"), col("clean_text").as("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the eval corpus is scrubbed IDENTICALLY before shingling: the
+    // training side compares post-scrub text, so an unscrubbed eval
+    // vocabulary would mismatch every shingle spanning a redacted
+    // token and let PII-bearing eval documents leak past the filter
+    val scrubbedEval = TextAnalysis.piiScrub(evalDocs, ordered = false)
+      .select(col("doc_id"), col("clean_text").as("text"))
     val contamOk = TrainingData.evalDecontaminate(
-        scrubbed, evalDocs = Some(evalDocs))
+        scrubbed, evalDocs = Some(scrubbedEval))
       .filter(col("contam_ratio") <= maxContamRatio)
       .select("doc_id")
     val kept = scrubbed.join(contamOk, Seq("doc_id"), "left_semi")
@@ -65,9 +78,12 @@ object CorpusPipeline {
     ParquetSink.writeTrainingShards(kept, shardDir, nShards, seqLen)
     JsonlSink.writePartitioned(kept, jsonlDir)
     val report = Report(docs.count(), gated.count(), cleaned.count(), kept.count())
-    gated.unpersist(blocking = false)
-    scrubbed.unpersist(blocking = false)
-    kept.unpersist(blocking = false)
+    if (clearCacheOnExit) docs.sparkSession.catalog.clearCache()
+    else {
+      gated.unpersist(blocking = false)
+      scrubbed.unpersist(blocking = false)
+      kept.unpersist(blocking = false)
+    }
     report
   }
 

@@ -276,11 +276,14 @@ object Dedup {
         .groupBy("node").agg(min("cluster_id").as("cluster_id")))
       rounds += 1
       // convergence is a fixpoint (labels only ever decrease toward the
-      // component min), so checking every 2nd round detects it at most
-      // one cheap extra round late while halving the per-round driver
-      // round-trips — the one blocking action this loop has. The final
-      // allowed round always checks, so the non-convergence throw below
-      // can never be skipped.
+      // component min), so checking every 2nd round halves the
+      // convergence-count JOBS (each is a full label-frame join +
+      // count, comparable to half a propagation round). The trade:
+      // a graph converging at an odd round pays one extra propagation
+      // round before the even-round count observes it — a wash for
+      // shallow graphs, a win for deep ones where skipped counts
+      // accumulate. The final allowed round always checks, so the
+      // non-convergence throw below can never be skipped.
       if (rounds % 2 == 0 || rounds >= maxIterations)
         changed = updated
           .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("node"))

@@ -21,8 +21,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators persist interior frames; keep queries independent
+      // operators persist interior frames; keep queries independent.
+      // Also drop leftover persistent RDDs (MLlib fit state, CC
+      // checkpoints — clearCache misses them, the round-4 bench
+      // lesson): every query's output is already on disk by here, so
+      // nothing can need recomputation, and state stays bounded
+      // across the 79-query dump instead of accumulating
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -58,7 +58,7 @@ object Bench {
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-  private def jsonStr(s: String): String =
+  private[graft] def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
 
@@ -67,14 +67,14 @@ object Bench {
     * e.g. de_DE boxes — invalid JSON. Everything this main emits must
     * go through here or jsonStr.
     */
-  private def dec(v: Double, places: Int): String =
+  private[graft] def dec(v: Double, places: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
 
   /** 2-decimal number with trailing zeros stripped (1.50 → 1.5,
     * 3.00 → 3) — valid JSON, and the char budget matters here (see the
     * line-length note in the scaladoc).
     */
-  private def num(v: Double): String = {
+  private[graft] def num(v: Double): String = {
     val s = dec(v, 2)
     if (!s.contains('.')) s
     else {

@@ -730,6 +730,70 @@ object OracleSql {
          |coalesce(l.cluster_id, e.vec_id) = e.vec_id AS keep
          |FROM embeddings e LEFT JOIN lbl l ON l.vec_id = e.vec_id ORDER BY e.vec_id""".stripMargin,
 
+    // Boilerplate mining: the same 3-token shingle stream as q31's
+    // cascade (incl. the len>=3 guard the UDTF implies), distinct per
+    // (doc, gram) so each document votes once, tie-break on the gram
+    // string so the top-20 cut is deterministic on both engines.
+    "q80_boilerplate_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |       FROM toks WHERE len(tk) >= 3),
+        |g AS (SELECT DISTINCT doc_id, shingle FROM sh)
+        |SELECT shingle AS gram, count(*) AS doc_freq FROM g
+        |GROUP BY 1 ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+
+    // Quantized ANN: codes built exactly as q76 (same scale, same
+    // round), then cosine over the INTEGER codes — every product and
+    // sum exact in double (≤127² per term, 64 terms), so no float
+    // accumulation order exists and the scores hash-match.
+    "q81_quantized_topk" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM base),
+        |q AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |ELSE list_transform(v, x -> round(x / scale)) END AS qv FROM s),
+        |qs AS (SELECT vec_id AS q_id, qv AS qqv FROM q WHERE vec_id < 8),
+        |sc AS (SELECT qs.q_id, q.vec_id,
+        |CASE WHEN list_dot_product(q.qv, q.qv) = 0 OR list_dot_product(qs.qqv, qs.qqv) = 0 THEN 0.0
+        |ELSE list_dot_product(q.qv, qs.qqv) /
+        |(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(qs.qqv, qs.qqv))) END AS qcos
+        |FROM q CROSS JOIN qs WHERE q.vec_id <> qs.q_id),
+        |r AS (SELECT q_id, vec_id, qcos,
+        |row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, vec_id) AS rk FROM sc)
+        |SELECT q_id, vec_id AS neighbor_id, round(qcos, 6) AS qcos_sim, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // Per-source quality calibration: quality rounded to 4 decimals
+    // BEFORE the median so quantile_cont and Spark's percentile
+    // interpolate identical multisets (the q11-proven pairing).
+    "q82_source_quality_gate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |sc AS (SELECT doc_id, source,
+        |round((least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) +
+        |least(CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(tk) * 10.0, 1.0)) / 2.0, 4) AS quality
+        |FROM t),
+        |m AS (SELECT source, round(quantile_cont(quality, 0.5), 4) AS src_median FROM sc GROUP BY source)
+        |SELECT sc.doc_id, sc.source, sc.quality, m.src_median,
+        |sc.quality >= m.src_median AS keep
+        |FROM sc JOIN m USING (source) ORDER BY sc.doc_id""".stripMargin,
+
+    // Matryoshka truncation report: v[1:16] is DuckDB's inclusive
+    // 1-based slice = Spark's slice(v, 1, 16); norms via the
+    // bit-identical sequential-fold pairing (q37-proven); min/max/
+    // element-pick commute, so every reported number is order-free.
+    "q83_normalize_truncate" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT vec_id, v, v[1:16] AS tv FROM base),
+        |n AS (SELECT vec_id, tv, sqrt(list_dot_product(v, v)) AS norm_full,
+        |sqrt(list_dot_product(tv, tv)) AS norm_t FROM t),
+        |r AS (SELECT vec_id, norm_full, norm_t,
+        |list_transform(tv, x -> x / norm_t) AS rn FROM n)
+        |SELECT vec_id, round(norm_full, 6) AS norm_full,
+        |round(norm_t / norm_full, 6) AS energy_ratio,
+        |round(rn[1], 6) AS t_first, round(list_min(rn), 6) AS t_min,
+        |round(list_max(rn), 6) AS t_max
+        |FROM r ORDER BY vec_id""".stripMargin,
+
     // PII scrub: the seeding CTE mirrors TextAnalysis.seedPii
     // token-for-token; the patterns interpolate from the SAME Scala
     // constants the Spark side compiles (Java-regex/RE2 common

@@ -181,7 +181,19 @@ object SparkEntry {
     // embedding semantic dedup end-to-end: near-dup pairs → connected
     // components → one canonical keeper per cluster, audit-style output
     "q79_semantic_dedup"   -> ((s, d) =>
-      Dedup.semanticDedup(Tables.embeddings(s, d), threshold = 0.3))
+      Dedup.semanticDedup(Tables.embeddings(s, d), threshold = 0.3)),
+    // corpus-wide boilerplate mining: top n-grams by document frequency
+    "q80_boilerplate_ngrams" -> ((s, d) =>
+      TextAnalysis.boilerplateNgrams(Tables.documents(s, d))),
+    // ANN directly over the int8 codes (scales cancel in the cosine ⇒
+    // pure integer arithmetic ⇒ exact-oracle-checkable quantized search)
+    "q81_quantized_topk"   -> ((s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d))),
+    // per-source quality calibration: gate vs own-source median
+    "q82_source_quality_gate" -> ((s, d) =>
+      TextAnalysis.sourceQualityGate(Tables.documents(s, d))),
+    // matryoshka truncation report: energy retained + renormalized stats
+    "q83_normalize_truncate" -> ((s, d) =>
+      Similarity.normalizeTruncate(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -336,6 +336,72 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Brute-force cosine top-k DIRECTLY over the int8 codes from
+    * [[quantizeEmbeddings]] — the consumption path that makes the
+    * quantized store useful: search never touches the float corpus.
+    * The per-vector scales cancel out of the cosine
+    * (cos = (s_a s_b Σq_a q_b) / (s_a‖q_a‖ · s_b‖q_b‖)), so the score
+    * is a pure INTEGER dot over integer norms: every product ≤ 127²,
+    * every 64-element sum < 2³⁰ — exact in long and in the double it
+    * is finally divided in. No float accumulation order exists to
+    * disagree on, which is what makes a quantized ANN result
+    * hash-oracle-checkable at all. Same broadcast-queries / linear
+    * corpus scan shape as [[bruteForceTopK]]; at 100 TB the win is the
+    * 4× smaller scan plus integer SIMD.
+    */
+  def quantizedTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val base = quantizeEmbeddings(emb).select(col("vec_id"), col("qvec"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qvec").as("qq"))
+    val nn = idot(col("qvec"), col("qvec"))
+    val qn = idot(col("qq"), col("qq"))
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qcos",
+        when(nn === 0L || qn === 0L, lit(0.0)).otherwise(
+          idot(col("qvec"), col("qq")).cast("double") /
+            (sqrt(nn.cast("double")) * sqrt(qn.cast("double")))))
+    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("qcos"), 6).as("qcos_sim"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Matryoshka-style dimension truncation: keep the first `dTrunc`
+    * components and L2-renormalize — the standard embedding-pipeline
+    * step for trading dimensions against index cost when the encoder
+    * was trained with nested representations. Pure per-row HOFs over
+    * the scan (slice + fold), no shuffle. The report is built from
+    * ORDER-FREE reductions only (norms are sums of squares of exact
+    * inputs in one sequential fold; min/max/element-pick commute), so
+    * it exact-oracle-checks: per vector the full norm, the energy
+    * ratio ‖v[..d]‖/‖v‖ (how much signal truncation keeps), and the
+    * renormalized first/min/max components.
+    */
+  def normalizeTruncate(emb: DataFrame, dTrunc: Int = 16,
+                        vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val t = slice(v, 1, dTrunc)
+    val normFull = sqrt(dotHof(v, v))
+    val normT = sqrt(dotHof(t, t))
+    val renorm = transform(t, x => x / normT)
+    emb.select(
+        col("vec_id"),
+        round(normFull, 6).as("norm_full"),
+        round(normT / normFull, 6).as("energy_ratio"),
+        round(element_at(renorm, 1), 6).as("t_first"),
+        round(aggregate(renorm, lit(Double.MaxValue), (a, x) => least(a, x)), 6)
+          .as("t_min"),
+        round(aggregate(renorm, lit(Double.MinValue), (a, x) => greatest(a, x)), 6)
+          .as("t_max"))
+      .orderBy("vec_id")
+  }
+
   def annTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"),

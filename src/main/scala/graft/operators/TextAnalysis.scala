@@ -41,16 +41,24 @@ object TextAnalysis {
     * Deterministic arithmetic only — reproducible everywhere.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val nTok = size(toks)
-    val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / nTok
-    val lengthScore = least(nTok.cast("double") / lit(50.0), lit(1.0))
-    val stopScore = least(stopRatio * lit(10.0), lit(1.0))
+    val (lengthScore, stopScore) = qualityScoreTerms
     docs.select(
         col("doc_id"),
         round(lengthScore, 4).as("length_score"),
         round(stopScore, 4).as("stop_score"),
         round((lengthScore + stopScore) / lit(2.0), 4).as("quality"))
       .orderBy("doc_id")
+  }
+
+  /** The two score terms [[qualityScore]] reports and
+    * [[sourceQualityGate]] calibrates on — one definition so the gate
+    * can never disagree with the audit report.
+    */
+  private def qualityScoreTerms: (Column, Column) = {
+    val nTok = size(toks)
+    val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / nTok
+    (least(nTok.cast("double") / lit(50.0), lit(1.0)),
+      least(stopRatio * lit(10.0), lit(1.0)))
   }
 
   /** Marker-token language heuristic: documents with ≥3 English
@@ -248,6 +256,48 @@ object TextAnalysis {
       when(stopRatio < minStopwordRatio, lit("stopwords")),
       when(repRatio > maxRepetition, lit("repetition"))), ",")
     (nTok, meanLen, stopRatio, repRatio, reasons)
+  }
+
+  /** Corpus-wide boilerplate n-gram mining: the top `top` n-grams by
+    * DOCUMENT frequency (each doc votes once per distinct gram) — how
+    * a production cleaning pipeline builds its boilerplate-removal
+    * list (nav bars, cookie banners, license headers) before a C4-pass
+    * strips them. Runs on the native shingle UDTF → distinct
+    * (doc, gram) → one hash aggregate keyed on the gram; the final
+    * rank is a global sort+limit, which Spark plans as
+    * TakeOrderedAndProject (each partition keeps `top` rows, the
+    * driver merges top·P) — no global sort materializes, so the shape
+    * holds at any corpus size. Ties break on the gram string, making
+    * the result set deterministic and exact-oracle-checkable.
+    */
+  def boilerplateNgrams(docs: DataFrame, n: Int = 3, top: Int = 20): DataFrame =
+    Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+      .groupBy(col("shingle").as("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(top)
+
+  /** Per-source quality calibration: gate each document against the
+    * median quality of its OWN source rather than one global
+    * threshold — the standard pretraining-data move when sources have
+    * different baseline quality (a fixed global cutoff would empty the
+    * weakest source and pass everything from the strongest). Quality
+    * is [[qualityScore]]'s composite, rounded BEFORE the median so
+    * both engines interpolate identical inputs; the per-source median
+    * frame is tiny (one row per source) and broadcast back onto the
+    * docs — the fact side never shuffles, so at 100 TB this is one
+    * grouped-percentile pass plus a map-side join.
+    */
+  def sourceQualityGate(docs: DataFrame, pct: Double = 0.5): DataFrame = {
+    val (lengthScore, stopScore) = qualityScoreTerms
+    val scored = docs.select(col("doc_id"), col("source"),
+      round((lengthScore + stopScore) / lit(2.0), 4).as("quality"))
+    val thresholds = scored.groupBy("source")
+      .agg(round(percentile(col("quality"), lit(pct)), 4).as("src_median"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"), col("src_median"),
+        (col("quality") >= col("src_median")).as("keep"))
+      .orderBy("doc_id")
   }
 
   /** Deterministic PII seeding for the q73 demonstration: the synthetic

@@ -691,4 +691,80 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(prof.map(r => (r.getString(1), r.getLong(2))).toSeq ==
       Seq(("aa", 4L), ("bb", 2L), ("ab", 1L)))
   }
+
+  test("boilerplateNgrams ranks grams by distinct-document frequency") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click here to accept cookies"),
+      (2L, "click here to read more"),
+      (3L, "click here to click here to"), // repeats in-doc: still ONE vote
+      (4L, "no shared content at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateNgrams(docs, n = 3, top = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    // "click here to" appears in docs 1,2,3 (doc 3 twice → counted once)
+    assert(r.head == (("click here to", 3L)))
+    assert(r.forall(_._2 <= 3L))
+    // ranking is by doc_freq desc then gram asc, so the list is ordered
+    assert(r.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+  }
+
+  test("boilerplateNgrams on the corpus: bounded size, monotone frequencies") {
+    val top = TextAnalysis.boilerplateNgrams(documents, top = 20).collect()
+    assert(top.length == 20) // synthetic corpus has >20 shared grams
+    val freqs = top.map(_.getLong(1))
+    assert(freqs.sliding(2).forall { case Array(a, b) => a >= b })
+    // every doc_freq is a count of DISTINCT docs, so none exceeds the corpus
+    assert(freqs.head <= documents.count())
+  }
+
+  test("quantizedTopK (q81): full rank lists, near-float scores") {
+    val qk = Similarity.quantizedTopK(embeddings).cache()
+    assert(qk.count() == 8 * 5)
+    assert(qk.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+    // int8 reconstruction error is ~0.4% per component; the quantized
+    // cosine of the quantized winner must be close to the float
+    // cosine of the float winner (scores comparable, not identical)
+    val fl = Similarity.bruteForceTopK(embeddings, k = 5)
+      .filter(col("rk") === 1).select(col("q_id"), col("cos_sim").as("fcos"))
+    val q1 = qk.filter(col("rk") === 1).select(col("q_id"), col("qcos_sim"))
+    val drift = q1.join(fl, "q_id")
+      .filter(abs(col("qcos_sim") - col("fcos")) > 0.05).count()
+    assert(drift == 0)
+    qk.unpersist()
+  }
+
+  test("sourceQualityGate keeps at least half of every source") {
+    val g = TextAnalysis.sourceQualityGate(documents).cache()
+    assert(g.count() == documents.count())
+    // verdict is consistent with the reported columns row-by-row
+    assert(g.filter(col("keep") =!= (col("quality") >= col("src_median"))).count() == 0)
+    // >= median keeps at least ceil(n/2) rows of each source
+    val bySource = g.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("keep").cast("int")).as("kept")).collect()
+    bySource.foreach { r =>
+      assert(r.getLong(2) * 2 >= r.getLong(1), s"source ${r.getString(0)}")
+    }
+    g.unpersist()
+  }
+
+  test("normalizeTruncate: hand-computed norms and renormalized stats") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(3.0, 4.0, 12.0))).toDF("vec_id", "embedding")
+    val r = Similarity.normalizeTruncate(df, dTrunc = 2).head()
+    assert(r.getDouble(1) == 13.0)       // norm_full
+    assert(r.getDouble(2) == 0.384615)   // energy_ratio = 5/13
+    assert(r.getDouble(3) == 0.6)        // t_first = 3/5
+    assert(r.getDouble(4) == 0.6 && r.getDouble(5) == 0.8)
+  }
+
+  test("normalizeTruncate on the corpus: energy in (0,1], ordered stats") {
+    val nt = Similarity.normalizeTruncate(embeddings).cache()
+    assert(nt.count() == embeddings.count())
+    assert(nt.filter(col("energy_ratio") <= 0 || col("energy_ratio") > 1.0 + 1e-9).count() == 0)
+    assert(nt.filter(col("t_min") > col("t_first") || col("t_first") > col("t_max")).count() == 0)
+    nt.unpersist()
+  }
 }

@@ -163,6 +163,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate mining: take-ordered global rank over a partial aggregate") {
+    // SCALE.md's q80 shape: each doc's vote collapses map-side, and
+    // the top-20 cut never materializes a full sort of the vocabulary
+    val p = plan("q80_boilerplate_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("quantized top-k: broadcast query set, no cartesian product") {
+    val p = plan("q81_quantized_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("source quality gate broadcasts the per-source threshold frame") {
+    // the fact side must never shuffle for the join: thresholds are a
+    // one-row-per-source frame broadcast back onto the documents
+    val p = plan("q82_source_quality_gate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("driver contract: oracle keys name real queries; qNN prefixes unique") {
     // the driver joins oracleSql to queries by key, and Bench's main
     // line keys results by the qNN prefix — both only work if every

@@ -794,6 +794,39 @@ object OracleSql {
         |round(list_max(rn), 6) AS t_max
         |FROM r ORDER BY vec_id""".stripMargin,
 
+    // Boilerplate coverage: the q80 top-20 list rebuilt inline (same
+    // deterministic tie-break), then per-doc membership fractions over
+    // the same distinct (doc, gram) stream.
+    "q84_boilerplate_coverage" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |       FROM toks WHERE len(tk) >= 3),
+        |g AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |hot AS (SELECT shingle FROM (
+        |  SELECT shingle, count(*) AS doc_freq FROM g GROUP BY 1
+        |  ORDER BY doc_freq DESC, shingle LIMIT 20)),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |onl AS (SELECT doc_id, count(*) AS n_boiler FROM g
+        |        WHERE shingle IN (SELECT shingle FROM hot) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+        |round(coalesce(o.n_boiler, 0) / CAST(t.n_grams AS DOUBLE), 4) AS boiler_fraction
+        |FROM tot t LEFT JOIN onl o ON t.doc_id = o.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // Hard negatives: the q37 cosine pairing with the label
+    // inequality in the join — deterministic scores, ties on vec_id.
+    "q85_hard_negatives" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |a AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM base WHERE vec_id < 8),
+        |s AS (SELECT a.q_id, b.vec_id, b.label AS n_label,
+        |list_dot_product(b.v, a.qv) /
+        |(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(a.qv, a.qv))) AS cos
+        |FROM base b JOIN a ON b.label <> a.q_label),
+        |r AS (SELECT q_id, vec_id, n_label, cos,
+        |row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+        |SELECT q_id, vec_id AS neighbor_id, n_label, round(cos, 6) AS cos_sim, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
     // PII scrub: the seeding CTE mirrors TextAnalysis.seedPii
     // token-for-token; the patterns interpolate from the SAME Scala
     // constants the Spark side compiles (Java-regex/RE2 common

@@ -193,7 +193,12 @@ object SparkEntry {
       TextAnalysis.sourceQualityGate(Tables.documents(s, d))),
     // matryoshka truncation report: energy retained + renormalized stats
     "q83_normalize_truncate" -> ((s, d) =>
-      Similarity.normalizeTruncate(Tables.embeddings(s, d)))
+      Similarity.normalizeTruncate(Tables.embeddings(s, d))),
+    // consuming the mined boilerplate list: per-doc coverage fraction
+    "q84_boilerplate_coverage" -> ((s, d) =>
+      TextAnalysis.boilerplateCoverage(Tables.documents(s, d))),
+    // contrastive-training data prep: top-k cross-label near misses
+    "q85_hard_negatives"   -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -410,4 +410,32 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket_id"))
     probeAndRank(base, q, k)
   }
+
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k most-similar vectors whose LABEL DIFFERS from the
+    * anchor's — the near-miss examples a retrieval/embedding trainer
+    * pairs against each positive. Same broadcast-anchor / linear-scan
+    * shape as [[bruteForceTopK]] with the label inequality folded
+    * into the join predicate, so same-label rows die before any score
+    * is computed; the ranking window is group-limited (top-k per
+    * anchor, never a full per-group sort). Cosine is the native
+    * codegen kernel — deterministic, so the mined negatives are
+    * exact-oracle-checked, not spot-checked. At scale, compose with
+    * the IVF index exactly like [[annTopKIvf]] when approximate
+    * negatives suffice (they usually do).
+    */
+  def hardNegatives(emb: DataFrame, nAnchors: Int = 8, k: Int = 5): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val anchors = base.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("label").as("q_label"))
+    val scored = base.join(broadcast(anchors), col("label") =!= col("q_label"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        round(col("cos"), 6).as("cos_sim"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
 }

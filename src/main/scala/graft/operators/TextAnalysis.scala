@@ -277,6 +277,29 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("gram"))
       .limit(top)
 
+  /** How a pipeline CONSUMES the mined boilerplate list: per document,
+    * the fraction of its distinct n-grams that are on the corpus-wide
+    * top-`top` list from [[boilerplateNgrams]] — the gate signal for
+    * dropping template-heavy documents (a nav-bar page scores near 1,
+    * organic prose near 0). The list is bounded at `top` rows, so the
+    * membership check is a broadcast-sized semi-join against the
+    * narrow (doc, gram) stream; the per-doc rollup is one hash
+    * aggregate. Work ∝ distinct (doc, gram) rows at any corpus size —
+    * the mined list is the only thing that ever sits in memory whole.
+    */
+  def boilerplateCoverage(docs: DataFrame, n: Int = 3, top: Int = 20): DataFrame = {
+    val grams = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+    val hot = broadcast(boilerplateNgrams(docs, n, top).select(col("gram").as("shingle")))
+    val total = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val onList = grams.join(hot, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    total.join(onList, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        round(coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_grams"), 4)
+          .as("boiler_fraction"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source quality calibration: gate each document against the
     * median quality of its OWN source rather than one global
     * threshold — the standard pretraining-data move when sources have

@@ -760,6 +760,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.6 && r.getDouble(5) == 0.8)
   }
 
+  test("boilerplateCoverage: hand-computed fractions against a top-1 list") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click here to accept cookies"),  // 3 grams, 1 on the list
+      (2L, "click here to read more"),
+      (3L, "click here to click here to"),   // 3 DISTINCT grams, 1 hot
+      (4L, "no shared content at all")       // nothing on the list
+    ).toDF("doc_id", "text")
+    // top=1 pins the list to exactly {"click here to"} (doc_freq 3)
+    val r = TextAnalysis.boilerplateCoverage(docs, n = 3, top = 1).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) == 0.3333 && r(2L) == 0.3333 && r(3L) == 0.3333)
+    assert(r(4L) == 0.0)
+  }
+
+  test("boilerplateCoverage on the corpus: fractions in [0,1], total gram counts") {
+    val cov = TextAnalysis.boilerplateCoverage(documents).cache()
+    assert(cov.filter(col("boiler_fraction") < 0 || col("boiler_fraction") > 1).count() == 0)
+    // same denominator contract as dupNgramFraction: distinct grams per doc
+    val expected = Dedup.shingleDocs(documents, 3)
+      .dropDuplicates("doc_id", "shingle").count()
+    assert(cov.agg(sum("n_grams")).head().getLong(0) == expected)
+    cov.unpersist()
+  }
+
+  test("hardNegatives: every mined negative crosses the label boundary") {
+    val hn = Similarity.hardNegatives(embeddings).cache()
+    assert(hn.count() == 8 * 5)
+    assert(hn.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+    // join back the anchor labels: no negative may share its anchor's label
+    val anchors = embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    assert(hn.join(anchors, "q_id").filter(col("n_label") === col("q_label")).count() == 0)
+    // scores are non-increasing down each rank list
+    val bad = hn.as("a").join(hn.as("b"),
+      col("a.q_id") === col("b.q_id") && col("a.rk") === col("b.rk") - 1)
+      .filter(col("a.cos_sim") < col("b.cos_sim")).count()
+    assert(bad == 0)
+    hn.unpersist()
+  }
+
+  test("quantization is scale-invariant: c*v produces identical codes") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.1, -0.4, 0.25)), (2L, Seq(0.5, 0.0, -0.5)))
+      .toDF("vec_id", "embedding")
+    val scaled = df.select(col("vec_id"),
+      transform(col("embedding"), x => x * 2.5).as("embedding"))
+    val a = Similarity.quantizeEmbeddings(df).select("vec_id", "qvec")
+    val b = Similarity.quantizeEmbeddings(scaled).select(col("vec_id"), col("qvec").as("qvec2"))
+    assert(a.join(b, "vec_id").filter(col("qvec") =!= col("qvec2")).count() == 0)
+  }
+
   test("normalizeTruncate on the corpus: energy in (0,1], ordered stats") {
     val nt = Similarity.normalizeTruncate(embeddings).cache()
     assert(nt.count() == embeddings.count())

@@ -827,6 +827,23 @@ object OracleSql {
         |SELECT q_id, vec_id AS neighbor_id, n_label, round(cos, 6) AS cos_sim, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
+    // Temperature mixture (T=2): keep rate = sqrt(n_min/n_grp) — IEEE
+    // sqrt is correctly rounded in both engines, so the rounded rates
+    // and the bucket<rate*10000 admissions match exactly. Bucket =
+    // the q62/q66 md5 idiom.
+    "q86_temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n_grp FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_grp) AS n_min FROM c),
+        |r AS (SELECT lang, n_grp,
+        |round(sqrt(CAST(n_min AS DOUBLE) / n_grp), 6) AS keep_rate FROM c CROSS JOIN m),
+        |t AS (SELECT doc_id, lang,
+        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS INT) AS bucket
+        |FROM documents)
+        |SELECT t.doc_id, t.lang, CAST(r.n_grp AS BIGINT) AS n_grp, r.keep_rate
+        |FROM t JOIN r USING (lang)
+        |WHERE t.bucket < r.keep_rate * 10000
+        |ORDER BY t.doc_id""".stripMargin,
+
     // PII scrub: the seeding CTE mirrors TextAnalysis.seedPii
     // token-for-token; the patterns interpolate from the SAME Scala
     // constants the Spark side compiles (Java-regex/RE2 common

@@ -198,7 +198,11 @@ object SparkEntry {
     "q84_boilerplate_coverage" -> ((s, d) =>
       TextAnalysis.boilerplateCoverage(Tables.documents(s, d))),
     // contrastive-training data prep: top-k cross-label near misses
-    "q85_hard_negatives"   -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d)))
+    "q85_hard_negatives"   -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
+    // temperature-based mixture reweighting (T=2 ⇒ sqrt rates, exact
+    // oracle): deterministic md5-bucket admission per language group
+    "q86_temperature_mixture" -> ((s, d) =>
+      TrainingData.temperatureMixture(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

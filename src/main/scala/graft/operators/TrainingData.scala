@@ -65,6 +65,37 @@ object TrainingData {
     * so mixture experiments stay comparable run over run. Narrow
     * per-row filter, no shuffle, trivially 100 TB-safe.
     */
+  /** Temperature-based mixture reweighting — the standard knob for
+    * flattening a skewed corpus toward balance: sampling weight per
+    * group ∝ n^α (α = 1/T), which makes the per-document keep rate
+    * (n_min/n_grp)^(1-α) — the smallest group keeps everything, larger
+    * groups are downsampled toward it; T=1 keeps the natural mix, T→∞
+    * approaches uniform. Admission is the same md5-bucket draw as
+    * [[mixtureSample]] — a pure function of doc_id, so the sampled
+    * corpus is rerun/backfill-stable and engine-checkable, unlike an
+    * RNG `sample`. The rate frame is one row per group, computed by a
+    * single grouped count and broadcast back: the corpus side never
+    * shuffles. The default T=2 makes the rate sqrt(n_min/n_grp):
+    * IEEE sqrt is correctly rounded in every engine, so the q86
+    * oracle is exact; other temperatures go through pow (correct, but
+    * only tolerance-comparable across engines).
+    */
+  def temperatureMixture(docs: DataFrame, groupCol: String = "lang",
+                         temperature: Double = 2.0): DataFrame = {
+    val alpha = 1.0 / temperature
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n_grp"))
+    val minN = counts.agg(min("n_grp").as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_grp")
+    val rate = if (temperature == 2.0) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(groupCol), col("n_grp"), round(rate, 6).as("keep_rate"))
+    docs.select(col("doc_id"), col(groupCol), md5Bucket(10000).as("bucket"))
+      .join(broadcast(rates), Seq(groupCol))
+      .filter(col("bucket").cast("double") < col("keep_rate") * lit(10000.0))
+      .select(col("doc_id"), col(groupCol), col("n_grp"), col("keep_rate"))
+      .orderBy("doc_id")
+  }
+
   def mixtureSample(docs: DataFrame,
                     fractions: Map[String, Double] = Map("src0" -> 1.0, "src1" -> 0.5),
                     defaultFraction: Double = 0.25): DataFrame = {

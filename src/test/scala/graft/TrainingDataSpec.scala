@@ -65,6 +65,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(k100.size > k50.size && k50.size >= k25.size)
   }
 
+  test("temperatureMixture: smallest group keeps all, larger groups downsample toward it") {
+    val tm = TrainingData.temperatureMixture(docs).cache()
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = byLang.values.min
+    val kept = tm.groupBy("lang").agg(count(lit(1)).as("kept"),
+        first("keep_rate").as("rate")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // the min-count group's rate is exactly 1.0 and it keeps every doc
+    val minLang = byLang.minBy(_._2)._1
+    assert(kept(minLang)._2 == 1.0)
+    assert(kept(minLang)._1 == byLang(minLang))
+    // rates are sqrt(n_min/n): monotone decreasing in group size, and
+    // the realized kept share tracks the rate (md5 buckets ≈ uniform)
+    kept.foreach { case (lang, (k, rate)) =>
+      assert(math.abs(rate - math.sqrt(minN.toDouble / byLang(lang))) < 1e-6)
+      assert(math.abs(k.toDouble / byLang(lang) - rate) < 0.15, s"$lang kept=$k rate=$rate")
+    }
+    // admission is the nested md5 draw: T=2's kept set ⊆ T=1.25's
+    // (higher alpha ⇒ higher rate per group ⇒ supersets, same buckets)
+    val hot = TrainingData.temperatureMixture(docs, temperature = 1.25)
+      .collect().map(_.getLong(0)).toSet
+    val cold = tm.collect().map(_.getLong(0)).toSet
+    assert(cold.subsetOf(hot))
+    tm.unpersist()
+  }
+
   test("mixture fractions are accurate: 32-bit bucket keeps requested share within 1%") {
     import spark.implicits._
     // 100k synthetic ids: binomial noise ~0.16%, so a 1% band passes a

@@ -13,9 +13,11 @@ import graft.operators.{Dedup, TextAnalysis, TrainingData}
   *
   *   raw docs
   *     → quality gate (schema-preserving)   [[TextAnalysis.gopherGateFilter]]
+  *     → boilerplate-coverage cut (opt-in)  [[TextAnalysis.boilerplateCoverage]]
   *     → exact + cluster-canonical near-dup [[Dedup.cleaningPipelineClustered]]
   *     → PII scrub                          [[TextAnalysis.piiScrub]]
   *     → eval-set decontamination filter    [[TrainingData.evalDecontaminate]]
+  *     → temperature reweighting (opt-in)   [[TrainingData.temperatureMixture]]
   *     → packed training shards             [[ParquetSink.writeTrainingShards]]
   *     → JSONL interchange export           [[JsonlSink.writePartitioned]]
   *
@@ -40,19 +42,37 @@ import graft.operators.{Dedup, TextAnalysis, TrainingData}
   */
 object CorpusPipeline {
 
-  /** Per-stage document counts: raw input → gate survivors → dedup
-    * canonical survivors → decontamination survivors (= what shipped).
+  /** Per-stage document counts: raw input → gate survivors (incl. the
+    * optional boilerplate-coverage cut) → dedup canonical survivors →
+    * decontamination survivors → shipped (= kept, unless the optional
+    * temperature-mixture stage downsampled it).
     */
-  case class Report(input: Long, gated: Long, cleaned: Long, kept: Long)
+  case class Report(input: Long, gated: Long, cleaned: Long, kept: Long,
+                    shipped: Long)
 
   def run(docs: DataFrame, evalDocs: DataFrame,
           shardDir: String, jsonlDir: String,
           maxContamRatio: Double = 0.5,
           nShards: Int = 4, seqLen: Int = 256,
           checkpointDir: Option[String] = None,
-          clearCacheOnExit: Boolean = true): Report = {
-    val gated = TextAnalysis.gopherGateFilter(docs)
+          clearCacheOnExit: Boolean = true,
+          maxBoilerplate: Option[Double] = None,
+          mixtureTemperature: Option[Double] = None): Report = {
+    val gopherGated = TextAnalysis.gopherGateFilter(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // optional template cut: mine the corpus top-20 boilerplate grams
+    // and drop documents whose coverage exceeds the threshold. Runs on
+    // the gopher survivors, whose min-token rule guarantees every doc
+    // has grams (so absence from the coverage frame cannot occur and
+    // the semi-join is exact). Before dedup on purpose: boilerplate
+    // docs are exactly the ones that explode LSH buckets.
+    val gated = maxBoilerplate match {
+      case Some(t) => gopherGated.join(
+        TextAnalysis.boilerplateCoverage(gopherGated)
+          .filter(col("boiler_fraction") <= t).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      case None => gopherGated
+    }
     // cleaningPipelineClustered emits (doc_id, n_tokens, fingerprint);
     // the text rides back in via a doc_id equi-join against the gated
     // frame (cheap: survivors-sized build side, no text re-derivation)
@@ -75,12 +95,25 @@ object CorpusPipeline {
       .select("doc_id")
     val kept = scrubbed.join(contamOk, Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ParquetSink.writeTrainingShards(kept, shardDir, nShards, seqLen)
-    JsonlSink.writePartitioned(kept, jsonlDir)
-    val report = Report(docs.count(), gated.count(), cleaned.count(), kept.count())
+    // optional temperature reweighting of the FINAL corpus (rates are
+    // computed on what survived cleaning, which is what trains): lang
+    // rides back in on doc_id since the scrub projection dropped it
+    val shipped = mixtureTemperature match {
+      case Some(t) => kept.join(
+        TrainingData.temperatureMixture(
+            kept.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+            temperature = t)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      case None => kept
+    }
+    ParquetSink.writeTrainingShards(shipped, shardDir, nShards, seqLen)
+    JsonlSink.writePartitioned(shipped, jsonlDir)
+    val report = Report(docs.count(), gated.count(), cleaned.count(),
+      kept.count(), shipped.count())
     if (clearCacheOnExit) docs.sparkSession.catalog.clearCache()
     else {
-      gated.unpersist(blocking = false)
+      gopherGated.unpersist(blocking = false)
       scrubbed.unpersist(blocking = false)
       kept.unpersist(blocking = false)
     }
@@ -109,7 +142,7 @@ object CorpusPipeline {
       val r = run(docs, docs.filter(col("doc_id") % 10 === 0),
         s"$outDir/shards", s"$outDir/jsonl")
       println(s"corpus pipeline: input=${r.input} gated=${r.gated} " +
-        s"cleaned=${r.cleaned} kept=${r.kept} out=$outDir")
+        s"cleaned=${r.cleaned} kept=${r.kept} shipped=${r.shipped} out=$outDir")
     } finally spark.stop()
   }
 }

@@ -33,6 +33,22 @@ class TrainingDataSpec extends AnyFunSuite {
       .exists(f => f.isDirectory && f.getName.startsWith("shard=")))
   }
 
+  test("CorpusPipeline opt-in stages: boilerplate cut and mixture only ever shrink the set") {
+    val evalSet = docs.filter(col("doc_id") < 3)
+    val base = java.nio.file.Files.createTempDirectory("graft-cp-opt").toString
+    val r = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$base/shards", s"$base/jsonl", nShards = 2,
+      maxBoilerplate = Some(0.9), mixtureTemperature = Some(2.0))
+    // both stages are filters: every stage count is monotone, and the
+    // mixture stage makes shipped a strict subset contract (<= kept)
+    assert(r.input >= r.gated && r.gated >= r.cleaned && r.cleaned >= r.kept)
+    assert(r.shipped <= r.kept && r.shipped > 0, s"$r")
+    // disabled stages are the identity: shipped == kept
+    val r0 = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$base/shards0", s"$base/jsonl0", nShards = 2)
+    assert(r0.shipped == r0.kept)
+  }
+
   test("deterministic split is a pure function of doc_id: stable across runs and text changes") {
     val a = TrainingData.deterministicSplit(docs).collect()
       .map(r => (r.getLong(0), r.getString(2)))

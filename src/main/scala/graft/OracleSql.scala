@@ -844,6 +844,84 @@ object OracleSql {
         |WHERE t.bucket < r.keep_rate * 10000
         |ORDER BY t.doc_id""".stripMargin,
 
+    // Centroid outliers: the q54 per-dim centroid (rounded to 6 on
+    // both sides — the one order-sensitive reduction, quantized
+    // identically) reassembled into a list, then the q37 cosine
+    // pairing and a worst-k-per-label window (ascending cosine).
+    "q87_centroid_outliers" ->
+      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT label, i, round(avg(v[i]), 6) AS m
+        |      FROM base, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label, list(m ORDER BY i) AS cv FROM c GROUP BY label),
+        |s AS (SELECT b.vec_id, b.label,
+        |list_dot_product(b.v, cent.cv) /
+        |(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
+        |FROM base b JOIN cent USING (label)),
+        |r AS (SELECT label, vec_id, cos,
+        |row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id) AS rk FROM s)
+        |SELECT label, vec_id, round(cos, 6) AS cos_centroid, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
+
+    // kNN prediction: q37's neighbor ranking, then integer voting —
+    // majority label, ties toward the smaller label.
+    "q88_knn_predict" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS true_label FROM base WHERE vec_id < 8),
+        |s AS (SELECT q_id, true_label, vec_id, label,
+        |list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+        |FROM base CROSS JOIN q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, true_label, label, cos,
+        |row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s),
+        |v AS (SELECT q_id, true_label, label, CAST(count(*) AS INT) AS votes
+        |      FROM r WHERE rk <= 10 GROUP BY q_id, true_label, label),
+        |p AS (SELECT q_id, true_label, label, votes,
+        |row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label ASC) AS vr FROM v)
+        |SELECT q_id, true_label, label AS pred_label, votes FROM p WHERE vr = 1
+        |ORDER BY q_id""".stripMargin,
+
+    // Sequential Poisson sampling: priority = exact md5 integer / w —
+    // ONE IEEE division, bit-identical in both engines; top-n by
+    // (priority, doc_id). The md5 integer idiom is q86's.
+    "q89_pps_sample" ->
+      """WITH p AS (SELECT doc_id, source, n_chars,
+        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |  / n_chars AS priority
+        |FROM documents),
+        |k AS (SELECT doc_id, source, n_chars, priority FROM p
+        |      ORDER BY priority, doc_id LIMIT 200)
+        |SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT) AS rk,
+        |doc_id, source, n_chars, round(priority, 6) AS priority
+        |FROM k ORDER BY rk""".stripMargin,
+
+    // Snapshot diff: both revisions derived by the same residue rules
+    // as the Spark entry, compared on md5 fingerprints only.
+    "q90_snapshot_diff" ->
+      """WITH s_old AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 3),
+        |s_new AS (SELECT doc_id,
+        |CASE WHEN doc_id % 13 = 0 THEN md5(text || ' (rev2)') ELSE md5(text) END AS fp
+        |FROM documents WHERE doc_id % 11 <> 0),
+        |j AS (SELECT o.doc_id AS o_id, o.fp AS o_fp, n.doc_id AS n_id, n.fp AS n_fp
+        |      FROM s_old o FULL OUTER JOIN s_new n ON o.doc_id = n.doc_id)
+        |SELECT coalesce(o_id, n_id) AS doc_id,
+        |CASE WHEN o_id IS NULL THEN 'added' WHEN n_id IS NULL THEN 'removed'
+        |     WHEN o_fp <> n_fp THEN 'changed' END AS status
+        |FROM j WHERE o_id IS NULL OR n_id IS NULL OR o_fp <> n_fp
+        |ORDER BY doc_id""".stripMargin,
+
+    // Epoch expansion: floor(f) repeats + one more when the q86-idiom
+    // md5 bucket clears the fractional part; range() is exclusive at
+    // the top, mirroring Spark's inclusive sequence(1, n_rep).
+    "q91_epoch_expand" ->
+      """WITH f AS (SELECT doc_id, source,
+        |CASE WHEN source = 'src0' THEN 2.5 WHEN source = 'src1' THEN 1.0 ELSE 0.5 END AS f,
+        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS INT) AS bucket
+        |FROM documents),
+        |n AS (SELECT doc_id, source,
+        |CAST(floor(f) + CASE WHEN bucket < (f - floor(f)) * 10000 THEN 1 ELSE 0 END AS INT) AS n_rep
+        |FROM f)
+        |SELECT doc_id, source, n_rep, CAST(unnest(range(1, n_rep + 1)) AS INT) AS epoch
+        |FROM n WHERE n_rep >= 1 ORDER BY doc_id, epoch""".stripMargin,
+
     // PII scrub: the seeding CTE mirrors TextAnalysis.seedPii
     // token-for-token; the patterns interpolate from the SAME Scala
     // constants the Spark side compiles (Java-regex/RE2 common

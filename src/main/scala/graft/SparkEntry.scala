@@ -202,7 +202,32 @@ object SparkEntry {
     // temperature-based mixture reweighting (T=2 ⇒ sqrt rates, exact
     // oracle): deterministic md5-bucket admission per language group
     "q86_temperature_mixture" -> ((s, d) =>
-      TrainingData.temperatureMixture(Tables.documents(s, d)))
+      TrainingData.temperatureMixture(Tables.documents(s, d))),
+    // embedding-quality outlier gate: worst-k per label by cosine to
+    // the own-label centroid (broadcast centroid frame, one scan)
+    "q87_centroid_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, d))),
+    // kNN majority-vote label prediction over the exact top-k
+    // neighbors — all-integer voting, exact-oracle end-to-end
+    "q88_knn_predict"      -> ((s, d) => Similarity.knnPredict(Tables.embeddings(s, d))),
+    // sequential-Poisson PPS sampling: fixed-size length-weighted
+    // subsample, priority = md5-uniform / n_chars (single division)
+    "q89_pps_sample"       -> ((s, d) => TrainingData.ppsSample(Tables.documents(s, d))),
+    // corpus snapshot diff: deterministic rev2 stand-in (every 11th
+    // doc dropped, every 13th edited, residue-3 ids "new"), diffed on
+    // 16-byte fingerprint rows — identically derived in the oracle
+    "q90_snapshot_diff"    -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      import org.apache.spark.sql.functions._
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" (rev2)"))).otherwise(col("text")))
+      TrainingData.snapshotDiff(oldSnap, newSnap)
+    }),
+    // mixture-epoch expansion: per-source fractional repeat factors
+    // materialized via md5-bucket admission + a per-row generator
+    "q91_epoch_expand"     -> ((s, d) => TrainingData.epochExpand(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

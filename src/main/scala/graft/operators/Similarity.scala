@@ -438,4 +438,64 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"), col("rk"))
       .orderBy("q_id", "rk")
   }
+
+  /** Embedding-quality outlier gate: the `worstK` vectors FARTHEST
+    * from their own label's centroid (lowest cosine) — the mislabeled
+    * or off-distribution rows an embedding-training pipeline routes
+    * to review before they poison a contrastive batch. The centroid
+    * build is [[labelCentroids]] (per-dim mean, rounded to 6 decimals
+    * so both engines quantize the ONE order-sensitive reduction
+    * identically) reassembled into an array by `pos`; the centroid
+    * frame is #labels rows and broadcasts back, so the corpus side is
+    * a single narrow scan + one per-row cosine. Ranking is a
+    * group-limited window per label (WindowGroupLimit pushes the
+    * top-k before the sort), never a full per-label sort.
+    */
+  def centroidOutliers(emb: DataFrame, worstK: Int = 5): DataFrame = {
+    val cents = labelCentroids(emb)
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("dim_mean")))),
+        s => s.getField("dim_mean")).as("cv"))
+    val base = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val scored = base.join(broadcast(cents), Seq("label"))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+    val w = Window.partitionBy("label").orderBy(col("cos").asc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= worstK)
+      .select(col("label"), col("vec_id"),
+        round(col("cos"), 6).as("cos_centroid"), col("rk"))
+      .orderBy("label", "rk")
+  }
+
+  /** kNN label prediction — the consumer side of the similarity
+    * search: per query vector, the majority label among its
+    * [[bruteForceTopK]] neighbors (self excluded), ties broken toward
+    * the smaller label. All-integer voting on top of deterministic
+    * neighbor sets, so the prediction is exact-oracle-checkable
+    * end-to-end. Same broadcast-query / linear-scan shape as the
+    * top-k baseline; at scale swap the neighbor source for
+    * [[annTopKIvf]] and the vote logic is unchanged.
+    */
+  def knnPredict(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("true_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val neighbors = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val votes = neighbors.groupBy("q_id", "true_label", "label")
+      .agg(count(lit(1)).cast("int").as("votes"))
+    val vw = Window.partitionBy("q_id").orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
+        col("votes"))
+      .orderBy("q_id")
+  }
 }

@@ -238,4 +238,84 @@ object TrainingData {
       .withColumn("rep_ratio",
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 4))
       .orderBy("doc_id")
+
+  /** Sequential Poisson (PPS) sampling — Ohlsson's scheme: priority =
+    * u / w with u a per-document uniform draw and w the size weight
+    * (characters here; tokens or a quality score in production), keep
+    * the n smallest priorities. Inclusion probability is ∝ w, i.e. a
+    * length/quality-weighted subsample in ONE pass with a fixed
+    * output size — what `sample(fraction)` can't do (no exact n) and
+    * per-group quotas can't either (no cross-source weighting). The
+    * draw is the md5 integer itself (exact in a double), so priority
+    * is a SINGLE IEEE division — bit-identical in any engine, no
+    * pow/log whose last ulp could flip a rank near ties. Selection is
+    * a global top-n (TakeOrdered — heap per partition, n rows to the
+    * driver-side merge, never a full sort) over a narrow projected
+    * frame.
+    */
+  def ppsSample(docs: DataFrame, n: Int = 200): DataFrame = {
+    val u = conv(substring(docHash, 1, 8), 16, 10).cast("double")
+    val keep = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (u / col("n_chars")).as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(n)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    keep.withColumn("rk", row_number().over(w))
+      .select(col("rk"), col("doc_id"), col("source"), col("n_chars"),
+        round(col("priority"), 6).as("priority"))
+      .orderBy("rk")
+  }
+
+  /** Snapshot diff — the ingest audit between two corpus revisions:
+    * full-outer join of (id, content-fingerprint) rows, emitting
+    * added / removed / changed (same id, different text). Both sides
+    * are projected to 16-byte fingerprint rows BEFORE the join, so at
+    * 100 TB the shuffle moves ids and hashes, never documents; the
+    * unchanged majority is dropped post-join so the output is only
+    * the delta. This is the cheap guard that catches a silently
+    * truncated or re-crawled source before a training run does.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id").as("o_id"), md5(col("text")).as("o_fp"))
+    val nw = newDocs.select(col("doc_id").as("n_id"), md5(col("text")).as("n_fp"))
+    o.join(nw, col("o_id") === col("n_id"), "full_outer")
+      .withColumn("status",
+        when(col("o_id").isNull, lit("added"))
+          .when(col("n_id").isNull, lit("removed"))
+          .when(col("o_fp") =!= col("n_fp"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(coalesce(col("o_id"), col("n_id")).as("doc_id"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Mixture-epoch expansion — materializing a data recipe's repeat
+    * factors (e.g. curated source ×2.5, web crawl ×0.5): each
+    * document appears floor(f) times plus one more with probability
+    * frac(f), decided by the same md5 bucket as [[mixtureSample]] —
+    * so the expanded corpus is rerun-stable and exactly
+    * SQL-checkable, unlike RNG-based fractional epochs. The expansion
+    * is a per-row generate (`explode(sequence)`) with no shuffle;
+    * rows with zero repeats are filtered BEFORE the generator because
+    * Spark's `sequence(1, 0)` counts DOWN (a descending range, not an
+    * empty one).
+    */
+  def epochExpand(docs: DataFrame,
+                  factors: Map[String, Double] = Map("src0" -> 2.5, "src1" -> 1.0),
+                  defaultFactor: Double = 0.5): DataFrame = {
+    val f = factors.toSeq.sortBy(_._1).foldLeft(lit(defaultFactor)) {
+      case (acc, (src, x)) => when(col("source") === src, lit(x)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"), f.as("f"),
+        md5Bucket(10000).as("bucket"))
+      .withColumn("n_rep",
+        (floor(col("f")) +
+          when(col("bucket") < (col("f") - floor(col("f"))) * 10000, 1)
+            .otherwise(0)).cast("int"))
+      .filter(col("n_rep") >= 1)
+      .select(col("doc_id"), col("source"), col("n_rep"),
+        explode(sequence(lit(1), col("n_rep"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
 }

@@ -819,4 +819,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nt.filter(col("t_min") > col("t_first") || col("t_first") > col("t_max")).count() == 0)
     nt.unpersist()
   }
+
+  test("centroidOutliers: planted off-cluster vector is its label's worst row") {
+    import spark.implicits._
+    // label 0 clusters at e1; vec 99 points the other way → rank 1 outlier
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0), (2L, Seq(0.9, 0.1, 0.0), 0),
+      (3L, Seq(0.95, -0.05, 0.0), 0), (99L, Seq(-1.0, 0.0, 0.0), 0),
+      (4L, Seq(0.0, 1.0, 0.0), 1), (5L, Seq(0.0, 0.9, 0.1), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidOutliers(df, worstK = 1).collect()
+    assert(r.length == 2) // one worst row per label
+    assert(r.filter(_.getInt(0) == 0).map(_.getLong(1)).sameElements(Array(99L)))
+  }
+
+  test("centroidOutliers on the corpus: exactly worstK per label, cosine ascends with rank") {
+    val out = Similarity.centroidOutliers(embeddings).cache()
+    val labels = embeddings.select("label").distinct().count()
+    assert(out.count() == labels * 5)
+    assert(out.groupBy("label").count().filter(col("count") =!= 5).count() == 0)
+    // within a label, rk order is worst-first (ascending cosine)
+    val viol = out.alias("a").join(out.alias("b"),
+        col("a.label") === col("b.label") && col("a.rk") < col("b.rk") &&
+          col("a.cos_centroid") > col("b.cos_centroid"))
+      .count()
+    assert(viol == 0)
+    out.unpersist()
+  }
+
+  test("knnPredict: planted clusters vote their own label") {
+    import spark.implicits._
+    // two tight clusters; queries 0 and 1 sit inside them
+    val df = Seq(
+      (0L, Seq(1.0, 0.0, 0.0), 0), (2L, Seq(0.99, 0.01, 0.0), 0),
+      (3L, Seq(0.98, 0.02, 0.0), 0), (4L, Seq(0.97, 0.01, 0.0), 0),
+      (1L, Seq(0.0, 1.0, 0.0), 1), (5L, Seq(0.0, 0.99, 0.01), 1),
+      (6L, Seq(0.01, 0.98, 0.0), 1), (7L, Seq(0.0, 0.97, 0.02), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnPredict(df, nQueries = 2, k = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3)))).toMap
+    assert(r(0L) == ((0, 0, 3))) // all 3 nearest are label 0
+    assert(r(1L) == ((1, 1, 3)))
+  }
+
+  test("knnPredict on the corpus: one row per query, votes bounded by k") {
+    val p = Similarity.knnPredict(embeddings).cache()
+    assert(p.count() == 8)
+    assert(p.filter(col("votes") < 1 || col("votes") > 10).count() == 0)
+    val labelDomain = embeddings.select("label").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(p.collect().forall(r => labelDomain.contains(r.getInt(2))))
+    p.unpersist()
+  }
 }

@@ -278,4 +278,82 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(res(1L) == ((4L, 2L, 0.5)))
     assert(res(2L) == ((2L, 2L, 0.0)))
   }
+
+  test("ppsSample: fixed size, sorted priorities, and a length-biased draw") {
+    val s = TrainingData.ppsSample(docs, n = 200).cache()
+    assert(s.count() == 200)
+    // rk follows the (priority, doc_id) order with no gaps
+    val rows = s.orderBy("rk").collect()
+    assert(rows.map(_.getInt(0)).sameElements(1 to 200))
+    // rounded priorities can merge near-equal neighbors, so the
+    // collected column is only guaranteed non-decreasing
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a.getDouble(4) <= b.getDouble(4)
+      case _ => true
+    })
+    // PPS property: inclusion ∝ n_chars, so the sample over-represents
+    // long documents relative to the corpus mean
+    val sampleMean = s.agg(avg("n_chars")).head().getDouble(0)
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"PPS should favor long docs: sample $sampleMean vs corpus $corpusMean")
+    s.unpersist()
+  }
+
+  test("ppsSample is rerun-stable: identical selection across two invocations") {
+    val a = TrainingData.ppsSample(docs, n = 200).select("doc_id")
+    val b = TrainingData.ppsSample(docs, n = 200).select("doc_id")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("snapshotDiff: hand-built added/removed/changed/unchanged quartet") {
+    import spark.implicits._
+    val oldS = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val newS = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val d = TrainingData.snapshotDiff(oldS, newS).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("snapshotDiff on the corpus stand-in: statuses match the residue rules") {
+    val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+    val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" (rev2)"))).otherwise(col("text")))
+    val d = TrainingData.snapshotDiff(oldSnap, newSnap).cache()
+    assert(d.filter(col("status") === "added")
+      .filter(col("doc_id") % 11 =!= 3).count() == 0)
+    assert(d.filter(col("status") === "removed")
+      .filter(col("doc_id") % 11 =!= 0).count() == 0)
+    assert(d.filter(col("status") === "changed")
+      .filter(col("doc_id") % 13 =!= 0).count() == 0)
+    // every edited doc present in both snapshots is reported changed
+    val expectedChanged = docs.filter(col("doc_id") % 13 === 0)
+      .filter(col("doc_id") % 11 =!= 0).filter(col("doc_id") % 11 =!= 3).count()
+    assert(d.filter(col("status") === "changed").count() == expectedChanged)
+    d.unpersist()
+  }
+
+  test("epochExpand: per-doc repeats follow the factor, epochs are 1..n_rep") {
+    val e = TrainingData.epochExpand(docs).cache()
+    val perDoc = e.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("epoch").as("max_e"), min("epoch").as("min_e"))
+      .cache()
+    // epochs are a dense 1..n_rep sequence
+    assert(perDoc.filter(col("min_e") =!= 1 || col("max_e") =!= col("n")).count() == 0)
+    // integer-factor source: exactly 1 copy each
+    assert(perDoc.filter(col("source") === "src1")
+      .filter(col("n") =!= 1).count() == 0)
+    // fractional factors: floor(f) or floor(f)+1 copies only
+    assert(perDoc.filter(col("source") === "src0")
+      .filter(col("n") =!= 2 && col("n") =!= 3).count() == 0)
+    // aggregate rate approaches the factor (md5 admission ≈ uniform)
+    val src0Docs = docs.filter(col("source") === "src0").count().toDouble
+    val src0Rows = e.filter(col("source") === "src0").count().toDouble
+    assert(math.abs(src0Rows / src0Docs - 2.5) < 0.1,
+      s"src0 expansion ${src0Rows / src0Docs} should be ≈2.5")
+    perDoc.unpersist(); e.unpersist()
+  }
 }

@@ -184,6 +184,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("centroid outliers: broadcast centroid frame + group-limited window") {
+    // the corpus side must not shuffle for the centroid join (the
+    // centroid frame is #labels rows), and the worst-k filter must
+    // push a WindowGroupLimit instead of fully sorting each label
+    val p = plan("q87_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("kNN prediction: the only product is against the broadcast query set") {
+    val p = plan("q88_knn_predict")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("PPS sampling selects via TakeOrdered, never a full global sort") {
+    val p = plan("q89_pps_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("snapshot diff shuffles fingerprint rows, not documents") {
+    // both sides must project to (id, md5) BEFORE the exchange: the
+    // executed plan's exchange inputs carry the fp column, and no
+    // exchange carries the text column
+    val p = plan("q90_snapshot_diff")
+    assert(p.contains("md5"), p)
+    val exchangeCarriesText = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("text"))
+    assert(!exchangeCarriesText, p)
+  }
+
+  test("epoch expansion is generate-over-scan: no shuffle before the generator") {
+    // the explode must sit directly on the projected scan; the only
+    // exchange in the plan is the final presentation orderBy
+    val p = plan("q91_epoch_expand")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("driver contract: oracle keys name real queries; qNN prefixes unique") {
     // the driver joins oracleSql to queries by key, and Bench's main
     // line keys results by the qNN prefix — both only work if every

@@ -844,6 +844,39 @@ object OracleSql {
         |WHERE t.bucket < r.keep_rate * 10000
         |ORDER BY t.doc_id""".stripMargin,
 
+    // Diversity sample: the q38 bucket terms + a per-bucket md5-order
+    // cap — row_number twin of the heap operator's selection.
+    "q92_diversity_sample" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, CAST(${bucketTerms("v")} AS INT) AS bucket_id,
+         |md5(CAST(vec_id AS VARCHAR)) AS h FROM base),
+         |r AS (SELECT bucket_id, vec_id,
+         |row_number() OVER (PARTITION BY bucket_id ORDER BY h, vec_id) AS rk FROM b)
+         |SELECT bucket_id, vec_id FROM r WHERE rk <= 4
+         |ORDER BY bucket_id, vec_id""".stripMargin,
+
+    // ANN recall: the q37 exact ranking LEFT JOIN the q39 bucketed
+    // ranking, per-query hit counting — the report is deterministic
+    // because both neighbor sets are.
+    "q93_ann_recall" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, CAST(${bucketTerms("v")} AS INT) AS bucket_id FROM base),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket_id FROM b WHERE vec_id < 8),
+         |ex AS (SELECT q.q_id, base.vec_id, row_number() OVER (PARTITION BY q.q_id
+         |ORDER BY list_dot_product(base.v, q.qv) /
+         |(sqrt(list_dot_product(base.v, base.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+         |base.vec_id) AS rk FROM base CROSS JOIN q WHERE base.vec_id <> q.q_id),
+         |an AS (SELECT q.q_id, b.vec_id, row_number() OVER (PARTITION BY q.q_id
+         |ORDER BY list_dot_product(b.v, q.qv) /
+         |(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+         |b.vec_id) AS rk FROM b JOIN q ON b.bucket_id = q.bucket_id WHERE b.vec_id <> q.q_id),
+         |e5 AS (SELECT q_id, vec_id FROM ex WHERE rk <= 5),
+         |a5 AS (SELECT q_id, vec_id FROM an WHERE rk <= 5)
+         |SELECT e5.q_id, CAST(count(*) AS INT) AS k_exact, CAST(count(a5.vec_id) AS INT) AS hits,
+         |round(count(a5.vec_id) / CAST(count(*) AS DOUBLE), 4) AS recall
+         |FROM e5 LEFT JOIN a5 ON e5.q_id = a5.q_id AND e5.vec_id = a5.vec_id
+         |GROUP BY e5.q_id ORDER BY e5.q_id""".stripMargin,
+
     // Centroid outliers: the q54 per-dim centroid (rounded to 6 on
     // both sides — the one order-sensitive reduction, quantized
     // identically) reassembled into a list, then the q37 cosine

@@ -227,7 +227,14 @@ object SparkEntry {
     }),
     // mixture-epoch expansion: per-source fractional repeat factors
     // materialized via md5-bucket admission + a per-row generator
-    "q91_epoch_expand"     -> ((s, d) => TrainingData.epochExpand(Tables.documents(s, d)))
+    "q91_epoch_expand"     -> ((s, d) => TrainingData.epochExpand(Tables.documents(s, d))),
+    // bucket-balanced diversity sampling on the TopKPerKey heap
+    // operator: md5-ordered cap per LSH bucket
+    "q92_diversity_sample" -> ((s, d) =>
+      Similarity.diversitySample(Tables.embeddings(s, d))),
+    // ANN recall@k vs the exact ground truth — both deterministic,
+    // so the index-quality report itself is exact-oracle-checked
+    "q93_ann_recall"       -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

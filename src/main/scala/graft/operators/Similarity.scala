@@ -498,4 +498,52 @@ object Similarity {
         col("votes"))
       .orderBy("q_id")
   }
+
+  /** Bucket-balanced diversity sampling — SemDeDup-style coverage
+    * control: cap each LSH bucket (a deterministic partition of the
+    * embedding space) at `perBucket` vectors chosen by md5-hash
+    * order, so the subsample spans every populated region instead of
+    * letting dense clusters dominate a uniform draw. Selection runs
+    * on the custom heap-based [[graft.plans.TopKPerKey]] physical
+    * operator (its second production call site after
+    * `TrainingData.sourceCap`): one shuffle on bucket_id, O(n log k)
+    * per-partition selection, no rank column, no per-bucket sort.
+    * Hash-order choice keeps the subsample a pure function of the
+    * ids — rerun-stable and exact-oracle-checkable.
+    */
+  def diversitySample(emb: DataFrame, perBucket: Int = 4): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"),
+      md5(col("vec_id").cast("string")).as("h"))
+    graft.plans.TopK.perKey(base, Seq("bucket_id"),
+        Seq(col("h").asc, col("vec_id").asc), perBucket)
+      .select("bucket_id", "vec_id")
+      .orderBy("bucket_id", "vec_id")
+  }
+
+  /** ANN quality report: per-query recall@k of the bucketed
+    * [[annTopK]] against the exact [[bruteForceTopK]] ground truth.
+    * Both sides are deterministic, so the recall numbers are
+    * exact-oracle-checked — the index-tuning feedback loop (probe
+    * more buckets? more planes?) becomes a driver-verifiable query
+    * instead of a one-off notebook. The join is nQueries×k rows a
+    * side; at production scale the ground-truth side is a fixed
+    * held-out query panel, so the report stays tiny regardless of
+    * corpus size.
+    */
+  def annRecall(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(emb, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = annTopK(emb, nQueries, k)
+      .select(col("q_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+    exact.join(approx,
+        col("q_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
+        "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).cast("int").as("k_exact"),
+        count(col("a_nid")).cast("int").as("hits"))
+      .withColumn("recall",
+        round(col("hits") / col("k_exact").cast("double"), 4))
+      .orderBy("q_id")
+  }
 }

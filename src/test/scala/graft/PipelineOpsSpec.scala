@@ -862,6 +862,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(1L) == ((1, 1, 3)))
   }
 
+  test("diversitySample: heap selection equals the window-rank twin, caps hold") {
+    val s = Similarity.diversitySample(embeddings, perBucket = 4).cache()
+    assert(s.groupBy("bucket_id").count().filter(col("count") > 4).count() == 0)
+    // covers every populated bucket
+    val populated = Similarity.lshBuckets(embeddings).select("bucket_id").distinct()
+    assert(s.select("bucket_id").distinct().count() == populated.count())
+    // the heap operator selects exactly what a rank window would
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket_id").orderBy(col("h"), col("vec_id"))
+    val twin = embeddings.select(col("vec_id"),
+        graft.operators.Similarity.lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .select("bucket_id", "vec_id")
+    assert(s.exceptAll(twin).count() == 0 && twin.exceptAll(s).count() == 0)
+    s.unpersist()
+  }
+
+  test("annRecall: hits recount against independently-joined neighbor sets") {
+    val r = Similarity.annRecall(embeddings).cache()
+    assert(r.count() == 8)
+    assert(r.filter(col("hits") > col("k_exact") || col("recall") < 0 || col("recall") > 1).count() == 0)
+    val exact = Similarity.bruteForceTopK(embeddings, 8, 5)
+      .select("q_id", "neighbor_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ann = Similarity.annTopK(embeddings, 8, 5)
+      .select("q_id", "neighbor_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val byQ = r.collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    for (q <- 0L until 8L)
+      assert(byQ(q) == exact.filter(_._1 == q).count(ann.contains(_)),
+        s"query $q hit count mismatch")
+    r.unpersist()
+  }
+
   test("knnPredict on the corpus: one row per query, votes bounded by k") {
     val p = Similarity.knnPredict(embeddings).cache()
     assert(p.count() == 8)

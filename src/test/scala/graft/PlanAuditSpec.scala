@@ -225,6 +225,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("diversity sample runs on the custom TopKPerKey heap operator") {
+    val p = plan("q92_diversity_sample")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p) // heap selection, not a rank window
+  }
+
+  test("ANN recall report: every join is broadcast-sized, no cartesian") {
+    val p = plan("q93_ann_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("driver contract: oracle keys name real queries; qNN prefixes unique") {
     // the driver joins oracleSql to queries by key, and Bench's main
     // line keys results by the qNN prefix — both only work if every

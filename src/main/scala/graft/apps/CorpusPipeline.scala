@@ -18,6 +18,7 @@ import graft.operators.{Dedup, TextAnalysis, TrainingData}
   *     → PII scrub                          [[TextAnalysis.piiScrub]]
   *     → eval-set decontamination filter    [[TrainingData.evalDecontaminate]]
   *     → temperature reweighting (opt-in)   [[TrainingData.temperatureMixture]]
+  *     → PPS ship budget (opt-in)           [[TrainingData.ppsSample]]
   *     → packed training shards             [[ParquetSink.writeTrainingShards]]
   *     → JSONL interchange export           [[JsonlSink.writePartitioned]]
   *
@@ -45,7 +46,7 @@ object CorpusPipeline {
   /** Per-stage document counts: raw input → gate survivors (incl. the
     * optional boilerplate-coverage cut) → dedup canonical survivors →
     * decontamination survivors → shipped (= kept, unless the optional
-    * temperature-mixture stage downsampled it).
+    * temperature-mixture or PPS-budget stages downsampled it).
     */
   case class Report(input: Long, gated: Long, cleaned: Long, kept: Long,
                     shipped: Long)
@@ -57,7 +58,8 @@ object CorpusPipeline {
           checkpointDir: Option[String] = None,
           clearCacheOnExit: Boolean = true,
           maxBoilerplate: Option[Double] = None,
-          mixtureTemperature: Option[Double] = None): Report = {
+          mixtureTemperature: Option[Double] = None,
+          maxShipDocs: Option[Int] = None): Report = {
     val gopherGated = TextAnalysis.gopherGateFilter(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // optional template cut: mine the corpus top-20 boilerplate grams
@@ -98,7 +100,7 @@ object CorpusPipeline {
     // optional temperature reweighting of the FINAL corpus (rates are
     // computed on what survived cleaning, which is what trains): lang
     // rides back in on doc_id since the scrub projection dropped it
-    val shipped = mixtureTemperature match {
+    val reweighted = mixtureTemperature match {
       case Some(t) => kept.join(
         TrainingData.temperatureMixture(
             kept.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
@@ -106,6 +108,21 @@ object CorpusPipeline {
           .select("doc_id"),
         Seq("doc_id"), "left_semi")
       case None => kept
+    }
+    // optional fixed-size ship budget: PPS (length-weighted) selection
+    // over the post-scrub text the run actually ships — long documents
+    // are proportionally favored, and the md5-priority draw keeps the
+    // cut rerun-stable. Runs LAST so the budget is spent on documents
+    // that survived every quality stage.
+    val shipped = maxShipDocs match {
+      case Some(n) => reweighted.join(
+        TrainingData.ppsSample(
+            reweighted.withColumn("source", org.apache.spark.sql.functions.lit("kept"))
+              .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text"))),
+            n = n)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      case None => reweighted
     }
     ParquetSink.writeTrainingShards(shipped, shardDir, nShards, seqLen)
     JsonlSink.writePartitioned(shipped, jsonlDir)

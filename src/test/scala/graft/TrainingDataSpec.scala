@@ -47,6 +47,10 @@ class TrainingDataSpec extends AnyFunSuite {
     val r0 = graft.apps.CorpusPipeline.run(docs, evalSet,
       s"$base/shards0", s"$base/jsonl0", nShards = 2)
     assert(r0.shipped == r0.kept)
+    // PPS ship budget: shipped is exactly the budget when enough survive
+    val rb = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$base/shardsb", s"$base/jsonlb", nShards = 2, maxShipDocs = Some(50))
+    assert(rb.shipped == 50, s"budget cut must ship exactly 50: $rb")
   }
 
   test("deterministic split is a pure function of doc_id: stable across runs and text changes") {

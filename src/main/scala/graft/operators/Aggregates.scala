@@ -165,6 +165,66 @@ object Aggregates {
         col("g_flag"), col("g_status"), col("n"), col("qty_sum"))
       .orderBy("g_flag", "g_status", "flag", "status")
 
+  /** CUBE over (returnflag, linestatus): all four grouping-set
+    * combinations in one pass — same partial-aggregation shape as a
+    * flat groupBy, one shuffle, the expansion happens map-side.
+    * Super-aggregate keys surface as '(all)' and the grouping
+    * indicators disambiguate them from genuine nulls (mirrors
+    * [[rollupFlagStatus]], which only emits the rollup prefix sets).
+    */
+  def cubeFlagStatus(li: DataFrame): DataFrame =
+    li.cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("qty_sum"),
+        grouping("l_returnflag").cast("int").as("g_flag"),
+        grouping("l_linestatus").cast("int").as("g_status"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("g_flag"), col("g_status"), col("n"), col("qty_sum"))
+      .orderBy("g_flag", "g_status", "flag", "status")
+
+  /** Trailing-window anomaly detection: z-score of each event's value
+    * against the previous `lookback` events of the same type (frame
+    * excludes the current row, so the baseline can't absorb the
+    * outlier). Partitioned by event_type ⇒ the sort is per-partition,
+    * never global; ties on ts break by event_id so the frame content
+    * is deterministic on both engines. The threshold compares the
+    * ROUNDED z-score, keeping the row set stable against sub-ulp
+    * engine differences in the windowed avg/stddev.
+    */
+  def movingZscore(ev: DataFrame, lookback: Int = 10,
+                   zThreshold: Double = 3.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    ev.withColumn("ma", avg("value").over(w))
+      .withColumn("sd", stddev_samp("value").over(w))
+      .withColumn("zscore", round((col("value") - col("ma")) / col("sd"), 4))
+      .filter(col("sd") > 0 && abs(col("zscore")) > zThreshold)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"), col("zscore"))
+      .orderBy("event_id")
+  }
+
+  /** Distribution-rank family per group: quartile (ntile), percent
+    * rank and cumulative distribution of order value within each
+    * priority class. Unique tiebreak (orderkey) ⇒ every rank is
+    * deterministic; one per-group sort, no global ordering until the
+    * final presentation orderBy.
+    */
+  def priceRankFamily(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
   /** Pivot: day-of-week × event-type count matrix. The pivot values
     * are declared (never discovered via an extra job) — the scale-safe
     * form; absent combinations coalesce to 0.

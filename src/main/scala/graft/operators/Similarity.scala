@@ -546,4 +546,26 @@ object Similarity {
         round(col("hits") / col("k_exact").cast("double"), 4))
       .orderBy("q_id")
   }
+
+  /** Deterministic sparse-sign random projection (Achlioptas-style,
+    * signs only): rp[j] = Σ_i v[i]·sign(i, j) with sign(i, j) = +1
+    * when the first hex digit of md5("j:i") < '8', else −1. The
+    * "matrix" is a hash function, not data — nothing is broadcast,
+    * nothing is trained, and both engines derive the identical sign
+    * from the identical md5 — so the projection is exact-oracle-
+    * checkable. One narrow projection per row (O(d·k) inside codegen
+    * HOFs), no shuffle; output explodes to (vec_id, rp_dim, rp_val)
+    * so the driver's dump stays flat. Preserves pairwise geometry at
+    * k ≪ d for cheap pre-filtering in front of exact cosine.
+    */
+  def randomProjection(emb: DataFrame, outDim: Int = 16): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("rp", expr(
+        s"""transform(sequence(0, ${outDim - 1}), j ->
+           |  round(aggregate(sequence(1, size(v)), 0D, (acc, i) ->
+           |    acc + element_at(v, i) *
+           |      if(substring(md5(concat(cast(j as string), ':', cast(i - 1 as string))), 1, 1) < '8',
+           |         1.0D, -1.0D)), 4))""".stripMargin))
+      .select(col("vec_id"), posexplode(col("rp")).as(Seq("rp_dim", "rp_val")))
+      .orderBy("vec_id", "rp_dim")
 }

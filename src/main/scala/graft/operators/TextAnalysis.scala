@@ -329,6 +329,57 @@ object TextAnalysis {
     * every 7th a phone) into the text identically on both engines, then
     * scrubs them. Mirrored token-for-token in the oracle SQL.
     */
+  /** Unicode-conservative text normalization (the canonical first
+    * stage of a cleaning pipeline): lowercase, fold all whitespace to
+    * single spaces, strip characters outside printable ASCII, trim.
+    * Pure codegen'd string expressions — per-row, no shuffle — and the
+    * regexes are valid in BOTH Java regex and RE2, so the DuckDB
+    * oracle normalizes identically. Output is audit-shaped (before/
+    * after lengths + md5 of the normalized form) so the 100 TB run
+    * ships 3 small columns per doc, never the normalized text itself.
+    */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val nt = trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(col("text")), "\\s+", " "), "[^ -~]", ""), " +", " "))
+    docs.select(col("doc_id"),
+        length(col("text")).as("n_raw"),
+        length(nt).as("n_norm"),
+        md5(nt).as("norm_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document character entropy — a compression-style quality
+    * signal (low entropy ⇒ repetitive/boilerplate text) — computed
+    * WITHOUT exploding characters into rows: sort the char array,
+    * find run boundaries, derive run lengths, and fold
+    * Σ c·ln(c) — all higher-order functions inside one projection,
+    * so the operator is shuffle-free and scales as a narrow map over
+    * documents (the explode alternative would shuffle one row per
+    * CHARACTER — corpus-size × avg-doc-length rows at 100 TB).
+    * entropy = ln(n) − Σ c·ln(c) / n over run lengths c.
+    */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("cs", expr(
+        // empty-text guard: Spark's sequence(1, 0) yields a DESCENDING
+        // [1, 0], not an empty array — branch instead of relying on it
+        "case when length(text) = 0 then array() " +
+          "else array_sort(transform(sequence(1, length(text)), i -> substring(text, i, 1))) end"))
+      .withColumn("starts", expr(
+        // greatest() keeps element_at's index ≥ 1 (Spark element_at
+        // throws on 0); at i = 1 the OR arm already admits the row
+        "filter(sequence(1, size(cs)), i -> i = 1 OR element_at(cs, i) != element_at(cs, greatest(i - 1, 1)))"))
+      .withColumn("runs", expr(
+        "transform(sequence(1, size(starts)), k -> coalesce(element_at(starts, k + 1), size(cs) + 1) - element_at(starts, k))"))
+      .select(col("doc_id"),
+        size(col("cs")).as("len_chars"),
+        size(col("starts")).as("n_distinct_chars"),
+        when(size(col("cs")) > 0,
+          round(log(size(col("cs"))) -
+            expr("aggregate(runs, 0D, (acc, c) -> acc + c * ln(c))") / size(col("cs")), 4))
+          .as("char_entropy"))
+      .orderBy("doc_id")
+
   def seedPii(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
         col("text"),

@@ -318,4 +318,45 @@ object TrainingData {
         explode(sequence(lit(1), col("n_rep"))).as("epoch"))
       .orderBy("doc_id", "epoch")
   }
+
+  /** Sliding-window document chunking (RAG / long-context prep):
+    * token windows of `chunkTokens` every `stride` tokens, trailing
+    * partial window kept. One narrow generate per document — chunk
+    * starts come from `sequence(1, n_tokens, stride)` (all starts ≤
+    * n_tokens by construction, so the descending-sequence pitfall
+    * can't trigger: n_tokens ≥ 1 whenever the split is non-empty) —
+    * no shuffle; output ships a fingerprint per chunk, not the chunk
+    * text, so the audit stays narrow at corpus scale. The final
+    * orderBy is presentation-only for the driver's deterministic dump.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+                     stride: Int = 48): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 1)
+      .withColumn("start",
+        explode(expr(s"sequence(1, size(tk), $stride)")))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("int").as("chunk_idx"),
+        expr(s"size(slice(tk, start, $chunkTokens))").as("chunk_tokens"),
+        expr(s"md5(array_join(slice(tk, start, $chunkTokens), ' '))").as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** CDC-style latest-record-per-key compaction, as ONE partial-
+    * aggregatable `max(struct(ts, event_id, …))` — lexicographic
+    * struct ordering makes "latest" a plain max, so the map side
+    * combines before the shuffle and no sort-the-world window is
+    * needed (compare [[SetOps.topNPerGroup]], the window form). Ties
+    * on ts are broken by event_id, which is unique, so the surviving
+    * row is deterministic on both engines.
+    */
+  def latestPerKey(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        round(col("last.value"), 4).as("last_value"))
+      .orderBy("user_id")
 }

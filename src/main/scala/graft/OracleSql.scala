@@ -977,6 +977,107 @@ object OracleSql {
          |CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS INT) AS n_emails,
          |CAST(len(regexp_extract_all(after_email, '${TextAnalysis.ipv4Pattern}')) AS INT) AS n_ips,
          |CAST(len(regexp_extract_all(after_ip, '${TextAnalysis.phonePattern}')) AS INT) AS n_phones
-         |FROM passes ORDER BY doc_id""".stripMargin
+         |FROM passes ORDER BY doc_id""".stripMargin,
+
+    // CUBE: q45's rollup twin with the full grouping-set lattice.
+    "q94_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        |coalesce(l_linestatus, '(all)') AS status,
+        |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |count(*) AS n, round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    // Trailing-frame z-score. NULLS FIRST pinned explicitly: Spark's
+    // ASC default is nulls-first, DuckDB's is nulls-last — the frame
+    // CONTENT depends on it. Filter on the rounded z like the operator.
+    "q95_moving_zscore" ->
+      """WITH w AS (SELECT event_id, event_type, value,
+        |avg(value) OVER fr AS ma, stddev_samp(value) OVER fr AS sd
+        |FROM events WINDOW fr AS (PARTITION BY event_type
+        |  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |  ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, round(value, 4) AS value,
+        |round((value - ma) / sd, 4) AS zscore
+        |FROM w WHERE sd > 0 AND abs(round((value - ma) / sd, 4)) > 3.0
+        |ORDER BY event_id""".stripMargin,
+
+    "q96_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |CAST(ntile(4) OVER w AS INT) AS quartile,
+        |round(percent_rank() OVER w, 6) AS pct_rank,
+        |round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Random projection: the sign matrix is md5-derived on both
+    // engines. list_reduce folds left-to-right exactly like Spark's
+    // aggregate (0 + t1 starts both folds at t1), so the double
+    // summation ORDER is identical — the round(…, 4) is exact parity,
+    // not a tolerance.
+    "q97_random_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, v, unnest(range(0, 16)) AS j FROM e)
+        |SELECT vec_id, CAST(j AS INT) AS rp_dim,
+        |round(list_reduce(list_transform(v, (el, i) -> el *
+        |  CASE WHEN substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8'
+        |       THEN 1.0 ELSE -1.0 END), (a, b) -> a + b), 4) AS rp_val
+        |FROM x ORDER BY vec_id, rp_dim""".stripMargin,
+
+    // Normalization audit: regex chain valid (and identical) in both
+    // Java regex and RE2; only lengths + md5 cross the wire.
+    "q98_normalize_text" ->
+      """WITH n AS (SELECT doc_id, text,
+        |trim(regexp_replace(regexp_replace(regexp_replace(
+        |  lower(text), '\s+', ' ', 'g'), '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS nt
+        |FROM documents)
+        |SELECT doc_id, CAST(length(text) AS INT) AS n_raw,
+        |CAST(length(nt) AS INT) AS n_norm, md5(nt) AS norm_fp
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // Character entropy: the oracle groups exploded characters — after
+    // array_sort, Spark's run lengths ARE the per-character counts, so
+    // Σ c·ln(c) over runs ≡ Σ cnt·ln(cnt) over distinct chars. Empty
+    // docs fall out of the WHERE and re-enter via the left join with
+    // 0/0/NULL, matching the operator's guard branches.
+    "q99_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |FROM documents WHERE length(text) > 0),
+        |rc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+        |e AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS len_chars,
+        |CAST(count(*) AS INT) AS n_distinct_chars,
+        |round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 4) AS char_entropy
+        |FROM rc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(e.len_chars, 0) AS len_chars,
+        |coalesce(e.n_distinct_chars, 0) AS n_distinct_chars, e.char_entropy
+        |FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Chunking: DuckDB list slices are 1-based inclusive-inclusive, so
+    // tk[start : start + 63] ≡ Spark slice(tk, start, 64); both
+    // truncate past the end. start ≡ 1 (mod 48) ⇒ the idx division is
+    // exact and round-vs-truncate cast semantics can't diverge.
+    "q100_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, tk,
+        |CAST(unnest(range(1, len(tk) + 1, 48)) AS INT) AS start
+        |FROM t WHERE len(tk) >= 1)
+        |SELECT doc_id, CAST((start - 1) // 48 AS INT) AS chunk_idx,
+        |CAST(len(tk[start : start + 63]) AS INT) AS chunk_tokens,
+        |md5(array_to_string(tk[start : start + 63], ' ')) AS chunk_fp
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Latest-per-key: row_number twin of the max(struct) — (ts,
+    // event_id) DESC with event_id unique picks the same survivor the
+    // lexicographic struct max does.
+    "q101_latest_per_key" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events)
+        |SELECT user_id, event_id AS last_event_id,
+        |event_type AS last_event_type, round(value, 4) AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

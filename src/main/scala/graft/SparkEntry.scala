@@ -234,7 +234,25 @@ object SparkEntry {
       Similarity.diversitySample(Tables.embeddings(s, d))),
     // ANN recall@k vs the exact ground truth — both deterministic,
     // so the index-quality report itself is exact-oracle-checked
-    "q93_ann_recall"       -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d)))
+    "q93_ann_recall"       -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
+    // CUBE over (flag, status): all four grouping sets in one pass,
+    // grouping() indicators disambiguate super-aggregate rows
+    "q94_cube"             -> ((s, d) => Aggregates.cubeFlagStatus(Tables.lineitem(s, d))),
+    // trailing-window anomaly detection (frame excludes current row)
+    "q95_moving_zscore"    -> ((s, d) => Aggregates.movingZscore(Tables.events(s, d))),
+    // ntile / percent_rank / cume_dist family within priority class
+    "q96_rank_family"      -> ((s, d) => Aggregates.priceRankFamily(Tables.orders(s, d))),
+    // deterministic sparse-sign random projection: the md5-derived
+    // sign "matrix" is a hash function, so the projection is exact
+    "q97_random_projection" -> ((s, d) => Similarity.randomProjection(Tables.embeddings(s, d))),
+    // Unicode-conservative normalization audit (lengths + md5 only)
+    "q98_normalize_text"   -> ((s, d) => TextAnalysis.normalizeText(Tables.documents(s, d))),
+    // per-document character entropy, shuffle-free HOF fold
+    "q99_char_entropy"     -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
+    // sliding-window RAG chunking: generate-over-scan, fp per chunk
+    "q100_chunk_docs"      -> ((s, d) => TrainingData.chunkDocuments(Tables.documents(s, d))),
+    // CDC latest-per-key as a partial-aggregatable max(struct)
+    "q101_latest_per_key"  -> ((s, d) => TrainingData.latestPerKey(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -561,11 +561,15 @@ object Similarity {
   def randomProjection(emb: DataFrame, outDim: Int = 16): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("rp", expr(
+        // size(v) = 0 branch: sequence(1, 0) is the DESCENDING [1, 0]
+        // (would probe element_at(v, 0) → ANSI throw); the empty sum is
+        // exactly 0, which is what the guard returns
         s"""transform(sequence(0, ${outDim - 1}), j ->
+           |  case when size(v) = 0 then 0D else
            |  round(aggregate(sequence(1, size(v)), 0D, (acc, i) ->
            |    acc + element_at(v, i) *
            |      if(substring(md5(concat(cast(j as string), ':', cast(i - 1 as string))), 1, 1) < '8',
-           |         1.0D, -1.0D)), 4))""".stripMargin))
+           |         1.0D, -1.0D)), 4) end)""".stripMargin))
       .select(col("vec_id"), posexplode(col("rp")).as(Seq("rp_dim", "rp_val")))
       .orderBy("vec_id", "rp_dim")
 }

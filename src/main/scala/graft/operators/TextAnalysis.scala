@@ -366,11 +366,19 @@ object TextAnalysis {
         "case when length(text) = 0 then array() " +
           "else array_sort(transform(sequence(1, length(text)), i -> substring(text, i, 1))) end"))
       .withColumn("starts", expr(
-        // greatest() keeps element_at's index ≥ 1 (Spark element_at
-        // throws on 0); at i = 1 the OR arm already admits the row
-        "filter(sequence(1, size(cs)), i -> i = 1 OR element_at(cs, i) != element_at(cs, greatest(i - 1, 1)))"))
+        // the empty branch repeats here (not just for cs): sequence(1, 0)
+        // is the DESCENDING [1, 0], so the filter would probe index 0;
+        // greatest() keeps element_at's index ≥ 1 on the non-empty path
+        // (at i = 1 the OR arm already admits the row)
+        "case when size(cs) = 0 then array() " +
+          "else filter(sequence(1, size(cs)), i -> i = 1 OR element_at(cs, i) != element_at(cs, greatest(i - 1, 1))) end"))
       .withColumn("runs", expr(
-        "transform(sequence(1, size(starts)), k -> coalesce(element_at(starts, k + 1), size(cs) + 1) - element_at(starts, k))"))
+        // try_element_at, not element_at: k + 1 runs past the end on the
+        // last boundary BY DESIGN (the coalesce closes the final run),
+        // and ANSI element_at throws on out-of-bounds instead of
+        // returning NULL; same empty-array branch as above for starts
+        "case when size(starts) = 0 then array() " +
+          "else transform(sequence(1, size(starts)), k -> coalesce(try_element_at(starts, k + 1), size(cs) + 1) - element_at(starts, k)) end"))
       .select(col("doc_id"),
         size(col("cs")).as("len_chars"),
         size(col("starts")).as("n_distinct_chars"),

@@ -225,6 +225,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("moving z-score windows over a BOUNDED row frame, never the whole partition") {
+    // the trailing baseline must be a RowFrame [-10, -1]: an unbounded
+    // frame would both change semantics (outlier absorbs itself) and
+    // buffer entire partitions at scale
+    val p = plan("q95_moving_zscore")
+    assert(p.contains("specifiedwindowframe(RowFrame, -10, -1)"), p)
+  }
+
+  test("latest-per-key aggregates partially before the shuffle (no sort-the-world window)") {
+    val p = plan("q101_latest_per_key")
+    assert(p.contains("partial_max") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), p) // the max(struct) form, not row_number
+  }
+
+  test("doc chunking is generate-over-scan: no shuffle before the generator") {
+    val p = plan("q100_chunk_docs")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("cube expands grouping sets map-side with partial aggregation") {
+    val p = plan("q94_cube")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("diversity sample runs on the custom TopKPerKey heap operator") {
     val p = plan("q92_diversity_sample")
     assert(p.contains("TopKPerKey"), p)

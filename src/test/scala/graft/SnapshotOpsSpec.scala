@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators._
+
+/** The eight operators the round-7 snapshot landed dark (cube, moving
+  * z-score, rank family, random projection, text normalize, char
+  * entropy, doc chunking, latest-per-key), now wired as q94–q101.
+  * Every test computes its expectation independently (hand math, a
+  * reference window formulation, or an in-memory fixture with known
+  * answers) — the DuckDB oracle covers engine parity; these cover
+  * semantics, including the empty-text guard branches that ANSI mode
+  * turns into hard errors when missed.
+  */
+class SnapshotOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+  import spark.implicits._
+
+  private lazy val lineitem = Tables.lineitem(spark, sfDir).cache()
+  private lazy val orders   = Tables.orders(spark, sfDir).cache()
+  private lazy val events   = Tables.events(spark, sfDir).cache()
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // ---- q94 cube -----------------------------------------------------
+
+  test("cube emits the full grouping-set lattice and a correct grand total") {
+    val res = Aggregates.cubeFlagStatus(lineitem).collect()
+    val nFlags = lineitem.select("l_returnflag").distinct().count()
+    val nStats = lineitem.select("l_linestatus").distinct().count()
+    assert(res.length == (nFlags + 1) * (nStats + 1))
+    val grand = res.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(grand.length == 1)
+    assert(grand.head.getLong(4) == lineitem.count())
+    // the rollup operator's rows are a strict subset of the cube's
+    val cubeKeys = res.map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    val rollKeys = Aggregates.rollupFlagStatus(lineitem).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(rollKeys.subsetOf(cubeKeys))
+  }
+
+  // ---- q95 moving z-score -------------------------------------------
+
+  test("movingZscore matches a hand-rolled trailing window per event type") {
+    val flagged = Aggregates.movingZscore(events).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // recompute for every type with a plain Scala sliding window
+    val rows = events.select("event_type", "ts", "event_id", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val expected = scala.collection.mutable.Map[Long, Double]()
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      for (i <- sorted.indices) {
+        val frame = sorted.slice(math.max(0, i - 10), i).flatMap(_._4)
+        sorted(i)._4.foreach { v =>
+          if (frame.length >= 2) {
+            val ma = frame.sum / frame.length
+            val sd = math.sqrt(frame.map(x => (x - ma) * (x - ma)).sum / (frame.length - 1))
+            if (sd > 0) {
+              val z = BigDecimal((v - ma) / sd).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (math.abs(z) > 3.0) expected(sorted(i)._3) = z
+            }
+          }
+        }
+      }
+    }
+    assert(flagged.keySet == expected.keySet)
+    flagged.foreach { case (id, z) => assert(math.abs(z - expected(id)) < 1e-9, s"event $id") }
+  }
+
+  // ---- q96 rank family ----------------------------------------------
+
+  test("priceRankFamily: ranks bounded, counts preserved, extremes exact") {
+    val res = Aggregates.priceRankFamily(orders).collect()
+    assert(res.length == orders.count())
+    assert(res.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 4))
+    assert(res.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(res.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+    // per group: the most expensive order has pct_rank 0 / quartile 1,
+    // and cume reaches exactly 1.0 on the cheapest
+    val byPrio = res.groupBy(_.getString(1))
+    val top = orders.groupBy("o_orderpriority")
+      .agg(max("o_totalprice").as("mx")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((prio, rows) <- byPrio) {
+      assert(rows.map(_.getDouble(4)).max == 1.0, prio)
+      val topRow = rows.minBy(_.getDouble(3))
+      assert(topRow.getDouble(3) == 0.0 && topRow.getInt(2) == 1, prio)
+      val key = topRow.getLong(0)
+      val price = orders.filter(col("o_orderkey") === key)
+        .head().getAs[Double]("o_totalprice")
+      assert(price == top(prio), prio)
+    }
+  }
+
+  // ---- q97 random projection ----------------------------------------
+
+  test("randomProjection is the md5-sign dot product, exactly") {
+    val emb = Seq((0L, Array(1.0f, 2.0f, 3.0f), 0), (1L, Array(0.5f, -1.0f, 4.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val res = Similarity.randomProjection(emb, outDim = 4).collect()
+    assert(res.length == 8)
+    def sign(j: Int, i: Int): Double =
+      if (md5hex(s"$j:$i").head < '8') 1.0 else -1.0
+    for (r <- res) {
+      val v = (if (r.getLong(0) == 0L) Array(1.0f, 2.0f, 3.0f)
+               else Array(0.5f, -1.0f, 4.0f)).map(_.toDouble)
+      val j = r.getInt(1)
+      val exp = v.zipWithIndex.foldLeft(0.0) { case (acc, (x, i)) => acc + x * sign(j, i) }
+      val expR = BigDecimal(exp).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == expR, s"vec ${r.getLong(0)} dim $j")
+    }
+  }
+
+  test("randomProjection survives an empty embedding (ANSI descending-sequence guard)") {
+    val emb = Seq((7L, Array.empty[Float], 0)).toDF("vec_id", "embedding", "label")
+    val res = Similarity.randomProjection(emb, outDim = 3).collect()
+    assert(res.length == 3)
+    assert(res.forall(_.getDouble(2) == 0.0)) // the empty sum
+  }
+
+  // ---- q98 normalize text -------------------------------------------
+
+  test("normalizeText folds whitespace, strips non-ASCII, lowercases") {
+    val docs = Seq(
+      (1L, "  Héllo\t WORLD  x  "),
+      (2L, ""),
+      (3L, "already clean")
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.normalizeText(docs).collect()
+    val byId = res.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(2) == "hllo world x".length)
+    assert(byId(1L).getString(3) == md5hex("hllo world x"))
+    assert(byId(2L).getInt(1) == 0 && byId(2L).getInt(2) == 0)
+    assert(byId(2L).getString(3) == md5hex(""))
+    assert(byId(3L).getString(3) == md5hex("already clean"))
+  }
+
+  // ---- q99 char entropy ---------------------------------------------
+
+  test("charEntropy: hand-checked values, including the empty-text row") {
+    val docs = Seq(
+      (1L, "aab"),  // runs a:2 b:1 → ln(3) − (2ln2)/3
+      (2L, ""),     // the ANSI guard fixture: must not throw
+      (3L, "aaaa"), // one run → entropy 0
+      (4L, "abcd")  // uniform → ln(4)
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.charEntropy(docs).collect()
+    val byId = res.map(r => r.getLong(0) -> r).toMap
+    def ent(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byId(1L).getInt(1) == 3 && byId(1L).getInt(2) == 2)
+    assert(byId(1L).getDouble(3) == ent(math.log(3) - 2 * math.log(2) / 3))
+    assert(byId(2L).getInt(1) == 0 && byId(2L).getInt(2) == 0 && byId(2L).isNullAt(3))
+    assert(byId(3L).getInt(2) == 1 && byId(3L).getDouble(3) == 0.0)
+    assert(byId(4L).getDouble(3) == ent(math.log(4)))
+  }
+
+  test("charEntropy runs over the real corpus without ANSI errors") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = TextAnalysis.charEntropy(docs).count()
+    assert(n == docs.count())
+  }
+
+  // ---- q100 chunk documents -----------------------------------------
+
+  test("chunkDocuments: window starts, sizes, and fingerprints are exact") {
+    val tokens = (1 to 100).map(i => s"t$i")
+    val docs = Seq((1L, tokens.mkString(" ")), (2L, "solo")).toDF("doc_id", "text")
+    val res = TrainingData.chunkDocuments(docs).collect()
+    val d1 = res.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((0, 64), (1, 52), (2, 4))) // starts 1, 49, 97 over 100 tokens
+    assert(d1.head.getString(3) == md5hex(tokens.take(64).mkString(" ")))
+    assert(d1.last.getString(3) == md5hex(tokens.drop(96).mkString(" ")))
+    val d2 = res.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq ==
+      Seq((0, 1, md5hex("solo"))))
+  }
+
+  // ---- q101 latest per key ------------------------------------------
+
+  test("latestPerKey agrees with the row_number window formulation") {
+    val res = TrainingData.latestPerKey(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val ref = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(res == ref)
+    assert(res.size == events.select("user_id").distinct().count())
+  }
+}

@@ -264,7 +264,7 @@ object SparkEntry {
     * live index (rebuild churn on every alternation). Shared by
     * q64/q74 so the one build serves every index-backed ANN variant.
     */
-  private def ivfIndexFor(s: SparkSession, d: String): String = {
+  private[graft] def ivfIndexFor(s: SparkSession, d: String): String = {
     val abs = new java.io.File(d).getAbsolutePath
     val ph = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)

@@ -230,6 +230,17 @@ object Similarity {
     (withBucket, emb.sparkSession.read.parquet(indexDir))
   }
 
+  /** Build the content-addressed IVF index now if (and only if) it
+    * does not already exist — the bench/deploy warm-up hook that keeps
+    * the one-time build cost out of probe-query measurements. Returns
+    * true when a build actually happened, false on reuse.
+    */
+  def prebuildIvfIndex(emb: DataFrame, indexDir: String): Boolean = {
+    val existed = new java.io.File(indexDir, "_SUCCESS").exists()
+    if (!existed) ensureIvfIndex(emb, indexDir, rebuild = false)
+    !existed
+  }
+
   /** Broadcast-probe the corpus on bucket_id and rank cosine top-k —
     * the shared tail of every ANN variant.
     */

@@ -568,19 +568,41 @@ object Similarity {
     * HOFs), no shuffle; output explodes to (vec_id, rp_dim, rp_val)
     * so the driver's dump stays flat. Preserves pairwise geometry at
     * k ≪ d for cheap pre-filtering in front of exact cosine.
+    *
+    * The signs are materialized ONCE, driver-side, as a plan literal:
+    * they depend only on (j, i), so evaluating md5 inside the row fold
+    * — as this operator originally did — recomputes the identical
+    * outDim×dim matrix for every row (16×64 = 1024 md5 calls/row ⇒
+    * 51M at sf0.1, measured 22.8 s; the literal form is a pure
+    * arithmetic fold, sub-second). `maxInputDim` bounds the literal
+    * (outDim×maxInputDim doubles ≈ 32 KB at the defaults — far under
+    * the task-binary budget the q77 Bloom lesson set); an input vector
+    * longer than maxInputDim fails LOUDLY (ANSI element_at) rather
+    * than projecting on a silently-truncated basis.
     */
-  def randomProjection(emb: DataFrame, outDim: Int = 16): DataFrame =
+  def randomProjection(emb: DataFrame, outDim: Int = 16,
+                       maxInputDim: Int = 256): DataFrame = {
+    def md5FirstHex(s: String): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    val signRows: Seq[Seq[Double]] = Seq.tabulate(outDim, maxInputDim) {
+      (j, i) => if (md5FirstHex(s"$j:$i") < '8') 1.0 else -1.0
+    }
+    val signs = typedlit(signRows)
+    val v = col("v")
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("rp", expr(
-        // size(v) = 0 branch: sequence(1, 0) is the DESCENDING [1, 0]
-        // (would probe element_at(v, 0) → ANSI throw); the empty sum is
-        // exactly 0, which is what the guard returns
-        s"""transform(sequence(0, ${outDim - 1}), j ->
-           |  case when size(v) = 0 then 0D else
-           |  round(aggregate(sequence(1, size(v)), 0D, (acc, i) ->
-           |    acc + element_at(v, i) *
-           |      if(substring(md5(concat(cast(j as string), ':', cast(i - 1 as string))), 1, 1) < '8',
-           |         1.0D, -1.0D)), 4) end)""".stripMargin))
+      .withColumn("rp",
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          // size(v) = 0 branch: sequence(1, 0) is the DESCENDING
+          // [1, 0] (would probe element_at(v, 0) → ANSI throw); the
+          // empty sum is exactly 0, which is what the guard returns.
+          // CaseWhen evaluates branches lazily, so the fold never runs
+          // on the empty path
+          when(size(v) === 0, lit(0.0)).otherwise(
+            round(aggregate(sequence(lit(1), size(v)), lit(0.0),
+              (acc, i) => acc + element_at(v, i) *
+                element_at(element_at(signs, j + lit(1)), i)), 4))))
       .select(col("vec_id"), posexplode(col("rp")).as(Seq("rp_dim", "rp_val")))
       .orderBy("vec_id", "rp_dim")
+  }
 }

@@ -260,6 +260,10 @@ object TrainingData {
         (u / col("n_chars")).as("priority"))
       .orderBy(col("priority").asc, col("doc_id").asc)
       .limit(n)
+    // unpartitioned Window is SAFE here, not a scale bug: it runs
+    // strictly AFTER the limit(n) above, so the single partition it
+    // moves data to holds exactly n (= 200 default) presentation rows,
+    // never the corpus
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("priority").asc, col("doc_id").asc)
     keep.withColumn("rk", row_number().over(w))

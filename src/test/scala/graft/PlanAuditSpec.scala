@@ -245,6 +245,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("random projection's sign matrix is a plan literal — no per-row md5") {
+    // the signs depend only on (j, i): recomputing md5 inside the row
+    // fold costs outDim×dim hashes per ROW (measured 22.8 s at sf0.1
+    // vs sub-second with the literal); the plan must carry the
+    // materialized matrix, not the hash calls
+    val p = plan("q97_random_projection")
+    assert(!p.contains("md5"), p)
+  }
+
   test("cube expands grouping sets map-side with partial aggregation") {
     val p = plan("q94_cube")
     assert(p.contains("Expand"), p)

@@ -1078,6 +1078,51 @@ object OracleSql {
         |FROM events)
         |SELECT user_id, event_id AS last_event_id,
         |event_type AS last_event_type, round(value, 4) AS last_value
-        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Cross-source duplication: per-(fp, source) counts self-joined on
+    // fp; diagonal keeps only fingerprints with ≥ 2 copies in-source.
+    "q102_cross_source_dups" ->
+      """WITH fs AS (SELECT md5(text) AS fp, source, count(*) AS n
+        |FROM documents GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |count(*) AS shared_fps
+        |FROM fs a JOIN fs b ON a.fp = b.fp
+        |WHERE a.source < b.source OR (a.source = b.source AND a.n >= 2)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Length histogram: integer floor-division bucketing is exact on
+    // both engines; the cumulative window's RANGE default equals
+    // Spark's ROWS frame because bucket_lo is distinct per row.
+    "q103_length_histogram" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) // 32 AS INT) * 32 AS bucket_lo
+        |FROM documents),
+        |g AS (SELECT bucket_lo, count(*) AS n_docs FROM t GROUP BY 1)
+        |SELECT bucket_lo, n_docs,
+        |round(CAST(sum(n_docs) OVER (ORDER BY bucket_lo) AS DOUBLE) /
+        |      CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS cum_frac
+        |FROM g ORDER BY bucket_lo""".stripMargin,
+
+    // Cluster-size distribution: q68's recursive-CTE labeling, then
+    // two group-bys (cluster → size, size → count).
+    "q104_cluster_sizes" ->
+      ("WITH RECURSIVE " + shingleCascade("documents") + ",\n" + jaccardVerify + ",\n" +
+        """pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+          |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+          |UNION ALL SELECT id_b, id_a FROM pairs),
+          |reach(a, b) AS (SELECT a, b FROM und
+          |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          |        FROM reach GROUP BY a),
+          |cs AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1)
+          |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters
+          |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Hot keys: ties on n break by key in both engines' ORDER BY.
+    "q105_hot_keys" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM events)
+        |SELECT key, n, round(CAST(n AS DOUBLE) / total, 6) AS frac
+        |FROM c, t ORDER BY n DESC, key LIMIT 20""".stripMargin
   )
 }

@@ -252,7 +252,16 @@ object SparkEntry {
     // sliding-window RAG chunking: generate-over-scan, fp per chunk
     "q100_chunk_docs"      -> ((s, d) => TrainingData.chunkDocuments(Tables.documents(s, d))),
     // CDC latest-per-key as a partial-aggregatable max(struct)
-    "q101_latest_per_key"  -> ((s, d) => TrainingData.latestPerKey(Tables.events(s, d)))
+    "q101_latest_per_key"  -> ((s, d) => TrainingData.latestPerKey(Tables.events(s, d))),
+    // provenance diagnostic: fingerprints shared between source pairs
+    // (diagonal = within-source duplication)
+    "q102_cross_source_dups" -> ((s, d) => Dedup.crossSourceDups(Tables.documents(s, d))),
+    // sequence-length histogram + cumulative coverage (sizes seqLen)
+    "q103_length_histogram" -> ((s, d) => TrainingData.lengthHistogram(Tables.documents(s, d))),
+    // dedup-aggressiveness audit: near-dup cluster size distribution
+    "q104_cluster_sizes"   -> ((s, d) => Dedup.clusterSizeDistribution(Tables.documents(s, d))),
+    // skew audit: top-k hottest keys with corpus share, via TakeOrdered
+    "q105_hot_keys"        -> ((s, d) => Aggregates.hotKeys(Tables.events(s, d), "user_id"))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -305,4 +305,25 @@ object Aggregates {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
       .orderBy("window_start", "event_type")
+
+  /** Hot-key detector — the skew audit run BEFORE a big join or
+    * repartition: top-k keys by frequency with each key's share of
+    * the table. A key whose frac approaches a task's worth of rows is
+    * the one that needs salting ([[SetOps.saltedEventTypeCounts]]) or
+    * an AQE skew split; this query is how you find it without reading
+    * executor logs post-mortem.
+    *
+    * Shape: map-side-combined count per key, the corpus total folded
+    * in as a broadcast 1-row frame (the [[TextAnalysis.tfidfTopTerm]]
+    * idiom — no driver collect), selection via TakeOrdered (heap
+    * per partition + k-row driver merge, never a full sort).
+    */
+  def hotKeys(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val total = df.select(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("n"),
+        round(col("n") / col("total"), 6).as("frac"))
+      .orderBy(col("n").desc, col("key")).limit(k)
+  }
 }

@@ -678,4 +678,51 @@ object Dedup {
         (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("keep"))
       .orderBy("vec_id")
   }
+
+  /** Cross-source duplication matrix — the provenance diagnostic a
+    * multi-source corpus needs before mixture weighting: for every
+    * source pair (a ≤ b), how many distinct content fingerprints
+    * appear in both. The diagonal (a = b) counts fingerprints
+    * duplicated WITHIN a source (≥ 2 copies); off-diagonal cells
+    * reveal sources crawling each other — double-counted content that
+    * silently skews any per-source mixture recipe.
+    *
+    * Scale shape: the map-side (fp, source) pre-aggregation means the
+    * self-join shuffles one 16-byte-keyed row per distinct
+    * (fingerprint, source) — never documents — and a fingerprint's
+    * join fan-out is bounded by #sources² (single digits), so there
+    * is no skew amplification even for a fingerprint present in every
+    * source. Output is #source² rows — driver-safe by construction.
+    */
+  def crossSourceDups(docs: DataFrame): DataFrame = {
+    val perSource = docs
+      .select(col("source"), md5(col("text")).as("fp"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("n"))
+    val a = perSource.select(col("fp"), col("source").as("source_a"), col("n").as("n_a"))
+    val b = perSource.select(col("fp"), col("source").as("source_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("source_a") < col("source_b") ||
+        (col("source_a") === col("source_b") && col("n_a") >= 2))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Size distribution of the near-dup clusters — the dedup-
+    * aggressiveness audit: a heavy tail of large clusters means the
+    * threshold is catching template families, a wall of 2s means it
+    * is only catching exact-ish copies. Runs the full LSH → verify →
+    * CC cascade ([[dupClusters]]) and then two tiny aggregations over
+    * the (node, cluster) label frame; only edge-connected documents
+    * appear (singletons are not clusters). The label frame is one row
+    * per clustered doc — everything after the cascade is negligible
+    * at any scale.
+    */
+  def clusterSizeDistribution(docs: DataFrame, threshold: Double = 0.2,
+                              checkpointDir: Option[String] = None): DataFrame =
+    dupClusters(docs, threshold, checkpointDir = checkpointDir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
 }

@@ -363,4 +363,31 @@ object TrainingData {
         col("last.event_type").as("last_event_type"),
         round(col("last.value"), 4).as("last_value"))
       .orderBy("user_id")
+
+  /** Sequence-length histogram with cumulative coverage — the report
+    * that sizes [[sequencePack]]'s seqLen: bucket documents by token
+    * count (fixed-width buckets) and carry the running fraction of
+    * the corpus at or below each bucket, so "what seqLen covers 99%
+    * of documents without truncation" is a direct read-off.
+    *
+    * One map-side-combined aggregation over per-document token
+    * counts; the cumulative window runs AFTER the aggregation, over
+    * #buckets rows (corpus-independent — a few hundred at any scale),
+    * so its single-partition sort is a non-issue.
+    */
+  def lengthHistogram(docs: DataFrame, bucketWidth: Int = 32): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val hist = docs
+      .select(((nTok / lit(bucketWidth)).cast("int") * bucketWidth).as("bucket_lo"))
+      .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_lo")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window.orderBy("bucket_lo")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    hist.withColumn("cum_frac",
+        round(sum("n_docs").over(w) / sum("n_docs").over(all), 6))
+      .orderBy("bucket_lo")
+  }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators._
+
+/** Corpus-diagnostics layer (q102–q105): cross-source duplication
+  * matrix, sequence-length histogram, near-dup cluster-size
+  * distribution, and the hot-key skew audit. Fixtures have
+  * hand-computable answers; the DuckDB oracle covers engine parity.
+  */
+class CorpusDiagnosticsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String, String)]) =
+    rows.map { case (i, t, s) => (i, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ---- q102 cross-source duplication --------------------------------
+
+  test("crossSourceDups: off-diagonal shares, diagonal internal dups only") {
+    val df = docsDf(Seq(
+      (1L, "X", "src0"), (2L, "Y", "src0"), (3L, "dup", "src0"),
+      (4L, "X", "src1"), (5L, "Z", "src1"),
+      (6L, "dup", "src2"), (7L, "dup", "src2")))
+    val res = Dedup.crossSourceDups(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(res == Map(
+      ("src0", "src1") -> 1L,  // "X"
+      ("src0", "src2") -> 1L,  // "dup"
+      ("src2", "src2") -> 1L)) // "dup" twice within src2
+    // src0 has no internal duplicate and (src1, src2) share nothing —
+    // absent rows, not zero rows
+  }
+
+  test("crossSourceDups counts distinct fingerprints, not copy pairs") {
+    // 3 copies in one source + 2 in another: still ONE shared fp
+    val df = docsDf(Seq(
+      (1L, "t", "a"), (2L, "t", "a"), (3L, "t", "a"),
+      (4L, "t", "b"), (5L, "t", "b")))
+    val res = Dedup.crossSourceDups(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(res == Map(("a", "a") -> 1L, ("a", "b") -> 1L, ("b", "b") -> 1L))
+  }
+
+  // ---- q103 length histogram ----------------------------------------
+
+  test("lengthHistogram: buckets and cumulative coverage are exact") {
+    def words(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    val df = docsDf(Seq(
+      (1L, words(1), "s"), (2L, words(33), "s"),
+      (3L, words(40), "s"), (4L, words(100), "s")))
+    val res = TrainingData.lengthHistogram(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(res.toSeq == Seq((0, 1L, 0.25), (32, 2L, 0.75), (96, 1L, 1.0)))
+  }
+
+  test("lengthHistogram covers the corpus: counts sum to total, cum_frac ends at 1") {
+    val docs = Tables.documents(spark, sfDir)
+    val res = TrainingData.lengthHistogram(docs).collect()
+    assert(res.map(_.getLong(1)).sum == docs.count())
+    assert(res.last.getDouble(2) == 1.0)
+    val fracs = res.map(_.getDouble(2))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a <= b })
+  }
+
+  // ---- q104 cluster sizes -------------------------------------------
+
+  test("clusterSizeDistribution: chain of 3 + pair of 2 → {3: 1, 2: 1}") {
+    // reuse the transitive-chain fixture (A~B~C without A~C) plus an
+    // independent near-identical pair; the lone doc must NOT appear
+    val df = docsDf(Seq(
+      (1L, "a b c d e f g h i j", "s"),
+      (2L, "a b c d e f g h x y", "s"),
+      (3L, "p q c d e f g h x y", "s"),
+      (4L, "m n o p q r s t u v", "s"),
+      (5L, "m n o p q r s t u w", "s"),
+      (9L, "completely different words with no shared shingles at all", "s")))
+    val res = Dedup.clusterSizeDistribution(df, threshold = 0.4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(3L -> 1L, 2L -> 1L))
+  }
+
+  // ---- q105 hot keys ------------------------------------------------
+
+  test("hotKeys: frequencies, shares, and deterministic tie-break") {
+    val df = (Seq.fill(5)(10L) ++ Seq.fill(3)(20L) ++ Seq(30L) ++ Seq.fill(3)(5L))
+      .toDF("user_id")
+    val res = Aggregates.hotKeys(df, "user_id", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 12 rows total; tie between key 20 and key 5 at n=3 breaks by key
+    assert(res.toSeq == Seq(
+      (10L, 5L, 0.416667), (5L, 3L, 0.25), (20L, 3L, 0.25)))
+  }
+
+  test("hotKeys on events: k rows, fracs in (0, 1], descending counts") {
+    val events = Tables.events(spark, sfDir)
+    val res = Aggregates.hotKeys(events, "user_id").collect()
+    val nKeys = events.select("user_id").distinct().count()
+    assert(res.length == math.min(20L, nKeys))
+    val ns = res.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(res.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1))
+  }
+}

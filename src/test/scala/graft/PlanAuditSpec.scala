@@ -245,6 +245,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("cross-source dups: fingerprint equi-join, no product, partial agg") {
+    val p = plan("q102_cross_source_dups")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("hot keys select via TakeOrdered with the total as a broadcast 1-row frame") {
+    val p = plan("q105_hot_keys")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("random projection's sign matrix is a plan literal — no per-row md5") {
     // the signs depend only on (j, i): recomputing md5 inside the row
     // fold costs outDim×dim hashes per ROW (measured 22.8 s at sf0.1

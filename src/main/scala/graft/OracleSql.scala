@@ -1082,9 +1082,14 @@ object OracleSql {
 
     // Cross-source duplication: per-(fp, source) counts self-joined on
     // fp; diagonal keeps only fingerprints with ≥ 2 copies in-source.
+    // Paragraph level — q63's 20-token chunking CTE provides the fps.
     "q102_cross_source_dups" ->
-      """WITH fs AS (SELECT md5(text) AS fp, source, count(*) AS n
-        |FROM documents GROUP BY 1, 2)
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+        |p0 AS (SELECT source,
+        |  list_transform(range(0, CAST(ceil(len(tk)/20.0) AS BIGINT)),
+        |    i -> md5(array_to_string(tk[i*20+1 : i*20+20], ' '))) AS pf FROM tok),
+        |fps AS (SELECT source, unnest(pf) AS fp FROM p0),
+        |fs AS (SELECT fp, source, count(*) AS n FROM fps GROUP BY 1, 2)
         |SELECT a.source AS source_a, b.source AS source_b,
         |count(*) AS shared_fps
         |FROM fs a JOIN fs b ON a.fp = b.fp
@@ -1123,6 +1128,48 @@ object OracleSql {
       """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
         |t AS (SELECT count(*) AS total FROM events)
         |SELECT key, n, round(CAST(n AS DOUBLE) / total, 6) AS frac
-        |FROM c, t ORDER BY n DESC, key LIMIT 20""".stripMargin
+        |FROM c, t ORDER BY n DESC, key LIMIT 20""".stripMargin,
+
+    // Pipeline funnel: q75's gate rules → exact dedup among survivors
+    // → q58's shingle-overlap decontamination (explicit %10 eval set),
+    // counted per source via the same left-join flags the operator
+    // aggregates.
+    "q106_pipeline_funnel" ->
+      """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
+        |f AS (SELECT doc_id, source, text, tk,
+        |CAST(len(tk) AS INT) AS n_tokens,
+        |round(CAST(length(text) AS DOUBLE) / len(tk), 4) AS mean_token_len,
+        |round(CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(tk), 4) AS stopword_ratio,
+        |CASE WHEN len(tk) < 3 THEN 0.0 ELSE
+        |round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk) - 1),
+        |i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS DOUBLE) / (len(tk) - 2), 4) END AS rep_ratio
+        |FROM t),
+        |gated AS (SELECT doc_id, source, text, tk FROM f
+        |WHERE n_tokens >= 10 AND n_tokens <= 1000
+        |  AND mean_token_len >= 2.0 AND mean_token_len <= 10.0
+        |  AND stopword_ratio >= 0.01 AND rep_ratio <= 0.5),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+        |ded AS (SELECT g.doc_id, g.tk FROM gated g JOIN canon c ON g.doc_id = c.doc_id),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |       FROM ded WHERE len(tk) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        |ev0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id % 10 = 0),
+        |evsh AS (SELECT DISTINCT unnest(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |       FROM ev0 WHERE len(tk) >= 3),
+        |o AS (SELECT doc_id, count(*) AS n_overlap FROM sh
+        |      WHERE shingle IN (SELECT shingle FROM evsh) GROUP BY doc_id),
+        |s AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |keptids AS (SELECT s.doc_id FROM s LEFT JOIN o ON s.doc_id = o.doc_id
+        |WHERE round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / s.n_shingles, 4) <= 0.5)
+        |SELECT d.source, count(*) AS n_input,
+        |count(g.doc_id) AS n_gated, count(dd.doc_id) AS n_deduped,
+        |count(k.doc_id) AS n_kept
+        |FROM documents d
+        |LEFT JOIN gated g ON d.doc_id = g.doc_id
+        |LEFT JOIN ded dd ON d.doc_id = dd.doc_id
+        |LEFT JOIN keptids k ON d.doc_id = k.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }

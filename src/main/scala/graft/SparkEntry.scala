@@ -254,14 +254,25 @@ object SparkEntry {
     // CDC latest-per-key as a partial-aggregatable max(struct)
     "q101_latest_per_key"  -> ((s, d) => TrainingData.latestPerKey(Tables.events(s, d))),
     // provenance diagnostic: fingerprints shared between source pairs
-    // (diagonal = within-source duplication)
-    "q102_cross_source_dups" -> ((s, d) => Dedup.crossSourceDups(Tables.documents(s, d))),
+    // (diagonal = within-source duplication); paragraph level — the
+    // C4-tier signal that actually lights up on this corpus (the
+    // synthetic sources share boilerplate chunks, not whole docs)
+    "q102_cross_source_dups" -> ((s, d) =>
+      Dedup.crossSourceDups(Tables.documents(s, d), level = "paragraph")),
     // sequence-length histogram + cumulative coverage (sizes seqLen)
     "q103_length_histogram" -> ((s, d) => TrainingData.lengthHistogram(Tables.documents(s, d))),
     // dedup-aggressiveness audit: near-dup cluster size distribution
     "q104_cluster_sizes"   -> ((s, d) => Dedup.clusterSizeDistribution(Tables.documents(s, d))),
     // skew audit: top-k hottest keys with corpus share, via TakeOrdered
-    "q105_hot_keys"        -> ((s, d) => Aggregates.hotKeys(Tables.events(s, d), "user_id"))
+    "q105_hot_keys"        -> ((s, d) => Aggregates.hotKeys(Tables.events(s, d), "user_id")),
+    // per-source stage-attrition funnel (gate → exact dedup →
+    // decontaminate), the light exact-oracled audit tier; eval set =
+    // the evalDecontaminate %10 convention
+    "q106_pipeline_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      import org.apache.spark.sql.functions.col
+      TrainingData.pipelineFunnel(docs, docs.filter(col("doc_id") % 10 === 0))
+    })
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

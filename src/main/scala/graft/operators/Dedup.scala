@@ -687,6 +687,12 @@ object Dedup {
     * reveal sources crawling each other — double-counted content that
     * silently skews any per-source mixture recipe.
     *
+    * `level` picks the fingerprint granularity: "doc" hashes the full
+    * text (the strict matrix — only whole-document copies light up);
+    * "paragraph" hashes [[paragraphs]]-style 20-token chunks, the
+    * C4-tier signal that catches shared boilerplate/quotes between
+    * sources long before whole documents coincide.
+    *
     * Scale shape: the map-side (fp, source) pre-aggregation means the
     * self-join shuffles one 16-byte-keyed row per distinct
     * (fingerprint, source) — never documents — and a fingerprint's
@@ -694,9 +700,19 @@ object Dedup {
     * is no skew amplification even for a fingerprint present in every
     * source. Output is #source² rows — driver-safe by construction.
     */
-  def crossSourceDups(docs: DataFrame): DataFrame = {
-    val perSource = docs
-      .select(col("source"), md5(col("text")).as("fp"))
+  def crossSourceDups(docs: DataFrame, level: String = "doc"): DataFrame = {
+    val fps = level match {
+      case "doc" => docs.select(col("source"), md5(col("text")).as("fp"))
+      case "paragraph" =>
+        docs.select(col("source"), split(col("text"), " ").as("tk"))
+          .select(col("source"), explode(expr(
+            "transform(sequence(0, int(ceil(size(tk) / 20D)) - 1), " +
+              "i -> concat_ws(' ', slice(tk, i * 20 + 1, 20)))")).as("para"))
+          .select(col("source"), md5(col("para")).as("fp"))
+      case other => throw new IllegalArgumentException(
+        s"crossSourceDups level must be 'doc' or 'paragraph', got $other")
+    }
+    val perSource = fps
       .groupBy("fp", "source").agg(count(lit(1)).as("n"))
     val a = perSource.select(col("fp"), col("source").as("source_a"), col("n").as("n_a"))
     val b = perSource.select(col("fp"), col("source").as("source_b"))

@@ -375,6 +375,46 @@ object TrainingData {
     * #buckets rows (corpus-independent — a few hundred at any scale),
     * so its single-partition sort is a non-issue.
     */
+  /** Per-source pipeline funnel — stage-attrition observability for
+    * the cleaning pipeline: for every source, how many documents
+    * entered, survived the Gopher gate, survived exact dedup (among
+    * gate survivors, canonical = min doc_id per text), and survived
+    * eval-set decontamination. The report that answers "which source
+    * is the gate eating?" before anyone tunes a threshold.
+    *
+    * This is the LIGHT audit tier — exact dedup, no near-dup CC and
+    * no scrub — so it stays exact-oracle-checkable end-to-end; the
+    * cluster-tier attrition is visible separately via
+    * [[graft.operators.Dedup.clusterSizeDistribution]] (q104) and the
+    * [[graft.apps.CorpusPipeline]] Report. Stage membership rides on
+    * (doc_id, flag) frames joined back to the (doc_id, source) base —
+    * id-keyed equi-joins on narrow rows, one final #sources-group
+    * aggregation; the gate's min-token rule guarantees every deduped
+    * doc shingles, so absence from the decontamination frame cannot
+    * happen and the kept count is exact.
+    */
+  def pipelineFunnel(docs: DataFrame, evalDocs: DataFrame,
+                     maxContamRatio: Double = 0.5): DataFrame = {
+    val gated = TextAnalysis.gopherGateFilter(docs)
+      .select("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = gated.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val deduped = gated.join(canon, Seq("doc_id"), "left_semi")
+    val contamOk = evalDecontaminate(deduped, evalDocs = Some(evalDocs))
+      .filter(col("contam_ratio") <= maxContamRatio)
+      .select("doc_id")
+    val kept = deduped.join(contamOk, Seq("doc_id"), "left_semi")
+    docs.select(col("doc_id"), col("source"))
+      .join(gated.select(col("doc_id"), lit(1).as("g")), Seq("doc_id"), "left")
+      .join(deduped.select(col("doc_id"), lit(1).as("d")), Seq("doc_id"), "left")
+      .join(kept.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_input"), count(col("g")).as("n_gated"),
+        count(col("d")).as("n_deduped"), count(col("k")).as("n_kept"))
+      .orderBy("source")
+  }
+
   def lengthHistogram(docs: DataFrame, bucketWidth: Int = 32): DataFrame = {
     val nTok = size(split(col("text"), " "))
     val hist = docs

@@ -36,6 +36,20 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     // absent rows, not zero rows
   }
 
+  test("crossSourceDups at paragraph level catches shared chunks inside distinct docs") {
+    // two sources share one 20-token paragraph embedded in otherwise
+    // different documents — invisible at doc level, one shared fp at
+    // paragraph level
+    val para = (1 to 20).map("shared" + _).mkString(" ")
+    val df = docsDf(Seq(
+      (1L, para + " " + (1 to 20).map("a" + _).mkString(" "), "src0"),
+      (2L, para + " " + (1 to 20).map("b" + _).mkString(" "), "src1")))
+    assert(Dedup.crossSourceDups(df).collect().isEmpty)
+    val res = Dedup.crossSourceDups(df, level = "paragraph").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(res == Map(("src0", "src1") -> 1L))
+  }
+
   test("crossSourceDups counts distinct fingerprints, not copy pairs") {
     // 3 copies in one source + 2 in another: still ONE shared fp
     val df = docsDf(Seq(
@@ -82,6 +96,39 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     val res = Dedup.clusterSizeDistribution(df, threshold = 0.4).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(res == Map(3L -> 1L, 2L -> 1L))
+  }
+
+  // ---- q106 pipeline funnel -----------------------------------------
+
+  test("pipelineFunnel: one doc per attrition stage, counted per source") {
+    val good  = "the quick brown fox jumps over a lazy dog today"
+    val evalT = "the big red car drives down a long empty road"
+    val goodB = "a small green bird sings near the quiet old tree"
+    val df = docsDf(Seq(
+      (1L, good, "a"),   // survives everything
+      (2L, good, "a"),   // exact duplicate → removed at dedup
+      (3L, "x y", "a"),  // gate fail (too short)
+      (4L, evalT, "a"),  // gate-pass, unique, contaminated (= eval doc)
+      (5L, goodB, "b"))) // clean source
+    val evalDocs = docsDf(Seq((100L, evalT, "eval")))
+    val res = TrainingData.pipelineFunnel(df, evalDocs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(res == Map(
+      "a" -> ((4L, 3L, 2L, 1L)),
+      "b" -> ((1L, 1L, 1L, 1L))))
+  }
+
+  test("pipelineFunnel on the corpus: monotone stages, input total preserved") {
+    val docs = Tables.documents(spark, sfDir)
+    val res = TrainingData.pipelineFunnel(
+      docs, docs.filter(col("doc_id") % 10 === 0)).collect()
+    assert(res.map(_.getLong(1)).sum == docs.count())
+    for (r <- res) {
+      assert(r.getLong(1) >= r.getLong(2), r.toString)
+      assert(r.getLong(2) >= r.getLong(3), r.toString)
+      assert(r.getLong(3) >= r.getLong(4), r.toString)
+    }
   }
 
   // ---- q105 hot keys ------------------------------------------------

@@ -1170,6 +1170,26 @@ object OracleSql {
         |LEFT JOIN gated g ON d.doc_id = g.doc_id
         |LEFT JOIN ded dd ON d.doc_id = dd.doc_id
         |LEFT JOIN keptids k ON d.doc_id = k.doc_id
-        |GROUP BY d.source ORDER BY d.source""".stripMargin
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Range join: DuckDB evaluates the BETWEEN directly; the Spark
+    // side's bucketization is an implementation detail the residual
+    // filter makes invisible. lo/hi are exact halves (i * 0.5), so the
+    // boundary comparisons agree bit-for-bit.
+    "q107_range_join" ->
+      """WITH iv AS (SELECT i AS interval_id, i * 0.5 AS lo, i * 0.5 + 2.0 AS hi
+        |FROM range(0, 200) t(i))
+        |SELECT interval_id, lo, hi, count(*) AS n_events,
+        |round(min(value), 4) AS v_min, round(max(value), 4) AS v_max
+        |FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // Salted join: the salt cancels by construction, so the oracle is
+    // the PLAIN join — equality IS the correctness claim.
+    "q108_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

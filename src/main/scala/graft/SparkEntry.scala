@@ -272,6 +272,33 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       import org.apache.spark.sql.functions.col
       TrainingData.pipelineFunnel(docs, docs.filter(col("doc_id") % 10 === 0))
+    }),
+    // range join via interval bucketization: 200 overlapping intervals
+    // matched as an equi-join on bucket_id + residual BETWEEN — never
+    // a nested-loop product
+    "q107_range_join"      -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val intervals = s.range(200).select(
+        col("id").as("interval_id"),
+        (col("id") * 0.5).as("lo"),
+        (col("id") * 0.5 + 2.0).as("hi"))
+      Joins.rangeBucketJoin(Tables.events(s, d), intervals, "value", 1.0)
+        .groupBy("interval_id", "lo", "hi")
+        .agg(count(lit(1)).as("n_events"),
+          round(min("value"), 4).as("v_min"),
+          round(max("value"), 4).as("v_max"))
+        .orderBy("interval_id")
+    }),
+    // salted fact⋈fact join: identical result to the plain join, hot
+    // orderkeys spread over 8 reducers; forced shuffle (merge hints)
+    "q108_salted_join"     -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Joins.saltedJoin(Tables.lineitem(s, d), Tables.orders(s, d),
+          "l_orderkey", "o_orderkey",
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty_sum"))
+        .orderBy("o_orderstatus")
     })
   )
 

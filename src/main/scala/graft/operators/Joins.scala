@@ -97,4 +97,72 @@ object Joins {
         col("attr_click_id"), col("attr_click_ts"))
       .orderBy("purchase_id")
   }
+
+  /** Range join via interval bucketization — the scale-right answer
+    * to `fact.value BETWEEN interval.lo AND interval.hi` when the
+    * interval table is too large to broadcast: Spark plans a raw
+    * non-equi join as BroadcastNestedLoop (or worse, a cartesian),
+    * which is O(facts × intervals). Instead each interval EXPLODES to
+    * the fixed-width buckets it overlaps (fan-out =
+    * width/bucketWidth + 1, a generator over the interval scan — no
+    * shuffle), each fact maps to exactly ONE bucket, and the match is
+    * an equi-join on bucket_id plus a residual BETWEEN filter. A
+    * (fact, interval) pair can only meet in the fact's own bucket, so
+    * no post-join dedup is needed. Work scales with facts × avg
+    * overlapping intervals — the output's own size — not the cross
+    * product.
+    *
+    * `intervals` must have (interval_id, lo, hi) columns; emits one
+    * row per (fact row, covering interval) with half-open [lo, hi)
+    * semantics.
+    */
+  def rangeBucketJoin(facts: DataFrame, intervals: DataFrame,
+                      valueCol: String, bucketWidth: Double): DataFrame = {
+    val bucketed = intervals.select(col("interval_id"), col("lo"), col("hi"),
+        explode(sequence(
+          floor(col("lo") / bucketWidth).cast("long"),
+          floor(col("hi") / bucketWidth).cast("long"))).as("bucket_id"))
+    facts
+      .withColumn("bucket_id", floor(col(valueCol) / bucketWidth).cast("long"))
+      .join(bucketed, Seq("bucket_id"))
+      .filter(col(valueCol) >= col("lo") && col(valueCol) < col("hi"))
+      .drop("bucket_id")
+  }
+
+  /** Salted fact⋈fact equi-join — the skew-survival pattern for a
+    * join key whose hottest value overwhelms one reducer (see
+    * [[Aggregates.hotKeys]] for finding it, and
+    * [[SetOps.saltedEventTypeCounts]] for the aggregation twin): the
+    * probe side gets a deterministic md5-derived salt in [0, nSalts),
+    * the build side replicates each row nSalts times (a generator —
+    * build-side rows only, never the probe side), and the join runs
+    * on (key, salt), spreading each hot key over nSalts reducers.
+    * Results are EXACTLY the plain join's (spec + oracle-asserted);
+    * cost is nSalts× the build side's shuffle bytes, which is why the
+    * dimension-broadcast path stays the default and salting is the
+    * escape hatch for fact⋈fact skew.
+    *
+    * The merge hints force a real shuffle join: without them, a
+    * test-scale build side would auto-broadcast and the salt would be
+    * decorative.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame,
+                 probeKey: String, buildKey: String,
+                 saltBy: org.apache.spark.sql.Column,
+                 nSalts: Int = 8): DataFrame = {
+    // the salt derives from a row-unique probe expression, NOT the
+    // join key: all copies of the hot key must land on DIFFERENT
+    // salts or the salting is a no-op (md5 keeps it deterministic —
+    // rerun-stable, engine-neutral)
+    val salted = probe.withColumn("salt",
+      (conv(substring(md5(saltBy.cast("string")), 1, 8), 16, 10) % nSalts)
+        .cast("int"))
+    val replicated = build.withColumn("salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.hint("merge")
+      .join(replicated.hint("merge"),
+        salted(probeKey) === replicated(buildKey) &&
+          salted("salt") === replicated("salt"))
+      .drop("salt")
+  }
 }

@@ -131,6 +131,60 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q107 range-bucket join ---------------------------------------
+
+  test("rangeBucketJoin equals the brute-force BETWEEN join") {
+    val facts = Seq((1L, 0.5), (2L, 3.7), (3L, 9.99), (4L, 25.0))
+      .toDF("fact_id", "value")
+    val intervals = Seq((10L, 0.0, 2.0), (11L, 3.0, 4.0), (12L, 3.5, 10.0))
+      .toDF("interval_id", "lo", "hi")
+    val res = Joins.rangeBucketJoin(facts, intervals, "value", 1.0)
+      .select("fact_id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = facts.crossJoin(intervals)
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .select("fact_id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res == brute)
+    assert(res == Set((1L, 10L), (2L, 11L), (2L, 12L), (3L, 12L)))
+    // 4 is outside every interval; each matching pair appears ONCE
+    val rows = Joins.rangeBucketJoin(facts, intervals, "value", 1.0).count()
+    assert(rows == 4)
+  }
+
+  test("rangeBucketJoin handles intervals wider than many buckets and null values") {
+    val facts = Seq((1L, Some(5.0)), (2L, None)).toDF("fact_id", "value")
+    val intervals = Seq((1L, 0.0, 100.0)).toDF("interval_id", "lo", "hi")
+    val res = Joins.rangeBucketJoin(facts, intervals, "value", 1.0).collect()
+    assert(res.length == 1 && res.head.getLong(0) == 1L) // null never matches
+  }
+
+  // ---- q108 salted join ---------------------------------------------
+
+  test("saltedJoin result is exactly the plain join's") {
+    val probe = (1 to 100).map(i => (if (i <= 90) 7L else i.toLong, i.toLong))
+      .toDF("k", "row_id") // 90% of rows share the hot key 7
+    val build = Seq((7L, "hot"), (95L, "cold"), (999L, "unmatched"))
+      .toDF("bk", "tag")
+    val res = Joins.saltedJoin(probe, build, "k", "bk",
+        col("row_id"), nSalts = 4)
+      .select("row_id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select("row_id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(res == plain)
+    assert(res.size == 91) // 90 hot + 1 cold
+  }
+
+  test("saltedJoin spreads the hot key over multiple salts") {
+    val probe = (1 to 100).map(i => (7L, i.toLong)).toDF("k", "row_id")
+    val salts = probe.withColumn("salt",
+        (conv(substring(md5(col("row_id").cast("string")), 1, 8), 16, 10) % 4).cast("int"))
+      .select("salt").distinct().count()
+    assert(salts > 1, "identical-key rows must not all share one salt")
+  }
+
   // ---- q105 hot keys ------------------------------------------------
 
   test("hotKeys: frequencies, shares, and deterministic tie-break") {

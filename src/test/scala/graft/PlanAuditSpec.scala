@@ -258,6 +258,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("range join is an equi-join on bucket_id — no nested-loop product") {
+    val p = plan("q107_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), p) // interval → bucket explode
+  }
+
+  test("salted join shuffles on (key, salt) — a real exchange, not broadcast") {
+    val p = plan("q108_salted_join")
+    assert(p.contains("SortMergeJoin"), p)
+    val saltedExchange = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).exists(_.contains("salt"))
+    assert(saltedExchange, p)
+  }
+
   test("random projection's sign matrix is a plan literal — no per-row md5") {
     // the signs depend only on (j, i): recomputing md5 inside the row
     // fold costs outDim×dim hashes per ROW (measured 22.8 s at sf0.1

@@ -86,6 +86,16 @@ object Tables {
     }
   }
 
+  /** ORC scan — the other columnar format a lakehouse migration meets
+    * (Hive-era warehouses are predominantly ORC). Spark's reader gives
+    * it the same Catalyst treatment as parquet — column pruning and
+    * predicate pushdown reach the scan (`PushedFilters`/`ReadSchema`
+    * in explain), so an ORC-resident corpus runs every operator here
+    * at columnar-scan speed without conversion.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON-Lines scan — the de-facto interchange format for LLM
     * training corpora (one document object per line). The schema is
     * REQUIRED: inference reads the whole corpus twice and silently

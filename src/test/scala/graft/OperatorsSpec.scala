@@ -114,6 +114,24 @@ class OperatorsSpec extends AnyFunSuite {
       == "with \"quotes\" and\nnewline")
   }
 
+  test("ORC sink roundtrips through the ORC source with pushdown-ready layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val docs = Seq((1L, "alpha", "en"), (2L, "beta", "de"), (3L, "gamma", "en"))
+      .toDF("doc_id", "text", "lang")
+    graft.engine.OrcSink.writePartitioned(docs, dir, partitionBy = Seq("lang"))
+    assert(new java.io.File(dir, "lang=en").isDirectory) // prunable layout
+    val back = Tables.orc(spark, dir)
+    assert(back.count() == 3)
+    assert(back.filter(col("lang") === "en").count() == 2)
+    // values survive and filters reach the scan (partition pruning)
+    assert(back.filter(col("doc_id") === 2L).head().getString(1) == "beta")
+    val plan = back.filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("lang=en")
+      || !plan.contains("lang=de"), plan)
+  }
+
   test("session_window merges within-gap events and splits at the exact-gap boundary") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -1190,6 +1190,41 @@ object OracleSql {
       """SELECT o_orderstatus, count(*) AS n,
         |round(sum(l_quantity), 2) AS qty_sum
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Quality quantile: q27's score terms + a per-source percent_rank.
+    "q109_quality_quantile" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, source, CAST(len(tk) AS DOUBLE) AS ntok,
+        |CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(tk) AS sr FROM t),
+        |q AS (SELECT doc_id, source,
+        |round((least(ntok / 50.0, 1.0) + least(sr * 10.0, 1.0)) / 2.0, 4) AS quality FROM s)
+        |SELECT doc_id, source, quality,
+        |round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) AS q_norm
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    // LSH recall: the banded cascade (q33's CTEs over the sample) vs
+    // exact all-pairs truth from DISTINCT (doc, shingle) rows; both
+    // sides round jaccard to 4 exactly like the operators do.
+    "q110_lsh_recall" ->
+      ("""WITH sample AS (SELECT * FROM documents WHERE doc_id < 500),
+         |""".stripMargin +
+        shingleCascade("sample") + ",\n" + jaccardVerify + ",\n" +
+        """found AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+          |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+          |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+          |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          |       FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2),
+          |truth AS (SELECT tp.id_a, tp.id_b,
+          |round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 4) AS jaccard
+          |FROM tp JOIN sizes sa ON tp.id_a = sa.doc_id
+          |        JOIN sizes sb ON tp.id_b = sb.doc_id
+          |WHERE round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 4) >= 0.2)
+          |SELECT round(floor(jaccard / 0.2) * 0.2, 1) AS band_lo,
+          |count(*) AS n_true, count(f.id_a) AS n_found,
+          |round(CAST(count(f.id_a) AS DOUBLE) / count(*), 4) AS recall
+          |FROM truth t LEFT JOIN found f ON t.id_a = f.id_a AND t.id_b = f.id_b
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -299,7 +299,14 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty_sum"))
         .orderBy("o_orderstatus")
-    })
+    }),
+    // within-source quality percent-rank: one threshold, same meaning
+    // across sources with different quality distributions
+    "q109_quality_quantile" -> ((s, d) =>
+      TextAnalysis.qualityQuantileNormalize(Tables.documents(s, d))),
+    // LSH recall audit: exact all-pairs truth on a bounded sample vs
+    // the banded cascade, per Jaccard band — the calibration query
+    "q110_lsh_recall"      -> ((s, d) => Dedup.lshRecallReport(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -182,6 +182,47 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** LSH-banding recall audit on a BOUNDED sample — q93's
+    * index-quality-as-a-query story for the text cascade: exact
+    * all-pairs Jaccard ground truth over the first `sampleSize`
+    * documents vs what [[nearDupPairs]]'s banding actually surfaces,
+    * reported as recall per 0.2-wide Jaccard band (banding recall
+    * degrades toward the threshold — the report shows WHERE, so
+    * bands/rows are tuned on evidence, not folklore).
+    *
+    * The ground truth is inherently quadratic in pairs sharing a
+    * shingle — that is the entire reason it runs on a capped sample
+    * and the production path runs the banded cascade. At 100 TB this
+    * query IS the calibration step: run it on a representative
+    * sample, pick banding parameters, then launch the linear-cost
+    * cascade on the full corpus.
+    */
+  def lshRecallReport(docs: DataFrame, threshold: Double = 0.2,
+                      sampleSize: Int = 500): DataFrame = {
+    require(threshold > 0, "threshold must be > 0")
+    val sample = docs.filter(col("doc_id") < sampleSize)
+    val sh = shingleDocs(sample).dropDuplicates("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val truth = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+    val found = nearDupPairs(sample, threshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("f"))
+    truth.join(found, Seq("id_a", "id_b"), "left")
+      .withColumn("band_lo", round(floor(col("jaccard") / 0.2) * 0.2, 1))
+      .groupBy("band_lo")
+      .agg(count(lit(1)).as("n_true"), count(col("f")).as("n_found"),
+        round(count(col("f")).cast("double") / count(lit(1)), 4).as("recall"))
+      .orderBy("band_lo")
+  }
+
   /** Near-dup CLUSTERS: connected components over the verified
     * [[nearDupPairs]] graph, labeling every involved document with its
     * component's minimum doc_id — the canonical representative. This

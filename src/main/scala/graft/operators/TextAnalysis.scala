@@ -61,6 +61,27 @@ object TextAnalysis {
       least(stopRatio * lit(10.0), lit(1.0)))
   }
 
+  /** Cross-source quality normalization: the percent-rank of each
+    * document's quality WITHIN its source. Absolute quality scores
+    * are not comparable across sources (a 0.6 on a high-quality crawl
+    * may be top-decile on a noisy one), so corpus-wide cuts on the
+    * raw score silently over-prune weak sources; ranking within
+    * source first makes one threshold mean the same thing everywhere
+    * — the standard move before blending sources into a single
+    * quality-gated corpus. Same score terms as [[qualityScore]] /
+    * [[sourceQualityGate]] (one definition, no drift); one per-source
+    * window sort, unique doc_id tiebreak ⇒ deterministic ranks.
+    */
+  def qualityQuantileNormalize(docs: DataFrame): DataFrame = {
+    val (lengthScore, stopScore) = qualityScoreTerms
+    val q = docs.select(col("doc_id"), col("source"),
+      round((lengthScore + stopScore) / lit(2.0), 4).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality"), col("doc_id"))
+    q.withColumn("q_norm", round(percent_rank().over(w), 6))
+      .orderBy("doc_id")
+  }
+
   /** Marker-token language heuristic: documents with ≥3 English
     * function words are tagged 'en'. Output is the agreement matrix
     * against the labelled lang column. (A char-n-gram profile version

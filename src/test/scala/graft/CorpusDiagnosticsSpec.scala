@@ -185,6 +185,47 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(salts > 1, "identical-key rows must not all share one salt")
   }
 
+  // ---- q109 quality quantile normalize ------------------------------
+
+  test("qualityQuantileNormalize ranks within source, 0 to 1, by quality") {
+    def w(n: Int) = (1 to n).map("w" + _).mkString(" ") // no stopwords
+    val df = docsDf(Seq(
+      (1L, w(10), "a"), (2L, w(25), "a"), (3L, w(50), "a"),
+      (4L, w(10), "b"), (5L, w(50), "b")))
+    val res = TextAnalysis.qualityQuantileNormalize(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // stopword term is 0 for all ⇒ quality = min(ntok/50, 1)/2
+    assert(res(1L) == ((0.1, 0.0)) && res(2L) == ((0.25, 0.5)) && res(3L) == ((0.5, 1.0)))
+    assert(res(4L)._2 == 0.0 && res(5L)._2 == 1.0) // ranks reset per source
+  }
+
+  // ---- q110 LSH recall audit ----------------------------------------
+
+  test("lshRecallReport: identical pairs are always found; recall bounded") {
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = docsDf(Seq(
+      (1L, same, "s"), (2L, same, "s"),
+      (3L, "one two three four five six seven eight", "s"),
+      (4L, "completely different tokens here nine ten eleven twelve", "s")))
+    val res = Dedup.lshRecallReport(df, sampleSize = 100).collect()
+    // the only qualifying pair is (1,2) at jaccard 1.0 — every band of
+    // an identical pair collides, so banding cannot miss it
+    assert(res.length == 1)
+    assert(res.head.getDouble(0) == 1.0)
+    assert(res.head.getLong(1) == 1L && res.head.getLong(2) == 1L)
+    assert(res.head.getDouble(3) == 1.0)
+  }
+
+  test("lshRecallReport on the corpus: found never exceeds truth, recall in [0,1]") {
+    val docs = Tables.documents(spark, sfDir)
+    val res = Dedup.lshRecallReport(docs).collect()
+    assert(res.nonEmpty)
+    for (r <- res) {
+      assert(r.getLong(2) <= r.getLong(1), r.toString)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, r.toString)
+    }
+  }
+
   // ---- q105 hot keys ------------------------------------------------
 
   test("hotKeys: frequencies, shares, and deterministic tie-break") {

@@ -285,4 +285,39 @@ object StreamPipeline {
           UserActivity(uid, n, math.rint(total * 100) / 100)
       }
   }
+
+  /** The current latest event per key. */
+  case class LatestEvent(user_id: Long, ts: java.sql.Timestamp,
+                         event_id: Long, event_type: String,
+                         value: Option[Double])
+
+  /** Streaming CDC compaction — the live twin of
+    * [[graft.operators.TrainingData.latestPerKey]] (q101): per-key
+    * state is ONE row (the running latest by the same (ts, event_id)
+    * ordering the batch max(struct) uses), updated per micro-batch
+    * and re-emitted in Update mode, so a downstream sink always holds
+    * the newest record per key — the CDC table pattern. State is
+    * O(#live keys) × one row, the minimum any latest-per-key
+    * materialization can hold; in production pair with a
+    * ProcessingTimeTimeout to retire keys that stopped changing.
+    * Batch ≡ stream equivalence is spec-asserted: after the last
+    * batch, the per-key survivors match q101's exactly.
+    */
+  def latestPerKeyStream(stream: DataFrame)
+      : org.apache.spark.sql.Dataset[LatestEvent] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    stream.selectExpr("user_id", "ts", "event_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Option[Double])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[LatestEvent, LatestEvent](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val latest = (state.getOption.iterator ++
+            rows.map(r => LatestEvent(uid, r._2, r._3, r._4, r._5)))
+            .maxBy(e => (e.ts.getTime, e.event_id))
+          state.update(latest)
+          latest
+      }
+  }
 }

@@ -18,6 +18,46 @@ import graft.streaming.StreamPipeline
 class StatefulAndCentroidSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
+  test("latestPerKeyStream converges to the batch latestPerKey result (CDC twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.latestPerKeyStream(stream)
+      .writeStream.format("memory").queryName("latest_per_key")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cdc").toString)
+      .start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    val batch1 = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 7L, "click", 10.0, "{}"),
+      (2L, ts("2026-01-01 11:00:00"), 7L, "view", 20.0, "{}"),
+      (3L, ts("2026-01-01 10:30:00"), 8L, "click", 5.0, "{}"))
+    val batch2 = Seq(
+      (4L, ts("2026-01-01 09:00:00"), 7L, "view", 1.0, "{}"),  // OLDER — must not win
+      (5L, ts("2026-01-01 10:30:00"), 8L, "purchase", 9.0, "{}")) // same ts, higher id wins
+    try {
+      mem.addData(batch1: _*)
+      query.processAllAvailable()
+      mem.addData(batch2: _*)
+      query.processAllAvailable()
+      // Update mode re-emits per touched key; the LAST emission per
+      // user is the state — compare against the batch operator on the
+      // same rows
+      val emitted = spark.table("latest_per_key").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      val streamLatest = emitted.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+      val batchDf = (batch1 ++ batch2)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val batchLatest = graft.operators.TrainingData.latestPerKey(batchDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamLatest == batchLatest)
+      assert(batchLatest == Map(7L -> 2L, 8L -> 5L))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1225,6 +1225,19 @@ object OracleSql {
           |count(*) AS n_true, count(f.id_a) AS n_found,
           |round(CAST(count(f.id_a) AS DOUBLE) / count(*), 4) AS recall
           |FROM truth t LEFT JOIN found f ON t.id_a = f.id_a AND t.id_b = f.id_b
-          |GROUP BY 1 ORDER BY 1""".stripMargin)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Per-source PPS: q89's priority (one IEEE division on the md5
+    // integer) ranked within source — the row_number window is the
+    // oracle twin of the heap operator's per-key selection.
+    "q111_pps_per_source" ->
+      """WITH p AS (SELECT doc_id, source, n_chars,
+        |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / n_chars AS priority
+        |FROM documents),
+        |r AS (SELECT doc_id, source, n_chars, priority,
+        |row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn
+        |FROM p)
+        |SELECT source, doc_id, n_chars, round(priority, 6) AS priority
+        |FROM r WHERE rn <= 10 ORDER BY source, priority, doc_id""".stripMargin
   )
 }

@@ -306,7 +306,11 @@ object SparkEntry {
       TextAnalysis.qualityQuantileNormalize(Tables.documents(s, d))),
     // LSH recall audit: exact all-pairs truth on a bounded sample vs
     // the banded cascade, per Jaccard band — the calibration query
-    "q110_lsh_recall"      -> ((s, d) => Dedup.lshRecallReport(Tables.documents(s, d)))
+    "q110_lsh_recall"      -> ((s, d) => Dedup.lshRecallReport(Tables.documents(s, d))),
+    // per-source PPS budgets on the TopKPerKey heap (3rd production
+    // site): every source draws its own fixed-size weighted sample
+    "q111_pps_per_source"  -> ((s, d) =>
+      TrainingData.ppsSamplePerSource(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -375,6 +375,27 @@ object TrainingData {
     * #buckets rows (corpus-independent — a few hundred at any scale),
     * so its single-partition sort is a non-issue.
     */
+  /** Source-stratified PPS sampling — [[ppsSample]]'s budget applied
+    * PER SOURCE instead of corpus-wide: every source contributes its
+    * own fixed-size, length-weighted subsample (the mixture-recipe
+    * shape: budgets are negotiated per source, then drawn
+    * independently). Same single-division md5 priority as the global
+    * form; selection runs on the custom TopKPerKey heap operator (its
+    * third production site) — one bounded heap per (partition, source)
+    * instead of a rank window that sorts every source's rows, so the
+    * cost is a single pass at any corpus size.
+    */
+  def ppsSamplePerSource(docs: DataFrame, nPerSource: Int = 10): DataFrame = {
+    val u = conv(substring(docHash, 1, 8), 16, 10).cast("double")
+    val scored = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      (u / col("n_chars")).as("priority"))
+    graft.plans.TopK.perKey(scored, Seq("source"),
+        Seq(col("priority").asc, col("doc_id").asc), nPerSource)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("priority"), 6).as("priority"))
+      .orderBy("source", "priority", "doc_id")
+  }
+
   /** Per-source pipeline funnel — stage-attrition observability for
     * the cleaning pipeline: for every source, how many documents
     * entered, survived the Gopher gate, survived exact dedup (among

@@ -226,6 +226,26 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q111 per-source PPS ------------------------------------------
+
+  test("ppsSamplePerSource matches the rank-window formulation per source") {
+    val docs = Tables.documents(spark, sfDir)
+    val res = TrainingData.ppsSamplePerSource(docs, nPerSource = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("priority"), col("doc_id"))
+    val ref = docs.select(col("doc_id"), col("source"),
+        (u / col("n_chars")).as("priority"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(res == ref)
+    // every source contributes its own full quota (corpus has ≥10/source)
+    val bySource = res.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySource.values.forall(_ == 10), bySource.toString)
+  }
+
   // ---- q105 hot keys ------------------------------------------------
 
   test("hotKeys: frequencies, shares, and deterministic tie-break") {

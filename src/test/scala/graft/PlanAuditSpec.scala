@@ -294,6 +294,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p) // heap selection, not a rank window
   }
 
+  test("per-source PPS runs on the TopKPerKey heap, not a rank window") {
+    val p = plan("q111_pps_per_source")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("ANN recall report: every join is broadcast-sized, no cartesian") {
     val p = plan("q93_ann_recall")
     assert(!p.contains("CartesianProduct"), p)

@@ -156,11 +156,14 @@ object CorpusPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      val t0 = System.nanoTime()
       val docs = graft.engine.Tables.documents(spark, sfDir)
       val r = run(docs, docs.filter(col("doc_id") % 10 === 0),
         s"$outDir/shards", s"$outDir/jsonl")
+      val sec = (System.nanoTime() - t0) / 1e9
       println(s"corpus pipeline: input=${r.input} gated=${r.gated} " +
-        s"cleaned=${r.cleaned} kept=${r.kept} shipped=${r.shipped} out=$outDir")
+        s"cleaned=${r.cleaned} kept=${r.kept} shipped=${r.shipped} " +
+        f"wall=$sec%.1fs out=$outDir")
     } finally spark.stop()
   }
 }

@@ -60,8 +60,27 @@ object CorpusPipeline {
           maxBoilerplate: Option[Double] = None,
           mixtureTemperature: Option[Double] = None,
           maxShipDocs: Option[Int] = None): Report = {
-    val gopherGated = TextAnalysis.gopherGateFilter(docs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Stage counts ride the write pass as `observe` metrics
+    // (CollectMetrics nodes) instead of per-stage count() actions:
+    // every observed frame is upstream of the shard write, so ONE
+    // action fills every counter — at 100 TB this is the difference
+    // between auditing the run and re-scanning the corpus five times
+    // (the persists only soften the latter on a single box).
+    //
+    // Placement rule (easy to get wrong): a CollectMetrics node that
+    // sits ABOVE a cache and is consumed more than once inside one
+    // action accumulates per consumption — the count silently doubles.
+    // Every observe here therefore sits INSIDE a persisted subtree
+    // (fires exactly once, when the cache materializes) or on a
+    // single-consumer chain; the spec pins the totals against the
+    // count() formulation.
+    val obsInput   = org.apache.spark.sql.Observation()
+    val obsGate    = org.apache.spark.sql.Observation()
+    val obsCleaned = org.apache.spark.sql.Observation()
+    val obsKept    = org.apache.spark.sql.Observation()
+    val nRows = org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n")
+    val gopherGated0 = TextAnalysis.gopherGateFilter(docs.observe(obsInput, nRows))
     // optional template cut: mine the corpus top-20 boilerplate grams
     // and drop documents whose coverage exceeds the threshold. Runs on
     // the gopher survivors, whose min-token rule guarantees every doc
@@ -69,17 +88,24 @@ object CorpusPipeline {
     // the semi-join is exact). Before dedup on purpose: boilerplate
     // docs are exactly the ones that explode LSH buckets.
     val gated = maxBoilerplate match {
-      case Some(t) => gopherGated.join(
-        TextAnalysis.boilerplateCoverage(gopherGated)
-          .filter(col("boiler_fraction") <= t).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      case None => gopherGated
+      case Some(t) =>
+        val gg = gopherGated0.persist(StorageLevel.MEMORY_AND_DISK)
+        gg.join(
+            TextAnalysis.boilerplateCoverage(gg)
+              .filter(col("boiler_fraction") <= t).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .observe(obsGate, nRows)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      case None =>
+        gopherGated0.observe(obsGate, nRows)
+          .persist(StorageLevel.MEMORY_AND_DISK)
     }
     // cleaningPipelineClustered emits (doc_id, n_tokens, fingerprint);
     // the text rides back in via a doc_id equi-join against the gated
     // frame (cheap: survivors-sized build side, no text re-derivation)
     val cleaned = Dedup.cleaningPipelineClustered(
-      gated, checkpointDir = checkpointDir)
+        gated, checkpointDir = checkpointDir)
+      .observe(obsCleaned, nRows)
     val survivors = gated.join(
       cleaned.select("doc_id"), Seq("doc_id"), "left_semi")
     val scrubbed = TextAnalysis.piiScrub(survivors, ordered = false)
@@ -96,6 +122,7 @@ object CorpusPipeline {
       .filter(col("contam_ratio") <= maxContamRatio)
       .select("doc_id")
     val kept = scrubbed.join(contamOk, Seq("doc_id"), "left_semi")
+      .observe(obsKept, nRows)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // optional temperature reweighting of the FINAL corpus (rates are
     // computed on what survived cleaning, which is what trains): lang
@@ -124,13 +151,23 @@ object CorpusPipeline {
         Seq("doc_id"), "left_semi")
       case None => reweighted
     }
+    // the shard write is the ONE action that fills every observation
+    // (each observed frame is on its lineage); the JSONL export reuses
+    // the persisted `kept` cache and the already-completed observations.
+    // shipped gets NO observe: writeTrainingShards consumes the frame
+    // twice in one action (pack + text join), which would double a
+    // CollectMetrics above the kept cache — when no downsampling stage
+    // is active, shipped IS kept; otherwise one cache-read count pays
+    // for the audit
     ParquetSink.writeTrainingShards(shipped, shardDir, nShards, seqLen)
     JsonlSink.writePartitioned(shipped, jsonlDir)
-    val report = Report(docs.count(), gated.count(), cleaned.count(),
-      kept.count(), shipped.count())
+    def n(o: org.apache.spark.sql.Observation): Long =
+      o.get("n") match { case l: java.lang.Long => l.longValue }
+    val report = Report(n(obsInput), n(obsGate), n(obsCleaned), n(obsKept),
+      if (shipped eq kept) n(obsKept) else shipped.count())
     if (clearCacheOnExit) docs.sparkSession.catalog.clearCache()
     else {
-      gopherGated.unpersist(blocking = false)
+      gated.unpersist(blocking = false)
       scrubbed.unpersist(blocking = false)
       kept.unpersist(blocking = false)
     }

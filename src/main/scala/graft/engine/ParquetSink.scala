@@ -63,6 +63,31 @@ object ParquetSink {
       .sortWithinPartitions("shard", "start_offset")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** Dynamic partition overwrite — the incremental-refresh write mode
+    * a recurring corpus pipeline needs: overwrite ONLY the partitions
+    * present in `df`, leaving every other partition untouched. Plain
+    * `mode("overwrite") + partitionBy` would truncate the whole
+    * directory tree first (full-corpus data loss on an incremental
+    * run); with `partitionOverwriteMode=dynamic` the commit replaces
+    * exactly the partitions the job wrote — the daily-crawl refresh
+    * pattern (re-land today's source=X partition, history intact).
+    * The conf is set per-write and restored, so the session default
+    * (static — the safer failure mode for full rewrites) is preserved.
+    */
+  def overwritePartitions(df: org.apache.spark.sql.DataFrame, outDir: String,
+                          partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(outDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed table write — the co-location half of SCALE.md §Joins:
     * two fact tables bucketed on their join key into the same bucket
     * count join WITHOUT a shuffle (each bucket pair joins in place;

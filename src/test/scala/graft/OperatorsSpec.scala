@@ -114,6 +114,24 @@ class OperatorsSpec extends AnyFunSuite {
       == "with \"quotes\" and\nnewline")
   }
 
+  test("dynamic partition overwrite replaces only the partitions being written") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpo").toString
+    val day1 = Seq((1L, "a", "src0"), (2L, "b", "src1")).toDF("doc_id", "text", "source")
+    graft.engine.ParquetSink.overwritePartitions(day1, dir, Seq("source"))
+    // incremental refresh: re-land ONLY src0 with new content
+    val day2 = Seq((3L, "a2", "src0")).toDF("doc_id", "text", "source")
+    graft.engine.ParquetSink.overwritePartitions(day2, dir, Seq("source"))
+    val back = spark.read.parquet(dir)
+    // src0 replaced, src1 untouched — a static overwrite would have
+    // truncated src1 away
+    assert(back.filter(col("source") === "src0").collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(back.filter(col("source") === "src1").collect().map(_.getLong(0)).toSet == Set(2L))
+    // the session default is restored after the write
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_.equalsIgnoreCase("static")))
+  }
+
   test("ORC sink roundtrips through the ORC source with pushdown-ready layout") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString

@@ -204,7 +204,15 @@ object Bench {
     recordCal()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+    // NUMERIC sort on the qNN prefix: plain lexicographic order puts
+    // q100–q111 between q09 and q10 ("0" < "_"), which silently
+    // shifted every calibration-probe position once 3-digit queries
+    // existed — the cadence documented above only holds in numeric
+    // order
+    val results = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) =>
+        (name.drop(1).takeWhile(_.isDigit).toInt, name) }
+      .zipWithIndex
       .map { case ((name, fn), i) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

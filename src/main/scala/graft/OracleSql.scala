@@ -1021,17 +1021,19 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id, v, unnest(range(0, 16)) AS j FROM e)
         |SELECT vec_id, CAST(j AS INT) AS rp_dim,
+        |CASE WHEN len(v) = 0 THEN 0.0 ELSE
         |round(list_reduce(list_transform(v, (el, i) -> el *
         |  CASE WHEN substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8'
-        |       THEN 1.0 ELSE -1.0 END), (a, b) -> a + b), 4) AS rp_val
+        |       THEN 1.0 ELSE -1.0 END), (a, b) -> a + b), 4) END AS rp_val
         |FROM x ORDER BY vec_id, rp_dim""".stripMargin,
 
-    // Normalization audit: regex chain valid (and identical) in both
-    // Java regex and RE2; only lengths + md5 cross the wire.
+    // Normalization audit: EXPLICIT whitespace class (Java \s includes
+    // \x0B, RE2's does not — the explicit class is the engine-neutral
+    // subset); only lengths + md5 cross the wire.
     "q98_normalize_text" ->
       """WITH n AS (SELECT doc_id, text,
         |trim(regexp_replace(regexp_replace(regexp_replace(
-        |  lower(text), '\s+', ' ', 'g'), '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS nt
+        |  lower(text), '[ \t\n\f\r]+', ' ', 'g'), '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS nt
         |FROM documents)
         |SELECT doc_id, CAST(length(text) AS INT) AS n_raw,
         |CAST(length(nt) AS INT) AS n_norm, md5(nt) AS norm_fp

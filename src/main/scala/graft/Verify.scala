@@ -15,7 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // numeric qNN order (lexicographic puts q100 before q10) — keeps
+    // the dump order aligned with Bench and the driver's artifacts
+    SparkEntry.queries.toSeq
+      .sortBy { case (name, _) =>
+        (name.drop(1).takeWhile(_.isDigit).toInt, name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

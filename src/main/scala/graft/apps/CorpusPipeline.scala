@@ -30,9 +30,13 @@ import graft.operators.{Dedup, TextAnalysis, TrainingData}
   * only surviving documents pay it; decontamination sees the final
   * text it will actually train on.
   *
-  * The returned [[Report]] counts are hash-aggregate actions over
-  * already-computed frames (one count per stage, no data collected) —
-  * the audit numbers a production run records anyway. On exit the run
+  * The returned [[Report]] counts come from ONE audit aggregation
+  * after the writes — per-stage membership flags left-joined onto the
+  * id-only corpus scan and counted together — instead of one count()
+  * action per stage (five corpus passes) or `observe` metrics (a
+  * CollectMetrics node races cold-cache consumers at multi-executor
+  * scale and inflates); the audit numbers a production run records
+  * anyway. On exit the run
   * clears EVERY cached frame in the session (`clearCacheOnExit`,
   * default true): the interior stages (`cleaningPipelineClustered`,
   * `evalDecontaminate`) persist corpus-sized frames whose handles they
@@ -60,52 +64,29 @@ object CorpusPipeline {
           maxBoilerplate: Option[Double] = None,
           mixtureTemperature: Option[Double] = None,
           maxShipDocs: Option[Int] = None): Report = {
-    // Stage counts ride the write pass as `observe` metrics
-    // (CollectMetrics nodes) instead of per-stage count() actions:
-    // every observed frame is upstream of the shard write, so ONE
-    // action fills every counter — at 100 TB this is the difference
-    // between auditing the run and re-scanning the corpus five times
-    // (the persists only soften the latter on a single box).
-    //
-    // Placement rule (easy to get wrong): a CollectMetrics node that
-    // sits ABOVE a cache and is consumed more than once inside one
-    // action accumulates per consumption — the count silently doubles.
-    // Every observe here therefore sits INSIDE a persisted subtree
-    // (fires exactly once, when the cache materializes) or on a
-    // single-consumer chain; the spec pins the totals against the
-    // count() formulation.
-    val obsInput   = org.apache.spark.sql.Observation()
-    val obsGate    = org.apache.spark.sql.Observation()
-    val obsCleaned = org.apache.spark.sql.Observation()
-    val obsKept    = org.apache.spark.sql.Observation()
-    val nRows = org.apache.spark.sql.functions.count(
-      org.apache.spark.sql.functions.lit(1)).as("n")
-    val gopherGated0 = TextAnalysis.gopherGateFilter(docs.observe(obsInput, nRows))
+    val gopherGated0 = TextAnalysis.gopherGateFilter(docs)
     // optional template cut: mine the corpus top-20 boilerplate grams
     // and drop documents whose coverage exceeds the threshold. Runs on
     // the gopher survivors, whose min-token rule guarantees every doc
     // has grams (so absence from the coverage frame cannot occur and
     // the semi-join is exact). Before dedup on purpose: boilerplate
     // docs are exactly the ones that explode LSH buckets.
-    val gated = maxBoilerplate match {
+    val extraCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val gated = (maxBoilerplate match {
       case Some(t) =>
         val gg = gopherGated0.persist(StorageLevel.MEMORY_AND_DISK)
+        extraCaches += gg
         gg.join(
-            TextAnalysis.boilerplateCoverage(gg)
-              .filter(col("boiler_fraction") <= t).select("doc_id"),
-            Seq("doc_id"), "left_semi")
-          .observe(obsGate, nRows)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      case None =>
-        gopherGated0.observe(obsGate, nRows)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-    }
+          TextAnalysis.boilerplateCoverage(gg)
+            .filter(col("boiler_fraction") <= t).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case None => gopherGated0
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     // cleaningPipelineClustered emits (doc_id, n_tokens, fingerprint);
     // the text rides back in via a doc_id equi-join against the gated
     // frame (cheap: survivors-sized build side, no text re-derivation)
     val cleaned = Dedup.cleaningPipelineClustered(
-        gated, checkpointDir = checkpointDir)
-      .observe(obsCleaned, nRows)
+      gated, checkpointDir = checkpointDir)
     val survivors = gated.join(
       cleaned.select("doc_id"), Seq("doc_id"), "left_semi")
     val scrubbed = TextAnalysis.piiScrub(survivors, ordered = false)
@@ -122,7 +103,6 @@ object CorpusPipeline {
       .filter(col("contam_ratio") <= maxContamRatio)
       .select("doc_id")
     val kept = scrubbed.join(contamOk, Seq("doc_id"), "left_semi")
-      .observe(obsKept, nRows)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // optional temperature reweighting of the FINAL corpus (rates are
     // computed on what survived cleaning, which is what trains): lang
@@ -151,25 +131,37 @@ object CorpusPipeline {
         Seq("doc_id"), "left_semi")
       case None => reweighted
     }
-    // the shard write is the ONE action that fills every observation
-    // (each observed frame is on its lineage); the JSONL export reuses
-    // the persisted `kept` cache and the already-completed observations.
-    // shipped gets NO observe: writeTrainingShards consumes the frame
-    // twice in one action (pack + text join), which would double a
-    // CollectMetrics above the kept cache — when no downsampling stage
-    // is active, shipped IS kept; otherwise one cache-read count pays
-    // for the audit
     ParquetSink.writeTrainingShards(shipped, shardDir, nShards, seqLen)
     JsonlSink.writePartitioned(shipped, jsonlDir)
-    def n(o: org.apache.spark.sql.Observation): Long =
-      o.get("n") match { case l: java.lang.Long => l.longValue }
-    val report = Report(n(obsInput), n(obsGate), n(obsCleaned), n(obsKept),
-      if (shipped eq kept) n(obsKept) else shipped.count())
+    // Stage counts in ONE audit aggregation instead of five count()
+    // actions: membership flags for every stage frame left-join the
+    // id-only corpus scan, and a single count-the-flags aggregate
+    // reads them all. Runs AFTER the writes, so the flag frames are
+    // already-cached (gated/kept) or cheap id projections — at 100 TB
+    // this is one narrow pass, not five corpus re-scans. Deliberately
+    // NOT `observe`/CollectMetrics: a metrics node under a cache that
+    // two cold consumers race (multi-executor reality for every frame
+    // here) fires once PER COMPUTATION and silently inflates the
+    // counters — an aggregation over materialized frames cannot.
+    val flag = org.apache.spark.sql.functions.lit(1)
+    val audit = docs.select(col("doc_id"))
+      .join(gated.select(col("doc_id")).withColumn("g", flag), Seq("doc_id"), "left")
+      .join(cleaned.select(col("doc_id")).withColumn("c", flag), Seq("doc_id"), "left")
+      .join(kept.select(col("doc_id")).withColumn("k", flag), Seq("doc_id"), "left")
+      .join(shipped.select(col("doc_id")).withColumn("s", flag), Seq("doc_id"), "left")
+      .agg(
+        org.apache.spark.sql.functions.count(flag).as("input"),
+        org.apache.spark.sql.functions.count(col("g")).as("gated"),
+        org.apache.spark.sql.functions.count(col("c")).as("cleaned"),
+        org.apache.spark.sql.functions.count(col("k")).as("kept"),
+        org.apache.spark.sql.functions.count(col("s")).as("shipped"))
+      .head()
+    val report = Report(audit.getLong(0), audit.getLong(1),
+      audit.getLong(2), audit.getLong(3), audit.getLong(4))
     if (clearCacheOnExit) docs.sparkSession.catalog.clearCache()
     else {
-      gated.unpersist(blocking = false)
-      scrubbed.unpersist(blocking = false)
-      kept.unpersist(blocking = false)
+      (extraCaches.toSeq :+ gated :+ scrubbed :+ kept)
+        .foreach(_.unpersist(blocking = false))
     }
     report
   }

@@ -320,7 +320,11 @@ object Aggregates {
     */
   def hotKeys(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
-    val total = df.select(count(lit(1)).as("total"))
+    // the total re-aggregates the #keys-row counts frame, NOT the
+    // input — a second full scan of the fact table would double the
+    // audit's read cost on exactly the table it exists to protect
+    // (ReuseExchange shares the counts shuffle between the two sides)
+    val total = counts.agg(sum("n").as("total"))
     counts.crossJoin(broadcast(total))
       .select(col("key"), col("n"),
         round(col("n") / col("total"), 6).as("frac"))

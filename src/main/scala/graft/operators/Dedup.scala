@@ -196,6 +196,11 @@ object Dedup {
     * query IS the calibration step: run it on a representative
     * sample, pick banding parameters, then launch the linear-cost
     * cascade on the full corpus.
+    *
+    * Caching contract (same as [[graft.operators.TrainingData.evalDecontaminate]]):
+    * the sample's shingle frame persists for the duration of the
+    * returned plan; the caller releases it (`clearCache`/`unpersist`)
+    * when the report has been consumed.
     */
   def lshRecallReport(docs: DataFrame, threshold: Double = 0.2,
                       sampleSize: Int = 500): DataFrame = {

@@ -360,8 +360,13 @@ object TextAnalysis {
     * ships 3 small columns per doc, never the normalized text itself.
     */
   def normalizeText(docs: DataFrame): DataFrame = {
+    // EXPLICIT whitespace class, not \s: Java's \s includes \x0B
+    // (vertical tab) while RE2's does not — the one place the "same
+    // regex" claim breaks between the engines. With the explicit
+    // class both treat \x0B identically (stripped by the non-printable
+    // pass instead of folded to a space).
     val nt = trim(regexp_replace(regexp_replace(regexp_replace(
-      lower(col("text")), "\\s+", " "), "[^ -~]", ""), " +", " "))
+      lower(col("text")), "[ \\t\\n\\f\\r]+", " "), "[^ -~]", ""), " +", " "))
     docs.select(col("doc_id"),
         length(col("text")).as("n_raw"),
         length(nt).as("n_norm"),

@@ -364,17 +364,6 @@ object TrainingData {
         round(col("last.value"), 4).as("last_value"))
       .orderBy("user_id")
 
-  /** Sequence-length histogram with cumulative coverage — the report
-    * that sizes [[sequencePack]]'s seqLen: bucket documents by token
-    * count (fixed-width buckets) and carry the running fraction of
-    * the corpus at or below each bucket, so "what seqLen covers 99%
-    * of documents without truncation" is a direct read-off.
-    *
-    * One map-side-combined aggregation over per-document token
-    * counts; the cumulative window runs AFTER the aggregation, over
-    * #buckets rows (corpus-independent — a few hundred at any scale),
-    * so its single-partition sort is a non-issue.
-    */
   /** Source-stratified PPS sampling — [[ppsSample]]'s budget applied
     * PER SOURCE instead of corpus-wide: every source contributes its
     * own fixed-size, length-weighted subsample (the mixture-recipe
@@ -413,6 +402,10 @@ object TrainingData {
     * aggregation; the gate's min-token rule guarantees every deduped
     * doc shingles, so absence from the decontamination frame cannot
     * happen and the kept count is exact.
+    *
+    * Caching contract (same as [[evalDecontaminate]]): the gate-survivor
+    * frame persists for the duration of the returned plan; the caller
+    * releases it (`clearCache`/`unpersist`) once the report is consumed.
     */
   def pipelineFunnel(docs: DataFrame, evalDocs: DataFrame,
                      maxContamRatio: Double = 0.5): DataFrame = {
@@ -436,6 +429,17 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** Sequence-length histogram with cumulative coverage — the report
+    * that sizes [[sequencePack]]'s seqLen: bucket documents by token
+    * count (fixed-width buckets) and carry the running fraction of
+    * the corpus at or below each bucket, so "what seqLen covers 99%
+    * of documents without truncation" is a direct read-off.
+    *
+    * One map-side-combined aggregation over per-document token
+    * counts; the cumulative window runs AFTER the aggregation, over
+    * #buckets rows (corpus-independent — a few hundred at any scale),
+    * so its single-partition sort is a non-issue.
+    */
   def lengthHistogram(docs: DataFrame, bucketWidth: Int = 32): DataFrame = {
     val nTok = size(split(col("text"), " "))
     val hist = docs

@@ -22,13 +22,13 @@ class TrainingDataSpec extends AnyFunSuite {
     val r = graft.apps.CorpusPipeline.run(docs, evalSet, shardDir, jsonlDir, nShards = 2)
     assert(r.input >= r.gated && r.gated >= r.cleaned && r.cleaned >= r.kept)
     assert(r.kept > 0, s"pipeline shipped nothing: $r")
-    // the observe-collected counters must equal the count() formulation
-    // exactly — a CollectMetrics node above a multiply-consumed cache
-    // would silently double these (the placement rule in run()'s
-    // scaladoc); input and gate pin the two ends of the chain
-    assert(r.input == docs.count(), s"observed input diverged: $r")
+    // the single-pass audit counters must equal the per-stage count()
+    // formulation exactly (the audit is a flags-join aggregate, so a
+    // join-key duplication bug would inflate these); input and gate
+    // pin the two ends of the chain
+    assert(r.input == docs.count(), s"audited input diverged: $r")
     assert(r.gated == graft.operators.TextAnalysis.gopherGateFilter(docs).count(),
-      s"observed gate count diverged: $r")
+      s"audited gate count diverged: $r")
     // the planted eval docs can never reach the training set
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))

@@ -28,6 +28,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
       Tables.events(spark, sfDir).count())
   }
 
+  test("round-8 grouping-set and window families are SQL-addressable, equal to the operators") {
+    Tables.registerViews(spark, sfDir)
+    val cubeSql = spark.sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        |coalesce(l_linestatus, '(all)') AS status,
+        |CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |count(1) AS n, round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin).collect()
+    val cubeDf = graft.operators.Aggregates
+      .cubeFlagStatus(Tables.lineitem(spark, sfDir)).collect()
+    assert(cubeSql.sameElements(cubeDf))
+    val rankSql = spark.sql(
+      """SELECT o_orderkey, o_orderpriority,
+        |ntile(4) OVER w AS quartile,
+        |round(percent_rank() OVER w, 6) AS pct_rank,
+        |round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin).collect()
+    val rankDf = graft.operators.Aggregates
+      .priceRankFamily(Tables.orders(spark, sfDir)).collect()
+    assert(rankSql.sameElements(rankDf))
+  }
+
   test("foreachBatch sink receives batches with stable ids and writes them as batch frames") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1240,6 +1240,31 @@ object OracleSql {
         |row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn
         |FROM p)
         |SELECT source, doc_id, n_chars, round(priority, 6) AS priority
-        |FROM r WHERE rn <= 10 ORDER BY source, priority, doc_id""".stripMargin
+        |FROM r WHERE rn <= 10 ORDER BY source, priority, doc_id""".stripMargin,
+
+    // Winsorize: Spark percentile ≡ DuckDB quantile_cont (both linear
+    // interpolation — the q11 recipe); bounds rounded BEFORE the
+    // comparison on both sides.
+    "q112_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |round(quantile_cont(value, 0.05), 4) AS lo,
+        |round(quantile_cont(value, 0.95), 4) AS hi
+        |FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, round(value, 4) AS value,
+        |round(greatest(least(value, hi), lo), 4) AS value_w,
+        |(value < lo OR value > hi) AS clipped
+        |FROM events e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+
+    // LOCF: the %7 gap seeding mirrors the operator token-for-token;
+    // NULLS-FIRST pinned like q95 (frame content depends on it).
+    "q113_locf_impute" ->
+      """WITH g AS (SELECT event_id, user_id, ts,
+        |CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_gap
+        |FROM events)
+        |SELECT event_id, user_id, v_gap IS NULL AS was_gap,
+        |round(last_value(v_gap IGNORE NULLS) OVER (PARTITION BY user_id
+        |  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled
+        |FROM g ORDER BY event_id""".stripMargin
   )
 }

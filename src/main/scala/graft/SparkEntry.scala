@@ -310,7 +310,13 @@ object SparkEntry {
     // per-source PPS budgets on the TopKPerKey heap (3rd production
     // site): every source draws its own fixed-size weighted sample
     "q111_pps_per_source"  -> ((s, d) =>
-      TrainingData.ppsSamplePerSource(Tables.documents(s, d)))
+      TrainingData.ppsSamplePerSource(Tables.documents(s, d))),
+    // per-type exact-quantile clipping with audit flags (broadcast
+    // bounds frame; rounded-bound comparisons for cross-engine parity)
+    "q112_winsorize"       -> ((s, d) => Aggregates.winsorize(Tables.events(s, d))),
+    // sensor-gap LOCF imputation (deterministic %7 gap seeding like
+    // q73's PII convention; leading gaps stay null loudly)
+    "q113_locf_impute"     -> ((s, d) => Aggregates.locfImpute(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

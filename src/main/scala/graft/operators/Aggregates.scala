@@ -318,6 +318,55 @@ object Aggregates {
     * idiom — no driver collect), selection via TakeOrdered (heap
     * per partition + k-row driver merge, never a full sort).
     */
+  /** Per-group winsorization — the outlier-taming stage of metric/
+    * sensor cleaning: clip each value to its own event type's exact
+    * [pLo, pHi] quantile band, with a clipped audit flag. The bounds
+    * frame is #groups rows broadcast back onto the facts, so the
+    * corpus pays one quantile shuffle and the clip itself is a
+    * narrow map — the same broadcast-calibration shape as
+    * [[graft.operators.TextAnalysis.sourceQualityGate]]. Bounds are
+    * ROUNDED to 4 decimals before the comparison on both engines, so
+    * a sub-ulp interpolation difference can't flip a clip verdict.
+    */
+  def winsorize(ev: DataFrame, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val bounds = ev.groupBy("event_type").agg(
+      round(percentile(col("value"), lit(pLo)), 4).as("lo"),
+      round(percentile(col("value"), lit(pHi)), 4).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        round(greatest(least(col("value"), col("hi")), col("lo")), 4).as("value_w"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+      .orderBy("event_id")
+  }
+
+  /** Last-observation-carried-forward imputation — the canonical
+    * sensor-gap fill (the reference's occupancy domain reads exactly
+    * this kind of feed): per user, a missing value takes the most
+    * recent earlier observation; leading gaps (no prior observation)
+    * stay null, loudly. One per-key window with a bounded-entry
+    * running `last(ignoreNulls)` — the same single hash-partition +
+    * sort any per-user operator pays, no extra shuffle.
+    *
+    * The synthetic events table has no gaps, so the query tier seeds
+    * them deterministically (value nulled where event_id % 7 = 0 —
+    * the q73 PII-seeding convention, mirrored token-for-token in the
+    * oracle) and then imputes them for real.
+    */
+  def locfImpute(ev: DataFrame): DataFrame = {
+    val gapped = ev.withColumn("v_gap",
+      when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gapped
+      .withColumn("v_filled", last(col("v_gap"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"),
+        col("v_gap").isNull.as("was_gap"),
+        round(col("v_filled"), 4).as("v_filled"))
+      .orderBy("event_id")
+  }
+
   def hotKeys(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
     // the total re-aggregates the #keys-row counts frame, NOT the

@@ -246,6 +246,59 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(bySource.values.forall(_ == 10), bySource.toString)
   }
 
+  // ---- q112 winsorize -----------------------------------------------
+
+  test("winsorize clips exactly at the group quantile band and flags it") {
+    val events = Tables.events(spark, sfDir)
+    val res = Aggregates.winsorize(events).collect()
+    assert(res.length == events.count())
+    // clipped rows moved to a bound; unclipped rows are untouched
+    for (r <- res) {
+      val (v, w, clipped) = (r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      if (!clipped) assert(v == w, r.toString)
+      else assert(v != w || v == w, r.toString) // boundary-equal clips allowed
+    }
+    // ~10% of each group sits outside the [p05, p95] band
+    val frac = res.count(_.getBoolean(4)).toDouble / res.length
+    assert(frac > 0.05 && frac < 0.15, s"clip fraction $frac")
+    // winsorized values sit inside independently computed group bounds
+    // (the interpolated bound need not equal any observed value)
+    val bounds = events.groupBy("event_type").agg(
+        percentile(col("value"), lit(0.05)).as("lo"),
+        percentile(col("value"), lit(0.95)).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (r <- res) {
+      val (lo, hi) = bounds(r.getString(1))
+      val w = r.getDouble(3)
+      assert(w >= lo - 1e-4 && w <= hi + 1e-4, r.toString)
+    }
+  }
+
+  // ---- q113 LOCF imputation -----------------------------------------
+
+  test("locfImpute carries the previous observation; leading gaps stay null") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: gap at id 7 takes value of id 5; gap at 14 takes 9
+      (5L, ts("2026-01-01 10:00:00"), 1L, "view", 50.0, "{}"),
+      (7L, ts("2026-01-01 10:01:00"), 1L, "view", 999.0, "{}"), // seeded gap
+      (9L, ts("2026-01-01 10:02:00"), 1L, "view", 90.0, "{}"),
+      (14L, ts("2026-01-01 10:03:00"), 1L, "view", 999.0, "{}"), // seeded gap
+      // user 2: FIRST event is a gap → stays null
+      (21L, ts("2026-01-01 11:00:00"), 2L, "view", 999.0, "{}"),
+      (22L, ts("2026-01-01 11:01:00"), 2L, "view", 22.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = Aggregates.locfImpute(ev).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(res(5L)  == ((false, Some(50.0))))
+    assert(res(7L)  == ((true,  Some(50.0)))) // carried forward
+    assert(res(9L)  == ((false, Some(90.0))))
+    assert(res(14L) == ((true,  Some(90.0)))) // carried forward
+    assert(res(21L) == ((true,  None)))       // leading gap: loud null
+    assert(res(22L) == ((false, Some(22.0))))
+  }
+
   // ---- q105 hot keys ------------------------------------------------
 
   test("hotKeys: frequencies, shares, and deterministic tie-break") {

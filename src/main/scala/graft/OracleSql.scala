@@ -1265,6 +1265,53 @@ object OracleSql {
         |round(last_value(v_gap IGNORE NULLS) OVER (PARTITION BY user_id
         |  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled
-        |FROM g ORDER BY event_id""".stripMargin
+        |FROM g ORDER BY event_id""".stripMargin,
+
+    // Funnel: step-k time = earliest step-k event strictly after the
+    // user's step-(k-1) time; the join formulation here is equivalent
+    // to the operator's windowed conditional-min chain. Counts are
+    // integers, so the conversion division is exact on both engines.
+    "q114_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+        |             (SELECT count(*) FROM s2) AS u2,
+        |             (SELECT count(*) FROM s3) AS u3)
+        |SELECT 1 AS step, 'view' AS event_type, u1 AS users,
+        |       CAST(1.0 AS DOUBLE) AS conv_from_prev FROM c
+        |UNION ALL SELECT 2, 'click', u2, round(u2 * 1.0 / u1, 4) FROM c
+        |UNION ALL SELECT 3, 'purchase', u3, round(u3 * 1.0 / u2, 4) FROM c
+        |ORDER BY step""".stripMargin,
+
+    // Cohort retention: both engines truncate to ISO Monday weeks, so
+    // the day difference is an exact multiple of 7 and the /7 + int
+    // cast is exact (no float rounding can flip a cell).
+    "q115_retention_cohort" ->
+      """WITH u AS (SELECT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |  min(CAST(date_trunc('week', ts) AS DATE))
+        |    OVER (PARTITION BY user_id) AS cohort FROM events)
+        |SELECT cohort, CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_offset,
+        |count(DISTINCT user_id) AS n_users
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Markov transitions: ts carries microseconds (ties broken by
+    // event_id anyway), counts are exact ints, p rounded at 6.
+    "q116_event_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |round(n * 1.0 / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY 1, 2""".stripMargin
   )
 }

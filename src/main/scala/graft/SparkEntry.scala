@@ -316,7 +316,13 @@ object SparkEntry {
     "q112_winsorize"       -> ((s, d) => Aggregates.winsorize(Tables.events(s, d))),
     // sensor-gap LOCF imputation (deterministic %7 gap seeding like
     // q73's PII convention; leading gaps stay null loudly)
-    "q113_locf_impute"     -> ((s, d) => Aggregates.locfImpute(Tables.events(s, d)))
+    "q113_locf_impute"     -> ((s, d) => Aggregates.locfImpute(Tables.events(s, d))),
+    // ordered min-time conversion funnel (view → click → purchase)
+    "q114_event_funnel"    -> ((s, d) => EventAnalytics.funnel(Tables.events(s, d))),
+    // first-touch weekly cohort retention triangle
+    "q115_retention_cohort" -> ((s, d) => EventAnalytics.retentionCohorts(Tables.events(s, d))),
+    // first-order Markov transition matrix over event types
+    "q116_event_transitions" -> ((s, d) => EventAnalytics.eventTransitions(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

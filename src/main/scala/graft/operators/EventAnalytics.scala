@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product/event analytics over the events stream: ordered-step
+  * funnels, first-touch cohort retention, and event-type transition
+  * matrices. The reference's EDA layer stops at per-hour/per-day
+  * rollups (eda/eda_analysis.py:111-130); these are the next queries
+  * any team asks of the same feed, and each is a driver-contract
+  * extension with an exact DuckDB oracle.
+  *
+  * Scale shape shared by all three: ONE hash partition on `user_id`
+  * (the natural analytics key — ~uniform cardinality, no hot user at
+  * corpus scale) and per-user window passes that all reuse that same
+  * partitioning, so Catalyst plans a single Exchange however many
+  * window stages an operator stacks. Post-aggregation frames are
+  * #steps / #cohort-weeks / #type² rows — driver-safe everywhere.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: for each user, step k is reached at
+    * the EARLIEST event of type `steps(k)` that happens STRICTLY
+    * AFTER the user reached step k-1 (the classic min-time funnel, so
+    * a purchase logged before the first view does not count as a
+    * conversion). Output is one row per step with the surviving user
+    * count and the step-over-step conversion rate.
+    *
+    * Each step adds one more windowed conditional-min over the SAME
+    * user partition — k steps = k Window nodes, one Exchange. The
+    * final stack/lag runs on a #steps-row frame (the only
+    * unpartitioned window here, bounded by the funnel definition
+    * itself, not the data).
+    */
+  def funnel(ev: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy("user_id")
+    var df = ev.select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === steps.head, col("ts"))).over(w))
+    for (i <- 2 to steps.length)
+      df = df.withColumn(s"t$i",
+        min(when(col("event_type") === steps(i - 1) && col("ts") > col(s"t${i - 1}"),
+          col("ts"))).over(w))
+    // one row per user (the tK are window-constants; max just picks them)
+    val perUser = df.groupBy("user_id")
+      .agg(max(col("t1")).as("t1"),
+        (2 to steps.length).map(i => max(col(s"t$i")).as(s"t$i")): _*)
+    // #steps-row funnel frame: step index, label, surviving users
+    val stackArgs = steps.indices
+      .map(i => s"${i + 1}, '${steps(i)}', count(t${i + 1})").mkString(", ")
+    val counts = perUser
+      .selectExpr(s"stack(${steps.length}, $stackArgs) as (step, event_type, users)")
+    val ws = Window.orderBy("step")
+    counts
+      .withColumn("conv_from_prev",
+        coalesce(round(col("users") / lag(col("users"), 1).over(ws), 4), lit(1.0)))
+      .orderBy("step")
+  }
+
+  /** First-touch weekly cohort retention: users are assigned to the
+    * ISO week of their first event, and each (cohort, week-offset)
+    * cell counts the distinct users of that cohort active in that
+    * week — the standard retention triangle. Week arithmetic stays in
+    * whole truncated weeks on both engines, so the day-difference is
+    * always an exact multiple of 7 and the integer division is exact.
+    *
+    * One user-partition window for the cohort assignment (reusing the
+    * scan's shuffle), then a countDistinct over (cohort, offset) —
+    * distinct-aggregate shuffle rows are (date, int, long) triples,
+    * never wider.
+    */
+  def retentionCohorts(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    ev.select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .withColumn("cohort", min(col("wk")).over(w))
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** First-order Markov transition matrix of event types: per user,
+    * consecutive event pairs (ordered by time, event_id tiebreak) are
+    * counted into a #types² matrix with the conditional transition
+    * probability P(to | from). The per-user lead() reuses the same
+    * user-partition sort every per-user operator here pays; the
+    * probability window runs on the aggregated #types²-row frame.
+    */
+  def eventTransitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p",
+        round(col("n") / sum(col("n")).over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.EventAnalytics
+
+/** Event-analytics layer (q114–q116): ordered min-time funnel,
+  * first-touch weekly cohort retention, and the event-type Markov
+  * transition matrix. Fixtures have hand-computable answers; the
+  * DuckDB oracle covers engine parity at sf scale.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def eventsDf(rows: Seq[(Long, String, Long, String)]) =
+    rows.map { case (id, t, u, ty) => (id, ts(t), u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  // ---- q114 funnel ---------------------------------------------------
+
+  test("funnel: steps must happen strictly after the previous step") {
+    val df = eventsDf(Seq(
+      // user 1 converts fully: view → click → purchase
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "click"),
+      (3L, "2024-01-01 10:10:00", 1L, "purchase"),
+      // user 2: purchase BEFORE the first view — step 3 not reached
+      (4L, "2024-01-01 09:00:00", 2L, "purchase"),
+      (5L, "2024-01-01 10:00:00", 2L, "view"),
+      (6L, "2024-01-01 10:05:00", 2L, "click"),
+      // user 3: view only
+      (7L, "2024-01-01 11:00:00", 3L, "view"),
+      // user 4: click without any view — enters no step
+      (8L, "2024-01-01 11:00:00", 4L, "click")))
+    val res = EventAnalytics.funnel(df).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(res.toSeq == Seq(
+      (1, "view", 3L, 1.0),      // users 1, 2, 3
+      (2, "click", 2L, 0.6667),  // users 1, 2 (user 4 had no view)
+      (3, "purchase", 1L, 0.5))) // user 1 only (user 2's purchase was early)
+  }
+
+  test("funnel: simultaneous events do NOT advance (strict inequality)") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:00:00", 1L, "click"))) // same instant as the view
+    val res = EventAnalytics.funnel(df, Seq("view", "click")).collect()
+      .map(r => (r.getInt(0), r.getLong(2)))
+    assert(res.toSeq == Seq((1, 1L), (2, 0L)))
+  }
+
+  test("funnel on the events table: monotone counts, rates in (0,1]") {
+    val res = EventAnalytics.funnel(Tables.events(spark, sfDir)).collect()
+    assert(res.length == 3)
+    val users = res.map(_.getLong(2))
+    assert(users.zip(users.tail).forall { case (a, b) => b <= a })
+    assert(res.map(_.getDouble(3)).forall(c => c > 0.0 && c <= 1.0))
+  }
+
+  // ---- q115 retention cohorts ----------------------------------------
+
+  test("retentionCohorts: offsets count whole weeks from the first-touch week") {
+    val df = eventsDf(Seq(
+      // user 1 first seen week of Mon 2024-01-01; active weeks 0 and 2
+      (1L, "2024-01-02 10:00:00", 1L, "view"),
+      (2L, "2024-01-17 10:00:00", 1L, "view"),
+      // user 2 same cohort, week 0 only (two events, one distinct user)
+      (3L, "2024-01-03 10:00:00", 2L, "click"),
+      (4L, "2024-01-05 10:00:00", 2L, "view"),
+      // user 3 cohort of Mon 2024-01-08, week 1
+      (5L, "2024-01-08 10:00:00", 3L, "view"),
+      (6L, "2024-01-15 10:00:00", 3L, "view")))
+    val res = EventAnalytics.retentionCohorts(df).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(res.toSeq == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+  }
+
+  test("retentionCohorts on the events table: offset 0 has every cohort user") {
+    val ev = Tables.events(spark, sfDir)
+    val res = EventAnalytics.retentionCohorts(ev)
+    val week0 = res.filter(col("week_offset") === 0)
+      .agg(sum("n_users")).as[Long].head()
+    val users = ev.select(countDistinct("user_id")).as[Long].head()
+    assert(week0 == users) // everyone is active in their own first week
+  }
+
+  // ---- q116 transitions ------------------------------------------------
+
+  test("eventTransitions: counts consecutive pairs per user, rows sum to 1") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "view"),
+      (3L, "2024-01-01 10:02:00", 1L, "click"),
+      (4L, "2024-01-01 10:00:00", 2L, "view"),
+      (5L, "2024-01-01 10:01:00", 2L, "click"),
+      // user 3's single event yields no transition
+      (6L, "2024-01-01 10:00:00", 3L, "purchase")))
+    val res = EventAnalytics.eventTransitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(res.toSeq == Seq(
+      ("view", "click", 2L, 0.666667),
+      ("view", "view", 1L, 0.333333)))
+  }
+
+  test("eventTransitions: ties on ts break by event_id") {
+    val df = eventsDf(Seq(
+      (2L, "2024-01-01 10:00:00", 1L, "click"),
+      (1L, "2024-01-01 10:00:00", 1L, "view"))) // same ts, lower id first
+    val res = EventAnalytics.eventTransitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(res.toSeq == Seq(("view", "click", 1L)))
+  }
+
+  test("eventTransitions on the events table: probabilities sum to 1 per from_type") {
+    val sums = EventAnalytics.eventTransitions(Tables.events(spark, sfDir))
+      .groupBy("from_type").agg(sum("p").as("s")).select("s").as[Double].collect()
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-3))
+  }
+}

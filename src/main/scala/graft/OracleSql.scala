@@ -1312,6 +1312,35 @@ object OracleSql {
         |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
         |round(n * 1.0 / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
-        |FROM c ORDER BY 1, 2""".stripMargin
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
+    // Trend: x is centered on the corpus's first day (see the
+    // operator's conditioning note); both engines then run the same
+    // regr_* aggregates over small, well-conditioned doubles.
+    "q117_trend_regression" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n FROM events GROUP BY 1, 2),
+        |a AS (SELECT min(day) AS day0 FROM d)
+        |SELECT event_type, count(*) AS n_days,
+        |round(regr_slope(n * 1.0, date_diff('day', day0, day) * 1.0), 4) AS slope,
+        |round(regr_intercept(n * 1.0, date_diff('day', day0, day) * 1.0), 4) AS intercept,
+        |round(regr_r2(n * 1.0, date_diff('day', day0, day) * 1.0), 4) AS r2
+        |FROM d, a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // KS: histogram counts are exact ints, CDFs are exact integer
+    // ratios — the max gap is bit-identical pre-rounding. floor() of a
+    // double division is IEEE-identical on both engines.
+    "q118_ks_test" ->
+      """WITH b AS (SELECT CAST(floor(value / 0.5) AS BIGINT) AS bin,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM b),
+        |c AS (SELECT CAST(sum(na) OVER (ORDER BY bin) AS BIGINT) * 1.0 / ta AS cdfa,
+        |             CAST(sum(nb) OVER (ORDER BY bin) AS BIGINT) * 1.0 / tb AS cdfb
+        |      FROM b, t)
+        |SELECT (SELECT ta FROM t) AS n_a, (SELECT tb FROM t) AS n_b,
+        |(SELECT count(*) FROM b) AS n_bins,
+        |round(max(abs(cdfa - cdfb)), 6) AS ks_stat FROM c""".stripMargin
   )
 }

@@ -322,7 +322,11 @@ object SparkEntry {
     // first-touch weekly cohort retention triangle
     "q115_retention_cohort" -> ((s, d) => EventAnalytics.retentionCohorts(Tables.events(s, d))),
     // first-order Markov transition matrix over event types
-    "q116_event_transitions" -> ((s, d) => EventAnalytics.eventTransitions(Tables.events(s, d)))
+    "q116_event_transitions" -> ((s, d) => EventAnalytics.eventTransitions(Tables.events(s, d))),
+    // OLS daily-activity trend per event type (regr_* aggregates)
+    "q117_trend_regression" -> ((s, d) => EventAnalytics.activityTrend(Tables.events(s, d))),
+    // binned two-sample Kolmogorov-Smirnov: view vs purchase values
+    "q118_ks_test"         -> ((s, d) => EventAnalytics.ksTest(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -81,6 +81,68 @@ object EventAnalytics {
       .orderBy("cohort", "week_offset")
   }
 
+  /** Per-type activity trend: ordinary least squares of daily event
+    * counts against the day index, one (slope, intercept, r²) row per
+    * event type — the "is this signal growing?" screen run over every
+    * metric of a pipeline health dashboard. Uses the SQL-standard
+    * `regr_*` aggregates (codegen'd, one pass, map-side partial), NOT
+    * a driver-side fit.
+    *
+    * The x axis is centered on the corpus's own first day (a 1-row
+    * broadcast) before the regression: with raw epoch-day x values
+    * (~20k) the covariance formula subtracts two ~4×10⁸ terms and the
+    * cancellation amplifies engine-level ulp differences past the
+    * oracle's rounding; centered x ∈ [0, ~30) keeps it
+    * well-conditioned on both engines.
+    */
+  def activityTrend(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val anchor = daily.agg(min(col("day")).as("day0"))
+    daily.crossJoin(broadcast(anchor))
+      .select(col("event_type"),
+        datediff(col("day"), col("day0")).cast("double").as("x"),
+        col("n").cast("double").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(regr_slope(col("y"), col("x")), 4).as("slope"),
+        round(regr_intercept(col("y"), col("x")), 4).as("intercept"),
+        round(regr_r2(col("y"), col("x")), 4).as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of two event types, at fixed-bin granularity: both
+    * samples are histogrammed onto the same `binWidth` grid in one
+    * pass, the empirical CDFs are cumulated over the bins frame, and
+    * the statistic is the max CDF gap. Binning is what makes this
+    * 100 TB-shaped: the exact KS needs a global sort of every
+    * observation, while this plan's only ordered window runs over the
+    * #bins-row histogram (value-range/binWidth rows, data-size
+    * independent). CDF values are exact integer ratios, so the
+    * statistic is bit-identical across engines before its rounding.
+    */
+  def ksTest(ev: DataFrame, typeA: String = "view", typeB: String = "purchase",
+             binWidth: Double = 0.5): DataFrame = {
+    val counts = ev.filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .groupBy("bin").agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("nb"))
+    val tot = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    // the bins frame is tiny; the unpartitioned cumulative window is
+    // bounded by the grid, never by the data
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("cdfa", sum(col("na")).over(w) / col("ta"))
+      .withColumn("cdfb", sum(col("nb")).over(w) / col("tb"))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        count(lit(1)).as("n_bins"),
+        round(max(abs(col("cdfa") - col("cdfb"))), 6).as("ks_stat"))
+  }
+
   /** First-order Markov transition matrix of event types: per user,
     * consecutive event pairs (ordered by time, event_id tiebreak) are
     * counted into a #types² matrix with the conditional transition

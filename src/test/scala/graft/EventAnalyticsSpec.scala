@@ -93,6 +93,52 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(week0 == users) // everyone is active in their own first week
   }
 
+  // ---- q117 trend regression -------------------------------------------
+
+  test("activityTrend: recovers an exact linear daily ramp") {
+    // type 'a': 1 event on day 0, 2 on day 1, 3 on day 2 → slope 1,
+    // intercept 1, r² 1; type 'b': constant 2/day → slope 0, r² NaN→null?
+    val rows = (0 until 3).flatMap { d =>
+      (0 to d).map(k => (d * 10L + k, f"2024-01-${d + 1}%02d 0$k:00:00", 1L, "a"))
+    } ++ (0 until 3).flatMap { d =>
+      (0 to 1).map(k => (100 + d * 10L + k, f"2024-01-${d + 1}%02d 1$k:00:00", 2L, "b"))
+    }
+    val res = EventAnalytics.activityTrend(eventsDf(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(res.toSeq == Seq(("a", 3L, 1.0, 1.0), ("b", 3L, 0.0, 2.0)))
+  }
+
+  test("activityTrend on the events table: every type covers the full month") {
+    val res = EventAnalytics.activityTrend(Tables.events(spark, sfDir)).collect()
+    assert(res.length == 5)
+    assert(res.forall(_.getLong(1) >= 28)) // daily coverage, Jan 2024
+    assert(res.forall(r => !r.isNullAt(2) && r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  // ---- q118 KS test ------------------------------------------------------
+
+  test("ksTest: identical distributions give 0, disjoint ones give 1") {
+    val same = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "purchase")))
+      // both samples hold the single value 1.0 → same bin → KS = 0
+    val r0 = EventAnalytics.ksTest(same).collect().head
+    assert((r0.getLong(0), r0.getLong(1), r0.getDouble(3)) == (1L, 1L, 0.0))
+
+    import org.apache.spark.sql.functions.{col, when => w}
+    val disjoint = same.withColumn("value",
+      w(col("event_type") === "purchase", 100.0).otherwise(1.0))
+    val r1 = EventAnalytics.ksTest(disjoint).collect().head
+    assert(r1.getDouble(3) == 1.0) // CDFs never overlap below the max gap
+  }
+
+  test("ksTest on the events table: statistic in [0,1], bins bounded by range") {
+    val r = EventAnalytics.ksTest(Tables.events(spark, sfDir)).collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getLong(2) <= 1200) // value range ~[0, 500) / 0.5-wide bins
+  }
+
   // ---- q116 transitions ------------------------------------------------
 
   test("eventTransitions: counts consecutive pairs per user, rows sum to 1") {

@@ -1341,6 +1341,39 @@ object OracleSql {
         |      FROM b, t)
         |SELECT (SELECT ta FROM t) AS n_a, (SELECT tb FROM t) AS n_b,
         |(SELECT count(*) FROM b) AS n_bins,
-        |round(max(abs(cdfa - cdfb)), 6) AS ks_stat FROM c""".stripMargin
+        |round(max(abs(cdfa - cdfb)), 6) AS ks_stat FROM c""".stripMargin,
+
+    // Fuzzy pairs: the oracle states the SEMANTIC condition directly
+    // (all pairs within the length band and the distance threshold);
+    // the operator's bucketized banding is a plan-level refinement of
+    // exactly this predicate. Both engines count edits per codepoint
+    // with unit costs.
+    "q119_fuzzy_dedup" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(levenshtein(substring(a.text, 1, 200), substring(b.text, 1, 200)) AS INT) AS dist,
+        |a.n_chars AS len_a, b.n_chars AS len_b
+        |FROM documents a JOIN documents b
+        |ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
+        |WHERE levenshtein(substring(a.text, 1, 200), substring(b.text, 1, 200)) <= 20
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Priority dedup: q63's paragraph-chunk convention, survivor =
+    // lowest (tier, doc_id, pos) per duplicated fingerprint; the
+    // src<N> → tier map is N div 5 capped at 2 on both engines.
+    "q120_priority_dedup" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |  least(CAST(floor(CAST(substring(source, 4) AS INT) / 5) AS INT), 2) AS tier,
+        |  string_split(text, ' ') AS tk FROM documents),
+        |p0 AS (SELECT doc_id, source, tier,
+        |  list_transform(range(0, CAST(ceil(len(tk)/20.0) AS BIGINT)),
+        |    i -> {'pos': i, 'fp': md5(array_to_string(tk[i*20+1 : i*20+20], ' '))}) AS pf FROM tok),
+        |flat AS (SELECT doc_id, source, tier, unnest(pf) AS u FROM p0),
+        |f AS (SELECT doc_id, source, tier, CAST(u.pos AS INT) AS pos, u.fp AS fp FROM flat),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+        |    ORDER BY tier, doc_id, pos) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies FROM f)
+        |SELECT fp AS fingerprint, doc_id AS keeper_id, source AS keeper_source,
+        |tier, pos AS keeper_pos, n_copies FROM r
+        |WHERE rn = 1 AND n_copies > 1 ORDER BY fingerprint""".stripMargin
   )
 }

@@ -326,7 +326,13 @@ object SparkEntry {
     // OLS daily-activity trend per event type (regr_* aggregates)
     "q117_trend_regression" -> ((s, d) => EventAnalytics.activityTrend(Tables.events(s, d))),
     // binned two-sample Kolmogorov-Smirnov: view vs purchase values
-    "q118_ks_test"         -> ((s, d) => EventAnalytics.ksTest(Tables.events(s, d)))
+    "q118_ks_test"         -> ((s, d) => EventAnalytics.ksTest(Tables.events(s, d))),
+    // edit-distance fuzzy near-dup pairs (length-band blocked,
+    // threshold levenshtein verify on a bounded prefix)
+    "q119_fuzzy_dedup"     -> ((s, d) => Dedup.fuzzyDupPairs(Tables.documents(s, d))),
+    // source-priority paragraph dedup: trusted-tier keeper per
+    // duplicated paragraph fingerprint
+    "q120_priority_dedup"  -> ((s, d) => Dedup.priorityDedup(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for LLM-training-data pipelines:
@@ -787,4 +788,82 @@ object Dedup {
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
+
+  /** Edit-distance (fuzzy) near-dup pairs — the character-level twin
+    * of the token-level Jaccard cascade: catches single-character
+    * typo/OCR mutations that barely move a shingle set. Candidate
+    * generation is a bucketized length-band self-join (the q107 range
+    * -join shape): each document lands in ONE length bucket on the
+    * build side and probes THREE (own ± 1) on the probe side, so a
+    * pair within `bandWidth` characters meets in exactly one bucket
+    * (at the build side's own bucket) and the join stays an
+    * equi-join — no CartesianProduct, no all-pairs. Verification is
+    * `levenshtein` with Spark's early-exit threshold form on a
+    * `prefixLen`-char prefix: the shuffle carries (bucket, id, len,
+    * prefix) rows bounded at ~`prefixLen` bytes however long the
+    * documents are, and each comparison is O(prefixLen · maxDist)
+    * with the banded algorithm instead of O(prefixLen²).
+    *
+    * On the synthetic corpus the pair-distance distribution is
+    * sharply bimodal (mutated copies at ≤ 4 edits on the 200-char
+    * prefix, unrelated docs at ≥ 38), so the default threshold sits
+    * in the silent valley.
+    */
+  def fuzzyDupPairs(docs: DataFrame, bandWidth: Int = 32,
+                    prefixLen: Int = 200, maxDist: Int = 20): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("p"),
+      col("n_chars"), floor(col("n_chars") / bandWidth).cast("long").as("b"))
+    val probe = d.select(col("doc_id"), col("p"), col("n_chars"),
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bucket"))
+    val build = d.select(col("doc_id").as("doc_b"), col("p").as("pb"),
+      col("n_chars").as("len_b"), col("b").as("bucket"))
+    probe.join(build, Seq("bucket"))
+      .filter(col("doc_id") < col("doc_b") &&
+        abs(col("n_chars") - col("len_b")) <= bandWidth)
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        levenshtein(col("p"), col("pb"), maxDist).as("dist"),
+        col("n_chars").as("len_a"), col("len_b"))
+      .filter(col("dist").between(0, maxDist)) // threshold form: -1 = above
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Source-priority paragraph dedup: when the same paragraph (the
+    * [[paragraphs]] 20-token chunk convention) appears more than once
+    * across the corpus, name the copy from the most trusted source
+    * tier (curated < books < web here: src0–4, src5–9, rest) as the
+    * keeper instead of [[paragraphDedup]]'s drop-everywhere rule —
+    * the merge policy a multi-source corpus actually wants for shared
+    * boilerplate: keep ONE copy, and keep the curated one, because it
+    * carries the better provenance even when the bytes tie. Output is
+    * one row per duplicated fingerprint (singletons are not merge
+    * decisions) with the keeper's location and the copy count.
+    *
+    * One shuffle on the 16-byte paragraph fingerprint; the md5 is
+    * computed in the scan-side projection, so no paragraph text ever
+    * crosses the exchange, and both window functions share the one
+    * partition spec. The (tier, doc_id, pos) order makes the keeper a
+    * pure function of the corpus.
+    */
+  def priorityDedup(docs: DataFrame, tokensPerPara: Int = 20): DataFrame = {
+    val tier = least(floor(expr("cast(substring(source, 4) as int)") / 5), lit(2))
+      .cast("int")
+    val paras = docs
+      .select(col("doc_id"), col("source"), tier.as("tier"),
+        split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("source"), col("tier"), posexplode(expr(
+        s"transform(sequence(0, int(ceil(size(tk) / ${tokensPerPara}D)) - 1), " +
+          s"i -> concat_ws(' ', slice(tk, i * $tokensPerPara + 1, $tokensPerPara)))")))
+      .select(col("doc_id"), col("source"), col("tier"), col("pos"),
+        md5(col("col")).as("fp"))
+    val byFp = Window.partitionBy("fp")
+    paras
+      .withColumn("rn", row_number().over(byFp.orderBy("tier", "doc_id", "pos")))
+      .withColumn("n_copies", count(lit(1)).over(byFp))
+      .filter(col("rn") === 1 && col("n_copies") > 1)
+      .select(col("fp").as("fingerprint"), col("doc_id").as("keeper_id"),
+        col("source").as("keeper_source"), col("tier"),
+        col("pos").as("keeper_pos"), col("n_copies"))
+      .orderBy("fingerprint")
+  }
 }

@@ -75,6 +75,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res.find(_.getString(0) == "aaa").get.getLong(2) == 2L)
   }
 
+  test("fuzzyDupPairs finds small-edit pairs and rejects band/distance outliers") {
+    import spark.implicits._
+    val base = ("ab" * 50)                       // 100 chars
+    val oneEdit = "zb" + ("ab" * 49)             // distance 1 from base
+    val unrelated = ("qz" * 50)                  // same length, distance 100
+    val longer = base + ("cd" * 40)              // 180 chars: outside the 32-band
+    val df = Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, oneEdit, "en", "s", oneEdit.length.toLong),
+      (3L, unrelated, "en", "s", unrelated.length.toLong),
+      (4L, longer, "en", "s", longer.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = Dedup.fuzzyDupPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(res.toSeq == Seq((1L, 2L, 1)))
+  }
+
+  test("fuzzyDupPairs: the ±1 bucket probe catches cross-bucket pairs in either id order") {
+    import spark.implicits._
+    // lower doc_id sits in the HIGHER length bucket (33/32=1 vs 31/32=0)
+    // — the orientation a one-sided [b, b+1] probe would miss
+    val a = "a" * 33
+    val b = "a" * 31
+    val df = Seq(
+      (1L, a, "en", "s", a.length.toLong),
+      (2L, b, "en", "s", b.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = Dedup.fuzzyDupPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(res.toSeq == Seq((1L, 2L, 2)))
+  }
+
+  test("fuzzyDupPairs on the corpus: lights up, no duplicates, band respected") {
+    val res = Dedup.fuzzyDupPairs(documents).collect()
+    assert(res.nonEmpty) // 28 mutated-copy pairs at sf0.001
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).distinct.length == res.length)
+    assert(res.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(res.forall(r => r.getInt(2) <= 20))
+    assert(res.forall(r => math.abs(r.getLong(3) - r.getLong(4)) <= 32))
+  }
+
+  test("priorityDedup keeps the trusted-tier copy of a shared paragraph") {
+    import spark.implicits._
+    val para = (1 to 20).map("w" + _).mkString(" ")
+    val df = Seq(
+      (7L, para, "en", "src12", 0L), // tier 2 (web)
+      (8L, para, "en", "src3", 0L),  // tier 0 (curated) → keeper despite higher id
+      (9L, para, "en", "src7", 0L)   // tier 1 (books)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = Dedup.priorityDedup(df).collect()
+    assert(res.length == 1)
+    val r = res.head
+    assert((r.getLong(1), r.getString(2), r.getInt(3), r.getLong(5)) ==
+      (8L, "src3", 0, 3L))
+  }
+
+  test("priorityDedup: doc_id breaks ties within a tier; singletons are silent") {
+    import spark.implicits._
+    val para = (1 to 20).map("w" + _).mkString(" ")
+    val solo = (1 to 20).map("x" + _).mkString(" ")
+    val df = Seq(
+      (5L, para, "en", "src0", 0L), // tier 0
+      (3L, para, "en", "src4", 0L), // tier 0, lower id → keeper
+      (6L, solo, "en", "src1", 0L)  // unique paragraph: not a merge decision
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = Dedup.priorityDedup(df).collect()
+    assert(res.length == 1)
+    assert((res.head.getLong(1), res.head.getString(2)) == (3L, "src4"))
+  }
+
   test("ShingleGenerator emits exactly the composable pipeline's shingle multiset") {
     import spark.implicits._
     import graft.functions.ShingleGenerator.shingles

@@ -1374,6 +1374,35 @@ object OracleSql {
         |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies FROM f)
         |SELECT fp AS fingerprint, doc_id AS keeper_id, source AS keeper_source,
         |tier, pos AS keeper_pos, n_copies FROM r
-        |WHERE rn = 1 AND n_copies > 1 ORDER BY fingerprint""".stripMargin
+        |WHERE rn = 1 AND n_copies > 1 ORDER BY fingerprint""".stripMargin,
+
+    // Bigram LM: both engines build the identical integer bigram
+    // counts, take ln of the identical double ratio, and round the
+    // per-doc mean at 4 — ulp-level libm differences sit ~12 digits
+    // below the rounding.
+    "q121_bigram_lm" ->
+      """WITH gr AS (SELECT doc_id,
+        |  unnest([substring(text, i, 2) for i in range(1, length(text))]) AS bg
+        |  FROM documents WHERE length(text) >= 2),
+        |m AS (SELECT bg, count(*) AS ng FROM gr GROUP BY 1),
+        |m2 AS (SELECT bg, ln(ng * 1.0 /
+        |  CAST(sum(ng) OVER (PARTITION BY substring(bg, 1, 1)) AS DOUBLE)) AS logp FROM m),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams, avg(logp) AS al
+        |      FROM gr JOIN m2 USING (bg) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, round(al, 4) AS avg_logp,
+        |round(exp(-al), 4) AS ppl FROM s ORDER BY doc_id""".stripMargin,
+
+    // Weighted median: cumulative sums are exact ints; the crossing
+    // test (2·cumw ≥ total) never touches a float.
+    "q122_weighted_median" ->
+      """WITH c AS (SELECT source, n_chars,
+        |  sum(n_chars) OVER (PARTITION BY source
+        |    ORDER BY n_chars ASC NULLS FIRST, doc_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |  sum(n_chars) OVER (PARTITION BY source) AS total,
+        |  count(*) OVER (PARTITION BY source) AS n_docs FROM documents)
+        |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |CAST(max(total) AS BIGINT) AS total_chars, min(n_chars) AS wmedian_len
+        |FROM c WHERE cumw * 2 >= total GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

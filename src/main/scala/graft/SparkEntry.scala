@@ -332,7 +332,11 @@ object SparkEntry {
     "q119_fuzzy_dedup"     -> ((s, d) => Dedup.fuzzyDupPairs(Tables.documents(s, d))),
     // source-priority paragraph dedup: trusted-tier keeper per
     // duplicated paragraph fingerprint
-    "q120_priority_dedup"  -> ((s, d) => Dedup.priorityDedup(Tables.documents(s, d)))
+    "q120_priority_dedup"  -> ((s, d) => Dedup.priorityDedup(Tables.documents(s, d))),
+    // char-bigram LM likelihood / perplexity gibberish screen
+    "q121_bigram_lm"       -> ((s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d))),
+    // character-weighted median document length per source
+    "q122_weighted_median" -> ((s, d) => TrainingData.weightedMedianLength(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

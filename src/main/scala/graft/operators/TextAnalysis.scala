@@ -414,6 +414,40 @@ object TextAnalysis {
           .as("char_entropy"))
       .orderBy("doc_id")
 
+  /** Character-bigram language-model likelihood — the CCNet-style
+    * "does this look like the corpus's language at all" screen that
+    * catches gibberish, encoding damage, and wrong-charset documents
+    * that per-rule gates ([[gopherGate]]) miss: the corpus's own
+    * bigram distribution is the model, and each document is scored by
+    * its mean conditional log-probability ln P(c₂|c₁) with perplexity
+    * exp(−mean). Damaged text draws from rare transitions and its
+    * perplexity explodes.
+    *
+    * Two scans of the text (one builds the model, one scores) rather
+    * than a persisted bigram stream — the exploded stream is one row
+    * per corpus CHARACTER, exactly the frame not to cache at 100 TB.
+    * The model itself is bounded by the distinct-bigram vocabulary
+    * (charset², MBs even for CJK corpora), so it broadcasts, and the
+    * scoring join never shuffles the big side. The `length ≥ 2` guard
+    * keeps `sequence(1, len-1)` ascending (Spark's descending-
+    * sequence/ANSI trap — see the charEntropy notes above).
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    def grams(df: DataFrame) = df.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+    val model = grams(docs).groupBy("bg").agg(count(lit(1)).as("ng"))
+      .withColumn("n1", sum(col("ng")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(substring(col("bg"), 1, 1))))
+      .select(col("bg"), log(col("ng") / col("n1")).as("logp"))
+    grams(docs).join(broadcast(model), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 4).as("avg_logp"),
+        round(exp(-avg(col("logp"))), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   def seedPii(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
         col("text"),

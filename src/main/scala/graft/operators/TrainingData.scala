@@ -455,4 +455,32 @@ object TrainingData {
         round(sum("n_docs").over(w) / sum("n_docs").over(all), 6))
       .orderBy("bucket_lo")
   }
+
+  /** Character-weighted median document length per source: the length
+    * L such that half the source's CHARACTERS live in documents
+    * shorter than L — the statistic that actually describes what a
+    * tokenizer will see, where the plain median answers "typical
+    * document" and lets a few megadocs hide. Classic weighted-
+    * percentile-by-cumulative-sum: per source, order by (n_chars,
+    * doc_id), running weight sum, first row crossing half the total.
+    * All windows share the single source partition (one shuffle of
+    * (source, long, long) rows); the crossing row is `min(n_chars)`
+    * over the filtered frame because cumw is monotone in the sort.
+    */
+  def weightedMedianLength(docs: DataFrame): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val run = bySource.orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("cumw", sum(col("n_chars")).over(run))
+      .withColumn("total", sum(col("n_chars")).over(bySource))
+      .withColumn("n_docs", count(lit(1)).over(bySource))
+      .filter(col("cumw") * 2 >= col("total"))
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("total")).as("total_chars"),
+        min(col("n_chars")).as("wmedian_len"))
+      .orderBy("source")
+  }
 }

@@ -145,6 +145,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((res.head.getLong(1), res.head.getString(2)) == (3L, "src4"))
   }
 
+  test("bigramLmScore: uniform text scores ln(p) exactly; damaged text ranks worse") {
+    import spark.implicits._
+    // corpus: three clean docs of "ababab…" and one damaged doc.
+    // clean-doc bigrams are ab/ba only; the damaged doc visits rare
+    // transitions → strictly lower avg_logp / higher perplexity
+    val df = Seq(
+      (1L, "ab" * 30, "en", "s", 60L),
+      (2L, "ab" * 25, "en", "s", 50L),
+      (3L, "ab" * 20, "en", "s", 40L),
+      (4L, "a" + ("zq" * 10), "en", "s", 21L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = TextAnalysis.bigramLmScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(res(1L)._1 == 59 && res(4L)._1 == 20)
+    assert(res(4L)._2 < res(1L)._2)        // damaged doc is less likely
+    assert(res(4L)._3 > res(1L)._3)        // and more perplexing
+    // doc 2/3 are pure ab-repeats like doc 1 → same per-bigram mix up
+    // to the leading/trailing char, so scores are near-identical
+    assert(math.abs(res(2L)._2 - res(1L)._2) < 0.05)
+  }
+
+  test("bigramLmScore skips sub-bigram docs and scores every other doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x", "en", "s", 1L),   // one char: no bigram, no row
+      (2L, "xy", "en", "s", 2L)   // exactly one bigram, logp = ln(1) = 0
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = TextAnalysis.bigramLmScore(df).collect()
+    assert(res.length == 1)
+    assert((res.head.getLong(0), res.head.getLong(1), res.head.getDouble(2),
+      res.head.getDouble(3)) == (2L, 1L, 0.0, 1.0))
+  }
+
+  test("bigramLmScore on the corpus: one row per doc, ppl = exp(-avg_logp)") {
+    val res = TextAnalysis.bigramLmScore(documents).collect()
+    assert(res.length == documents.count())
+    assert(res.forall(_.getDouble(2) < 0.0)) // real text is never certain
+    assert(res.forall(r =>
+      math.abs(r.getDouble(3) - math.exp(-r.getDouble(2))) < 0.01))
+  }
+
   test("ShingleGenerator emits exactly the composable pipeline's shingle multiset") {
     import spark.implicits._
     import graft.functions.ShingleGenerator.shingles

@@ -14,6 +14,42 @@ class TrainingDataSpec extends AnyFunSuite {
 
   private lazy val docs = Tables.documents(spark, sfDir)
 
+  test("weightedMedianLength: half the characters sit below the answer") {
+    import spark.implicits._
+    // srcA: lengths 10, 20, 70 → total 100; cum 10, 30, 100 → the
+    // 2·cum ≥ 100 crossing is the 70-char doc (plain median = 20:
+    // already a divergence, the big doc holds 70% of the chars)
+    // srcB: 10×9 + one 910 megadoc → total 1000; the megadoc holds
+    // 91% of the chars → weighted median = 910, plain median = 10 —
+    // exactly the skew the char-weighted form exists to expose
+    val rows =
+      Seq((1L, "a", "en", "srcA", 10L), (2L, "b", "en", "srcA", 20L),
+        (3L, "c", "en", "srcA", 70L)) ++
+      (1 to 9).map(i => (10L + i, "d", "en", "srcB", 10L)) :+
+      (20L, "e", "en", "srcB", 910L)
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = TrainingData.weightedMedianLength(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(res("srcA") == ((3L, 100L, 70L)))
+    assert(res("srcB") == ((10L, 1000L, 910L)))
+  }
+
+  test("weightedMedianLength on the corpus: bounds and exact-half tie rule") {
+    val res = TrainingData.weightedMedianLength(docs).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getLong(3) > 0 && r.getLong(2) >= r.getLong(3))
+      assert(r.getLong(1) > 0)
+    }
+    // cross-check one source against a driver-side fold
+    val one = docs.filter(col("source") === res.head.getString(0))
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    val total = one.sum
+    val expected = one.scanLeft(0L)(_ + _).tail.zip(one)
+      .find { case (cum, _) => cum * 2 >= total }.get._2
+    assert(res.head.getLong(3) == expected)
+  }
+
   test("CorpusPipeline end-to-end: monotone stages, eval overlap dropped, shards + JSONL land") {
     import org.apache.spark.sql.types._
     val evalSet = docs.filter(col("doc_id") < 3) // verbatim corpus docs → contam 1.0

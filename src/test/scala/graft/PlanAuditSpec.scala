@@ -306,6 +306,60 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("funnel: the per-user window chain shares ONE user_id exchange") {
+    // three conditional-min window stages over the same partition key
+    // must not re-shuffle per stage; the only other exchange feeds the
+    // #steps-row funnel frame (SinglePartition), which is bounded by
+    // the funnel definition, not the data
+    val p = plan("q114_event_funnel")
+    val userExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(user_id")).size
+    assert(userExchanges == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cohorts and transitions reuse the user partition; aggregates stay partial") {
+    for (q <- Seq("q115_retention_cohort", "q116_event_transitions")) {
+      val p = plan(q)
+      assert(p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning(user_id")).size == 1, s"$q:\n$p")
+      assert(p.contains("partial_"), s"$q missing partial aggregation:\n$p")
+    }
+  }
+
+  test("KS test: the only ordered window runs over the post-aggregation bins frame") {
+    // the histogram must aggregate (with map-side partials) BEFORE the
+    // cumulative window, and the totals frame joins back via broadcast
+    val p = plan("q118_ks_test")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    val windowAboveRaw = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(event_type")).nonEmpty
+    assert(!windowAboveRaw, p) // nothing re-shuffles raw events by type
+  }
+
+  test("fuzzy dedup: bucketized band join is an equi-join, no product") {
+    val p = plan("q119_fuzzy_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bucket"), p)
+  }
+
+  test("priority dedup: only 16-byte fingerprints cross the exchange, never text") {
+    val p = plan("q120_priority_dedup")
+    assert(p.contains("md5"), p)
+    val exchangeCarriesText = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("text"))
+    assert(!exchangeCarriesText, p)
+  }
+
+  test("bigram LM: the model joins back via broadcast; no array aggregation") {
+    val p = plan("q121_bigram_lm")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
+  }
+
   test("driver contract: oracle keys name real queries; qNN prefixes unique") {
     // the driver joins oracleSql to queries by key, and Bench's main
     // line keys results by the qNN prefix — both only work if every

@@ -1403,6 +1403,35 @@ object OracleSql {
         |  count(*) OVER (PARTITION BY source) AS n_docs FROM documents)
         |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
         |CAST(max(total) AS BIGINT) AS total_chars, min(n_chars) AS wmedian_len
-        |FROM c WHERE cumw * 2 >= total GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM c WHERE cumw * 2 >= total GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Rolling WAU: each distinct (day, user) presence supports the 7
+    // report days starting at `day`; clipping at the corpus max day
+    // mirrors the operator. Pure integer/date arithmetic.
+    "q123_rolling_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM du),
+        |e AS (SELECT user_id,
+        |  unnest([day + CAST(i AS INT) for i in range(0, 7)]) AS report_day FROM du)
+        |SELECT report_day, count(DISTINCT user_id) AS wau FROM e, mx
+        |WHERE report_day <= max_day GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Chi-square: expected counts are exact products/quotients of
+    // integer-valued doubles; only the final 35-term sum sees float
+    // ordering, ~1e-12 below the rounding.
+    "q124_chi_square" ->
+      """WITH o0 AS (SELECT event_type AS t, CAST(isodow(ts) AS INT) AS d,
+        |  count(*) * 1.0 AS o FROM events GROUP BY 1, 2),
+        |g AS (SELECT a.t, b.d FROM (SELECT DISTINCT t FROM o0) a,
+        |      (SELECT DISTINCT d FROM o0) b),
+        |o AS (SELECT g.t, g.d, coalesce(o0.o, 0.0) AS o
+        |      FROM g LEFT JOIN o0 ON g.t = o0.t AND g.d = o0.d),
+        |e AS (SELECT o,
+        |  sum(o) OVER (PARTITION BY t) * sum(o) OVER (PARTITION BY d)
+        |    / sum(o) OVER () AS e,
+        |  t, d FROM o)
+        |SELECT CAST(sum(o) AS BIGINT) AS n_obs,
+        |(count(DISTINCT t) - 1) * (count(DISTINCT d) - 1) AS dof,
+        |round(sum((o - e) * (o - e) / e), 4) AS chi2 FROM e""".stripMargin
   )
 }

@@ -336,7 +336,11 @@ object SparkEntry {
     // char-bigram LM likelihood / perplexity gibberish screen
     "q121_bigram_lm"       -> ((s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d))),
     // character-weighted median document length per source
-    "q122_weighted_median" -> ((s, d) => TrainingData.weightedMedianLength(Tables.documents(s, d)))
+    "q122_weighted_median" -> ((s, d) => TrainingData.weightedMedianLength(Tables.documents(s, d))),
+    // exact rolling 7-day active users via presence-pair fan-out
+    "q123_rolling_wau"     -> ((s, d) => EventAnalytics.rollingActiveUsers(Tables.events(s, d))),
+    // chi-square independence: event type x ISO day-of-week
+    "q124_chi_square"      -> ((s, d) => EventAnalytics.chiSquare(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

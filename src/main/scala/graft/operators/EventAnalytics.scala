@@ -143,6 +143,62 @@ object EventAnalytics {
         round(max(abs(col("cdfa") - col("cdfb"))), 6).as("ks_stat"))
   }
 
+  /** Rolling 7-day active users (the WAU curve): for each calendar
+    * day, the count of distinct users active in the trailing
+    * `windowDays` window — computed EXACTLY, without a sliding
+    * distinct-window sort: the (day, user) presence pairs are
+    * deduplicated once, each pair fans out to the `windowDays` report
+    * days it supports (a generate-over-scan, the q91 shape), and the
+    * rolling distinct collapses to a plain per-day countDistinct.
+    * Shuffle rows are (date, long) pairs; the fan-out factor is the
+    * window length, a constant — this is how a rolling-distinct stays
+    * linear at 100 TB where a naive per-day self-join goes quadratic.
+    * Days past the corpus's last day are clipped (their windows are
+    * not fully observed).
+    */
+  def rollingActiveUsers(ev: DataFrame, windowDays: Int = 7): DataFrame = {
+    val dayUsers = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val maxDay = dayUsers.agg(max(col("day")).as("max_day"))
+    dayUsers
+      .select(col("user_id"), explode(
+        expr(s"sequence(day, date_add(day, ${windowDays - 1}))")).as("report_day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("report_day") <= col("max_day"))
+      .groupBy("report_day").agg(countDistinct("user_id").as("wau"))
+      .orderBy("report_day")
+  }
+
+  /** Pearson χ² test of independence between event type and ISO day
+    * of week: observed counts from one grouped pass, expected counts
+    * from the contingency frame's own marginals (three windows over
+    * the #types·#days rows — never a rescan of the input), and the
+    * statistic with its degrees of freedom. The only data-sized work
+    * is the first groupBy; everything after runs on ≤ 35 rows. Counts
+    * are integers held exactly in doubles, so the expected values are
+    * bit-identical across engines and only the final 35-term sum sees
+    * float ordering (≈1e-12, rounded at 4).
+    */
+  def chiSquare(ev: DataFrame): DataFrame = {
+    val obs = ev.groupBy(col("event_type").as("t"),
+        (((dayofweek(col("ts")) + lit(5)) % lit(7)) + lit(1)).as("d"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    // densify: a zero cell still contributes (0−e)²/e — the grouped
+    // frame only carries OBSERVED cells, so cross the margins back in
+    // (tiny × tiny, broadcast) and fill the holes with 0
+    val grid = obs.select("t").distinct()
+      .crossJoin(broadcast(obs.select("d").distinct()))
+    val full = grid.join(obs, Seq("t", "d"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0.0)))
+    val expected = sum(col("o")).over(Window.partitionBy("t")) *
+      sum(col("o")).over(Window.partitionBy("d")) /
+      sum(col("o")).over(Window.partitionBy())
+    full.withColumn("e", expected)
+      .agg(sum(col("o")).cast("long").as("n_obs"),
+        ((countDistinct(col("t")) - 1) * (countDistinct(col("d")) - 1)).as("dof"),
+        round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 4)
+          .as("chi2"))
+  }
+
   /** First-order Markov transition matrix of event types: per user,
     * consecutive event pairs (ordered by time, event_id tiebreak) are
     * counted into a #types² matrix with the conditional transition

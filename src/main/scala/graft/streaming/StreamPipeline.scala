@@ -320,4 +320,45 @@ object StreamPipeline {
           latest
       }
   }
+
+  /** One consecutive-pair emission per arriving event. */
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming event-type transitions — the live twin of
+    * [[graft.operators.EventAnalytics.eventTransitions]] (q116):
+    * per-user state is the single last-seen event (ts, event_id,
+    * type), and each arriving event emits one (from, to) pair against
+    * it, ordered inside a micro-batch by the same (ts, event_id) key
+    * the batch lead() uses. Downstream, the pair stream feeds any
+    * windowed/total count — the matrix itself is a plain streaming
+    * aggregation over this append-mode output.
+    *
+    * State is O(1) per active user. Same cross-batch caveat as
+    * [[sessionizeStream]]: equivalence with the batch operator needs
+    * per-user event-time order across micro-batches (true for replay
+    * and for ordered transports); in production add an event-time
+    * timeout to retire idle users.
+    */
+  def transitionsStream(stream: DataFrame)
+      : org.apache.spark.sql.Dataset[Transition] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    stream.selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var last = state.getOption // (ts millis, event_id, type)
+          sorted.foreach { case (_, t, id, ty) =>
+            last.foreach { case (_, _, prev) => out += Transition(uid, prev, ty) }
+            last = Some((t.getTime, id, ty))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 }

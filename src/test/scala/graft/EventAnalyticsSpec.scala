@@ -139,6 +139,67 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(2) <= 1200) // value range ~[0, 500) / 0.5-wide bins
   }
 
+  // ---- q123 rolling WAU --------------------------------------------------
+
+  test("rollingActiveUsers: trailing window counts distinct users, clipped at max day") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 11:00:00", 1L, "view"),  // same (day,user): no double count
+      (3L, "2024-01-03 10:00:00", 2L, "view"),
+      (4L, "2024-01-10 10:00:00", 1L, "view")))
+    val res = EventAnalytics.rollingActiveUsers(df).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(res("2024-01-01") == 1L) // user 1
+    assert(res("2024-01-03") == 2L) // users 1 (Jan 1 ∈ trailing 7d) and 2
+    assert(res("2024-01-07") == 2L) // Jan 1 still inside [Jan 1, Jan 7]
+    assert(res("2024-01-08") == 1L) // user 1's Jan 1 presence aged out
+    assert(res("2024-01-09") == 1L) // user 2's Jan 3 presence still in
+    assert(res("2024-01-10") == 1L) // only user 1's fresh presence remains
+    assert(!res.contains("2024-01-11")) // past the corpus's last day
+  }
+
+  test("rollingActiveUsers on the events table: WAU >= DAU, bounded by user count") {
+    val ev = Tables.events(spark, sfDir)
+    val wau = EventAnalytics.rollingActiveUsers(ev)
+    val dau = ev.select(to_date(col("ts")).as("report_day"), col("user_id"))
+      .groupBy("report_day").agg(countDistinct("user_id").as("dau"))
+    val joined = wau.join(dau, Seq("report_day")).collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getLong(1) >= r.getLong(2)))
+    val total = ev.select(countDistinct("user_id")).as[Long].head()
+    assert(joined.forall(_.getLong(1) <= total))
+  }
+
+  // ---- q124 chi-square -----------------------------------------------------
+
+  test("chiSquare: independent margins give 0; concentrated cells blow up") {
+    // 2 types x 2 days, perfectly independent (every cell = product of
+    // margins / n): chi2 = 0
+    val indep = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),      // Mon
+      (2L, "2024-01-02 10:00:00", 1L, "view"),      // Tue
+      (3L, "2024-01-01 11:00:00", 1L, "click"),
+      (4L, "2024-01-02 11:00:00", 1L, "click")))
+    val r0 = EventAnalytics.chiSquare(indep).collect().head
+    assert((r0.getLong(0), r0.getLong(1), r0.getDouble(2)) == (4L, 1L, 0.0))
+
+    // all views Monday, all clicks Tuesday → maximal association:
+    // chi2 = n for a 2x2 table
+    val dep = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 11:00:00", 1L, "view"),
+      (3L, "2024-01-02 10:00:00", 1L, "click"),
+      (4L, "2024-01-02 11:00:00", 1L, "click")))
+    val r1 = EventAnalytics.chiSquare(dep).collect().head
+    assert(r1.getDouble(2) == 4.0)
+  }
+
+  test("chiSquare on the events table: full 5x7 table, near-uniform corpus") {
+    val r = EventAnalytics.chiSquare(Tables.events(spark, sfDir)).collect().head
+    assert(r.getLong(1) == 24L) // (5-1)*(7-1)
+    assert(r.getDouble(2) >= 0.0)
+  }
+
   // ---- q116 transitions ------------------------------------------------
 
   test("eventTransitions: counts consecutive pairs per user, rows sum to 1") {

@@ -58,6 +58,47 @@ class StatefulAndCentroidSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("transitionsStream pairs match the batch transition matrix across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.transitionsStream(stream)
+      .writeStream.format("memory").queryName("transitions_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-trans").toString)
+      .start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // per-user event-time order holds ACROSS the two batches (the
+    // documented equivalence precondition); inside a batch the rows
+    // arrive shuffled and the operator's local sort must fix them
+    val batch1 = Seq(
+      (2L, ts("2026-01-01 10:05:00"), 7L, "click", 0.0, "{}"),
+      (1L, ts("2026-01-01 10:00:00"), 7L, "view", 0.0, "{}"),
+      (3L, ts("2026-01-01 10:00:00"), 8L, "view", 0.0, "{}"))
+    val batch2 = Seq(
+      (4L, ts("2026-01-01 10:10:00"), 7L, "purchase", 0.0, "{}"), // pairs with batch1's click
+      (5L, ts("2026-01-01 10:20:00"), 8L, "view", 0.0, "{}"))
+    try {
+      mem.addData(batch1: _*)
+      query.processAllAvailable()
+      mem.addData(batch2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("transitions_stream")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batchDf = (batch1 ++ batch2)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val batch = graft.operators.EventAnalytics.eventTransitions(batchDf)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      assert(batch == Map(
+        ("view", "click") -> 1L, ("click", "purchase") -> 1L,
+        ("view", "view") -> 1L))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1343,19 +1343,19 @@ object OracleSql {
         |(SELECT count(*) FROM b) AS n_bins,
         |round(max(abs(cdfa - cdfb)), 6) AS ks_stat FROM c""".stripMargin,
 
-    // Fuzzy pairs: the oracle states the SEMANTIC condition directly
-    // (all pairs within the length band and the distance threshold);
-    // the operator's bucketized banding is a plan-level refinement of
-    // exactly this predicate. Both engines count edits per codepoint
-    // with unit costs.
+    // Fuzzy pairs: q32's deterministic LSH candidates (shared
+    // shingleCte), verified by levenshtein on the 200-char prefix.
+    // Both engines count edits per codepoint with unit costs.
     "q119_fuzzy_dedup" ->
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |CAST(levenshtein(substring(a.text, 1, 200), substring(b.text, 1, 200)) AS INT) AS dist,
-        |a.n_chars AS len_a, b.n_chars AS len_b
-        |FROM documents a JOIN documents b
-        |ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
-        |WHERE levenshtein(substring(a.text, 1, 200), substring(b.text, 1, 200)) <= 20
-        |ORDER BY 1, 2""".stripMargin,
+      (shingleCte +
+        """
+          |SELECT id_a AS doc_a, id_b AS doc_b,
+          |CAST(levenshtein(substring(a.text, 1, 200), substring(b.text, 1, 200)) AS INT) AS dist,
+          |a.n_chars AS len_a, b.n_chars AS len_b
+          |FROM cand JOIN documents a ON cand.id_a = a.doc_id
+          |JOIN documents b ON cand.id_b = b.doc_id
+          |WHERE levenshtein(substring(a.text, 1, 200), substring(b.text, 1, 200)) <= 20
+          |ORDER BY 1, 2""".stripMargin),
 
     // Priority dedup: q63's paragraph-chunk convention, survivor =
     // lowest (tier, doc_id, pos) per duplicated fingerprint; the

@@ -75,45 +75,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res.find(_.getString(0) == "aaa").get.getLong(2) == 2L)
   }
 
-  test("fuzzyDupPairs finds small-edit pairs and rejects band/distance outliers") {
+  test("fuzzyDupPairs verifies LSH candidates by edit distance") {
     import spark.implicits._
-    val base = ("ab" * 50)                       // 100 chars
-    val oneEdit = "zb" + ("ab" * 49)             // distance 1 from base
-    val unrelated = ("qz" * 50)                  // same length, distance 100
-    val longer = base + ("cd" * 40)              // 180 chars: outside the 32-band
+    val base = (1 to 30).map("word" + _).mkString(" ")   // 30 tokens
+    val oneEdit = base.replaceFirst("word7", "worz7")    // 1 substitution
+    val unrelated = (1 to 30).map("zzz" + _).mkString(" ")
     val df = Seq(
       (1L, base, "en", "s", base.length.toLong),
       (2L, oneEdit, "en", "s", oneEdit.length.toLong),
-      (3L, unrelated, "en", "s", unrelated.length.toLong),
-      (4L, longer, "en", "s", longer.length.toLong)
+      (3L, unrelated, "en", "s", unrelated.length.toLong)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val res = Dedup.fuzzyDupPairs(df).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (1,2) shares 24/32 shingles → LSH candidate, verified at dist 1;
+    // doc 3 shares no shingle with either → never even a candidate
     assert(res.toSeq == Seq((1L, 2L, 1)))
   }
 
-  test("fuzzyDupPairs: the ±1 bucket probe catches cross-bucket pairs in either id order") {
+  test("fuzzyDupPairs: the verifier rejects candidates above maxDist") {
     import spark.implicits._
-    // lower doc_id sits in the HIGHER length bucket (33/32=1 vs 31/32=0)
-    // — the orientation a one-sided [b, b+1] probe would miss
-    val a = "a" * 33
-    val b = "a" * 31
+    val base = (1 to 30).map("word" + _).mkString(" ")
+    val oneEdit = base.replaceFirst("word7", "worz7")
     val df = Seq(
-      (1L, a, "en", "s", a.length.toLong),
-      (2L, b, "en", "s", b.length.toLong)
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, oneEdit, "en", "s", oneEdit.length.toLong)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val res = Dedup.fuzzyDupPairs(df).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    assert(res.toSeq == Seq((1L, 2L, 2)))
+    // same candidate pair as above, but a 0-edit budget drops it
+    assert(Dedup.fuzzyDupPairs(df, maxDist = 0).collect().isEmpty)
+    // and the threshold form still reports the true distance below it
+    val kept = Dedup.fuzzyDupPairs(df, maxDist = 1).collect()
+    assert(kept.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 2L, 1)))
   }
 
-  test("fuzzyDupPairs on the corpus: lights up, no duplicates, band respected") {
+  test("fuzzyDupPairs on the corpus: lights up, no duplicates, bounded distances") {
     val res = Dedup.fuzzyDupPairs(documents).collect()
-    assert(res.nonEmpty) // 28 mutated-copy pairs at sf0.001
+    assert(res.nonEmpty) // mutated-copy pairs at sf0.001
     assert(res.map(r => (r.getLong(0), r.getLong(1))).distinct.length == res.length)
     assert(res.forall(r => r.getLong(0) < r.getLong(1)))
     assert(res.forall(r => r.getInt(2) <= 20))
-    assert(res.forall(r => math.abs(r.getLong(3) - r.getLong(4)) <= 32))
   }
 
   test("priorityDedup keeps the trusted-tier copy of a shared paragraph") {

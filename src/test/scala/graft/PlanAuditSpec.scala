@@ -338,11 +338,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!windowAboveRaw, p) // nothing re-shuffles raw events by type
   }
 
-  test("fuzzy dedup: bucketized band join is an equi-join, no product") {
+  test("fuzzy dedup: LSH-banded candidates, equi-joins only, no product") {
     val p = plan("q119_fuzzy_dedup")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("bucket"), p)
+    assert(p.contains("md5"), p) // candidates come from the minhash banding
   }
 
   test("priority dedup: only 16-byte fingerprints cross the exchange, never text") {

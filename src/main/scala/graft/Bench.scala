@@ -59,10 +59,11 @@ import org.apache.spark.sql.SparkSession
   * output, so everything of record (BENCH_CAL + the main line + the
   * sbt success trailer) must fit in that window together — a longer
   * tail gets its FRONT truncated in the artifact of record. The main
-  * line therefore keys queries by their `qNN` prefix (the driver
-  * contract's own example shape, `{"q1":sec,…}`; the prefix maps 1:1
-  * to the full [[SparkEntry.queries]] name) with 2-decimal values —
-  * ~900 chars of headroom instead of a per-round squeeze.
+  * line therefore keys queries by their BARE query number
+  * (`{"1":sec,…,"124":sec}`; the number maps 1:1 to the full
+  * [[SparkEntry.queries]] name) with 2-decimal values — at 124
+  * queries the earlier `qNN` keying left the BENCH_CAL line's front
+  * outside the window.
   */
 object Bench {
 
@@ -94,6 +95,20 @@ object Bench {
       if (t.endsWith(".")) t.dropRight(1) else t
     }
   }
+
+  /** Main-line queries object, keyed by the BARE query number of the
+    * full contract name ("114":1.23 for q114_event_funnel) — the
+    * tighter encoding the 2000-char artifact window needs past ~115
+    * queries: with the earlier qNN keying, 124 keys pushed the
+    * BENCH_CAL line's front outside the window. The number maps 1:1
+    * to the contract name (unique by SparkEntry key discipline); the
+    * window budget is pinned by ArtifactFormatSpec against the REAL
+    * query set.
+    */
+  private[graft] def queriesJson(results: Seq[(String, Double)]): String =
+    results
+      .map { case (k, v) => jsonStr(k.drop(1).takeWhile(_ != '_')) + ":" + num(v) }
+      .mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -231,11 +246,7 @@ object Bench {
       }
     recordCal()
 
-    // main-line keys are the qNN prefix of the full contract name —
-    // the driver-contract example's own shape ({"q1":sec,…}); the
-    // prefix is unique by construction (SparkEntry key discipline)
-    val qs = results.map { case (k, v) => jsonStr(k.takeWhile(_ != '_')) + ":" + num(v) }
-      .mkString("{", ",", "}")
+    val qs = queriesJson(results)
     val cal = calibrations
       .map { case (scan, shuf, io, load) =>
         s"[${num(scan)},${num(shuf)},${num(io)},${num(load)}]" }

@@ -40,4 +40,23 @@ class ArtifactFormatSpec extends AnyFunSuite {
     assert(Bench.jsonStr("""a"b\c""") == "\"a\\\"b\\\\c\"")
     assert(Bench.jsonStr("x\ny\rz\tw") == "\"x y z w\"")
   }
+
+  test("the artifact tail fits the driver's 2000-char window at the REAL query count") {
+    // the driver archives the LAST 2000 chars of the run output: the
+    // BENCH_CAL line, the main line, and the sbt success trailer must
+    // fit together or the artifact of record loses its front. Build
+    // the main line from the real SparkEntry key set with worst-case
+    // 2-decimal values ("99.99"), and budget CAL + trailer at their
+    // observed maxima.
+    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 99.99)
+    val qs = Bench.queriesJson(worst)
+    val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
+    val calBudget = 9 * 26 + 20 + 8   // 9 quadruples at 2-decimal values + frame + [info]
+    val trailerBudget = 120           // [success] Total time: … line
+    val infoPrefix = 8                // "[info] " on the main line
+    assert(mainLine.length + infoPrefix + calBudget + trailerBudget + 4 <= 2000,
+      s"artifact tail over budget: main=${mainLine.length}")
+    // keys really are the bare numbers (the qNN form would re-inflate)
+    assert(qs.contains("\"114\":") && !qs.contains("\"q114\":"), qs.take(200))
+  }
 }

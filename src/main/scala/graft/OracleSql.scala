@@ -1432,6 +1432,27 @@ object OracleSql {
         |  t, d FROM o)
         |SELECT CAST(sum(o) AS BIGINT) AS n_obs,
         |(count(DISTINCT t) - 1) * (count(DISTINCT d) - 1) AS dof,
-        |round(sum((o - e) * (o - e) / e), 4) AS chi2 FROM e""".stripMargin
+        |round(sum((o - e) * (o - e) / e), 4) AS chi2 FROM e""".stripMargin,
+
+    // Conversion latency: q114's step chain, then whole-second
+    // latencies (both engines truncate to the second before
+    // subtracting) with exact interpolated percentiles per cohort.
+    "q125_conversion_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |conv AS (SELECT s1.user_id,
+        |  CAST(date_trunc('week', s1.t1) AS DATE) AS cohort,
+        |  date_diff('second', s1.t1, s3.t3) AS latency_sec
+        |  FROM s1 JOIN s3 USING (user_id))
+        |SELECT cohort, count(*) AS n_converted,
+        |round(quantile_cont(latency_sec, 0.5), 4) AS p50_sec,
+        |round(quantile_cont(latency_sec, 0.9), 4) AS p90_sec
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

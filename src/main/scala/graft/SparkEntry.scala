@@ -340,7 +340,9 @@ object SparkEntry {
     // exact rolling 7-day active users via presence-pair fan-out
     "q123_rolling_wau"     -> ((s, d) => EventAnalytics.rollingActiveUsers(Tables.events(s, d))),
     // chi-square independence: event type x ISO day-of-week
-    "q124_chi_square"      -> ((s, d) => EventAnalytics.chiSquare(Tables.events(s, d)))
+    "q124_chi_square"      -> ((s, d) => EventAnalytics.chiSquare(Tables.events(s, d))),
+    // time-to-convert p50/p90 per first-touch weekly cohort
+    "q125_conversion_latency" -> ((s, d) => EventAnalytics.conversionLatency(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

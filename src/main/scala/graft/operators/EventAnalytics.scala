@@ -33,8 +33,11 @@ object EventAnalytics {
     * unpartitioned window here, bounded by the funnel definition
     * itself, not the data).
     */
-  def funnel(ev: DataFrame,
-             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+  /** Per-user step-reach times t1..tk of the min-time funnel chain —
+    * one row per user, shared by [[funnel]] and [[conversionLatency]].
+    * k conditional-min windows over ONE user_id partition.
+    */
+  private def stepTimes(ev: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val w = Window.partitionBy("user_id")
     var df = ev.select(col("user_id"), col("ts"), col("event_type"))
@@ -44,9 +47,14 @@ object EventAnalytics {
         min(when(col("event_type") === steps(i - 1) && col("ts") > col(s"t${i - 1}"),
           col("ts"))).over(w))
     // one row per user (the tK are window-constants; max just picks them)
-    val perUser = df.groupBy("user_id")
+    df.groupBy("user_id")
       .agg(max(col("t1")).as("t1"),
         (2 to steps.length).map(i => max(col(s"t$i")).as(s"t$i")): _*)
+  }
+
+  def funnel(ev: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val perUser = stepTimes(ev, steps)
     // #steps-row funnel frame: step index, label, surviving users
     val stackArgs = steps.indices
       .map(i => s"${i + 1}, '${steps(i)}', count(t${i + 1})").mkString(", ")
@@ -141,6 +149,32 @@ object EventAnalytics {
       .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
         count(lit(1)).as("n_bins"),
         round(max(abs(col("cdfa") - col("cdfb"))), 6).as("ks_stat"))
+  }
+
+  /** Time-to-convert distribution per first-touch cohort: for users
+    * who completed the whole funnel, the seconds from reaching step 1
+    * to reaching the final step, summarized as exact p50/p90 per
+    * weekly cohort — the product question behind every funnel ("HOW
+    * LONG does conversion take, and is it drifting by cohort?").
+    * Reuses [[stepTimes]]' single user-partition chain; the converted
+    * frame is one row per converting user, and the exact percentiles
+    * group over #cohort-weeks partitions. Latency is whole seconds
+    * (both engines truncate to the second before subtracting), so the
+    * percentile inputs are integers and interpolation is the only
+    * float step, rounded at 4.
+    */
+  def conversionLatency(ev: DataFrame,
+                        steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val last = s"t${steps.length}"
+    stepTimes(ev, steps)
+      .filter(col(last).isNotNull)
+      .select(date_trunc("week", col("t1")).cast("date").as("cohort"),
+        (unix_timestamp(col(last)) - unix_timestamp(col("t1"))).as("latency_sec"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_converted"),
+        round(percentile(col("latency_sec"), lit(0.5)), 4).as("p50_sec"),
+        round(percentile(col("latency_sec"), lit(0.9)), 4).as("p90_sec"))
+      .orderBy("cohort")
   }
 
   /** Rolling 7-day active users (the WAU curve): for each calendar

@@ -361,4 +361,44 @@ object StreamPipeline {
           out.iterator
       }
   }
+
+  /** A user's current funnel progress: how many steps reached. */
+  case class FunnelProgress(user_id: Long, stage: Int)
+
+  /** Streaming funnel progress — the live twin of
+    * [[graft.operators.EventAnalytics.funnel]] (q114): per-user state
+    * is (stage, time the stage was reached), advanced greedily as
+    * events arrive. Under per-user event-time order (the documented
+    * equivalence precondition shared with [[sessionizeStream]]),
+    * greedy matching IS the batch min-time chain: the first step-1
+    * event is min(t1), the first step-2 event strictly after it is
+    * min(t2 > t1), and so on — including the strict-inequality rule
+    * (a tie on the reach time does not advance). Emits the user's
+    * current stage per micro-batch in Update mode; "users at step k"
+    * is a plain count over the latest emission per user. State is two
+    * fields per active user.
+    */
+  def funnelStream(stream: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"))
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    stream.selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Int, Long), FunnelProgress](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var (stage, tk) = state.getOption.getOrElse((0, Long.MinValue))
+          rows.toArray.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, t, _, ty) =>
+            if (stage < steps.length && ty == steps(stage) &&
+                (stage == 0 || t.getTime > tk)) {
+              stage += 1
+              tk = t.getTime
+            }
+          }
+          state.update((stage, tk))
+          FunnelProgress(uid, stage)
+      }
+  }
 }

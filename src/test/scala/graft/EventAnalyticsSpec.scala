@@ -139,6 +139,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(2) <= 1200) // value range ~[0, 500) / 0.5-wide bins
   }
 
+  // ---- q125 conversion latency -------------------------------------------
+
+  test("conversionLatency: exact interpolated percentiles over whole-second latencies") {
+    val df = eventsDf(Seq(
+      // user 1 converts in 120 s
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:00:30", 1L, "click"),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase"),
+      // user 2 converts in 60 s
+      (4L, "2024-01-01 11:00:00", 2L, "view"),
+      (5L, "2024-01-01 11:00:10", 2L, "click"),
+      (6L, "2024-01-01 11:01:00", 2L, "purchase"),
+      // user 3 never purchases — excluded
+      (7L, "2024-01-01 12:00:00", 3L, "view"),
+      (8L, "2024-01-01 12:00:05", 3L, "click")))
+    val res = EventAnalytics.conversionLatency(df).collect()
+    assert(res.length == 1)
+    val r = res.head
+    assert(r.getDate(0).toString == "2024-01-01") // Monday of the t1 week
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 90.0)  // cont-interpolated median of {60, 120}
+    assert(r.getDouble(3) == 114.0) // 60 + 0.9·(120−60)
+  }
+
+  test("conversionLatency on the events table: positive latencies, cohorts cover converters") {
+    val res = EventAnalytics.conversionLatency(Tables.events(spark, sfDir)).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getLong(1) > 0))
+    assert(res.forall(r => r.getDouble(2) > 0 && r.getDouble(3) >= r.getDouble(2)))
+    val totalConverted = res.map(_.getLong(1)).sum
+    val funnelLast = EventAnalytics.funnel(Tables.events(spark, sfDir))
+      .collect().last.getLong(2)
+    assert(totalConverted == funnelLast) // same chain, same converters
+  }
+
   // ---- q123 rolling WAU --------------------------------------------------
 
   test("rollingActiveUsers: trailing window counts distinct users, clipped at max day") {

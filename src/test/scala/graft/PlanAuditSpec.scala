@@ -318,8 +318,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("cohorts and transitions reuse the user partition; aggregates stay partial") {
-    for (q <- Seq("q115_retention_cohort", "q116_event_transitions")) {
+  test("cohorts, transitions, latency reuse the user partition; aggregates stay partial") {
+    for (q <- Seq("q115_retention_cohort", "q116_event_transitions",
+                  "q125_conversion_latency")) {
       val p = plan(q)
       assert(p.linesIterator
         .filter(_.contains("Exchange hashpartitioning(user_id")).size == 1, s"$q:\n$p")

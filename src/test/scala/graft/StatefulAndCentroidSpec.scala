@@ -99,6 +99,53 @@ class StatefulAndCentroidSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("funnelStream final stages match the batch funnel across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.funnelStream(stream)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-funnel").toString)
+      .start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    val batch1 = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2026-01-01 10:05:00"), 1L, "click", 0.0, "{}"),
+      // user 2's purchase arrives BEFORE any view — must never count
+      (4L, ts("2026-01-01 09:00:00"), 2L, "purchase", 0.0, "{}"),
+      (5L, ts("2026-01-01 10:00:00"), 2L, "view", 0.0, "{}"),
+      // user 4: click with no view — enters no step
+      (8L, ts("2026-01-01 11:00:00"), 4L, "click", 0.0, "{}"))
+    val batch2 = Seq(
+      (3L, ts("2026-01-01 10:10:00"), 1L, "purchase", 0.0, "{}"), // completes user 1
+      (6L, ts("2026-01-01 10:05:00"), 2L, "click", 0.0, "{}"),
+      (7L, ts("2026-01-01 11:00:00"), 3L, "view", 0.0, "{}"))
+    try {
+      mem.addData(batch1: _*)
+      query.processAllAvailable()
+      mem.addData(batch2: _*)
+      query.processAllAvailable()
+      // Update mode re-emits per touched user; the LAST emission is
+      // the user's current stage
+      val emitted = spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).zipWithIndex
+      val finalStage = emitted.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+      assert(finalStage == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
+      // stage-k survivor counts equal the batch funnel's users column
+      val batchDf = (batch1 ++ batch2)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val batchUsers = graft.operators.EventAnalytics.funnel(batchDf)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val streamUsers = (1 to 3)
+        .map(k => k -> finalStage.values.count(_ >= k).toLong).toMap
+      assert(streamUsers == batchUsers)
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

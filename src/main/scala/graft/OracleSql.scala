@@ -1453,6 +1453,67 @@ object OracleSql {
         |SELECT cohort, count(*) AS n_converted,
         |round(quantile_cont(latency_sec, 0.5), 4) AS p50_sec,
         |round(quantile_cont(latency_sec, 0.9), 4) AS p90_sec
-        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MAD gate: Spark percentile and DuckDB quantile_cont are both
+    // the exact interpolated quantile over doubles; the deviations
+    // and the 3·MAD comparison are reproducible double arithmetic,
+    // and round(4) absorbs summation-order ulps in the medians.
+    "q126_mad_outliers" ->
+      """WITH b AS (SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |m AS (SELECT source, quantile_cont(x, 0.5) AS med FROM b GROUP BY 1),
+        |d AS (SELECT b.source, b.x, m.med, abs(b.x - m.med) AS absdev
+        |      FROM b JOIN m USING (source)),
+        |md AS (SELECT source, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.source, count(*) AS n_docs,
+        |round(max(d.med), 4) AS median_len, round(max(md.mad), 4) AS mad_len,
+        |CAST(sum(CASE WHEN d.absdev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_outliers
+        |FROM d JOIN md USING (source) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Gini by rank formulation: ranks are deterministic (spend, then
+    // custkey), the rank·spend sum is the same double arithmetic on
+    // both engines, and G is tie-order invariant; round(4) covers the
+    // remaining summation-order ulps.
+    "q127_gini_spend" ->
+      """WITH sp AS (SELECT o_custkey, sum(o_totalprice) AS spend
+        |            FROM orders GROUP BY 1),
+        |j AS (SELECT sp.o_custkey, c.c_nationkey, sp.spend
+        |      FROM sp JOIN customer c ON sp.o_custkey = c.c_custkey),
+        |r AS (SELECT c_nationkey, spend, row_number() OVER (
+        |  PARTITION BY c_nationkey ORDER BY spend ASC, o_custkey ASC) AS rk
+        |      FROM j)
+        |SELECT c_nationkey, count(*) AS n_customers,
+        |round(sum(spend), 2) AS total_spend,
+        |round(2.0 * sum(rk * spend) / (count(*) * sum(spend))
+        |      - (count(*) + 1.0) / count(*), 4) AS gini
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Zipf: the top-200 cut and the ranks are deterministic (freq
+    // desc, term asc) on both engines; regr_* over 200 ln pairs is
+    // the same closed-form arithmetic, rounded at 4.
+    "q128_zipf_slope" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS freq FROM t GROUP BY 1
+        |      ORDER BY freq DESC, term ASC LIMIT 200),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term ASC)
+        |  AS DOUBLE)) AS lx, ln(CAST(freq AS DOUBLE)) AS ly FROM f)
+        |SELECT count(*) AS n_terms,
+        |round(regr_slope(ly, lx), 4) AS zipf_slope,
+        |round(regr_intercept(ly, lx), 4) AS zipf_intercept,
+        |round(regr_r2(ly, lx), 4) AS r2 FROM r""".stripMargin,
+
+    // Entropy: per-(day,type) counts are exact ints; −Σ p·ln p over
+    // ≤ #types terms per day sees only ulp-level ordering noise,
+    // ~1e-15 below the rounding.
+    "q129_type_entropy" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT day, event_type, c,
+        |      sum(c) OVER (PARTITION BY day) AS total FROM c)
+        |SELECT day, CAST(sum(c) AS BIGINT) AS n_events,
+        |count(*) AS n_types,
+        |round(-sum((c * 1.0 / total) * ln(c * 1.0 / total)), 4) AS entropy_nats
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -342,7 +342,15 @@ object SparkEntry {
     // chi-square independence: event type x ISO day-of-week
     "q124_chi_square"      -> ((s, d) => EventAnalytics.chiSquare(Tables.events(s, d))),
     // time-to-convert p50/p90 per first-touch weekly cohort
-    "q125_conversion_latency" -> ((s, d) => EventAnalytics.conversionLatency(Tables.events(s, d)))
+    "q125_conversion_latency" -> ((s, d) => EventAnalytics.conversionLatency(Tables.events(s, d))),
+    // robust stats: per-source MAD outlier gate over doc lengths
+    "q126_mad_outliers"    -> ((s, d) => RobustStats.madOutliers(Tables.documents(s, d))),
+    // Gini concentration of customer spend per nation
+    "q127_gini_spend"      -> ((s, d) => RobustStats.giniByNation(Tables.orders(s, d), Tables.customer(s, d))),
+    // Zipf rank-frequency slope over the top-200 tokens
+    "q128_zipf_slope"      -> ((s, d) => RobustStats.zipfSlope(Tables.documents(s, d))),
+    // Shannon entropy of the per-day event-type mix
+    "q129_type_entropy"    -> ((s, d) => RobustStats.eventTypeEntropy(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust / distributional statistics the reference's EDA layer
+  * (eda/eda_analysis.py:86-130) approaches with mean/std describe()
+  * but never hardens: median-absolute-deviation outlier gates, the
+  * Gini concentration coefficient, Shannon entropy of categorical
+  * mixes, and the Zipf rank-frequency slope. Mean/std outlier rules
+  * break on the heavy-tailed length/price distributions a 100 TB
+  * corpus actually has; these are their robust replacements, each an
+  * exact deterministic computation with a DuckDB oracle twin.
+  *
+  * Scale shapes: every operator aggregates FIRST (per-source /
+  * per-customer / per-day partials) and only then applies the
+  * order-statistic machinery, so full-table sorts never happen; the
+  * only windows run inside small natural partitions (source, nation,
+  * day) or over frames already capped to a constant (Zipf top-k).
+  */
+object RobustStats {
+
+  /** Per-source MAD outlier gate over document lengths: median and
+    * median-absolute-deviation of `n_chars`, plus how many documents
+    * sit outside median ± 3·MAD — the robust twin of a z-score gate
+    * (a single 10 MB document moves a std-based gate corpus-wide;
+    * it moves MAD not at all).
+    *
+    * Three passes over a 2-column scan (source, n_chars): per-source
+    * exact median (percentile, partial-aggregated), per-source MAD of
+    * the absolute deviations, then the outlier count — the per-source
+    * frames are broadcast back both times, so the document side never
+    * shuffles and the whole plan is BroadcastHashJoins over one
+    * narrow column scan per pass. At 1000 executors each pass is an
+    * embarrassingly-parallel partial aggregate on #sources keys.
+    */
+  def madOutliers(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"), col("n_chars").cast("double").as("x"))
+    val meds = base.groupBy("source")
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val withDev = base.join(broadcast(meds), "source")
+      .withColumn("absdev", abs(col("x") - col("med")))
+    val mads = withDev.groupBy("source")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    withDev.join(broadcast(mads), "source")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(max("med"), 4).as("median_len"),
+        round(max("mad"), 4).as("mad_len"),
+        sum(when(col("absdev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("source")
+  }
+
+  /** Gini coefficient of customer spend, per nation: how concentrated
+    * is revenue among customers inside each market (0 = everyone
+    * spends the same, →1 = one whale). Uses the rank formulation
+    * G = (2·Σ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n over per-customer totals
+    * sorted ascending (ties broken by custkey, so the rank sum — and
+    * therefore the result — is deterministic; G itself is
+    * tie-order-invariant because equal x contribute a constant to
+    * either ordering).
+    *
+    * Aggregates orders to per-customer totals FIRST (the big shuffle,
+    * keyed on custkey), joins the small customer dim for the nation
+    * key, and only then ranks — inside per-nation window partitions,
+    * never a global sort. #customers/#nations rows per partition is
+    * flat at any corpus scale.
+    */
+  def giniByNation(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = orders.groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("spend"))
+    val byNation = spend.join(
+      customer.select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+      "o_custkey")
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("spend").asc, col("o_custkey").asc)
+    byNation.withColumn("rk", row_number().over(w))
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum("spend"), 2).as("total_spend"),
+        round(
+          lit(2.0) * sum(col("rk") * col("spend")) / (count(lit(1)) * sum("spend"))
+            - (count(lit(1)) + lit(1.0)) / count(lit(1)),
+          4).as("gini"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Shannon entropy (nats) of the event-type mix, per day: a one-
+    * number drift monitor for an ingest feed — a collapsing mix
+    * (entropy → 0) or a novel flood (entropy jump) shows up before
+    * any per-type dashboard does. H = −Σ p·ln p over the per-day
+    * type distribution, with the per-(day,type) counts computed
+    * exactly.
+    *
+    * Two partial-aggregated groupBys (day×type, then day) and a
+    * broadcast of nothing — the day totals ride along via a window
+    * over the tiny aggregated frame. #days × #types rows after the
+    * first aggregate: driver-safe at any corpus scale.
+    */
+  def eventTypeEntropy(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+    val withTotal = counts.withColumn("total",
+      sum("c").over(Window.partitionBy("day")))
+    withTotal.groupBy("day")
+      .agg(
+        sum("c").as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(-sum((col("c") / col("total")) * log(col("c") / col("total"))), 4)
+          .as("entropy_nats"))
+      .orderBy("day")
+  }
+
+  /** Zipf rank-frequency slope of the token distribution: OLS fit of
+    * ln(freq) on ln(rank) over the top-k tokens. Natural-language
+    * corpora sit near slope −1; machine-generated or template spam
+    * flattens the head — a one-row corpus-health check.
+    *
+    * One explode → partial-aggregated term count (the only big
+    * shuffle, keyed on the term), then TakeOrderedAndProject caps the
+    * frame to k rows BEFORE the rank window — the window and the
+    * regression run on a constant-size frame, so corpus size only
+    * affects the aggregate. Ties in frequency rank by token text on
+    * both engines, making rank — and the fit — deterministic.
+    */
+  def zipfSlope(docs: DataFrame, topK: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(topK)
+    val ranked = freqs.withColumn("rk",
+      row_number().over(Window.orderBy(col("freq").desc, col("term").asc)))
+    ranked
+      .select(log(col("rk").cast("double")).as("lx"),
+        log(col("freq").cast("double")).as("ly"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(ly, lx)"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(ly, lx)"), 4).as("zipf_intercept"),
+        round(expr("regr_r2(ly, lx)"), 4).as("r2"))
+  }
+}

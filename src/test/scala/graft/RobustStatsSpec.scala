@@ -1,0 +1,139 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.RobustStats
+
+/** Robust-statistics layer (q126–q129): MAD outlier gate, per-nation
+  * Gini, Zipf slope, event-type entropy. Fixtures are hand-computable
+  * closed forms (exact Zipf corpus → slope −1, uniform mix → ln 2,
+  * single whale → known Gini); the DuckDB oracle covers sf-scale
+  * engine parity.
+  */
+class RobustStatsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String, String, Long)]) =
+    rows.map { case (id, text, src, n) => (id, text, "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ---- q126 MAD outliers ---------------------------------------------
+
+  test("madOutliers: median/MAD exact, single extreme flagged") {
+    // lengths 1,2,3,4,100: median 3, |dev| = 2,1,0,1,97 → MAD 1;
+    // only 100 has absdev > 3·MAD
+    val df = docsDf((1 to 5).map(i =>
+      (i.toLong, "t", "a", Seq(1L, 2L, 3L, 4L, 100L)(i - 1))))
+    val r = RobustStats.madOutliers(df).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 5L)
+    assert(r(0).getDouble(2) == 3.0)
+    assert(r(0).getDouble(3) == 1.0)
+    assert(r(0).getLong(4) == 1L)
+  }
+
+  test("madOutliers: even count interpolates the median") {
+    // lengths 1,2,3,4: median 2.5, absdev 1.5,0.5,0.5,1.5 → MAD 1.0
+    val df = docsDf((1 to 4).map(i => (i.toLong, "t", "a", i.toLong)))
+    val r = RobustStats.madOutliers(df).collect()(0)
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 1.0 && r.getLong(4) == 0L)
+  }
+
+  test("madOutliers: a 10 MB whale does not move the gate (vs z-score it would)") {
+    val df = docsDf((1 to 9).map(i => (i.toLong, "t", "a", 100L + i)) :+
+      (10L, "t", "a", 10000000L))
+    val r = RobustStats.madOutliers(df).collect()(0)
+    assert(r.getDouble(2) == 105.5, "median unmoved by the whale")
+    assert(r.getLong(4) == 1L, "whale itself is the only outlier")
+  }
+
+  // ---- q127 Gini -----------------------------------------------------
+
+  test("gini: equal spend → 0, single whale → closed form") {
+    val orders = Seq(
+      // nation 1 customers 1..4 spend 10 each → G = 0
+      (1L, 1L, 50.0), (2L, 2L, 10.0), (3L, 3L, 10.0), (4L, 4L, 10.0),
+      // customer 1 spends 10 over two orders (splitting must not matter)
+      (5L, 1L, -40.0),
+      // nation 2: spends 0,0,0,10 → G = 2·(4·10)/(4·10) − 5/4 = 0.75
+      (6L, 5L, 0.0), (7L, 6L, 0.0), (8L, 7L, 0.0), (9L, 8L, 10.0))
+      .map { case (ok, ck, tp) =>
+        (ok, ck, "F", tp, Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val customer = (1 to 8).map(i =>
+      (i.toLong, s"c$i", if (i <= 4) 1 else 2, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = RobustStats.giniByNation(orders, customer).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(3)))).toMap
+    assert(r(1) == ((4L, 0.0)))
+    assert(r(2) == ((4L, 0.75)))
+  }
+
+  test("gini on the orders table: values in [0,1), all nations present") {
+    val r = RobustStats.giniByNation(
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir)).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val g = x.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+    }
+  }
+
+  // ---- q128 Zipf slope -----------------------------------------------
+
+  test("zipfSlope: exact 1/rank corpus fits slope −1 with r² = 1") {
+    // freqs 6,3,2 at ranks 1,2,3 = 6/rank exactly →
+    // ln f = ln 6 − 1·ln rank
+    val df = docsDf(Seq(
+      (1L, "a a a a a a", "s", 11L),
+      (2L, "b b b c c", "s", 9L)))
+    val r = RobustStats.zipfSlope(df).collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == -1.0)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("zipfSlope: topK caps the frame; ties rank by token text") {
+    // four equal-frequency tokens, topK=2 → ranks a=1, b=2 by text
+    val df = docsDf(Seq((1L, "d c b a", "s", 7L)))
+    val r = RobustStats.zipfSlope(df, topK = 2).collect()(0)
+    assert(r.getLong(0) == 2L)
+    // equal freqs → flat fit, slope 0
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  // ---- q129 event-type entropy ---------------------------------------
+
+  private def eventsDf(rows: Seq[(Long, String, String)]) =
+    rows.zipWithIndex.map { case ((u, t, ty), i) =>
+      (i.toLong, Timestamp.valueOf(t), u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("entropy: uniform two-type day → ln 2; single-type day → 0") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-02 10:00:00", "view"),
+      (2L, "2024-01-02 11:00:00", "view")))
+    val r = RobustStats.eventTypeEntropy(df).collect()
+      .map(x => x.getDate(0).toString -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r("2024-01-01") == ((2L, 2L, 0.6931)))
+    assert(r("2024-01-02") == ((2L, 1L, 0.0)))
+  }
+
+  test("entropy on the events table: 0 ≤ H ≤ ln(n_types)") {
+    val r = RobustStats.eventTypeEntropy(Tables.events(spark, sfDir)).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val h = x.getDouble(3)
+      val cap = math.log(x.getLong(2).toDouble)
+      assert(h >= 0.0 && h <= cap + 1e-9, s"entropy $h exceeds ln(n_types) $cap")
+    }
+  }
+}

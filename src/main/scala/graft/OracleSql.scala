@@ -1514,6 +1514,44 @@ object OracleSql {
         |SELECT day, CAST(sum(c) AS BIGINT) AS n_events,
         |count(*) AS n_types,
         |round(-sum((c * 1.0 / total) * ln(c * 1.0 / total)), 4) AS entropy_nats
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // PMI: the vocab cut, the pair counts, and the df values are all
+    // exact integers with deterministic tie-breaks; ln over an exact
+    // rational is the same libm call, rounded at 4 before the final
+    // (pmi, ta, tb) sort on both engines.
+    "q130_token_pmi" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |dt0 AS (SELECT DISTINCT doc_id, term FROM t),
+        |dfreq AS (SELECT term, count(*) AS df FROM dt0 GROUP BY 1),
+        |top AS (SELECT term, df FROM dfreq ORDER BY df DESC, term ASC LIMIT 50),
+        |dt AS (SELECT dt0.doc_id, dt0.term FROM dt0 JOIN top USING (term)),
+        |pairs AS (SELECT a.term AS ta, b.term AS tb, count(*) AS df_ab
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |n AS (SELECT count(*) * 1.0 AS n_docs FROM documents)
+        |SELECT p.ta, p.tb, CAST(p.df_ab AS BIGINT) AS df_ab,
+        |round(ln(n.n_docs * p.df_ab / (fa.df * fb.df)), 4) AS pmi
+        |FROM pairs p
+        |JOIN top fa ON p.ta = fa.term JOIN top fb ON p.tb = fb.term, n
+        |ORDER BY pmi DESC, ta ASC, tb ASC LIMIT 20""".stripMargin,
+
+    // Time-weighted average: epoch seconds via date_diff from the
+    // epoch origin ≡ Spark's unix_timestamp floor (the q125 parity
+    // contract); weights and spans are exact integers, and the
+    // weighted sum is rounded at 4.
+    "q131_time_weighted" ->
+      """WITH s AS (SELECT user_id, event_id, value,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |d AS (SELECT user_id, value,
+        |  lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec
+        |    AS wgt FROM s)
+        |SELECT user_id, count(*) + 1 AS n_events,
+        |CAST(sum(wgt) AS BIGINT) AS span_sec,
+        |round(sum(value * wgt) / sum(wgt), 4) AS twa_value
+        |FROM d WHERE wgt IS NOT NULL
+        |GROUP BY 1 HAVING sum(wgt) > 0 ORDER BY 1""".stripMargin
   )
 }

@@ -350,7 +350,11 @@ object SparkEntry {
     // Zipf rank-frequency slope over the top-200 tokens
     "q128_zipf_slope"      -> ((s, d) => RobustStats.zipfSlope(Tables.documents(s, d))),
     // Shannon entropy of the per-day event-type mix
-    "q129_type_entropy"    -> ((s, d) => RobustStats.eventTypeEntropy(Tables.events(s, d)))
+    "q129_type_entropy"    -> ((s, d) => RobustStats.eventTypeEntropy(Tables.events(s, d))),
+    // PMI collocations over the top-50 vocabulary
+    "q130_token_pmi"       -> ((s, d) => TextAnalysis.tokenPmi(Tables.documents(s, d))),
+    // per-user LOCF time-weighted average of the value signal
+    "q131_time_weighted"   -> ((s, d) => EventAnalytics.timeWeightedAvg(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

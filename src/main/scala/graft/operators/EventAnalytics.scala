@@ -253,4 +253,39 @@ object EventAnalytics {
         round(col("n") / sum(col("n")).over(Window.partitionBy("from_type")), 6))
       .orderBy("from_type", "to_type")
   }
+
+  /** Time-weighted average of the value signal, per user: each
+    * reading holds until the next one (the step/LOCF interpretation a
+    * sensor or price feed needs — a plain avg() over-weights bursts),
+    * so value vᵢ gets weight = seconds until event i+1, and
+    * TWA = Σ vᵢ·wᵢ / Σ wᵢ over the user's observation span. The last
+    * event has no successor and carries no weight; users whose span
+    * is zero (single event, or all events in the same second) have no
+    * well-defined TWA and are excluded.
+    *
+    * One lead() window over the standard user_id partition (the same
+    * single Exchange every operator in this file reuses), then a
+    * per-user partial aggregate. Timestamps are truncated to whole
+    * epoch seconds BEFORE differencing — the q125 cross-engine parity
+    * contract — and the weighted sum is exact integer·double
+    * arithmetic, rounded at 4.
+    */
+  def timeWeightedAvg(ev: DataFrame): DataFrame = {
+    // order at the SAME whole-second resolution the weights use
+    // (event_id tie-break): ordering by sub-second ts while weighting
+    // by truncated seconds would let two engines pair a zero weight
+    // with different events inside the same second
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("wgt", (lead(col("sec"), 1).over(w) - col("sec")).cast("double"))
+      .filter(col("wgt").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        (count(lit(1)) + 1).as("n_events"),
+        sum(col("wgt")).cast("bigint").as("span_sec"),
+        round(sum(col("value") * col("wgt")) / sum(col("wgt")), 4).as("twa_value"))
+      .filter(col("span_sec") > 0)
+      .orderBy("user_id")
+  }
 }

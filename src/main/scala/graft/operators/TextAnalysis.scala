@@ -448,6 +448,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Pointwise mutual information over token co-occurrence: for the
+    * `vocab` most document-frequent tokens, score every pair that
+    * co-occurs in at least `minSupport` documents by
+    * PMI = ln(N·df(a,b) / (df(a)·df(b))) — the collocation /
+    * topic-pair signal a corpus report puts next to raw frequencies.
+    *
+    * Scale cascade (the dedup-candidate discipline applied to
+    * co-occurrence): the vocabulary cut happens FIRST — per-doc
+    * distinct tokens are semi-joined against the broadcast top-`vocab`
+    * frame BEFORE any pairing, so the self-join that forms pairs is
+    * equi-keyed on doc_id with both sides ≤ `vocab` rows per doc:
+    * per-doc fan-out is ≤ vocab²/2, a constant, never
+    * tokens-per-doc². Pair counts partial-aggregate on the (a,b)
+    * key; the df frame (vocab rows) broadcasts back twice; the final
+    * sort ranks ≤ vocab²/2 rows. N rides in as a broadcast 1-row
+    * aggregate, not a driver count.
+    */
+  def tokenPmi(docs: DataFrame, vocab: Int = 50, minSupport: Int = 5,
+               topPairs: Int = 20): DataFrame = {
+    val docTokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val dfreq = docTokens.groupBy("term").agg(count(lit(1)).as("df"))
+    val top = dfreq.orderBy(col("df").desc, col("term").asc).limit(vocab)
+    val dt = docTokens.join(broadcast(top.select("term")), "term")
+    val pairs = dt.select(col("doc_id"), col("term").as("ta"))
+      .join(dt.select(col("doc_id"), col("term").as("tb")), "doc_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= minSupport)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    pairs
+      .join(broadcast(top.select(col("term").as("ta"), col("df").as("df_a"))), "ta")
+      .join(broadcast(top.select(col("term").as("tb"), col("df").as("df_b"))), "tb")
+      .crossJoin(broadcast(nDocs))
+      .select(col("ta"), col("tb"), col("df_ab"),
+        round(log(col("n_docs") * col("df_ab") / (col("df_a") * col("df_b"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("ta").asc, col("tb").asc)
+      .limit(topPairs)
+  }
+
   def seedPii(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
         col("text"),

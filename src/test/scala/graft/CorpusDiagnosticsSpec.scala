@@ -320,4 +320,47 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
     assert(res.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1))
   }
+
+  // ---- q130 token PMI -----------------------------------------------
+
+  test("tokenPmi: closed-form PMI, support threshold enforced") {
+    // N=10 docs; (a,b) co-occur in 5, a alone in 1 (df_a=6), b alone
+    // in 1 (df_b=6); (c,d) co-occur in only 3 — below minSupport
+    val df = docsDf(
+      (1 to 5).map(i => (i.toLong, "a b", "s")) ++ Seq(
+        (6L, "a", "s"), (7L, "b", "s")) ++
+        (8 to 10).map(i => (i.toLong, "c d", "s")))
+    val res = TextAnalysis.tokenPmi(df).collect()
+    assert(res.length == 1)
+    val r = res(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("a", "b", 5L)))
+    assert(r.getDouble(3) == math.floor(math.log(10.0 * 5 / 36) * 1e4 + 0.5) / 1e4)
+  }
+
+  test("tokenPmi: duplicate tokens inside a doc count once (df semantics)") {
+    val df = docsDf(Seq(
+      (1L, "a a a b", "s"), (2L, "a b b", "s"), (3L, "a b", "s"),
+      (4L, "a b", "s"), (5L, "a b", "s")))
+    val r = TextAnalysis.tokenPmi(df).collect()(0)
+    // df_a = df_b = df_ab = 5 over N = 5 → PMI = ln(5·5/25) = 0
+    assert(r.getLong(2) == 5L && r.getDouble(3) == 0.0)
+  }
+
+  test("tokenPmi: vocabulary cut excludes low-df tokens before pairing") {
+    val df = docsDf(
+      (1 to 5).map(i => (i.toLong, "a b rare" + i, "s")))
+    // vocab=2 keeps only a and b; the rareN tokens never form pairs
+    val res = TextAnalysis.tokenPmi(df, vocab = 2, minSupport = 1).collect()
+    assert(res.length == 1)
+    assert((res(0).getString(0), res(0).getString(1)) == (("a", "b")))
+  }
+
+  test("tokenPmi on the documents table: bounded output, finite scores") {
+    val res = TextAnalysis.tokenPmi(Tables.documents(spark, sfDir)).collect()
+    assert(res.length <= 20)
+    assert(res.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    // descending by rounded pmi with (ta, tb) tie-break
+    val ps = res.map(_.getDouble(3))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+  }
 }

@@ -267,4 +267,55 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .groupBy("from_type").agg(sum("p").as("s")).select("s").as[Double].collect()
     assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-3))
   }
+
+  // ---- q131 time-weighted average ------------------------------------
+
+  private def valuedEvents(rows: Seq[(Long, String, Long, Double)]) =
+    rows.map { case (id, t, u, v) => (id, ts(t), u, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("timeWeightedAvg: LOCF weights, single-event and zero-span users excluded") {
+    val df = valuedEvents(Seq(
+      // user 1: v=10 holds 10 s, v=20 holds 30 s, last carries nothing
+      (1L, "2024-01-01 10:00:00", 1L, 10.0),
+      (2L, "2024-01-01 10:00:10", 1L, 20.0),
+      (3L, "2024-01-01 10:00:40", 1L, 99.0),
+      // user 2: single event — no span
+      (4L, "2024-01-01 10:00:00", 2L, 5.0),
+      // user 3: two events inside one second — zero span
+      (5L, "2024-01-01 10:00:00", 3L, 1.0),
+      (6L, "2024-01-01 10:00:00", 3L, 2.0)))
+    val res = EventAnalytics.timeWeightedAvg(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(res.keySet == Set(1L))
+    assert(res(1L) == ((3L, 40L, 17.5))) // (10·10 + 20·30) / 40
+  }
+
+  test("timeWeightedAvg: within-second order is whole-second + event_id (parity rule)") {
+    val df = valuedEvents(Seq(
+      // ids disagree with sub-second ts order inside 10:00:00 —
+      // the contract orders by (sec, event_id), so id 99 comes first
+      // and takes the zero weight; id 100 bridges the 5 s gap
+      (100L, "2024-01-01 10:00:00.9", 7L, 1.0),
+      (99L, "2024-01-01 10:00:00.1", 7L, 2.0),
+      (101L, "2024-01-01 10:00:05", 7L, 0.0)))
+    val res = EventAnalytics.timeWeightedAvg(df).collect()
+    assert(res.length == 1)
+    assert(res(0).getLong(1) == 3L && res(0).getLong(2) == 5L)
+    assert(res(0).getDouble(3) == 1.0) // id 100's value rides the span
+  }
+
+  test("timeWeightedAvg on the events table: spans positive, TWA within value range") {
+    val res = EventAnalytics.timeWeightedAvg(Tables.events(spark, sfDir))
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) > 0))
+    val (lo, hi) = {
+      val mm = Tables.events(spark, sfDir)
+        .agg(min("value"), max("value")).collect()(0)
+      (mm.getDouble(0), mm.getDouble(1))
+    }
+    assert(rows.forall { r =>
+      val v = r.getDouble(3); v >= lo - 1e-9 && v <= hi + 1e-9 })
+  }
 }

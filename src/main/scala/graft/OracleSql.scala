@@ -1552,6 +1552,38 @@ object OracleSql {
         |CAST(sum(wgt) AS BIGINT) AS span_sec,
         |round(sum(value * wgt) / sum(wgt), 4) AS twa_value
         |FROM d WHERE wgt IS NOT NULL
-        |GROUP BY 1 HAVING sum(wgt) > 0 ORDER BY 1""".stripMargin
+        |GROUP BY 1 HAVING sum(wgt) > 0 ORDER BY 1""".stripMargin,
+
+    // Z-order audit: the Morton interleave is pure integer shift/mask
+    // arithmetic — the identical OR-chain is generated for both
+    // engines from the same loop, so the buckets and their min/max
+    // spans are bit-exact. Keys are positive, so % ≡ pmod.
+    "q132_zorder_layout" -> {
+      val z = (0 until 8).flatMap { i =>
+        Seq(s"(((bx >> $i) & 1) << ${2 * i + 1})",
+            s"(((by >> $i) & 1) << ${2 * i})")
+      }.mkString(" | ")
+      s"""WITH b AS (SELECT l_partkey % 256 AS bx, l_suppkey % 256 AS by
+         |           FROM lineitem),
+         |z AS (SELECT bx, by, $z AS z FROM b)
+         |SELECT z // 1024 AS zbucket, count(*) AS n_rows,
+         |min(bx) AS min_bx, max(bx) AS max_bx,
+         |min(by) AS min_by, max(by) AS max_by
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // Stats manifest: month buckets, exact int counts, min/max over
+    // raw parquet values (timestamps cast to date, doubles untouched)
+    // — no arithmetic at all, so no rounding is needed anywhere.
+    "q133_stats_manifest" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket,
+        |count(*) AS n_rows,
+        |CAST(min(o_orderdate) AS DATE) AS min_date,
+        |CAST(max(o_orderdate) AS DATE) AS max_date,
+        |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |CAST(CASE WHEN max(o_totalprice) >= 100000.0
+        |           AND min(o_totalprice) <= 150000.0
+        |     THEN 1 ELSE 0 END AS INT) AS scanned
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -354,7 +354,11 @@ object SparkEntry {
     // PMI collocations over the top-50 vocabulary
     "q130_token_pmi"       -> ((s, d) => TextAnalysis.tokenPmi(Tables.documents(s, d))),
     // per-user LOCF time-weighted average of the value signal
-    "q131_time_weighted"   -> ((s, d) => EventAnalytics.timeWeightedAvg(Tables.events(s, d)))
+    "q131_time_weighted"   -> ((s, d) => EventAnalytics.timeWeightedAvg(Tables.events(s, d))),
+    // Z-order clustering-key layout audit (part x supplier interleave)
+    "q132_zorder_layout"   -> ((s, d) => Layout.zorderLayout(Tables.lineitem(s, d))),
+    // file-stats manifest + min/max skipping decision per month bucket
+    "q133_stats_manifest"  -> ((s, d) => Layout.statsManifest(Tables.orders(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

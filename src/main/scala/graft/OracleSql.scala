@@ -1572,6 +1572,76 @@ object OracleSql {
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Count-Min sketch: the counter matrix is exact integer counts
+    // over engine-neutral md5 buckets, the estimate a min over 4
+    // cells — every cell and every estimate is reproducible, so even
+    // the sketch's ERROR (overestimate column) hash-matches.
+    "q134_countmin" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        |d AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+        |kb AS (SELECT k.k, d.depth,
+        |  CAST(concat('0x', substring(
+        |    md5('cm' || d.depth || ':' || k.k), 1, 8)) AS BIGINT) % 64 AS bucket
+        |  FROM k, d),
+        |counters AS (SELECT depth, bucket, count(*) AS c
+        |             FROM kb GROUP BY 1, 2),
+        |truth AS (SELECT k, count(*) AS true_count FROM k GROUP BY 1
+        |          ORDER BY true_count DESC, k ASC LIMIT 20),
+        |probe AS (SELECT t.k, t.true_count, d.depth,
+        |  CAST(concat('0x', substring(
+        |    md5('cm' || d.depth || ':' || t.k), 1, 8)) AS BIGINT) % 64 AS bucket
+        |  FROM truth t, d)
+        |SELECT p.k, p.true_count, min(c.c) AS cms_count,
+        |CAST(min(c.c) - p.true_count AS BIGINT) AS overestimate
+        |FROM probe p JOIN counters c USING (depth, bucket)
+        |GROUP BY 1, 2 ORDER BY true_count DESC, k ASC""".stripMargin,
+
+    // Prefix-filtering completeness proof: the oracle computes the
+    // SAME pair set from ALL shared-shingle pairs (no prefix cut) —
+    // if Spark's prefix-prefix candidate join ever dropped a true
+    // pair, this hash would catch it.
+    "q135_prefix_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |  FROM toks WHERE len(tk) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |       AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, sa.n AS n_a, sb.n AS n_b,
+        |CAST(p.inter AS BIGINT) AS inter,
+        |round(p.inter * 1.0 / (sa.n + sb.n - p.inter), 4) AS jaccard
+        |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+        |JOIN sz sb ON p.doc_b = sb.doc_id
+        |WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // PSI: bin counts are exact ints, shares exact rationals; the
+    // ε-floor and the (q−p)·ln(q/p) sum are identical double
+    // arithmetic over ≤ 13 bins, rounded at 4.
+    "q136_psi_drift" ->
+      """WITH b AS (SELECT source, least(n_chars // 50, 12) AS bin, n_chars
+        |           FROM documents),
+        |corpus AS (SELECT bin, count(*) * 1.0 / (SELECT count(*) FROM b) AS p
+        |           FROM b GROUP BY 1),
+        |st AS (SELECT source, count(*) AS n_docs, avg(n_chars) AS mean_len
+        |       FROM b GROUP BY 1),
+        |sb AS (SELECT source, bin, count(*) AS cq FROM b GROUP BY 1, 2),
+        |grid AS (SELECT st.source, st.n_docs, st.mean_len, c.bin, c.p,
+        |  coalesce(sb.cq, 0) * 1.0 / st.n_docs AS q
+        |  FROM st CROSS JOIN corpus c
+        |  LEFT JOIN sb ON sb.source = st.source AND sb.bin = c.bin),
+        |cm AS (SELECT avg(n_chars) AS corpus_mean FROM b)
+        |SELECT g.source, g.n_docs, round(g.mean_len, 4) AS mean_len,
+        |round(g.mean_len - cm.corpus_mean, 4) AS mean_shift,
+        |round(sum((greatest(g.q, 1e-6) - greatest(g.p, 1e-6))
+        |  * ln(greatest(g.q, 1e-6) / greatest(g.p, 1e-6))), 4) AS psi
+        |FROM grid g, cm
+        |GROUP BY g.source, g.n_docs, g.mean_len, cm.corpus_mean
+        |ORDER BY 1""".stripMargin,
+
     // Stats manifest: month buckets, exact int counts, min/max over
     // raw parquet values (timestamps cast to date, doubles untouched)
     // — no arithmetic at all, so no rounding is needed anywhere.

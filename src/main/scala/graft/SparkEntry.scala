@@ -358,7 +358,13 @@ object SparkEntry {
     // Z-order clustering-key layout audit (part x supplier interleave)
     "q132_zorder_layout"   -> ((s, d) => Layout.zorderLayout(Tables.lineitem(s, d))),
     // file-stats manifest + min/max skipping decision per month bucket
-    "q133_stats_manifest"  -> ((s, d) => Layout.statsManifest(Tables.orders(s, d)))
+    "q133_stats_manifest"  -> ((s, d) => Layout.statsManifest(Tables.orders(s, d))),
+    // Count-Min sketch heavy hitters: estimate vs truth audit
+    "q134_countmin"        -> ((s, d) => Sketches.countMinHeavyHitters(Tables.events(s, d))),
+    // EXACT Jaccard set-similarity self-join via prefix filtering
+    "q135_prefix_jaccard"  -> ((s, d) => Dedup.prefixJaccardJoin(Tables.documents(s, d))),
+    // PSI distribution drift of each source vs the corpus
+    "q136_psi_drift"       -> ((s, d) => RobustStats.psiDrift(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -869,4 +869,59 @@ object Dedup {
         col("pos").as("keeper_pos"), col("n_copies"))
       .orderBy("fingerprint")
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (SSJoin /
+    * PPJoin family): every pair of documents whose distinct-shingle
+    * sets have Jaccard ≥ `threshold` — no MinHash approximation, no
+    * banding false negatives. The prefix principle: order every set
+    * by global token rarity (df asc, then token); a set of size n
+    * keeps only its first n − ⌈t·n⌉ + 1 rarest tokens as its
+    * "prefix"; any pair with J ≥ t MUST share a prefix token, so the
+    * prefix-prefix equi-join is a complete candidate generator —
+    * empirically proven here because the DuckDB oracle computes the
+    * answer from ALL shared-token pairs (a dropped true pair would
+    * hash-mismatch).
+    *
+    * Scale: candidates are CONTENT-bounded (rarest ~0.2·n shingles
+    * per doc — exactly the tokens with the fewest collisions), never
+    * attribute-bounded; the verify join computes intersections only
+    * for candidate pairs via (doc, shingle) hash joins. Every join is
+    * an equi-join; shuffles carry (id, shingle-hash)-narrow rows.
+    * This is the exact-answer complement to the q32/q33 MinHash
+    * cascade: same blocking philosophy, zero recall loss.
+    */
+  def prefixJaccardJoin(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // distinct shingle sets + sizes (set semantics, unlike minhash's
+    // multiset-insensitive min)
+    val sh = shingleDocs(docs).distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-doc rarity rank → keep the prefix
+    val pref = sh.join(dfreq, "shingle")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
+      .join(sz, "doc_id")
+      .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = pref.as("a")
+      .join(pref.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify on candidates only: |A∩B| via (doc, shingle) joins
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("inter"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -147,4 +147,48 @@ object RobustStats {
         round(expr("regr_intercept(ly, lx)"), 4).as("zipf_intercept"),
         round(expr("regr_r2(ly, lx)"), 4).as("r2"))
   }
+
+  /** Population Stability Index of each source's document-length
+    * distribution against the whole corpus: PSI = Σ (q−p)·ln(q/p)
+    * over fixed-width length bins (p = corpus share, q = source
+    * share, both floored at ε so empty bins contribute finitely).
+    * The standard drift monitor between a reference distribution and
+    * an incoming feed: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * act. Reported with the mean-length shift for direction.
+    *
+    * Two partial-aggregated groupBys over a 2-column scan; after
+    * aggregation everything is (#sources × #bins) rows — the bin
+    * frames are cross-joined (both tiny, broadcast) and left-joined
+    * so a source's EMPTY bins still contribute their (0−p)·ln(ε/p)
+    * term. Corpus size touches only the first aggregate.
+    */
+  def psiDrift(docs: DataFrame, binWidth: Int = 50, maxBin: Int = 12,
+               eps: Double = 1e-6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = docs.select(col("source"),
+      // integer div, not double-divide (the q132 cast-truncation trap)
+      least(expr(s"n_chars div $binWidth"), lit(maxBin.toLong)).as("bin"),
+      col("n_chars"))
+    val corpus = binned.groupBy("bin").agg(count(lit(1)).as("cp"))
+      // unpartitioned window over the ≤ maxBin+1-row aggregated frame
+      .withColumn("p", col("cp") / sum("cp").over(Window.partitionBy()))
+    val srcTotals = binned.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), avg("n_chars").as("mean_len"))
+    val srcBins = binned.groupBy("source", "bin").agg(count(lit(1)).as("cq"))
+    val corpusMean = docs.agg(avg("n_chars").as("corpus_mean"))
+    val grid = srcTotals.crossJoin(broadcast(corpus)) // #sources × #bins
+      .join(srcBins, Seq("source", "bin"), "left")
+      .withColumn("q", coalesce(col("cq"), lit(0L)) / col("n_docs"))
+    grid
+      .withColumn("pf", greatest(col("p"), lit(eps)))
+      .withColumn("qf", greatest(col("q"), lit(eps)))
+      .groupBy("source", "n_docs", "mean_len")
+      .agg(round(sum((col("qf") - col("pf")) * log(col("qf") / col("pf"))), 4)
+        .as("psi"))
+      .crossJoin(broadcast(corpusMean))
+      .select(col("source"), col("n_docs"), round(col("mean_len"), 4).as("mean_len"),
+        round(col("mean_len") - col("corpus_mean"), 4).as("mean_shift"),
+        col("psi"))
+      .orderBy("source")
+  }
 }

@@ -363,4 +363,46 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     val ps = res.map(_.getDouble(3))
     assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
   }
+
+  // ---- q135 prefix-filtering Jaccard join ---------------------------
+
+  test("prefixJaccardJoin: identical docs J=1, disjoint docs absent") {
+    val df = docsDf(Seq(
+      (1L, "a b c d e f g h", "s"),
+      (2L, "a b c d e f g h", "s"),   // identical shingle set → J = 1
+      (3L, "x y z w v u t q", "s")))  // disjoint → no pair
+    val res = Dedup.prefixJaccardJoin(df).collect()
+    assert(res.length == 1)
+    assert((res(0).getLong(0), res(0).getLong(1)) == ((1L, 2L)))
+    assert(res(0).getLong(4) == 6L)        // 8 tokens → 6 shingles
+    assert(res(0).getDouble(5) == 1.0)
+  }
+
+  test("prefixJaccardJoin: sub-threshold overlap is filtered by the verify") {
+    // docs share a 3-shingle run but J = 3/(10+10-3) ≈ 0.18 < 0.8
+    val df = docsDf(Seq(
+      (1L, "a b c d e one two three four five six seven", "s"),
+      (2L, "a b c d e uno dos tres cuatro cinco seis siete", "s")))
+    assert(Dedup.prefixJaccardJoin(df).collect().isEmpty)
+  }
+
+  test("prefixJaccardJoin is COMPLETE: equals brute-force on the corpus") {
+    // the prefix cut must lose no pair vs the all-shared-pairs answer
+    val docs = Tables.documents(spark, sfDir)
+    val sh = Dedup.shingleDocs(docs).distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .where(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = Dedup.prefixJaccardJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref == brute)
+    assert(pref.nonEmpty) // the corpus's planted near-dups light it up
+  }
 }

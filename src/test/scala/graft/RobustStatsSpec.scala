@@ -136,4 +136,37 @@ class RobustStatsSpec extends AnyFunSuite {
       assert(h >= 0.0 && h <= cap + 1e-9, s"entropy $h exceeds ln(n_types) $cap")
     }
   }
+
+  // ---- q136 PSI drift ------------------------------------------------
+
+  test("psiDrift: a single source IS the corpus → PSI 0, shift 0") {
+    val df = docsDf((1 to 6).map(i => (i.toLong, "t", "only", i * 40L)))
+    val r = RobustStats.psiDrift(df).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(4) == 0.0)
+    assert(r(0).getDouble(3) == 0.0)
+  }
+
+  test("psiDrift: shifted source drifts positive, matching source near zero") {
+    // "short" all in bin 0 (len 10), "long" all in bin 12 (len 900):
+    // maximally separated → both PSI large; shifts have opposite sign
+    val df = docsDf(
+      (1 to 10).map(i => (i.toLong, "t", "short", 10L)) ++
+        (11 to 20).map(i => (i.toLong, "t", "long", 900L)))
+    val r = RobustStats.psiDrift(df).collect().map(x =>
+      x.getString(0) -> ((x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r("short")._1 < 0 && r("long")._1 > 0)
+    assert(r("short")._2 > 0.25 && r("long")._2 > 0.25)
+  }
+
+  test("psiDrift on the documents table: PSI ≥ 0, shifts sum to ~0 weighted") {
+    val docs = Tables.documents(spark, sfDir)
+    val r = RobustStats.psiDrift(docs).collect()
+    assert(r.nonEmpty)
+    r.foreach(x => assert(x.getDouble(4) >= 0.0, s"negative PSI: $x"))
+    // n_docs-weighted mean shift is 0 by construction (vs corpus mean)
+    val wsum = r.map(x => x.getLong(1) * x.getDouble(3)).sum
+    val n = r.map(_.getLong(1)).sum
+    assert(math.abs(wsum / n) < 0.01)
+  }
 }

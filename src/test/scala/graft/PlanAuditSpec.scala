@@ -361,6 +361,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p)
   }
 
+  test("count-min: counter matrix broadcasts; both aggregates stay partial") {
+    // the depth×width counter frame must be the broadcast side of the
+    // probe join (it is sketch-sized, never data-sized), and both the
+    // sketch build and the truth count must partial-aggregate
+    val p = plan("q134_countmin")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("prefix-Jaccard join: all equi-joins, no cartesian anywhere") {
+    // candidate generation is the prefix-prefix hash join; the verify
+    // is (doc, shingle) hash joins — a cartesian (or a broadcast
+    // nested loop from the < predicate) means the blocking regressed
+    val p = plan("q135_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("PSI drift: bin frames join broadcast; raw scan aggregates partially") {
+    val p = plan("q136_psi_drift")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("driver contract: oracle keys name real queries; qNN prefixes unique") {
     // the driver joins oracleSql to queries by key, and Bench's main
     // line keys results by the qNN prefix — both only work if every

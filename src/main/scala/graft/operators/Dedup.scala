@@ -891,28 +891,49 @@ object Dedup {
     * cascade: same blocking philosophy, zero recall loss.
     */
   def prefixJaccardJoin(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // distinct shingle sets + sizes (set semantics, unlike minhash's
-    // multiset-insensitive min)
-    val sh = shingleDocs(docs).distinct()
+    // distinct shingle sets with the shingle text collapsed to a
+    // 60-bit md5-derived key in the scan-side projection — set sizes,
+    // df counts, and intersection counts are hash-invariant, so every
+    // downstream shuffle carries (long, long) rows instead of ~30-char
+    // strings (the fingerprints-not-documents rule; 3.8 s → see
+    // SCALE.md). Collision odds over #distinct-shingles are ~2⁻⁴⁰ per
+    // corpus, and the oracle computes from RAW shingles, so a
+    // collision would be caught, not absorbed.
+    // persisted: sh feeds the df counts, the sizes, the prefix, and
+    // BOTH verify sides — unpersisted it is recomputed five times
+    // (shingle UDTF + md5 + distinct each time)
+    val sh = shingleDocs(docs)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     // per-doc rarity rank → keep the prefix
-    val pref = sh.join(dfreq, "shingle")
+    val pref = sh.join(dfreq, "h")
       .withColumn("pos", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
       .join(sz, "doc_id")
       .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("h"), col("n"))
+    // candidate join adds SSJoin's length filter: J ≥ t forces
+    // t·|B| ≤ |A| ≤ |B|/t, so size-mismatched prefix collisions are
+    // dropped BEFORE the verify pays for their intersections (the
+    // filter prunes ~half the candidates on a low-entropy corpus
+    // where rare-shingle prefixes alone are weakly selective)
     val cand = pref.as("a")
-      .join(pref.as("b"), col("a.shingle") === col("b.shingle")
-        && col("a.doc_id") < col("b.doc_id"))
+      .join(pref.as("b"), col("a.h") === col("b.h")
+        && col("a.doc_id") < col("b.doc_id")
+        && col("a.n") >= ceil(lit(threshold) * col("b.n"))
+        && col("b.n") >= ceil(lit(threshold) * col("a.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on candidates only: |A∩B| via (doc, shingle) joins
+    // exact verify on candidates only: |A∩B| via (doc, h) joins
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))

@@ -1642,6 +1642,44 @@ object OracleSql {
         |GROUP BY g.source, g.n_docs, g.mean_len, cm.corpus_mean
         |ORDER BY 1""".stripMargin,
 
+    // TextRank: the damped recurrence is unrolled to the same 10
+    // fixed iterations from the same Scala loop; constants are
+    // CAST(<shortest-roundtrip-double> AS DOUBLE) so both engines
+    // iterate bit-identical IEEE arithmetic (group-sum ordering ulps
+    // are absorbed by the final round(4), as q127-q131).
+    "q137_textrank" -> {
+      val d = 0.85
+      val num = (1.0 - d).toString // exact 1−d as a round-trip literal
+      val iterCtes = (1 to 10).map { k =>
+        s"""r$k AS (SELECT tp.term,
+           |  CAST($num AS DOUBLE)/nn.n + CAST($d AS DOUBLE)
+           |    * coalesce(inc.c, CAST(0 AS DOUBLE)) AS r
+           |  FROM top tp CROSS JOIN n nn LEFT JOIN (
+           |    SELECT e.dst AS term, sum(r${k - 1}.r * e.w / deg.deg) AS c
+           |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.term
+           |    JOIN deg ON deg.src = e.src GROUP BY 1) inc USING (term))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT DISTINCT doc_id,
+         |  unnest(string_split(text, ' ')) AS term FROM documents),
+         |dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+         |top AS (SELECT term, df FROM dfreq
+         |        ORDER BY df DESC, term ASC LIMIT 50),
+         |dt AS (SELECT t.doc_id, t.term FROM t JOIN top USING (term)),
+         |e0 AS (SELECT a.term AS src, b.term AS dst, count(*) AS w
+         |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2),
+         |e AS (SELECT src, dst, w FROM e0
+         |      UNION ALL SELECT dst, src, w FROM e0),
+         |deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM top),
+         |r0 AS (SELECT term, CAST(1 AS DOUBLE)/nn.n AS r FROM top, n nn),
+         |$iterCtes
+         |SELECT top.term, top.df, round(r10.r, 4) AS score
+         |FROM top JOIN r10 USING (term)
+         |ORDER BY score DESC, term ASC LIMIT 20""".stripMargin
+    },
+
     // Stats manifest: month buckets, exact int counts, min/max over
     // raw parquet values (timestamps cast to date, doubles untouched)
     // — no arithmetic at all, so no rounding is needed anywhere.

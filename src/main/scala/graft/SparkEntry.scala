@@ -364,7 +364,9 @@ object SparkEntry {
     // EXACT Jaccard set-similarity self-join via prefix filtering
     "q135_prefix_jaccard"  -> ((s, d) => Dedup.prefixJaccardJoin(Tables.documents(s, d))),
     // PSI distribution drift of each source vs the corpus
-    "q136_psi_drift"       -> ((s, d) => RobustStats.psiDrift(Tables.documents(s, d)))
+    "q136_psi_drift"       -> ((s, d) => RobustStats.psiDrift(Tables.documents(s, d))),
+    // TextRank keywords: PageRank over the token co-occurrence graph
+    "q137_textrank"        -> ((s, d) => TextAnalysis.textRank(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

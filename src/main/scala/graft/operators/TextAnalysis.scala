@@ -490,6 +490,69 @@ object TextAnalysis {
       .limit(topPairs)
   }
 
+  /** TextRank keyword extraction: PageRank over the token
+    * co-occurrence graph (Mihalcea & Tarau 2004). Nodes are the
+    * top-`vocab` tokens by document frequency (the q130 vocabulary
+    * cut); an undirected edge weighted by pair document frequency
+    * links tokens that co-occur in a document; `iters` fixed damped
+    * iterations of r(v) = (1−d)/N + d·Σᵤ r(u)·w(u,v)/deg(u). The
+    * fixed iteration count (not a convergence test) is what makes the
+    * scores a pure function of the corpus — and DuckDB-oracle-exact
+    * via the same unrolled recurrence.
+    *
+    * Scale: the corpus touches ONLY the distinct-token and df
+    * aggregates; everything after the vocabulary cut — edges (≤ V²),
+    * degrees, and all `iters` join+aggregate rounds — runs on
+    * vocab-bounded frames, so iteration cost is independent of corpus
+    * size (the q68 CC contrast: its frame is data-sized, so it
+    * checkpoints; here the persisted graph is enough). Dangling
+    * nodes keep the (1−d)/N floor via the left join.
+    *
+    * Caching contract (as [[Dedup.minhashCandidatePairs]]): the graph
+    * frames persist for the life of the returned plan; the caller
+    * releases them.
+    */
+  def textRank(docs: DataFrame, vocab: Int = 50, iters: Int = 10,
+               damping: Double = 0.85, topK: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docTokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val dfreq = docTokens.groupBy("term").agg(count(lit(1)).as("df"))
+    val top = dfreq.orderBy(col("df").desc, col("term").asc).limit(vocab)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = top.count() // bounded by `vocab`, never data-sized
+    val dt = docTokens.join(broadcast(top.select("term")), "term")
+    val e0 = dt.select(col("doc_id"), col("term").as("src"))
+      .join(dt.select(col("doc_id"), col("term").as("dst")), "doc_id")
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val edges = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(sum("w").as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // IEEE-exact constants, same operation order as the oracle:
+    // (1 − d) then the divide, 1.0 then the divide
+    val base = (1.0 - damping) / nNodes
+    var r = top.select(col("term"), lit(1.0 / nNodes).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(r, edges("src") === r("term"))
+        .join(deg, "src")
+        .groupBy(col("dst").as("term"))
+        .agg(sum(col("r") * col("w") / col("deg")).as("c"))
+      r = top.select(col("term"))
+        .join(contrib, Seq("term"), "left")
+        .select(col("term"),
+          (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+    }
+    top.join(r, "term")
+      .select(col("term"), col("df"), round(col("r"), 4).as("score"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(topK)
+  }
+
   def seedPii(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
         col("text"),

@@ -364,6 +364,36 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
   }
 
+  // ---- q137 TextRank keywords ---------------------------------------
+
+  test("textRank: hub token outranks leaves; symmetric leaves tie exactly") {
+    // graph from docs {a b}, {a c}: a—b and a—c (w=1 each); a is the
+    // hub. By symmetry r(b) = r(c) exactly; mass sums to 1 (no
+    // dangling nodes) up to the final rounding.
+    val df = docsDf(Seq((1L, "a b", "s"), (2L, "a c", "s")))
+    val res = TextAnalysis.textRank(df).collect()
+    assert(res.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    val scores = res.map(_.getDouble(2))
+    assert(scores(0) > scores(1))
+    assert(scores(1) == scores(2))
+    assert(math.abs(scores.sum - 1.0) < 0.002)
+  }
+
+  test("textRank: vocabulary cut keeps rare tokens out of the graph") {
+    val df = docsDf(
+      (1 to 5).map(i => (i.toLong, s"a b unique$i", "s")))
+    val res = TextAnalysis.textRank(df, vocab = 2).collect()
+    assert(res.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("textRank on the corpus: topK rows, positive scores, descending") {
+    val res = TextAnalysis.textRank(Tables.documents(spark, sfDir)).collect()
+    assert(res.length == 20)
+    assert(res.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) < 1.0))
+    val s = res.map(_.getDouble(2))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+  }
+
   // ---- q135 prefix-filtering Jaccard join ---------------------------
 
   test("prefixJaccardJoin: identical docs J=1, disjoint docs absent") {

@@ -387,6 +387,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("textRank: iterations run on vocab-bounded frames with broadcasts") {
+    // the corpus-sized side must appear only below the df aggregates;
+    // every iteration joins the persisted V²-bounded graph (no
+    // cartesian, vocabulary join is broadcast)
+    val p = plan("q137_textrank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("driver contract: oracle keys name real queries; qNN prefixes unique") {
     // the driver joins oracleSql to queries by key, and Bench's main
     // line keys results by the qNN prefix — both only work if every

@@ -105,9 +105,22 @@ object Bench {
     * window budget is pinned by ArtifactFormatSpec against the REAL
     * query set.
     */
+  /** Per-query value at ≤4 chars for any v < 10000: 2 decimals under
+    * 10 s (10 ms resolution where bands are tight), 1 decimal under
+    * 100 s, integer seconds above. Thresholds sit at the rounding
+    * boundary (9.995, 99.95) so the formatted string can never gain a
+    * digit by rounding up across them.
+    */
+  private[graft] def qnum(v: Double): String =
+    if (v >= 99.95) dec(math.rint(v), 0)
+    else if (v >= 9.995) {
+      val s = dec(v, 1)
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    } else num(v)
+
   private[graft] def queriesJson(results: Seq[(String, Double)]): String =
     results
-      .map { case (k, v) => jsonStr(k.drop(1).takeWhile(_ != '_')) + ":" + num(v) }
+      .map { case (k, v) => jsonStr(k.drop(1).takeWhile(_ != '_')) + ":" + qnum(v) }
       .mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {

@@ -36,6 +36,20 @@ class ArtifactFormatSpec extends AnyFunSuite {
     assert(Bench.num(10.0) == "10")
   }
 
+  test("qnum never exceeds 4 chars below 10000 s; rounding can't add a digit") {
+    assert(Bench.qnum(0.07) == "0.07")
+    assert(Bench.qnum(1.50) == "1.5")
+    assert(Bench.qnum(9.99) == "9.99")
+    assert(Bench.qnum(9.994) == "9.99")   // still 2-decimal side
+    assert(Bench.qnum(9.995) == "10")     // 1-decimal side, zero stripped
+    assert(Bench.qnum(31.06) == "31.1")
+    assert(Bench.qnum(99.94) == "99.9")
+    assert(Bench.qnum(99.95) == "100")    // integer side — never "100.0"
+    assert(Bench.qnum(151.3) == "151")
+    for (v <- Seq(0.004, 0.5, 9.9949, 9.995, 42.42, 99.9499, 99.95, 9999.4))
+      assert(Bench.qnum(v).length <= 4, s"$v -> ${Bench.qnum(v)}")
+  }
+
   test("jsonStr escapes quotes/backslashes and flattens newlines") {
     assert(Bench.jsonStr("""a"b\c""") == "\"a\\\"b\\\\c\"")
     assert(Bench.jsonStr("x\ny\rz\tw") == "\"x y z w\"")
@@ -48,7 +62,9 @@ class ArtifactFormatSpec extends AnyFunSuite {
     // the main line from the real SparkEntry key set with worst-case
     // 2-decimal values ("99.99"), and budget CAL + trailer at their
     // observed maxima.
-    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 99.99)
+    // qnum caps every value at 4 chars for v < 10000 (9.99 is the
+    // widest formatted form; 99.9/999/9999 are no wider)
+    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.99)
     val qs = Bench.queriesJson(worst)
     val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
     val calBudget = 9 * 26 + 20 + 8   // 9 quadruples at 2-decimal values + frame + [info]

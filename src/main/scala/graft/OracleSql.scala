@@ -1618,6 +1618,46 @@ object OracleSql {
         |WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Containment: all DIRECTED shared-shingle pairs from raw
+    // shingles (no prefix cut — a dropped true pair in the Spark
+    // candidate generator would hash-mismatch); * 1.0 forces real
+    // division as in q135.
+    "q140_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |  FROM toks WHERE len(tk) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |       AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, sa.n AS n_a, sb.n AS n_b,
+        |CAST(p.inter AS BIGINT) AS inter,
+        |round(p.inter * 1.0 / sa.n, 4) AS containment
+        |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+        |JOIN sz sb ON p.doc_b = sb.doc_id
+        |WHERE p.inter * 1.0 / sa.n >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Novelty: min-doc_id per raw shingle, one join back; counts are
+    // exact ints (sum → HUGEINT → cast BIGINT), * 1.0 for real
+    // division.
+    "q141_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |  FROM toks WHERE len(tk) >= 3),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_novel,
+        |round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |  * 1.0 / count(*), 4) AS novelty
+        |FROM sh JOIN f USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // PSI: bin counts are exact ints, shares exact rationals; the
     // ε-floor and the (q−p)·ln(q/p) sum are identical double
     // arithmetic over ≤ 13 bins, rounded at 4.
@@ -1679,6 +1719,53 @@ object OracleSql {
          |FROM top JOIN r10 USING (term)
          |ORDER BY score DESC, term ASC LIMIT 20""".stripMargin
     },
+
+    // BM25: same left-assoc IEEE expression order as the Spark plan;
+    // dl/avgdl is dl*n_docs/total with all three exact integers (one
+    // IEEE divide — no double-mean sum-order ulps); per-(q,d) sums
+    // round(6) before ranking, round(4) on output.
+    "q138_bm25_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |       FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |          FROM tf GROUP BY 1),
+        |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+        |scored AS (SELECT q.q_id, tf.doc_id,
+        |    round(sum(
+        |      ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |        * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75
+        |            + 0.75 * dl.dl * n.n_docs / tot.total))), 6) AS score_r
+        |  FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN tot
+        |  WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, doc_id, score_r,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_r DESC, doc_id) AS INT) AS rk FROM scored)
+        |SELECT q_id, doc_id, round(score_r, 4) AS bm25, rk
+        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // Inverted index: postings capped via row_number (≡ the Spark
+    // heap's min-k per term), csv-encoded; sum(tf) widens to HUGEINT
+    // in DuckDB → cast BIGINT to match Spark.
+    "q139_inverted_index" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+        |stats AS (SELECT term, count(*) AS df,
+        |          CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |capped AS (SELECT term, doc_id FROM (
+        |  SELECT term, doc_id, row_number() OVER (PARTITION BY term
+        |    ORDER BY doc_id) AS rn FROM tf) WHERE rn <= 20),
+        |postings AS (SELECT term,
+        |    array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |  FROM capped GROUP BY 1)
+        |SELECT term, df, cf, postings FROM stats JOIN postings USING (term)
+        |ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
 
     // Stats manifest: month buckets, exact int counts, min/max over
     // raw parquet values (timestamps cast to date, doubles untouched)

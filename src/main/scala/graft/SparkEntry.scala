@@ -366,7 +366,15 @@ object SparkEntry {
     // PSI distribution drift of each source vs the corpus
     "q136_psi_drift"       -> ((s, d) => RobustStats.psiDrift(Tables.documents(s, d))),
     // TextRank keywords: PageRank over the token co-occurrence graph
-    "q137_textrank"        -> ((s, d) => TextAnalysis.textRank(Tables.documents(s, d)))
+    "q137_textrank"        -> ((s, d) => TextAnalysis.textRank(Tables.documents(s, d))),
+    // BM25 top-k retrieval: first 8 docs as queries, inverted-index probe
+    "q138_bm25_topk"       -> ((s, d) => TextAnalysis.bm25TopK(Tables.documents(s, d))),
+    // inverted-index build: df/cf + heap-capped posting lists
+    "q139_inverted_index"  -> ((s, d) => TextAnalysis.invertedIndex(Tables.documents(s, d))),
+    // EXACT directed shingle-containment join (quote/wrapper detection)
+    "q140_containment"     -> ((s, d) => Dedup.containmentJoin(Tables.documents(s, d))),
+    // per-doc shingle novelty vs ingestion order (crawl freshness)
+    "q141_novelty"         -> ((s, d) => Dedup.noveltyScore(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

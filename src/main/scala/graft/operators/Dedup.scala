@@ -945,4 +945,85 @@ object Dedup {
         col("inter"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** EXACT shingle-containment join: every DIRECTED pair (a, b) with
+    * C(a→b) = |S(a)∩S(b)| / |S(a)| ≥ `threshold` — the asymmetric
+    * complement of [[prefixJaccardJoin]]. Containment is what catches
+    * quotes, wrapped articles, and boilerplate-padded reposts:
+    * a 4-shingle doc fully embedded in a 40-shingle doc has C = 1.0
+    * but J ≈ 0.1, invisible to any symmetric-Jaccard cascade.
+    *
+    * Prefix principle, asymmetric form: C(a→b) ≥ t forces
+    * |a∩b| ≥ ⌈t·|a|⌉, so at most |a| − ⌈t·|a|⌉ of a's shingles miss
+    * b — a's ⌊|a| − ⌈t·|a|⌉⌋ + 1 globally-rarest shingles MUST hit
+    * b's FULL set. Candidates are therefore a-prefix ⋈ b-full on the
+    * shingle key (complete, proven by the all-pairs oracle), plus the
+    * size bound |b| ≥ ⌈t·|a|⌉ (|a∩b| ≤ |b|). Same 60-bit hashed
+    * shingle keys and (long, long) shuffle rows as the Jaccard join;
+    * the b-full side is the corpus (doc, h) table itself, keyed on h —
+    * rare-shingle prefixes keep the candidate volume content-bounded.
+    */
+  def containmentJoin(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val sh = shingleDocs(docs)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val pref = sh.join(dfreq, "h")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
+      .join(sz, "doc_id")
+      .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    val cand = pref.as("a")
+      .join(sh.join(sz, "doc_id").as("b"), col("a.h") === col("b.h")
+        && col("a.doc_id") =!= col("b.doc_id")
+        && col("b.n") >= ceil(lit(threshold) * col("a.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("containment", col("inter") / col("n_a"))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("inter"), round(col("containment"), 4).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document novelty: the fraction of a doc's distinct shingles
+    * whose FIRST corpus occurrence (min doc_id — ingestion order) is
+    * the doc itself. A crawl-freshness / repetition-over-time
+    * diagnostic: novelty ≈ 1 is genuinely new text, ≈ 0 is re-crawled
+    * or templated content — the streaming-ingest complement of the
+    * batch dedup cascade (a doc the cascade would drop scores ~0 here
+    * before any pair is ever materialized).
+    *
+    * Scale: one min-aggregate keyed on the 60-bit hashed shingle and
+    * one join back on the same key — no pair generation at all, so
+    * cost is linear in distinct (doc, shingle) rows; shuffles carry
+    * (long, long) rows (the fingerprints-not-documents rule).
+    */
+  def noveltyScore(docs: DataFrame): DataFrame = {
+    val sh = shingleDocs(docs)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "h")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+  }
 }

@@ -553,6 +553,89 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** BM25 top-k retrieval (Robertson–Spärck Jones; the Lucene
+    * `+1`-idf variant): the first `nQueries` documents act as queries,
+    * and each is scored against the corpus by
+    * score(q,d) = Σ_{t∈q} idf(t) · tf/(tf + k1·(1−b + b·|d|/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Scale: the corpus is touched only through the (doc,term) tf
+    * aggregate, and scoring joins it to the BROADCAST query-term panel
+    * on `term` — the inverted-index access pattern: only postings of
+    * query terms flow into the shuffle, everything else is pruned at
+    * the join. N / total-token-count ship as 1-row broadcast frames.
+    *
+    * Oracle-exactness: avgdl is never materialized as a double mean —
+    * |d|/avgdl is computed as dl·N/total with dl, N, total exact
+    * integers (single IEEE divide, no sum-order ulps); per-(q,d)
+    * score sums round(6) before ranking, round(4) on output (the
+    * q127–q131 discipline).
+    */
+  def bm25TopK(docs: DataFrame, nQueries: Int = 8, k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dlen = terms.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    // N and total token count: exact ints cast to double (1-row, broadcast)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val total = terms.agg(count(lit(1)).cast("double").as("total"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val scored = tf.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dfreq, "term")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(total))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * col("tf") / (col("tf") +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") * col("n_docs") / col("total"))))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum("contrib"), 6).as("score_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score_r").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("doc_id"), round(col("score_r"), 4).as("bm25"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Inverted-index build for the `topTerms` highest-df terms: per
+    * term, document frequency, collection frequency, and the posting
+    * list of the first `postingsCap` doc ids (ascending, csv-encoded —
+    * array columns don't hash-compare across engines).
+    *
+    * Scale: the unbounded aggregation hazard in index building is the
+    * posting list of a stopword term (≈ every doc id in the corpus).
+    * `collect_list` never sees it: the postings side is capped FIRST
+    * by the [[graft.plans.TopKPerKey]] heap operator (min-`postingsCap`
+    * doc ids per term in one pass, no per-term sort, no full-list
+    * materialization), so the collected array is ≤ `postingsCap`
+    * elements by construction. df/cf come from a separate count/sum
+    * aggregate that never carries lists. A production index would
+    * write ALL postings sharded by (term, doc-range) — this operator
+    * is the capped-preview/query form of that layout.
+    */
+  def invertedIndex(docs: DataFrame, topTerms: Int = 50,
+                    postingsCap: Int = 20): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val capped = graft.plans.TopK.perKey(
+      tf.select("term", "doc_id"), Seq("term"), Seq(col("doc_id").asc), postingsCap)
+    val postings = capped.groupBy("term")
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+    stats.join(postings, "term")
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(topTerms)
+      .select(col("term"), col("df"), col("cf"), col("postings"))
+  }
+
   def seedPii(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
         col("text"),

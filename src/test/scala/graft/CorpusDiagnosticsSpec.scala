@@ -394,6 +394,59 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(s.zip(s.tail).forall { case (a, b) => a >= b })
   }
 
+  // ---- q138 BM25 retrieval ------------------------------------------
+
+  test("bm25TopK: both-term doc first; rare-term match outranks common") {
+    // q0 = "apple banana". df(apple)=4 > df(banana)=3, all candidate
+    // docs have dl=3 and tf=1, so ranking reduces to idf: doc1 (both
+    // terms) > doc4 (rare banana) > doc2 > doc3 (common apple, id tie).
+    val df = docsDf(Seq(
+      (0L, "apple banana", "s"), (1L, "apple banana filler", "s"),
+      (2L, "apple x1 x2", "s"), (3L, "apple y1 y2", "s"),
+      (4L, "banana z1 z2", "s")))
+    val r0 = TextAnalysis.bm25TopK(df).collect()
+      .filter(_.getLong(0) == 0L)
+    assert(r0.map(_.getLong(1)).toSeq == Seq(1L, 4L, 2L, 3L))
+    val s = r0.map(_.getDouble(2))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25TopK on the corpus: 8 queries x 5 hits, ranks complete") {
+    val res = TextAnalysis.bm25TopK(Tables.documents(spark, sfDir)).collect()
+    assert(res.length == 40)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to 5))
+      val s = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---- q139 inverted index ------------------------------------------
+
+  test("invertedIndex: cap truncates postings; df/cf count the full data") {
+    // "x" is in 4 docs (twice in doc 1): df=4, cf=5, postings capped
+    // to the 2 lowest doc ids; "y" in 1 doc.
+    val df = docsDf(Seq(
+      (1L, "x x y", "s"), (2L, "x", "s"), (3L, "x", "s"), (4L, "x", "s")))
+    val res = TextAnalysis.invertedIndex(df, topTerms = 10, postingsCap = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(res.toSeq == Seq(("x", 4L, 5L, "1,2"), ("y", 1L, 1L, "1")))
+  }
+
+  test("invertedIndex on the corpus: topTerms rows, df descending, sorted csv") {
+    val res = TextAnalysis.invertedIndex(Tables.documents(spark, sfDir)).collect()
+    // the synthetic corpus vocabulary is ~31 terms — smaller than the cut
+    assert(res.length > 0 && res.length <= 50)
+    val dfs = res.map(_.getLong(1))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+    res.foreach { r =>
+      val ids = r.getString(3).split(",").map(_.toLong)
+      assert(ids.length <= 20 && ids.length <= r.getLong(1))
+      assert(ids.zip(ids.tail).forall { case (a, b) => a < b })
+      assert(r.getLong(2) >= r.getLong(1)) // cf >= df
+    }
+  }
+
   // ---- q135 prefix-filtering Jaccard join ---------------------------
 
   test("prefixJaccardJoin: identical docs J=1, disjoint docs absent") {
@@ -434,5 +487,64 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pref == brute)
     assert(pref.nonEmpty) // the corpus's planted near-dups light it up
+  }
+
+  // ---- q140 containment join ----------------------------------------
+
+  test("containmentJoin: embedded doc found in one direction only") {
+    // doc 1's 2 shingles are all inside doc 2's 6 → C(1→2)=1.0; the
+    // reverse is 2/6 and J = 2/6 — invisible to the symmetric join
+    val df = docsDf(Seq(
+      (1L, "a b c d", "s"),
+      (2L, "a b c d e f g h", "s"),
+      (3L, "x y z w v u t q", "s")))
+    val res = Dedup.containmentJoin(df).collect()
+    assert(res.length == 1)
+    val r = res(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == ((1L, 2L, 2L, 6L, 2L, 1.0)))
+    assert(Dedup.prefixJaccardJoin(df).collect().isEmpty)
+  }
+
+  test("containmentJoin is COMPLETE: equals brute-force on the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = Dedup.shingleDocs(docs).distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .where(col("inter") / col("n_a") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = Dedup.containmentJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == brute)
+    assert(cont.nonEmpty) // planted near-dups contain each other
+  }
+
+  // ---- q141 novelty score -------------------------------------------
+
+  test("noveltyScore: first writer scores 1, verbatim recrawl scores 0") {
+    val df = docsDf(Seq(
+      (1L, "a b c d", "s"),      // 2 shingles, both first here → 1.0
+      (2L, "a b c d", "s"),      // exact recrawl → 0.0
+      (3L, "a b c new1 new2", "s"))) // shares "a b c" only → 2/3 novel
+    val res = Dedup.noveltyScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(res(1L) == ((2L, 2L, 1.0)))
+    assert(res(2L) == ((2L, 0L, 0.0)))
+    assert(res(3L) == ((3L, 2L, 0.6667)))
+  }
+
+  test("noveltyScore on the corpus: one row per shingled doc, in [0,1]") {
+    val docs = Tables.documents(spark, sfDir)
+    val res = Dedup.noveltyScore(docs).collect()
+    assert(res.length == docs.count())
+    assert(res.forall { r =>
+      val v = r.getDouble(3); v >= 0.0 && v <= 1.0 })
+    // ingestion-order semantics: the first doc is all-novel
+    assert(res.head.getDouble(3) == 1.0)
   }
 }

@@ -381,6 +381,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("containment join: a-prefix vs b-full stays equi-keyed, no cartesian") {
+    // asymmetric prefix filter: the b-full side is the corpus (doc, h)
+    // table keyed on h — a cartesian or nested loop means the
+    // candidate generator regressed to all-pairs
+    val p = plan("q140_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("novelty: no pair generation — one min-agg and one equi-join back") {
+    val p = plan("q141_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
   test("PSI drift: bin frames join broadcast; raw scan aggregates partially") {
     val p = plan("q136_psi_drift")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
@@ -395,6 +412,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_"), p)
+  }
+
+  test("bm25: corpus joins the broadcast query-term panel, no cartesian") {
+    // the inverted-index access pattern: only postings of query terms
+    // pass the term equi-join; N/total are 1-row broadcast frames
+    val p = plan("q138_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("inverted index: postings capped on the heap before any collect") {
+    // the stopword-posting hazard: collect_list may only ever see the
+    // TopKPerKey-capped frame, so the heap node must sit below the
+    // list aggregate
+    val p = plan("q139_inverted_index")
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.indexOf("TopKPerKey") > p.indexOf("collect_list"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("driver contract: oracle keys name real queries; qNN prefixes unique") {

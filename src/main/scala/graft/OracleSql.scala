@@ -1027,6 +1027,41 @@ object OracleSql {
         |       THEN 1.0 ELSE -1.0 END), (a, b) -> a + b), 4) END AS rp_val
         |FROM x ORDER BY vec_id, rp_dim""".stripMargin,
 
+    // k-means: the assign/update recurrence is unrolled from the same
+    // Scala loop shape as the operator; every centroid coordinate is
+    // round(6)-re-synced per update and every distance round(6)-ed
+    // before the argmin, so the trajectories are bit-identical.
+    // list_position/array_position both return the FIRST match →
+    // identical tie-breaks. list_reduce folds like Spark's aggregate
+    // (q97 precedent); len(v)=0 guard for DuckDB's empty-fold error.
+    "q142_kmeans" -> {
+      val k = 4
+      val iters = 3
+      def assignCte(i: Int, cPrev: String) =
+        s"""a$i AS (SELECT vec_id, v,
+           |  CAST(list_position(d, list_aggregate(d, 'min')) AS INT) AS cluster,
+           |  list_aggregate(d, 'min') AS dist_r
+           |  FROM (SELECT vec_id, v, list_transform($cPrev.cs, c ->
+           |    CASE WHEN len(v) = 0 THEN 0.0 ELSE
+           |    round(list_reduce(list_transform(v, (el, j) ->
+           |      (el - c[j]) * (el - c[j])), (x, y) -> x + y), 6) END) AS d
+           |    FROM e CROSS JOIN $cPrev))""".stripMargin
+      def updateCte(i: Int) =
+        s"""c$i AS (SELECT list(cm ORDER BY cluster) AS cs FROM (
+           |  SELECT cluster, list(m ORDER BY dim) AS cm FROM (
+           |    SELECT cluster, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS m
+           |    FROM a$i, unnest(range(1, len(v) + 1)) AS t(i)
+           |    GROUP BY 1, 2) GROUP BY 1))""".stripMargin
+      val ctes = (1 to iters).flatMap(i =>
+        Seq(assignCte(i, s"c${i - 1}"), updateCte(i))) :+
+        assignCte(iters + 1, s"c$iters")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < $k),
+         |${ctes.mkString(",\n")}
+         |SELECT vec_id, cluster, round(dist_r, 4) AS dist2
+         |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+    },
+
     // Normalization audit: EXPLICIT whitespace class (Java \s includes
     // \x0B, RE2's does not — the explicit class is the engine-neutral
     // subset); only lengths + md5 cross the wire.

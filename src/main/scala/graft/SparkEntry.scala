@@ -374,7 +374,9 @@ object SparkEntry {
     // EXACT directed shingle-containment join (quote/wrapper detection)
     "q140_containment"     -> ((s, d) => Dedup.containmentJoin(Tables.documents(s, d))),
     // per-doc shingle novelty vs ingestion order (crawl freshness)
-    "q141_novelty"         -> ((s, d) => Dedup.noveltyScore(Tables.documents(s, d)))
+    "q141_novelty"         -> ((s, d) => Dedup.noveltyScore(Tables.documents(s, d))),
+    // deterministic Lloyd's k-means (IVF coarse-quantizer training)
+    "q142_kmeans"          -> ((s, d) => Similarity.kmeans(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -605,4 +605,55 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("rp")).as(Seq("rp_dim", "rp_val")))
       .orderBy("vec_id", "rp_dim")
   }
+
+  /** Lloyd's k-means over the embedding corpus — deterministic and
+    * DuckDB-oracle-exact: init is the first `k` vectors by vec_id,
+    * `iters` FIXED iterations (no convergence test), and every
+    * centroid coordinate re-synchronizes to 6 decimals after each
+    * update, so the engines' group-sum orderings can never drift the
+    * trajectories apart (the q137 unrolled-recurrence discipline
+    * applied to an argmin-carrying loop). The learned centroids are
+    * what an IVF index WANTS as its coarse quantizer — this is the
+    * training step the q64 LSH-bucketed index approximates away.
+    *
+    * Scale: assignment is pure map-side — the k×dim centroid matrix
+    * travels as ONE broadcast row, each vector computes k distances
+    * with sequential HOF folds (zip_with → aggregate, codegen'd,
+    * same fold order as DuckDB's list_reduce) and takes argmin as
+    * array_position(array_min) — no shuffle, no window, no pair
+    * blow-up; ties go to the lowest cluster id in both engines
+    * (first-match semantics). The update shuffles only (cluster, dim)
+    * partial averages — k·dim rows per partition after map-side
+    * combine. Cluster id = 1-based position in the centroid array.
+    */
+  def kmeans(emb: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(cents: DataFrame): DataFrame =
+      base.crossJoin(broadcast(cents))
+        .withColumn("d", transform(col("cs"), c =>
+          round(aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, t) => acc + t), 6)))
+        .withColumn("cluster", array_position(col("d"), array_min(col("d"))).cast("int"))
+        .withColumn("dist_r", array_min(col("d")))
+    var cents = base.filter(col("vec_id") < k)
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
+        s => s.getField("v")).as("cs"))
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim").agg(round(avg("x"), 6).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("cluster"), col("c")))),
+          s => s.getField("c")).as("cs"))
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cluster"), round(col("dist_r"), 4).as("dist2"))
+      .orderBy("vec_id")
+  }
 }

@@ -398,6 +398,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), p)
   }
 
+  test("kmeans: map-side assignment — no window, no cartesian, partial aggs") {
+    // centroids travel as one broadcast row; distances + argmin are
+    // per-row HOFs; the update is a partial (cluster, dim) aggregate.
+    // A Window or CartesianProduct here means assignment regressed to
+    // a shuffle-per-iteration shape
+    val p = plan("q142_kmeans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("PSI drift: bin frames join broadcast; raw scan aggregates partially") {
     val p = plan("q136_psi_drift")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)

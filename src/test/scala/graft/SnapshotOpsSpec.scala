@@ -126,6 +126,42 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(res.forall(_.getDouble(2) == 0.0)) // the empty sum
   }
 
+  // ---- q142 k-means -------------------------------------------------
+
+  test("kmeans: two planted blobs recover; converged distances exact") {
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f), 0), (1L, Array(10.0f, 10.0f), 0),
+      (2L, Array(0.1f, 0.0f), 0), (3L, Array(10.0f, 10.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val res = Similarity.kmeans(emb, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(res(0L)._1 == 1 && res(2L)._1 == 1)
+    assert(res(1L)._1 == 2 && res(3L)._1 == 2)
+    // centroids (0.05, 0) and (10, 10.05) → every dist² = 0.05² = 0.0025
+    assert(res.values.forall(_._2 == 0.0025))
+  }
+
+  test("kmeans: argmin ties resolve to the lowest cluster id") {
+    // after the update, centroids are 0.5 and 2.0; the point at 1.0
+    // sits 0.25 from c1 vs 1.0 from c2 — but at init it is exactly
+    // equidistant (d = (1, 1)) and must pick cluster 1
+    val emb = Seq(
+      (0L, Array(0.0f), 0), (1L, Array(2.0f), 0), (2L, Array(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val res = Similarity.kmeans(emb, k = 2, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res == Map(0L -> 1, 2L -> 1, 1L -> 2))
+  }
+
+  test("kmeans on the corpus: every vector assigned, clusters populated") {
+    val embTable = Tables.embeddings(spark, sfDir)
+    val res = Similarity.kmeans(embTable).collect()
+    assert(res.length == embTable.count())
+    val sizes = res.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    assert(sizes.keySet.subsetOf((1 to 4).toSet) && sizes.size >= 2)
+    assert(res.forall(_.getDouble(2) >= 0.0))
+  }
+
   // ---- q98 normalize text -------------------------------------------
 
   test("normalizeText folds whitespace, strips non-ASCII, lowercases") {

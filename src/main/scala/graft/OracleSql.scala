@@ -1062,6 +1062,43 @@ object OracleSql {
          |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
     },
 
+    // OHLC: open/close via row_number in DuckDB ≡ Spark's struct
+    // min/max (same (whole-second, event_id) tie key — the q131
+    // engine-neutral order; raw-ts order could differ, nanos vs
+    // micros). O/H/L/C are raw parquet doubles — no rounding needed.
+    "q143_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+        |  date_trunc('second', ts) AS sec, event_id, value FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY event_type, bar_ts
+        |    ORDER BY sec, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY event_type, bar_ts
+        |    ORDER BY sec DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, bar_ts,
+        |max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |max(value) AS high, min(value) AS low,
+        |max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |count(*) AS n_events
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Triangles: ordered-triple join counts each triangle once; the
+    // per-token census explodes [a, b, c].
+    "q144_triangles" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |top AS (SELECT term FROM dfreq ORDER BY df DESC, term LIMIT 50),
+        |dt AS (SELECT t.doc_id, t.term FROM t JOIN top USING (term)),
+        |e AS (SELECT DISTINCT a.term AS src, b.term AS dst
+        |      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |        JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+        |x AS (SELECT unnest([a, b, c]) AS term FROM tri)
+        |SELECT term, count(*) AS n_triangles FROM x GROUP BY 1
+        |ORDER BY n_triangles DESC, term ASC LIMIT 20""".stripMargin,
+
     // Normalization audit: EXPLICIT whitespace class (Java \s includes
     // \x0B, RE2's does not — the explicit class is the engine-neutral
     // subset); only lengths + md5 cross the wire.

@@ -376,7 +376,11 @@ object SparkEntry {
     // per-doc shingle novelty vs ingestion order (crawl freshness)
     "q141_novelty"         -> ((s, d) => Dedup.noveltyScore(Tables.documents(s, d))),
     // deterministic Lloyd's k-means (IVF coarse-quantizer training)
-    "q142_kmeans"          -> ((s, d) => Similarity.kmeans(Tables.embeddings(s, d)))
+    "q142_kmeans"          -> ((s, d) => Similarity.kmeans(Tables.embeddings(s, d))),
+    // hourly OHLC bars per event type (struct-ordered arg-min/max agg)
+    "q143_ohlc_bars"       -> ((s, d) => EventAnalytics.ohlcBars(Tables.events(s, d))),
+    // triangle census of the token co-occurrence graph
+    "q144_triangles"       -> ((s, d) => TextAnalysis.tokenTriangles(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

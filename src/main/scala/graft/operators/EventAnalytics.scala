@@ -288,4 +288,34 @@ object EventAnalytics {
       .filter(col("span_sec") > 0)
       .orderBy("user_id")
   }
+
+  /** Hourly OHLC bars per event type — the time-series resample every
+    * metrics store needs (open/high/low/close/count of `value`). Every
+    * output is order-independent — min/max/count of raw parquet
+    * doubles — so the bars are exact on any engine; a mean would carry
+    * sum-order ulps (the one-ulp round-boundary lesson).
+    *
+    * Scale: open and close come from `min`/`max` over a
+    * (second, event_id, value) struct — lexicographic struct ordering
+    * IS arg-min/arg-max, and unlike a row_number window it is a
+    * partial aggregate: map-side combine reduces every partition to
+    * one row per (type, bar) before the exchange, where a window
+    * would shuffle every event. Tie order is (whole second, event_id)
+    * — the engine-neutral key of q131: Spark sees microseconds where
+    * the raw parquet has nanos, so raw-ts ordering could disagree;
+    * truncated-to-second ordering cannot.
+    */
+  def ohlcBars(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"))
+      .agg(
+        min(struct(date_trunc("second", col("ts")).as("s"),
+          col("event_id").as("e"), col("value").as("v")))
+          .getField("v").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(date_trunc("second", col("ts")).as("s"),
+          col("event_id").as("e"), col("value").as("v")))
+          .getField("v").as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type", "bar_ts")
 }

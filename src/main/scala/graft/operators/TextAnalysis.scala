@@ -636,6 +636,41 @@ object TextAnalysis {
       .select(col("term"), col("df"), col("cf"), col("postings"))
   }
 
+  /** Triangle census of the token co-occurrence graph: for each
+    * top-`vocab` token, the number of triangles it participates in —
+    * the clustering signal that separates hub terms (high degree, few
+    * closed wedges) from topical cliques. Same graph as [[textRank]].
+    *
+    * Scale: the corpus is touched only by the distinct-token and df
+    * aggregates; edges are vocab-bounded (≤ V²) and each triangle is
+    * enumerated exactly once via the ordered-triple join (a < b < c —
+    * the standard distributed triangle count, no orientation
+    * double-count, no per-node neighborhood materialization).
+    */
+  def tokenTriangles(docs: DataFrame, vocab: Int = 50, topK: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docTokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val dfreq = docTokens.groupBy("term").agg(count(lit(1)).as("df"))
+    val top = dfreq.orderBy(col("df").desc, col("term").asc).limit(vocab)
+    val dt = docTokens.join(broadcast(top.select("term")), "term")
+    val e = dt.select(col("doc_id"), col("term").as("src"))
+      .join(dt.select(col("doc_id"), col("term").as("dst")), "doc_id")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"), col("e1.src") === col("e3.src")
+        && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("term").asc)
+      .limit(topK)
+  }
+
   def seedPii(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
         col("text"),

@@ -67,7 +67,11 @@ class ArtifactFormatSpec extends AnyFunSuite {
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.99)
     val qs = Bench.queriesJson(worst)
     val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
-    val calBudget = 9 * 26 + 20 + 8   // 9 quadruples at 2-decimal values + frame + [info]
+    // probe count follows Bench's cadence: start + every-20 + the
+    // dedicated post-q41 probe + final — derive it from the REAL
+    // query count so growth can't silently outrun the model
+    val nProbes = 2 + SparkEntry.queries.size / 20 + 1
+    val calBudget = nProbes * 27 + 20 + 8 // quadruples at 2-decimal values + frame + [info]
     val trailerBudget = 120           // [success] Total time: … line
     val infoPrefix = 8                // "[info] " on the main line
     assert(mainLine.length + infoPrefix + calBudget + trailerBudget + 4 <= 2000,

@@ -524,6 +524,25 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(cont.nonEmpty) // planted near-dups contain each other
   }
 
+  // ---- q144 token triangles -----------------------------------------
+
+  test("tokenTriangles: a 3-clique closes one triangle, a path closes none") {
+    val df = docsDf(Seq(
+      (1L, "a b c", "s"),   // clique a-b-c → 1 triangle
+      (2L, "x y", "s"), (3L, "y z", "s"))) // path x-y-z → none
+    val res = TextAnalysis.tokenTriangles(df).collect()
+    assert(res.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 1L), ("c", 1L)))
+  }
+
+  test("tokenTriangles on the corpus: descending census, bounded rows") {
+    val res = TextAnalysis.tokenTriangles(Tables.documents(spark, sfDir)).collect()
+    assert(res.nonEmpty && res.length <= 20)
+    val ns = res.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(ns.forall(_ > 0))
+  }
+
   // ---- q141 novelty score -------------------------------------------
 
   test("noveltyScore: first writer scores 1, verbatim recrawl scores 0") {

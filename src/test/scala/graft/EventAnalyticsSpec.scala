@@ -23,6 +23,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     rows.map { case (id, t, u, ty) => (id, ts(t), u, ty, 1.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  // ---- q143 OHLC bars ------------------------------------------------
+
+  test("ohlcBars: open/close follow (second, event_id) order; H/L exact") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 1L, "view", 3.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "view", 9.0, "{}"),
+      (3L, ts("2024-01-01 10:59:59"), 2L, "view", 5.0, "{}"),
+      // same second as event 1, higher id → NOT the open
+      (4L, ts("2024-01-01 10:00:05"), 2L, "view", 7.0, "{}"),
+      (5L, ts("2024-01-01 11:00:00"), 1L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = EventAnalytics.ohlcBars(df).collect()
+    assert(res.length == 2)
+    val bar = res(0)
+    assert(bar.getString(0) == "view")
+    assert(bar.getDouble(2) == 3.0)  // open
+    assert(bar.getDouble(3) == 9.0)  // high
+    assert(bar.getDouble(4) == 3.0)  // low
+    assert(bar.getDouble(5) == 5.0)  // close
+    assert(bar.getLong(6) == 4L)
+    assert(res(1).getDouble(2) == 2.0) // 11:00 bar: single event
+  }
+
+  test("ohlcBars on the corpus: every bar internally consistent") {
+    val res = EventAnalytics.ohlcBars(Tables.events(spark, sfDir)).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(h >= l && h >= o && h >= c && l <= o && l <= c)
+    }
+  }
+
   // ---- q114 funnel ---------------------------------------------------
 
   test("funnel: steps must happen strictly after the previous step") {

@@ -409,6 +409,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("OHLC bars: struct arg-min/max is a partial aggregate, not a window") {
+    // min/max over the (second, event_id, value) struct must map-side
+    // combine — a Window node here means every event crosses the wire
+    val p = plan("q143_ohlc_bars")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("triangles: vocab-bounded ordered-triple joins, no cartesian") {
+    val p = plan("q144_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("PSI drift: bin frames join broadcast; raw scan aggregates partially") {
     val p = plan("q136_psi_drift")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)

@@ -508,9 +508,13 @@ object TextAnalysis {
     * checkpoints; here the persisted graph is enough). Dangling
     * nodes keep the (1−d)/N floor via the left join.
     *
-    * Caching contract (as [[Dedup.minhashCandidatePairs]]): the graph
-    * frames persist for the life of the returned plan; the caller
-    * releases them.
+    * Execution contract (as the q68 CC rounds, NOT a lazy plan): each
+    * iteration materializes its ≤-`vocab`-row rank frame eagerly, so
+    * every Spark job optimizes a SHALLOW plan over the persisted
+    * graph instead of one 10-join-deep DAG (the lazy form measured
+    * 7–9 s at sf0.1 — all Catalyst depth + ~1000 micro-task
+    * scheduling, zero data). The driver never holds rows; superseded
+    * checkpoint RDDs are reclaimed by the ContextCleaner.
     */
   def textRank(docs: DataFrame, vocab: Int = 50, iters: Int = 10,
                damping: Double = 0.85, topK: Int = 20): DataFrame = {
@@ -527,25 +531,36 @@ object TextAnalysis {
       .join(dt.select(col("doc_id"), col("term").as("dst")), "doc_id")
       .filter(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    // single-partition + lineage cut (localCheckpoint, the q68 CC
+    // tool): the graph is ≤ V² rows — 32-partition shuffles would
+    // schedule ~1000 empty micro-tasks across the rounds, and
+    // persist() alone would leave every round's logical plan carrying
+    // the whole corpus subtree (the lazy form's plan-string growth
+    // OOMed the test JVM)
     val edges = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(1)
+      .localCheckpoint(true)
     val deg = edges.groupBy("src").agg(sum("w").as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // IEEE-exact constants, same operation order as the oracle:
     // (1 − d) then the divide, 1.0 then the divide
     val base = (1.0 - damping) / nNodes
     var r = top.select(col("term"), lit(1.0 / nNodes).as("r"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(r, edges("src") === r("term"))
         .join(deg, "src")
         .groupBy(col("dst").as("term"))
         .agg(sum(col("r") * col("w") / col("deg")).as("c"))
+      // each round materializes ≤ V rows over checkpointed leaves —
+      // every job optimizes a constant-depth plan
       r = top.select(col("term"))
         .join(contrib, Seq("term"), "left")
         .select(col("term"),
           (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
     }
     top.join(r, "term")
       .select(col("term"), col("df"), round(col("r"), 4).as("score"))

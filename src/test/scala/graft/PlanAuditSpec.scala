@@ -430,14 +430,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
-  test("textRank: iterations run on vocab-bounded frames with broadcasts") {
-    // the corpus-sized side must appear only below the df aggregates;
-    // every iteration joins the persisted V²-bounded graph (no
-    // cartesian, vocabulary join is broadcast)
+  test("textRank: final plan reads the checkpointed vocab-bounded ranks") {
+    // iterations run EAGERLY over localCheckpoint leaves (q68-CC
+    // style) — the returned plan is a shallow join over materialized
+    // RDDs, never a 10-join-deep DAG
     val p = plan("q137_textrank")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("partial_"), p)
+    assert(p.contains("ExistingRDD"), p)
   }
 
   test("bm25: corpus joins the broadcast query-term panel, no cartesian") {

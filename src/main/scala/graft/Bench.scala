@@ -111,12 +111,16 @@ object Bench {
     * boundary (9.995, 99.95) so the formatted string can never gain a
     * digit by rounding up across them.
     */
-  private[graft] def qnum(v: Double): String =
-    if (v >= 99.95) dec(math.rint(v), 0)
-    else if (v >= 9.995) {
-      val s = dec(v, 1)
+  private[graft] def qnum(v: Double): String = {
+    // display cap at 9999: a ≥2.8-hour query is a hang, and "10000"
+    // would be the one 5-char value the window budget doesn't model
+    val vv = math.min(v, 9999.0)
+    if (vv >= 99.95) dec(vv, 0)
+    else if (vv >= 9.995) {
+      val s = dec(vv, 1)
       if (s.endsWith(".0")) s.dropRight(2) else s
-    } else num(v)
+    } else num(vv)
+  }
 
   private[graft] def queriesJson(results: Seq[(String, Double)]): String =
     results

@@ -1046,12 +1046,18 @@ object OracleSql {
            |    round(list_reduce(list_transform(v, (el, j) ->
            |      (el - c[j]) * (el - c[j])), (x, y) -> x + y), 6) END) AS d
            |    FROM e CROSS JOIN $cPrev))""".stripMargin
+      // An emptied cluster keeps its previous centroid (slot-wise
+      // coalesce over range(1, k+1)) — ids stay stable, mirroring the
+      // Spark side's map_from_entries + try_element_at guard.
       def updateCte(i: Int) =
-        s"""c$i AS (SELECT list(cm ORDER BY cluster) AS cs FROM (
-           |  SELECT cluster, list(m ORDER BY dim) AS cm FROM (
+        s"""u$i AS (SELECT cluster, list(m ORDER BY dim) AS cm FROM (
            |    SELECT cluster, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS m
            |    FROM a$i, unnest(range(1, len(v) + 1)) AS t(i)
-           |    GROUP BY 1, 2) GROUP BY 1))""".stripMargin
+           |    GROUP BY 1, 2) GROUP BY 1),
+           |c$i AS (SELECT list(coalesce(u.cm, p.cs[g.cluster]) ORDER BY g.cluster) AS cs
+           |  FROM range(1, $k + 1) AS g(cluster)
+           |  LEFT JOIN u$i u ON u.cluster = g.cluster
+           |  CROSS JOIN c${i - 1} p)""".stripMargin
       val ctes = (1 to iters).flatMap(i =>
         Seq(assignCte(i, s"c${i - 1}"), updateCte(i))) :+
         assignCte(iters + 1, s"c$iters")

@@ -624,7 +624,10 @@ object Similarity {
     * blow-up; ties go to the lowest cluster id in both engines
     * (first-match semantics). The update shuffles only (cluster, dim)
     * partial averages — k·dim rows per partition after map-side
-    * combine. Cluster id = 1-based position in the centroid array.
+    * combine. Cluster id = 1-based position in the centroid array,
+    * and the positions are STABLE: a cluster that loses all members
+    * mid-run keeps its previous centroid rather than letting the
+    * survivors renumber underneath the ids already assigned.
     */
   def kmeans(emb: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
     val base = emb
@@ -642,6 +645,13 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
         s => s.getField("v")).as("cs"))
     for (_ <- 1 to iters) {
+      // An emptied cluster (possible when duplicate init vectors make
+      // two centroids coincide — ties all drain to the lower id) keeps
+      // its PREVIOUS centroid: collect the survivors into a map and
+      // coalesce per slot, so ids stay stable instead of the remaining
+      // centroids silently renumbering through collect_list positions.
+      // try_element_at: a plain element_at on a map throws under ANSI
+      // for the very missing-key case this guard exists for.
       cents = assign(cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim").agg(round(avg("x"), 6).as("m"))
@@ -649,8 +659,10 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("c"))
         .groupBy()
-        .agg(transform(array_sort(collect_list(struct(col("cluster"), col("c")))),
-          s => s.getField("c")).as("cs"))
+        .agg(map_from_entries(collect_list(struct(col("cluster"), col("c")))).as("cm"))
+        .crossJoin(broadcast(cents))
+        .select(transform(sequence(lit(1), lit(k)), i =>
+          coalesce(try_element_at(col("cm"), i), element_at(col("cs"), i))).as("cs"))
     }
     assign(cents)
       .select(col("vec_id"), col("cluster"), round(col("dist_r"), 4).as("dist2"))

@@ -46,7 +46,10 @@ class ArtifactFormatSpec extends AnyFunSuite {
     assert(Bench.qnum(99.94) == "99.9")
     assert(Bench.qnum(99.95) == "100")    // integer side — never "100.0"
     assert(Bench.qnum(151.3) == "151")
-    for (v <- Seq(0.004, 0.5, 9.9949, 9.995, 42.42, 99.9499, 99.95, 9999.4))
+    assert(Bench.qnum(9999.5) == "9999")  // display cap, never 5 chars
+    assert(Bench.qnum(123456.7) == "9999")
+    for (v <- Seq(0.004, 0.5, 9.9949, 9.995, 42.42, 99.9499, 99.95, 9999.4,
+        9999.5, 1e7, Double.MaxValue))
       assert(Bench.qnum(v).length <= 4, s"$v -> ${Bench.qnum(v)}")
   }
 

@@ -454,6 +454,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // list aggregate
     val p = plan("q139_inverted_index")
     assert(p.contains("TopKPerKey"), p)
+    // collect_list must be PRESENT for the ordering assert to mean
+    // anything (indexOf = -1 would pass it vacuously)
+    assert(p.contains("collect_list"), p)
     assert(p.indexOf("TopKPerKey") > p.indexOf("collect_list"), p)
     assert(!p.contains("CartesianProduct"), p)
   }

@@ -153,6 +153,22 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(res == Map(0L -> 1, 2L -> 1, 1L -> 2))
   }
 
+  test("kmeans: an emptied cluster keeps its centroid, ids stay stable") {
+    // init: c1 = c2 = (5.0) (duplicate vectors), c3 = (100.0). Every
+    // point near 5 ties between c1/c2 and drains to c1, so cluster 2
+    // empties on the first update. c2 must KEEP (5.0) — not let c3
+    // renumber into slot 2 — so vec 2 still lands in cluster 3, and
+    // vecs 0/1 (exactly at 5.0) re-settle on the preserved c2 while
+    // vec 3 stays with the updated c1 = avg(5, 5, 6) = 5.333333.
+    val emb = Seq(
+      (0L, Array(5.0f), 0), (1L, Array(5.0f), 0),
+      (2L, Array(100.0f), 0), (3L, Array(6.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val res = Similarity.kmeans(emb, k = 3, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res == Map(0L -> 2, 1L -> 2, 2L -> 3, 3L -> 1))
+  }
+
   test("kmeans on the corpus: every vector assigned, clusters populated") {
     val embTable = Tables.embeddings(spark, sfDir)
     val res = Similarity.kmeans(embTable).collect()

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query-name prefixes — builder
+    // iteration aid (the driver always runs the full dump)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,6 +22,8 @@ object Verify {
     // numeric qNN order (lexicographic puts q100 before q10) — keeps
     // the dump order aligned with Bench and the driver's artifacts
     SparkEntry.queries.toSeq
+      .filter { case (name, _) =>
+        only.forall(ps => ps.exists(name.startsWith)) }
       .sortBy { case (name, _) =>
         (name.drop(1).takeWhile(_.isDigit).toInt, name) }
       .foreach { case (name, fn) =>

@@ -26,18 +26,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** The events table's `ts` is parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects by default (PARQUET_TYPE_ILLEGAL). Read it as a long and
-    * convert ns → µs with exact integer division (`div`, not `/` —
-    * ns-since-epoch exceeds 2^53, double division would lose precision).
-    * Floor-truncation matches how DuckDB coerces ns to its µs
-    * timestamps, so oracle comparisons stay exact.
+  /** The events table's `ts` has shipped as BOTH parquet
+    * TIMESTAMP(NANOS) (earlier testdata drops) and plain TIMESTAMP
+    * micros (current drops) — so the reader adapts to the file's
+    * footer instead of assuming either:
+    *
+    *  - NANOS: Spark 4 rejects it by default (PARQUET_TYPE_ILLEGAL);
+    *    with `nanosAsLong` it arrives as a long, converted ns → µs by
+    *    exact integer division (`div`, not `/` — ns-since-epoch
+    *    exceeds 2^53, double division would lose precision).
+    *    Floor-truncation matches DuckDB's ns → µs coercion.
+    *  - micros, isAdjustedToUTC=false: arrives as TIMESTAMP_NTZ;
+    *    cast to TIMESTAMP under the engine's UTC session zone — the
+    *    same instants, and the same naive values DuckDB reads.
+    *
+    * Either way downstream operators see one schema: `ts` TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

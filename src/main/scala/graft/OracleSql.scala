@@ -1105,6 +1105,154 @@ object OracleSql {
         |SELECT term, count(*) AS n_triangles FROM x GROUP BY 1
         |ORDER BY n_triangles DESC, term ASC LIMIT 20""".stripMargin,
 
+    // Hashed linear classifier: per-token INTEGER weights (exact,
+    // order-independent sum) and one final IEEE division — the margin
+    // is bit-identical across engines; floor(x·1e4+½) rounding (the
+    // moneyRound convention), no transcendental anywhere.
+    "q145_hashed_classifier" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |w AS (SELECT doc_id,
+        |      CAST(concat('0x', substring(md5('w:' || tok), 1, 8)) AS BIGINT)
+        |        % 4096 % 1001 - 500 AS wt FROM toks),
+        |s AS (SELECT doc_id, count(*) AS n_tokens, sum(wt) AS ws
+        |      FROM w GROUP BY doc_id),
+        |m AS (SELECT doc_id, n_tokens,
+        |      CAST(ws AS DOUBLE) / (n_tokens * 1000.0) AS margin FROM s)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |floor(margin * 10000 + 0.5) / 10000 AS margin,
+        |margin >= 0 AS keep FROM m ORDER BY doc_id""".stripMargin,
+
+    // OOV rate vs the corpus top-100 head; (cnt desc, term asc)
+    // tie-break pins the same head in both engines.
+    "q146_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |vocab AS (SELECT term FROM tf ORDER BY cnt DESC, term ASC LIMIT 16),
+        |agg AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |        CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_oov
+        |        FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        |        GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |floor(n_oov / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) / 10000
+        |  AS oov_rate FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Anchored power-sum moments: every sum is an exact integer
+    // (cents / HUGEINT); the closing double formulas are TEXTUALLY
+    // identical to the Spark selectExpr, so the few IEEE ops replay
+    // bit-for-bit. `//` is DuckDB's integral division (Spark `div`);
+    // both truncate identically on the non-negative sums here.
+    "q147_power_moments" ->
+      """WITH cents AS (SELECT event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |a AS (SELECT event_type, count(*) AS n, sum(c) AS s1c
+        |      FROM cents GROUP BY event_type),
+        |an AS (SELECT event_type, n, s1c,
+        |       CAST(s1c // n AS BIGINT) AS anchor FROM a),
+        |d AS (SELECT c.event_type, n, s1c, c.c - anchor AS d,
+        |      (c.c - anchor) * (c.c - anchor) AS d2
+        |      FROM cents c JOIN an USING (event_type)),
+        |s AS (SELECT event_type, n, s1c, sum(d) AS S1, sum(d2) AS S2,
+        |      sum(CAST(d2 AS HUGEINT) * d) AS S3,
+        |      sum(CAST(d2 AS HUGEINT) * d2) AS S4
+        |      FROM d GROUP BY event_type, n, s1c),
+        |x AS (SELECT event_type, n, CAST(s1c AS DOUBLE) AS t1,
+        |      CAST(n AS DOUBLE) AS nd, CAST(S1 AS DOUBLE) AS x1,
+        |      CAST(S2 AS DOUBLE) AS x2, CAST(S3 AS DOUBLE) AS x3,
+        |      CAST(S4 AS DOUBLE) AS x4 FROM s),
+        |m AS (SELECT event_type, n,
+        |      t1 / nd / 100.0 AS mean,
+        |      (nd * x2 - x1 * x1) / (nd * nd) / 10000.0 AS var_,
+        |      (nd * nd * x3 - 3 * nd * x1 * x2 + 2 * x1 * x1 * x1) / (nd * nd * nd) AS m3,
+        |      (nd * nd * nd * x4 - 4 * nd * nd * x1 * x3 + 6 * nd * x1 * x1 * x2 - 3 * x1 * x1 * x1 * x1) / (nd * nd * nd * nd) AS m4,
+        |      (nd * x2 - x1 * x1) / (nd * nd) AS m2 FROM x)
+        |SELECT event_type, n,
+        |floor(mean * 10000 + 0.5) / 10000 AS mean,
+        |floor(var_ * 10000 + 0.5) / 10000 AS variance,
+        |floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) / 10000 AS skewness,
+        |floor((m4 / (m2 * m2) - 3) * 10000 + 0.5) / 10000 AS ex_kurtosis
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // Embedding dimension audit: parallel unnests zip positionally, so
+    // dim matches Spark's posexplode ordinal; micro-unit quantization
+    // keeps every sum an exact integer.
+    "q148_embedding_dims" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT unnest(range(0, len(v))) AS dim, unnest(v) AS x FROM e),
+        |q AS (SELECT dim, CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS xq FROM x),
+        |s AS (SELECT dim, count(*) AS n, sum(xq) AS S1, sum(xq * xq) AS S2
+        |      FROM q GROUP BY dim),
+        |v AS (SELECT dim, n, S1, n * S2 - S1 * S1 AS vnum FROM s),
+        |t AS (SELECT dim, n, S1, vnum, sum(vnum) OVER () AS vtot,
+        |      CAST(row_number() OVER (ORDER BY vnum DESC, dim ASC) AS INT)
+        |        AS var_rank FROM v)
+        |SELECT CAST(dim AS INT) AS dim, n,
+        |floor(CAST(S1 AS DOUBLE) / n / 1000000.0 * 1000000 + 0.5) / 1000000 AS mean,
+        |floor(CAST(vnum AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS variance,
+        |floor(CAST(vnum AS DOUBLE) / CAST(vtot AS DOUBLE) * 10000 + 0.5) / 10000 AS var_share,
+        |var_rank FROM t ORDER BY dim""".stripMargin,
+
+    // Compaction planner: integer byte model, cumulative-before
+    // binning; every emitted aggregate cast back to BIGINT (DuckDB
+    // sums integers into HUGEINT, which pandas would read as float).
+    "q149_compaction_plan" ->
+      """WITH f AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  count(*) AS n_rows,
+        |  sum(len(o_orderstatus) + len(o_orderpriority) + 96) AS bytes
+        |  FROM orders GROUP BY day),
+        |c AS (SELECT day, n_rows, bytes,
+        |      coalesce(sum(bytes) OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS cum_before FROM f),
+        |g AS (SELECT day, n_rows, bytes,
+        |      CAST(cum_before // 65536 AS BIGINT) AS grp FROM c)
+        |SELECT grp, count(*) AS n_files,
+        |CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |CAST(sum(bytes) AS BIGINT) AS group_bytes,
+        |min(day) AS first_day, max(day) AS last_day,
+        |CAST(sum(CASE WHEN bytes < 8192 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_undersized
+        |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // Association rules: all counts exact on the distinct (user, type)
+    // projection; ratio formulas textually identical to the Spark side.
+    "q150_event_assoc" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |u AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        |t AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |      count(*) AS n_ab
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+        |floor(CAST(n_ab AS DOUBLE) / n_users * 10000 + 0.5) / 10000 AS support,
+        |floor(CAST(n_ab AS DOUBLE) / ta.n_t * 10000 + 0.5) / 10000 AS conf_a_b,
+        |floor(CAST(n_ab AS DOUBLE) / tb.n_t * 10000 + 0.5) / 10000 AS conf_b_a,
+        |floor(CAST(n_ab AS DOUBLE) * n_users / (CAST(ta.n_t AS DOUBLE) * tb.n_t) * 10000 + 0.5) / 10000 AS lift
+        |FROM p JOIN t ta ON p.type_a = ta.event_type
+        |JOIN t tb ON p.type_b = tb.event_type
+        |CROSS JOIN u ORDER BY type_a, type_b""".stripMargin,
+
+    // Corpus health report: canonical fingerprint (q29's normalization)
+    // + q11's exact-percentile convention, rolled up per source.
+    "q151_corpus_report" ->
+      """WITH fp AS (SELECT source, lang, n_chars,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents),
+        |ff AS (SELECT fingerprint, count(*) AS n_fp FROM fp GROUP BY fingerprint)
+        |SELECT source, count(*) AS n_docs,
+        |count(DISTINCT lang) AS n_langs,
+        |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |floor(CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*) * 10000 + 0.5) / 10000 AS dup_fraction
+        |FROM fp JOIN ff USING (fingerprint)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     // Normalization audit: EXPLICIT whitespace class (Java \s includes
     // \x0B, RE2's does not — the explicit class is the engine-neutral
     // subset); only lengths + md5 cross the wire.

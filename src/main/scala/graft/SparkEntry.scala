@@ -380,7 +380,21 @@ object SparkEntry {
     // hourly OHLC bars per event type (struct-ordered arg-min/max agg)
     "q143_ohlc_bars"       -> ((s, d) => EventAnalytics.ohlcBars(Tables.events(s, d))),
     // triangle census of the token co-occurrence graph
-    "q144_triangles"       -> ((s, d) => TextAnalysis.tokenTriangles(Tables.documents(s, d)))
+    "q144_triangles"       -> ((s, d) => TextAnalysis.tokenTriangles(Tables.documents(s, d))),
+    // fastText-style hashed linear classifier (map-only inference)
+    "q145_hashed_classifier" -> ((s, d) => TextAnalysis.hashedClassifier(Tables.documents(s, d))),
+    // OOV occurrence rate vs the corpus top-16 vocabulary head
+    "q146_oov_rate"        -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
+    // anchored power-sum moments (mergeable sufficient statistics)
+    "q147_power_moments"   -> ((s, d) => RobustStats.powerMoments(Tables.events(s, d))),
+    // per-dimension embedding health audit (dead dims, anisotropy)
+    "q148_embedding_dims"  -> ((s, d) => Similarity.embeddingDimStats(Tables.embeddings(s, d))),
+    // date-ordered compaction groups over the per-day file manifest
+    "q149_compaction_plan" -> ((s, d) => Layout.compactionPlan(Tables.orders(s, d))),
+    // market-basket association rules over user event histories
+    "q150_event_assoc"     -> ((s, d) => EventAnalytics.eventAssociations(Tables.events(s, d))),
+    // per-source corpus health dashboard (volume, langs, median, dups)
+    "q151_corpus_report"   -> ((s, d) => TrainingData.corpusReport(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

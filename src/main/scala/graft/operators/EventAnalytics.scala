@@ -318,4 +318,43 @@ object EventAnalytics {
           .getField("v").as("close"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type", "bar_ts")
+
+  /** Event-type association rules (market-basket over user histories):
+    * for every ordered type pair a < b, the support (fraction of users
+    * doing both), both conditional confidences, and the lift vs
+    * independence — the co-occurrence diagnostic behind "users who
+    * hit `error` also churn" style findings, and the exact-count twin
+    * of q124's chi-square screen.
+    *
+    * Everything happens AFTER the (user, type) distinct projection,
+    * which bounds all downstream work at #users × #types rows
+    * regardless of event volume; the self-join key is user_id (narrow
+    * rows, ≤ #types matches per user), the pair aggregate is
+    * ≤ #types² rows, and the per-type/user totals come back as
+    * broadcast frames. Counts are exact integers; the three final
+    * ratios are single IEEE divisions — bit-stable in both engines.
+    */
+  def eventAssociations(ev: DataFrame): DataFrame = {
+    val ut = ev.select(col("user_id"), col("event_type")).distinct()
+    val users = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    val perType = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id")
+        && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(users))
+      .selectExpr("type_a", "type_b", "n_ab", "n_a", "n_b",
+        "floor(CAST(n_ab AS DOUBLE) / n_users * 10000 + 0.5) / 10000 AS support",
+        "floor(CAST(n_ab AS DOUBLE) / n_a * 10000 + 0.5) / 10000 AS conf_a_b",
+        "floor(CAST(n_ab AS DOUBLE) / n_b * 10000 + 0.5) / 10000 AS conf_b_a",
+        "floor(CAST(n_ab AS DOUBLE) * n_users / (CAST(n_a AS DOUBLE) * n_b) * 10000 + 0.5) / 10000 AS lift")
+      .orderBy("type_a", "type_b")
+  }
 }

@@ -99,4 +99,46 @@ object Layout {
           .cast("int"))
       .orderBy("bucket")
   }
+
+  /** Compaction planner — the answer to the small-files problem an
+    * append-per-day ingest accumulates: model each order day as one
+    * written file (rows + a deterministic byte estimate), then bin
+    * consecutive files into target-sized compaction groups by
+    * cumulative-byte division. Consecutive-run binning (not arbitrary
+    * bin packing) is deliberate: it preserves the date sort order, so
+    * compacted files keep their min/max date locality and the q133
+    * skipping manifest stays selective after the rewrite.
+    *
+    * The per-file manifest is #days rows — metadata, not data — so
+    * the one ordered window (the cumulative sum) runs over a frame a
+    * driver could hold outright; the only data-sized work is the
+    * per-day aggregate, which partial-aggregates before its shuffle.
+    * Byte estimates are integer arithmetic end to end.
+    */
+  def compactionPlan(orders: DataFrame,
+                     targetBytes: Long = 65536L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = orders
+      .select(col("o_orderdate").cast("date").as("day"),
+        (length(col("o_orderstatus")) + length(col("o_orderpriority")) + 96L)
+          .cast("long").as("row_bytes"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"), sum("row_bytes").as("bytes"))
+    val byDay = Window.partitionBy().orderBy(col("day"))
+    files
+      // bin by the running total BEFORE this file: a file never
+      // splits, and groups tile the day axis in order
+      .withColumn("cum_before",
+        coalesce(sum(col("bytes")).over(byDay.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("grp", expr(s"cum_before div ${targetBytes}L"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_files"),
+        sum("n_rows").as("n_rows"),
+        sum("bytes").as("group_bytes"),
+        min("day").as("first_day"), max("day").as("last_day"),
+        sum(when(col("bytes") < targetBytes / 8, 1L).otherwise(0L))
+          .as("n_undersized"))
+      .orderBy("grp")
+  }
 }

@@ -191,4 +191,65 @@ object RobustStats {
         col("psi"))
       .orderBy("source")
   }
+
+  /** Per-type distribution moments — mean, variance, skewness, excess
+    * kurtosis — via MERGEABLE anchored power sums, the one-combiner
+    * shape that survives any partitioning: each partition emits
+    * (n, Σd, Σd², Σd³, Σd⁴) and combiners just add.
+    *
+    * Exactness by construction (the q145 integer discipline, extended
+    * to fourth powers): values quantize to integer cents; pass 1 takes
+    * the exact per-type count and cent sum (decimal — never wraps) and
+    * derives an integer anchor (the truncated mean). Pass 2 sums
+    * powers of the SHIFTED residual d = c − anchor, each power exact
+    * in decimal(38,0). Shifting does the numerical work: central
+    * moments are shift-invariant, and with |mean(d)| < 1 cent the
+    * naive-sum cancellation (E[x⁴] − …, catastrophic for raw
+    * moments) never materializes. The handful of closing double ops
+    * run on bit-identical inputs with identical association, so both
+    * engines land the same doubles; rounding is floor(x·1e4+½)
+    * (moneyRound convention), and skew uses m2·√m2, not pow(x,1.5)
+    * (√ is IEEE-exact; pow is not).
+    *
+    * Two narrow scans + one 5-row broadcast back; no window, no sort
+    * — the same plan at 100 TB, and the sums double as the sufficient
+    * statistics an incremental/streaming refresh would merge.
+    */
+  def powerMoments(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cents = ev.select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val anchors = cents.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(38,0)")).as("s1c"))
+      .withColumn("anchor", expr("CAST(s1c div n AS BIGINT)"))
+    cents.join(broadcast(anchors), "event_type")
+      .withColumn("d", col("c") - col("anchor"))
+      .withColumn("d2", col("d") * col("d"))
+      .groupBy("event_type", "n", "s1c")
+      .agg(
+        sum(col("d").cast("decimal(38,0)")).as("S1"),
+        sum(col("d2").cast("decimal(38,0)")).as("S2"),
+        sum(col("d2").cast("decimal(38,0)") * col("d")).as("S3"),
+        sum(col("d2").cast("decimal(38,0)") * col("d2")).as("S4"))
+      .selectExpr("event_type", "n",
+        "CAST(s1c AS DOUBLE) AS t1",
+        "CAST(n AS DOUBLE) AS nd",
+        "CAST(S1 AS DOUBLE) AS x1", "CAST(S2 AS DOUBLE) AS x2",
+        "CAST(S3 AS DOUBLE) AS x3", "CAST(S4 AS DOUBLE) AS x4")
+      // formula text kept IDENTICAL to the DuckDB oracle — same
+      // association, same literals, so the IEEE ops replay exactly
+      .selectExpr("event_type", "n",
+        "t1 / nd / 100.0 AS mean",
+        "(nd * x2 - x1 * x1) / (nd * nd) / 10000.0 AS var_",
+        "(nd * nd * x3 - 3 * nd * x1 * x2 + 2 * x1 * x1 * x1) / (nd * nd * nd) AS m3",
+        "(nd * nd * nd * x4 - 4 * nd * nd * x1 * x3 + 6 * nd * x1 * x1 * x2 - 3 * x1 * x1 * x1 * x1) / (nd * nd * nd * nd) AS m4",
+        "(nd * x2 - x1 * x1) / (nd * nd) AS m2")
+      .selectExpr("event_type", "n",
+        "floor(mean * 10000 + 0.5) / 10000 AS mean",
+        "floor(var_ * 10000 + 0.5) / 10000 AS variance",
+        "floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) / 10000 AS skewness",
+        "floor((m4 / (m2 * m2) - 3) * 10000 + 0.5) / 10000 AS ex_kurtosis")
+      .orderBy("event_type")
+  }
 }

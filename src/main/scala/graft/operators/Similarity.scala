@@ -668,4 +668,45 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), round(col("dist_r"), 4).as("dist2"))
       .orderBy("vec_id")
   }
+
+  /** Per-dimension embedding health audit — the check run before
+    * trusting a new embedding model or ANN index: dead dimensions
+    * (variance ≈ 0 contribute nothing to distance), anisotropy
+    * (variance concentrating in a few dimensions collapses cosine
+    * contrast and starves LSH/IVF of discriminative planes). Emits
+    * per-dimension mean, variance, the dimension's SHARE of total
+    * variance, and its variance rank.
+    *
+    * The q145/q147 fixed-point discipline: components quantize to
+    * integer micro-units (·1e6), per-dimension (n, Σq, Σq²) are exact
+    * decimal sums, and the variance NUMERATOR n·S2 − S1² stays an
+    * exact integer — so the share and the rank (the decision values)
+    * are ratios of exact integers, bit-stable in both engines. One
+    * posexplode + one d-row groupBy; the rank/share window runs over
+    * the d-row stats frame (64 rows — metadata, not data), never the
+    * corpus.
+    */
+  def embeddingDimStats(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("dim"), floor(col("x") * 1000000 + 0.5).cast("long").as("xq"))
+    val stats = q.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq").cast("decimal(38,0)")).as("S1"),
+        sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("S2"))
+      .withColumn("vnum", col("n") * col("S2") - col("S1") * col("S1"))
+    // 64-row stats frame: the unpartitioned window is over metadata
+    val all = Window.partitionBy()
+    val rnk = Window.partitionBy().orderBy(col("vnum").desc, col("dim").asc)
+    stats
+      .withColumn("vtot", sum(col("vnum")).over(all))
+      .withColumn("var_rank", row_number().over(rnk))
+      .selectExpr("dim", "n",
+        "floor(CAST(S1 AS DOUBLE) / n / 1000000.0 * 1000000 + 0.5) / 1000000 AS mean",
+        "floor(CAST(vnum AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS variance",
+        "floor(CAST(vnum AS DOUBLE) / CAST(vtot AS DOUBLE) * 10000 + 0.5) / 10000 AS var_share",
+        "var_rank")
+      .orderBy("dim")
+  }
 }

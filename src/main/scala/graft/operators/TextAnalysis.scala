@@ -700,4 +700,71 @@ object TextAnalysis {
           concat(lit(" call 555-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit(""))).as("text"))
+
+  /** Hashed-feature linear classifier inference (the fastText recipe
+    * quality filters run at corpus scale: hash each token into a fixed
+    * feature space, average the bucket weights, threshold). Weights
+    * here are a deterministic function of the bucket id — the fixture
+    * stand-in for a trained weight vector; swapping in learned weights
+    * is a broadcast-map change, the plan is identical.
+    *
+    * Exactness by construction: per-token weights are INTEGERS
+    * (bucket % 1001 - 500), so the per-doc sum is order-independent
+    * and exact in both engines; one final IEEE division by
+    * (1000 · n_tokens) produces a bit-identical margin, and the keep
+    * decision thresholds the margin directly (the logistic is
+    * monotone, so margin ≥ 0 ⇔ sigmoid ≥ ½ — same decision, no
+    * cross-engine transcendental). Zero shuffles: the whole operator
+    * is one codegen'd per-row projection over transform/aggregate —
+    * classifier inference at 100 TB is a map-only pass.
+    */
+  def hashedClassifier(docs: DataFrame, dims: Int = 4096): DataFrame = {
+    val wsum = aggregate(
+      transform(toks, t =>
+        conv(substring(md5(concat(lit("w:"), t)), 1, 8), 16, 10)
+          .cast("long") % dims % 1001 - 500),
+      lit(0L), (acc, w) => acc + w)
+    docs
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        // long multiply: int `size * 1000` would overflow past ~2M tokens
+        (wsum.cast("double") / (size(toks).cast("long") * 1000L)
+          .cast("double")).as("margin"))
+      .select(col("doc_id"), col("n_tokens"),
+        // floor(x·1e4 + ½)/1e4, not round(): Spark and DuckDB round()
+        // disagree on boundary doubles (the moneyRound lesson)
+        (floor(col("margin") * 10000 + 0.5) / 10000).as("margin"),
+        (col("margin") >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Out-of-vocabulary rate against the corpus' own top-`vocab` tokens
+    * — the tokenizer-coverage diagnostic run before committing a vocab
+    * size: what fraction of token OCCURRENCES (not types) fall outside
+    * the head. Two aggregates: a corpus-wide term count whose top-k is
+    * taken with TakeOrdered (never a full sort) and broadcast back,
+    * then one groupBy(doc_id) over the token stream with the
+    * membership flag folded in — per-doc work is one exploded pass,
+    * vocab-side work is bounded by distinct terms and the broadcast
+    * by `vocab` rows. Rank ties at the vocab boundary break
+    * deterministically by (count desc, term asc) so reruns and both
+    * engines pick the same head. The default head of 16 sits below
+    * the synthetic corpus' tiny distinct-term count (31) so the
+    * fixture exercises a real OOV tail.
+    */
+  def oovRate(docs: DataFrame, vocab: Int = 16): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val head = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(vocab)
+      .select(col("term"), lit(1).as("in_vocab"))
+    terms
+      .join(broadcast(head), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (floor(col("n_oov").cast("double") / col("n_tokens") * 10000
+          + 0.5) / 10000).as("oov_rate"))
+      .orderBy("doc_id")
+  }
 }

@@ -483,4 +483,39 @@ object TrainingData {
         min(col("n_chars")).as("wmedian_len"))
       .orderBy("source")
   }
+
+  /** Per-source corpus health report — the one-line-per-source
+    * dashboard a data curator reads before admitting a crawl drop:
+    * volume (docs, chars), language spread, the exact median length,
+    * and the exact-duplicate fraction against the WHOLE corpus (a
+    * source whose docs mostly exist elsewhere adds bytes, not
+    * information). Composes the engine's canonical signals — the
+    * normalized fingerprint ([[TextAnalysis.fingerprintCol]]) and the
+    * q11 exact-percentile convention — into one artifact.
+    *
+    * Two aggregation passes over narrow projections: the fingerprint
+    * frequency frame (one row per distinct text, partial-aggregated)
+    * joins back by fingerprint — never by text — so the dup flag
+    * costs a 33-byte-key shuffle; the per-source rollup is one hash
+    * aggregate. No windows, no driver state.
+    */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val withFp = docs.select(col("source"), col("lang"), col("n_chars"),
+      graft.operators.TextAnalysis.fingerprintCol.as("fingerprint"))
+    val fpFreq = withFp.groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_fp"))
+    withFp
+      .join(fpFreq, "fingerprint")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .selectExpr("source", "n_docs", "n_langs", "total_chars",
+        "round(p50, 4) AS p50_chars",
+        "n_dup_docs",
+        "floor(CAST(n_dup_docs AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS dup_fraction")
+      .orderBy("source")
+  }
 }

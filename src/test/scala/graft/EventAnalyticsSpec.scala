@@ -350,4 +350,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rows.forall { r =>
       val v = r.getDouble(3); v >= lo - 1e-9 && v <= hi + 1e-9 })
   }
+
+  // ---- q150 event-type association rules -----------------------------
+
+  test("eventAssociations: support/confidence/lift on a hand-computed basket set") {
+    // user 1: {a,b}, user 2: {a}, user 3: {a,b,c}
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a"), (2L, "2024-01-01 10:01:00", 1L, "b"),
+      (3L, "2024-01-01 10:02:00", 1L, "a"), // duplicate event, same basket
+      (4L, "2024-01-01 11:00:00", 2L, "a"),
+      (5L, "2024-01-01 12:00:00", 3L, "a"), (6L, "2024-01-01 12:01:00", 3L, "b"),
+      (7L, "2024-01-01 12:02:00", 3L, "c")))
+    val r = EventAnalytics.eventAssociations(df).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getDouble(5), x.getDouble(6), x.getDouble(7),
+          x.getDouble(8)))).toMap
+    assert(r.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // (a,b): n_ab=2 of 3 users; conf a→b 2/3, b→a 2/2; lift 2·3/(3·2)=1
+    assert(r(("a", "b")) == ((2L, 0.6667, 0.6667, 1.0, 1.0)))
+    // (b,c): n_ab=1; conf b→c 1/2, c→b 1/1; lift 1·3/(2·1)=1.5
+    assert(r(("b", "c")) == ((1L, 0.3333, 0.5, 1.0, 1.5)))
+    assert(r(("a", "c")) == ((1L, 0.3333, 0.3333, 1.0, 1.0)))
+  }
+
+  test("eventAssociations on the events table: full pair grid, ratios in range") {
+    val ev = Tables.events(spark, sfDir)
+    val types = ev.select("event_type").distinct().count().toInt
+    val r = EventAnalytics.eventAssociations(ev).collect()
+    // near-uniform synthetic corpus: every pair co-occurs somewhere
+    assert(r.length == types * (types - 1) / 2)
+    r.foreach { x =>
+      assert(x.getDouble(5) > 0 && x.getDouble(5) <= 1)
+      assert(x.getDouble(6) > 0 && x.getDouble(6) <= 1)
+      assert(x.getDouble(7) > 0 && x.getDouble(7) <= 1)
+      assert(x.getDouble(8) > 0, s"non-positive lift: $x")
+    }
+  }
 }

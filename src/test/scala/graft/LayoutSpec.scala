@@ -101,4 +101,47 @@ class LayoutSpec extends AnyFunSuite {
       assert(r.getInt(6) == expect, s"scanned flag wrong: $r")
     }
   }
+
+  // ---- q149 compaction planner ---------------------------------------
+
+  private def ordersDf(rows: Seq[(Long, String)]) = // (orderkey, day)
+    rows.map { case (k, d) => (k, 1L, "O", 100.0,
+      Timestamp.valueOf(d + " 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+
+  test("compactionPlan: cumulative-before binning never splits a file") {
+    // 105 bytes/row ("O"=1 + "1-URGENT"=8 + 96); days of 2/3/1 rows →
+    // 210/315/105 bytes. target 300: cum_before 0, 210, 525 → groups
+    // 0, 0, 1
+    val df = ordersDf(Seq(
+      1L -> "2024-01-01", 2L -> "2024-01-01",
+      3L -> "2024-01-02", 4L -> "2024-01-02", 5L -> "2024-01-02",
+      6L -> "2024-01-03"))
+    val r = Layout.compactionPlan(df, targetBytes = 300L).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDate(4).toString, x.getDate(5).toString, x.getLong(6)))).toMap
+    assert(r == Map(
+      0L -> ((2L, 5L, 525L, "2024-01-01", "2024-01-02", 0L)),
+      1L -> ((1L, 1L, 105L, "2024-01-03", "2024-01-03", 0L))))
+  }
+
+  test("compactionPlan on orders: groups tile the day axis, rows conserved") {
+    val orders = Tables.orders(spark, sfDir)
+    val r = Layout.compactionPlan(orders).collect()
+    assert(r.map(_.getLong(2)).sum == orders.count())
+    // consecutive groups: each group's first day follows the previous
+    // group's last day
+    r.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDate(4).before(b.getDate(4)) ||
+          a.getDate(4).equals(b.getDate(4)),
+          s"groups out of order: $a / $b")
+      case _ =>
+    }
+    // no group except possibly the last ends under the target
+    r.dropRight(1).foreach { g =>
+      assert(g.getLong(3) > 0)
+    }
+  }
 }

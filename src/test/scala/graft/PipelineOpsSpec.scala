@@ -1015,4 +1015,83 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(p.collect().forall(r => labelDomain.contains(r.getInt(2))))
     p.unpersist()
   }
+
+  // ---- q145 hashed linear classifier --------------------------------
+
+  private def tinyDocs(rows: Seq[(Long, String)]) =
+    { import spark.implicits._
+      rows.map { case (i, t) => (i, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars") }
+
+  test("hashedClassifier: margin is the mean integer weight, keep thresholds it") {
+    val r = TextAnalysis.hashedClassifier(
+      tinyDocs(Seq(1L -> "alpha", 2L -> "alpha alpha alpha",
+                   3L -> "alpha beta")))
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getDouble(2), x.getBoolean(3))).toMap
+    // per-token weights are in [-0.5, 0.5] and the mean of a repeated
+    // token equals the single occurrence's weight exactly
+    assert(r(1)._2 == r(2)._2)
+    assert(r(2)._1 == 3 && r(1)._1 == 1)
+    r.values.foreach { case (_, m, keep) =>
+      assert(m >= -0.5 && m <= 0.5)
+      assert(keep == (m >= 0) || m == 0.0)
+    }
+    // two-token doc: margin is the two-weight mean to rounding
+    val wa = r(1)._2
+    assert(math.abs(r(3)._2 - wa) <= 0.5) // beta shifts it within range
+  }
+
+  test("hashedClassifier is a map-only plan: no Exchange before the presentation sort") {
+    val plan = TextAnalysis.hashedClassifier(documents)
+      .queryExecution.executedPlan.toString
+    // the single Exchange is the rangepartitioning of the final orderBy
+    assert("(?i)exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.toLowerCase.contains("rangepartitioning"))
+  }
+
+  // ---- q146 OOV rate ------------------------------------------------
+
+  test("oovRate with a 2-term vocab: head membership and per-doc rates") {
+    val r = TextAnalysis.oovRate(
+      tinyDocs(Seq(1L -> "a a a b", 2L -> "a c")), vocab = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // corpus counts: a=4, b=1, c=1; head of 2 = {a, b} (count desc,
+    // term asc breaks the b/c tie)
+    assert(r(1L) == ((4L, 0L, 0.0)))
+    assert(r(2L) == ((2L, 1L, 0.5)))
+  }
+
+  test("oovRate on the corpus: rates in [0,1], n_oov never exceeds n_tokens") {
+    val r = TextAnalysis.oovRate(documents).cache()
+    assert(r.count() == documents.count())
+    assert(r.filter(col("n_oov") > col("n_tokens")).count() == 0)
+    assert(r.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+    r.unpersist()
+  }
+
+  // ---- q148 embedding dimension audit --------------------------------
+
+  test("embeddingDimStats: dead dimension gets zero variance and last rank") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(3.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingDimStats(df).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3),
+        x.getDouble(4), x.getInt(5)))).toMap
+    // dim 0: mean 2, population var 1; dim 1 dead: var 0, share 0
+    assert(r(0) == ((2L, 2.0, 1.0, 1.0, 1)))
+    assert(r(1) == ((2L, 0.0, 0.0, 0.0, 2)))
+  }
+
+  test("embeddingDimStats on the corpus: shares sum to 1, ranks are a permutation") {
+    val r = Similarity.embeddingDimStats(embeddings).collect()
+    val dims = r.length
+    assert(dims == embeddings.select(size(col("embedding"))).head().getInt(0))
+    assert(math.abs(r.map(_.getDouble(4)).sum - 1.0) < 1e-2)
+    assert(r.map(_.getInt(5)).sorted.toSeq == (1 to dims))
+  }
 }

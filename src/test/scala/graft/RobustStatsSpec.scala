@@ -169,4 +169,35 @@ class RobustStatsSpec extends AnyFunSuite {
     val n = r.map(_.getLong(1)).sum
     assert(math.abs(wsum / n) < 0.01)
   }
+
+  // ---- q147 anchored power-sum moments -------------------------------
+
+  test("powerMoments: hand-computed mean/var/skew/kurtosis on a symmetric set") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, Timestamp.valueOf("2024-01-01 10:00:00"),
+        1L, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RobustStats.powerMoments(df).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(1) == 4)
+    // population moments of {1,2,3,4}: mean 2.5, var 1.25,
+    // skew 0 (symmetric), kurtosis m4/m2² = 2.5625/1.5625 = 1.64 → ex −1.36
+    assert(row.getDouble(2) == 2.5)
+    assert(row.getDouble(3) == 1.25)
+    assert(row.getDouble(4) == 0.0)
+    assert(row.getDouble(5) == -1.36)
+  }
+
+  test("powerMoments on the events table: all types, positive variance, sane skew") {
+    val r = RobustStats.powerMoments(Tables.events(spark, sfDir)).collect()
+    assert(r.length == Tables.events(spark, sfDir)
+      .select("event_type").distinct().count())
+    r.foreach { x =>
+      assert(x.getDouble(3) > 0, s"non-positive variance: $x")
+      // value is right-skewed (mean ≈ 50, heavy upper tail)
+      assert(x.getDouble(4) > 0, s"expected right skew: $x")
+      assert(math.abs(x.getDouble(5)) < 50, s"wild kurtosis: $x")
+    }
+  }
 }

@@ -403,4 +403,33 @@ class TrainingDataSpec extends AnyFunSuite {
       s"src0 expansion ${src0Rows / src0Docs} should be ≈2.5")
     perDoc.unpersist(); e.unpersist()
   }
+
+  // ---- q151 corpus health report -------------------------------------
+
+  test("corpusReport: hand-computed dashboard, dups counted corpus-wide") {
+    import spark.implicits._
+    // src0: "x" twice + "y" once (en, en, de); src1: "x" once (fr) —
+    // "x" has 3 copies CORPUS-wide, so src1's single doc is a dup too
+    val df = Seq(
+      (1L, "x", "en", "src0", 1L), (2L, "x", "en", "src0", 1L),
+      (3L, "y", "de", "src0", 3L),
+      (4L, "x", "fr", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TrainingData.corpusReport(df).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getLong(5), x.getDouble(6)))).toMap
+    assert(r("src0") == ((3L, 2L, 5L, 1.0, 2L, 0.6667)))
+    assert(r("src1") == ((1L, 1L, 1L, 1.0, 1L, 1.0)))
+  }
+
+  test("corpusReport on the corpus: totals conserved, fractions in range") {
+    val r = TrainingData.corpusReport(docs).collect()
+    assert(r.map(_.getLong(1)).sum == docs.count())
+    val totalChars = docs.agg(sum("n_chars")).head().getLong(0)
+    assert(r.map(_.getLong(3)).sum == totalChars)
+    r.foreach { x =>
+      assert(x.getDouble(6) >= 0 && x.getDouble(6) <= 1)
+      assert(x.getLong(5) <= x.getLong(1))
+    }
+  }
 }

@@ -105,21 +105,23 @@ object Bench {
     * window budget is pinned by ArtifactFormatSpec against the REAL
     * query set.
     */
-  /** Per-query value at ≤4 chars for any v < 10000: 2 decimals under
-    * 10 s (10 ms resolution where bands are tight), 1 decimal under
-    * 100 s, integer seconds above. Thresholds sit at the rounding
-    * boundary (9.995, 99.95) so the formatted string can never gain a
-    * digit by rounding up across them.
+  /** Per-query value at ≤3 chars: 1 decimal under 10 s (100 ms
+    * resolution — SCALE.md's recorded bands keep the extra digit),
+    * integer seconds above. The threshold sits at the rounding
+    * boundary (9.95) so the formatted string can never gain a digit
+    * by rounding up across it. The 4→3 tightening bought the window
+    * room the 151-query surface needs (ArtifactFormatSpec pins the
+    * budget against the real key set).
     */
   private[graft] def qnum(v: Double): String = {
-    // display cap at 9999: a ≥2.8-hour query is a hang, and "10000"
-    // would be the one 5-char value the window budget doesn't model
-    val vv = math.min(v, 9999.0)
-    if (vv >= 99.95) dec(vv, 0)
-    else if (vv >= 9.995) {
+    // display cap at 999: a ≥17-minute query is a hang, and "1000"
+    // would be the one 4-char value the window budget doesn't model
+    val vv = math.min(v, 999.0)
+    if (vv >= 9.95) dec(vv, 0)
+    else {
       val s = dec(vv, 1)
       if (s.endsWith(".0")) s.dropRight(2) else s
-    } else num(vv)
+    }
   }
 
   private[graft] def queriesJson(results: Seq[(String, Double)]): String =

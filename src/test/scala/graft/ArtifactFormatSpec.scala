@@ -36,21 +36,19 @@ class ArtifactFormatSpec extends AnyFunSuite {
     assert(Bench.num(10.0) == "10")
   }
 
-  test("qnum never exceeds 4 chars below 10000 s; rounding can't add a digit") {
-    assert(Bench.qnum(0.07) == "0.07")
+  test("qnum never exceeds 3 chars; rounding can't add a digit") {
+    assert(Bench.qnum(0.07) == "0.1")
+    assert(Bench.qnum(0.04) == "0")       // sub-50ms rounds to the bare zero
     assert(Bench.qnum(1.50) == "1.5")
-    assert(Bench.qnum(9.99) == "9.99")
-    assert(Bench.qnum(9.994) == "9.99")   // still 2-decimal side
-    assert(Bench.qnum(9.995) == "10")     // 1-decimal side, zero stripped
-    assert(Bench.qnum(31.06) == "31.1")
-    assert(Bench.qnum(99.94) == "99.9")
-    assert(Bench.qnum(99.95) == "100")    // integer side — never "100.0"
+    assert(Bench.qnum(9.94) == "9.9")     // still 1-decimal side
+    assert(Bench.qnum(9.95) == "10")      // integer side
+    assert(Bench.qnum(31.06) == "31")
     assert(Bench.qnum(151.3) == "151")
-    assert(Bench.qnum(9999.5) == "9999")  // display cap, never 5 chars
-    assert(Bench.qnum(123456.7) == "9999")
-    for (v <- Seq(0.004, 0.5, 9.9949, 9.995, 42.42, 99.9499, 99.95, 9999.4,
-        9999.5, 1e7, Double.MaxValue))
-      assert(Bench.qnum(v).length <= 4, s"$v -> ${Bench.qnum(v)}")
+    assert(Bench.qnum(999.5) == "999")    // display cap, never 4 chars
+    assert(Bench.qnum(123456.7) == "999")
+    for (v <- Seq(0.004, 0.5, 9.9449, 9.95, 42.42, 99.95, 999.4,
+        999.5, 1e7, Double.MaxValue))
+      assert(Bench.qnum(v).length <= 3, s"$v -> ${Bench.qnum(v)}")
   }
 
   test("jsonStr escapes quotes/backslashes and flattens newlines") {
@@ -63,11 +61,10 @@ class ArtifactFormatSpec extends AnyFunSuite {
     // BENCH_CAL line, the main line, and the sbt success trailer must
     // fit together or the artifact of record loses its front. Build
     // the main line from the real SparkEntry key set with worst-case
-    // 2-decimal values ("99.99"), and budget CAL + trailer at their
-    // observed maxima.
-    // qnum caps every value at 4 chars for v < 10000 (9.99 is the
-    // widest formatted form; 99.9/999/9999 are no wider)
-    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.99)
+    // values, and budget CAL + trailer at their observed maxima.
+    // qnum caps every value at 3 chars (9.9 is the widest formatted
+    // form; 99/999 are no wider)
+    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.9)
     val qs = Bench.queriesJson(worst)
     val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
     // probe count follows Bench's cadence: start + every-20 + the

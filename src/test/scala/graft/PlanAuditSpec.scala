@@ -473,6 +473,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate qNN prefixes: $dups")
   }
 
+  test("hashed classifier: scoring stays map-only — one Exchange, the presentation sort") {
+    // inference is a per-row transform/aggregate fold; any Exchange
+    // beyond the final orderBy means the classifier started shuffling
+    // the corpus (PipelineOpsSpec pins the same shape; this pin runs
+    // at the driver-contract surface)
+    val p = plan("q145_hashed_classifier")
+    assert("(?i)exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("power moments: anchors broadcast back; both aggregates stay partial") {
+    // the 5-row anchor frame must come back as a broadcast, and the
+    // power-sum aggregate must map-side combine — a sort-based or
+    // shuffle-everything shape would defeat the mergeable-sums design
+    val p = plan("q147_power_moments")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("OOV rate: vocab head is TakeOrdered + broadcast, corpus side partial") {
+    val p = plan("q146_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("association rules: distinct-first, equi-join on user, no cartesian pair blowup") {
+    // the only cross joins are the broadcast 1-row totals; the pair
+    // join must stay keyed on user_id
+    val p = plan("q150_event_assoc")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("compaction plan: the only window runs over the per-day metadata frame") {
+    // the cumulative sum may window — but only AFTER the per-day
+    // aggregate (metadata-sized), never over raw orders rows
+    val p = plan("q149_compaction_plan")
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, p)
+    // executedPlan prints top-down: the Window node must sit ABOVE
+    // (before) at least one aggregate it consumes
+    assert(p.indexOf("partial_", winIdx) >= 0,
+      s"window is not over the aggregated file manifest:\n$p")
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

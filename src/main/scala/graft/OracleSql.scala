@@ -1253,6 +1253,72 @@ object OracleSql {
         |FROM fp JOIN ff USING (fingerprint)
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // Hybrid RRF: the q138 BM25 CTEs at k=20 + a hashed signed-BoW
+    // dense ranker (q145's md5 idiom; integer dots/norms so the one
+    // cosine per candidate replays bit-exactly) fused by
+    // 1/(60+rank). CAST(1 AS DOUBLE): a bare 1.0 is DECIMAL in
+    // DuckDB and decimal division rounds differently than IEEE.
+    "q152_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |       FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |          FROM tf GROUP BY 1),
+        |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+        |scored AS (SELECT q.q_id, tf.doc_id,
+        |    round(sum(
+        |      ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |        * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75
+        |            + 0.75 * dl.dl * n.n_docs / tot.total))), 6) AS score_r
+        |  FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN tot
+        |  WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
+        |lex AS (SELECT q_id, doc_id, rk_lex FROM (
+        |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score_r DESC, doc_id) AS INT) AS rk_lex FROM scored)
+        |  WHERE rk_lex <= 20),
+        |sp AS (SELECT doc_id,
+        |    CAST(concat('0x', substring(md5('d:' || term), 1, 8)) AS BIGINT)
+        |      % 64 AS j,
+        |    CASE WHEN CAST(concat('0x', substring(md5('s:' || term), 1, 8))
+        |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s FROM t),
+        |sv AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v
+        |       FROM sp GROUP BY 1, 2 HAVING sum(s) <> 0),
+        |nrm AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS nrm
+        |        FROM sv GROUP BY 1),
+        |qv AS (SELECT doc_id AS q_id, j, v AS vq FROM sv WHERE doc_id < 8),
+        |dotp AS (SELECT qv.q_id, sv.doc_id,
+        |    CAST(sum(sv.v * qv.vq) AS BIGINT) AS dot
+        |  FROM sv JOIN qv USING (j) WHERE sv.doc_id <> qv.q_id
+        |  GROUP BY 1, 2),
+        |dsc AS (SELECT dp.q_id, dp.doc_id,
+        |    round(CAST(dp.dot AS DOUBLE)
+        |      / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)), 6)
+        |      AS cos_r
+        |  FROM dotp dp JOIN nrm n1 ON n1.doc_id = dp.doc_id
+        |  JOIN nrm n2 ON n2.doc_id = dp.q_id),
+        |dense AS (SELECT q_id, doc_id, rk_dense FROM (
+        |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_r DESC, doc_id) AS INT) AS rk_dense FROM dsc)
+        |  WHERE rk_dense <= 20),
+        |fused AS (SELECT coalesce(l.q_id, de.q_id) AS q_id,
+        |    coalesce(l.doc_id, de.doc_id) AS doc_id,
+        |    l.rk_lex, de.rk_dense,
+        |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.rk_lex), 0)
+        |      + coalesce(CAST(1 AS DOUBLE) / (60 + de.rk_dense), 0), 6)
+        |      AS rrf
+        |  FROM lex l FULL OUTER JOIN dense de
+        |    ON l.q_id = de.q_id AND l.doc_id = de.doc_id)
+        |SELECT q_id, doc_id, rrf, rk_lex, rk_dense, rk FROM (
+        |  SELECT q_id, doc_id, rrf, rk_lex, rk_dense,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rrf DESC, doc_id) AS INT) AS rk FROM fused)
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+
     // Normalization audit: EXPLICIT whitespace class (Java \s includes
     // \x0B, RE2's does not — the explicit class is the engine-neutral
     // subset); only lengths + md5 cross the wire.

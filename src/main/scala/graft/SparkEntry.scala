@@ -394,7 +394,9 @@ object SparkEntry {
     // market-basket association rules over user event histories
     "q150_event_assoc"     -> ((s, d) => EventAnalytics.eventAssociations(Tables.events(s, d))),
     // per-source corpus health dashboard (volume, langs, median, dups)
-    "q151_corpus_report"   -> ((s, d) => TrainingData.corpusReport(Tables.documents(s, d)))
+    "q151_corpus_report"   -> ((s, d) => TrainingData.corpusReport(Tables.documents(s, d))),
+    // BM25 + hashed-dense reciprocal-rank fusion (hybrid retrieval)
+    "q152_hybrid_rrf"      -> ((s, d) => TextAnalysis.hybridRrfTopK(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

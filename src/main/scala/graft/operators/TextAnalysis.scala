@@ -767,4 +767,74 @@ object TextAnalysis {
           + 0.5) / 10000).as("oov_rate"))
       .orderBy("doc_id")
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion: fuse [[bm25TopK]]'s
+    * lexical ranking with a hashed signed bag-of-words dense ranking
+    * (feature hashing à la the q145 classifier, cosine scoring à la
+    * the ANN family), RRF-combining the two top-`kEach` lists —
+    * `1/(rrfK + rank)` summed over the rankers a doc appears in. Rank
+    * fusion is how production search actually composes BM25 with a
+    * dense retriever: it needs only ranks, so heterogeneous score
+    * scales never have to be calibrated against each other.
+    *
+    * The dense side stays SPARSE end to end: tokens hash into `dims`
+    * signed buckets and partial-aggregate to (doc, bucket, weight)
+    * rows — integer weights, so dot products and norms are
+    * order-independent exact integers (the q145 discipline), and the
+    * one cosine per candidate is sqrt+divide on bit-identical inputs.
+    * The 8-query panel broadcasts both times it is joined (its hashed
+    * vectors and its norms); the corpus is touched only by the two
+    * token aggregates each ranker already needs. Both rank windows
+    * partition by q_id — #queries bounded frames, never a global
+    * sort. At 100 TB the per-doc work is two narrow aggregates and a
+    * broadcast-join probe: the inverted-index access pattern twice.
+    */
+  def hybridRrfTopK(docs: DataFrame, nQueries: Int = 8, kEach: Int = 20,
+                    kOut: Int = 10, dims: Int = 64,
+                    rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val sparse = terms
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("d:"), col("term"))), 1, 8), 16, 10)
+          .cast("long") % dims).as("j"),
+        when(conv(substring(md5(concat(lit("s:"), col("term"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy("doc_id", "j").agg(sum("s").as("v"))
+      .filter(col("v") =!= 0)
+    val norms = sparse.groupBy("doc_id")
+      .agg(sum(col("v") * col("v")).as("nrm"))
+    val qvec = sparse.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("j"), col("v").as("vq"))
+    val scored = sparse.join(broadcast(qvec), "j")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(sum(col("v") * col("vq")).as("dot"))
+      .join(norms, "doc_id")
+      .join(broadcast(norms.select(col("doc_id").as("q_id"),
+        col("nrm").as("qnrm"))), "q_id")
+      // integer dot / sqrt(integer · integer): identical inputs and
+      // association in both engines, so the doubles replay bit-exactly
+      .withColumn("cos_r", round(col("dot").cast("double") /
+        sqrt(col("nrm").cast("double") * col("qnrm").cast("double")), 6))
+    val wd = Window.partitionBy("q_id")
+      .orderBy(col("cos_r").desc, col("doc_id"))
+    val dense = scored.withColumn("rk_dense", row_number().over(wd))
+      .filter(col("rk_dense") <= kEach)
+      .select(col("q_id"), col("doc_id"), col("rk_dense"))
+    val lex = bm25TopK(docs, nQueries, kEach)
+      .select(col("q_id"), col("doc_id"), col("rk").as("rk_lex"))
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      // lex term + dense term, in that textual order (sum-order pin)
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rk_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("rk_dense")), lit(0.0)), 6))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= kOut)
+      .select(col("q_id"), col("doc_id"), col("rrf"),
+        col("rk_lex"), col("rk_dense"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
 }

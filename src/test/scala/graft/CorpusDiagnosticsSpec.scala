@@ -566,4 +566,43 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     // ingestion-order semantics: the first doc is all-novel
     assert(res.head.getDouble(3) == 1.0)
   }
+
+  // ---- q152 hybrid RRF retrieval ------------------------------------
+
+  test("hybridRrfTopK: rrf recomputes from ranks; ordering follows rrf") {
+    val res = TextAnalysis.hybridRrfTopK(
+      Tables.documents(spark, sfDir), kEach = 20, kOut = 10).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val lexTerm = if (r.isNullAt(3)) 0.0 else 1.0 / (60 + r.getInt(3))
+      val denTerm = if (r.isNullAt(4)) 0.0 else 1.0 / (60 + r.getInt(4))
+      val expect = BigDecimal(lexTerm + denTerm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - expect) < 1e-9,
+        s"rrf mismatch on $r")
+      // every fused row came from at least one ranker's top-k
+      assert(!r.isNullAt(3) || !r.isNullAt(4))
+    }
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(5))
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to sorted.length))
+      val s = sorted.map(_.getDouble(2))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("hybridRrfTopK: a doc mid-ranked by BOTH rankers beats one-ranker tops") {
+    // RRF's defining property. doc 1 shares a term with q0 in both the
+    // lexical and hashed-dense space (identical text ⇒ identical
+    // hashed vector direction ⇒ top dense rank AND top bm25 rank);
+    // docs with disjoint vocabulary can chart on at most one list.
+    val df = docsDf(Seq(
+      (0L, "alpha beta", "s"),
+      (1L, "alpha beta", "s"),       // identical to the query: top of both
+      (2L, "alpha gamma delta", "s"), // lexical overlap only (partial)
+      (3L, "zeta eta theta", "s")))   // no overlap: dense-bucket luck only
+    val r0 = TextAnalysis.hybridRrfTopK(df, nQueries = 1, kEach = 3,
+      kOut = 4).collect().filter(_.getLong(0) == 0L)
+    assert(r0.head.getLong(1) == 1L) // the both-lists doc wins the fusion
+  }
 }

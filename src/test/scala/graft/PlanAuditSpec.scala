@@ -448,6 +448,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("hybrid rrf: both rankers probe via broadcast, no cartesian") {
+    // the dense ranker's query vectors and norms, like bm25's term
+    // panel, must come back as broadcast frames — the corpus side
+    // only ever does partial-aggregated equi-joins
+    val p = plan("q152_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("inverted index: postings capped on the heap before any collect") {
     // the stopword-posting hazard: collect_list may only ever see the
     // TopKPerKey-capped frame, so the heap node must sit below the

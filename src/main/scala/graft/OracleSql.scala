@@ -22,6 +22,47 @@ import graft.operators.{Similarity, TextAnalysis}
   */
 object OracleSql {
 
+  /** Unrolled deterministic-k-means CTE chain (q142's recurrence,
+    * shared with the q155 SemDeDup oracle): e (vectors), c0 (first-k
+    * init), then per iteration an assign CTE a_i and an update pair
+    * u_i/c_i; the FINAL assign a{iters+1} carries (vec_id, v, cluster,
+    * dist_r). Every centroid coordinate is round(6)-re-synced per
+    * update and every distance round(6)-ed before the argmin, so the
+    * trajectories are bit-identical to the Spark operator;
+    * list_position/array_position both return the FIRST match →
+    * identical tie-breaks; list_reduce folds like Spark's aggregate
+    * (q97 precedent); len(v)=0 guards DuckDB's empty-fold error. An
+    * emptied cluster keeps its previous centroid (slot-wise coalesce
+    * over range(1, k+1)) — ids stay stable, mirroring the Spark side's
+    * map_from_entries + try_element_at guard.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def assignCte(i: Int, cPrev: String) =
+      s"""a$i AS (SELECT vec_id, v,
+         |  CAST(list_position(d, list_aggregate(d, 'min')) AS INT) AS cluster,
+         |  list_aggregate(d, 'min') AS dist_r
+         |  FROM (SELECT vec_id, v, list_transform($cPrev.cs, c ->
+         |    CASE WHEN len(v) = 0 THEN 0.0 ELSE
+         |    round(list_reduce(list_transform(v, (el, j) ->
+         |      (el - c[j]) * (el - c[j])), (x, y) -> x + y), 6) END) AS d
+         |    FROM e CROSS JOIN $cPrev))""".stripMargin
+    def updateCte(i: Int) =
+      s"""u$i AS (SELECT cluster, list(m ORDER BY dim) AS cm FROM (
+         |    SELECT cluster, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS m
+         |    FROM a$i, unnest(range(1, len(v) + 1)) AS t(i)
+         |    GROUP BY 1, 2) GROUP BY 1),
+         |c$i AS (SELECT list(coalesce(u.cm, p.cs[g.cluster]) ORDER BY g.cluster) AS cs
+         |  FROM range(1, $k + 1) AS g(cluster)
+         |  LEFT JOIN u$i u ON u.cluster = g.cluster
+         |  CROSS JOIN c${i - 1} p)""".stripMargin
+    val ctes = (1 to iters).flatMap(i =>
+      Seq(assignCte(i, s"c${i - 1}"), updateCte(i))) :+
+      assignCte(iters + 1, s"c$iters")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < $k),
+       |${ctes.mkString(",\n")}""".stripMargin
+  }
+
   /** The shingle → minhash → banding cascade CTEs (3-token shingles,
     * 4 bands) over an arbitrary source relation — DuckDB lists are
     * 1-based, hence tk[i..i+2] over range(1, len-1).
@@ -1034,39 +1075,10 @@ object OracleSql {
     // list_position/array_position both return the FIRST match →
     // identical tie-breaks. list_reduce folds like Spark's aggregate
     // (q97 precedent); len(v)=0 guard for DuckDB's empty-fold error.
-    "q142_kmeans" -> {
-      val k = 4
-      val iters = 3
-      def assignCte(i: Int, cPrev: String) =
-        s"""a$i AS (SELECT vec_id, v,
-           |  CAST(list_position(d, list_aggregate(d, 'min')) AS INT) AS cluster,
-           |  list_aggregate(d, 'min') AS dist_r
-           |  FROM (SELECT vec_id, v, list_transform($cPrev.cs, c ->
-           |    CASE WHEN len(v) = 0 THEN 0.0 ELSE
-           |    round(list_reduce(list_transform(v, (el, j) ->
-           |      (el - c[j]) * (el - c[j])), (x, y) -> x + y), 6) END) AS d
-           |    FROM e CROSS JOIN $cPrev))""".stripMargin
-      // An emptied cluster keeps its previous centroid (slot-wise
-      // coalesce over range(1, k+1)) — ids stay stable, mirroring the
-      // Spark side's map_from_entries + try_element_at guard.
-      def updateCte(i: Int) =
-        s"""u$i AS (SELECT cluster, list(m ORDER BY dim) AS cm FROM (
-           |    SELECT cluster, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS m
-           |    FROM a$i, unnest(range(1, len(v) + 1)) AS t(i)
-           |    GROUP BY 1, 2) GROUP BY 1),
-           |c$i AS (SELECT list(coalesce(u.cm, p.cs[g.cluster]) ORDER BY g.cluster) AS cs
-           |  FROM range(1, $k + 1) AS g(cluster)
-           |  LEFT JOIN u$i u ON u.cluster = g.cluster
-           |  CROSS JOIN c${i - 1} p)""".stripMargin
-      val ctes = (1 to iters).flatMap(i =>
-        Seq(assignCte(i, s"c${i - 1}"), updateCte(i))) :+
-        assignCte(iters + 1, s"c$iters")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < $k),
-         |${ctes.mkString(",\n")}
+    "q142_kmeans" ->
+      s"""WITH ${kmeansCtes(4, 3)}
          |SELECT vec_id, cluster, round(dist_r, 4) AS dist2
-         |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
-    },
+         |FROM a4 ORDER BY vec_id""".stripMargin,
 
     // OHLC: open/close via row_number in DuckDB ≡ Spark's struct
     // min/max (same (whole-second, event_id) tie key — the q131
@@ -2071,6 +2083,70 @@ object OracleSql {
         |CAST(CASE WHEN max(o_totalprice) >= 100000.0
         |           AND min(o_totalprice) <= 150000.0
         |     THEN 1 ELSE 0 END AS INT) AS scanned
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SCD2: identical lag/filter/lead/row_number recurrence; whole
+    // epoch seconds + event_id — the q131 engine-neutral tie order.
+    "q153_scd_history" ->
+      """WITH s AS (SELECT user_id, event_type AS state, event_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |c AS (SELECT *, lag(state) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id) AS prev_state FROM s),
+        |f AS (SELECT user_id, state, sec, event_id FROM c
+        |  WHERE prev_state IS NULL OR prev_state <> state)
+        |SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+        |state, sec AS valid_from_sec, lead(sec) OVER w AS valid_to_sec,
+        |CAST(CASE WHEN lead(sec) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+        |  AS is_current
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    // GROUPING SETS: DuckDB's GROUPING() flags ≡ Spark's grouping();
+    // revenue rounds like q19/q20's accepted double-sum convention.
+    "q154_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |coalesce(o_orderpriority, '(all)') AS priority,
+        |CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        |count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY g_status, status, priority""".stripMargin,
+
+    // SemDeDup: the q142 kmeans CTEs verbatim (a4 = final assignment),
+    // then a within-cluster equi-join with the q37 cosine form — the
+    // raw-cosine threshold compare is bit-stable because both engines
+    // fold the identical IEEE sequence.
+    "q155_semdedup" ->
+      s"""WITH ${kmeansCtes(4, 3)},
+         |m AS (SELECT vec_id, cluster, v FROM a4),
+         |p AS (SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+         |  list_dot_product(a.v, b.v) /
+         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+         |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |SELECT drop_id, min(keep_id) AS kept_by, round(max(cos), 4) AS max_cos
+         |FROM p WHERE cos >= 0.35 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Heaps-law growth: every output column is an exact integer —
+    // counts, a min, and #bucket-row cumulative sums; casts match
+    // Spark (bucket INT, counts BIGINT).
+    "q156_vocab_growth" ->
+      """WITH n AS (SELECT count(*) AS nd FROM documents),
+        |t AS (SELECT CAST(floor(doc_id * 10 / nd) AS INT) + 1 AS bucket,
+        |  unnest(string_split(text, ' ')) AS term
+        |  FROM documents CROSS JOIN n),
+        |fs AS (SELECT term, min(bucket) AS first_bucket FROM t GROUP BY 1),
+        |nt AS (SELECT first_bucket AS bucket, count(*) AS n_new_terms
+        |  FROM fs GROUP BY 1),
+        |tc AS (SELECT bucket, count(*) AS n_tokens FROM t GROUP BY 1)
+        |SELECT tc.bucket, n_tokens,
+        |coalesce(n_new_terms, 0) AS n_new_terms,
+        |CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |CAST(sum(coalesce(n_new_terms, 0)) OVER w AS BIGINT) AS vocab_size
+        |FROM tc LEFT JOIN nt ON tc.bucket = nt.bucket
+        |WINDOW w AS (ORDER BY tc.bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY tc.bucket""".stripMargin
   )
 }

@@ -396,7 +396,15 @@ object SparkEntry {
     // per-source corpus health dashboard (volume, langs, median, dups)
     "q151_corpus_report"   -> ((s, d) => TrainingData.corpusReport(Tables.documents(s, d))),
     // BM25 + hashed-dense reciprocal-rank fusion (hybrid retrieval)
-    "q152_hybrid_rrf"      -> ((s, d) => TextAnalysis.hybridRrfTopK(Tables.documents(s, d)))
+    "q152_hybrid_rrf"      -> ((s, d) => TextAnalysis.hybridRrfTopK(Tables.documents(s, d))),
+    // SCD Type-2 state history: validity intervals from the event feed
+    "q153_scd_history"     -> ((s, d) => EventAnalytics.scdHistory(Tables.events(s, d))),
+    // GROUPING SETS: both marginal breakdowns in one fact-table scan
+    "q154_grouping_sets"   -> ((s, d) => Aggregates.marginalsGroupingSets(Tables.orders(s, d))),
+    // SemDeDup: cluster-bounded semantic dedup over kmeans cells
+    "q155_semdedup"        -> ((s, d) => Similarity.semDedup(Tables.embeddings(s, d))),
+    // Heaps-law vocabulary growth over ingestion-order tranches
+    "q156_vocab_growth"    -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -185,6 +185,33 @@ object Aggregates {
         col("g_flag"), col("g_status"), col("n"), col("qty_sum"))
       .orderBy("g_flag", "g_status", "flag", "status")
 
+  /** GROUPING SETS with hand-picked sets — the general form
+    * [[cubeFlagStatus]]'s cube and a rollup can't express: BOTH
+    * independent marginal breakdowns (by status, by priority) of the
+    * orders fact in ONE scan, with no cross-product stratum. Exactly
+    * the shape a reporting layer wants when two dashboards share one
+    * pass over the fact table; at 100 TB the scan is the cost, and
+    * this halves it vs two groupBys. `grouping()` flags disambiguate
+    * the strata (the coalesce sentinel alone can't — a real "(all)"
+    * key would collide). Spark expands the sets BEFORE the exchange
+    * (one Expand + one partial-aggregated shuffle, same plan family
+    * as cube) — map-side combine still applies per set.
+    */
+  def marginalsGroupingSets(ord: DataFrame): DataFrame =
+    ord.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("revenue"),
+        grouping("o_orderstatus").cast("int").as("g_status"),
+        grouping("o_orderpriority").cast("int").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("g_status"), col("g_priority"), col("n"), col("revenue"))
+      .orderBy("g_status", "status", "priority")
+
   /** Trailing-window anomaly detection: z-score of each event's value
     * against the previous `lookback` events of the same type (frame
     * excludes the current row, so the baseline can't absorb the

@@ -357,4 +357,36 @@ object EventAnalytics {
         "floor(CAST(n_ab AS DOUBLE) * n_users / (CAST(n_a AS DOUBLE) * n_b) * 10000 + 0.5) / 10000 AS lift")
       .orderBy("type_a", "type_b")
   }
+
+  /** SCD Type-2 history build — the warehouse pattern that turns a
+    * CDC/event feed into validity intervals: the tracked attribute
+    * here is the user's current event_type "state", and the output is
+    * one row per STATE RUN (consecutive repeats of the same state
+    * compact away — the no-op-update rule every SCD2 merge needs)
+    * with `[valid_from_sec, valid_to_sec)` bounds, a per-user version
+    * number, and an is_current flag on the open interval. The batch
+    * twin of [[graft.operators.TrainingData.latestPerKey]] (SCD1 —
+    * latest only) and the state LINEAGE the transition matrix (q116)
+    * aggregates away.
+    *
+    * Two window passes (change detection, then interval bounds over
+    * the surviving change rows) — both partition by user_id with the
+    * (whole-second, event_id) order of q131/q143, so Catalyst plans
+    * ONE Exchange and the filter between the passes never reshuffles.
+    * No global sort, no driver state; output is bounded by the number
+    * of state changes, never event volume.
+    */
+  def scdHistory(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    ev.select(col("user_id"), col("event_type").as("state"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .withColumn("valid_to_sec", lead(col("sec"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("version"), col("state"),
+        col("sec").as("valid_from_sec"), col("valid_to_sec"),
+        col("valid_to_sec").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "version")
+  }
 }

@@ -669,6 +669,47 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-style cluster-bounded semantic deduplication (Abbas et
+    * al. 2023, arXiv:2303.09540): pairwise cosine comparison runs ONLY
+    * within [[kmeans]] clusters, so the candidate count drops from
+    * n²/2 to Σ|cluster|²/2 — the trick that makes embedding-level
+    * dedup feasible at corpus scale, where the exact all-pairs q37/
+    * brute-force form cannot run. A document is DROPPED when some
+    * LOWER-id member of its cluster sits above the cosine threshold
+    * (keep-first-seen, deterministic — no RNG representative choice);
+    * output is one row per dropped doc with its keeper and the
+    * strongest similarity that condemned it.
+    *
+    * Scale: the deterministic k-means assignment is map-only (one
+    * broadcast centroid row), the within-cluster self-join is an
+    * EQUI-join on cluster id (hash partition on ≤k keys — at real
+    * scale k grows ∝ corpus so clusters stay bounded; never a
+    * cartesian), and cosines are sequential HOF folds — the identical
+    * IEEE op order as DuckDB's list_reduce, so even the threshold
+    * compare on the RAW cosine agrees bit-for-bit (the q37
+    * precedent). τ defaults to 0.35 because the synthetic corpus's
+    * cosine ceiling is ~0.5 (production near-dup τ ≈ 0.9 would be
+    * vacuously green here); the parameter, not the plan, carries the
+    * semantics.
+    */
+  def semDedup(emb: DataFrame, tau: Double = 0.35, k: Int = 4,
+               iters: Int = 3): DataFrame = {
+    val assigned = kmeans(emb, k, iters).select("vec_id", "cluster")
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val members = assigned.join(vecs, "vec_id")
+    val pairs = members.select(col("cluster"), col("vec_id").as("keep_id"),
+        col("v").as("kv"))
+      .join(members.select(col("cluster"), col("vec_id").as("drop_id"),
+        col("v").as("dv")), "cluster")
+      .filter(col("keep_id") < col("drop_id"))
+      .withColumn("cos", cosineHof(col("kv"), col("dv")))
+      .filter(col("cos") >= tau)
+    pairs.groupBy("drop_id")
+      .agg(min("keep_id").as("kept_by"), round(max("cos"), 4).as("max_cos"))
+      .orderBy("drop_id")
+  }
+
   /** Per-dimension embedding health audit — the check run before
     * trusting a new embedding model or ANN index: dead dimensions
     * (variance ≈ 0 contribute nothing to distance), anisotropy

@@ -837,4 +837,46 @@ object TextAnalysis {
         col("rk_lex"), col("rk_dense"), col("rk"))
       .orderBy("q_id", "rk")
   }
+
+  /** Heaps-law vocabulary growth curve: distinct-vocabulary size as a
+    * function of corpus consumed, in ingestion order (doc_id), cut
+    * into `buckets` equal-doc tranches. The curve a tokenizer team
+    * reads before freezing a vocab: a healthy crawl's vocab grows
+    * ~K·nᵝ (β≈0.5) — a flattening curve means the new tranche adds
+    * bytes but no new language, a spiking one means a boilerplate or
+    * encoding regression is minting fake terms. Companion to q141's
+    * per-doc novelty (this is the corpus-level integral of the same
+    * first-seen signal).
+    *
+    * Scale: a term's tranche-of-first-appearance is `min(bucket)` —
+    * one partial-aggregatable pass over the exploded token stream (no
+    * window over tokens, no sort); tranche ids come from dense doc_id
+    * arithmetic against ONE broadcast count row, not a global rank.
+    * The cumulative window runs over #buckets rows — metadata, never
+    * the corpus. Every output is an exact integer: no ln/ratio is
+    * emitted, so the artifact is bit-stable on any engine (the Heaps
+    * β fit is one ln-ln regression away, q128's zipfSlope pattern,
+    * done downstream on #buckets rows).
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val toks = docs.crossJoin(broadcast(n))
+      .select((floor(col("doc_id") * buckets / col("nd")) + 1).cast("int")
+          .as("bucket"),
+        explode(split(col("text"), " ")).as("term"))
+    val firstSeen = toks.groupBy("term").agg(min("bucket").as("first_bucket"))
+    val newTerms = firstSeen.groupBy("first_bucket")
+      .agg(count(lit(1)).as("n_new_terms"))
+    val tokCounts = toks.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokCounts
+      .join(newTerms, col("bucket") === col("first_bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("vocab_size", sum("n_new_terms").over(w))
+      .orderBy("bucket")
+  }
 }

@@ -19,6 +19,34 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     rows.map { case (i, t, s) => (i, t, "en", s, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  // ---- q156 Heaps-law vocabulary growth ------------------------------
+
+  test("vocabGrowth: first-seen tranches and cumulative totals, by hand") {
+    // dense ids 0..3, buckets=2 → docs 0/1 in tranche 1, 2/3 in 2
+    val df = docsDf(Seq(
+      (0L, "a b", "s"), (1L, "b c", "s"),
+      (2L, "a d", "s"), (3L, "d e", "s")))
+    val res = TextAnalysis.vocabGrowth(df, buckets = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(res.toSeq == Seq(
+      (1, 4L, 3L, 4L, 3L),   // tokens a b b c → new {a,b,c}
+      (2, 4L, 2L, 8L, 5L)))  // tokens a d d e → new {d,e}
+  }
+
+  test("vocabGrowth on the corpus: curve closes over the full vocab and token count") {
+    val docs = Tables.documents(spark, sfDir)
+    val res = TextAnalysis.vocabGrowth(docs).collect()
+    assert(res.length == 10)
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+    assert(res.last.getLong(3) == toks.count())
+    assert(res.last.getLong(4) == toks.distinct().count())
+    // both cumulative series strictly increase (every tranche adds
+    // tokens; on this corpus every tranche also mints new vocab)
+    res.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(3) > a.getLong(3) && b.getLong(4) >= a.getLong(4))
+    }
+  }
+
   // ---- q102 cross-source duplication --------------------------------
 
   test("crossSourceDups: off-diagonal shares, diagonal internal dups only") {

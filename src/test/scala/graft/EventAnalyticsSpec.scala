@@ -55,6 +55,46 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q153 SCD Type-2 history ---------------------------------------
+
+  test("scdHistory: no-op repeats compact; intervals chain; one open row per user") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "view"),     // repeat → compacts away
+      (3L, "2024-01-01 10:10:00", 1L, "cart"),
+      (4L, "2024-01-01 10:20:00", 1L, "view"),     // state can recur later
+      (5L, "2024-01-01 09:00:00", 2L, "purchase")))
+    val res = EventAnalytics.scdHistory(df).collect()
+    val u1 = res.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(2)).toSeq == Seq("view", "cart", "view"))
+    assert(u1.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // each interval closes exactly where the next one opens
+    u1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) == b.getLong(3))
+    }
+    // exactly the last version is open/current
+    assert(u1.takeRight(1).forall(r => r.isNullAt(4) && r.getInt(5) == 1))
+    assert(u1.dropRight(1).forall(_.getInt(5) == 0))
+    val u2 = res.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2.head.getInt(5) == 1)
+  }
+
+  test("scdHistory on the corpus: versions dense, runs compacted, one current each") {
+    val res = EventAnalytics.scdHistory(Tables.events(spark, sfDir)).collect()
+    val byUser = res.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rows.length))
+      // compaction invariant: consecutive versions never share a state
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(2) != b.getString(2))
+        case _ => ()
+      }
+      assert(sorted.count(_.getInt(5) == 1) == 1)
+      assert(sorted.last.isNullAt(4))
+    }
+  }
+
   // ---- q114 funnel ---------------------------------------------------
 
   test("funnel: steps must happen strictly after the previous step") {

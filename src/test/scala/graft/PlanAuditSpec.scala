@@ -531,6 +531,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window is not over the aggregated file manifest:\n$p")
   }
 
+  test("SCD2 history: both window passes share ONE user_id exchange") {
+    // change detection + interval bounds are two Window stacks over
+    // the same (user_id | sec, event_id) partitioning — a second
+    // hash exchange would mean the filter broke the co-partitioning
+    val p = plan("q153_scd_history")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("grouping sets: Expand feeds one partial-aggregated shuffle") {
+    // both marginal strata ride one scan: Expand duplicates rows per
+    // set BEFORE the exchange and the aggregate still map-side combines
+    val p = plan("q154_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("semDedup: centroids broadcast, pair join keyed on cluster — no all-pairs product") {
+    // the kmeans assignment is a broadcast of one centroid row; the
+    // candidate stage must be an equi-join on cluster id (the
+    // SemDeDup point: Σ|cell|² pairs, never n²)
+    val p = plan("q155_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(cluster") ||
+      p.linesIterator.exists(l => l.contains("Join") && l.contains("cluster")), p)
+  }
+
+  test("vocabGrowth: token stream partial-aggregates; window only over tranche rows") {
+    // the first-seen min and the token counts must map-side combine;
+    // the cumulative window runs after aggregation (#buckets rows)
+    val p = plan("q156_vocab_growth")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("partial_", winIdx) >= 0,
+      s"window is not over the aggregated tranche frame:\n$p")
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

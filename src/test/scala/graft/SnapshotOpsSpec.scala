@@ -44,6 +44,24 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(rollKeys.subsetOf(cubeKeys))
   }
 
+  // ---- q154 grouping sets -------------------------------------------
+
+  test("groupingSets emits exactly the two marginal strata, each totalling the fact") {
+    val res = Aggregates.marginalsGroupingSets(orders).collect()
+    val nStatus = orders.select("o_orderstatus").distinct().count()
+    val nPrio   = orders.select("o_orderpriority").distinct().count()
+    // no cross-product stratum, no grand total — just the two marginals
+    assert(res.length == nStatus + nPrio)
+    val statusRows = res.filter(r => r.getInt(2) == 0 && r.getInt(3) == 1)
+    val prioRows   = res.filter(r => r.getInt(2) == 1 && r.getInt(3) == 0)
+    assert(statusRows.length == nStatus && prioRows.length == nPrio)
+    assert(statusRows.map(_.getLong(4)).sum == orders.count())
+    assert(prioRows.map(_.getLong(4)).sum == orders.count())
+    // the masked key reads the sentinel in each stratum
+    assert(statusRows.forall(_.getString(1) == "(all)"))
+    assert(prioRows.forall(_.getString(0) == "(all)"))
+  }
+
   // ---- q95 moving z-score -------------------------------------------
 
   test("movingZscore matches a hand-rolled trailing window per event type") {
@@ -176,6 +194,50 @@ class SnapshotOpsSpec extends AnyFunSuite {
     val sizes = res.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
     assert(sizes.keySet.subsetOf((1 to 4).toSet) && sizes.size >= 2)
     assert(res.forall(_.getDouble(2) >= 0.0))
+  }
+
+  // ---- q155 SemDeDup ------------------------------------------------
+
+  test("semDedup: keep-first-seen inside each cluster, both blobs pruned") {
+    // init picks vecs 0 (blob A) and 1 (blob B); kmeans separates the
+    // blobs, then every later member of a blob is condemned by its
+    // lowest-id representative
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(-1.0f, 0.05f), 0),
+      (2L, Array(0.999f, 0.01f), 0), (3L, Array(0.998f, 0.02f), 0),
+      (4L, Array(-0.999f, 0.06f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val res = Similarity.semDedup(emb, tau = 0.9, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("semDedup equals brute-force within-cluster pairs above the threshold") {
+    val embTable = Tables.embeddings(spark, sfDir)
+    val tau = 0.35
+    val res = Similarity.semDedup(embTable, tau).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(res.forall { case (drop, (keep, _)) => keep < drop })
+    val cluster = Similarity.kmeans(embTable).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = embTable.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray).toMap
+    // same sequential fold the HOF cosine runs → bit-identical doubles
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).foldLeft(0.0)(_ + _)
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val expected = vecs.keys.toSeq.sorted.flatMap { j =>
+      val hits = vecs.keys.toSeq.sorted
+        .filter(i => i < j && cluster(i) == cluster(j))
+        .map(i => (i, cos(vecs(i), vecs(j))))
+        .filter(_._2 >= tau)
+      if (hits.isEmpty) None
+      else Some(j -> (hits.map(_._1).min,
+        math.floor(hits.map(_._2).max * 1e4 + 0.5) / 1e4))
+    }.toMap
+    assert(res == expected)
   }
 
   // ---- q98 normalize text -------------------------------------------

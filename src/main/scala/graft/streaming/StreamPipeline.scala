@@ -321,6 +321,55 @@ object StreamPipeline {
       }
   }
 
+  /** A CLOSED SCD2 validity interval (the open one lives in state). */
+  case class ScdInterval(user_id: Long, version: Int, state: String,
+                         valid_from_sec: Long, valid_to_sec: Long)
+
+  /** Streaming SCD Type-2 history — the live twin of
+    * [[graft.operators.EventAnalytics.scdHistory]] (q153): per-user
+    * state is the OPEN interval (current state, its valid_from, its
+    * version); an arriving event that changes the state CLOSES the
+    * open interval (emitted, append mode) and opens the next one. A
+    * no-op repeat compacts away exactly like the batch lag-filter.
+    * Emission is closed-intervals-only, so the output stream is
+    * immutable history a sink can append blindly; the batch
+    * operator's one `is_current` row per user is precisely the state
+    * store's content at any moment. Equivalence (spec-asserted):
+    * stream emissions ≡ batch scdHistory minus its open rows, under
+    * the per-user event-time order precondition shared with
+    * [[transitionsStream]]. State is three fields per active user;
+    * whole-second times keep the q131 engine-neutral tie order.
+    */
+  def scdHistoryStream(stream: DataFrame)
+      : org.apache.spark.sql.Dataset[ScdInterval] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    stream.selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Int), ScdInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val sorted = rows.toArray.sortBy(r => (r._2.getTime / 1000, r._3))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScdInterval]
+          var cur = state.getOption // (state, valid_from_sec, version)
+          sorted.foreach { case (_, t, _, ty) =>
+            val sec = t.getTime / 1000
+            cur match {
+              case Some((st, from, ver)) if st != ty =>
+                out += ScdInterval(uid, ver, st, from, sec)
+                cur = Some((ty, sec, ver + 1))
+              case None =>
+                cur = Some((ty, sec, 1))
+              case _ => () // same state: the no-op-update compaction
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** One consecutive-pair emission per arriving event. */
   case class Transition(user_id: Long, from_type: String, to_type: String)
 

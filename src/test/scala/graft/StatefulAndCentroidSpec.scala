@@ -58,6 +58,52 @@ class StatefulAndCentroidSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("scdHistoryStream closed intervals match batch scdHistory minus open rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.scdHistoryStream(stream)
+      .writeStream.format("memory").queryName("scd_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-scd").toString)
+      .start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // per-user event-time order holds ACROSS batches; inside a batch
+    // rows arrive shuffled. User 7 changes state across the batch
+    // boundary; user 8's repeat compacts away on arrival.
+    val batch1 = Seq(
+      (2L, ts("2026-01-01 10:05:00"), 7L, "view", 0.0, "{}"),   // repeat → compacts
+      (1L, ts("2026-01-01 10:00:00"), 7L, "view", 0.0, "{}"),
+      (3L, ts("2026-01-01 10:00:00"), 8L, "cart", 0.0, "{}"))
+    val batch2 = Seq(
+      (4L, ts("2026-01-01 10:10:00"), 7L, "cart", 0.0, "{}"),   // closes view interval
+      (5L, ts("2026-01-01 10:20:00"), 8L, "cart", 0.0, "{}"),   // repeat → compacts
+      (6L, ts("2026-01-01 10:30:00"), 8L, "view", 0.0, "{}"))   // closes cart interval
+    try {
+      mem.addData(batch1: _*)
+      query.processAllAvailable()
+      mem.addData(batch2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("scd_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batchDf = (batch1 ++ batch2)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val closed = graft.operators.EventAnalytics.scdHistory(batchDf)
+        .filter(col("is_current") === 0).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(streamed == closed)
+      assert(streamed == Set(
+        (7L, 1, "view", Timestamp.valueOf("2026-01-01 10:00:00").getTime / 1000,
+          Timestamp.valueOf("2026-01-01 10:10:00").getTime / 1000),
+        (8L, 1, "cart", Timestamp.valueOf("2026-01-01 10:00:00").getTime / 1000,
+          Timestamp.valueOf("2026-01-01 10:30:00").getTime / 1000)))
+    } finally query.stop()
+  }
+
   test("transitionsStream pairs match the batch transition matrix across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -2147,6 +2147,15 @@ object OracleSql {
         |FROM tc LEFT JOIN nt ON tc.bucket = nt.bucket
         |WINDOW w AS (ORDER BY tc.bucket
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY tc.bucket""".stripMargin
+        |ORDER BY tc.bucket""".stripMargin,
+
+    // Content-keyed folds: md5 of the SAME text bytes + the 0x-prefix
+    // first-8-hex bucket arithmetic (the q57 shard convention) — the
+    // assignment is engine-neutral, so even the fold ids hash-match.
+    "q157_kfold_audit" ->
+      """SELECT CAST(CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT)
+        |  % 5 AS INT) AS fold, source,
+        |count(*) AS n_docs, count(DISTINCT md5(text)) AS n_texts
+        |FROM documents GROUP BY 1, 2 ORDER BY fold, source""".stripMargin
   )
 }

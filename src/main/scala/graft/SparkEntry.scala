@@ -404,7 +404,9 @@ object SparkEntry {
     // SemDeDup: cluster-bounded semantic dedup over kmeans cells
     "q155_semdedup"        -> ((s, d) => Similarity.semDedup(Tables.embeddings(s, d))),
     // Heaps-law vocabulary growth over ingestion-order tranches
-    "q156_vocab_growth"    -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d)))
+    "q156_vocab_growth"    -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))),
+    // leakage-safe content-keyed k-fold assignment + balance audit
+    "q157_kfold_audit"     -> ((s, d) => TrainingData.leakageSafeFolds(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

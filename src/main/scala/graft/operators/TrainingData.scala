@@ -484,6 +484,33 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** Leakage-safe k-fold assignment + balance audit: folds are keyed
+    * by the md5 of the TEXT (the canonical content fingerprint), not
+    * the row id — so exact duplicates land in the SAME fold by
+    * construction and can never straddle a train/test boundary (the
+    * classic CV leakage: a dup pair split across folds lets the model
+    * "memorize" its test set; row-id folding has exactly this bug).
+    * Output is the audit a practitioner reads before trusting the CV
+    * numbers: per (fold, source) document and distinct-content
+    * counts.
+    *
+    * Map-only hash + ONE partial-aggregated groupBy — no join, no
+    * window, nothing driver-side; the same first-8-hex-chars md5
+    * bucket arithmetic as [[md5Bucket]], so the assignment is
+    * engine-neutral and rerun-stable (a re-ingested corpus folds
+    * identically — incremental CV reuse at 100 TB).
+    */
+  def leakageSafeFolds(docs: DataFrame, k: Int = 5): DataFrame =
+    docs
+      .select(col("source"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % k)
+          .cast("int").as("fold"),
+        md5(col("text")).as("fp"))
+      .groupBy("fold", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_texts"))
+      .orderBy("fold", "source")
+
   /** Per-source corpus health report — the one-line-per-source
     * dashboard a data curator reads before admitting a crawl drop:
     * volume (docs, chars), language spread, the exact median length,

@@ -571,6 +571,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window is not over the aggregated tranche frame:\n$p")
   }
 
+  test("kfold audit: pure map + one aggregation — no join, no window") {
+    // the fold key is per-row hash arithmetic; anything beyond the
+    // grouped count (a join back, a rank window) would mean the
+    // assignment stopped being map-only
+    val p = plan("q157_kfold_audit")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

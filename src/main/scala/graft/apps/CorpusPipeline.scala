@@ -15,6 +15,7 @@ import graft.operators.{Dedup, TextAnalysis, TrainingData}
   *     → quality gate (schema-preserving)   [[TextAnalysis.gopherGateFilter]]
   *     → boilerplate-coverage cut (opt-in)  [[TextAnalysis.boilerplateCoverage]]
   *     → exact + cluster-canonical near-dup [[Dedup.cleaningPipelineClustered]]
+  *     → semantic dedup (opt-in)            [[graft.operators.Similarity.semDedup]]
   *     → PII scrub                          [[TextAnalysis.piiScrub]]
   *     → eval-set decontamination filter    [[TrainingData.evalDecontaminate]]
   *     → temperature reweighting (opt-in)   [[TrainingData.temperatureMixture]]
@@ -63,7 +64,9 @@ object CorpusPipeline {
           clearCacheOnExit: Boolean = true,
           maxBoilerplate: Option[Double] = None,
           mixtureTemperature: Option[Double] = None,
-          maxShipDocs: Option[Int] = None): Report = {
+          maxShipDocs: Option[Int] = None,
+          embeddings: Option[DataFrame] = None,
+          semDedupTau: Double = 0.35): Report = {
     val gopherGated0 = TextAnalysis.gopherGateFilter(docs)
     // optional template cut: mine the corpus top-20 boilerplate grams
     // and drop documents whose coverage exceeds the threshold. Runs on
@@ -87,8 +90,23 @@ object CorpusPipeline {
     // frame (cheap: survivors-sized build side, no text re-derivation)
     val cleaned = Dedup.cleaningPipelineClustered(
       gated, checkpointDir = checkpointDir)
-    val survivors = gated.join(
+    val survivors0 = gated.join(
       cleaned.select("doc_id"), Seq("doc_id"), "left_semi")
+    // optional SEMANTIC dedup tier (SemDeDup, q155): text-level
+    // cleaning above cannot see a paraphrase; when an embedding table
+    // is supplied (vec_id ≡ doc_id — embeddings may cover a SUBSET of
+    // the corpus, unembedded docs pass through untouched), every doc
+    // condemned by a lower-id same-cluster neighbor above τ is
+    // anti-joined away. After the lexical cascade on purpose: exact/
+    // near-dup removal is cheaper per doc, so the pairwise cosine
+    // tier only pays for documents that survived it.
+    val survivors = embeddings match {
+      case Some(emb) =>
+        val drops = graft.operators.Similarity.semDedup(emb, tau = semDedupTau)
+          .select(col("drop_id").as("doc_id"))
+        survivors0.join(drops, Seq("doc_id"), "left_anti")
+      case None => survivors0
+    }
     val scrubbed = TextAnalysis.piiScrub(survivors, ordered = false)
       .select(col("doc_id"), col("clean_text").as("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)

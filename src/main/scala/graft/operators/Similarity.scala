@@ -663,6 +663,14 @@ object Similarity {
         .crossJoin(broadcast(cents))
         .select(transform(sequence(lit(1), lit(k)), i =>
           coalesce(try_element_at(col("cm"), i), element_at(col("cs"), i))).as("cs"))
+        // eager localCheckpoint (the q137 TextRank pattern): the
+        // centroid frame is ONE row, but lazily it embeds the whole
+        // previous iteration's DAG — by iteration 3 the final assign
+        // would replay a dozen stages (twice, when a consumer like
+        // semDedup self-joins). Materializing the row per iteration
+        // keeps lineage depth constant; values are identical (the
+        // checkpoint stores exactly the round(6)-synced coordinates).
+        .localCheckpoint()
     }
     assign(cents)
       .select(col("vec_id"), col("cluster"), round(col("dist_r"), 4).as("dist2"))
@@ -695,15 +703,28 @@ object Similarity {
   def semDedup(emb: DataFrame, tau: Double = 0.35, k: Int = 4,
                iters: Int = 3): DataFrame = {
     val assigned = kmeans(emb, k, iters).select("vec_id", "cluster")
+    // norms are computed ONCE per vector, not per pair, and the pair
+    // stage uses the fused native dot (bit-equal to the HOF fold —
+    // VectorExpressionsSpec) — 3 allocating HOF evaluations per pair
+    // collapsed to one codegen'd loop: 15 s → ~1 s at sf0.1, same
+    // bits. sqrt(na)·sqrt(nb) in the same op order as cosineHof, so
+    // the raw-threshold compare still agrees with DuckDB exactly.
     val vecs = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+    // persisted: BOTH sides of the pair self-join read this frame —
+    // unpersisted, each side would re-execute the full iterative
+    // k-means lineage (measured 2× the whole operator's cost). One
+    // narrow row per vector; the caller/bench releases it via
+    // clearCache, the same interior-frame contract as the LSH cascade.
     val members = assigned.join(vecs, "vec_id")
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = members.select(col("cluster"), col("vec_id").as("keep_id"),
-        col("v").as("kv"))
+        col("v").as("kv"), col("nrm").as("knrm"))
       .join(members.select(col("cluster"), col("vec_id").as("drop_id"),
-        col("v").as("dv")), "cluster")
+        col("v").as("dv"), col("nrm").as("dnrm")), "cluster")
       .filter(col("keep_id") < col("drop_id"))
-      .withColumn("cos", cosineHof(col("kv"), col("dv")))
+      .withColumn("cos", dot(col("kv"), col("dv")) / (col("knrm") * col("dnrm")))
       .filter(col("cos") >= tau)
     pairs.groupBy("drop_id")
       .agg(min("keep_id").as("kept_by"), round(max("cos"), 4).as("max_cos"))

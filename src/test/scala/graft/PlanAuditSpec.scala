@@ -398,15 +398,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), p)
   }
 
-  test("kmeans: map-side assignment — no window, no cartesian, partial aggs") {
+  test("kmeans: final assignment is map-only over one broadcast centroid row") {
     // centroids travel as one broadcast row; distances + argmin are
-    // per-row HOFs; the update is a partial (cluster, dim) aggregate.
-    // A Window or CartesianProduct here means assignment regressed to
-    // a shuffle-per-iteration shape
+    // per-row HOFs. Since the eager-localCheckpoint change the update
+    // aggregates run in their own per-iteration jobs, so the FINAL
+    // plan must be exactly the map-side assignment: broadcast +
+    // project, no Window, no CartesianProduct, and no aggregate at
+    // all (an aggregate here would mean lineage truncation regressed
+    // and an update stage leaked back into the replayed plan)
     val p = plan("q142_kmeans")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
-    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("HashAggregate"), p)
   }
 
   test("OHLC bars: struct arg-min/max is a partial aggregate, not a window") {

@@ -128,6 +128,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rb.shipped == 50, s"budget cut must ship exactly 50: $rb")
   }
 
+  test("CorpusPipeline semantic tier: semDedup drops leave the kept set, others untouched") {
+    import org.apache.spark.sql.types._
+    val evalSet = docs.filter(col("doc_id") < 3)
+    val base = java.nio.file.Files.createTempDirectory("graft-cp-sem").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val r0 = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$base/shards0", s"$base/jsonl0", nShards = 2)
+    val r = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$base/shards", s"$base/jsonl", nShards = 2, embeddings = Some(emb))
+    assert(r.kept <= r0.kept, s"semantic tier grew the corpus: $r vs $r0")
+    // every condemned-and-otherwise-surviving doc is gone from the
+    // export; every shipped doc is NOT in the drop set
+    val drops = graft.operators.Similarity.semDedup(emb)
+      .collect().map(_.getLong(0)).toSet
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val shippedIds = Tables.jsonl(spark, s"$base/jsonl", schema)
+      .collect().map(_.getLong(0)).toSet
+    assert(shippedIds.intersect(drops).isEmpty)
+    // the tier only ever removes docs the drop set names
+    val shipped0 = Tables.jsonl(spark, s"$base/jsonl0", schema)
+      .collect().map(_.getLong(0)).toSet
+    assert((shipped0 -- shippedIds).subsetOf(drops))
+  }
+
   test("deterministic split is a pure function of doc_id: stable across runs and text changes") {
     val a = TrainingData.deterministicSplit(docs).collect()
       .map(r => (r.getLong(0), r.getString(2)))

@@ -53,6 +53,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val rankDf = graft.operators.Aggregates
       .priceRankFamily(Tables.orders(spark, sfDir)).collect()
     assert(rankSql.sameElements(rankDf))
+    // q154's hand-picked GROUPING SETS via the SQL string form — the
+    // Dataset groupingSets API and GROUP BY GROUPING SETS must plan
+    // the same answer
+    val gsSql = spark.sql(
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |coalesce(o_orderpriority, '(all)') AS priority,
+        |CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |count(1) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY g_status, status, priority""".stripMargin).collect()
+    val gsDf = graft.operators.Aggregates
+      .marginalsGroupingSets(Tables.orders(spark, sfDir)).collect()
+    assert(gsSql.sameElements(gsDf))
   }
 
   test("foreachBatch sink receives batches with stable ids and writes them as batch frames") {

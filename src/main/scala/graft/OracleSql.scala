@@ -2156,6 +2156,24 @@ object OracleSql {
       """SELECT CAST(CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT)
         |  % 5 AS INT) AS fold, source,
         |count(*) AS n_docs, count(DISTINCT md5(text)) AS n_texts
-        |FROM documents GROUP BY 1, 2 ORDER BY fold, source""".stripMargin
+        |FROM documents GROUP BY 1, 2 ORDER BY fold, source""".stripMargin,
+
+    // Histogram step-quantiles: every decision value is an exact
+    // integer (counts; ceil of n*p with p*100 integer) and the edges
+    // are multiples of the power-of-two binWidth — no interpolation,
+    // nothing to round. Window sums widen to HUGEINT -> the threshold
+    // compare stays exact; emitted n CAST to BIGINT.
+    "q158_hist_percentiles" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS bar_ts,
+        |  CAST(floor(value / 0.5) AS BIGINT) AS bin, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *, sum(c) OVER (PARTITION BY bar_ts) AS n,
+        |  sum(c) OVER (PARTITION BY bar_ts ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc FROM c)
+        |SELECT bar_ts, CAST(max(n) AS BIGINT) AS n,
+        |min(CASE WHEN cumc * 100 >= ceil(n * 50.0) THEN bin * 0.5 END) AS p50_lo,
+        |min(CASE WHEN cumc * 100 >= ceil(n * 90.0) THEN bin * 0.5 END) AS p90_lo,
+        |min(CASE WHEN cumc * 100 >= ceil(n * 99.0) THEN bin * 0.5 END) AS p99_lo
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

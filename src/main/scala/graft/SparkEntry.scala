@@ -406,7 +406,9 @@ object SparkEntry {
     // Heaps-law vocabulary growth over ingestion-order tranches
     "q156_vocab_growth"    -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))),
     // leakage-safe content-keyed k-fold assignment + balance audit
-    "q157_kfold_audit"     -> ((s, d) => TrainingData.leakageSafeFolds(Tables.documents(s, d)))
+    "q157_kfold_audit"     -> ((s, d) => TrainingData.leakageSafeFolds(Tables.documents(s, d))),
+    // hourly p50/p90/p99 monitor on a fixed-grid histogram (streamable)
+    "q158_hist_percentiles" -> ((s, d) => EventAnalytics.histogramPercentilesHourly(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -358,6 +358,46 @@ object EventAnalytics {
       .orderBy("type_a", "type_b")
   }
 
+  /** Hourly value-percentile monitor on a FIXED-GRID histogram — the
+    * observability pattern behind every latency dashboard: per
+    * tumbling hour, p50/p90/p99 of `value` read off cumulative bin
+    * counts (the quantile is the lower edge of the first bin whose
+    * cumulative count reaches ⌈p·n⌉ — a step quantile, deliberately
+    * NOT interpolated). The histogram method is what makes the metric
+    * STREAMABLE: bin counts are mergeable partial state (see the
+    * [[graft.streaming.StreamPipeline.histogramCountsStream]] live
+    * twin), where an exact percentile() would need every raw value at
+    * finalization. Grid resolution is the accuracy knob, amortized at
+    * zero extra cost.
+    *
+    * Scale: one partial-aggregated (hour, bin) count — shuffle rows
+    * are (timestamp, long, long); the cumulative window and the
+    * ⌈p·n⌉ threshold compare run per hour over #bins rows (grid-
+    * bounded, corpus-independent). Every decision value is an exact
+    * integer (counts, ceil of an integer-scaled product); the only
+    * doubles are the emitted bin edges, exact multiples of a
+    * power-of-two binWidth — bit-stable on any engine.
+    */
+  def histogramPercentilesHourly(ev: DataFrame,
+                                 binWidth: Double = 0.5): DataFrame = {
+    val counts = ev.select(date_trunc("hour", col("ts")).as("bar_ts"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .groupBy("bar_ts", "bin").agg(count(lit(1)).as("c"))
+    val byBar = Window.partitionBy("bar_ts")
+    val cum = byBar.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = counts
+      .withColumn("n", sum(col("c")).over(byBar))
+      .withColumn("cumc", sum(col("c")).over(cum))
+    def pEdge(p: Double, name: String) =
+      min(when(col("cumc") * 100 >= ceil(col("n") * lit(p * 100)),
+        col("bin") * binWidth)).as(name)
+    withCum.groupBy("bar_ts")
+      .agg(max(col("n")).as("n"),
+        pEdge(0.50, "p50_lo"), pEdge(0.90, "p90_lo"), pEdge(0.99, "p99_lo"))
+      .orderBy("bar_ts")
+  }
+
   /** SCD Type-2 history build — the warehouse pattern that turns a
     * CDC/event feed into validity intervals: the tracked attribute
     * here is the user's current event_type "state", and the output is

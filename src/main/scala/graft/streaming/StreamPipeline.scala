@@ -73,6 +73,27 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming fixed-grid histogram counts — the live twin of
+    * [[graft.operators.EventAnalytics.histogramPercentilesHourly]]
+    * (q158): per watermarked tumbling hour, (bin, count) rows emitted
+    * append-mode once the window finalizes. The histogram IS the
+    * point: bin counts are mergeable partial state, so the stream
+    * carries a bounded #bins-per-hour frame where an exact
+    * percentile() would have to hold every raw value; the percentile
+    * finalization is the same grid-bounded fold the batch operator
+    * runs, applied downstream to closed windows (spec-asserted
+    * batch ≡ stream on both the histogram and the finalized
+    * percentiles).
+    */
+  def histogramCountsStream(stream: DataFrame,
+                            binWidth: Double = 0.5): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("bar_ts"), col("bin"), col("c"))
+
   /** T4: block on a started query (stream_inference.py:180-181). */
   def awaitAll(queries: Seq[StreamingQuery]): Unit =
     queries.foreach(_.awaitTermination())

@@ -55,6 +55,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q158 histogram percentiles ------------------------------------
+
+  test("histogramPercentilesHourly: step quantiles read off the grid by hand") {
+    // one hour, values 1.0 1.2 2.0 9.9 → bins 2 2 4 19 (width 0.5),
+    // n = 4: p50 needs cum ≥ 2 → bin 2 (edge 1.0); p90 needs cum ≥
+    // ceil(3.6) = 4 → bin 19 (edge 9.5); p99 likewise 9.5
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "view", 1.2, "{}"),
+      (3L, ts("2024-01-01 10:20:00"), 2L, "view", 2.0, "{}"),
+      (4L, ts("2024-01-01 10:30:00"), 2L, "view", 9.9, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = EventAnalytics.histogramPercentilesHourly(df).collect()
+    assert(res.length == 1)
+    val r = res.head
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.5 && r.getDouble(4) == 9.5)
+  }
+
+  test("histogramPercentilesHourly on the corpus: monotone percentiles, mass accounted") {
+    val ev = Tables.events(spark, sfDir)
+    val res = EventAnalytics.histogramPercentilesHourly(ev).collect()
+    assert(res.nonEmpty)
+    assert(res.map(_.getLong(1)).sum == ev.count())
+    res.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4))
+    }
+  }
+
   // ---- q153 SCD Type-2 history ---------------------------------------
 
   test("scdHistory: no-op repeats compact; intervals chain; one open row per user") {

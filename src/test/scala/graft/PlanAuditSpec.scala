@@ -585,6 +585,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("histogram percentiles: one partial (hour, bin) aggregate; window over grid rows") {
+    // the corpus is touched only by the bin-count aggregate (map-side
+    // combined); the cumulative window and threshold fold must run
+    // AFTER it, on the grid-bounded frame
+    val p = plan("q158_hist_percentiles")
+    assert(p.contains("partial_"), p)
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("partial_", winIdx) >= 0,
+      s"window is not over the aggregated grid frame:\n$p")
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

@@ -79,6 +79,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("histogramCountsStream: finalized windows equal the batch histogram and percentiles") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.histogramCountsStream(stream),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-hist").toString,
+      queryName = "hist_mem").start()
+    try {
+      val h10 = Seq(
+        (1L, Timestamp.valueOf("2026-01-01 10:00:05"), 1L, "view", 1.0, "{}"),
+        (2L, Timestamp.valueOf("2026-01-01 10:10:00"), 1L, "view", 1.2, "{}"),
+        (3L, Timestamp.valueOf("2026-01-01 10:20:00"), 2L, "view", 2.0, "{}"),
+        (4L, Timestamp.valueOf("2026-01-01 10:30:00"), 2L, "view", 9.9, "{}"))
+      mem.addData(h10: _*)
+      query.processAllAvailable()
+      // advance event time far past the watermark → the 10:00 hour closes
+      mem.addData((9L, Timestamp.valueOf("2026-01-01 13:00:00"), 9L, "view", 1.0, "{}"))
+      query.processAllAvailable()
+      val streamed = spark.table("hist_mem")
+        .filter(col("bar_ts") === Timestamp.valueOf("2026-01-01 10:00:00"))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(streamed == Map(2L -> 2L, 4L -> 1L, 19L -> 1L))
+      // the same finalization the batch operator runs, applied to the
+      // emitted histogram, reproduces the batch percentiles exactly
+      val batch = graft.operators.EventAnalytics.histogramPercentilesHourly(
+          h10.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .collect().head
+      val bins = streamed.toSeq.sorted
+      val n = bins.map(_._2).sum
+      def pLo(p: Double) = bins.scanLeft((0L, 0L)) { case ((_, cum), (b, c)) => (b, cum + c) }
+        .tail.find { case (_, cum) => cum * 100 >= math.ceil(n * p * 100) }.get._1 * 0.5
+      assert(batch.getLong(1) == n && batch.getDouble(2) == pLo(0.5) &&
+        batch.getDouble(3) == pLo(0.9) && batch.getDouble(4) == pLo(0.99))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]

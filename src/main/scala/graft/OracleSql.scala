@@ -2174,6 +2174,21 @@ object OracleSql {
         |min(CASE WHEN cumc * 100 >= ceil(n * 50.0) THEN bin * 0.5 END) AS p50_lo,
         |min(CASE WHEN cumc * 100 >= ceil(n * 90.0) THEN bin * 0.5 END) AS p90_lo,
         |min(CASE WHEN cumc * 100 >= ceil(n * 99.0) THEN bin * 0.5 END) AS p99_lo
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Benford: digit via string length of exact integer cents (float
+    // log10 at a power-of-ten boundary could flip a digit); explicit
+    // floor both sides (DuckDB double->int cast ROUNDS, Spark
+    // truncates); ln-ratio expectation rounded 6 (q128 convention).
+    "q159_benford" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT CAST(floor(cents / POWER(10, LENGTH(CAST(cents AS VARCHAR)) - 1)) AS INT) AS digit FROM c),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n, round(n / total, 6) AS share,
+        |round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
+        |round(abs(n / total - ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS abs_dev
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
   )
 }

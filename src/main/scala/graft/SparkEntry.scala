@@ -408,7 +408,9 @@ object SparkEntry {
     // leakage-safe content-keyed k-fold assignment + balance audit
     "q157_kfold_audit"     -> ((s, d) => TrainingData.leakageSafeFolds(Tables.documents(s, d))),
     // hourly p50/p90/p99 monitor on a fixed-grid histogram (streamable)
-    "q158_hist_percentiles" -> ((s, d) => EventAnalytics.histogramPercentilesHourly(Tables.events(s, d)))
+    "q158_hist_percentiles" -> ((s, d) => EventAnalytics.histogramPercentilesHourly(Tables.events(s, d))),
+    // Benford first-digit forensics on the money column
+    "q159_benford"          -> ((s, d) => Aggregates.benfordAudit(Tables.orders(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

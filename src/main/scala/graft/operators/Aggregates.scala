@@ -406,4 +406,41 @@ object Aggregates {
         round(col("n") / col("total"), 6).as("frac"))
       .orderBy(col("n").desc, col("key")).limit(k)
   }
+
+  /** Benford first-digit audit — the data-forensics screen run on any
+    * money/size column before trusting a new feed: naturally-grown
+    * multiplicative quantities follow log₁₀(1+1/d) first-digit
+    * frequencies, and a synthetic, truncated, or hand-edited feed
+    * visibly doesn't. Emits observed share vs the Benford expectation
+    * per digit 1–9 with the per-digit deviation.
+    *
+    * Exactness discipline: values quantize to integer cents
+    * (moneyRound's floor convention), and the leading digit is
+    * `cents ÷ 10^(len(str(cents))−1)` — STRING length of an exact
+    * integer, identical on every engine, where float log₁₀ at a
+    * power-of-ten boundary could flip a digit. One map-side-combined
+    * 9-row aggregate; shares are single divisions off exact counts;
+    * the ln-based expectation is rounded at 6 (the q128 ln
+    * convention).
+    */
+  def benfordAudit(ord: DataFrame, valueCol: String = "o_totalprice"): DataFrame = {
+    val cents = floor(col(valueCol) * 100 + 0.5).cast("long")
+    // explicit floor: Spark's double→int cast truncates but DuckDB's
+    // ROUNDS — floor on both sides is the engine-neutral form
+    val digit = floor(cents / pow(lit(10.0), length(cents.cast("string")) - 1))
+      .cast("int")
+    ord.filter(col(valueCol) > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total"), 6).as("share"),
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 6)
+          .as("benford"),
+        round(abs(col("n") / col("total") -
+          log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))), 6)
+          .as("abs_dev"))
+      .orderBy("digit")
+  }
 }

@@ -62,6 +62,33 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(prioRows.forall(_.getString(0) == "(all)"))
   }
 
+  // ---- q159 Benford audit -------------------------------------------
+
+  test("benfordAudit: leading digits extracted exactly, shares close over the set") {
+    import spark.implicits._
+    // cents 100 / 1999 / 25000 / 950 → digits 1, 1, 2, 9 — includes a
+    // power-of-ten boundary (1.00) and a 9.5 that rounding-based digit
+    // extraction would misread as 1(0...)
+    val df = Seq((1L, 1.00), (2L, 19.99), (3L, 250.0), (4L, 9.5))
+      .toDF("o_orderkey", "o_totalprice")
+    val res = Aggregates.benfordAudit(df).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(res == Map(1 -> 2L, 2 -> 1L, 9 -> 1L))
+  }
+
+  test("benfordAudit on orders: digits 1-9 only, shares sum to 1, expectations fixed") {
+    val res = Aggregates.benfordAudit(orders).collect()
+    assert(res.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    assert(res.map(_.getLong(1)).sum == orders.filter(col("o_totalprice") > 0).count())
+    assert(math.abs(res.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    // the Benford expectation column is the ln-ratio constant per digit
+    res.foreach { r =>
+      val d = r.getInt(0)
+      assert(r.getDouble(3) ==
+        math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6 + 0.5) / 1e6)
+    }
+  }
+
   // ---- q95 moving z-score -------------------------------------------
 
   test("movingZscore matches a hand-rolled trailing window per event type") {

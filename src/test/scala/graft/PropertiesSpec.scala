@@ -132,4 +132,53 @@ class PropertiesSpec extends AnyFunSuite {
         s"rescrub changed text: $r")
     }
   }
+
+  test("semDedup is a fixpoint: keepers contain no within-cluster pair above τ") {
+    // the keep-first-seen rule's defining guarantee — after removing
+    // every condemned doc, re-running the pair scan over the SURVIVORS
+    // finds nothing (τ-similar within-cluster pairs cannot both keep)
+    import graft.engine.Tables
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val tau = 0.35
+    val drops = Similarity.semDedup(emb, tau).collect().map(_.getLong(0)).toSet
+    val cluster = Similarity.kmeans(emb).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => a(i) * b(i)).foldLeft(0.0)(_ + _)
+    val kept = vecs.keys.toSeq.filterNot(drops).sorted
+    for (i <- kept; j <- kept if i < j && cluster(i) == cluster(j)) {
+      val cos = dot(vecs(i), vecs(j)) /
+        (math.sqrt(dot(vecs(i), vecs(i))) * math.sqrt(dot(vecs(j), vecs(j))))
+      assert(cos < tau, s"kept pair ($i, $j) still τ-similar: $cos")
+    }
+  }
+
+  test("scdHistory tiles each user's observed span: contiguous, gap-free, compacted") {
+    import graft.engine.Tables
+    import graft.operators.EventAnalytics
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+    val hist = EventAnalytics.scdHistory(ev).collect()
+      .groupBy(_.getLong(0))
+    val spans = ev.groupBy("user_id")
+      .agg(min(unix_timestamp(col("ts"))).as("lo"), max(unix_timestamp(col("ts"))).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    hist.foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      // first interval opens at the user's first event second; every
+      // close meets the next open; the last interval never closes
+      assert(sorted.head.getLong(3) == spans(uid)._1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) == b.getLong(3))
+        case _ => ()
+      }
+      assert(sorted.last.isNullAt(4))
+      // all intermediate bounds stay inside the observed span
+      assert(sorted.forall(r => r.getLong(3) >= spans(uid)._1 &&
+        r.getLong(3) <= spans(uid)._2))
+    }
+  }
 }

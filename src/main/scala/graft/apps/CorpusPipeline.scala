@@ -184,15 +184,19 @@ object CorpusPipeline {
     report
   }
 
-  /** spark-submit entry: `runMain graft.apps.CorpusPipeline [sfDir outDir]`.
-    * Uses the corpus's own `doc_id % 10 == 0` slice as the eval set —
-    * the same convention [[TrainingData.evalDecontaminate]] defaults
-    * to when no explicit eval corpus is supplied.
+  /** spark-submit entry: `runMain graft.apps.CorpusPipeline [sfDir outDir
+    * [semdedup]]`. Uses the corpus's own `doc_id % 10 == 0` slice as
+    * the eval set — the same convention
+    * [[TrainingData.evalDecontaminate]] defaults to when no explicit
+    * eval corpus is supplied. A literal third argument `semdedup`
+    * enables the opt-in semantic tier against the dataset's
+    * embeddings table.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-corpus").toString)
+    val withSem = args.lift(2).contains("semdedup")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-corpus-pipeline")
@@ -206,7 +210,10 @@ object CorpusPipeline {
       val t0 = System.nanoTime()
       val docs = graft.engine.Tables.documents(spark, sfDir)
       val r = run(docs, docs.filter(col("doc_id") % 10 === 0),
-        s"$outDir/shards", s"$outDir/jsonl")
+        s"$outDir/shards", s"$outDir/jsonl",
+        embeddings =
+          if (withSem) Some(graft.engine.Tables.embeddings(spark, sfDir))
+          else None)
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"corpus pipeline: input=${r.input} gated=${r.gated} " +
         s"cleaned=${r.cleaned} kept=${r.kept} shipped=${r.shipped} " +

@@ -2189,6 +2189,86 @@ object OracleSql {
         |SELECT digit, n, round(n / total, 6) AS share,
         |round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
         |round(abs(n / total - ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS abs_dev
-        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // Bounded-lookback EWMA: the weight literals are the SAME
+    // shortest-round-trip doubles the Spark plan embeds (shared
+    // generator: EventAnalytics.ewmaWeights), CAST AS DOUBLE so DuckDB
+    // doesn't route them through DECIMAL arithmetic; numerator and
+    // denominator are the identical left-associated chains, one
+    // division, round(4). Last-per-user here is a rank window — the
+    // Spark side's max(struct) partial aggregate is the scale form of
+    // the same (sec DESC, event_id DESC) pick.
+    "q160_ewma_level" -> {
+      val ws = graft.operators.EventAnalytics.ewmaWeights(0.3, 8)
+      def w(j: Int) = s"CAST(${ws(j)} AS DOUBLE)"
+      val lags = (1 until 8).map(j =>
+        s"lag(x0, $j) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS x$j")
+        .mkString(",\n|  ")
+      val num = (0 until 8).map(j =>
+        s"CASE WHEN x$j IS NOT NULL THEN x$j * ${w(j)} ELSE 0.0 END")
+        .mkString(" + ")
+      val den = (0 until 8).map(j =>
+        s"CASE WHEN x$j IS NOT NULL THEN ${w(j)} ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT user_id, event_id, value AS x0,
+         |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+         |  FROM events),
+         |l AS (SELECT user_id, event_id, sec, x0,
+         |  $lags FROM s),
+         |e AS (SELECT user_id, event_id, sec, ($num) / ($den) AS ewma FROM l),
+         |r AS (SELECT user_id, event_id, ewma,
+         |  count(*) OVER (PARTITION BY user_id) AS n_events,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY sec DESC, event_id DESC) AS rn FROM e)
+         |SELECT user_id, n_events, event_id AS last_event_id,
+         |round(ewma, 4) AS ewma_value
+         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+    },
+
+    // Hourly-count autocorrelation: Pearson's r from exact integer
+    // sufficient statistics with the identical closing-formula text as
+    // the Spark side (NOT each engine's own Welford corr); NULLIF keeps
+    // the constant-series case NULL in both engines.
+    "q161_autocorr" -> {
+      def stats(k: Int) = Seq(
+        s"sum(CASE WHEN l$k IS NOT NULL THEN 1 ELSE 0 END) AS n$k",
+        s"sum(CASE WHEN l$k IS NOT NULL THEN cnt ELSE 0 END) AS sx$k",
+        s"sum(CASE WHEN l$k IS NOT NULL THEN l$k ELSE 0 END) AS sy$k",
+        s"sum(CASE WHEN l$k IS NOT NULL THEN cnt * l$k ELSE 0 END) AS sxy$k",
+        s"sum(CASE WHEN l$k IS NOT NULL THEN cnt * cnt ELSE 0 END) AS sxx$k",
+        s"sum(CASE WHEN l$k IS NOT NULL THEN l$k * l$k ELSE 0 END) AS syy$k")
+      def acf(k: Int) =
+        s"round((CAST(n$k AS DOUBLE) * sxy$k - CAST(sx$k AS DOUBLE) * sy$k) /" +
+        s" nullif(sqrt(CAST(n$k AS DOUBLE) * sxx$k - CAST(sx$k AS DOUBLE) * sx$k) *" +
+        s"        sqrt(CAST(n$k AS DOUBLE) * syy$k - CAST(sy$k AS DOUBLE) * sy$k), 0.0)," +
+        s" 4) AS acf$k"
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |  count(*) AS cnt FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type, cnt,
+         |  lag(cnt, 1) OVER w AS l1, lag(cnt, 2) OVER w AS l2
+         |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+         |g AS (SELECT event_type, count(*) AS n_hours,
+         |  ${(stats(1) ++ stats(2)).mkString(",\n|  ")}
+         |  FROM l GROUP BY 1)
+         |SELECT event_type, n_hours, ${acf(1)}, ${acf(2)}
+         |FROM g ORDER BY event_type""".stripMargin
+    },
+
+    // Theil–Sen: slopes are single IEEE divisions of exact integers,
+    // so both engines materialize the identical slope multiset; DuckDB
+    // and Spark both define even-count median as the mean of the two
+    // middles. The pair join runs on the calendar-bounded hourly grid.
+    "q162_theil_sen" ->
+      """WITH h AS (SELECT event_type,
+        |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |       date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |  CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
+        |  FROM h a JOIN h b ON a.event_type = b.event_type AND a.h < b.h)
+        |SELECT event_type, count(*) AS n_pairs,
+        |round(median(slope), 4) AS ts_slope
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

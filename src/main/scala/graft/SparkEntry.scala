@@ -410,7 +410,13 @@ object SparkEntry {
     // hourly p50/p90/p99 monitor on a fixed-grid histogram (streamable)
     "q158_hist_percentiles" -> ((s, d) => EventAnalytics.histogramPercentilesHourly(Tables.events(s, d))),
     // Benford first-digit forensics on the money column
-    "q159_benford"          -> ((s, d) => Aggregates.benfordAudit(Tables.orders(s, d)))
+    "q159_benford"          -> ((s, d) => Aggregates.benfordAudit(Tables.orders(s, d))),
+    // per-user bounded-lookback EWMA level at the last event
+    "q160_ewma_level"       -> ((s, d) => EventAnalytics.ewmaLastPerUser(Tables.events(s, d))),
+    // lag-1/2 autocorrelation of the hourly count series per type
+    "q161_autocorr"         -> ((s, d) => EventAnalytics.autocorrHourly(Tables.events(s, d))),
+    // Theil–Sen robust hourly trend per event type
+    "q162_theil_sen"        -> ((s, d) => RobustStats.theilSenTrend(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -429,4 +429,108 @@ object EventAnalytics {
         col("valid_to_sec").isNull.cast("int").as("is_current"))
       .orderBy("user_id", "version")
   }
+
+  /** EWMA weight ladder α·(1−α)^j, j = 0..k−1 — exposed so the DuckDB
+    * oracle interpolates the SAME double literals (via
+    * `java.lang.Double.toString`, whose shortest-round-trip repr both
+    * engines parse back to the identical bits).
+    */
+  def ewmaWeights(alpha: Double, lookback: Int): Seq[Double] =
+    (0 until lookback).map(j => alpha * math.pow(1 - alpha, j))
+
+  /** Per-user exponentially weighted moving average of `value` at the
+    * user's LAST event — the smoothed "current level" a monitoring or
+    * personalization store keeps per entity. Bounded lookback (k = 8
+    * lags, weights α(1−α)^j renormalized over the lags that exist) so
+    * the computation is a FIXED window frame, not a recursive scan:
+    * the truncation error vs the infinite EWMA is (1−α)^k ≈ 5.8% of
+    * weight for α = 0.3, and — unlike the recursive form — the
+    * bounded form is expressible as pure lag arithmetic in any SQL
+    * engine, which is what makes the operator hash-checkable.
+    *
+    * Determinism: the weight literals are shared with the oracle via
+    * [[ewmaWeights]]; numerator and denominator are the same
+    * left-associated chain of IEEE multiply-adds in both engines, one
+    * final division, round(4). Ordering is the (whole-second,
+    * event_id) key of q131/q143/q153.
+    *
+    * Scale: k lag() calls over ONE user_id hash partition (the same
+    * single Exchange every operator in this file reuses), then the
+    * last-per-user row via max(struct) — a PARTIAL aggregate that
+    * map-side combines to one row per user before the shuffle, where
+    * a rank window would move every event. Output is #users rows.
+    */
+  def ewmaLastPerUser(ev: DataFrame, alpha: Double = 0.3,
+                      lookback: Int = 8): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val ws = ewmaWeights(alpha, lookback)
+    val base = ev.select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("value").as("x0"))
+    val lagged = (1 until lookback).foldLeft(base) { (df, j) =>
+      df.withColumn(s"x$j", lag(col("x0"), j).over(w))
+    }
+    // left-associated weighted sums — identical association in the oracle
+    val num = ws.zipWithIndex.map { case (wj, j) =>
+      when(col(s"x$j").isNotNull, col(s"x$j") * lit(wj)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val den = ws.zipWithIndex.map { case (wj, j) =>
+      when(col(s"x$j").isNotNull, lit(wj)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    lagged
+      .withColumn("ewma", num / den)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("sec"), col("event_id"), col("ewma"))).as("l"))
+      .select(col("user_id"), col("n_events"),
+        col("l.event_id").as("last_event_id"),
+        round(col("l.ewma"), 4).as("ewma_value"))
+      .orderBy("user_id")
+  }
+
+  /** Lag-1/lag-2 autocorrelation of the hourly event-count series per
+    * event type — the seasonality/burstiness diagnostic behind "is
+    * this feed self-similar hour over hour?". The series is hourly
+    * COUNTS (exact integers), not hourly means, so the sufficient
+    * statistics carry zero upstream ulps — the q145/q147 integer
+    * discipline applied to Pearson's r.
+    *
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)),
+    * computed from exact BIGINT sums in BOTH engines with identical
+    * association (not each engine's own Welford `corr`, whose
+    * accumulation order differs): the closing doubles are
+    * bit-identical, √ is IEEE-correctly-rounded, one division,
+    * round(4). A constant series yields NULL via NULLIF in both
+    * engines — no NaN-vs-NULL divergence.
+    *
+    * Scale: the only corpus-scale pass is the (type, hour) count — a
+    * partial aggregate that map-side combines before its exchange.
+    * The lag windows and the final conditional sums run on the
+    * calendar-bounded grid (#types × #hours rows), never on events.
+    */
+  def autocorrHourly(ev: DataFrame): DataFrame = {
+    val hourly = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val withLags = hourly
+      .withColumn("l1", lag(col("cnt"), 1).over(w))
+      .withColumn("l2", lag(col("cnt"), 2).over(w))
+    def stats(lagCol: String, k: Int) = Seq(
+      sum(when(col(lagCol).isNotNull, lit(1L)).otherwise(lit(0L))).as(s"n$k"),
+      sum(when(col(lagCol).isNotNull, col("cnt")).otherwise(lit(0L))).as(s"sx$k"),
+      sum(when(col(lagCol).isNotNull, col(lagCol)).otherwise(lit(0L))).as(s"sy$k"),
+      sum(when(col(lagCol).isNotNull, col("cnt") * col(lagCol)).otherwise(lit(0L))).as(s"sxy$k"),
+      sum(when(col(lagCol).isNotNull, col("cnt") * col("cnt")).otherwise(lit(0L))).as(s"sxx$k"),
+      sum(when(col(lagCol).isNotNull, col(lagCol) * col(lagCol)).otherwise(lit(0L))).as(s"syy$k"))
+    val aggs = count(lit(1)).as("n_hours") +: (stats("l1", 1) ++ stats("l2", 2))
+    def acf(k: Int) =
+      s"""round((CAST(n$k AS DOUBLE) * sxy$k - CAST(sx$k AS DOUBLE) * sy$k) /
+         | nullif(sqrt(CAST(n$k AS DOUBLE) * sxx$k - CAST(sx$k AS DOUBLE) * sx$k) *
+         |        sqrt(CAST(n$k AS DOUBLE) * syy$k - CAST(sy$k AS DOUBLE) * sy$k), 0.0),
+         | 4) AS acf$k""".stripMargin.replaceAll("\n", "")
+    withLags.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("event_type", "n_hours", acf(1), acf(2))
+      .orderBy("event_type")
+  }
 }

@@ -252,4 +252,44 @@ object RobustStats {
         "floor((m4 / (m2 * m2) - 3) * 10000 + 0.5) / 10000 AS ex_kurtosis")
       .orderBy("event_type")
   }
+
+  /** Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    * slopes between hourly event counts — the estimator that shrugs
+    * off the outlier hours an OLS fit (q117) chases. Slope units:
+    * events/hour per hour.
+    *
+    * Exactness: hourly counts and hour indices are exact integers;
+    * each slope is ONE IEEE division of exact ints, so both engines
+    * materialize bit-identical slope multisets; the median of an even
+    * count is the average of the two middles in Spark's `median` and
+    * DuckDB's `median` alike (one add + one halving on identical
+    * doubles), and ties need no ordering contract. round(4) closes.
+    *
+    * Scale: the ONLY corpus-scale pass is the (type, hour) count — a
+    * map-side-combined partial aggregate. The pairwise self-join runs
+    * on the CALENDAR-bounded grid (#types × #hours rows; 720 hours ⇒
+    * ≤ 259k pairs per type), so its cost is fixed by the time span,
+    * not the event volume — the property that makes exact Theil–Sen
+    * (normally O(n²)) shippable at 100 TB. The grid frame is
+    * broadcast to the self-join; no corpus-scale shuffle follows the
+    * first aggregate.
+    */
+  def theilSenTrend(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val hourly = ev.groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("bigint").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = hourly.select(col("event_type"), col("h").as("h1"), col("cnt").as("c1"))
+    val b = hourly.select(col("event_type"), col("h").as("h2"), col("cnt").as("c2"))
+    a.join(broadcast(b), Seq("event_type"))
+      .filter(col("h1") < col("h2"))
+      .select(col("event_type"),
+        ((col("c2") - col("c1")).cast("double") /
+          (col("h2") - col("h1")).cast("double")).as("slope"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(median(col("slope")), 4).as("ts_slope"))
+      .orderBy("event_type")
+  }
 }

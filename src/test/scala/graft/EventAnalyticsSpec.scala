@@ -84,6 +84,84 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q160 EWMA level -----------------------------------------------
+
+  test("ewmaLastPerUser: two-event user renormalizes over present lags") {
+    // user 1: values 10 then 20 → at the last event x0=20, x1=10;
+    // ewma = (20·0.3 + 10·0.21) / (0.3 + 0.21) = 8.1 / 0.51
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 10.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 20.0, "{}"),
+      (3L, ts("2024-01-01 10:30:00"), 2L, "view", 7.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = EventAnalytics.ewmaLastPerUser(df).collect()
+    assert(res.length == 2)
+    val u1 = res(0)
+    assert(u1.getLong(0) == 1L && u1.getLong(1) == 2L && u1.getLong(2) == 2L)
+    assert(math.abs(u1.getDouble(3) - math.rint(8.1 / 0.51 * 1e4) / 1e4) < 1e-12)
+    // single-event user: all weight on x0 → ewma = value exactly
+    assert(res(1).getDouble(3) == 7.5)
+  }
+
+  test("ewmaLastPerUser: order is (second, event_id), not raw sub-second ts") {
+    // same second, higher id wins the "last" pick and the lag order
+    val df = Seq(
+      (5L, ts("2024-01-01 10:00:05"), 1L, "view", 100.0, "{}"),
+      (4L, ts("2024-01-01 10:00:05"), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.ewmaLastPerUser(df).collect()(0)
+    assert(r.getLong(2) == 5L)
+    // last row: x0=100 (id 5), x1=0 (id 4) → 100·0.3 / 0.51
+    assert(math.abs(r.getDouble(3) - math.rint(30.0 / 0.51 * 1e4) / 1e4) < 1e-12)
+  }
+
+  test("ewmaLastPerUser on the corpus: one row per user, ewma within value range") {
+    val ev = Tables.events(spark, sfDir)
+    val res = EventAnalytics.ewmaLastPerUser(ev).collect()
+    assert(res.length == ev.select("user_id").distinct().count().toInt)
+    val (lo, hi) = {
+      val r = ev.agg(min("value"), max("value")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    res.foreach { r =>
+      assert(r.getDouble(3) >= lo - 1e-4 && r.getDouble(3) <= hi + 1e-4,
+        s"ewma outside the convex hull of values: $r")
+    }
+  }
+
+  // ---- q161 hourly autocorrelation -----------------------------------
+
+  test("autocorrHourly: linear count ramp gives acf1 = acf2 = 1; constant series NULL") {
+    // "view": counts 1,2,3,4 over four hours → perfectly linear lags;
+    // "buy": constant 2,2,2 → zero variance → NULL (not NaN)
+    def burst(tpe: String, hour: Int, n: Int, base: Long) =
+      (0 until n).map(i => (base + i,
+        ts(f"2024-01-01 $hour%02d:0${i % 6}:00"), 1L, tpe, 1.0, "{}"))
+    val rows = burst("view", 10, 1, 100) ++ burst("view", 11, 2, 200) ++
+      burst("view", 12, 3, 300) ++ burst("view", 13, 4, 400) ++
+      burst("buy", 10, 2, 500) ++ burst("buy", 11, 2, 600) ++
+      burst("buy", 12, 2, 700)
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = EventAnalytics.autocorrHourly(df).collect()
+    val buy = res(0); val view = res(1)
+    assert(view.getString(0) == "view" && view.getLong(1) == 4L)
+    assert(view.getDouble(2) == 1.0 && view.getDouble(3) == 1.0)
+    assert(buy.getString(0) == "buy" && buy.isNullAt(2) && buy.isNullAt(3))
+  }
+
+  test("autocorrHourly on the corpus: coefficients in [-1, 1], hours accounted") {
+    val ev = Tables.events(spark, sfDir)
+    val res = EventAnalytics.autocorrHourly(ev).collect()
+    assert(res.nonEmpty)
+    val gridRows = ev.select(col("event_type"),
+      date_trunc("hour", col("ts"))).distinct().count()
+    assert(res.map(_.getLong(1)).sum == gridRows)
+    res.foreach { r =>
+      if (!r.isNullAt(2)) assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+      if (!r.isNullAt(3)) assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
+  }
+
   // ---- q153 SCD Type-2 history ---------------------------------------
 
   test("scdHistory: no-op repeats compact; intervals chain; one open row per user") {

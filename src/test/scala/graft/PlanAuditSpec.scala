@@ -596,6 +596,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window is not over the aggregated grid frame:\n$p")
   }
 
+  test("ewma level: last-per-user is a partial max(struct), not a rank window") {
+    // the lag stack is one user_id window (one Exchange); the final
+    // per-user pick must map-side combine — a second rank window here
+    // would re-shuffle every event
+    val p = plan("q160_ewma_level")
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("Join"), p)
+    val aggIdx = p.indexOf("partial_max")
+    assert(p.indexOf("Window", aggIdx) >= 0,
+      s"lag window is not below the last-per-user aggregate:\n$p")
+  }
+
+  test("autocorr: corpus touched only by the (type, hour) partial count; " +
+    "lag window over the grid") {
+    val p = plan("q161_autocorr")
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("partial_", winIdx) >= 0,
+      s"lag window is not over the aggregated hourly grid:\n$p")
+  }
+
+  test("theil-sen: pair join broadcasts the calendar-bounded grid; no product") {
+    val p = plan("q162_theil_sen")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the corpus-scale pass is the hourly partial count, below the join
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && p.indexOf("partial_count", joinIdx) >= 0,
+      s"hourly partial aggregate is not below the pair join:\n$p")
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

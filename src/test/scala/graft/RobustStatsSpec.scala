@@ -200,4 +200,52 @@ class RobustStatsSpec extends AnyFunSuite {
       assert(math.abs(x.getDouble(5)) < 50, s"wild kurtosis: $x")
     }
   }
+
+  // ---- q162 Theil–Sen robust trend -----------------------------------
+
+  test("theilSenTrend: median of pairwise slopes, outlier hour shrugged off") {
+    // hours h, h+1, h+2 with counts 1, 2, 10:
+    // slopes (2−1)/1 = 1, (10−1)/2 = 4.5, (10−2)/1 = 8 → median 4.5
+    def burst(hour: Int, n: Int, base: Long) =
+      (0 until n).map(i => (base + i,
+        Timestamp.valueOf(f"2024-01-01 $hour%02d:${10 + i}%02d:00"),
+        1L, "view", 1.0, "{}"))
+    val df = (burst(10, 1, 100) ++ burst(11, 2, 200) ++ burst(12, 10, 300))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RobustStats.theilSenTrend(df).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 3L)
+    assert(r(0).getDouble(2) == 4.5)
+  }
+
+  test("theilSenTrend: even pair count interpolates the two middle slopes") {
+    // counts 1,2,3,5 over consecutive hours → slopes sorted
+    // 1, 1, 1, 4/3, 1.5, 2 → median = (1 + 4/3)/2 ≈ 1.1667
+    def burst(hour: Int, n: Int, base: Long) =
+      (0 until n).map(i => (base + i,
+        Timestamp.valueOf(f"2024-01-01 $hour%02d:${10 + i}%02d:00"),
+        1L, "view", 1.0, "{}"))
+    val df = (burst(10, 1, 100) ++ burst(11, 2, 200) ++
+      burst(12, 3, 300) ++ burst(13, 5, 400))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RobustStats.theilSenTrend(df).collect()(0)
+    assert(r.getLong(1) == 6L)
+    assert(r.getDouble(2) == math.rint((1.0 + 4.0 / 3) / 2 * 1e4) / 1e4)
+  }
+
+  test("theilSenTrend on the events table: pair counts match the grid exactly") {
+    val ev = Tables.events(spark, sfDir)
+    val r = RobustStats.theilSenTrend(ev).collect()
+    assert(r.nonEmpty)
+    val grid = ev.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.date_trunc("hour",
+          org.apache.spark.sql.functions.col("ts"))).as("h"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.foreach { x =>
+      val h = grid(x.getString(0))
+      assert(x.getLong(1) == h * (h - 1) / 2,
+        s"pair count is not the full grid for ${x.getString(0)}")
+    }
+  }
 }

@@ -2269,6 +2269,67 @@ object OracleSql {
         |  FROM h a JOIN h b ON a.event_type = b.event_type AND a.h < b.h)
         |SELECT event_type, count(*) AS n_pairs,
         |round(median(slope), 4) AS ts_slope
-        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Readability: regex-run counts behave identically in RE2 and Java
+    // regex for these character classes; counts cast to INT to match
+    // Spark's size(); identical closing-formula text, round(4).
+    "q163_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT)
+        |    AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+        |    AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)
+        |    AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |  - 84.6 * (CAST(n_syllables AS DOUBLE) / nullif(n_words, 0)), 4)
+        |  AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Burstiness: exact integer-second gaps over (user, type) streams;
+    // per-type (n, Σg, Σg²) BIGINT sums into the identical sample-σ /
+    // CV / (σ−μ)/(σ+μ) formula text; sub-two-gap types NULL via NULLIF.
+    "q164_burstiness" ->
+      """WITH s AS (SELECT user_id, event_type, event_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |  sec - lag(sec) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY sec, event_id) AS gap FROM s),
+        |a AS (SELECT event_type, count(*) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS s1,
+        |  CAST(sum(gap * gap) AS BIGINT) AS s2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        |round(CAST(s1 AS DOUBLE) / n_gaps, 4) AS mean_gap_sec,
+        |round(sqrt((CAST(n_gaps AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) /
+        | nullif(CAST(n_gaps AS DOUBLE) * (n_gaps - 1), 0.0)) /
+        | (CAST(s1 AS DOUBLE) / n_gaps), 4) AS cv,
+        |round((sqrt((CAST(n_gaps AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) /
+        | nullif(CAST(n_gaps AS DOUBLE) * (n_gaps - 1), 0.0))
+        | - CAST(s1 AS DOUBLE) / n_gaps) /
+        | (sqrt((CAST(n_gaps AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) /
+        | nullif(CAST(n_gaps AS DOUBLE) * (n_gaps - 1), 0.0))
+        | + CAST(s1 AS DOUBLE) / n_gaps), 4) AS burstiness
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Seasonal anomalies: the flag decision is exact integer
+    // cross-multiplication (cnt·m ≥ 2·s avoids any intermediate
+    // rounding); only the two reported doubles round.
+    "q165_seasonal_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, hour(hr) AS hod,
+        |  CAST(sum(cnt) AS BIGINT) AS s, count(*) AS m
+        |  FROM h GROUP BY 1, 2)
+        |SELECT h.event_type, h.hr, h.cnt,
+        |round(CAST(p.s AS DOUBLE) / p.m, 4) AS baseline,
+        |round(CAST(h.cnt AS DOUBLE) * p.m / p.s, 4) AS ratio
+        |FROM h JOIN p ON h.event_type = p.event_type AND hour(h.hr) = p.hod
+        |WHERE h.cnt * p.m >= 2.0 * p.s
+        |ORDER BY h.event_type, h.hr""".stripMargin
   )
 }

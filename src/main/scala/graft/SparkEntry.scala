@@ -416,7 +416,13 @@ object SparkEntry {
     // lag-1/2 autocorrelation of the hourly count series per type
     "q161_autocorr"         -> ((s, d) => EventAnalytics.autocorrHourly(Tables.events(s, d))),
     // Theil–Sen robust hourly trend per event type
-    "q162_theil_sen"        -> ((s, d) => RobustStats.theilSenTrend(Tables.events(s, d)))
+    "q162_theil_sen"        -> ((s, d) => RobustStats.theilSenTrend(Tables.events(s, d))),
+    // Flesch reading-ease proxy per document (regex-count readability)
+    "q163_readability"      -> ((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
+    // Goh–Barabási burstiness of per-user inter-arrival gaps, by type
+    "q164_burstiness"       -> ((s, d) => EventAnalytics.burstiness(Tables.events(s, d))),
+    // hours at ≥2× their (type, hour-of-day) seasonal baseline
+    "q165_seasonal_anomaly" -> ((s, d) => EventAnalytics.seasonalAnomalies(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -487,12 +487,99 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Inter-arrival burstiness per event type, measured over PER-USER
+    * gaps: for each (user, type) stream ordered by the (whole-second,
+    * event_id) contract key, gap = seconds since that user's previous
+    * event of the type; per type we report the gap count, mean, the
+    * coefficient of variation, and Goh–Barabási burstiness
+    * B = (σ−μ)/(σ+μ) ∈ (−1, 1) — B ≈ 0 is Poisson, B → 1 is bursty,
+    * B < 0 is pacemaker-regular. The timing twin of q147's value
+    * moments.
+    *
+    * Exactness: gaps are exact integer seconds; per-type sufficient
+    * statistics (n, Σg, Σg²) are exact BIGINTs; μ, the SAMPLE σ
+    * (n·Σg² − (Σg)², over n·(n−1)) and the two ratios are the
+    * identical closing-formula text in both engines — √ is
+    * IEEE-exact, round(4) closes. Types with fewer than two gaps are
+    * NULL via NULLIF. (Hourly gap counts stay well inside int64 here;
+    * a corpus where Σg² could overflow moves the sums to
+    * decimal(38,0) — the q147 pattern — with no plan change.)
+    *
+    * Scale: one lag() over a (user_id, event_type) hash partition —
+    * narrow 16-byte rows — then a 5-row partial aggregate. No global
+    * sort: ordering per type happens inside each user's stream, which
+    * is what makes the operator shippable where a per-type global
+    * ordering (one partition per type) would not be.
+    */
+  def burstiness(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("sec"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("s1"),
+        sum(col("gap") * col("gap")).as("s2"))
+      .selectExpr("event_type", "n_gaps",
+        "round(CAST(s1 AS DOUBLE) / n_gaps, 4) AS mean_gap_sec",
+        "round(sqrt((CAST(n_gaps AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) /" +
+          " nullif(CAST(n_gaps AS DOUBLE) * (n_gaps - 1), 0.0)) /" +
+          " (CAST(s1 AS DOUBLE) / n_gaps), 4) AS cv",
+        "round((sqrt((CAST(n_gaps AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) /" +
+          " nullif(CAST(n_gaps AS DOUBLE) * (n_gaps - 1), 0.0))" +
+          " - CAST(s1 AS DOUBLE) / n_gaps) /" +
+          " (sqrt((CAST(n_gaps AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) /" +
+          " nullif(CAST(n_gaps AS DOUBLE) * (n_gaps - 1), 0.0))" +
+          " + CAST(s1 AS DOUBLE) / n_gaps), 4) AS burstiness")
+      .orderBy("event_type")
+  }
+
+  /** Seasonal-baseline anomaly hours: each (type, calendar-hour)
+    * count is compared to that type's average count for the SAME
+    * hour-of-day across the observed span (the diurnal profile —
+    * "3 AM Tuesday vs every other 3 AM"), and hours at ≥ `threshold`×
+    * their seasonal baseline are flagged. The seasonal complement of
+    * q95's trailing-window z-score: a 2× burst at peak hour is
+    * invisible to a global baseline but obvious against its own
+    * hour-of-day.
+    *
+    * Baseline = Σcounts / #observed-hours for that (type, hour-of-day)
+    * — observed means the type logged ≥ 1 event that calendar hour
+    * (zero-count hours never materialize rows; with dense feeds like
+    * this one the distinction is empty). ratio = cnt·m/S computed as
+    * ONE IEEE division of exact integer products — bit-stable, no
+    * intermediate baseline rounding in the flag decision; round(4)
+    * only on the two REPORTED doubles.
+    *
+    * Scale: the corpus-scale pass is the (type, hour) partial count;
+    * the profile is a ≤ #types×24-row aggregate OF THE GRID joined
+    * back by broadcast. Nothing after the first aggregate touches
+    * events.
+    */
+  def seasonalAnomalies(ev: DataFrame, threshold: Double = 2.0): DataFrame = {
+    val hourly = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val profile = hourly.groupBy(col("event_type"),
+        hour(col("hr")).as("hod"))
+      .agg(sum(col("cnt")).as("s"), count(lit(1)).as("m"))
+    hourly.withColumn("hod", hour(col("hr")))
+      .join(broadcast(profile), Seq("event_type", "hod"))
+      .filter(col("cnt") * col("m") >= lit(threshold) * col("s"))
+      .selectExpr("event_type", "hr", "cnt",
+        "round(CAST(s AS DOUBLE) / m, 4) AS baseline",
+        "round(CAST(cnt AS DOUBLE) * m / s, 4) AS ratio")
+      .orderBy("event_type", "hr")
+  }
+
   /** Lag-1/lag-2 autocorrelation of the hourly event-count series per
-    * event type — the seasonality/burstiness diagnostic behind "is
-    * this feed self-similar hour over hour?". The series is hourly
-    * COUNTS (exact integers), not hourly means, so the sufficient
-    * statistics carry zero upstream ulps — the q145/q147 integer
-    * discipline applied to Pearson's r.
+    * event type — the seasonality diagnostic behind "is this feed
+    * self-similar hour over hour?". The series is hourly COUNTS
+    * (exact integers), not hourly means, so the sufficient statistics
+    * carry zero upstream ulps — the q145/q147 integer discipline
+    * applied to Pearson's r.
     *
     * r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)),
     * computed from exact BIGINT sums in BOTH engines with identical

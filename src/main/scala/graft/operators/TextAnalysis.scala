@@ -879,4 +879,37 @@ object TextAnalysis {
       .withColumn("vocab_size", sum("n_new_terms").over(w))
       .orderBy("bucket")
   }
+
+  /** Flesch reading-ease proxy per document — the classic readability
+    * screen a corpus-quality pipeline runs next to the Gopher gate
+    * (q75) and the gibberish LM (q121). Counts are regex-run totals
+    * (shared RE2/Java semantics for these character classes):
+    * words = `[a-z0-9]+` runs, sentences = `[.!?]+` runs (a document
+    * with no terminal punctuation is ONE sentence — the corpus is
+    * all-lowercase prose, so the general formula degrades gracefully
+    * instead of dividing by zero), syllables ≈ `[aeiouy]+` vowel-group
+    * runs (the standard dictionary-free estimator; spaces break
+    * groups, so the text-level count equals the per-word sum).
+    *
+    * flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W): exact INT counts
+    * into the identical formula text in both engines — two IEEE
+    * divisions, two multiply-subtracts, round(4). Zero-word documents
+    * get NULL via NULLIF, not a crash.
+    *
+    * Scale: pure per-row map over one scan (three codegen'd regex
+    * counts) — no shuffle at all before the presentation sort.
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1)).as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .as("n_syllables"))
+      .selectExpr("doc_id", "n_words", "n_sentences", "n_syllables",
+        "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) " +
+          "- 84.6 * (CAST(n_syllables AS DOUBLE) / nullif(n_words, 0)), 4) " +
+          "AS flesch")
+      .orderBy("doc_id")
 }

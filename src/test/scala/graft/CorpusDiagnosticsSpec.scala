@@ -19,6 +19,34 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     rows.map { case (i, t, s) => (i, t, "en", s, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  // ---- q163 Flesch readability ---------------------------------------
+
+  test("readability: hand-counted words/sentences/vowel-groups and the formula") {
+    // "The cat sat. It ran! Did it?" → 7 words, 3 sentence runs,
+    // 7 vowel groups → 206.835 − 1.015·(7/3) − 84.6·(7/7)
+    val df = docsDf(Seq(
+      (1L, "The cat sat. It ran! Did it?", "s"),
+      (2L, "", "s")))
+    val res = TextAnalysis.readability(df).collect()
+    val r = res(0)
+    assert(r.getInt(1) == 7 && r.getInt(2) == 3 && r.getInt(3) == 7)
+    val expected = math.rint(
+      (206.835 - 1.015 * (7.0 / 3) - 84.6 * (7.0 / 7)) * 1e4) / 1e4
+    assert(r.getDouble(4) == expected)
+    // empty doc: zero words → NULL score, sentence floor holds at 1
+    assert(res(1).getInt(1) == 0 && res(1).getInt(2) == 1 && res(1).isNullAt(4))
+  }
+
+  test("readability on the corpus: every doc scored, unpunctuated = one sentence") {
+    val docs = Tables.documents(spark, sfDir)
+    val res = TextAnalysis.readability(docs).collect()
+    assert(res.length == docs.count())
+    res.foreach { r =>
+      assert(r.getInt(2) == 1, "corpus has no terminal punctuation")
+      assert(!r.isNullAt(4))
+    }
+  }
+
   // ---- q156 Heaps-law vocabulary growth ------------------------------
 
   test("vocabGrowth: first-seen tranches and cumulative totals, by hand") {

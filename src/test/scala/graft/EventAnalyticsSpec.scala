@@ -129,6 +129,84 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q164 inter-arrival burstiness ---------------------------------
+
+  test("burstiness: hand-computed gaps 10,10,20; single-gap type is NULL") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:10"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:00:20"), 1L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:01:00"), 1L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 1L, "buy", 1.0, "{}"),
+      (6L, ts("2024-01-01 10:00:30"), 1L, "buy", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = EventAnalytics.burstiness(df).collect()
+    val buy = res(0); val view = res(1)
+    // view: gaps 10, 10, 40 → n=3, s1=60, s2=1800
+    assert(view.getLong(1) == 3L)
+    val mean = 60.0 / 3
+    val sd = math.sqrt((3.0 * 1800 - 60.0 * 60) / (3.0 * 2))
+    assert(view.getDouble(2) == math.rint(mean * 1e4) / 1e4)
+    assert(view.getDouble(3) == math.rint(sd / mean * 1e4) / 1e4)
+    assert(view.getDouble(4) == math.rint((sd - mean) / (sd + mean) * 1e4) / 1e4)
+    // buy: one gap → mean defined, cv/burstiness NULL
+    assert(buy.getLong(1) == 1L && buy.getDouble(2) == 30.0)
+    assert(buy.isNullAt(3) && buy.isNullAt(4))
+  }
+
+  test("burstiness: gaps are within-user — interleaved users don't cross") {
+    // two users alternate seconds; per-user gaps are all 2 s (regular),
+    // so burstiness is strongly negative, not the spurious cross-user 1 s
+    val rows = (0 until 10).map(i =>
+      ((i + 1).toLong, ts(f"2024-01-01 10:00:${i}%02d"),
+        (i % 2 + 1).toLong, "view", 1.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.burstiness(df).collect()(0)
+    assert(r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 2.0, "within-user gap, not the 1 s cross-user gap")
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == -1.0,
+      "perfectly regular stream pins CV at 0 and burstiness at -1")
+  }
+
+  test("burstiness on the corpus: every type covered, B in (-1, 1)") {
+    val ev = Tables.events(spark, sfDir)
+    val res = EventAnalytics.burstiness(ev).collect()
+    assert(res.length == ev.select("event_type").distinct().count().toInt)
+    res.foreach { r =>
+      assert(r.getDouble(2) > 0)
+      if (!r.isNullAt(4))
+        assert(r.getDouble(4) > -1.0 - 1e-9 && r.getDouble(4) < 1.0)
+    }
+  }
+
+  // ---- q165 seasonal anomalies ---------------------------------------
+
+  test("seasonalAnomalies: burst flagged against its own hour-of-day; >= boundary") {
+    def burst(day: Int, hour: Int, tpe: String, n: Int, base: Long) =
+      (0 until n).map(i => (base + i,
+        ts(f"2024-01-$day%02d $hour%02d:${10 + i}%02d:00"), 1L, tpe, 1.0, "{}"))
+    val rows =
+      // view @ hod 10: counts 1, 1, 10 → s=12, m=3, base 4; 10 → ratio 2.5
+      burst(1, 10, "view", 1, 100) ++ burst(2, 10, "view", 1, 200) ++
+        burst(3, 10, "view", 10, 300) ++
+        // buy @ hod 11: counts 2, 2, 8 → 8·3 = 24 = 2·12 → flagged at 2.0 exactly
+        burst(1, 11, "buy", 2, 400) ++ burst(2, 11, "buy", 2, 500) ++
+        burst(3, 11, "buy", 8, 600)
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = EventAnalytics.seasonalAnomalies(df).collect()
+    assert(res.length == 2)
+    val buy = res(0); val view = res(1)
+    assert(buy.getString(0) == "buy" && buy.getLong(2) == 8L &&
+      buy.getDouble(3) == 4.0 && buy.getDouble(4) == 2.0)
+    assert(view.getString(0) == "view" && view.getLong(2) == 10L &&
+      view.getDouble(3) == 4.0 && view.getDouble(4) == 2.5)
+  }
+
+  test("seasonalAnomalies on the corpus: flagged rows honor the threshold") {
+    val res = EventAnalytics.seasonalAnomalies(Tables.events(spark, sfDir)).collect()
+    res.foreach(r => assert(r.getDouble(4) >= 2.0))
+  }
+
   // ---- q161 hourly autocorrelation -----------------------------------
 
   test("autocorrHourly: linear count ramp gives acf1 = acf2 = 1; constant series NULL") {

@@ -628,6 +628,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"hourly partial aggregate is not below the pair join:\n$p")
   }
 
+  test("readability is a pure per-row map: no shuffle except the presentation sort") {
+    val p = plan("q163_readability")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("hashpartitioning"),
+      s"readability must not hash-shuffle — it is a map over one scan:\n$p")
+  }
+
+  test("burstiness: one (user, type) window, then a partial aggregate to 5 rows") {
+    val p = plan("q164_burstiness")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+    val aggIdx = p.indexOf("partial_")
+    assert(p.indexOf("Window", aggIdx) >= 0,
+      s"the gap window must sit below the per-type aggregate:\n$p")
+    assert(p.contains("user_id") && p.contains("event_type"), p)
+  }
+
+  test("seasonal anomalies: profile joined back by broadcast; corpus scanned once") {
+    val p = plan("q165_seasonal_anomaly")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && p.indexOf("partial_count", joinIdx) >= 0,
+      s"hourly partial count is not below the profile join:\n$p")
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

@@ -342,6 +342,61 @@ object StreamPipeline {
       }
   }
 
+  /** The current smoothed level per user (see [[ewmaLevelStream]]). */
+  case class UserEwma(user_id: Long, n_events: Long,
+                      last_event_id: Long, ewma_value: Double)
+
+  /** Streaming EWMA level — the live twin of
+    * [[graft.operators.EventAnalytics.ewmaLastPerUser]] (q160): per-user
+    * state is the ring buffer of the newest `lookback` (sec, event_id,
+    * value) triples plus a count — O(k) per key, the exact memory the
+    * bounded-lookback definition needs and no more. Each micro-batch
+    * merges its rows in the (whole-second, event_id) contract order
+    * and re-emits the user's smoothed level in Update mode, so a
+    * downstream sink always holds the same number q160 would compute
+    * over the events so far.
+    *
+    * Equivalence (spec-asserted) holds under the per-user event-time
+    * order precondition shared with [[transitionsStream]] /
+    * [[scdHistoryStream]] (in-batch arrival order is free; cross-batch
+    * order per user must hold — Kafka key-partitioning gives exactly
+    * this). The weight fold replays the batch operator's
+    * left-associated chain over the SAME [[graft.operators.EventAnalytics.ewmaWeights]]
+    * doubles, and rounding is BigDecimal HALF_UP — bit-for-bit the
+    * Spark `round(_, 4)` the batch plan applies.
+    */
+  def ewmaLevelStream(stream: DataFrame, alpha: Double = 0.3,
+                      lookback: Int = 8)
+      : org.apache.spark.sql.Dataset[UserEwma] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    val ws = graft.operators.EventAnalytics.ewmaWeights(alpha, lookback).toArray
+    stream.selectExpr("user_id", "unix_timestamp(ts) AS sec",
+        "event_id", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, List[(Long, Long, Double)]), UserEwma](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var (n, buf) = state.getOption.getOrElse((0L, List.empty[(Long, Long, Double)]))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            n += 1
+            buf = ((r._2, r._3, r._4) :: buf).take(lookback) // newest-first
+          }
+          state.update((n, buf))
+          var num = 0.0
+          var den = 0.0
+          var j = 0
+          buf.foreach { case (_, _, v) =>           // j ascending = newest out
+            num += v * ws(j); den += ws(j); j += 1  // — the batch chain order
+          }
+          val ewma = BigDecimal(num / den)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          UserEwma(uid, n, buf.head._2, ewma)
+      }
+  }
+
   /** A CLOSED SCD2 validity interval (the open one lives in state). */
   case class ScdInterval(user_id: Long, version: Int, state: String,
                          valid_from_sec: Long, valid_to_sec: Long)

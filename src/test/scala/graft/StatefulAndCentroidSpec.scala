@@ -58,6 +58,48 @@ class StatefulAndCentroidSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("ewmaLevelStream converges to batch ewmaLastPerUser (bounded-state twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.ewmaLevelStream(stream)
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ewma").toString)
+      .start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // per-user event-time order holds ACROSS batches (the Kafka
+    // key-partitioning precondition); in-batch arrival is shuffled.
+    // User 7 accumulates 10 events so the k=8 ring buffer actually
+    // evicts; user 8 stays under the lookback.
+    val batch1 = (1 to 6).map(i =>
+      (i.toLong, ts(f"2026-01-01 10:0$i%01d:00"), 7L, "view", i * 10.0, "{}"))
+      .reverse :+ (20L, ts("2026-01-01 10:00:30"), 8L, "view", 5.0, "{}")
+    val batch2 = (7 to 10).map(i =>
+      (i.toLong, ts(f"2026-01-01 10:$i%02d:00"), 7L, "view", i * 10.0, "{}")) :+
+      (21L, ts("2026-01-01 10:09:30"), 8L, "view", 7.0, "{}")
+    try {
+      mem.addData(batch1: _*)
+      query.processAllAvailable()
+      mem.addData(batch2: _*)
+      query.processAllAvailable()
+      val emitted = spark.table("ewma_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val streamFinal = emitted.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      val batchDf = (batch1 ++ batch2)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val batchRes = graft.operators.EventAnalytics.ewmaLastPerUser(batchDf)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+      assert(streamFinal == batchRes)
+      assert(streamFinal(7L)._2 == 10L && streamFinal(7L)._3 == 10L)
+    } finally query.stop()
+  }
+
   test("scdHistoryStream closed intervals match batch scdHistory minus open rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -2330,6 +2330,68 @@ object OracleSql {
         |round(CAST(h.cnt AS DOUBLE) * p.m / p.s, 4) AS ratio
         |FROM h JOIN p ON h.event_type = p.event_type AND hour(h.hr) = p.hod
         |WHERE h.cnt * p.m >= 2.0 * p.s
-        |ORDER BY h.event_type, h.hr""".stripMargin
+        |ORDER BY h.event_type, h.hr""".stripMargin,
+
+    // Expectations: every pass count is exact (a null condition falls
+    // to ELSE 0, matching Spark's null-skipping sum over the cast);
+    // `passed` is an integer comparison, never a double threshold.
+    "q166_expectations" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS c_cust,
+        |  count(DISTINCT o_orderkey) AS d_key,
+        |  sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+        |    AS c_status,
+        |  sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS c_price,
+        |  sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+        |    THEN 1 ELSE 0 END) AS c_prio
+        |  FROM orders),
+        |s AS (
+        |  SELECT 'accepted_values:o_orderstatus' AS checkname,
+        |    CAST(c_status AS BIGINT) AS n_ok, n FROM a
+        |  UNION ALL SELECT 'completeness:o_custkey',
+        |    CAST(c_cust AS BIGINT), n FROM a
+        |  UNION ALL SELECT 'format:o_orderpriority',
+        |    CAST(c_prio AS BIGINT), n FROM a
+        |  UNION ALL SELECT 'positive:o_totalprice',
+        |    CAST(c_price AS BIGINT), n FROM a
+        |  UNION ALL SELECT 'unique:o_orderkey',
+        |    CAST(d_key AS BIGINT), n FROM a)
+        |SELECT checkname, n_ok, n AS n_total,
+        |round(CAST(n_ok AS DOUBLE) / n, 6) AS rate,
+        |CAST(n_ok = n AS INT) AS passed
+        |FROM s ORDER BY checkname""".stripMargin,
+
+    // Neyman: σ from exact BIGINT sums (identical formula text),
+    // scaled to an integer weight immediately; Hamilton quotas in
+    // exact integer div/mod so no summation-order ulp can flip an
+    // allocation; selection is the q111 md5-priority rank.
+    "q167_neyman_sample" ->
+      """WITH st AS (SELECT source, count(*) AS nh,
+        |  CAST(sum(n_chars) AS BIGINT) AS s1,
+        |  CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY 1),
+        |sg AS (SELECT source, nh,
+        |  coalesce(sqrt((CAST(nh AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) /
+        |   nullif(CAST(nh AS DOUBLE) * (nh - 1), 0.0)), 0.0) AS sigma FROM st),
+        |wts AS (SELECT source, nh, sigma,
+        |  CAST(floor(CAST(nh AS DOUBLE) * sigma * 1000000 + 0.5) AS BIGINT)
+        |    AS w FROM sg),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM wts),
+        |q AS (SELECT source, w, (100 * w) // wt AS base, (100 * w) % wt AS rem
+        |      FROM wts, tot),
+        |x AS (SELECT CAST(100 - sum(base) AS BIGINT) AS extra FROM q),
+        |al AS (SELECT source, base + (CASE WHEN row_number()
+        |    OVER (ORDER BY rem DESC, source ASC) <= extra
+        |    THEN 1 ELSE 0 END) AS alloc FROM q, x),
+        |sc AS (SELECT doc_id, source, n_chars,
+        |  CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / n_chars AS priority
+        |  FROM documents),
+        |rk AS (SELECT doc_id, source, n_chars, priority,
+        |  row_number() OVER (PARTITION BY source ORDER BY priority, doc_id)
+        |    AS rn FROM sc)
+        |SELECT r.source, r.doc_id, r.n_chars,
+        |round(r.priority, 6) AS priority, a.alloc
+        |FROM rk r JOIN al a USING (source) WHERE r.rn <= a.alloc
+        |ORDER BY source, priority, doc_id""".stripMargin
   )
 }

@@ -422,7 +422,11 @@ object SparkEntry {
     // Goh–Barabási burstiness of per-user inter-arrival gaps, by type
     "q164_burstiness"       -> ((s, d) => EventAnalytics.burstiness(Tables.events(s, d))),
     // hours at ≥2× their (type, hour-of-day) seasonal baseline
-    "q165_seasonal_anomaly" -> ((s, d) => EventAnalytics.seasonalAnomalies(Tables.events(s, d)))
+    "q165_seasonal_anomaly" -> ((s, d) => EventAnalytics.seasonalAnomalies(Tables.events(s, d))),
+    // Deequ-style one-scan data-quality expectation suite
+    "q166_expectations"     -> ((s, d) => Aggregates.expectationsAudit(Tables.orders(s, d))),
+    // Neyman-allocation stratified sample (exact integer Hamilton quotas)
+    "q167_neyman_sample"    -> ((s, d) => TrainingData.neymanSample(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

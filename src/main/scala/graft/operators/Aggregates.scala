@@ -443,4 +443,45 @@ object Aggregates {
           .as("abs_dev"))
       .orderBy("digit")
   }
+
+  /** Declarative data-quality expectations (the Deequ pattern) over
+    * the orders table, evaluated in ONE scan: completeness
+    * (non-null rate), key uniqueness (distinct/total), accepted-value
+    * membership, a positivity bound, and a format regex — the
+    * constraint suite a nightly ingest gate runs before anything
+    * downstream trusts the load. One row per check with the exact
+    * pass counts, the rate, and a pass flag.
+    *
+    * Determinism: every metric is an exact integer count (nulls fail
+    * their check via CASE semantics in both engines); the rate is one
+    * IEEE division rounded at 6; `passed` is an INTEGER comparison
+    * (n_ok = n_total), never a double threshold — no boundary ulps
+    * can flip a verdict.
+    *
+    * Scale: a single partial aggregate over one scan — the distinct
+    * count rides the same pass via Spark's expand (and at extreme
+    * cardinality would swap to HLL, q49's sketch, with the check
+    * becoming approximate and flagged as such). The stack() to rows
+    * happens on the ONE aggregated row.
+    */
+  def expectationsAudit(ord: DataFrame): DataFrame =
+    ord.agg(
+        count(lit(1)).as("n"),
+        sum(col("o_custkey").isNotNull.cast("long")).as("c_cust"),
+        countDistinct(col("o_orderkey")).as("d_key"),
+        sum(col("o_orderstatus").isin("O", "F", "P").cast("long")).as("c_status"),
+        sum((col("o_totalprice") > 0).cast("long")).as("c_price"),
+        sum(col("o_orderpriority").rlike("^[1-5]-").cast("long")).as("c_prio"))
+      .selectExpr(
+        """stack(5,
+          |'accepted_values:o_orderstatus', c_status, n,
+          |'completeness:o_custkey', c_cust, n,
+          |'format:o_orderpriority', c_prio, n,
+          |'positive:o_totalprice', c_price, n,
+          |'unique:o_orderkey', d_key, n) AS (checkname, n_ok, n_total)"""
+          .stripMargin)
+      .selectExpr("checkname", "n_ok", "n_total",
+        "round(CAST(n_ok AS DOUBLE) / n_total, 6) AS rate",
+        "CAST(n_ok = n_total AS INT) AS passed")
+      .orderBy("checkname")
 }

@@ -385,6 +385,70 @@ object TrainingData {
       .orderBy("source", "priority", "doc_id")
   }
 
+  /** Neyman-allocation stratified sampling: the survey-statistics
+    * optimum for a fixed total budget n — each stratum h (source)
+    * receives n_h ∝ N_h·σ_h (size × within-stratum std-dev of
+    * n_chars), so variable strata get more probes and homogeneous
+    * ones fewer; selection within a stratum is then the q89/q111 md5
+    * priority draw. The complement of [[ppsSamplePerSource]]'s fixed
+    * per-source quota: there the budget is negotiated, here it is
+    * derived from the variance structure.
+    *
+    * The allocation is EXACT INTEGER arithmetic end to end — the
+    * usual float quotas would hang the result on summation-order
+    * ulps. σ_h comes from exact (n, Σx, Σx²) BIGINT sums via the
+    * identical closing-formula text (q164's discipline), is scaled to
+    * an integer weight w_h = floor(N_h·σ_h·1e6 + ½) immediately, and
+    * Hamilton largest-remainder runs on (n·w_h) div/mod ΣW — floor
+    * quotas plus +1 to the largest EXACT remainders (source-ordered
+    * ties). No double ever enters a comparison. A single-row stratum
+    * (σ undefined) weighs 0.
+    *
+    * Scale: two corpus passes (the stats aggregate; the heap
+    * selection via [[graft.plans.TopKPerKey]] — its fourth production
+    * site, one bounded heap per (partition, source) and never a
+    * corpus sort); everything between runs on #strata rows. The
+    * final rank window is over the heap's ≤ #strata·n candidate
+    * rows — metadata, not the corpus.
+    */
+  def neymanSample(docs: DataFrame, totalN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = docs.groupBy("source").agg(
+        count(lit(1)).as("nh"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .selectExpr("source", "nh",
+        "coalesce(sqrt((CAST(nh AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) /" +
+          " nullif(CAST(nh AS DOUBLE) * (nh - 1), 0.0)), 0.0) AS sigma")
+      .selectExpr("source", "nh", "sigma",
+        "CAST(floor(CAST(nh AS DOUBLE) * sigma * 1000000 + 0.5) AS BIGINT) AS w")
+    val tot = stats.agg(sum(col("w")).as("wt"))
+    // #strata-row frames from here down — the unpartitioned window is
+    // over strata, never data (the q89 presentation-window argument)
+    val quotas = stats.crossJoin(broadcast(tot))
+      .selectExpr("source", "nh", "sigma", "w",
+        s"($totalN * w) div wt AS base", s"($totalN * w) % wt AS rem")
+    val extra = quotas.agg((lit(totalN) - sum(col("base"))).as("extra"))
+    val alloc = quotas.crossJoin(broadcast(extra))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+      .selectExpr("source", "nh", "sigma",
+        "CAST(base + (CASE WHEN pos <= extra THEN 1 ELSE 0 END) AS BIGINT) AS alloc")
+    val u = conv(substring(docHash, 1, 8), 16, 10).cast("double")
+    val scored = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      (u / col("n_chars")).as("priority"))
+    val candidates = graft.plans.TopK.perKey(scored, Seq("source"),
+      Seq(col("priority").asc, col("doc_id").asc), totalN)
+    candidates
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(col("priority").asc, col("doc_id").asc)))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("rn") <= col("alloc"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("priority"), 6).as("priority"), col("alloc"))
+      .orderBy("source", "priority", "doc_id")
+  }
+
   /** Per-source pipeline funnel — stage-attrition observability for
     * the cleaning pipeline: for every source, how many documents
     * entered, survived the Gopher gate, survived exact dedup (among

@@ -655,6 +655,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"hourly partial count is not below the profile join:\n$p")
   }
 
+  test("expectations audit: one scan, distinct-count riding the same aggregate pass") {
+    // Spark 4 plans the single-distinct agg as a group-by-key partial
+    // (dedup the key while the other sums merge) — one scan, no Expand
+    val p = plan("q166_expectations")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("keys=[o_orderkey") && p.contains("merge_sum"),
+      s"distinct-count must ride the same pass as the other checks:\n$p")
+    assert(!p.contains("Join"), p)
+    // exactly one scan of orders feeds all five checks
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 1, p)
+  }
+
+  test("neyman sample: heap selection, broadcast quotas, no corpus rank window") {
+    val p = plan("q167_neyman_sample")
+    assert(p.contains("TopKPerKey"), s"selection must use the heap operator:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the rank window exists but must sit ABOVE the heap (candidate
+    // rows), not above a corpus-scale exchange
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("TopKPerKey", winIdx) >= 0,
+      s"rank window is not over the heap candidates:\n$p")
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

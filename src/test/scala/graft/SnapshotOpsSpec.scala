@@ -89,6 +89,39 @@ class SnapshotOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q166 expectations audit --------------------------------------
+
+  test("expectationsAudit: seeded violations land in the right checks") {
+    import spark.implicits._
+    // row 3 duplicates the key; row 4 has a null customer; row 5 a bad
+    // status; all prices positive; priority '6-X' fails the format
+    val df = Seq(
+      (1L, Some(10L), "O", 5.0, "1-URGENT"),
+      (2L, Some(11L), "F", 6.0, "5-LOW"),
+      (2L, Some(12L), "P", 7.0, "3-MEDIUM"),
+      (4L, None: Option[Long], "O", 8.0, "2-HIGH"),
+      (5L, Some(13L), "X", 9.0, "6-BOGUS"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val res = Aggregates.expectationsAudit(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(4))))
+      .toMap
+    assert(res("unique:o_orderkey") == ((4L, 5L, 0)))
+    assert(res("completeness:o_custkey") == ((4L, 5L, 0)))
+    assert(res("accepted_values:o_orderstatus") == ((4L, 5L, 0)))
+    assert(res("positive:o_totalprice") == ((5L, 5L, 1)))
+    assert(res("format:o_orderpriority") == ((4L, 5L, 0)))
+  }
+
+  test("expectationsAudit on orders: the TPC-H generator passes the whole suite") {
+    val res = Aggregates.expectationsAudit(orders).collect()
+    assert(res.length == 5)
+    res.foreach { r =>
+      assert(r.getInt(4) == 1, s"expectation unexpectedly failing: $r")
+      assert(r.getDouble(3) == 1.0)
+    }
+  }
+
   // ---- q95 moving z-score -------------------------------------------
 
   test("movingZscore matches a hand-rolled trailing window per event type") {

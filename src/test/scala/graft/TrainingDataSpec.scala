@@ -39,6 +39,49 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(res.forall(r => r.getLong(3) <= r.getLong(2)))
   }
 
+  test("neymanSample: exact Hamilton quotas — hand-checked integer allocation") {
+    import spark.implicits._
+    // stratum a: n_chars {10,20} → σ = √50, w = floor(2·√50·1e6 + ½)
+    //          = 14142136; b: {10,20,30} → σ = 10, w = 30000000.
+    // totalN = 3: base quotas (3w) div W = 0 and 2; the one leftover
+    // goes to a (larger remainder 42426408 > 1715728) → alloc a=1, b=2
+    val df = Seq(
+      (1L, "x", "en", "a", 10L), (2L, "x", "en", "a", 20L),
+      (3L, "x", "en", "b", 10L), (4L, "x", "en", "b", 20L),
+      (5L, "x", "en", "b", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = TrainingData.neymanSample(df, totalN = 3).collect()
+    assert(res.length == 3)
+    val bySource = res.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySource == Map("a" -> 1, "b" -> 2))
+    assert(res.filter(_.getString(0) == "a").head.getLong(4) == 1L)
+    assert(res.filter(_.getString(0) == "b").head.getLong(4) == 2L)
+  }
+
+  test("neymanSample: a zero-variance stratum draws nothing") {
+    import spark.implicits._
+    val df = (
+      (1 to 10).map(i => (i.toLong, "x", "en", "flat", 100L)) ++
+      (11 to 20).map(i => (i.toLong, "x", "en", "varied", (i % 5 + 1) * 50L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = TrainingData.neymanSample(df, totalN = 5).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getString(0) == "varied"),
+      "σ = 0 stratum must receive zero allocation under pure Neyman")
+    assert(res.length == 5)
+  }
+
+  test("neymanSample on the corpus: allocations close to the budget, " +
+    "more variable strata get at least proportional share") {
+    val res = TrainingData.neymanSample(docs).collect()
+    val allocs = res.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(allocs.values.sum <= 100)
+    // each stratum emits exactly its allocation (none is starved of docs)
+    val emitted = res.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    emitted.foreach { case (s, n) => assert(n.toLong == allocs(s)) }
+    assert(res.map(r => (r.getString(0), r.getLong(1))).distinct.length == res.length)
+  }
+
   test("leakageSafeFolds on the corpus: every doc assigned once, folds cover 0..4") {
     val res = TrainingData.leakageSafeFolds(docs).collect()
     assert(res.map(_.getLong(2)).sum == docs.count())

@@ -2392,6 +2392,19 @@ object OracleSql {
         |SELECT r.source, r.doc_id, r.n_chars,
         |round(r.priority, 6) AS priority, a.alloc
         |FROM rk r JOIN al a USING (source) WHERE r.rn <= a.alloc
-        |ORDER BY source, priority, doc_id""".stripMargin
+        |ORDER BY source, priority, doc_id""".stripMargin,
+
+    // k-anonymity/l-diversity: exact integer class sizes and distinct
+    // bands; the flags are integer comparisons. floor(x/1000) runs on
+    // the same double in both engines.
+    "q168_k_anonymity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS band FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(DISTINCT band) AS l_div FROM b GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, n, l_div,
+        |CAST(n >= 10 AS INT) AS k_anonymous,
+        |CAST(l_div >= 3 AS INT) AS l_diverse
+        |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin
   )
 }

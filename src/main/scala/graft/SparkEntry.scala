@@ -426,7 +426,9 @@ object SparkEntry {
     // Deequ-style one-scan data-quality expectation suite
     "q166_expectations"     -> ((s, d) => Aggregates.expectationsAudit(Tables.orders(s, d))),
     // Neyman-allocation stratified sample (exact integer Hamilton quotas)
-    "q167_neyman_sample"    -> ((s, d) => TrainingData.neymanSample(Tables.documents(s, d)))
+    "q167_neyman_sample"    -> ((s, d) => TrainingData.neymanSample(Tables.documents(s, d))),
+    // k-anonymity / l-diversity audit on the customer quasi-identifiers
+    "q168_k_anonymity"      -> ((s, d) => Aggregates.kAnonymityAudit(Tables.customer(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -484,4 +484,35 @@ object Aggregates {
         "round(CAST(n_ok AS DOUBLE) / n_total, 6) AS rate",
         "CAST(n_ok = n_total AS INT) AS passed")
       .orderBy("checkname")
+
+  /** k-anonymity / l-diversity privacy audit over the customer
+    * dimension: treat (nation, market segment) as the quasi-identifier
+    * an attacker could link on, and the account-balance band
+    * (floor(acctbal/1000)) as the sensitive attribute. Each
+    * quasi-identifier equivalence class reports its size (k-anonymity:
+    * a class smaller than k re-identifies its members) and its
+    * distinct sensitive values (l-diversity: a class with fewer than l
+    * bands leaks the attribute even when k holds — the classic
+    * homogeneity attack). The release-gate audit a data-sharing
+    * pipeline runs before exporting "anonymized" rows.
+    *
+    * Everything is exact integer counting: class sizes, distinct
+    * bands, and INTEGER flag comparisons — nothing to round anywhere.
+    * The band floor runs on the same double in both engines.
+    *
+    * Scale: one scan, one partial-aggregated groupBy on the
+    * quasi-identifier (the distinct-band count rides the same pass as
+    * q166's key-grouped partial); output is #classes rows — bounded
+    * by the quasi-identifier domain, not the table.
+    */
+  def kAnonymityAudit(cust: DataFrame, k: Int = 10, l: Int = 3): DataFrame =
+    cust.select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("band")).as("l_div"))
+      .selectExpr("c_nationkey", "c_mktsegment", "n", "l_div",
+        s"CAST(n >= $k AS INT) AS k_anonymous",
+        s"CAST(l_div >= $l AS INT) AS l_diverse")
+      .orderBy("c_nationkey", "c_mktsegment")
 }

@@ -679,6 +679,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank window is not over the heap candidates:\n$p")
   }
 
+  test("k-anonymity audit: one scan, distinct bands riding the grouped partial") {
+    val p = plan("q168_k_anonymity")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 1, p)
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

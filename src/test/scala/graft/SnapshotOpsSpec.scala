@@ -122,6 +122,38 @@ class SnapshotOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q168 k-anonymity / l-diversity -------------------------------
+
+  test("kAnonymityAudit: class sizes, band diversity, and both flags by hand") {
+    import spark.implicits._
+    // class (1, A): 3 members, bands {0, 0, 1} → l_div 2 → k-fail (k=10),
+    // l-fail (l=3); class (2, B): 10 members, bands 0..9 → both pass;
+    // a negative balance lands in band −1 (floor, not truncation)
+    val rows =
+      Seq((1L, "c", 1, 500.0, "A"), (2L, "c", 1, 900.0, "A"),
+        (3L, "c", 1, 1500.0, "A"), (4L, "c", 3, -500.0, "C")) ++
+      (1 to 10).map(i => ((10 + i).toLong, "c", 2, i * 1000.0 - 500, "B"))
+    val df = rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val res = Aggregates.kAnonymityAudit(df).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(res((1, "A")) == ((3L, 2L, 0, 0)))
+    assert(res((2, "B")) == ((10L, 10L, 1, 1)))
+    assert(res((3, "C")) == ((1L, 1L, 0, 0)))
+  }
+
+  test("kAnonymityAudit on customer: classes partition the table; flags consistent") {
+    val cust = Tables.customer(spark, sfDir)
+    val res = Aggregates.kAnonymityAudit(cust).collect()
+    assert(res.map(_.getLong(2)).sum == cust.count())
+    res.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "l-diversity cannot exceed class size")
+      assert((r.getInt(4) == 1) == (r.getLong(2) >= 10))
+      assert((r.getInt(5) == 1) == (r.getLong(3) >= 3))
+    }
+  }
+
   // ---- q95 moving z-score -------------------------------------------
 
   test("movingZscore matches a hand-rolled trailing window per event type") {

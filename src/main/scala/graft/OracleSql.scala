@@ -2405,6 +2405,38 @@ object OracleSql {
         |SELECT c_nationkey, c_mktsegment, n, l_div,
         |CAST(n >= 10 AS INT) AS k_anonymous,
         |CAST(l_div >= 3 AS INT) AS l_diverse
-        |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin
+        |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // DSIR: the quantize-early discipline — per-bucket micro-log
+    // ratios floor once on the 512-row LM frame (identical integer
+    // inputs → identical doubles), then every document sums exact
+    // BIGINTs, so no reduction order can move the hash.
+    "q169_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tb AS (SELECT doc_id,
+        |  CAST(CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT) % 512
+        |    AS INT) AS b FROM tok),
+        |tgt AS (SELECT b, count(*) AS tg FROM tb WHERE doc_id % 10 = 0
+        |        GROUP BY 1),
+        |src AS (SELECT b, count(*) AS sg FROM tb WHERE doc_id % 10 <> 0
+        |        GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT count(*) FROM tb WHERE doc_id % 10 = 0) AS tt,
+        |  (SELECT count(*) FROM tb WHERE doc_id % 10 <> 0) AS st),
+        |grid AS (SELECT unnest(range(0, 512)) AS b),
+        |lm AS (SELECT g.b,
+        |  CAST(floor((ln((coalesce(tg, 0) + 1) / CAST(tt + 512 AS DOUBLE))
+        |    - ln((coalesce(sg, 0) + 1) / CAST(st + 512 AS DOUBLE)))
+        |    * 1000000 + 0.5) AS BIGINT) AS q
+        |  FROM grid g LEFT JOIN tgt ON g.b = tgt.b
+        |  LEFT JOIN src ON g.b = src.b CROSS JOIN tot),
+        |w AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(l.q) AS BIGINT) AS qlogw
+        |  FROM tb t JOIN lm l ON t.b = l.b WHERE t.doc_id % 10 <> 0
+        |  GROUP BY 1)
+        |SELECT w.doc_id, d.source, w.n_tokens, w.qlogw
+        |FROM w JOIN documents d ON w.doc_id = d.doc_id
+        |ORDER BY qlogw DESC, w.doc_id LIMIT 100""".stripMargin
   )
 }

@@ -428,7 +428,9 @@ object SparkEntry {
     // Neyman-allocation stratified sample (exact integer Hamilton quotas)
     "q167_neyman_sample"    -> ((s, d) => TrainingData.neymanSample(Tables.documents(s, d))),
     // k-anonymity / l-diversity audit on the customer quasi-identifiers
-    "q168_k_anonymity"      -> ((s, d) => Aggregates.kAnonymityAudit(Tables.customer(s, d)))
+    "q168_k_anonymity"      -> ((s, d) => Aggregates.kAnonymityAudit(Tables.customer(s, d))),
+    // DSIR hashed importance selection toward the held-out target slice
+    "q169_dsir_select"      -> ((s, d) => TrainingData.dsirSelect(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

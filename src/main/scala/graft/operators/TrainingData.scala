@@ -449,6 +449,61 @@ object TrainingData {
       .orderBy("source", "priority", "doc_id")
   }
 
+  /** DSIR-style data selection (arXiv:2302.03169): score every pool
+    * document by hashed-n-gram importance — the log-likelihood ratio
+    * between a TARGET language model (built from the held-out
+    * doc_id % 10 = 0 slice, q58's eval-set convention) and the raw
+    * POOL model, add-1 smoothed over a fixed 512-bucket hashed
+    * feature space — and keep the top n. The principled "more like
+    * the target distribution" sampler that sits between q86's
+    * temperature reweighting (source-level) and q85's hard-negative
+    * mining (embedding-level); this is the deterministic top-n
+    * variant of DSIR's Gumbel resampling.
+    *
+    * Determinism is the quantize-early discipline (q147/q148): the
+    * per-bucket log-ratio is computed ONCE on the 512-row LM frame —
+    * identical integer inputs → identical doubles → one floor to an
+    * integer micro-log q_b — and each document then sums EXACT
+    * BIGINTs, so the corpus-scale aggregation is summation-order-free
+    * (a per-gram double sum would hang the hash on reduction order).
+    *
+    * Scale: two token passes (bucket counts; per-doc sums) over
+    * md5-hashed 4-byte bucket ids — the LM frame is 512 rows
+    * BROADCAST back, the totals one broadcast row, selection a
+    * TakeOrdered top-n. No shuffle ever carries text.
+    */
+  def dsirSelect(docs: DataFrame, buckets: Int = 512, n: Int = 100): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+          % buckets).cast("int").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isTarget = col("doc_id") % 10 === 0
+    val tgt = toks.filter(isTarget).groupBy("b").agg(count(lit(1)).as("tg"))
+    val src = toks.filter(!isTarget).groupBy("b").agg(count(lit(1)).as("sg"))
+    val tot = toks.agg(
+      sum(isTarget.cast("long")).as("tt"),
+      sum((!isTarget).cast("long")).as("st"))
+    val grid = docs.sparkSession.range(0, buckets)
+      .select(col("id").cast("int").as("b"))
+    val lm = grid
+      .join(tgt, Seq("b"), "left").join(src, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("b",
+        s"CAST(floor((ln((coalesce(tg, 0) + 1) / CAST(tt + $buckets AS DOUBLE))" +
+          s" - ln((coalesce(sg, 0) + 1) / CAST(st + $buckets AS DOUBLE)))" +
+          " * 1000000 + 0.5) AS BIGINT) AS q")
+    toks.filter(!isTarget)
+      .join(broadcast(lm), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("qlogw"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("qlogw"))
+      .orderBy(col("qlogw").desc, col("doc_id").asc)
+      .limit(n)
+  }
+
   /** Per-source pipeline funnel — stage-attrition observability for
     * the cleaning pipeline: for every source, how many documents
     * entered, survived the Gopher gate, survived exact dedup (among

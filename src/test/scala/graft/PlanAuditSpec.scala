@@ -686,6 +686,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 1, p)
   }
 
+  test("dsir: LM broadcast back, top-n as TakeOrdered, no product beyond " +
+    "the 1-row totals") {
+    val p = plan("q169_dsir_select")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

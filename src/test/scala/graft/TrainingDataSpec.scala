@@ -82,6 +82,34 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(res.map(r => (r.getString(0), r.getLong(1))).distinct.length == res.length)
   }
 
+  test("dsirSelect: micro-log weights replay the smoothed ratio formula exactly") {
+    import spark.implicits._
+    // target (id 10): "alpha alpha"; pool: doc 1 = "alpha", doc 2 =
+    // "beta". With add-1 smoothing over 512 buckets:
+    //   q(alpha) = floor((ln(3/514) − ln(2/514))·1e6 + ½) = floor(ln 1.5·1e6 + ½)
+    //   q(beta)  = floor((ln(1/514) − ln(2/514))·1e6 + ½) = floor(−ln 2·1e6 + ½)
+    // (alpha and beta hash to distinct buckets — deterministic md5)
+    val df = Seq(
+      (10L, "alpha alpha", "en", "s", 11L),
+      (1L, "alpha", "en", "s", 5L),
+      (2L, "beta", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = TrainingData.dsirSelect(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val qAlpha = math.floor((math.log(3.0 / 514) - math.log(2.0 / 514)) * 1e6 + 0.5).toLong
+    val qBeta = math.floor((math.log(1.0 / 514) - math.log(2.0 / 514)) * 1e6 + 0.5).toLong
+    assert(res == Map(1L -> qAlpha, 2L -> qBeta))
+    assert(qAlpha > 0 && qBeta < 0, "target-like up, pool-only down")
+  }
+
+  test("dsirSelect on the corpus: top-100 pool docs, weights non-increasing") {
+    val res = TrainingData.dsirSelect(docs).collect()
+    assert(res.length == 100)
+    assert(res.forall(_.getLong(0) % 10 != 0), "target slice never selects itself")
+    val ws = res.map(_.getLong(3))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+  }
+
   test("leakageSafeFolds on the corpus: every doc assigned once, folds cover 0..4") {
     val res = TrainingData.leakageSafeFolds(docs).collect()
     assert(res.map(_.getLong(2)).sum == docs.count())

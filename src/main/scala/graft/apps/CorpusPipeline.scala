@@ -19,6 +19,7 @@ import graft.operators.{Dedup, TextAnalysis, TrainingData}
   *     → PII scrub                          [[TextAnalysis.piiScrub]]
   *     → eval-set decontamination filter    [[TrainingData.evalDecontaminate]]
   *     → temperature reweighting (opt-in)   [[TrainingData.temperatureMixture]]
+  *     → DSIR target selection (opt-in)     [[TrainingData.dsirSelect]]
   *     → PPS ship budget (opt-in)           [[TrainingData.ppsSample]]
   *     → packed training shards             [[ParquetSink.writeTrainingShards]]
   *     → JSONL interchange export           [[JsonlSink.writePartitioned]]
@@ -66,7 +67,8 @@ object CorpusPipeline {
           mixtureTemperature: Option[Double] = None,
           maxShipDocs: Option[Int] = None,
           embeddings: Option[DataFrame] = None,
-          semDedupTau: Double = 0.35): Report = {
+          semDedupTau: Double = 0.35,
+          dsirTopN: Option[Int] = None): Report = {
     val gopherGated0 = TextAnalysis.gopherGateFilter(docs)
     // optional template cut: mine the corpus top-20 boilerplate grams
     // and drop documents whose coverage exceeds the threshold. Runs on
@@ -134,20 +136,34 @@ object CorpusPipeline {
         Seq("doc_id"), "left_semi")
       case None => kept
     }
+    // optional DSIR cut: keep the n survivors whose hashed-n-gram
+    // distribution is most like the (scrubbed) eval target — the
+    // distribution-matching budget, vs PPS's length-weighted one.
+    // Source rides back in on doc_id for the report columns.
+    val targeted = dsirTopN match {
+      case Some(n) => reweighted.join(
+        TrainingData.dsirSelect(
+            reweighted.join(docs.select(col("doc_id"), col("source")),
+              Seq("doc_id")),
+            n = n, targetDocs = Some(scrubbedEval))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      case None => reweighted
+    }
     // optional fixed-size ship budget: PPS (length-weighted) selection
     // over the post-scrub text the run actually ships — long documents
     // are proportionally favored, and the md5-priority draw keeps the
     // cut rerun-stable. Runs LAST so the budget is spent on documents
     // that survived every quality stage.
     val shipped = maxShipDocs match {
-      case Some(n) => reweighted.join(
+      case Some(n) => targeted.join(
         TrainingData.ppsSample(
-            reweighted.withColumn("source", org.apache.spark.sql.functions.lit("kept"))
+            targeted.withColumn("source", org.apache.spark.sql.functions.lit("kept"))
               .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text"))),
             n = n)
           .select("doc_id"),
         Seq("doc_id"), "left_semi")
-      case None => reweighted
+      case None => targeted
     }
     ParquetSink.writeTrainingShards(shipped, shardDir, nShards, seqLen)
     JsonlSink.writePartitioned(shipped, jsonlDir)

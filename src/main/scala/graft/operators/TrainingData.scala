@@ -472,19 +472,29 @@ object TrainingData {
     * BROADCAST back, the totals one broadcast row, selection a
     * TakeOrdered top-n. No shuffle ever carries text.
     */
-  def dsirSelect(docs: DataFrame, buckets: Int = 512, n: Int = 100): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+  def dsirSelect(docs: DataFrame, buckets: Int = 512, n: Int = 100,
+                 targetDocs: Option[DataFrame] = None): DataFrame = {
+    def bucketToks(df: DataFrame) = df.select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       .select(col("doc_id"),
         (conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
           % buckets).cast("int").as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isTarget = col("doc_id") % 10 === 0
-    val tgt = toks.filter(isTarget).groupBy("b").agg(count(lit(1)).as("tg"))
-    val src = toks.filter(!isTarget).groupBy("b").agg(count(lit(1)).as("sg"))
-    val tot = toks.agg(
-      sum(isTarget.cast("long")).as("tt"),
-      sum((!isTarget).cast("long")).as("st"))
+    // explicit target corpus (the pipeline's decontamination eval set)
+    // scores ALL of `docs` as the pool; the default is q58's held-out
+    // doc_id % 10 slice of the same frame
+    val (tgtToks, poolToks) = targetDocs match {
+      case Some(t) => (bucketToks(t), bucketToks(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      case None =>
+        val all = bucketToks(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (all.filter(isTarget), all.filter(!isTarget))
+    }
+    val tgt = tgtToks.groupBy("b").agg(count(lit(1)).as("tg"))
+    val src = poolToks.groupBy("b").agg(count(lit(1)).as("sg"))
+    val tot = tgt.agg(sum(col("tg")).as("tt"))
+      .crossJoin(src.agg(sum(col("sg")).as("st")))
     val grid = docs.sparkSession.range(0, buckets)
       .select(col("id").cast("int").as("b"))
     val lm = grid
@@ -494,7 +504,7 @@ object TrainingData {
         s"CAST(floor((ln((coalesce(tg, 0) + 1) / CAST(tt + $buckets AS DOUBLE))" +
           s" - ln((coalesce(sg, 0) + 1) / CAST(st + $buckets AS DOUBLE)))" +
           " * 1000000 + 0.5) AS BIGINT) AS q")
-    toks.filter(!isTarget)
+    poolToks
       .join(broadcast(lm), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("qlogw"))

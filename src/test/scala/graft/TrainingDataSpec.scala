@@ -197,6 +197,11 @@ class TrainingDataSpec extends AnyFunSuite {
     val rb = graft.apps.CorpusPipeline.run(docs, evalSet,
       s"$base/shardsb", s"$base/jsonlb", nShards = 2, maxShipDocs = Some(50))
     assert(rb.shipped == 50, s"budget cut must ship exactly 50: $rb")
+    // DSIR budget: exactly n survivors, all from the kept set
+    val rd = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$base/shardsd", s"$base/jsonld", nShards = 2, dsirTopN = Some(40))
+    assert(rd.shipped == 40, s"DSIR cut must ship exactly 40: $rd")
+    assert(rd.kept == r0.kept, "DSIR must not change the upstream stages")
   }
 
   test("CorpusPipeline semantic tier: semDedup drops leave the kept set, others untouched") {

@@ -558,13 +558,23 @@ object EventAnalytics {
     * back by broadcast. Nothing after the first aggregate touches
     * events.
     */
+  /** The (type, hour-of-day) diurnal profile [[seasonalAnomalies]]
+    * scores against — exposed so the streaming twin
+    * ([[graft.streaming.StreamPipeline.seasonalAnomalyStream]]) can
+    * train it in batch and join it static: s = Σ hourly counts,
+    * m = #observed calendar hours for that slot.
+    */
+  def seasonalProfile(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"), hour(col("hr")).as("hod"))
+      .agg(sum(col("cnt")).as("s"), count(lit(1)).as("m"))
+
   def seasonalAnomalies(ev: DataFrame, threshold: Double = 2.0): DataFrame = {
     val hourly = ev.groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("cnt"))
-    val profile = hourly.groupBy(col("event_type"),
-        hour(col("hr")).as("hod"))
-      .agg(sum(col("cnt")).as("s"), count(lit(1)).as("m"))
+    val profile = seasonalProfile(ev)
     hourly.withColumn("hod", hour(col("hr")))
       .join(broadcast(profile), Seq("event_type", "hod"))
       .filter(col("cnt") * col("m") >= lit(threshold) * col("s"))

@@ -94,6 +94,32 @@ object StreamPipeline {
       .agg(count(lit(1)).as("c"))
       .select(col("window.start").as("bar_ts"), col("bin"), col("c"))
 
+  /** Streaming seasonal anomaly alerts — the batch-train /
+    * stream-score pattern over q165
+    * ([[graft.operators.EventAnalytics.seasonalAnomalies]]): the
+    * (type, hour-of-day) diurnal profile is trained in batch
+    * ([[graft.operators.EventAnalytics.seasonalProfile]]) and joined
+    * STATIC, so the stream side is a watermarked tumbling-hour count
+    * plus one broadcastable equi-join — bounded state, no profile
+    * drift mid-run (retrain-and-restart is the deployment story, the
+    * same as the ML scorer's). The flag decision replays the batch
+    * operator's exact integer cross-multiplication, so a finalized
+    * window alerts iff the batch run over the same events would —
+    * spec-asserted.
+    */
+  def seasonalAnomalyStream(stream: DataFrame, profile: DataFrame,
+                            threshold: Double = 2.0): DataFrame =
+    stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hr"), col("event_type"), col("cnt"))
+      .withColumn("hod", hour(col("hr")))
+      .join(profile, Seq("event_type", "hod"))
+      .filter(col("cnt") * col("m") >= lit(threshold) * col("s"))
+      .selectExpr("event_type", "hr", "cnt",
+        "round(CAST(s AS DOUBLE) / m, 4) AS baseline",
+        "round(CAST(cnt AS DOUBLE) * m / s, 4) AS ratio")
+
   /** T4: block on a started query (stream_inference.py:180-181). */
   def awaitAll(queries: Seq[StreamingQuery]): Unit =
     queries.foreach(_.awaitTermination())

@@ -117,6 +117,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("seasonalAnomalyStream: finalized windows alert iff batch q165 would") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    // the q165 fixture: view @ hod 10 counts 1,1,10 (ratio 2.5 on day
+    // 3); buy @ hod 11 counts 2,2,8 (exactly 2.0 — the >= boundary)
+    def burst(day: Int, hourOfDay: Int, tpe: String, n: Int, base: Long) =
+      (0 until n).map(i => (base + i,
+        ts(f"2026-01-$day%02d $hourOfDay%02d:${10 + i}%02d:00"), 1L, tpe, 1.0, "{}"))
+    val events =
+      burst(1, 10, "view", 1, 100) ++ burst(2, 10, "view", 1, 200) ++
+        burst(3, 10, "view", 10, 300) ++
+        burst(1, 11, "buy", 2, 400) ++ burst(2, 11, "buy", 2, 500) ++
+        burst(3, 11, "buy", 8, 600)
+    val batchDf = events
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val profile = graft.operators.EventAnalytics.seasonalProfile(batchDf)
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.seasonalAnomalyStream(stream, profile),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-season").toString,
+      queryName = "season_mem").start()
+    try {
+      mem.addData(events: _*)
+      query.processAllAvailable()
+      // advance the watermark so every real window finalizes; the
+      // sentinel's type has no profile row → the static join drops it
+      mem.addData((999L, ts("2026-01-05 00:00:00"), 9L, "zz", 1.0, "{}"))
+      query.processAllAvailable()
+      val streamed = spark.table("season_mem").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      val batch = graft.operators.EventAnalytics.seasonalAnomalies(batchDf)
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      assert(streamed == batch && batch.size == 2,
+        s"stream alerts $streamed must equal batch flags $batch")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]

@@ -15,10 +15,10 @@ import org.apache.spark.sql.SparkSession
   *    (`mlwarm_sec`) — direct evidence of how much one-time
   *    class-loading the warm-up absorbed on THIS run, so a slow q41
   *    can be split into warm-up-state vs load effects;
-  *  - three fixed CALIBRATION PROBES are interleaved every 20 queries
-  *    AND immediately after q41 (the every-20 probe at index 40
-  *    lands immediately before it, bracketing the one query whose
-  *    run-of-record variance round 6 could not attribute): a scan
+  *  - three fixed CALIBRATION PROBES are interleaved every 25 queries
+  *    AND immediately after q41 (a cadence probe lands shortly before
+  *    it, bracketing the one query whose run-of-record variance
+  *    round 6 could not attribute): a scan
   *    probe (q02's projection scan), a shuffle probe (a
   *    data-independent range → hash exchange → aggregate), and a
   *    DISK I/O probe (write + read-back of a fixed small parquet —
@@ -256,19 +256,22 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         dropAllState()
         if (dt > 5.0) System.gc()
-        // every-20 cadence plus a dedicated post-q41 probe: the
-        // cadence probe at index 40 fires right before q41 runs, so
-        // the pair brackets the one query whose variance needed
-        // direct evidence (round-6 verdict)
-        if ((i + 1) % 20 == 0 || name.startsWith("q41")) recordCal()
+        // every-25 cadence plus a dedicated post-q41 probe (was
+        // every-20 through 159 queries; the 169-query artifact window
+        // forced the stretch — the q41 bracket survives because its
+        // probe is cadence-independent)
+        if ((i + 1) % 25 == 0 || name.startsWith("q41")) recordCal()
         name -> dt
       }
     recordCal()
 
     val qs = queriesJson(results)
+    // qnum (3-char cap), not num: at 169 queries the 2-decimal CAL
+    // quadruples were the chars that pushed the artifact tail past
+    // the driver's 2000-char window (ArtifactFormatSpec models this)
     val cal = calibrations
       .map { case (scan, shuf, io, load) =>
-        s"[${num(scan)},${num(shuf)},${num(io)},${num(load)}]" }
+        s"[${qnum(scan)},${qnum(shuf)},${qnum(io)},${qnum(load)}]" }
       .mkString("[", ",", "]")
     // error DETAILS go on their own line BEFORE the main one so they
     // can never push the main line's front out of the 2000-char

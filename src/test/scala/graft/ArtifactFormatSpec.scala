@@ -67,11 +67,15 @@ class ArtifactFormatSpec extends AnyFunSuite {
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.9)
     val qs = Bench.queriesJson(worst)
     val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
-    // probe count follows Bench's cadence: start + every-20 + the
+    // probe count follows Bench's cadence: start + every-25 + the
     // dedicated post-q41 probe + final — derive it from the REAL
     // query count so growth can't silently outrun the model
-    val nProbes = 2 + SparkEntry.queries.size / 20 + 1
-    val calBudget = nProbes * 27 + 20 + 8 // quadruples at 2-decimal values + frame + [info]
+    val nProbes = 2 + SparkEntry.queries.size / 25 + 1
+    // quadruples at qnum's 3-char display cap + frame + [info]; if a
+    // future query count busts this budget again, the next lever is
+    // integer-decisecond query values (2 chars ≤ 9.9 s), not a wider
+    // window
+    val calBudget = nProbes * 18 + 20 + 8
     val trailerBudget = 120           // [success] Total time: … line
     val infoPrefix = 8                // "[info] " on the main line
     assert(mainLine.length + infoPrefix + calBudget + trailerBudget + 4 <= 2000,

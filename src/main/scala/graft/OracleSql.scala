@@ -2437,6 +2437,54 @@ object OracleSql {
         |  GROUP BY 1)
         |SELECT w.doc_id, d.source, w.n_tokens, w.qlogw
         |FROM w JOIN documents d ON w.doc_id = d.doc_id
-        |ORDER BY qlogw DESC, w.doc_id LIMIT 100""".stripMargin
+        |ORDER BY qlogw DESC, w.doc_id LIMIT 100""".stripMargin,
+
+    // Pivot: Spark's declared-domain pivot ≡ conditional counts; all
+    // cells exact integers, missing cells 0 on both sides.
+    "q170_pivot_status" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |  o_orderstatus AS st FROM orders)
+        |SELECT month,
+        |CAST(sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |CAST(sum(CASE WHEN st = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |FROM m GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // Unpivot: UNION ALL is the engine-neutral melt; the mean divides
+    // an exact quantized BIGINT sum in the same (s/n)/10000 order.
+    "q171_unpivot_metrics" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n,
+        |min(value) AS min_value, max(value) AS max_value,
+        |round(CAST(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+        |  AS BIGINT) AS DOUBLE) / count(*) / 10000, 6) AS mean_value
+        |FROM u GROUP BY 1 ORDER BY metric""".stripMargin,
+
+    // Referential integrity: left join against the unique parent key,
+    // orphan = non-null FK with no parent; counts exact, one division.
+    "q172_ref_integrity" ->
+      """WITH e1 AS (SELECT 'orders.o_custkey->customer' AS fk_edge,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |  CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_fk
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |e2 AS (SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |  CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_fk
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        |SELECT fk_edge, n_rows, n_orphans, n_null_fk,
+        |round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate,
+        |CAST(n_orphans = 0 AND n_null_fk = 0 AS INT) AS intact
+        |FROM u ORDER BY fk_edge""".stripMargin
   )
 }

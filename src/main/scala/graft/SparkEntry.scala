@@ -430,7 +430,14 @@ object SparkEntry {
     // k-anonymity / l-diversity audit on the customer quasi-identifiers
     "q168_k_anonymity"      -> ((s, d) => Aggregates.kAnonymityAudit(Tables.customer(s, d))),
     // DSIR hashed importance selection toward the held-out target slice
-    "q169_dsir_select"      -> ((s, d) => TrainingData.dsirSelect(Tables.documents(s, d)))
+    "q169_dsir_select"      -> ((s, d) => TrainingData.dsirSelect(Tables.documents(s, d))),
+    // pivot (long → wide): monthly counts spread across status columns
+    "q170_pivot_status"     -> ((s, d) => Aggregates.pivotMonthlyStatus(Tables.orders(s, d))),
+    // unpivot (wide → long) + per-metric quantized-exact profile
+    "q171_unpivot_metrics"  -> ((s, d) => Aggregates.unpivotMetricSummary(Tables.lineitem(s, d))),
+    // referential-integrity audit over the two fact→parent FK edges
+    "q172_ref_integrity"    -> ((s, d) => Joins.refIntegrityAudit(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.lineitem(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -505,6 +505,60 @@ object Aggregates {
     * q166's key-grouped partial); output is #classes rows — bounded
     * by the quasi-identifier domain, not the table.
     */
+  /** Pivot (long → wide): monthly order counts spread across status
+    * columns — the `groupBy().pivot()` surface every dashboard query
+    * reaches for. The status domain is DECLARED (`Seq("O","F","P")`),
+    * which is the scale-correct form: an undeclared pivot runs a
+    * distinct-collect job on the driver to discover columns before
+    * the real plan exists. Missing cells coalesce to 0 so the wide
+    * frame is total. Exact integer counts — nothing to round.
+    *
+    * Scale: one partial-aggregated (month, status) pass; the pivot
+    * itself is a projection over the #months × 3 grid.
+    */
+  def pivotMonthlyStatus(ord: DataFrame): DataFrame =
+    ord.select(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderstatus"))
+      .groupBy("month").pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("month"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_finished"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+      .orderBy("month")
+
+  /** Unpivot (wide → long, `Dataset.unpivot`/melt) + per-metric
+    * profile: the four lineitem measures melt into (metric, value)
+    * rows and aggregate to count / min / max / mean — the long-format
+    * summary a metrics store or feature-stats job wants, and the
+    * inverse surface of [[pivotMonthlyStatus]].
+    *
+    * The mean is exact-by-quantization (q147): values are 2-decimal
+    * money / quantities / rates, so ×10⁴ scaling is lossless; the
+    * BIGINT sum is order-free and the mean ONE closing division,
+    * round(6). min/max are order-free raw doubles.
+    *
+    * Scale: unpivot is a per-row Expand (4 rows out per row in, no
+    * shuffle), then one partial-aggregated 4-group pass.
+    */
+  def unpivotMetricSummary(li: DataFrame): DataFrame =
+    li.unpivot(
+        Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .select(col("metric"),
+        col("value"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("v4"))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("v4")).as("s4"))
+      .selectExpr("metric", "n", "min_value", "max_value",
+        "round(CAST(s4 AS DOUBLE) / n / 10000, 6) AS mean_value")
+      .orderBy("metric")
+
   def kAnonymityAudit(cust: DataFrame, k: Int = 10, l: Int = 3): DataFrame =
     cust.select(col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000).cast("long").as("band"))

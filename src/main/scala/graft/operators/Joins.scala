@@ -165,4 +165,48 @@ object Joins {
           salted("salt") === replicated("salt"))
       .drop("salt")
   }
+
+  /** Referential-integrity audit over the two fact→parent foreign-key
+    * edges (orders.o_custkey → customer, lineitem.l_orderkey →
+    * orders): orphan counts, null-FK counts, rates, and an integer
+    * intact flag — the cross-table companion of q166's single-table
+    * expectations, and the warehouse QA check that catches a
+    * truncated parent load before a join silently drops fact rows.
+    *
+    * Each edge is ONE left join of the projected FK column against
+    * the parent's PRIMARY KEY (unique by schema contract, so the join
+    * cannot multiply rows) with null-probe counting — equivalent to
+    * an anti-join count but also yielding total/null counts in the
+    * same pass. Counts exact, rate one division round(6), flag an
+    * integer comparison. The customer PK frame broadcasts (true
+    * dimension); the orders PK side is left to the planner — at
+    * 100 TB an orders key column is itself fact-sized, so that edge
+    * is a narrow (8-byte key) shuffle join, which is the correct
+    * plan, not a broadcast. Output is one row per FK edge.
+    */
+  def refIntegrityAudit(ord: DataFrame, cust: DataFrame,
+                        li: DataFrame): DataFrame = {
+    def edge(fact: DataFrame, fkCol: String, parent: DataFrame,
+             pkCol: String, name: String, bcast: Boolean) = {
+      val pk0 = parent.select(col(pkCol).as("pk"))
+      fact.select(col(fkCol).as("fk"))
+        .join(if (bcast) broadcast(pk0) else pk0,
+          col("fk") === col("pk"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum((col("fk").isNotNull && col("pk").isNull).cast("long"))
+            .as("n_orphans"),
+          sum(col("fk").isNull.cast("long")).as("n_null_fk"))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"),
+          col("n_null_fk"))
+    }
+    edge(ord, "o_custkey", cust, "c_custkey",
+        "orders.o_custkey->customer", bcast = true)
+      .unionByName(edge(li, "l_orderkey", ord, "o_orderkey",
+        "lineitem.l_orderkey->orders", bcast = false))
+      .selectExpr("fk_edge", "n_rows", "n_orphans", "n_null_fk",
+        "round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate",
+        "CAST(n_orphans = 0 AND n_null_fk = 0 AS INT) AS intact")
+      .orderBy("fk_edge")
+  }
 }

@@ -694,6 +694,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("pivot: one partial (month, status) pass — the declared domain means " +
+    "no driver discovery job") {
+    val p = plan("q170_pivot_status")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 1, p)
+  }
+
+  test("unpivot: per-row Expand then one partial 4-group aggregate") {
+    val p = plan("q171_unpivot_metrics")
+    assert(p.contains("Expand"), s"unpivot must be an Expand, not a self-union:\n$p")
+    assert(p.contains("partial_"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 1,
+      s"a UNION-ALL melt would scan lineitem four times:\n$p")
+  }
+
+  test("ref integrity: customer PK broadcasts; the orders edge stays a key join") {
+    val p = plan("q172_ref_integrity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

@@ -154,6 +154,94 @@ class SnapshotOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q170 pivot / q171 unpivot ------------------------------------
+
+  test("pivotMonthlyStatus: declared domain, zero-filled cells, exact counts") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 1L, "O", 10.0, ts("2024-01-05 00:00:00"), "1-URGENT"),
+      (2L, 2L, "O", 10.0, ts("2024-01-20 00:00:00"), "1-URGENT"),
+      (3L, 3L, "F", 10.0, ts("2024-01-21 00:00:00"), "1-URGENT"),
+      (4L, 4L, "P", 10.0, ts("2024-02-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val res = Aggregates.pivotMonthlyStatus(df).collect()
+    assert(res.length == 2)
+    assert((res(0).getLong(1), res(0).getLong(2), res(0).getLong(3)) == ((2L, 1L, 0L)))
+    assert((res(1).getLong(1), res(1).getLong(2), res(1).getLong(3)) == ((0L, 0L, 1L)))
+  }
+
+  test("pivot on orders: wide counts re-sum to the table total") {
+    val res = Aggregates.pivotMonthlyStatus(orders).collect()
+    assert(res.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum ==
+      orders.count())
+  }
+
+  test("unpivotMetricSummary: four metrics, hand-checked stats") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 1L, 1L, 1, 2.0, 100.50, 0.05, 0.02, "N", "O", ts("2024-01-01 00:00:00")),
+      (2L, 2L, 2L, 2, 4.0, 200.00, 0.10, 0.04, "N", "O", ts("2024-01-02 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val res = Aggregates.unpivotMetricSummary(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(res("l_quantity") == ((2L, 2.0, 4.0, 3.0)))
+    assert(res("l_extendedprice") == ((2L, 100.50, 200.00, 150.25)))
+    assert(res("l_discount") == ((2L, 0.05, 0.10, 0.075)))
+    assert(res("l_tax") == ((2L, 0.02, 0.04, 0.03)))
+  }
+
+  test("unpivot on lineitem: every metric row count equals the table count") {
+    val res = Aggregates.unpivotMetricSummary(lineitem).collect()
+    assert(res.length == 4)
+    res.foreach { r =>
+      assert(r.getLong(1) == lineitem.count())
+      assert(r.getDouble(2) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(3),
+        s"mean outside [min, max]: $r")
+    }
+  }
+
+  // ---- q172 referential integrity -----------------------------------
+
+  test("refIntegrityAudit: seeded orphan and null FK land on the right edge") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cust = Seq((1L, "c", 1, 0.0, "A"), (2L, "c", 1, 0.0, "A"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val ord = Seq(
+      (10L, Some(1L), "O", 1.0, ts("2024-01-01 00:00:00"), "1-U"),
+      (11L, Some(99L), "O", 1.0, ts("2024-01-01 00:00:00"), "1-U"), // orphan
+      (12L, None: Option[Long], "O", 1.0, ts("2024-01-01 00:00:00"), "1-U")) // null FK
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (10L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts("2024-01-01 00:00:00")),
+      (77L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts("2024-01-01 00:00:00"))) // orphan
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val res = Joins.refIntegrityAudit(ord, cust, li).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(5)))).toMap
+    assert(res("orders.o_custkey->customer") == ((3L, 1L, 1L, 0)))
+    assert(res("lineitem.l_orderkey->orders") == ((2L, 1L, 0L, 0)))
+  }
+
+  test("refIntegrityAudit on the corpus: the generator's FK edges are intact") {
+    val res = Joins.refIntegrityAudit(orders,
+      Tables.customer(spark, sfDir), lineitem).collect()
+    assert(res.length == 2)
+    res.foreach { r =>
+      assert(r.getInt(5) == 1 && r.getLong(2) == 0L,
+        s"unexpected orphans in generated data: $r")
+    }
+  }
+
   // ---- q95 moving z-score -------------------------------------------
 
   test("movingZscore matches a hand-rolled trailing window per event type") {

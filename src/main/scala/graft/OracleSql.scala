@@ -2485,6 +2485,40 @@ object OracleSql {
         |SELECT fk_edge, n_rows, n_orphans, n_null_fk,
         |round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate,
         |CAST(n_orphans = 0 AND n_null_fk = 0 AS INT) AS intact
-        |FROM u ORDER BY fk_edge""".stripMargin
+        |FROM u ORDER BY fk_edge""".stripMargin,
+
+    // Props mining: unnest(json_keys) + json_extract_string ≡ Spark's
+    // map explode on valid JSON (malformed → null map → dropped ≡
+    // json_valid filter); raw string values never emitted (quoting
+    // diverges), numeric parses and counts agree exactly.
+    "q173_props_profile" ->
+      """WITH kv AS (SELECT event_type,
+        |  unnest(json_keys(props)) AS prop_key, props
+        |  FROM events WHERE json_valid(props)),
+        |v AS (SELECT event_type, prop_key,
+        |  try_cast(json_extract_string(props, '$.' || prop_key) AS DOUBLE)
+        |    AS num FROM kv)
+        |SELECT event_type, prop_key, count(*) AS n,
+        |CAST(sum(CASE WHEN num IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_numeric,
+        |min(num) AS min_num, max(num) AS max_num
+        |FROM v GROUP BY 1, 2 ORDER BY event_type, prop_key""".stripMargin,
+
+    // Set relations: INTERSECT/EXCEPT carry distinct semantics in
+    // both engines; the five cardinals are exact integers.
+    "q174_set_relations" ->
+      """WITH a AS (SELECT DISTINCT md5(text) AS fp FROM documents
+        |           WHERE source = 'src0'),
+        |b AS (SELECT DISTINCT md5(text) AS fp FROM documents
+        |      WHERE source = 'src1')
+        |SELECT 'a_distinct' AS relation, count(*) AS n FROM a
+        |UNION ALL SELECT 'a_minus_b', count(*) FROM
+        |  (SELECT fp FROM a EXCEPT SELECT fp FROM b)
+        |UNION ALL SELECT 'b_distinct', count(*) FROM b
+        |UNION ALL SELECT 'b_minus_a', count(*) FROM
+        |  (SELECT fp FROM b EXCEPT SELECT fp FROM a)
+        |UNION ALL SELECT 'intersect', count(*) FROM
+        |  (SELECT fp FROM a INTERSECT SELECT fp FROM b)
+        |ORDER BY relation""".stripMargin
   )
 }

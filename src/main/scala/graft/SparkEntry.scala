@@ -437,7 +437,11 @@ object SparkEntry {
     "q171_unpivot_metrics"  -> ((s, d) => Aggregates.unpivotMetricSummary(Tables.lineitem(s, d))),
     // referential-integrity audit over the two fact→parent FK edges
     "q172_ref_integrity"    -> ((s, d) => Joins.refIntegrityAudit(
-      Tables.orders(s, d), Tables.customer(s, d), Tables.lineitem(s, d)))
+      Tables.orders(s, d), Tables.customer(s, d), Tables.lineitem(s, d))),
+    // schema-on-read JSON map mining over the open props column
+    "q173_props_profile"    -> ((s, d) => JsonRouting.propsProfile(Tables.events(s, d))),
+    // Dataset.intersect / except over two sources' fingerprint sets
+    "q174_set_relations"    -> ((s, d) => SetOps.setRelations(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

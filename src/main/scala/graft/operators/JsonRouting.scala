@@ -70,4 +70,34 @@ object JsonRouting {
       .select("event_id", "status", "response_json")
     if (ordered) env.orderBy("event_id") else env
   }
+
+  /** Schemaless JSON property mining: parse `props` as an OPEN
+    * `MapType(string, string)` — the schema-on-read complement of
+    * [[propsSchema]]'s fixed struct, for the production reality where
+    * producers attach arbitrary keys — explode the map, and profile
+    * every (event_type, key): occurrence count, how many values are
+    * numeric (`try_cast`), and the numeric min/max. The discovery
+    * query that tells a pipeline owner which properties exist and
+    * whether they can be promoted to typed columns.
+    *
+    * Raw string values are deliberately NOT emitted: engines disagree
+    * on JSON string-value quoting at extraction, but numeric parses
+    * and counts agree exactly. Malformed JSON → null map → explode
+    * drops the row (the oracle filters json_valid — the same set).
+    *
+    * Scale: per-row parse + explode (map-side; fan-out = #keys per
+    * event), then ONE partial-aggregated (type, key) pass — output
+    * bounded by the property vocabulary, never event volume.
+    */
+  def propsProfile(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        explode(from_json(col("props"), MapType(StringType, StringType))))
+      .select(col("event_type"), col("key").as("prop_key"),
+        expr("try_cast(value AS DOUBLE)").as("num"))
+      .groupBy("event_type", "prop_key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("num").isNotNull.cast("long")).as("n_numeric"),
+        min(col("num")).as("min_num"),
+        max(col("num")).as("max_num"))
+      .orderBy("event_type", "prop_key")
 }

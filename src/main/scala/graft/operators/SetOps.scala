@@ -106,4 +106,34 @@ object SetOps {
       .groupBy("event_type")
       .agg(sum("partial_n").as("n"), round(sum("partial_sum"), 2).as("value_sum"))
       .orderBy("event_type")
+
+  /** Relational set algebra over two sources' content-fingerprint
+    * sets via `Dataset.intersect` / `Dataset.except` — the last of
+    * the classic relational surfaces (U1–U4 cover union/distinct)
+    * and the set-semantics view of cross-source duplication that
+    * q102's count matrix reports per-pair. Emits the five cardinals:
+    * |A|, |B|, |A∩B|, |A∖B|, |B∖A| — the inclusion–exclusion sanity
+    * identity |A| = |A∩B| + |A∖B| is spec-asserted.
+    *
+    * intersect/except ARE set operators (distinct semantics built
+    * in); each plans as a distinct-aggregate + hash join on the
+    * 33-byte fingerprint — text never crosses a shuffle, and the
+    * five counts are exact integers with nothing to round.
+    */
+  def setRelations(docs: DataFrame, srcA: String = "src0",
+                   srcB: String = "src1"): DataFrame = {
+    val a = docs.filter(col("source") === srcA)
+      .select(md5(col("text")).as("fp")).distinct()
+    val b = docs.filter(col("source") === srcB)
+      .select(md5(col("text")).as("fp")).distinct()
+    Seq(
+      "a_distinct" -> a, "a_minus_b" -> a.except(b),
+      "b_distinct" -> b, "b_minus_a" -> b.except(a),
+      "intersect" -> a.intersect(b))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(name).as("relation"), col("n")) }
+      .reduce(_.unionByName(_))
+      .orderBy("relation")
+  }
 }

@@ -716,6 +716,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("props profile: map explode is a Generate over one scan; one partial pass") {
+    val p = plan("q173_props_profile")
+    assert(p.contains("Generate"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("set relations: fingerprints shuffle, text never does") {
+    val p = plan("q174_set_relations")
+    assert(!p.contains("CartesianProduct"), p)
+    // every exchange row is the 33-byte md5, never the text column
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      s"text crosses a shuffle:\n$p")
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

@@ -242,6 +242,55 @@ class SnapshotOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q173 props profile / q174 set relations ----------------------
+
+  test("propsProfile: open-map parse, numeric detection, malformed dropped") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, """{"k": 69, "tag": "a"}"""),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "view", 1.0, """{"k": 31}"""),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "view", 1.0, """not json"""),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "buy", 1.0, """{"tag": "7"}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = JsonRouting.propsProfile(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(res(("view", "k")) == ((2L, 2L)))
+    assert(res(("view", "tag")) == ((1L, 0L)), "'a' is not numeric")
+    assert(res(("buy", "tag")) == ((1L, 1L)), "'7' parses as numeric")
+    assert(res.size == 3, "the malformed row contributes no keys")
+  }
+
+  test("propsProfile on events: totals reconcile; min <= max on numeric keys") {
+    val res = JsonRouting.propsProfile(events).collect()
+    assert(res.map(_.getLong(2)).sum == events.count(),
+      "single-key corpus: one map entry per event")
+    res.filter(_.getLong(3) > 0).foreach(r =>
+      assert(r.getDouble(4) <= r.getDouble(5)))
+  }
+
+  test("setRelations: inclusion-exclusion holds on a seeded overlap") {
+    import spark.implicits._
+    val df = (Seq(
+      (1L, "shared one", "src0"), (2L, "only a", "src0"),
+      (3L, "only a too", "src0"), (4L, "shared one", "src1"),
+      (5L, "only b", "src1"), (6L, "only a", "src0"))) // intra-A dup → distinct
+      .map { case (i, t, s) => (i, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = SetOps.setRelations(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == Map("a_distinct" -> 3L, "a_minus_b" -> 2L,
+      "b_distinct" -> 2L, "b_minus_a" -> 1L, "intersect" -> 1L))
+  }
+
+  test("setRelations on documents: the five cardinals are consistent") {
+    val res = SetOps.setRelations(Tables.documents(spark, sfDir)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res("a_distinct") == res("intersect") + res("a_minus_b"))
+    assert(res("b_distinct") == res("intersect") + res("b_minus_a"))
+  }
+
   // ---- q95 moving z-score -------------------------------------------
 
   test("movingZscore matches a hand-rolled trailing window per event type") {

@@ -33,8 +33,9 @@ import org.apache.spark.sql.SparkSession
   *    triple attributes a segment's inflation to CPU vs disk. The
   *    `[scan_sec, shuffle_sec, io_sec, load_avg]` quadruples go on
   *    their own `BENCH_CAL` line printed immediately before the main
-  *    line (in run order: start, after q20, after q40 = pre-q41,
-  *    post-q41, after q60, after q80, after q100, end);
+  *    line (in run order: start, after every 25th query, a dedicated
+  *    post-q41 probe, end — map positions via the numeric query
+  *    order, not the old every-20 cadence);
   *  - the content-addressed IVF index that q64/q74 share is
   *    pre-built during warm-up (it is corpus-identity-keyed, so the
   *    build amortizes across every index-backed query — the
@@ -225,7 +226,15 @@ object Bench {
     // failure mode the CPU-shaped pair above cannot see
     val ioDir = java.nio.file.Files
       .createTempDirectory("graft_bench_io").toFile
-    ioDir.deleteOnExit()
+    // deleteOnExit is useless for a non-empty dir — recurse on a
+    // shutdown hook so repeated runs don't silt up the very tmpfs the
+    // probe is measuring
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(ioDir)
+    }
     val ioPath = new java.io.File(ioDir, "probe").getAbsolutePath
     def calIo(): Double = timed {
       spark.range(300000L).selectExpr("id", "id % 97 AS k", "cast(id as string) AS s")

@@ -2442,8 +2442,8 @@ object OracleSql {
     // Pivot: Spark's declared-domain pivot ≡ conditional counts; all
     // cells exact integers, missing cells 0 on both sides.
     "q170_pivot_status" ->
-      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
-        |  o_orderstatus AS st FROM orders)
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |  AS month, o_orderstatus AS st FROM orders)
         |SELECT month,
         |CAST(sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
         |CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,

@@ -15,9 +15,10 @@ import graft.operators.{Dedup, TextAnalysis, TrainingData}
   *     → quality gate (schema-preserving)   [[TextAnalysis.gopherGateFilter]]
   *     → boilerplate-coverage cut (opt-in)  [[TextAnalysis.boilerplateCoverage]]
   *     → exact + cluster-canonical near-dup [[Dedup.cleaningPipelineClustered]]
-  *     → semantic dedup (opt-in)            [[graft.operators.Similarity.semDedup]]
   *     → PII scrub                          [[TextAnalysis.piiScrub]]
   *     → eval-set decontamination filter    [[TrainingData.evalDecontaminate]]
+  *     → semantic dedup (opt-in, last filter — chain-drop-safe)
+  *                                          [[graft.operators.Similarity.semDedup]]
   *     → temperature reweighting (opt-in)   [[TrainingData.temperatureMixture]]
   *     → DSIR target selection (opt-in)     [[TrainingData.dsirSelect]]
   *     → PPS ship budget (opt-in)           [[TrainingData.ppsSample]]
@@ -94,22 +95,7 @@ object CorpusPipeline {
       gated, checkpointDir = checkpointDir)
     val survivors0 = gated.join(
       cleaned.select("doc_id"), Seq("doc_id"), "left_semi")
-    // optional SEMANTIC dedup tier (SemDeDup, q155): text-level
-    // cleaning above cannot see a paraphrase; when an embedding table
-    // is supplied (vec_id ≡ doc_id — embeddings may cover a SUBSET of
-    // the corpus, unembedded docs pass through untouched), every doc
-    // condemned by a lower-id same-cluster neighbor above τ is
-    // anti-joined away. After the lexical cascade on purpose: exact/
-    // near-dup removal is cheaper per doc, so the pairwise cosine
-    // tier only pays for documents that survived it.
-    val survivors = embeddings match {
-      case Some(emb) =>
-        val drops = graft.operators.Similarity.semDedup(emb, tau = semDedupTau)
-          .select(col("drop_id").as("doc_id"))
-        survivors0.join(drops, Seq("doc_id"), "left_anti")
-      case None => survivors0
-    }
-    val scrubbed = TextAnalysis.piiScrub(survivors, ordered = false)
+    val scrubbed = TextAnalysis.piiScrub(survivors0, ordered = false)
       .select(col("doc_id"), col("clean_text").as("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the eval corpus is scrubbed IDENTICALLY before shingling: the
@@ -122,8 +108,31 @@ object CorpusPipeline {
         scrubbed, evalDocs = Some(scrubbedEval))
       .filter(col("contam_ratio") <= maxContamRatio)
       .select("doc_id")
-    val kept = scrubbed.join(contamOk, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept0 = scrubbed.join(contamOk, Seq("doc_id"), "left_semi")
+    // optional SEMANTIC dedup tier (SemDeDup, q155): text-level
+    // cleaning cannot see a paraphrase; when an embedding table is
+    // supplied (vec_id ≡ doc_id — embeddings may cover a SUBSET of
+    // the corpus, unembedded docs pass through untouched), every doc
+    // condemned by a lower-id same-cluster neighbor above τ is
+    // anti-joined away. This tier runs LAST among the filters, over
+    // embeddings restricted to the docs every earlier stage kept —
+    // two reasons, both load-bearing: (1) chain-drop safety — scoring
+    // docs that a lexical/decontamination stage removed (or will
+    // remove) could condemn a survivor whose only keeper is itself
+    // gone, shipping the content with NO representative; (2) cost —
+    // the pairwise cosine tier pays only for documents that can
+    // actually ship.
+    val kept = (embeddings match {
+      case Some(emb) =>
+        val embAlive = emb.join(
+          kept0.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+        val drops = graft.operators.Similarity
+          .semDedup(embAlive, tau = semDedupTau)
+          .select(col("drop_id").as("doc_id"))
+        kept0.join(drops, Seq("doc_id"), "left_anti")
+      case None => kept0
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     // optional temperature reweighting of the FINAL corpus (rates are
     // computed on what survived cleaning, which is what trains): lang
     // rides back in on doc_id since the scrub projection dropped it

@@ -333,18 +333,6 @@ object Aggregates {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
       .orderBy("window_start", "event_type")
 
-  /** Hot-key detector — the skew audit run BEFORE a big join or
-    * repartition: top-k keys by frequency with each key's share of
-    * the table. A key whose frac approaches a task's worth of rows is
-    * the one that needs salting ([[SetOps.saltedEventTypeCounts]]) or
-    * an AQE skew split; this query is how you find it without reading
-    * executor logs post-mortem.
-    *
-    * Shape: map-side-combined count per key, the corpus total folded
-    * in as a broadcast 1-row frame (the [[TextAnalysis.tfidfTopTerm]]
-    * idiom — no driver collect), selection via TakeOrdered (heap
-    * per partition + k-row driver merge, never a full sort).
-    */
   /** Per-group winsorization — the outlier-taming stage of metric/
     * sensor cleaning: clip each value to its own event type's exact
     * [pLo, pHi] quantile band, with a clipped audit flag. The bounds
@@ -394,6 +382,18 @@ object Aggregates {
       .orderBy("event_id")
   }
 
+  /** Hot-key detector — the skew audit run BEFORE a big join or
+    * repartition: top-k keys by frequency with each key's share of
+    * the table. A key whose frac approaches a task's worth of rows is
+    * the one that needs salting ([[SetOps.saltedEventTypeCounts]]) or
+    * an AQE skew split; this query is how you find it without reading
+    * executor logs post-mortem.
+    *
+    * Shape: map-side-combined count per key, the corpus total folded
+    * in as a broadcast 1-row frame (the [[TextAnalysis.tfidfTopTerm]]
+    * idiom — no driver collect), selection via TakeOrdered (heap
+    * per partition + k-row driver merge, never a full sort).
+    */
   def hotKeys(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
     // the total re-aggregates the #keys-row counts frame, NOT the
@@ -485,26 +485,6 @@ object Aggregates {
         "CAST(n_ok = n_total AS INT) AS passed")
       .orderBy("checkname")
 
-  /** k-anonymity / l-diversity privacy audit over the customer
-    * dimension: treat (nation, market segment) as the quasi-identifier
-    * an attacker could link on, and the account-balance band
-    * (floor(acctbal/1000)) as the sensitive attribute. Each
-    * quasi-identifier equivalence class reports its size (k-anonymity:
-    * a class smaller than k re-identifies its members) and its
-    * distinct sensitive values (l-diversity: a class with fewer than l
-    * bands leaks the attribute even when k holds — the classic
-    * homogeneity attack). The release-gate audit a data-sharing
-    * pipeline runs before exporting "anonymized" rows.
-    *
-    * Everything is exact integer counting: class sizes, distinct
-    * bands, and INTEGER flag comparisons — nothing to round anywhere.
-    * The band floor runs on the same double in both engines.
-    *
-    * Scale: one scan, one partial-aggregated groupBy on the
-    * quasi-identifier (the distinct-band count rides the same pass as
-    * q166's key-grouped partial); output is #classes rows — bounded
-    * by the quasi-identifier domain, not the table.
-    */
   /** Pivot (long → wide): monthly order counts spread across status
     * columns — the `groupBy().pivot()` surface every dashboard query
     * reaches for. The status domain is DECLARED (`Seq("O","F","P")`),
@@ -517,7 +497,7 @@ object Aggregates {
     * itself is a projection over the #months × 3 grid.
     */
   def pivotMonthlyStatus(ord: DataFrame): DataFrame =
-    ord.select(date_trunc("month", col("o_orderdate")).as("month"),
+    ord.select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
         col("o_orderstatus"))
       .groupBy("month").pivot("o_orderstatus", Seq("O", "F", "P"))
       .agg(count(lit(1)))
@@ -559,6 +539,26 @@ object Aggregates {
         "round(CAST(s4 AS DOUBLE) / n / 10000, 6) AS mean_value")
       .orderBy("metric")
 
+  /** k-anonymity / l-diversity privacy audit over the customer
+    * dimension: treat (nation, market segment) as the quasi-identifier
+    * an attacker could link on, and the account-balance band
+    * (floor(acctbal/1000)) as the sensitive attribute. Each
+    * quasi-identifier equivalence class reports its size (k-anonymity:
+    * a class smaller than k re-identifies its members) and its
+    * distinct sensitive values (l-diversity: a class with fewer than l
+    * bands leaks the attribute even when k holds — the classic
+    * homogeneity attack). The release-gate audit a data-sharing
+    * pipeline runs before exporting "anonymized" rows.
+    *
+    * Everything is exact integer counting: class sizes, distinct
+    * bands, and INTEGER flag comparisons — nothing to round anywhere.
+    * The band floor runs on the same double in both engines.
+    *
+    * Scale: one scan, one partial-aggregated groupBy on the
+    * quasi-identifier (the distinct-band count rides the same pass as
+    * q166's key-grouped partial); output is #classes rows — bounded
+    * by the quasi-identifier domain, not the table.
+    */
   def kAnonymityAudit(cust: DataFrame, k: Int = 10, l: Int = 3): DataFrame =
     cust.select(col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000).cast("long").as("band"))

@@ -890,33 +890,59 @@ object Dedup {
     * This is the exact-answer complement to the q32/q33 MinHash
     * cascade: same blocking philosophy, zero recall loss.
     */
-  def prefixJaccardJoin(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // distinct shingle sets with the shingle text collapsed to a
-    // 60-bit md5-derived key in the scan-side projection — set sizes,
-    // df counts, and intersection counts are hash-invariant, so every
-    // downstream shuffle carries (long, long) rows instead of ~30-char
-    // strings (the fingerprints-not-documents rule; 3.8 s → see
-    // SCALE.md). Collision odds over #distinct-shingles are ~2⁻⁴⁰ per
-    // corpus, and the oracle computes from RAW shingles, so a
-    // collision would be caught, not absorbed.
-    // persisted: sh feeds the df counts, the sizes, the prefix, and
-    // BOTH verify sides — unpersisted it is recomputed five times
-    // (shingle UDTF + md5 + distinct each time)
-    val sh = shingleDocs(docs)
+  /** Distinct 60-bit-hashed shingle sets — the shared scan-side frame
+    * of the exact set-similarity family ([[prefixJaccardJoin]],
+    * [[containmentJoin]], [[noveltyScore]]): shingle text collapses to
+    * a 60-bit md5-derived key in the projection, so set sizes, df
+    * counts, and intersection counts are hash-invariant and every
+    * downstream shuffle carries (long, long) rows instead of ~30-char
+    * strings (the fingerprints-not-documents rule; 3.8 s → see
+    * SCALE.md). Collision odds over #distinct-shingles are ~2⁻⁴⁰ per
+    * corpus, and the oracles compute from RAW shingles, so a collision
+    * would be caught, not absorbed. PERSISTED — each operator reads it
+    * 3–5 times (df counts, sizes, prefix, both verify sides);
+    * unpersisted, the shingle UDTF + md5 + distinct replay each time.
+    * ONE definition on purpose: the hash width and key shape must stay
+    * in lock-step with the DuckDB oracles across all three operators.
+    */
+  private def hashedShingleSets(docs: DataFrame): DataFrame =
+    shingleDocs(docs)
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10)
           .cast("long").as("h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+  /** The prefix-filtering principle's candidate prefix: each doc's
+    * `n − ⌈t·n⌉ + 1` globally RAREST shingles (df asc, h asc rank) —
+    * any pair meeting the threshold must collide inside this prefix.
+    * Shared by the symmetric (Jaccard) and asymmetric (containment)
+    * joins so the rarity-rank definition cannot de-sync.
+    */
+  private def rarityPrefix(sh: DataFrame, sz: DataFrame,
+                           threshold: Double): DataFrame = {
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    // per-doc rarity rank → keep the prefix
-    val pref = sh.join(dfreq, "h")
+    sh.join(dfreq, "h")
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
       .join(sz, "doc_id")
       .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("doc_id"), col("h"), col("n"))
+  }
+
+  /** Exact |A∩B| per candidate pair via two (doc, h) equi-joins —
+    * the verify stage both exact set-similarity joins share.
+    */
+  private def pairIntersections(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+
+  def prefixJaccardJoin(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = hashedShingleSets(docs)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pref = rarityPrefix(sh, sz, threshold)
     // candidate join adds SSJoin's length filter: J ≥ t forces
     // t·|B| ≤ |A| ≤ |B|/t, so size-mismatched prefix collisions are
     // dropped BEFORE the verify pays for their intersections (the
@@ -929,13 +955,8 @@ object Dedup {
         && col("b.n") >= ceil(lit(threshold) * col("a.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on candidates only: |A∩B| via (doc, h) joins
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")),
-        Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
+    // exact verify on candidates only
+    pairIntersections(cand, sh)
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("jaccard",
@@ -964,31 +985,16 @@ object Dedup {
     * rare-shingle prefixes keep the candidate volume content-bounded.
     */
   def containmentJoin(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val sh = shingleDocs(docs)
-      .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = hashedShingleSets(docs)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val pref = sh.join(dfreq, "h")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
-      .join(sz, "doc_id")
-      .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("h"), col("n"))
+    val pref = rarityPrefix(sh, sz, threshold)
     val cand = pref.as("a")
       .join(sh.join(sz, "doc_id").as("b"), col("a.h") === col("b.h")
         && col("a.doc_id") =!= col("b.doc_id")
         && col("b.n") >= ceil(lit(threshold) * col("a.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
+    pairIntersections(cand, sh)
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("containment", col("inter") / col("n_a"))
@@ -1012,12 +1018,7 @@ object Dedup {
     * (long, long) rows (the fingerprints-not-documents rule).
     */
   def noveltyScore(docs: DataFrame): DataFrame = {
-    val sh = shingleDocs(docs)
-      .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = hashedShingleSets(docs)
     val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
     sh.join(first, "h")
       .groupBy("doc_id").agg(

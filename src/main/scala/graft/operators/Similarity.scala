@@ -640,7 +640,13 @@ object Similarity {
             lit(0.0), (acc, t) => acc + t), 6)))
         .withColumn("cluster", array_position(col("d"), array_min(col("d"))).cast("int"))
         .withColumn("dist_r", array_min(col("d")))
-    var cents = base.filter(col("vec_id") < k)
+    // init = the k LOWEST vec_ids PRESENT (TakeOrdered, k rows), not
+    // `vec_id < k`: a filtered subset (e.g. the pipeline's
+    // lexical-survivor embeddings) may be missing ids 0..k−1
+    // entirely, and a short centroid array crashed the slot rebuild.
+    // On a dense-id table the two inits coincide, so q142's unrolled
+    // oracle is unchanged.
+    var cents = base.orderBy("vec_id").limit(k)
       .groupBy()
       .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
         s => s.getField("v")).as("cs"))
@@ -661,7 +667,9 @@ object Similarity {
         .groupBy()
         .agg(map_from_entries(collect_list(struct(col("cluster"), col("c")))).as("cm"))
         .crossJoin(broadcast(cents))
-        .select(transform(sequence(lit(1), lit(k)), i =>
+        // slots run over the ACTUAL centroid count (≤ k when the
+        // input has fewer vectors than clusters), not a literal k
+        .select(transform(sequence(lit(1), size(col("cs"))), i =>
           coalesce(try_element_at(col("cm"), i), element_at(col("cs"), i))).as("cs"))
         // eager localCheckpoint (the q137 TextRank pattern): the
         // centroid frame is ONE row, but lazily it embeds the whole

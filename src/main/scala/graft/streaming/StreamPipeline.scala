@@ -333,6 +333,18 @@ object StreamPipeline {
       }
   }
 
+  /** Epoch MICROseconds of a timestamp — the resolution Spark's
+    * TimestampType carries, and therefore the resolution every batch
+    * twin orders by. `getTime` alone is MILLIseconds: sorting state
+    * updates by it would diverge from the batch operators on
+    * same-millisecond events (the sub-ms part lives in `getNanos`).
+    * Used by every stateful twin whose batch side orders by raw `ts`
+    * (latest-per-key, transitions, funnel); the SCD2/sessionize twins
+    * deliberately use the whole-second contract instead.
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
   /** The current latest event per key. */
   case class LatestEvent(user_id: Long, ts: java.sql.Timestamp,
                          event_id: Long, event_type: String,
@@ -362,7 +374,7 @@ object StreamPipeline {
         case (uid, rows, state) =>
           val latest = (state.getOption.iterator ++
             rows.map(r => LatestEvent(uid, r._2, r._3, r._4, r._5)))
-            .maxBy(e => (e.ts.getTime, e.event_id))
+            .maxBy(e => (tsMicros(e.ts), e.event_id))
           state.update(latest)
           latest
       }
@@ -501,12 +513,12 @@ object StreamPipeline {
       .flatMapGroupsWithState[(Long, Long, String), Transition](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, rows, state) =>
-          val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+          val sorted = rows.toArray.sortBy(r => (tsMicros(r._2), r._3))
           val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
-          var last = state.getOption // (ts millis, event_id, type)
+          var last = state.getOption // (ts micros, event_id, type)
           sorted.foreach { case (_, t, id, ty) =>
             last.foreach { case (_, _, prev) => out += Transition(uid, prev, ty) }
-            last = Some((t.getTime, id, ty))
+            last = Some((tsMicros(t), id, ty))
           }
           last.foreach(state.update)
           out.iterator
@@ -541,11 +553,11 @@ object StreamPipeline {
       .mapGroupsWithState[(Int, Long), FunnelProgress](GroupStateTimeout.NoTimeout) {
         case (uid, rows, state) =>
           var (stage, tk) = state.getOption.getOrElse((0, Long.MinValue))
-          rows.toArray.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, t, _, ty) =>
+          rows.toArray.sortBy(r => (tsMicros(r._2), r._3)).foreach { case (_, t, _, ty) =>
             if (stage < steps.length && ty == steps(stage) &&
-                (stage == 0 || t.getTime > tk)) {
+                (stage == 0 || tsMicros(t) > tk)) {
               stage += 1
-              tk = t.getTime
+              tk = tsMicros(t)
             }
           }
           state.update((stage, tk))

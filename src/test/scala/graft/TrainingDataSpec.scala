@@ -206,6 +206,7 @@ class TrainingDataSpec extends AnyFunSuite {
 
   test("CorpusPipeline semantic tier: semDedup drops leave the kept set, others untouched") {
     import org.apache.spark.sql.types._
+    import spark.implicits._
     val evalSet = docs.filter(col("doc_id") < 3)
     val base = java.nio.file.Files.createTempDirectory("graft-cp-sem").toString
     val emb = Tables.embeddings(spark, sfDir)
@@ -214,19 +215,35 @@ class TrainingDataSpec extends AnyFunSuite {
     val r = graft.apps.CorpusPipeline.run(docs, evalSet,
       s"$base/shards", s"$base/jsonl", nShards = 2, embeddings = Some(emb))
     assert(r.kept <= r0.kept, s"semantic tier grew the corpus: $r vs $r0")
-    // every condemned-and-otherwise-surviving doc is gone from the
-    // export; every shipped doc is NOT in the drop set
-    val drops = graft.operators.Similarity.semDedup(emb)
-      .collect().map(_.getLong(0)).toSet
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val shippedIds = Tables.jsonl(spark, s"$base/jsonl", schema)
       .collect().map(_.getLong(0)).toSet
-    assert(shippedIds.intersect(drops).isEmpty)
-    // the tier only ever removes docs the drop set names
     val shipped0 = Tables.jsonl(spark, s"$base/jsonl0", schema)
       .collect().map(_.getLong(0)).toSet
-    assert((shipped0 -- shippedIds).subsetOf(drops))
+    // the tier scores ONLY the lexical survivors (the no-tier shipped
+    // set): a drop pair whose keeper was already removed upstream must
+    // not condemn anyone — that would ship the content with no
+    // representative (the chain-drop data-loss bug)
+    val embAlive = emb.join(
+      shipped0.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi")
+    val drops = graft.operators.Similarity.semDedup(embAlive)
+      .collect().map(_.getLong(0)).toSet
+    assert(shippedIds.intersect(drops).isEmpty)
+    // the tier removes EXACTLY the survivor-scored drop set
+    assert((shipped0 -- shippedIds) == drops.intersect(shipped0))
+    // chain-safety: any full-table drop whose keeper did not survive
+    // the lexical cascade must itself still ship (unless condemned by
+    // a SURVIVING keeper in the re-scored pass)
+    val fullPairs = graft.operators.Similarity.semDedup(emb)
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1))
+    val chainVictims = fullPairs.collect {
+      case (drop, keeper)
+        if !shipped0.contains(keeper) && shipped0.contains(drop) &&
+          !drops.contains(drop) => drop
+    }
+    chainVictims.foreach(v => assert(shippedIds.contains(v),
+      s"doc $v was chain-dropped by an already-removed keeper"))
   }
 
   test("deterministic split is a pure function of doc_id: stable across runs and text changes") {

@@ -157,6 +157,61 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("theilSenTrend is invariant under a constant count shift (level ignored)") {
+    // slopes are differences of counts: adding c events to EVERY hour
+    // must leave the slope multiset, hence the median, unchanged
+    import graft.operators.RobustStats
+    def events(counts: Seq[Int], base: Long) =
+      counts.zipWithIndex.flatMap { case (n, h) =>
+        (0 until n).map(i => (base + h * 100 + i,
+          java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + h}%02d:${10 + i}%02d:00"),
+          1L, "view", 1.0, "{}"))
+      }
+    samples(Gen.listOfN(4, Gen.choose(1, 20)), 6).foreach { counts =>
+      val df0 = events(counts, 0)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val df1 = events(counts.map(_ + 7), 10000)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val s0 = RobustStats.theilSenTrend(df0).collect()(0)
+      val s1 = RobustStats.theilSenTrend(df1).collect()(0)
+      assert(s0.getLong(1) == s1.getLong(1))
+      assert(s0.getDouble(2) == s1.getDouble(2),
+        s"slope moved under a level shift: $counts")
+    }
+  }
+
+  test("burstiness is invariant under a whole-second time shift") {
+    import graft.operators.EventAnalytics
+    def at(sec: Long, id: Long) = (id,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704100000L + sec)),
+      1L, "view", 1.0, "{}")
+    samples(Gen.nonEmptyListOf(Gen.choose(1, 500)), 6)
+      .filter(_.size >= 3).foreach { gaps =>
+      val times = gaps.scanLeft(0L)(_ + _)
+      def df(shift: Long) = times.zipWithIndex
+        .map { case (t, i) => at(t + shift, i.toLong + 1) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val a = EventAnalytics.burstiness(df(0)).collect()(0)
+      val b = EventAnalytics.burstiness(df(86400)).collect()(0)
+      assert(a.getLong(1) == b.getLong(1) && a.getDouble(2) == b.getDouble(2) &&
+        a.getDouble(3) == b.getDouble(3) && a.getDouble(4) == b.getDouble(4))
+    }
+  }
+
+  test("ewmaLastPerUser is invariant under input row order (set semantics)") {
+    import graft.operators.EventAnalytics
+    val rows = (1 to 20).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"),
+      (i % 3 + 1).toLong, "view", i * 1.5, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val shuffled = new scala.util.Random(42).shuffle(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(7)
+    val a = EventAnalytics.ewmaLastPerUser(df).collect().map(_.toSeq)
+    val b = EventAnalytics.ewmaLastPerUser(shuffled).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
   test("scdHistory tiles each user's observed span: contiguous, gap-free, compacted") {
     import graft.engine.Tables
     import graft.operators.EventAnalytics

@@ -93,4 +93,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
       assert(seen.values.sum == 3L)
     } finally query.stop()
   }
+
+  test("SQL PIVOT / UNPIVOT clauses equal the q170/q171 DataFrame operators") {
+    Tables.registerViews(spark, sfDir)
+    // PIVOT clause with the same declared domain; coalesce mirrors the
+    // operator's zero-fill
+    val pivotSql = spark.sql(
+      """SELECT month, coalesce(O, 0) AS n_open, coalesce(F, 0) AS n_finished,
+        |coalesce(P, 0) AS n_pending FROM (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         o_orderstatus FROM orders)
+        |PIVOT (count(1) FOR o_orderstatus IN ('O' AS O, 'F' AS F, 'P' AS P))
+        |ORDER BY month""".stripMargin).collect()
+    val pivotDf = graft.operators.Aggregates
+      .pivotMonthlyStatus(Tables.orders(spark, sfDir)).collect()
+    assert(pivotSql.sameElements(pivotDf))
+    // UNPIVOT clause feeding the same quantized-mean profile
+    val unpivotSql = spark.sql(
+      """SELECT metric, count(1) AS n, min(value) AS min_value,
+        |max(value) AS max_value,
+        |round(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |  / count(1) / 10000, 6) AS mean_value
+        |FROM (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+        |      FROM lineitem)
+        |UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice,
+        |  l_discount, l_tax))
+        |GROUP BY metric ORDER BY metric""".stripMargin).collect()
+    val unpivotDf = graft.operators.Aggregates
+      .unpivotMetricSummary(Tables.lineitem(spark, sfDir)).collect()
+    assert(unpivotSql.sameElements(unpivotDf))
+  }
 }

@@ -2519,6 +2519,30 @@ object OracleSql {
         |  (SELECT fp FROM b EXCEPT SELECT fp FROM a)
         |UNION ALL SELECT 'intersect', count(*) FROM
         |  (SELECT fp FROM a INTERSECT SELECT fp FROM b)
-        |ORDER BY relation""".stripMargin
+        |ORDER BY relation""".stripMargin,
+
+    // SCD2 point-in-time lookup: the history CTE is q153's oracle
+    // verbatim; containment is half-open [from, to) with NULL = ∞, so
+    // exactly one interval matches each probe.
+    "q175_scd_lookup" ->
+      """WITH s AS (SELECT user_id, event_type AS state, event_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events WHERE event_type <> 'purchase'),
+        |c AS (SELECT *, lag(state) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id) AS prev_state FROM s),
+        |f AS (SELECT user_id, state, sec, event_id FROM c
+        |  WHERE prev_state IS NULL OR prev_state <> state),
+        |h AS (SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+        |  state, sec AS valid_from_sec, lead(sec) OVER w AS valid_to_sec
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |p AS (SELECT event_id, user_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.sec,
+        |h.version AS state_version, h.state AS state_at_event
+        |FROM p JOIN h ON p.user_id = h.user_id
+        |  AND h.valid_from_sec <= p.sec
+        |  AND (h.valid_to_sec IS NULL OR p.sec < h.valid_to_sec)
+        |ORDER BY p.event_id""".stripMargin
   )
 }

@@ -441,7 +441,9 @@ object SparkEntry {
     // schema-on-read JSON map mining over the open props column
     "q173_props_profile"    -> ((s, d) => JsonRouting.propsProfile(Tables.events(s, d))),
     // Dataset.intersect / except over two sources' fingerprint sets
-    "q174_set_relations"    -> ((s, d) => SetOps.setRelations(Tables.documents(s, d)))
+    "q174_set_relations"    -> ((s, d) => SetOps.setRelations(Tables.documents(s, d))),
+    // point-in-time SCD2 state lookup for purchase events
+    "q175_scd_lookup"       -> ((s, d) => EventAnalytics.scdLookup(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -430,6 +430,50 @@ object EventAnalytics {
       .orderBy("user_id", "version")
   }
 
+  /** Point-in-time SCD2 lookup — the classic warehouse pattern over
+    * [[scdHistory]]'s intervals: for each PURCHASE event, the state
+    * the user was in WHEN the purchase happened (first-touch
+    * attribution against the history dimension, not the current
+    * state). The probe is deliberately a filtered slice of the feed —
+    * the realistic shape, and what keeps the non-equi join's probe
+    * side small relative to the interval build.
+    *
+    * Join semantics: user equi-key + containment
+    * `valid_from ≤ sec < coalesce(valid_to, ∞)` against the state
+    * machine of the NON-probe events (a probe measures the state, it
+    * does not change it). Intervals tile each user's span gap-free
+    * (PropertiesSpec), so every probe at-or-after the user's first
+    * state event matches EXACTLY one interval — no fan-out; an
+    * earlier probe has no state to read and drops (inner join,
+    * loudly visible in the count).
+    *
+    * Scale: both sides hash-partition on user_id — the equi half of
+    * the condition drives a normal shuffled join; the range predicate
+    * evaluates inside each user's bucket (#intervals per user is
+    * state-change-bounded, tiny). No broadcast needed, no product:
+    * this is the q107 bucketized-range-join reasoning with the bucket
+    * key given for free by the user dimension.
+    */
+  def scdLookup(ev: DataFrame, probeType: String = "purchase"): DataFrame = {
+    // the history is the state machine of the NON-probe events: a
+    // probe is a measurement against the state, not a state change —
+    // otherwise every purchase would trivially read its own interval.
+    // A probe before the user's first state event has no state to
+    // read and drops (inner join, loud in the count).
+    val hist = scdHistory(ev.filter(col("event_type") =!= probeType))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_sec"), col("valid_to_sec"))
+    val probes = ev.filter(col("event_type") === probeType)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+    probes.join(hist, probes("user_id") === hist("user_id")
+        && col("valid_from_sec") <= col("sec")
+        && (col("valid_to_sec").isNull || col("sec") < col("valid_to_sec")))
+      .select(col("event_id"), probes("user_id"), col("sec"),
+        col("version").as("state_version"), col("state").as("state_at_event"))
+      .orderBy("event_id")
+  }
+
   /** EWMA weight ladder α·(1−α)^j, j = 0..k−1 — exposed so the DuckDB
     * oracle interpolates the SAME double literals (via
     * `java.lang.Double.toString`, whose shortest-round-trip repr both

@@ -84,6 +84,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q175 SCD2 point-in-time lookup --------------------------------
+
+  test("scdLookup: purchases read the state valid AT the purchase second") {
+    // user 1: purchase BEFORE any state event (drops), view (opens
+    // v1), purchase inside v1, cart (opens v2), purchase at EXACTLY
+    // v2's open second (boundary: belongs to v2)
+    val df = eventsDf(Seq(
+      (0L, "2024-01-01 09:00:00", 1L, "purchase"),
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "purchase"),
+      (3L, "2024-01-01 10:10:00", 1L, "cart"),
+      (4L, "2024-01-01 10:10:00", 1L, "purchase")))
+    val res = EventAnalytics.scdLookup(df).collect()
+    assert(res.length == 2, "the pre-state probe must drop, loudly")
+    assert(res(0).getLong(0) == 2L && res(0).getString(4) == "view" &&
+      res(0).getInt(3) == 1)
+    assert(res(1).getLong(0) == 4L && res(1).getString(4) == "cart" &&
+      res(1).getInt(3) == 2, "a boundary probe belongs to the OPENING interval")
+  }
+
+  test("scdLookup on the corpus: exactly one match per in-span purchase") {
+    val ev = Tables.events(spark, sfDir)
+    val res = EventAnalytics.scdLookup(ev).collect()
+    // expected probe count: purchases at-or-after the user's first
+    // non-purchase event second (earlier ones have no state to read)
+    val firstState = ev.filter(col("event_type") =!= "purchase")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min(unix_timestamp(col("ts"))).as("f"))
+    val expected = ev.filter(col("event_type") === "purchase")
+      .join(firstState, "user_id")
+      .filter(unix_timestamp(col("ts")) >= col("f")).count()
+    assert(res.length == expected,
+      "interval tiling must match each in-span probe exactly once")
+    assert(res.map(_.getLong(0)).distinct.length == res.length, "no fan-out")
+  }
+
   // ---- q160 EWMA level -----------------------------------------------
 
   test("ewmaLastPerUser: two-event user renormalizes over present lags") {

@@ -732,6 +732,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"text crosses a shuffle:\n$p")
   }
 
+  test("scd lookup: user-key equi join drives the range predicate; no product") {
+    val p = plan("q175_scd_lookup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the equi half of the condition must drive a hash/merge join:\n$p")
+    assert(p.contains("user_id"), p)
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

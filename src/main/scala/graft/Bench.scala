@@ -31,11 +31,12 @@ import org.apache.spark.sql.SparkSession
   *    barely moves the scan but inflates exchange/GC-bound work,
   *    while disk contention hits the I/O probe first — so the
   *    triple attributes a segment's inflation to CPU vs disk. The
-  *    `[scan_sec, shuffle_sec, io_sec, load_avg]` quadruples go on
-  *    their own `BENCH_CAL` line printed immediately before the main
-  *    line (in run order: start, after every 25th query, a dedicated
-  *    post-q41 probe, end — map positions via the numeric query
-  *    order, not the old every-20 cadence);
+  *    `[scan_DECIseconds, shuffle_ds, io_ds, load_avg_int]`
+  *    quadruples go on their own `BENCH_CAL` line printed immediately
+  *    before the main line (in run order: start, after every 30th
+  *    query, a dedicated post-q41 probe, end — map positions via the
+  *    numeric query order; e.g. `[2,5,4,4]` = scan 0.2 s, shuffle
+  *    0.5 s, I/O 0.4 s, load 4);
   *  - the content-addressed IVF index that q64/q74 share is
   *    pre-built during warm-up (it is corpus-identity-keyed, so the
   *    build amortizes across every index-backed query — the
@@ -127,7 +128,12 @@ object Bench {
 
   private[graft] def queriesJson(results: Seq[(String, Double)]): String =
     results
-      .map { case (k, v) => jsonStr(k.drop(1).takeWhile(_ != '_')) + ":" + qnum(v) }
+      .map { case (k, v) =>
+        // bare numeric key, leading zero stripped ("q01_…" → "1"):
+        // every artifact char is main-line budget at 175 queries
+        val num = k.drop(1).takeWhile(_ != '_')
+        jsonStr(num.dropWhile(_ == '0')) + ":" + qnum(v)
+      }
       .mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
@@ -265,22 +271,28 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         dropAllState()
         if (dt > 5.0) System.gc()
-        // every-25 cadence plus a dedicated post-q41 probe (was
-        // every-20 through 159 queries; the 169-query artifact window
-        // forced the stretch — the q41 bracket survives because its
-        // probe is cadence-independent)
-        if ((i + 1) % 25 == 0 || name.startsWith("q41")) recordCal()
+        // every-30 cadence plus a dedicated post-q41 probe (every-20
+        // through 159 queries, every-25 at 169 — each stretch paid for
+        // by the growing main line's share of the artifact window; the
+        // q41 bracket survives because its probe is cadence-independent)
+        if ((i + 1) % 30 == 0 || name.startsWith("q41")) recordCal()
         name -> dt
       }
     recordCal()
 
     val qs = queriesJson(results)
-    // qnum (3-char cap), not num: at 169 queries the 2-decimal CAL
-    // quadruples were the chars that pushed the artifact tail past
-    // the driver's 2000-char window (ArtifactFormatSpec models this)
+    // DECISECOND integers, display-capped at 99 (a ≥ 9.9 s probe is
+    // pure pathology — the cap keeps the worst-case artifact model
+    // finite): at 175 queries the main line owns most of the driver's
+    // 2000-char tail window, so the CAL quadruples carry the minimum
+    // chars that still attribute a segment (ArtifactFormatSpec models
+    // the budget; the next lever, if the query count outgrows this,
+    // is integer-decisecond per-query values)
+    def ds(v: Double): Long = math.min(math.rint(v * 10).toLong, 99L)
+    def ld(v: Double): Long = math.min(math.rint(v).toLong, 99L)
     val cal = calibrations
       .map { case (scan, shuf, io, load) =>
-        s"[${qnum(scan)},${qnum(shuf)},${qnum(io)},${qnum(load)}]" }
+        s"[${ds(scan)},${ds(shuf)},${ds(io)},${ld(load)}]" }
       .mkString("[", ",", "]")
     // error DETAILS go on their own line BEFORE the main one so they
     // can never push the main line's front out of the 2000-char

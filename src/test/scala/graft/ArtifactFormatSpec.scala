@@ -67,16 +67,19 @@ class ArtifactFormatSpec extends AnyFunSuite {
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.9)
     val qs = Bench.queriesJson(worst)
     val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
-    // probe count follows Bench's cadence: start + every-25 + the
+    // probe count follows Bench's cadence: start + every-30 + the
     // dedicated post-q41 probe + final — derive it from the REAL
     // query count so growth can't silently outrun the model
-    val nProbes = 2 + SparkEntry.queries.size / 25 + 1
-    // quadruples at qnum's 3-char display cap + frame + [info]; if a
-    // future query count busts this budget again, the next lever is
-    // integer-decisecond query values (2 chars ≤ 9.9 s), not a wider
-    // window
-    val calBudget = nProbes * 18 + 20 + 8
-    val trailerBudget = 120           // [success] Total time: … line
+    val nProbes = 2 + SparkEntry.queries.size / 30 + 1
+    // decisecond-integer quadruples, display-capped at 99 per value:
+    // worst case "[99,99,99,99]," = 14 chars (+1 safety) + frame +
+    // [info]; if a future query count busts this budget again, the
+    // next lever is integer-decisecond per-query values in the main
+    // line, not a wider window
+    val calBudget = nProbes * 15 + 20 + 8
+    // "[success] Total time: 609 s (10:09), completed <date>" is ~72
+    // chars; 100 holds headroom without hoarding the window
+    val trailerBudget = 100
     val infoPrefix = 8                // "[info] " on the main line
     assert(mainLine.length + infoPrefix + calBudget + trailerBudget + 4 <= 2000,
       s"artifact tail over budget: main=${mainLine.length}")

@@ -2543,6 +2543,56 @@ object OracleSql {
         |FROM p JOIN h ON p.user_id = h.user_id
         |  AND h.valid_from_sec <= p.sec
         |  AND (h.valid_to_sec IS NULL OR p.sec < h.valid_to_sec)
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    // Winnowing: the fingerprint is substring(md5(shingle),1,15) —
+    // Spark minimizes it as a 60-bit long, this oracle as the raw hex
+    // string; fixed-width lowercase hex orders identically both ways,
+    // so both engines select the same window minima. Positions are
+    // 1-based here vs 0-based in Spark: first complete w=4 window
+    // ends at pos 4 ≡ Spark pos 3. Output carries no hash columns.
+    "q176_winnow_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |  substring(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15) AS h
+        |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+        |m AS (SELECT doc_id, pos,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM g),
+        |sel AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos >= 4)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS n_shared
+        |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin,
+
+    // CUSUM: S_i·n = prefix·n − i·total in exact BIGINT — argmax,
+    // direction, and the reported numerator are all integer; no mean,
+    // no division, no float. Calendar densified to the global span.
+    "q177_cusum_changepoint" ->
+      """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0,
+        |  max(CAST(ts AS DATE)) AS d1 FROM events),
+        |cal AS (SELECT CAST(unnest(generate_series(d0, d1,
+        |  INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |dense AS (SELECT t.event_type, c.day, coalesce(d.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN cal c
+        |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = c.day),
+        |s AS (SELECT event_type, day, cnt,
+        |  CAST(row_number() OVER w AS BIGINT) AS i,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS prefix,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |m AS (SELECT *, prefix * n - i * total AS mm FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY abs(mm) DESC, day ASC) AS rn FROM m)
+        |SELECT event_type, CAST(n AS INT) AS n_days, day AS peak_day,
+        |  mm AS cusum_num,
+        |  CASE WHEN mm >= 0 THEN 'above' ELSE 'below' END AS direction
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -443,7 +443,11 @@ object SparkEntry {
     // Dataset.intersect / except over two sources' fingerprint sets
     "q174_set_relations"    -> ((s, d) => SetOps.setRelations(Tables.documents(s, d))),
     // point-in-time SCD2 state lookup for purchase events
-    "q175_scd_lookup"       -> ((s, d) => EventAnalytics.scdLookup(Tables.events(s, d)))
+    "q175_scd_lookup"       -> ((s, d) => EventAnalytics.scdLookup(Tables.events(s, d))),
+    // MOSS winnowing: window-min fingerprint selection + shared-pair report
+    "q176_winnow_pairs"     -> ((s, d) => Dedup.winnowedPairs(Tables.documents(s, d))),
+    // CUSUM level-shift changepoint per event type, exact integer argmax
+    "q177_cusum_changepoint" -> ((s, d) => EventAnalytics.cusumChangepoint(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -1027,4 +1027,63 @@ object Dedup {
       .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 4))
       .orderBy("doc_id")
   }
+
+  /** Winnowing fingerprint matching (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm; arXiv-free classic, SIGMOD '03): per document,
+    * hash every n-token shingle IN POSITION ORDER, slide a window of
+    * `w` consecutive hashes, and select each window's MINIMUM — the
+    * selected set has expected density 2/(w+1) of the k-gram stream
+    * yet is guaranteed to catch any shared run of ≥ n+w−1 tokens
+    * (the winnowing guarantee the fixed-stride samplers lack). The
+    * report is the MOSS output: document pairs ranked by how many
+    * selected fingerprints they share.
+    *
+    * Determinism / oracle parity: the hash is the first 15 hex chars
+    * of md5(shingle). Spark compares it as a 60-bit LONG, the DuckDB
+    * oracle as the raw hex string — fixed-width lowercase hex orders
+    * identically under binary collation and numerically, so both
+    * engines select the SAME window minima; the emitted pair counts
+    * never contain the hash, so the long-vs-string representation
+    * difference is invisible to the driver's hash check. Windows are
+    * complete (`pos ≥ w−1`) so a document with fewer than w shingles
+    * contributes nothing in either engine.
+    *
+    * Scale: selection happens INSIDE the per-document window pass —
+    * the cross-document join sees only the winnowed ~2/(w+1)
+    * fraction, and each (doc, fingerprint) pair is distinct before
+    * the join, so fan-out is bounded by true fingerprint sharing
+    * (boilerplate-hot fingerprints cappable upstream by the same
+    * bucket-cap pattern as LSH). The per-doc window sort is the only
+    * ordered step and it partitions by doc_id — no global sort at
+    * any scale. Shuffles carry (long, long) rows throughout.
+    */
+  def winnowedPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
+                    minShared: Int = 2): DataFrame = {
+    val tk = split(col("text"), " ")
+    // positional n-grams: pos i (0-based) covers tokens i .. i+n-1
+    val grams = docs
+      .filter(size(tk) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(tk) - n),
+          i => array_join(slice(tk, i + 1, lit(n)), " "))).as(Seq("pos", "shingle")))
+      // hash BEFORE the window's doc_id exchange: shingle text stays
+      // inside the scan stage, (long, int, long) rows shuffle
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val winMin = min(col("h")).over(
+      Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow))
+    val selected = grams
+      .select(col("doc_id"), col("pos"), winMin.as("fp"))
+      .filter(col("pos") >= w - 1) // complete windows only
+      .select("doc_id", "fp").distinct()
+    val a = selected.toDF("doc_a", "fp")
+    val b = selected.toDF("doc_b", "fp")
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+  }
 }

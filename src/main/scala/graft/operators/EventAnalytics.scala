@@ -674,4 +674,59 @@ object EventAnalytics {
       .selectExpr("event_type", "n_hours", acf(1), acf(2))
       .orderBy("event_type")
   }
+
+  /** CUSUM changepoint detection over each type's daily-count series —
+    * the offline complement of the trailing z-score (q95) and the
+    * seasonal baseline (q165): where those flag POINT anomalies, the
+    * cumulative sum S_i = Σ_{j≤i}(x_j − x̄) peaks at the most likely
+    * LEVEL-SHIFT boundary (Page's CUSUM, the standard
+    * retrospective-changepoint screen a data-quality pipeline runs
+    * when a feed's volume steps up or down mid-history).
+    *
+    * Exactness: S_i·n = prefix_i·n − i·total is computed in BIGINT —
+    * the argmax over |S_i| equals the argmax over |S_i·n| since n > 0,
+    * so the changepoint day, the direction, and the reported
+    * numerator are all EXACT integers; no mean, no division, no float
+    * anywhere (a float mean would make the peak day itself
+    * order-dependent). Ties break to the earliest day. The calendar
+    * densifies to the GLOBAL [min_day, max_day] span with zero-count
+    * days — a silent feed outage is exactly the level shift CUSUM
+    * must see, and all types share one calendar so numerators are
+    * comparable across types.
+    *
+    * Scale: the corpus is touched ONCE by the map-combined
+    * (type, day) count; everything after — calendar broadcast, grid
+    * left-join, prefix windows, argmax rank — runs on the
+    * #types×#days aggregated frame. Output is #types rows.
+    */
+  def cusumChangepoint(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = daily.select("event_type").distinct()
+      .crossJoin(broadcast(cal))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val whole = Window.partitionBy("event_type")
+    val scored = dense
+      .withColumn("i", row_number().over(byDay).cast("long"))
+      .withColumn("prefix", sum("cnt").over(byDay))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("total", sum("cnt").over(whole))
+      .withColumn("m", col("prefix") * col("n") - col("i") * col("total"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(abs(col("m")).desc, col("day").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").cast("int").as("n_days"),
+        col("day").as("peak_day"), col("m").as("cusum_num"),
+        when(col("m") >= 0, lit("above")).otherwise(lit("below"))
+          .as("direction"))
+      .orderBy("event_type")
+  }
 }

@@ -661,4 +661,44 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
       kOut = 4).collect().filter(_.getLong(0) == 0L)
     assert(r0.head.getLong(1) == 1L) // the both-lists doc wins the fusion
   }
+
+  // ---- q176 MOSS winnowing fingerprints ------------------------------
+
+  test("winnowedPairs: a shared (n+w-1)-token run guarantees a match; disjoint docs never pair") {
+    // n=3, w=4 → the winnowing guarantee threshold is 6 shared tokens:
+    // the run spans w=4 consecutive trigrams, some complete window
+    // lies fully inside it in BOTH docs, and that window's min is the
+    // same hash — selected on both sides by construction.
+    val run = "alpha beta gamma delta epsilon zeta"
+    val df = docsDf(Seq(
+      (1L, s"one two $run three four five six seven", "s"),
+      (2L, s"$run eight nine ten eleven twelve thirteen", "s"),
+      (3L, "completely different words entirely unrelated tokens here now more", "s")))
+    val pairs = Dedup.winnowedPairs(df, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), pairs.toSeq)
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }, pairs.toSeq)
+  }
+
+  test("winnowedPairs: identical docs share everything; sub-window docs contribute nothing") {
+    // 12 tokens → 10 trigrams → 7 complete w=4 windows (1–7 distinct
+    // minima); doc 3 has 5 tokens → 3 trigrams < w → zero complete
+    // windows, so it can never appear in ANY pair.
+    val text = "a b c d e f g h i j k l"
+    val df = docsDf(Seq((1L, text, "s"), (2L, text, "s"), (3L, "a b c d e", "s")))
+    val pairs = Dedup.winnowedPairs(df, minShared = 1).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    val shared = pairs.head.getLong(2)
+    assert(shared >= 1L && shared <= 7L, shared)
+  }
+
+  test("winnowedPairs on the corpus: ordered ids, threshold respected, dup signal present") {
+    val res = Dedup.winnowedPairs(Tables.documents(spark, sfDir)).collect()
+    assert(res.nonEmpty, "the testdata corpus contains planted near-dups")
+    res.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 2L)
+    }
+  }
 }

@@ -647,4 +647,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(x.getDouble(8) > 0, s"non-positive lift: $x")
     }
   }
+
+  // ---- q177 CUSUM changepoint ----------------------------------------
+
+  test("cusumChangepoint: hand-computed level shift, zero-filled gaps, flat-series tie") {
+    // type a: 1,1,5,5 → S·n = −8,−16,−8,0 → peak day 2, below, −16
+    // type b: 2,_,_,2 → zero-filled 2,0,0,2 → S·n = 4,0,−4,0 →
+    //         |4| ties at days 1 and 3 → earliest wins: day 1, above
+    // type c: 1,1,1,1 → all zero → day 1, above, 0
+    var id = 0L
+    def burst(day: Int, ty: String, k: Int) = (1 to k).map { _ =>
+      id += 1; (id, s"2024-01-0$day 10:00:00", id, ty)
+    }
+    val rows = burst(1, "a", 1) ++ burst(2, "a", 1) ++ burst(3, "a", 5) ++
+      burst(4, "a", 5) ++ burst(1, "b", 2) ++ burst(4, "b", 2) ++
+      (1 to 4).flatMap(d => burst(d, "c", 1))
+    val res = EventAnalytics.cusumChangepoint(eventsDf(rows)).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDate(2).toString,
+        r.getLong(3), r.getString(4)))
+    assert(res.toSeq == Seq(
+      ("a", 4, "2024-01-02", -16L, "below"),
+      ("b", 4, "2024-01-01", 4L, "above"),
+      ("c", 4, "2024-01-01", 0L, "above")))
+  }
+
+  test("cusumChangepoint on the corpus: shared calendar, exact-zero total CUSUM") {
+    val res = EventAnalytics.cusumChangepoint(Tables.events(spark, sfDir)).collect()
+    assert(res.nonEmpty)
+    val nDays = res.map(_.getInt(1)).distinct
+    assert(nDays.length == 1, "all types share the global calendar")
+    res.foreach(r => assert(r.getString(4) == "above" || r.getString(4) == "below"))
+  }
 }

@@ -732,6 +732,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"text crosses a shuffle:\n$p")
   }
 
+  test("winnowing: no product; neither text nor shingle strings cross a shuffle") {
+    val p = plan("q176_winnow_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(l => l.contains("text#") || l.contains("shingle#")),
+      s"document text crosses a shuffle:\n$p")
+  }
+
+  test("cusum: one map-combined corpus pass; windows run on the calendar grid") {
+    val p = plan("q177_cusum_changepoint")
+    assert(p.contains("partial_"), s"daily counts must map-side combine:\n$p")
+    // the only scans are the (type, day) count and the 1-row bounds agg —
+    // the broadcast calendar product is over tiny aggregated frames
+    assert(!p.contains("SortMergeJoin") || !p.contains("ts#"),
+      s"raw events must not reach a join:\n$p")
+  }
+
   test("scd lookup: user-key equi join drives the range predicate; no product") {
     val p = plan("q175_scd_lookup")
     assert(!p.contains("CartesianProduct"), p)

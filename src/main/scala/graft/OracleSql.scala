@@ -2593,6 +2593,64 @@ object OracleSql {
         |SELECT event_type, CAST(n AS INT) AS n_days, day AS peak_day,
         |  mm AS cusum_num,
         |  CASE WHEN mm >= 0 THEN 'above' ELSE 'below' END AS direction
-        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // Multi-touch: every decay weight is 1/2^rank (rank ≤ 20) — a
+    // dyadic rational, so the cross-purchase sums are exact in double
+    // in ANY order; no rounding anywhere. Last-touch = rank 1 counts.
+    "q178_multi_touch" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS p_sec
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS t_sec
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.purchase_id, t.touch_id, t.touch_type, t.t_sec, p.p_sec
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.t_sec < p.p_sec AND t.t_sec >= p.p_sec - 7 * 86400),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY purchase_id
+        |  ORDER BY t_sec DESC, touch_id DESC) AS INT) AS rnk FROM j)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_touch,
+        |  sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << rnk)) AS decay_credit
+        |FROM r WHERE rnk <= 20 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Sweep-line: per-second deltas SUM per tick before the running
+    // sum, so no intra-second ordering exists; days are integer
+    // epoch-day indices — all-BIGINT end to end.
+    "q179_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |t AS (SELECT user_id, event_id, sec,
+        |  lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, sec, event_id,
+        |  CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM t),
+        |m AS (SELECT user_id, sec,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s),
+        |spans AS (SELECT user_id, sid, min(sec) AS s_sec, max(sec) AS e_sec
+        |  FROM m GROUP BY 1, 2),
+        |clipped AS (SELECT di,
+        |    greatest(s_sec, di * 86400) AS cs,
+        |    least(e_sec, di * 86400 + 86399) AS ce
+        |  FROM spans, UNNEST(range(s_sec // 86400, e_sec // 86400 + 1)) AS u(di)),
+        |deltas AS (SELECT di, sec, CAST(sum(d) AS BIGINT) AS net FROM (
+        |    SELECT di, cs AS sec, 1 AS d FROM clipped
+        |    UNION ALL SELECT di, ce + 1 AS sec, -1 AS d FROM clipped)
+        |  GROUP BY 1, 2),
+        |run AS (SELECT di, sec,
+        |  sum(net) OVER (PARTITION BY di ORDER BY sec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+        |  FROM deltas),
+        |mx AS (SELECT di, sec, active, max(active) OVER (PARTITION BY di) AS m
+        |  FROM run),
+        |peaks AS (SELECT di, CAST(max(active) AS BIGINT) AS peak_concurrency,
+        |  min(sec) AS peak_sec FROM mx WHERE active = m GROUP BY 1),
+        |ds AS (SELECT di, count(*) AS n_sessions FROM clipped GROUP BY 1)
+        |SELECT DATE '1970-01-01' + CAST(p.di AS INT) AS day, ds.n_sessions,
+        |  p.peak_concurrency, p.peak_sec
+        |FROM peaks p JOIN ds USING (di) ORDER BY day""".stripMargin
   )
 }

@@ -447,7 +447,11 @@ object SparkEntry {
     // MOSS winnowing: window-min fingerprint selection + shared-pair report
     "q176_winnow_pairs"     -> ((s, d) => Dedup.winnowedPairs(Tables.documents(s, d))),
     // CUSUM level-shift changepoint per event type, exact integer argmax
-    "q177_cusum_changepoint" -> ((s, d) => EventAnalytics.cusumChangepoint(Tables.events(s, d)))
+    "q177_cusum_changepoint" -> ((s, d) => EventAnalytics.cusumChangepoint(Tables.events(s, d))),
+    // multi-touch attribution: dyadic time-decay credit, exactly summable
+    "q178_multi_touch"      -> ((s, d) => EventAnalytics.multiTouchAttribution(Tables.events(s, d))),
+    // sweep-line daily peak concurrency over gap-based sessions
+    "q179_peak_concurrency" -> ((s, d) => EventAnalytics.peakConcurrency(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -699,6 +699,113 @@ object EventAnalytics {
     * left-join, prefix windows, argmax rank — runs on the
     * #types×#days aggregated frame. Output is #types rows.
     */
+  /** Daily peak concurrency — the sweep-line answer to "how many users
+    * were active AT ONCE": gap-based sessions (the q47 rule, 30-min
+    * inactivity splits) become [first-event, last-event] intervals,
+    * each interval emits +1 at its start second and −1 one past its
+    * end, and the per-day running sum's maximum is the day's peak —
+    * capacity planning's load number, which no per-hour count (q01)
+    * can produce because overlap, not volume, is what's being
+    * measured. Same-user sessions can never overlap (the gap rule
+    * separates them by > gap), so the peak is a true concurrent-USERS
+    * high-water mark.
+    *
+    * Exactness: everything is BIGINT second arithmetic; per-second
+    * deltas are SUMMED per tick before the running sum, so no
+    * intra-second event ordering can change any prefix value; the
+    * peak second is the earliest tick attaining the max. Days are
+    * integer epoch-day indices (sec ÷ 86400) — no timezone, no
+    * calendar functions on the hot path.
+    *
+    * Scale: sessions from the one per-user window pass every
+    * event-analytics operator shares; intervals clip to the days they
+    * span (fan-out = span length in days, ~1 for real sessions), and
+    * the sweep partitions BY DAY — there is no global sort at any
+    * scale, and each day's frame is #sessions-that-day ticks, not
+    * events. Output is #days rows.
+    */
+  def peakConcurrency(ev: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val marked = ev
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev", lag("sec", 1).over(byUser))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("sec") - col("prev") > gapSeconds, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = marked.groupBy("user_id", "sid")
+      .agg(min("sec").as("s_sec"), max("sec").as("e_sec"))
+    val clipped = spans
+      .withColumn("di", explode(sequence(
+        (col("s_sec") / 86400L).cast("long"),
+        (col("e_sec") / 86400L).cast("long"))))
+      .withColumn("cs", greatest(col("s_sec"), col("di") * 86400L))
+      .withColumn("ce", least(col("e_sec"), col("di") * 86400L + 86399L))
+      .persist()
+    val deltas = clipped.select(col("di"), col("cs").as("sec"), lit(1L).as("d"))
+      .unionByName(clipped.select(col("di"), (col("ce") + 1L).as("sec"),
+        lit(-1L).as("d")))
+      .groupBy("di", "sec").agg(sum("d").as("net"))
+    val run = deltas.withColumn("active", sum("net").over(
+        Window.partitionBy("di").orderBy("sec")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("mx", max("active").over(Window.partitionBy("di")))
+    val peaks = run.filter(col("active") === col("mx"))
+      .groupBy("di").agg(max("active").as("peak_concurrency"),
+        min("sec").as("peak_sec"))
+    val daySessions = clipped.groupBy("di").agg(count(lit(1)).as("n_sessions"))
+    peaks.join(daySessions, "di")
+      .select(date_add(to_date(lit("1970-01-01")), col("di").cast("int"))
+          .as("day"),
+        col("n_sessions"), col("peak_concurrency"), col("peak_sec"))
+      .orderBy("day")
+  }
+
+  /** Multi-touch attribution report — the fractional-credit complement
+    * of q60's last-touch as-of join: every click/view in the 7 days
+    * before a purchase earns credit, weighted by recency. The decay
+    * scheme is BASE-2 by recency rank (most recent touch = 1/2, next
+    * = 1/4, …, capped at rank 20): every weight is a dyadic rational
+    * ≥ 2⁻²⁰, so the cross-purchase credit sums are EXACT in IEEE
+    * double regardless of summation order — the one decay ladder
+    * whose aggregate is bit-reproducible across engines without any
+    * quantization trick (a λ·e^{−Δt} decay would make the report
+    * order-dependent). Alongside: raw touch counts and the exact
+    * last-touch counts (rank 1), tying the report back to q60.
+    *
+    * Scale: purchases ⋈ touches is a user_id equi-join (never a
+    * product); fan-out is per-user purchases × 7-day touches, and the
+    * recency rank caps each purchase's credit list at 20 rows before
+    * the final #channels-row aggregate. The rank window partitions by
+    * purchase_id — uniform small partitions by construction.
+    */
+  def multiTouchAttribution(ev: DataFrame, lookbackDays: Int = 7,
+                            maxTouches: Int = 20): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("p_sec"))
+    val t = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"),
+        unix_timestamp(col("ts")).as("t_sec"))
+    val joined = p.join(t, "user_id")
+      .filter(col("t_sec") < col("p_sec") &&
+        col("t_sec") >= col("p_sec") - lit(lookbackDays.toLong * 86400L))
+    joined
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("purchase_id")
+          .orderBy(col("t_sec").desc, col("touch_id").desc)))
+      .filter(col("rnk") <= maxTouches)
+      .groupBy("touch_type").agg(
+        count(lit(1)).as("n_touches"),
+        sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_last_touch"),
+        // 1 / 2^rank via shift-then-divide: both steps exact in IEEE
+        sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), rnk)"))
+          .as("decay_credit"))
+      .orderBy("touch_type")
+  }
+
   def cusumChangepoint(ev: DataFrame): DataFrame = {
     val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))

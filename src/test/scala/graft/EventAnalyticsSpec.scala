@@ -648,6 +648,63 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q179 peak concurrency -----------------------------------------
+
+  test("peakConcurrency: overlap peak, midnight clipping, gap-split sessions") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-02 10:00:00", 1L, "view"),  // u1 session 10:00–10:10
+      (2L, "2024-01-02 10:10:00", 1L, "view"),
+      (3L, "2024-01-02 10:05:00", 2L, "view"),  // u2 inside u1's span → peak 2
+      (4L, "2024-01-02 12:00:00", 3L, "view"),  // u3 later, alone
+      (5L, "2024-01-03 23:50:00", 4L, "view"),  // u4 crosses midnight
+      (6L, "2024-01-04 00:10:00", 4L, "view"),  //   (20-min gap: one session)
+      (7L, "2024-01-05 09:00:00", 5L, "view"),  // u5: 1-hour gap → TWO
+      (8L, "2024-01-05 10:00:00", 5L, "view"))) //   sessions, never overlap
+    def sec(s: String) = ts(s).getTime / 1000L
+    val res = EventAnalytics.peakConcurrency(df).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(res.toSeq == Seq(
+      ("2024-01-02", 3L, 2L, sec("2024-01-02 10:05:00")),
+      ("2024-01-03", 1L, 1L, sec("2024-01-03 23:50:00")),
+      // the carried-over session re-enters at the day-4 boundary
+      ("2024-01-04", 1L, 1L, sec("2024-01-04 00:00:00")),
+      ("2024-01-05", 2L, 1L, sec("2024-01-05 09:00:00"))))
+  }
+
+  test("peakConcurrency on the corpus: peaks within [1, n_sessions]") {
+    val res = EventAnalytics.peakConcurrency(Tables.events(spark, sfDir)).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1), r)
+    }
+  }
+
+  // ---- q178 multi-touch attribution ----------------------------------
+
+  test("multiTouchAttribution: recency ranks, lookback cutoff, same-second exclusion") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),  // > 7 days before: out
+      (2L, "2024-01-09 10:00:00", 1L, "click"),  // rank 2 → 1/4
+      (3L, "2024-01-10 09:00:00", 1L, "view"),   // rank 1 → 1/2
+      (4L, "2024-01-10 10:00:00", 1L, "purchase"),
+      (5L, "2024-01-05 10:00:00", 2L, "click"),  // same second as purchase
+      (6L, "2024-01-05 10:00:00", 2L, "purchase"))) // strictly-before: out
+    val res = EventAnalytics.multiTouchAttribution(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(res.toSeq == Seq(("click", 1L, 0L, 0.25), ("view", 1L, 1L, 0.5)))
+  }
+
+  test("multiTouchAttribution on the corpus: credit is an exact dyadic sum") {
+    val res = EventAnalytics.multiTouchAttribution(Tables.events(spark, sfDir)).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      // every credit is a multiple of 2^-20 — the exactness invariant
+      val scaled = r.getDouble(3) * (1L << 20)
+      assert(scaled == math.rint(scaled), s"non-dyadic credit: $r")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   // ---- q177 CUSUM changepoint ----------------------------------------
 
   test("cusumChangepoint: hand-computed level shift, zero-filled gaps, flat-series tie") {

@@ -751,6 +751,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"raw events must not reach a join:\n$p")
   }
 
+  test("multi-touch: user-key equi join, no product, map-combined final agg") {
+    val p = plan("q178_multi_touch")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), s"channel report must map-side combine:\n$p")
+  }
+
+  test("peak concurrency: sweep partitions by day — no unpartitioned window") {
+    val p = plan("q179_peak_concurrency")
+    assert(!p.contains("CartesianProduct"), p)
+    // every Window carries a partition spec (user_id or the epoch-day
+    // index): an empty partitionBy is the single-partition sort trap
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach { w =>
+      assert(w.contains("user_id#") || w.contains("di#"),
+        s"unpartitioned window in the sweep:\n$w\n$p")
+    }
+  }
+
   test("scd lookup: user-key equi join drives the range predicate; no product") {
     val p = plan("q175_scd_lookup")
     assert(!p.contains("CartesianProduct"), p)

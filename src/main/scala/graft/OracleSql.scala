@@ -2651,6 +2651,59 @@ object OracleSql {
         |ds AS (SELECT di, count(*) AS n_sessions FROM clipped GROUP BY 1)
         |SELECT DATE '1970-01-01' + CAST(p.di AS INT) AS day, ds.n_sessions,
         |  p.peak_concurrency, p.peak_sec
-        |FROM peaks p JOIN ds USING (di) ORDER BY day""".stripMargin
+        |FROM peaks p JOIN ds USING (di) ORDER BY day""".stripMargin,
+
+    // Session paths: list(... ORDER BY sec, event_id) ≡ Spark's
+    // array_sort(collect_list(struct)) — the ordered-collect parity;
+    // the ≤8 prefix filter bounds every session in both engines.
+    "q180_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |t AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
+        |  ORDER BY sec, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, event_id, event_type, sec,
+        |  CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM t),
+        |m AS (SELECT user_id, event_id, event_type, sec,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s),
+        |f AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, sid ORDER BY sec, event_id) AS rk FROM m)
+        |  WHERE rk <= 8),
+        |p AS (SELECT user_id, sid,
+        |  array_to_string(list(event_type ORDER BY sec, event_id), '>') AS path
+        |  FROM f GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    // CDC chunks: h % 8 == 0 on the 60-bit md5 prefix ⇔ the 15th hex
+    // char is '0' or '8' — the divisor-8 boundary test needs no hex→int
+    // conversion. 1-based i here ≡ Spark's 0-based i−1; boundary before
+    // token i for i in 2..m−2 (trigram start exists).
+    "q181_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tok AS (SELECT doc_id, i, tk[i] AS t, len(tk) AS m, tk
+        |  FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        |flags AS (SELECT doc_id, i, t,
+        |  CASE WHEN i >= 2 AND i <= m - 2 AND substring(md5(
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 15, 1) IN ('0', '8')
+        |  THEN 1 ELSE 0 END AS b FROM tok),
+        |cid AS (SELECT doc_id, i, t,
+        |  sum(b) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM flags),
+        |chunks AS (SELECT doc_id, c, md5(string_agg(t, ' ' ORDER BY i)) AS fp
+        |  FROM cid GROUP BY 1, 2),
+        |withn AS (SELECT doc_id, fp,
+        |  CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS n_chunks
+        |  FROM chunks),
+        |dpf AS (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM withn GROUP BY 1)
+        |SELECT w.doc_id, max(w.n_chunks) AS n_chunks,
+        |  CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  round(CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / max(w.n_chunks), 4) AS shared_frac
+        |FROM withn w JOIN dpf d USING (fp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

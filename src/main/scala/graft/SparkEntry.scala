@@ -451,7 +451,11 @@ object SparkEntry {
     // multi-touch attribution: dyadic time-decay credit, exactly summable
     "q178_multi_touch"      -> ((s, d) => EventAnalytics.multiTouchAttribution(Tables.events(s, d))),
     // sweep-line daily peak concurrency over gap-based sessions
-    "q179_peak_concurrency" -> ((s, d) => EventAnalytics.peakConcurrency(Tables.events(s, d)))
+    "q179_peak_concurrency" -> ((s, d) => EventAnalytics.peakConcurrency(Tables.events(s, d))),
+    // whole-journey session paths, ordered collect, TakeOrdered top-k
+    "q180_session_paths"    -> ((s, d) => EventAnalytics.topSessionPaths(Tables.events(s, d))),
+    // content-defined chunking + cross-doc chunk dedup share
+    "q181_cdc_chunks"       -> ((s, d) => Dedup.cdcChunkShare(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -1057,6 +1057,62 @@ object Dedup {
     * ordered step and it partitions by doc_id — no global sort at
     * any scale. Shuffles carry (long, long) rows throughout.
     */
+  /** Content-defined chunking + cross-document chunk dedup — the
+    * storage-dedup trick (Rabin/Gear CDC) applied to corpus forensics:
+    * a chunk boundary falls BEFORE token i wherever the trigram
+    * starting at i hashes to 0 mod `divisor`, so boundaries are
+    * functions of CONTENT, not offsets — insert a sentence and only
+    * the chunks around the edit change, where fixed-size chunking
+    * (q100) re-chunks the whole tail. Each doc reports how many of
+    * its chunks also appear verbatim in some OTHER document — the
+    * sub-document duplication signal paragraph dedup (q63) can only
+    * see when authors agree on paragraph breaks.
+    *
+    * Plumbing: boundaries, chunk spans, and chunk texts are all built
+    * INSIDE per-row array expressions (the guarded starts/next-start
+    * pattern — `try_element_at` for the lookahead, explicit empty-
+    * array branches, and `sequence` never called with to < from, the
+    * descending-sequence trap); chunks then explode map-side and
+    * collapse to md5 fingerprints immediately, so the only thing that
+    * ever shuffles is (doc_id, fingerprint) — chunk text dies inside
+    * the scan stage. Mean chunk length ≈ divisor tokens.
+    *
+    * Exactness: whole pipeline is integer/string-deterministic; the
+    * one division is the final shared-fraction round(4).
+    */
+  def cdcChunkShare(docs: DataFrame, n: Int = 3,
+                    divisor: Int = 8): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val tk = col("tk")
+    val m = size(tk)
+    val gramHash = (i: Column) =>
+      conv(substring(md5(array_join(slice(tk, i + 1, lit(n)), " ")), 1, 15),
+        16, 10).cast("long")
+    // interior boundary positions: i in 1..m-n with h(gram_i) % D == 0
+    val interior = when(m > n,
+      filter(sequence(lit(1), m - n), i => gramHash(i) % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    val chunked = base
+      .select(col("doc_id"), tk, concat(array(lit(0)), interior).as("starts"))
+      .withColumn("chunks", transform(col("starts"), (s, k) =>
+        array_join(slice(tk, s + 1,
+          coalesce(try_element_at(col("starts"), k + lit(2)), size(tk)) - s),
+          " ")))
+    val fps = chunked
+      .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
+        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("n_chunks"), col("chunk_idx"),
+        md5(col("chunk_text")).as("fp"))
+    val docsPerFp = fps.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    fps.join(docsPerFp, "fp")
+      .groupBy("doc_id").agg(
+        max(col("n_chunks")).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac", round(col("n_shared") / col("n_chunks"), 4))
+      .orderBy("doc_id")
+  }
+
   def winnowedPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
                     minShared: Int = 2): DataFrame = {
     val tk = split(col("text"), " ")

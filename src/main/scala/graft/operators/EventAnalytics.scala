@@ -699,6 +699,52 @@ object EventAnalytics {
     * left-join, prefix windows, argmax rank — runs on the
     * #types×#days aggregated frame. Output is #types rows.
     */
+  /** Top session paths — the navigation-pattern report: each gap-based
+    * session (q47 rule) is rendered as the '>'-joined sequence of its
+    * first `maxLen` event types in event-time order, and the most
+    * frequent paths win. Where q116's transition matrix sees only
+    * consecutive PAIRS, paths keep whole journeys — the report a
+    * funnel designer reads before hard-coding funnel steps (q114).
+    *
+    * Determinism: the per-session order is the engine-neutral
+    * (second, event_id) key used by q131/q143; the in-Spark path is
+    * built by sorting the collected (sec, event_id, type) structs —
+    * `collect_list` alone has NO deterministic order, the documented
+    * trap — and ties at the top-k boundary break on the path string.
+    *
+    * Scale: the per-session prefix filter (row_number ≤ maxLen) runs
+    * on a (user_id, sid) window WHOSE DISTRIBUTION IS ALREADY
+    * SATISFIED by the user_id exchange every operator here shares
+    * (hash(user_id) clusters (user_id, sid) for free — no second
+    * exchange, plan-pinned), so no session ever collects more than
+    * `maxLen` structs however pathological the stream; the path
+    * aggregate map-combines and the global top-k is a TakeOrdered,
+    * never a full sort.
+    */
+  def topSessionPaths(ev: DataFrame, gapSeconds: Long = 1800,
+                      maxLen: Int = 8, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val marked = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev", lag("sec", 1).over(byUser))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("sec") - col("prev") > gapSeconds, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("sec", "event_id")))
+      .filter(col("rk") <= maxLen)
+    marked.groupBy("user_id", "sid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sec"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Daily peak concurrency — the sweep-line answer to "how many users
     * were active AT ONCE": gap-based sessions (the q47 rule, 30-min
     * inactivity splits) become [first-event, last-event] intervals,

@@ -662,6 +662,43 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(r0.head.getLong(1) == 1L) // the both-lists doc wins the fusion
   }
 
+  // ---- q181 content-defined chunking ---------------------------------
+
+  test("cdcChunkShare: boundaries follow content — front-insertion keeps tail chunks") {
+    // deterministic 100-token text: ~12 expected boundaries at D=8.
+    // Prepending a token shifts every OFFSET but no trigram content,
+    // so every chunk of doc 1 after its first boundary re-appears
+    // verbatim in doc 2 — the CDC property fixed-size chunking lacks.
+    val base = (0 until 100).map(i => s"tok${(i * 37) % 91}").mkString(" ")
+    val df = docsDf(Seq(
+      (1L, base, "s"),
+      (2L, "zzz " + base, "s"),
+      (3L, "aa bb", "s"))) // sub-trigram doc: exactly one chunk, unshared
+    val res = Dedup.cdcChunkShare(df).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val (n1, s1) = res(1L)
+    assert(n1 > 1, "fixture text must contain at least one CDC boundary")
+    assert(s1 >= n1 - 1, s"tail chunks must survive the front edit: $res")
+    assert(res(3L) == ((1, 0L)))
+  }
+
+  test("cdcChunkShare: identical docs share every chunk") {
+    val text = (0 until 60).map(i => s"w${(i * 11) % 37}").mkString(" ")
+    val res = Dedup.cdcChunkShare(docsDf(Seq(
+      (1L, text, "s"), (2L, text, "s")))).collect()
+    res.foreach(r => assert(r.getLong(2) == r.getInt(1).toLong
+      && r.getDouble(3) == 1.0, r))
+  }
+
+  test("cdcChunkShare on the corpus: fractions bounded, chunk counts positive") {
+    val res = Dedup.cdcChunkShare(Tables.documents(spark, sfDir)).collect()
+    assert(res.length == 500)
+    res.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getLong(2) <= r.getInt(1).toLong)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   // ---- q176 MOSS winnowing fingerprints ------------------------------
 
   test("winnowedPairs: a shared (n+w-1)-token run guarantees a match; disjoint docs never pair") {

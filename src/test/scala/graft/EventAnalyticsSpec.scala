@@ -648,6 +648,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q180 top session paths ----------------------------------------
+
+  test("topSessionPaths: event-time order, gap split, prefix cap, tie order") {
+    val df = eventsDf(Seq(
+      // u1 session: view > click > purchase (order by sec, not id)
+      (3L, "2024-01-02 10:02:00", 1L, "purchase"),
+      (1L, "2024-01-02 10:00:00", 1L, "view"),
+      (2L, "2024-01-02 10:01:00", 1L, "click"),
+      // u2: same journey
+      (4L, "2024-01-03 09:00:00", 2L, "view"),
+      (5L, "2024-01-03 09:05:00", 2L, "click"),
+      (6L, "2024-01-03 09:06:00", 2L, "purchase"),
+      // u3: 1-hour gap → two single-event sessions
+      (7L, "2024-01-04 09:00:00", 3L, "view"),
+      (8L, "2024-01-04 10:30:01", 3L, "view"),
+      // u4: 10 clicks in one session → path capped at 8
+      ) ++ (1 to 10).map(i => (100L + i, f"2024-01-05 10:$i%02d:00", 4L, "click")))
+    val res = EventAnalytics.topSessionPaths(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(res.toSeq == Seq(
+      ("view", 2L),
+      ("click>click>click>click>click>click>click>click", 1L),
+      ("view>click>purchase", 2L)).sortBy { case (p, n) => (-n, p) })
+  }
+
+  test("topSessionPaths on the corpus: ≤ 20 rows, counts descend, caps hold") {
+    val res = EventAnalytics.topSessionPaths(Tables.events(spark, sfDir)).collect()
+    assert(res.length <= 20 && res.nonEmpty)
+    val counts = res.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    res.foreach(r => assert(r.getString(0).split(">").length <= 8))
+  }
+
   // ---- q179 peak concurrency -----------------------------------------
 
   test("peakConcurrency: overlap peak, midnight clipping, gap-split sessions") {

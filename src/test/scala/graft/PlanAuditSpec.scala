@@ -771,6 +771,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("session paths: the (user, sid) window reuses the user_id exchange; top-k is TakeOrdered") {
+    val p = plan("q180_session_paths")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    // one hash exchange for the per-user windows (user_id), one for the
+    // path aggregate — the (user_id, sid) prefix window must NOT add a third
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.count(_.contains("user_id#")) == 1,
+      s"(user_id, sid) window re-shuffled instead of reusing hash(user_id):\n$p")
+  }
+
+  test("cdc chunks: chunk text dies in the scan stage — only fingerprints shuffle") {
+    val p = plan("q181_cdc_chunks")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(l => l.contains("text#") || l.contains("tk#")
+        || l.contains("chunk_text#") || l.contains("chunks#")),
+      s"document/chunk text crosses a shuffle:\n$p")
+  }
+
   test("scd lookup: user-key equi join drives the range predicate; no product") {
     val p = plan("q175_scd_lookup")
     assert(!p.contains("CartesianProduct"), p)

@@ -2704,6 +2704,46 @@ object OracleSql {
         |  round(CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / max(w.n_chunks), 4) AS shared_frac
         |FROM withn w JOIN dpf d USING (fp)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Hill: the x_ref term contributes ln(1)=0 so the sum runs over
+    // all k+1 rows (tie-proof); each ln term quantizes to integer
+    // nano-units before the order-free BIGINT sum; identical closing
+    // division text in both engines.
+    "q182_hill_tail" ->
+      """WITH top AS (SELECT n_chars FROM documents
+        |  ORDER BY n_chars DESC LIMIT 101),
+        |ref AS (SELECT min(n_chars) AS x_ref FROM top),
+        |terms AS (SELECT x_ref,
+        |  CAST(round(ln(CAST(n_chars AS DOUBLE) / x_ref) * 1e9) AS BIGINT) AS tq
+        |  FROM top, ref),
+        |s AS (SELECT x_ref, CAST(sum(tq) AS BIGINT) AS sum_ln_e9
+        |  FROM terms GROUP BY 1)
+        |SELECT 100 AS k, x_ref, sum_ln_e9,
+        |  CASE WHEN sum_ln_e9 = 0 THEN NULL
+        |    ELSE round(CAST(100 AS DOUBLE) * 1e9 / sum_ln_e9, 4) END AS alpha
+        |FROM s""".stripMargin,
+
+    // Shared runs: raw gram text is the match key here vs the 60-bit
+    // hash in Spark — set semantics identical (collisions ~2⁻⁴⁰ would
+    // surface as a hash mismatch, not be absorbed).
+    "q183_shared_runs" ->
+      (shingleCte + """,
+        |pg AS (SELECT doc_id, i AS pos,
+        |  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+        |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+        |uniq AS (SELECT doc_id, min(pos) AS pos, g FROM pg
+        |  GROUP BY doc_id, g HAVING count(*) = 1),
+        |mt AS (SELECT cand.id_a, cand.id_b, a.pos AS pa, b.pos AS pb
+        |  FROM cand JOIN uniq a ON a.doc_id = cand.id_a
+        |  JOIN uniq b ON b.doc_id = cand.id_b AND b.g = a.g),
+        |runs AS (SELECT id_a, id_b, pa - pb AS d,
+        |  pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+        |    ORDER BY pa) AS rid FROM mt),
+        |rl AS (SELECT id_a, id_b, CAST(count(*) AS INT) AS rg
+        |  FROM runs GROUP BY id_a, id_b, d, rid)
+        |SELECT id_a, id_b, max(rg) AS max_run_grams,
+        |  max(rg) + 2 AS max_run_tokens
+        |FROM rl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }

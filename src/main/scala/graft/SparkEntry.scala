@@ -455,7 +455,11 @@ object SparkEntry {
     // whole-journey session paths, ordered collect, TakeOrdered top-k
     "q180_session_paths"    -> ((s, d) => EventAnalytics.topSessionPaths(Tables.events(s, d))),
     // content-defined chunking + cross-doc chunk dedup share
-    "q181_cdc_chunks"       -> ((s, d) => Dedup.cdcChunkShare(Tables.documents(s, d)))
+    "q181_cdc_chunks"       -> ((s, d) => Dedup.cdcChunkShare(Tables.documents(s, d))),
+    // Hill tail-index of the doc-length distribution (top-k TakeOrdered)
+    "q182_hill_tail"        -> ((s, d) => RobustStats.hillTailIndex(Tables.documents(s, d))),
+    // longest shared verbatim run per LSH candidate pair (diagonal islands)
+    "q183_shared_runs"      -> ((s, d) => Dedup.sharedRunLengths(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -1057,6 +1057,61 @@ object Dedup {
     * ordered step and it partitions by doc_id — no global sort at
     * any scale. Shuffles carry (long, long) rows throughout.
     */
+  /** Longest shared token run per candidate pair — the forensic twin
+    * of the Jaccard verify (q33): Jaccard says HOW MUCH two documents
+    * share, this says whether they share one long VERBATIM passage or
+    * many scattered phrases — the distinction between quotation /
+    * wrapper reuse and topical similarity, and the signal
+    * substring-level dedup (Lee et al.'s exact-substring rule) keys
+    * on. Computed only on the q32 LSH candidate pairs, never all
+    * pairs.
+    *
+    * Method: positional trigram hashes, restricted to grams UNIQUE
+    * within their document (a repeated gram has no single diagonal —
+    * dropping them makes every match row unambiguous and bounds the
+    * pair join at one row per shared gram; runs through a repeated
+    * gram split in two, so the reported length is a conservative
+    * lower bound). Matched (pa, pb) positions on the same diagonal
+    * pa−pb with consecutive pa form a run — the classic
+    * islands-and-gaps grouping key pa − row_number. max_run_tokens =
+    * max_run_grams + n − 1.
+    *
+    * Scale: candidate generation is the capped LSH cascade; the
+    * unique-gram filter is a partial-aggregated groupBy; matches
+    * shuffle (long, long, long) rows; the islands window partitions
+    * by (pair, diagonal). Pairs with no unique shared gram drop.
+    */
+  def sharedRunLengths(docs: DataFrame, bands: Int = 4,
+                       n: Int = 3): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, bands)
+    val tk = split(col("text"), " ")
+    val grams = docs
+      .filter(size(tk) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(tk) - n),
+          i => array_join(slice(tk, i + 1, lit(n)), " "))).as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val uniq = grams.groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("c"), min("pos").as("pos"))
+      .filter(col("c") === 1).drop("c")
+    val matches = pairs
+      .join(uniq.select(col("doc_id").as("id_a"), col("pos").as("pa"),
+        col("h")), "id_a")
+      .join(uniq.select(col("doc_id").as("id_b"), col("pos").as("pb"),
+        col("h")), Seq("id_b", "h"))
+    matches
+      .withColumn("d", col("pa") - col("pb"))
+      .withColumn("rid", col("pa") - row_number().over(
+        Window.partitionBy("id_a", "id_b", "d").orderBy("pa")))
+      .groupBy("id_a", "id_b", "d", "rid").agg(count(lit(1)).as("rg"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("rg")).cast("int").as("max_run_grams"))
+      .withColumn("max_run_tokens", col("max_run_grams") + (n - 1))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Content-defined chunking + cross-document chunk dedup — the
     * storage-dedup trick (Rabin/Gear CDC) applied to corpus forensics:
     * a chunk boundary falls BEFORE token i wherever the trigram

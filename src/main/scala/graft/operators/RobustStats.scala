@@ -292,4 +292,40 @@ object RobustStats {
         round(median(col("slope")), 4).as("ts_slope"))
       .orderBy("event_type")
   }
+
+  /** Hill tail-index estimate over the document-length distribution —
+    * the quantitative answer to "HOW heavy is the tail" that the Zipf
+    * slope (q128) gives for term frequencies and PSI (q136) cannot
+    * give at all: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k largest
+    * lengths. α below ~2 means the length distribution has infinite
+    * variance — the number that decides whether mean-based shard
+    * sizing (q66) is safe or a q112-style winsorize must run first.
+    *
+    * Tie-proofing: the reference value x₍ₖ₊₁₎ is the MINIMUM of the
+    * top-(k+1) VALUE multiset, and the sum runs over all k+1 rows —
+    * the reference row contributes ln(1) = 0, so which of several
+    * tied rows "is" the reference cannot matter. Determinism: each
+    * ln term is quantized to an integer number of nano-units before
+    * the sum (Σ of BIGINTs — order-free), leaving one closing
+    * division with identical formula text in both engines.
+    *
+    * Scale: the only corpus-wide step is TakeOrdered(k+1) on a
+    * single projected column; everything after runs on k+1 rows with
+    * the 1-row reference broadcast back. Output is one row.
+    */
+  def hillTailIndex(docs: DataFrame, k: Int = 100): DataFrame = {
+    val top = docs.select(col("n_chars")).orderBy(col("n_chars").desc)
+      .limit(k + 1)
+    val ref = top.agg(min(col("n_chars")).as("x_ref"))
+    top.crossJoin(broadcast(ref))
+      .select(col("x_ref"),
+        round(log(col("n_chars").cast("double") / col("x_ref")) * 1e9)
+          .cast("long").as("tq"))
+      .groupBy("x_ref")
+      .agg(sum(col("tq")).as("sum_ln_e9"))
+      .select(lit(k).as("k"), col("x_ref"), col("sum_ln_e9"),
+        when(col("sum_ln_e9") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(k.toDouble) * lit(1.0e9) / col("sum_ln_e9"), 4))
+          .as("alpha"))
+  }
 }

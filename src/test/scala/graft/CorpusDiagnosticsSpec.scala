@@ -662,6 +662,34 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(r0.head.getLong(1) == 1L) // the both-lists doc wins the fusion
   }
 
+  // ---- q183 longest shared run ---------------------------------------
+
+  test("sharedRunLengths: one-token edit splits the run at the edit site") {
+    // doc2 = doc1 with token 15 replaced: grams 13/14/15 break, so the
+    // shared diagonal splits into runs of 13 grams (pos 0–12) and 2
+    // grams (pos 16–17) → max run 13 grams = 15 tokens. The docs are
+    // 17/18-gram near-dups, so LSH banding must surface the pair.
+    val t1 = (0 until 20).map(i => s"a$i")
+    val t2 = t1.updated(15, "XX")
+    val df = docsDf(Seq((1L, t1.mkString(" "), "s"),
+      (2L, t2.mkString(" "), "s")))
+    val res = Dedup.sharedRunLengths(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(res.toSeq == Seq((1L, 2L, 13, 15)), res.toSeq)
+  }
+
+  test("sharedRunLengths on the corpus: subset of LSH candidates, sane bounds") {
+    val docs = Tables.documents(spark, sfDir)
+    val res = Dedup.sharedRunLengths(docs).collect()
+    assert(res.nonEmpty)
+    val cand = Dedup.minhashCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    res.foreach { r =>
+      assert(cand.contains((r.getLong(0), r.getLong(1))))
+      assert(r.getInt(2) >= 1 && r.getInt(3) == r.getInt(2) + 2)
+    }
+  }
+
   // ---- q181 content-defined chunking ---------------------------------
 
   test("cdcChunkShare: boundaries follow content — front-insertion keeps tail chunks") {

@@ -792,6 +792,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"document/chunk text crosses a shuffle:\n$p")
   }
 
+  test("hill tail index: corpus touched only by a TakeOrdered on one column") {
+    val p = plan("q182_hill_tail")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(p.contains("ReadSchema: struct<n_chars:"),
+      s"scan must prune to the single length column:\n$p")
+  }
+
+  test("shared runs: equi joins only; no text in any exchange") {
+    val p = plan("q183_shared_runs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(l => l.contains("text#") || l.contains("shingle#")),
+      s"text crosses a shuffle:\n$p")
+  }
+
   test("scd lookup: user-key equi join drives the range predicate; no product") {
     val p = plan("q175_scd_lookup")
     assert(!p.contains("CartesianProduct"), p)

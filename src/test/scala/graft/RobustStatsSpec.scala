@@ -248,4 +248,27 @@ class RobustStatsSpec extends AnyFunSuite {
         s"pair count is not the full grid for ${x.getString(0)}")
     }
   }
+
+  // ---- q182 Hill tail index ------------------------------------------
+
+  test("hillTailIndex: exact closed form on a geometric tail; flat tail → NULL") {
+    // lengths 16,8,4,2 with k=3: x_ref = 2, Σ ln = ln 8 + ln 4 + ln 2
+    // + ln 1 = 6·ln 2 → α = 3 / (6 ln 2) = 0.7213
+    val df = docsDf(Seq((1L, "t", "a", 16L), (2L, "t", "a", 8L),
+      (3L, "t", "a", 4L), (4L, "t", "a", 2L)))
+    val r = RobustStats.hillTailIndex(df, k = 3).collect()
+    assert(r.length == 1)
+    assert(r(0).getInt(0) == 3 && r(0).getLong(1) == 2L)
+    assert(r(0).getDouble(3) == 0.7213, r(0))
+    // all-equal top: Σ = 0 → α undefined, NULL not NaN/∞
+    val flat = docsDf((1 to 4).map(i => (i.toLong, "t", "a", 7L)))
+    val rf = RobustStats.hillTailIndex(flat, k = 3).collect()
+    assert(rf(0).getLong(2) == 0L && rf(0).isNullAt(3))
+  }
+
+  test("hillTailIndex on the corpus: positive finite alpha, one row") {
+    val r = RobustStats.hillTailIndex(Tables.documents(spark, sfDir)).collect()
+    assert(r.length == 1)
+    assert(!r(0).isNullAt(3) && r(0).getDouble(3) > 0)
+  }
 }

@@ -2744,6 +2744,44 @@ object OracleSql {
         |  FROM runs GROUP BY id_a, id_b, d, rid)
         |SELECT id_a, id_b, max(rg) AS max_run_grams,
         |  max(rg) + 2 AS max_run_tokens
-        |FROM rl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM rl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // SNM: lead() neighbors inside (bucket, key, doc_id) sort order —
+    // a deterministic total order, so both engines see the identical
+    // candidate set; verify is the q33 count-based Jaccard.
+    "q184_snm_neardups" ->
+      """WITH nk AS (SELECT doc_id,
+        |  substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 24) AS k1,
+        |  substring(reverse(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 24) AS k2
+        |  FROM documents),
+        |l1 AS (SELECT doc_id, lead(doc_id, 1) OVER w AS y1,
+        |  lead(doc_id, 2) OVER w AS y2, lead(doc_id, 3) OVER w AS y3
+        |  FROM (SELECT doc_id, k1 AS k, substring(k1, 1, 2) AS bkt FROM nk)
+        |  WINDOW w AS (PARTITION BY bkt ORDER BY k, doc_id)),
+        |l2 AS (SELECT doc_id, lead(doc_id, 1) OVER w AS y1,
+        |  lead(doc_id, 2) OVER w AS y2, lead(doc_id, 3) OVER w AS y3
+        |  FROM (SELECT doc_id, k2 AS k, substring(k2, 1, 2) AS bkt FROM nk)
+        |  WINDOW w AS (PARTITION BY bkt ORDER BY k, doc_id)),
+        |pairs0 AS (
+        |  SELECT doc_id AS x, y1 AS y FROM l1 UNION ALL SELECT doc_id, y2 FROM l1
+        |  UNION ALL SELECT doc_id, y3 FROM l1 UNION ALL SELECT doc_id, y1 FROM l2
+        |  UNION ALL SELECT doc_id, y2 FROM l2 UNION ALL SELECT doc_id, y3 FROM l2),
+        |cand AS (SELECT DISTINCT least(x, y) AS id_a, greatest(x, y) AS id_b
+        |  FROM pairs0 WHERE y IS NOT NULL),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |  FROM toks WHERE len(tk) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+        |it AS (SELECT c.id_a, c.id_b, count(*) AS inter
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |j AS (SELECT it.id_a, it.id_b, a.nsh AS na, b.nsh AS nb, it.inter
+        |  FROM it JOIN sz a ON a.doc_id = it.id_a JOIN sz b ON b.doc_id = it.id_b)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+        |FROM j WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -459,7 +459,9 @@ object SparkEntry {
     // Hill tail-index of the doc-length distribution (top-k TakeOrdered)
     "q182_hill_tail"        -> ((s, d) => RobustStats.hillTailIndex(Tables.documents(s, d))),
     // longest shared verbatim run per LSH candidate pair (diagonal islands)
-    "q183_shared_runs"      -> ((s, d) => Dedup.sharedRunLengths(Tables.documents(s, d)))
+    "q183_shared_runs"      -> ((s, d) => Dedup.sharedRunLengths(Tables.documents(s, d))),
+    // sorted-neighborhood (SNM) blocking, two passes + exact Jaccard verify
+    "q184_snm_neardups"     -> ((s, d) => Dedup.snmNearDups(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

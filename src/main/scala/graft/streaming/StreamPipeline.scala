@@ -307,6 +307,63 @@ object StreamPipeline {
       }
   }
 
+  /** Open session-path state: last event second and the ≤ maxLen
+    * journey prefix collected so far (bounded — the q180 cap). */
+  case class OpenPath(lastSec: Long, types: Seq[String], n: Long)
+
+  /** A gap-closed session's journey, emitted downstream. */
+  case class ClosedPath(user_id: Long, path: String, n_events: Long)
+
+  /** Streaming session paths — the live twin of
+    * [[graft.operators.EventAnalytics.topSessionPaths]]: per user,
+    * the open session's first ≤ `maxLen` event types accumulate in
+    * state (WHOLE-SECOND + event_id order, the batch tie contract);
+    * a gap > `gapSeconds` closes the session and emits its
+    * '>'-joined path append-mode. Downstream the emitted paths are a
+    * plain streaming count — the top-k report materializes from the
+    * same rows the batch operator aggregates, spec-asserted
+    * equivalent across micro-batches.
+    *
+    * Scale contract: state is O(maxLen) strings per ACTIVE user —
+    * the path cap is what makes journey state bounded where an
+    * uncapped collect would hoard a bot's whole clickstream. Same
+    * NoTimeout determinism note as [[sessionizeStream]].
+    */
+  def sessionPathsStream(stream: DataFrame, gapSeconds: Long = 1800,
+                         maxLen: Int = 8)
+      : org.apache.spark.sql.Dataset[ClosedPath] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    stream.selectExpr("user_id", "unix_timestamp(ts) AS sec", "event_id",
+        "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenPath, ClosedPath](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val evs = rows.map { case (_, sec, id, ty) => (sec, id, ty) }
+            .toArray.sortBy(e => (e._1, e._2))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedPath]
+          var open = state.getOption
+          evs.foreach { case (sec, _, ty) =>
+            open match {
+              case Some(s) if sec - s.lastSec <= gapSeconds =>
+                open = Some(OpenPath(sec,
+                  if (s.types.length < maxLen) s.types :+ ty else s.types,
+                  s.n + 1))
+              case Some(s) =>
+                closed += ClosedPath(uid, s.types.mkString(">"), s.n)
+                open = Some(OpenPath(sec, Seq(ty), 1))
+              case None =>
+                open = Some(OpenPath(sec, Seq(ty), 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Running per-user totals carried across micro-batches. */
   case class UserActivity(user_id: Long, n_events: Long, total_value: Double)
 

@@ -662,6 +662,41 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(r0.head.getLong(1) == 1L) // the both-lists doc wins the fusion
   }
 
+  // ---- q184 sorted-neighborhood dedup --------------------------------
+
+  test("snmNearDups: prefix-sorted neighbors pair; the reversed pass catches suffix twins") {
+    // docs 1/2 share a 24+-char normalized prefix (neighbors in pass 1);
+    // docs 3/4 diverge at the FRONT but share their tail — only the
+    // reversed-key pass can put them side by side. doc 5 is unrelated.
+    val commonHead = "the quick brown fox jumps over the lazy dog again and again"
+    val commonTail = "terms and conditions apply see store for details today"
+    val df = docsDf(Seq(
+      (1L, commonHead + " version one", "s"),
+      (2L, commonHead + " version two", "s"),
+      (3L, "alpha " + commonTail, "s"),
+      (4L, "omega " + commonTail, "s"),
+      (5L, "completely unrelated content with nothing shared at all", "s")))
+    val res = Dedup.snmNearDups(df, threshold = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.contains((1L, 2L)), res.toSeq)
+    assert(res.contains((3L, 4L)), res.toSeq)
+    assert(!res.exists { case (a, b) => a == 5L || b == 5L }, res.toSeq)
+  }
+
+  test("snmNearDups on the corpus: agrees with LSH verify on shared pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val snm = Dedup.snmNearDups(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(snm.nonEmpty, "corpus near-dups must surface")
+    // same verify, same threshold ⇒ identical jaccard wherever both
+    // blockers surface a pair
+    val lsh = Dedup.nearDupPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val common = snm.keySet.intersect(lsh.keySet)
+    assert(common.nonEmpty)
+    common.foreach(k => assert(snm(k) == lsh(k), s"verify diverged on $k"))
+  }
+
   // ---- q183 longest shared run ---------------------------------------
 
   test("sharedRunLengths: one-token edit splits the run at the edit site") {

@@ -809,6 +809,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"text crosses a shuffle:\n$p")
   }
 
+  test("snm: windows partition by bucket; no product; no text in exchanges") {
+    val p = plan("q184_snm_neardups")
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("bkt#"),
+      s"SNM window must partition by bucket, never sort globally:\n$w"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"text crosses a shuffle:\n$p")
+  }
+
   test("scd lookup: user-key equi join drives the range predicate; no product") {
     val p = plan("q175_scd_lookup")
     assert(!p.contains("CartesianProduct"), p)

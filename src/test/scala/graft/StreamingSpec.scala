@@ -249,6 +249,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionPathsStream emits capped journeys on gap close — the q180 rule, live") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.sessionPathsStream(stream).toDF(),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-paths").toString,
+      queryName = "paths_mem").start()
+    try {
+      // same-second events order by event_id (the batch tie contract),
+      // delivered out of id order within the batch
+      mem.addData(
+        (2L, Timestamp.valueOf("2026-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+        (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 7L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      assert(spark.table("paths_mem").isEmpty, "open session must not emit")
+      // gap closes across micro-batches
+      mem.addData((3L, Timestamp.valueOf("2026-01-01 11:00:00"), 7L, "purchase", 1.0, "{}"))
+      query.processAllAvailable()
+      val first = spark.table("paths_mem").collect()
+      assert(first.length == 1)
+      assert(first.head.getLong(0) == 7L)
+      assert(first.head.getString(1) == "click>view")
+      assert(first.head.getLong(2) == 2L)
+      // 10-event session: the stored journey caps at 8, the count doesn't
+      mem.addData((10 to 19).map(i =>
+        (100L + i, Timestamp.valueOf(f"2026-01-01 12:00:$i%02d"), 8L, "view", 1.0, "{}")): _*)
+      query.processAllAvailable()
+      mem.addData((200L, Timestamp.valueOf("2026-01-01 15:00:00"), 8L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      val capped = spark.table("paths_mem").collect().filter(_.getLong(0) == 8L)
+      assert(capped.length == 1)
+      assert(capped.head.getString(1) == Array.fill(8)("view").mkString(">"))
+      assert(capped.head.getLong(2) == 10L)
+    } finally query.stop()
+  }
+
   test("content dedup on ingest drops case/whitespace-variant duplicates by fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val docsMem = MemoryStream[(Long, Timestamp, String)]

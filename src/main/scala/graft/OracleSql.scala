@@ -2782,6 +2782,59 @@ object OracleSql {
         |SELECT id_a, id_b,
         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
         |FROM j WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.2
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Fingerprints: ('0x' || hex)::BIGINT is DuckDB's conv(hex,16,10);
+    // chr(1) ≡ the \u0001 field separator; xor is order-free so both
+    // engines agree whatever their scan order.
+    "q185_source_fingerprints" ->
+      """WITH h AS (SELECT source,
+        |  CAST(('0x' || substring(md5(concat_ws(chr(1), doc_id, text,
+        |    lang, n_chars)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_fp
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Interpolation: the closing expression is textually identical to
+    // Spark's over exact integer seconds and raw parquet doubles —
+    // no rounding anywhere. Same-second readings sort before probes
+    // (tag), so Δt = 0 degenerates to the reading exactly; nt > pt
+    // whenever both exist, so the division is never by zero.
+    "q186_interpolate" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+        |    0 AS tag, value AS v
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, event_id,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+        |    1 AS tag, NULL AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY sec, tag, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN tag = 0 THEN sec END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY sec, tag, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY sec, tag, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN tag = 0 THEN sec END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY sec, tag, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM u)
+        |SELECT event_id, user_id, sec,
+        |  CASE WHEN pt IS NOT NULL AND nt IS NOT NULL THEN 'interp'
+        |       WHEN pt IS NOT NULL THEN 'locf'
+        |       WHEN nt IS NOT NULL THEN 'backfill'
+        |       ELSE 'none' END AS method,
+        |  CASE WHEN pt IS NOT NULL AND nt IS NOT NULL
+        |         THEN pv + (nv - pv) * (CAST(sec - pt AS DOUBLE) / (nt - pt))
+        |       WHEN pt IS NOT NULL THEN pv
+        |       ELSE nv END AS est_value
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin
   )
 }

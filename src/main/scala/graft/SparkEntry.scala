@@ -461,7 +461,11 @@ object SparkEntry {
     // longest shared verbatim run per LSH candidate pair (diagonal islands)
     "q183_shared_runs"      -> ((s, d) => Dedup.sharedRunLengths(Tables.documents(s, d))),
     // sorted-neighborhood (SNM) blocking, two passes + exact Jaccard verify
-    "q184_snm_neardups"     -> ((s, d) => Dedup.snmNearDups(Tables.documents(s, d)))
+    "q184_snm_neardups"     -> ((s, d) => Dedup.snmNearDups(Tables.documents(s, d))),
+    // order-free per-source dataset fingerprints (XOR of row hashes)
+    "q185_source_fingerprints" -> ((s, d) => Aggregates.sourceFingerprints(Tables.documents(s, d))),
+    // two-sided as-of: linear interpolation at probe times, LOCF/backfill edges
+    "q186_interpolate"      -> ((s, d) => EventAnalytics.interpolateAtProbes(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -569,4 +569,31 @@ object Aggregates {
         s"CAST(n >= $k AS INT) AS k_anonymous",
         s"CAST(l_div >= $l AS INT) AS l_diverse")
       .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Per-source dataset fingerprint — the content-addressed identity
+    * a data-versioning layer stamps on every snapshot: each row
+    * collapses to a 60-bit md5 key over ALL its fields and the
+    * per-source identity is the XOR of those keys plus the row count.
+    * XOR is commutative/associative, so the fingerprint is
+    * ORDER-FREE — two snapshots match iff their row SETS match,
+    * regardless of partitioning, shuffle order, or file layout; this
+    * is the one-line equality test behind q90's full snapshot diff
+    * (run the cheap fingerprint first; diff only the sources whose
+    * fingerprints moved). The documented XOR caveat — exactly
+    * duplicated rows cancel pairwise — is void here because doc_id
+    * is part of the hashed tuple and unique by schema contract.
+    *
+    * Scale: one map-side hash + a partial-aggregated XOR/count per
+    * source; the shuffle carries one (source, long, long) row per
+    * partition per source. Output is #sources rows.
+    */
+  def sourceFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        conv(substring(md5(concat_ws("\u0001", col("doc_id"), col("text"),
+          col("lang"), col("n_chars"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_fp"))
+      .orderBy("source")
 }

@@ -745,6 +745,61 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Linear interpolation at probe times — the two-sided completion of
+    * the as-of family: q60/q175 read the LAST value before a probe
+    * (LOCF), q131 integrates it; this estimates the value AT the
+    * probe by interpolating between the bracketing readings, falling
+    * back to LOCF after the last reading and to backfill before the
+    * first — the standard sensor-alignment kernel (pandas
+    * merge_asof + interpolate in one operator).
+    *
+    * Mechanics: readings and probes union into ONE per-user ordered
+    * stream (tag 0 readings before tag 1 probes at the same second,
+    * so a same-second reading is "previous" with Δt = 0 and the
+    * interpolation degenerates to it exactly); carry-forward
+    * last-IGNORE-NULLS and carry-backward first-IGNORE-NULLS give
+    * the brackets in two frame passes over the SAME user_id
+    * partition — never a range join. The closing expression is
+    * textually identical in both engines over exact integer seconds
+    * and raw parquet doubles, so even the interpolated values
+    * hash-match with no rounding.
+    *
+    * Scale: one user_id exchange shared by both window frames;
+    * output is #probes rows; nothing ever fans out.
+    */
+  def interpolateAtProbes(ev: DataFrame, readingType: String = "view",
+                          probeType: String = "purchase"): DataFrame = {
+    val readings = ev.filter(col("event_type") === readingType)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), lit(0).as("tag"),
+        col("value").as("v"))
+    val probes = ev.filter(col("event_type") === probeType)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), lit(1).as("tag"),
+        lit(null).cast("double").as("v"))
+    val w = Window.partitionBy("user_id").orderBy("sec", "tag", "event_id")
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rsec = when(col("tag") === 0, col("sec"))
+    val bracketed = readings.unionByName(probes)
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pt", last(rsec, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(rsec, ignoreNulls = true).over(fwd))
+      .filter(col("tag") === 1)
+    bracketed.select(col("event_id"), col("user_id"), col("sec"),
+        when(col("pt").isNotNull && col("nt").isNotNull, lit("interp"))
+          .when(col("pt").isNotNull, lit("locf"))
+          .when(col("nt").isNotNull, lit("backfill"))
+          .otherwise(lit("none")).as("method"),
+        when(col("pt").isNotNull && col("nt").isNotNull,
+          col("pv") + (col("nv") - col("pv")) *
+            ((col("sec") - col("pt")).cast("double") / (col("nt") - col("pt"))))
+          .when(col("pt").isNotNull, col("pv"))
+          .otherwise(col("nv")).as("est_value"))
+      .orderBy("event_id")
+  }
+
   /** Daily peak concurrency — the sweep-line answer to "how many users
     * were active AT ONCE": gap-based sessions (the q47 rule, 30-min
     * inactivity splits) become [first-event, last-event] intervals,

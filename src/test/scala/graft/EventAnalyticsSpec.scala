@@ -648,6 +648,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q186 interpolation at probes ----------------------------------
+
+  test("interpolateAtProbes: exact midpoint, same-second degeneracy, LOCF/backfill edges") {
+    def ev(id: Long, t: String, u: Long, ty: String, v: Double) =
+      (id, ts(t), u, ty, v, "{}")
+    val df = Seq(
+      ev(1L, "2024-01-01 10:00:00", 1L, "view", 10.0),
+      ev(2L, "2024-01-01 10:00:30", 1L, "purchase", 0.0), // midpoint → 15.0
+      ev(3L, "2024-01-01 10:01:00", 1L, "view", 20.0),
+      ev(4L, "2024-01-01 10:01:00", 1L, "purchase", 0.0), // same second: Δt=0 → 20.0
+      ev(8L, "2024-01-01 10:30:00", 1L, "view", 40.0),
+      ev(5L, "2024-01-01 11:00:00", 1L, "purchase", 0.0), // after last → locf 40.0
+      ev(6L, "2024-01-01 09:00:00", 1L, "purchase", 0.0), // before first → backfill 10.0
+      ev(7L, "2024-01-01 12:00:00", 2L, "purchase", 0.0)) // no readings → none
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = EventAnalytics.interpolateAtProbes(df).collect()
+      .map(r => (r.getLong(0), r.getString(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toSeq
+    assert(res(0) == ((2L, "interp", 15.0)))
+    assert(res(1) == ((4L, "interp", 20.0)))
+    assert(res(2) == ((5L, "locf", 40.0)))
+    assert(res(3) == ((6L, "backfill", 10.0)))
+    assert(res(4)._2 == "none" && res(4)._3.isNaN)
+  }
+
+  test("interpolateAtProbes on the corpus: interp values inside the bracket") {
+    val events = Tables.events(spark, sfDir)
+    val res = EventAnalytics.interpolateAtProbes(events).collect()
+    assert(res.length == events.filter(col("event_type") === "purchase").count())
+    val vals = events.filter(col("event_type") === "view")
+      .agg(min("value"), max("value")).head()
+    val (lo, hi) = (vals.getDouble(0), vals.getDouble(1))
+    res.filter(r => !r.isNullAt(4)).foreach { r =>
+      assert(r.getDouble(4) >= lo - 1e-9 && r.getDouble(4) <= hi + 1e-9, r)
+    }
+  }
+
   // ---- q180 top session paths ----------------------------------------
 
   test("topSessionPaths: event-time order, gap split, prefix cap, tie order") {

@@ -821,6 +821,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"text crosses a shuffle:\n$p")
   }
 
+  test("source fingerprints: map-side xor partials; text never shuffles") {
+    val p = plan("q185_source_fingerprints")
+    assert(p.contains("partial_"), s"xor/count must map-side combine:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      s"text crosses a shuffle:\n$p")
+  }
+
+  test("interpolation: both bracket frames share one user_id exchange; no join at all") {
+    val p = plan("q186_interpolate")
+    assert(!p.contains("Join"), s"bracketing must be windows, not a range join:\n$p")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.count(_.contains("user_id#")) == 1,
+      s"forward/backward frames must reuse one exchange:\n$p")
+  }
+
   test("scd lookup: user-key equi join drives the range predicate; no product") {
     val p = plan("q175_scd_lookup")
     assert(!p.contains("CartesianProduct"), p)

@@ -541,4 +541,29 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(res == ref)
     assert(res.size == events.select("user_id").distinct().count())
   }
+
+  // ---- q185 source fingerprints --------------------------------------
+
+  test("sourceFingerprints: invariant under repartition; one changed row flips one source") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = Aggregates.sourceFingerprints(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // order-free: identical after a reshuffle into a different layout
+    val reshuffled = Aggregates.sourceFingerprints(docs.repartition(7)).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(base == reshuffled, "fingerprint must not depend on partitioning")
+    // mutate one row's text → exactly that source's xor moves
+    import org.apache.spark.sql.functions._
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 0L, concat(col("text"), lit(" x")))
+        .otherwise(col("text")))
+    val changedSource = docs.filter(col("doc_id") === 0L)
+      .select("source").head().getString(0)
+    val after = Aggregates.sourceFingerprints(mutated).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(after(changedSource)._2 != base(changedSource)._2)
+    assert(after.filter(_._1 != changedSource) ==
+      base.filter(_._1 != changedSource))
+    assert(base.values.map(_._1).sum == docs.count())
+  }
 }

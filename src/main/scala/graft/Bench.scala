@@ -126,11 +126,40 @@ object Bench {
     }
   }
 
-  private[graft] def queriesJson(results: Seq[(String, Double)]): String =
-    results
+  /** Main-line per-query encoding. The dict form ("114":1.2) grows at
+    * ~10 worst-case chars per query — at 187 queries it can no longer
+    * worst-case-fit the driver's 2000-char tail window next to the
+    * CAL line and the sbt trailer (ArtifactFormatSpec models this).
+    * Query numbers are CONTIGUOUS 1..N by SparkEntry discipline, so
+    * the scaling form is a position-addressed ARRAY of integer
+    * deciseconds: queries[i] = runtime of query number i+1, ≤4
+    * chars worst-case, self-described by the main line's "enc"
+    * field. A `slowest` dict (seconds, top entries > 2 s) keeps the
+    * judge's per-query hot list readable without re-deriving
+    * indices. If the contract ever un-contiguifies, the guard below
+    * falls back to the dict so values can never silently
+    * mis-attribute.
+    */
+  private[graft] def queriesJson(results: Seq[(String, Double)]): String = {
+    val nums = results.map(_._1.drop(1).takeWhile(_ != '_').toInt)
+    val contiguous = nums == (1 to results.size)
+    if (contiguous)
+      results.map { case (_, v) =>
+        math.min(math.rint(v * 10).toLong, 999L).toString
+      }.mkString("[", ",", "]")
+    else
+      results.map { case (k, v) =>
+        val num = k.drop(1).takeWhile(_ != '_')
+        jsonStr(num.dropWhile(_ == '0')) + ":" + qnum(v)
+      }.mkString("{", ",", "}")
+  }
+
+  /** Top slow queries as a seconds dict — bounded at `cap` entries
+    * and a 2 s floor, so its window budget is a constant. */
+  private[graft] def slowestJson(results: Seq[(String, Double)],
+                                 cap: Int = 8): String =
+    results.filter(_._2 > 2.0).sortBy(-_._2).take(cap)
       .map { case (k, v) =>
-        // bare numeric key, leading zero stripped ("q01_…" → "1"):
-        // every artifact char is main-line budget at 175 queries
         val num = k.drop(1).takeWhile(_ != '_')
         jsonStr(num.dropWhile(_ == '0')) + ":" + qnum(v)
       }
@@ -307,7 +336,10 @@ object Bench {
     // plus the sbt success trailer fit the 2000-char tail window
     // together (~1100 chars at 77 queries)
     println(s"""BENCH_CAL $cal""")
-    println(s"""{"metric":"total","value":${dec(total, 3)},"unit":"sec","queries":$qs$errs,"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")
+    // enc makes the array self-describing; slowest is the judge's
+    // hot list in plain seconds (bounded, so its budget is constant)
+    val slow = slowestJson(results)
+    println(s"""{"metric":"total","value":${dec(total, 3)},"unit":"sec","enc":"queries[i]=deciseconds of query i+1","queries":$qs,"slowest_sec":$slow$errs,"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")
     spark.stop()
   }
 }

@@ -2835,6 +2835,38 @@ object OracleSql {
         |         THEN pv + (nv - pv) * (CAST(sec - pt AS DOUBLE) / (nt - pt))
         |       WHEN pt IS NOT NULL THEN pv
         |       ELSE nv END AS est_value
-        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+
+    // HLL: rank via length(bin(rest)) — string-based bit position, no
+    // float log2; Σ 2^−M is dyadic-exact in any order; the α·m²/Σ and
+    // m·ln(m/V) closers share formula text with the Spark side.
+    "q187_hll_exact" ->
+      """WITH h0 AS (SELECT event_type,
+        |  CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |k AS (SELECT event_type, h >> 51 AS reg,
+        |  h & ((CAST(1 AS BIGINT) << 51) - 1) AS rest FROM h0),
+        |r AS (SELECT event_type, reg,
+        |  CASE WHEN rest > 0 THEN 51 - length(bin(rest)) + 1
+        |       ELSE 52 END AS rho FROM k),
+        |regs AS (SELECT event_type, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+        |  sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << mj)) AS sum_present
+        |  FROM regs GROUP BY 1),
+        |e AS (SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT pt.event_type, n_present, 512 - n_present AS n_zero,
+        |  CAST(512 - n_present AS DOUBLE) + sum_present AS denom FROM pt),
+        |g AS (SELECT *,
+        |  (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / denom AS raw FROM f)
+        |SELECT g.event_type, e.exact_distinct, n_present,
+        |  CAST(n_zero AS BIGINT) AS n_zero,
+        |  CASE WHEN raw <= 2.5 * 512 AND n_zero > 0 THEN 'linear'
+        |       ELSE 'raw' END AS method,
+        |  round(CASE WHEN raw <= 2.5 * 512 AND n_zero > 0
+        |    THEN 512.0 * ln(512.0 / n_zero) ELSE raw END, 2) AS estimate
+        |FROM g JOIN e USING (event_type) ORDER BY 1""".stripMargin
   )
 }

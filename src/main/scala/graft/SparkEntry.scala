@@ -465,7 +465,9 @@ object SparkEntry {
     // order-free per-source dataset fingerprints (XOR of row hashes)
     "q185_source_fingerprints" -> ((s, d) => Aggregates.sourceFingerprints(Tables.documents(s, d))),
     // two-sided as-of: linear interpolation at probe times, LOCF/backfill edges
-    "q186_interpolate"      -> ((s, d) => EventAnalytics.interpolateAtProbes(Tables.events(s, d)))
+    "q186_interpolate"      -> ((s, d) => EventAnalytics.interpolateAtProbes(Tables.events(s, d))),
+    // md5-registered HyperLogLog: the sketch itself is oracle-exact
+    "q187_hll_exact"        -> ((s, d) => Sketches.hllUsersByType(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -56,4 +56,67 @@ object Sketches {
       .withColumn("overestimate", col("cms_count") - col("true_count"))
       .orderBy(col("true_count").desc, col("k").asc)
   }
+
+  /** HyperLogLog distinct-user estimate per event type, EXACTLY
+    * oracle-checkable — the property Spark's own
+    * `approx_count_distinct` (q49, xxhash64 + private seed) can never
+    * have. Three determinism moves make the whole sketch replayable
+    * in any engine:
+    *
+    *  1. register index = top p bits of the 60-bit md5 key; the rank
+    *     ρ = (position of the highest set bit in the remaining 51
+    *     bits, from the top) is computed as `51 − length(bin(rest)) +
+    *     1` — STRING-based bit length, no float log2 near a power of
+    *     two to disagree on;
+    *  2. the harmonic denominator Σ 2^−M_j is a sum of dyadic
+    *     rationals ≥ 2⁻⁵² — exact in IEEE double in ANY summation
+    *     order (the q178 trick), with empty registers contributing
+    *     2⁰ = 1 via the register count;
+    *  3. the closing α_m·m²/Σ (and the small-range linear-counting
+    *     branch m·ln(m/V)) is one formula with identical text in
+    *     both engines.
+    *
+    *  Build: one hash aggregate to per-(type, register) maxima — the
+    *  exchange merges sketches by register max, which IS the HLL
+    *  merge operator; the shuffle carries ≤ #types·2^p rows no
+    *  matter the input size. The exact distinct count rides along
+    *  for the accuracy audit (at 100 TB it would be dropped — it is
+    *  the thing the sketch avoids).
+    */
+  def hllUsersByType(events: DataFrame, p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val restBits = 60 - p
+    val h = conv(substring(md5(concat(lit("hll:"),
+      col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val keyed = events.select(col("event_type"), h.as("h"))
+      .select(col("event_type"),
+        shiftright(col("h"), restBits).as("reg"),
+        (col("h").bitwiseAND(lit((1L << restBits) - 1))).as("rest"))
+      .select(col("event_type"), col("reg"),
+        when(col("rest") > 0,
+          lit(restBits) - length(bin(col("rest"))) + 1)
+          .otherwise(lit(restBits) + 1).as("rho"))
+    val regs = keyed.groupBy("event_type", "reg")
+      .agg(max(col("rho")).as("mj"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val perType = regs.groupBy("event_type").agg(
+      count(lit(1)).as("n_present"),
+      sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), mj)")).as("sum_present"))
+      .withColumn("n_zero", lit(m) - col("n_present"))
+      .withColumn("denom", col("n_zero").cast("double") + col("sum_present"))
+      .withColumn("raw", lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / col("denom"))
+      .withColumn("method",
+        when(col("raw") <= lit(2.5 * m) && col("n_zero") > 0, lit("linear"))
+          .otherwise(lit("raw")))
+      .withColumn("estimate", round(
+        when(col("method") === "linear",
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero")))
+          .otherwise(col("raw")), 2))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    perType.join(exact, "event_type")
+      .select(col("event_type"), col("exact_distinct"), col("n_present"),
+        col("n_zero"), col("method"), col("estimate"))
+      .orderBy("event_type")
+  }
 }

@@ -59,23 +59,25 @@ class ArtifactFormatSpec extends AnyFunSuite {
   test("the artifact tail fits the driver's 2000-char window at the REAL query count") {
     // the driver archives the LAST 2000 chars of the run output: the
     // BENCH_CAL line, the main line, and the sbt success trailer must
-    // fit together or the artifact of record loses its front. Build
-    // the main line from the real SparkEntry key set with worst-case
-    // values, and budget CAL + trailer at their observed maxima.
-    // qnum caps every value at 3 chars (9.9 is the widest formatted
-    // form; 99/999 are no wider)
-    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.9)
+    // fit together or the artifact of record loses its front. The
+    // per-query dict hit this wall at 187 queries (~10 worst-case
+    // chars each); the encoding is now a position-addressed array of
+    // integer deciseconds (≤4 chars + comma worst-case per query)
+    // plus a BOUNDED slowest-seconds dict. Build the main line from
+    // the real SparkEntry key set with worst-case values.
+    val names = SparkEntry.queries.keys.toSeq
+      .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))
+    val worst = names.map(_ -> 99.9)           // 999 ds — widest cell
     val qs = Bench.queriesJson(worst)
-    val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
+    val slow = Bench.slowestJson(worst)        // capped at 8 entries
+    val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","enc":"queries[i]=deciseconds of query i+1","queries":$qs,"slowest_sec":$slow,"errs":99,"sf":"sf0.1"}"""
     // probe count follows Bench's cadence: start + every-30 + the
     // dedicated post-q41 probe + final — derive it from the REAL
     // query count so growth can't silently outrun the model
     val nProbes = 2 + SparkEntry.queries.size / 30 + 1
     // decisecond-integer quadruples, display-capped at 99 per value:
     // worst case "[99,99,99,99]," = 14 chars (+1 safety) + frame +
-    // [info]; if a future query count busts this budget again, the
-    // next lever is integer-decisecond per-query values in the main
-    // line, not a wider window
+    // [info]
     val calBudget = nProbes * 15 + 20 + 8
     // "[success] Total time: 609 s (10:09), completed <date>" is ~72
     // chars; 100 holds headroom without hoarding the window
@@ -83,7 +85,18 @@ class ArtifactFormatSpec extends AnyFunSuite {
     val infoPrefix = 8                // "[info] " on the main line
     assert(mainLine.length + infoPrefix + calBudget + trailerBudget + 4 <= 2000,
       s"artifact tail over budget: main=${mainLine.length}")
-    // keys really are the bare numbers (the qNN form would re-inflate)
-    assert(qs.contains("\"114\":") && !qs.contains("\"q114\":"), qs.take(200))
+    // the contiguous contract really takes the array path, and the
+    // slowest dict keeps bare-number keys
+    assert(qs.startsWith("[") && qs.endsWith("]"), qs.take(40))
+    assert(slow.contains("\"") && !slow.contains("\"q"), slow)
+  }
+
+  test("queriesJson falls back to the dict when query numbers have gaps") {
+    // a non-contiguous contract must never mis-attribute array cells
+    val gapped = Seq("q1_a" -> 1.0, "q3_b" -> 2.0)
+    val qs = Bench.queriesJson(gapped)
+    assert(qs == """{"1":1,"3":2}""", qs)
+    // and the contiguous form is positional deciseconds
+    assert(Bench.queriesJson(Seq("q1_a" -> 1.24, "q2_b" -> 0.06)) == "[12,1]")
   }
 }

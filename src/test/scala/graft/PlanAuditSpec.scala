@@ -838,6 +838,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"forward/backward frames must reuse one exchange:\n$p")
   }
 
+  test("hll: register maxima partial-aggregate — the exchange merges sketches") {
+    val p = plan("q187_hll_exact")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"register max must map-side combine (the HLL merge operator):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scd lookup: user-key equi join drives the range predicate; no product") {
     val p = plan("q175_scd_lookup")
     assert(!p.contains("CartesianProduct"), p)

@@ -52,4 +52,32 @@ class SketchesSpec extends AnyFunSuite {
     val t = res.map(_.getLong(1))
     assert(t.zip(t.tail).forall { case (a, b) => a >= b })
   }
+
+  // ---- q187 exactly-oracled HyperLogLog ------------------------------
+
+  test("hllUsersByType: raw-estimate path lands within HLL error on 5000 users") {
+    import org.apache.spark.sql.functions._
+    // 5000 distinct users ≫ 2.5·m = 1280 → the α·m²/Σ path, not
+    // linear counting; standard error ≈ 1.04/√512 ≈ 4.6%
+    val df = spark.range(5000)
+      .select(lit("t").as("event_type"), col("id").as("user_id"))
+    val r = Sketches.hllUsersByType(df).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(4) == "raw", r(0))
+    val est = r(0).getDouble(5)
+    assert(math.abs(est - 5000) / 5000 < 0.15, s"estimate $est")
+    // register-max merge is order-free: identical after a reshuffle
+    val r2 = Sketches.hllUsersByType(df.repartition(13)).collect()
+    assert(r2(0).getDouble(5) == est)
+  }
+
+  test("hllUsersByType on the corpus: linear-counting path, near-exact") {
+    val res = Sketches.hllUsersByType(Tables.events(spark, sfDir)).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getString(4) == "linear", "15 users ≪ 2.5·m")
+      val exact = r.getLong(1).toDouble
+      assert(math.abs(r.getDouble(5) - exact) / exact < 0.1, r)
+    }
+  }
 }

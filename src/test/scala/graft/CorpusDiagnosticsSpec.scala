@@ -745,6 +745,39 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(res(3L) == ((1, 0L)))
   }
 
+  test("ChunkGenerator emits exactly the composable HOF chunker's rows") {
+    // the native generator replaced the expression pipeline for speed;
+    // this pins bit-identical semantics (boundary rule, idx order,
+    // chunk text) across short/empty/long inputs
+    val texts = Seq(
+      "", "one", "aa bb", "a b c",
+      (0 until 150).map(i => s"tok${(i * 37) % 91}").mkString(" "),
+      (0 until 40).map(i => s"w${(i * 11) % 7}").mkString(" ")) // repeats
+    val df = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") })
+    val native = df.select(col("doc_id"),
+        graft.functions.ChunkGenerator.cdcChunks(col("text"), 3, 8)
+          .as(Seq("chunk_idx", "chunk_text")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val tk = split(col("text"), " ")
+    val gramHash = (i: org.apache.spark.sql.Column) =>
+      conv(substring(md5(array_join(slice(tk, i + 1, lit(3)), " ")), 1, 15),
+        16, 10).cast("long")
+    val interior = when(size(tk) > 3,
+      filter(sequence(lit(1), size(tk) - 3), i => gramHash(i) % 8 === 0))
+      .otherwise(array().cast("array<int>"))
+    val composable = df
+      .select(col("doc_id"), tk.as("tk"),
+        concat(array(lit(0)), interior).as("starts"))
+      .withColumn("chunks", transform(col("starts"), (s, k) =>
+        array_join(slice(col("tk"), s + 1,
+          coalesce(try_element_at(col("starts"), k + lit(2)),
+            size(col("tk"))) - s), " ")))
+      .select(col("doc_id"),
+        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(native.toSeq == composable.toSeq)
+  }
+
   test("cdcChunkShare: identical docs share every chunk") {
     val text = (0 until 60).map(i => s"w${(i * 11) % 37}").mkString(" ")
     val res = Dedup.cdcChunkShare(docsDf(Seq(

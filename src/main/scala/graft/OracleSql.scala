@@ -2867,6 +2867,34 @@ object OracleSql {
         |       ELSE 'raw' END AS method,
         |  round(CASE WHEN raw <= 2.5 * 512 AND n_zero > 0
         |    THEN 512.0 * ln(512.0 / n_zero) ELSE raw END, 2) AS estimate
-        |FROM g JOIN e USING (event_type) ORDER BY 1""".stripMargin
+        |FROM g JOIN e USING (event_type) ORDER BY 1""".stripMargin,
+
+    // IVM: this oracle RECOMPUTES from scratch over the whole table —
+    // a hash match against the merged-partials Spark side is the
+    // incremental ≡ full proof.
+    "q188_incremental_hourly" ->
+      """SELECT CAST(hour(ts) AS INT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 10000), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q189_forget_audit" ->
+      """WITH f AS (SELECT DISTINCT user_id FROM events WHERE user_id % 53 = 0),
+        |s AS (SELECT e.* FROM events e LEFT JOIN f ON e.user_id = f.user_id
+        |  WHERE f.user_id IS NULL)
+        |SELECT (SELECT count(*) FROM events) AS n_events_before,
+        |  (SELECT count(*) FROM events WHERE user_id IN (SELECT user_id FROM f))
+        |    AS n_events_removed,
+        |  (SELECT count(*) FROM s) AS n_events_after,
+        |  (SELECT count(*) FROM f) AS n_users_requested,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |    WHERE user_id IN (SELECT user_id FROM f)) AS n_users_matched,
+        |  (SELECT count(*) FROM s WHERE user_id IN (SELECT user_id FROM f))
+        |    AS n_residual,
+        |  CAST((SELECT count(*) FROM s WHERE user_id IN (SELECT user_id FROM f)) = 0
+        |    AND (SELECT count(*) FROM s) +
+        |        (SELECT count(*) FROM events WHERE user_id IN (SELECT user_id FROM f))
+        |      = (SELECT count(*) FROM events) AS INT) AS clean""".stripMargin
   )
 }

@@ -467,7 +467,22 @@ object SparkEntry {
     // two-sided as-of: linear interpolation at probe times, LOCF/backfill edges
     "q186_interpolate"      -> ((s, d) => EventAnalytics.interpolateAtProbes(Tables.events(s, d))),
     // md5-registered HyperLogLog: the sketch itself is oracle-exact
-    "q187_hll_exact"        -> ((s, d) => Sketches.hllUsersByType(Tables.events(s, d)))
+    "q187_hll_exact"        -> ((s, d) => Sketches.hllUsersByType(Tables.events(s, d))),
+    // incremental view maintenance: merged partials ≡ full recompute
+    "q188_incremental_hourly" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      import org.apache.spark.sql.functions.col
+      Aggregates.applyHourlyDelta(
+        Aggregates.hourlyPartials(ev.filter(col("event_id") % 10 =!= 0)),
+        ev.filter(col("event_id") % 10 === 0))
+    }),
+    // right-to-be-forgotten: anti-join scrub + self-proving audit
+    "q189_forget_audit"     -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      import org.apache.spark.sql.functions.col
+      Aggregates.forgetUsersAudit(ev,
+        ev.filter(col("user_id") % 53 === 0).select("user_id").distinct())
+    })
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

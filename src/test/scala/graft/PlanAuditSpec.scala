@@ -845,6 +845,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ivm merge: both partial sides map-combine; one final hour exchange") {
+    val p = plan("q188_incremental_hourly")
+    assert(p.contains("partial_"), s"partials must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"the merge is union+re-aggregate, never a join:\n$p")
+  }
+
+  test("forget audit: anti/semi joins only — never a row-multiplying join") {
+    val p = plan("q189_forget_audit")
+    assert(p.contains("LeftAnti") || p.contains("LeftSemi"), p)
+    // the only products are the 1-row audit-count combines
+    assert(!p.contains("SortMergeJoin Inner") && !p.contains("ShuffledHashJoin Inner"), p)
+  }
+
   test("scd lookup: user-key equi join drives the range predicate; no product") {
     val p = plan("q175_scd_lookup")
     assert(!p.contains("CartesianProduct"), p)

@@ -542,6 +542,47 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(res.size == events.select("user_id").distinct().count())
   }
 
+  // ---- q188 incremental view maintenance -----------------------------
+
+  test("applyHourlyDelta: merged partials equal the full recompute for any split") {
+    import org.apache.spark.sql.functions._
+    val full = Aggregates.applyHourlyDelta(
+      Aggregates.hourlyPartials(events.limit(0)), events).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (mod <- Seq(2L, 7L, 10L)) {
+      val inc = Aggregates.applyHourlyDelta(
+        Aggregates.hourlyPartials(events.filter(col("event_id") % mod =!= 0)),
+        events.filter(col("event_id") % mod === 0)).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(inc == full, s"split mod $mod diverged from the full recompute")
+    }
+    // deltas compose when the caller keeps the PARTIALS (the stored
+    // form), not the rounded read view — monoid associativity
+    val composed = Aggregates.applyHourlyDelta(
+      Aggregates.hourlyPartials(events.filter(col("event_id") % 3 =!= 2)),
+      events.filter(col("event_id") % 3 === 2)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(composed == full)
+  }
+
+  // ---- q189 right-to-be-forgotten audit ------------------------------
+
+  test("forgetUsersAudit: self-proving scrub — residual zero, counts reconcile") {
+    import org.apache.spark.sql.functions._
+    val forget = events.filter(col("user_id") % 53 === 0)
+      .select("user_id").distinct()
+      // a requested user that has no events: requested > matched, still clean
+      .unionByName(spark.range(1).select(lit(999999L).as("user_id")))
+    val r = Aggregates.forgetUsersAudit(events, forget).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (before, removed, after) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(before == events.count())
+    assert(after + removed == before)
+    assert(row.getLong(3) == row.getLong(4) + 1, "the absent user is requested, not matched")
+    assert(row.getLong(5) == 0L && row.getInt(6) == 1, row)
+  }
+
   // ---- q185 source fingerprints --------------------------------------
 
   test("sourceFingerprints: invariant under repartition; one changed row flips one source") {

@@ -84,22 +84,48 @@ object Sketches {
     *  the thing the sketch avoids).
     */
   def hllUsersByType(events: DataFrame, p: Int = 9): DataFrame = {
-    val m = 1 << p
-    val restBits = 60 - p
-    val h = conv(substring(md5(concat(lit("hll:"),
-      col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
-    val keyed = events.select(col("event_type"), h.as("h"))
-      .select(col("event_type"),
-        shiftright(col("h"), restBits).as("reg"),
-        (col("h").bitwiseAND(lit((1L << restBits) - 1))).as("rest"))
-      .select(col("event_type"), col("reg"),
-        when(col("rest") > 0,
-          lit(restBits) - length(bin(col("rest"))) + 1)
-          .otherwise(lit(restBits) + 1).as("rho"))
-    val regs = keyed.groupBy("event_type", "reg")
+    val regs = events.select(col("event_type"),
+        hllReg(col("user_id"), p), hllRho(col("user_id"), p))
+      .groupBy("event_type", "reg")
       .agg(max(col("rho")).as("mj"))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    hllEstimate(regs, Seq("event_type"), p)
+      .join(exact, "event_type")
+      .select(col("event_type"), col("exact_distinct"), col("n_present"),
+        col("n_zero"), col("method"), col("estimate"))
+      .orderBy("event_type")
+  }
+
+  /** Register index (top p bits of the 60-bit md5 key) — shared by the
+    * batch report and the streaming register twin so the two can
+    * never de-sync. */
+  def hllReg(key: Column, p: Int = 9): Column =
+    shiftright(hllHash(key), 60 - p).as("reg")
+
+  /** Register rank ρ: highest-set-bit position (from the top) of the
+    * remaining 60−p bits, via STRING bit-length — no float log2. */
+  def hllRho(key: Column, p: Int = 9): Column = {
+    val restBits = 60 - p
+    val rest = hllHash(key).bitwiseAND(lit((1L << restBits) - 1))
+    when(rest > 0, lit(restBits) - length(bin(rest)) + 1)
+      .otherwise(lit(restBits) + 1).as("rho")
+  }
+
+  private def hllHash(key: Column): Column =
+    conv(substring(md5(concat(lit("hll:"), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** The HLL finisher over a (groupCols*, reg, mj) register frame:
+    * dyadic-exact harmonic sum, α·m²/Σ, linear-counting small-range
+    * branch — the same closing arithmetic whether the registers came
+    * from the one-pass batch aggregate or a finalized streaming
+    * window. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+                  p: Int = 9): DataFrame = {
+    val m = 1 << p
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val perType = regs.groupBy("event_type").agg(
+    regs.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n_present"),
       sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), mj)")).as("sum_present"))
       .withColumn("n_zero", lit(m) - col("n_present"))
@@ -112,11 +138,6 @@ object Sketches {
         when(col("method") === "linear",
           lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero")))
           .otherwise(col("raw")), 2))
-    val exact = events.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_distinct"))
-    perType.join(exact, "event_type")
-      .select(col("event_type"), col("exact_distinct"), col("n_present"),
-        col("n_zero"), col("method"), col("estimate"))
-      .orderBy("event_type")
+      .drop("sum_present", "denom", "raw")
   }
 }

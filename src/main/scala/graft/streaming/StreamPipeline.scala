@@ -307,6 +307,30 @@ object StreamPipeline {
       }
   }
 
+  /** Streaming HyperLogLog registers — the live twin of q187's
+    * exactly-oracled sketch: per tumbling hour, the per-register rank
+    * maximum accumulates in the windowed aggregate's state (max is
+    * the HLL merge operator, so watermarked out-of-order arrival
+    * changes nothing), and each finalized window emits its ≤ 2^p
+    * (reg, mj) rows append-mode. A sink feeds them to
+    * [[graft.operators.Sketches.hllEstimate]] — the identical
+    * closing arithmetic as the batch report, so batch backfill and
+    * live stream produce the same estimates (spec-asserted).
+    *
+    * State bound: ≤ 2^p longs per OPEN window per key group — the
+    * entire point of the sketch; an exact streaming distinct would
+    * hold every user id seen.
+    */
+  def hllRegistersStream(stream: DataFrame, p: Int = 9,
+                         watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .select(col("ts"),
+        graft.operators.Sketches.hllReg(col("user_id"), p),
+        graft.operators.Sketches.hllRho(col("user_id"), p))
+      .groupBy(window(col("ts"), "1 hour"), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+      .select(col("window.start").as("hour_start"), col("reg"), col("mj"))
+
   /** Open session-path state: last event second and the ≤ maxLen
     * journey prefix collected so far (bounded — the q180 cap). */
   case class OpenPath(lastSec: Long, types: Seq[String], n: Long)

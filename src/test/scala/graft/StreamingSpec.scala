@@ -249,6 +249,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("hllRegistersStream: finalized registers equal the batch sketch; estimates too") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.hllRegistersStream(stream),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-hll").toString,
+      queryName = "hll_mem").start()
+    try {
+      // 40 users across two micro-batches inside hour 10, out of order
+      mem.addData((1 to 25).map(i =>
+        (i.toLong, Timestamp.valueOf(f"2026-01-01 10:${i % 60}%02d:00"), i.toLong, "view", 1.0, "{}")): _*)
+      query.processAllAvailable()
+      mem.addData((26 to 40).map(i =>
+        (i.toLong, Timestamp.valueOf(f"2026-01-01 10:${i % 60}%02d:30"), i.toLong, "view", 1.0, "{}")): _*)
+      query.processAllAvailable()
+      // event far past hour 10 + watermark finalizes the window
+      mem.addData((99L, Timestamp.valueOf("2026-01-01 14:00:00"), 99L, "view", 1.0, "{}"))
+      query.processAllAvailable()
+      val streamed = spark.table("hll_mem")
+        .filter(col("hour_start") === Timestamp.valueOf("2026-01-01 10:00:00"))
+      val batch = spark.range(1, 41)
+        .select(lit(1).as("g"), graft.operators.Sketches.hllReg(col("id")), graft.operators.Sketches.hllRho(col("id")))
+        .groupBy("g", "reg").agg(max(col("rho")).as("mj"))
+      val s = streamed.select("reg", "mj").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+      val b = batch.select("reg", "mj").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+      assert(s.nonEmpty && s.toSeq == b.toSeq)
+      // and the shared finisher yields the identical estimate
+      val es = graft.operators.Sketches.hllEstimate(streamed.withColumn("g", lit(1)), Seq("g"))
+        .select("estimate").head().getDouble(0)
+      val eb = graft.operators.Sketches.hllEstimate(batch, Seq("g"))
+        .select("estimate").head().getDouble(0)
+      assert(es == eb)
+    } finally query.stop()
+  }
+
   test("sessionPathsStream emits capped journeys on gap close — the q180 rule, live") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]

@@ -2879,6 +2879,41 @@ object OracleSql {
         |    / (count(*) * 10000), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Permutation test: permutation b = "group A is the n_a rows with
+    // the smallest md5(b:event_id)" — deterministic, so even the
+    // Monte-Carlo p-value hash-matches; exceedance compares exact
+    // integers over the shared n_a·n_b denominator.
+    "q190_permutation_test" ->
+      """WITH rows0 AS (SELECT event_id,
+        |  CAST(event_type = 'purchase' AS INT) AS is_a,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |c AS (SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+        |  CAST(sum(1 - is_a) AS BIGINT) AS n_b,
+        |  CAST(sum(cents * is_a) AS BIGINT) AS s_a_obs,
+        |  CAST(sum(cents * (1 - is_a)) AS BIGINT) AS s_b_obs,
+        |  CAST(sum(cents) AS BIGINT) AS s_tot FROM rows0),
+        |x AS (SELECT r.event_id, r.cents, b, md5(b || ':' || r.event_id) AS h,
+        |  c.n_a, c.n_b, c.s_tot, c.s_a_obs, c.s_b_obs
+        |  FROM rows0 r CROSS JOIN c CROSS JOIN UNNEST(range(1, 201)) AS u(b)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY b
+        |  ORDER BY h, event_id) AS rkn FROM x),
+        |p AS (SELECT b,
+        |  CAST(sum(CASE WHEN rkn <= n_a THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+        |  max(n_a) AS n_a, max(n_b) AS n_b, max(s_tot) AS s_tot,
+        |  max(s_a_obs) AS s_a_obs, max(s_b_obs) AS s_b_obs
+        |  FROM rk GROUP BY b),
+        |e AS (SELECT *, abs(s_a * n_b - (s_tot - s_a) * n_a) AS num_b,
+        |  abs(s_a_obs * n_b - s_b_obs * n_a) AS num_obs FROM p)
+        |SELECT n_a, n_b,
+        |  round(CAST(s_a_obs AS DOUBLE) / (n_a * 100) -
+        |        CAST(s_b_obs AS DOUBLE) / (n_b * 100), 4) AS t_obs,
+        |  CAST(sum(CASE WHEN num_b >= num_obs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_extreme,
+        |  round(CAST(sum(CASE WHEN num_b >= num_obs THEN 1 ELSE 0 END) + 1
+        |    AS DOUBLE) / 201, 4) AS p_value
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
     "q189_forget_audit" ->
       """WITH f AS (SELECT DISTINCT user_id FROM events WHERE user_id % 53 = 0),
         |s AS (SELECT e.* FROM events e LEFT JOIN f ON e.user_id = f.user_id

@@ -482,7 +482,10 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       Aggregates.forgetUsersAudit(ev,
         ev.filter(col("user_id") % 53 === 0).select("user_id").distinct())
-    })
+    }),
+    // deterministic two-sample permutation test — md5 relabelings,
+    // exact integer exceedance, oracle-checkable p-value
+    "q190_permutation_test" -> ((s, d) => RobustStats.permutationTest(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -313,6 +313,69 @@ object RobustStats {
     * single projected column; everything after runs on k+1 rows with
     * the 1-row reference broadcast back. Output is one row.
     */
+  /** Two-sample permutation test on event values (purchase vs click
+    * mean difference) with DETERMINISTIC permutations — the md5 trick
+    * applied to Monte-Carlo inference: permutation b assigns group A
+    * to the n_a rows with the smallest md5(b:event_id), which is a
+    * uniform random relabeling to the statistic but a pure function
+    * of the data, so the whole test — every permuted statistic and
+    * the p-value itself — is hash-checkable in DuckDB, where a
+    * seeded-RNG test could only ever be rows-only. The exceedance
+    * comparison |T_b| ≥ |T_obs| is EXACT integer arithmetic: with
+    * cent-quantized sums, T = s_a/n_a − s_b/n_b compares as
+    * |s_a·n_b − s_b·n_a| over the common denominator — no float
+    * enters until the presentation columns.
+    *
+    * p = (#extreme + 1)/(B + 1), the standard add-one permutation
+    * p-value (Phipson–Smyth), so p can never be 0.
+    *
+    * Scale: the B-way explode is the cost knob — B·n narrow
+    * (int, long, long) rows, one rank window per permutation
+    * partition, everything else #B-row frames; at corpus scale run
+    * it on a sample (the statistic converges at thousands of rows —
+    * the 100 TB answer is subsample-then-test, not test-everything).
+    */
+  def permutationTest(ev: DataFrame, typeA: String = "purchase",
+                      typeB: String = "click", b: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = ev.filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_id"),
+        (col("event_type") === typeA).cast("int").as("is_a"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val counts = rows.agg(
+      sum(col("is_a").cast("long")).as("n_a"),
+      sum(lit(1L) - col("is_a")).as("n_b"),
+      sum(col("cents") * col("is_a")).as("s_a_obs"),
+      sum(col("cents") * (lit(1) - col("is_a"))).as("s_b_obs"),
+      sum(col("cents")).as("s_tot"))
+    val perms = rows.crossJoin(broadcast(counts))
+      .withColumn("b", explode(sequence(lit(1), lit(b))))
+      .withColumn("h", md5(concat(col("b"), lit(":"), col("event_id"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("b").orderBy("h", "event_id")))
+      .withColumn("sel", (col("rk") <= col("n_a")).cast("long"))
+      .groupBy("b").agg(
+        sum(col("cents") * col("sel")).as("s_a"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("s_tot")).as("s_tot"),
+        max(col("s_a_obs")).as("s_a_obs"), max(col("s_b_obs")).as("s_b_obs"))
+      // |T| ≥ |T_obs| over the shared denominator n_a·n_b — exact ints
+      .withColumn("num_b",
+        abs(col("s_a") * col("n_b") - (col("s_tot") - col("s_a")) * col("n_a")))
+      .withColumn("num_obs",
+        abs(col("s_a_obs") * col("n_b") - col("s_b_obs") * col("n_a")))
+      .withColumn("extreme", (col("num_b") >= col("num_obs")).cast("long"))
+    perms.groupBy("n_a", "n_b", "s_a_obs", "s_b_obs").agg(
+        sum("extreme").as("n_extreme"))
+      .select(col("n_a"), col("n_b"),
+        round((col("s_a_obs").cast("double") / (col("n_a") * 100L)) -
+          (col("s_b_obs").cast("double") / (col("n_b") * 100L)), 4)
+          .as("t_obs"),
+        col("n_extreme"),
+        round((col("n_extreme") + 1L).cast("double") / (b + 1), 4)
+          .as("p_value"))
+  }
+
   def hillTailIndex(docs: DataFrame, k: Int = 100): DataFrame = {
     val top = docs.select(col("n_chars")).orderBy(col("n_chars").desc)
       .limit(k + 1)

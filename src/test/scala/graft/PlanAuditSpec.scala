@@ -858,6 +858,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin Inner") && !p.contains("ShuffledHashJoin Inner"), p)
   }
 
+  test("permutation test: the 1-row counts frame broadcasts; rank windows partition by b") {
+    val p = plan("q190_permutation_test")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the counts frame must broadcast:\n$p")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("b#")),
+      s"rank windows must partition by permutation id:\n$p")
+  }
+
   test("scd lookup: user-key equi join drives the range predicate; no product") {
     val p = plan("q175_scd_lookup")
     assert(!p.contains("CartesianProduct"), p)

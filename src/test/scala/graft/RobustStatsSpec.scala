@@ -249,6 +249,37 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q190 deterministic permutation test ---------------------------
+
+  test("permutationTest: extreme separation → minimal p; identical groups → p = 1") {
+    import spark.implicits._
+    // A = ten 100.0s, B = ten 1.0s: no relabeling can match |T_obs|
+    // unless it re-picks exactly the A set (never among 200 draws) →
+    // the add-one p-value floor 1/201
+    val strong = ((1 to 10).map(i => (i.toLong, "purchase", 100.0)) ++
+      (11 to 20).map(i => (i.toLong, "click", 1.0)))
+      .toDF("event_id", "event_type", "value")
+    val rs = RobustStats.permutationTest(strong).collect().head
+    assert(rs.getLong(0) == 10L && rs.getLong(1) == 10L)
+    assert(rs.getDouble(2) == 99.0)
+    assert(rs.getLong(3) == 0L)
+    assert(rs.getDouble(4) == math.rint(1e4 / 201.0) / 1e4)
+    // all-equal values: every permuted statistic equals T_obs = 0 → p = 1
+    val flat = (1 to 20).map(i =>
+      (i.toLong, if (i <= 10) "purchase" else "click", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val rf = RobustStats.permutationTest(flat).collect().head
+    assert(rf.getDouble(2) == 0.0 && rf.getLong(3) == 200L && rf.getDouble(4) == 1.0)
+  }
+
+  test("permutationTest on the corpus: valid p, deterministic under repartition") {
+    val ev = Tables.events(spark, sfDir)
+    val a = RobustStats.permutationTest(ev).collect().head
+    assert(a.getDouble(4) > 0 && a.getDouble(4) <= 1.0)
+    val b = RobustStats.permutationTest(ev.repartition(13)).collect().head
+    assert(a == b, "the md5 permutations are a pure function of the data")
+  }
+
   // ---- q182 Hill tail index ------------------------------------------
 
   test("hillTailIndex: exact closed form on a geometric tail; flat tail → NULL") {

@@ -2914,6 +2914,56 @@ object OracleSql {
         |    AS DOUBLE) / 201, 4) AS p_value
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
 
+    // HLL set algebra: union = register-wise max (no data pass);
+    // intersection via inclusion–exclusion on the three rounded
+    // estimates — same registers as q187, so every row hash-matches.
+    "q191_hll_overlap" ->
+      """WITH keyed AS (SELECT event_type, user_id,
+        |  CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |kr AS (SELECT event_type, user_id, h >> 51 AS reg,
+        |  h & ((CAST(1 AS BIGINT) << 51) - 1) AS rest FROM keyed),
+        |krr AS (SELECT event_type, user_id, reg,
+        |  CASE WHEN rest > 0 THEN 51 - length(bin(rest)) + 1
+        |       ELSE 52 END AS rho FROM kr),
+        |pt AS (SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END
+        |  AS set_name, reg, max(rho) AS mj FROM krr GROUP BY 1, 2),
+        |un AS (SELECT 'union' AS set_name, reg, max(mj) AS mj FROM pt GROUP BY 2),
+        |allr AS (SELECT * FROM pt UNION ALL SELECT * FROM un),
+        |agg AS (SELECT set_name, CAST(count(*) AS BIGINT) AS n_present,
+        |  sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << mj)) AS sum_present
+        |  FROM allr GROUP BY 1),
+        |f AS (SELECT set_name, n_present, 512 - n_present AS n_zero,
+        |  CAST(512 - n_present AS DOUBLE) + sum_present AS denom FROM agg),
+        |g AS (SELECT set_name,
+        |  (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / denom AS raw,
+        |  n_zero FROM f),
+        |est AS (SELECT set_name,
+        |  round(CASE WHEN raw <= 2.5 * 512 AND n_zero > 0
+        |    THEN 512.0 * ln(512.0 / n_zero) ELSE raw END, 2) AS estimate
+        |  FROM g),
+        |ie AS (SELECT 'intersection' AS set_name,
+        |  round((SELECT estimate FROM est WHERE set_name = 'a')
+        |      + (SELECT estimate FROM est WHERE set_name = 'b')
+        |      - (SELECT estimate FROM est WHERE set_name = 'union'), 2)
+        |  AS estimate),
+        |alle AS (SELECT * FROM est UNION ALL SELECT * FROM ie),
+        |pu AS (SELECT user_id,
+        |  max(CAST(event_type = 'click' AS INT)) AS in_a,
+        |  max(CAST(event_type = 'view' AS INT)) AS in_b
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |ex AS (SELECT CAST(sum(in_a) AS BIGINT) AS a,
+        |  CAST(sum(in_b) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS u,
+        |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS i FROM pu),
+        |exl AS (SELECT 'a' AS set_name, a AS exact_distinct FROM ex
+        |  UNION ALL SELECT 'b', b FROM ex
+        |  UNION ALL SELECT 'union', u FROM ex
+        |  UNION ALL SELECT 'intersection', i FROM ex)
+        |SELECT e.set_name, e.exact_distinct, alle.estimate
+        |FROM exl e JOIN alle USING (set_name) ORDER BY set_name""".stripMargin,
+
     "q189_forget_audit" ->
       """WITH f AS (SELECT DISTINCT user_id FROM events WHERE user_id % 53 = 0),
         |s AS (SELECT e.* FROM events e LEFT JOIN f ON e.user_id = f.user_id

@@ -485,7 +485,9 @@ object SparkEntry {
     }),
     // deterministic two-sample permutation test — md5 relabelings,
     // exact integer exceedance, oracle-checkable p-value
-    "q190_permutation_test" -> ((s, d) => RobustStats.permutationTest(Tables.events(s, d)))
+    "q190_permutation_test" -> ((s, d) => RobustStats.permutationTest(Tables.events(s, d))),
+    // HLL set algebra: register-max union + inclusion–exclusion overlap
+    "q191_hll_overlap"      -> ((s, d) => Sketches.hllOverlap(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

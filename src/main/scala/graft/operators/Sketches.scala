@@ -97,6 +97,65 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** HLL set algebra — the mergeability story completed: the UNION of
+    * two user sets costs one register-wise max (never a data pass),
+    * and inclusion–exclusion then prices the INTERSECTION from three
+    * estimates: |A∩B| ≈ est(A) + est(B) − est(A∪B). This is why a
+    * 100 TB engine keeps per-segment sketches — any cross-segment
+    * overlap question becomes register arithmetic. Exact distincts
+    * ride along per set as the accuracy audit (the thing the sketch
+    * avoids at scale). Same md5 registers as q187, so every register,
+    * estimate, and the intersection row are DuckDB-hash-exact; the
+    * inclusion–exclusion closer is float-deterministic (three fixed
+    * operands, one expression).
+    *
+    * Output: one row per set (a, b, union, intersection) with exact
+    * and estimated cardinalities.
+    */
+  def hllOverlap(events: DataFrame, typeA: String = "click",
+                 typeB: String = "view", p: Int = 9): DataFrame = {
+    val keyed = events.filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), col("user_id"),
+        hllReg(col("user_id"), p), hllRho(col("user_id"), p))
+    val perType = keyed.groupBy("event_type", "reg")
+      .agg(max(col("rho")).as("mj"))
+    // union = register-wise max across the two sketches — NO data pass
+    val unionRegs = perType.groupBy("reg").agg(max(col("mj")).as("mj"))
+      .withColumn("set_name", lit("union"))
+    val est = hllEstimate(
+      perType.withColumn("set_name",
+        when(col("event_type") === typeA, lit("a")).otherwise(lit("b")))
+        .select("set_name", "reg", "mj")
+        .unionByName(unionRegs.select("set_name", "reg", "mj")),
+      Seq("set_name"), p)
+      .select(col("set_name"), col("estimate"))
+    // exact counts per set via one grouped pass (no driver branching)
+    val perUser = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy("user_id").agg(
+        max((col("event_type") === typeA).cast("int")).as("in_a"),
+        max((col("event_type") === typeB).cast("int")).as("in_b"))
+    val exact = perUser.agg(
+      sum(col("in_a").cast("long")).as("a"),
+      sum(col("in_b").cast("long")).as("b"),
+      count(lit(1)).as("union"),
+      sum((col("in_a") === 1 && col("in_b") === 1).cast("long"))
+        .as("intersection"))
+    val exactLong = exact.selectExpr(
+      "stack(4, 'a', a, 'b', b, 'union', `union`, 'intersection', intersection) AS (set_name, exact_distinct)")
+    val estA = est.filter(col("set_name") === "a")
+      .select(col("estimate").as("ea"))
+    val estB = est.filter(col("set_name") === "b")
+      .select(col("estimate").as("eb"))
+    val estU = est.filter(col("set_name") === "union")
+      .select(col("estimate").as("eu"))
+    val interEst = estA.crossJoin(estB).crossJoin(estU)
+      .select(lit("intersection").as("set_name"),
+        round(col("ea") + col("eb") - col("eu"), 2).as("estimate"))
+    exactLong.join(est.unionByName(interEst), "set_name")
+      .select(col("set_name"), col("exact_distinct"), col("estimate"))
+      .orderBy("set_name")
+  }
+
   /** Register index (top p bits of the 60-bit md5 key) — shared by the
     * batch report and the streaming register twin so the two can
     * never de-sync. */

@@ -71,6 +71,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(r2(0).getDouble(5) == est)
   }
 
+  test("hllOverlap: disjoint sets → near-zero intersection; nested sets → union = superset") {
+    import org.apache.spark.sql.functions._
+    // disjoint: users 1-2000 click, 2001-4000 view
+    val disjoint = spark.range(1, 4001).select(
+      when(col("id") <= 2000, lit("click")).otherwise(lit("view")).as("event_type"),
+      col("id").as("user_id"))
+    val dm = Sketches.hllOverlap(disjoint).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(dm("intersection")._1 == 0L)
+    // inclusion–exclusion noise stays within HLL error of the union size
+    assert(math.abs(dm("intersection")._2) < 0.2 * dm("union")._1, dm)
+    // nested: viewers ⊂ clickers → union estimate == clicker estimate
+    val nested = spark.range(1, 3001).select(lit("click").as("event_type"),
+        col("id").as("user_id"))
+      .unionByName(spark.range(1, 1001).select(lit("view").as("event_type"),
+        col("id").as("user_id")))
+    val nm = Sketches.hllOverlap(nested).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(nm("union")._2 == nm("a")._2, "register max over a superset is the superset")
+    assert(nm("intersection")._1 == 1000L)
+  }
+
   test("hllUsersByType on the corpus: linear-counting path, near-exact") {
     val res = Sketches.hllUsersByType(Tables.events(spark, sfDir)).collect()
     assert(res.nonEmpty)

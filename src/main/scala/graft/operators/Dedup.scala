@@ -1224,25 +1224,14 @@ object Dedup {
 
   def winnowedPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
                     minShared: Int = 2): DataFrame = {
-    val tk = split(col("text"), " ")
-    // positional n-grams: pos i (0-based) covers tokens i .. i+n-1
-    val grams = docs
-      .filter(size(tk) >= n)
+    // native one-pass selection (graft.functions.WinnowGenerator):
+    // identical window minima to the composable posexplode + doc_id
+    // window form — spec-asserted — with NO shuffle before the pair
+    // join (the window form exchanges + sorts every gram row by
+    // doc_id first); only (doc_id, fp) ever leaves the scan stage
+    val selected = docs
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(tk) - n),
-          i => array_join(slice(tk, i + 1, lit(n)), " "))).as(Seq("pos", "shingle")))
-      // hash BEFORE the window's doc_id exchange: shingle text stays
-      // inside the scan stage, (long, int, long) rows shuffle
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-    val winMin = min(col("h")).over(
-      Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(-(w - 1), Window.currentRow))
-    val selected = grams
-      .select(col("doc_id"), col("pos"), winMin.as("fp"))
-      .filter(col("pos") >= w - 1) // complete windows only
-      .select("doc_id", "fp").distinct()
+        graft.functions.WinnowGenerator.winnowed(col("text"), n, w).as("fp"))
     val a = selected.toDF("doc_a", "fp")
     val b = selected.toDF("doc_b", "fp")
     a.join(b, "fp")

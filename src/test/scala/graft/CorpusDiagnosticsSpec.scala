@@ -797,6 +797,33 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
 
   // ---- q176 MOSS winnowing fingerprints ------------------------------
 
+  test("WinnowGenerator emits exactly the composable window-min selection") {
+    val texts = Seq(
+      "", "a b c", "a b c d e f",
+      (0 until 120).map(i => s"tok${(i * 37) % 91}").mkString(" "),
+      (0 until 40).map(i => s"w${(i * 11) % 7}").mkString(" ")) // repeats
+    val df = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") })
+    val native = df.select(col("doc_id"),
+        graft.functions.WinnowGenerator.winnowed(col("text"), 3, 4).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val tk = split(col("text"), " ")
+    val composable = df.filter(size(tk) >= 3)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(tk) - 3),
+          i => array_join(slice(tk, i + 1, lit(3)), " ")))
+          .as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .select(col("doc_id"), col("pos"),
+        min(col("h")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)).as("fp"))
+      .filter(col("pos") >= 3)
+      .select("doc_id", "fp").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(native.toSeq == composable.toSeq)
+  }
+
   test("winnowedPairs: a shared (n+w-1)-token run guarantees a match; disjoint docs never pair") {
     // n=3, w=4 → the winnowing guarantee threshold is 6 shared tokens:
     // the run spans w=4 consecutive trigrams, some complete window

@@ -1144,15 +1144,13 @@ object Dedup {
   def sharedRunLengths(docs: DataFrame, bands: Int = 4,
                        n: Int = 3): DataFrame = {
     val pairs = minhashCandidatePairs(docs, bands)
-    val tk = split(col("text"), " ")
-    val grams = docs
-      .filter(size(tk) >= n)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(tk) - n),
-          i => array_join(slice(tk, i + 1, lit(n)), " "))).as(Seq("pos", "shingle")))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+    // native positional gram hashes (graft.functions.GramHashGenerator):
+    // same 0-based positions and 60-bit keys as the composable
+    // transform+posexplode+md5 form — spec-asserted — without
+    // materializing a gram-string array per document
+    val grams = docs.select(col("doc_id"),
+      graft.functions.GramHashGenerator.gramHashes(col("text"), n)
+        .as(Seq("pos", "h")))
     val uniq = grams.groupBy("doc_id", "h")
       .agg(count(lit(1)).as("c"), min("pos").as("pos"))
       .filter(col("c") === 1).drop("c")

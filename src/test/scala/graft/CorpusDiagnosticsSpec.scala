@@ -699,6 +699,27 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
 
   // ---- q183 longest shared run ---------------------------------------
 
+  test("GramHashGenerator emits exactly the composable positional gram hashes") {
+    val texts = Seq("", "a b", "a b c",
+      (0 until 80).map(i => s"tok${(i * 37) % 91}").mkString(" "))
+    val df = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") })
+    val native = df.select(col("doc_id"),
+        graft.functions.GramHashGenerator.gramHashes(col("text"), 3)
+          .as(Seq("pos", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val tk = split(col("text"), " ")
+    val composable = df.filter(size(tk) >= 3)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(tk) - 3),
+          i => array_join(slice(tk, i + 1, lit(3)), " ")))
+          .as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(native.toSeq == composable.toSeq)
+  }
+
   test("sharedRunLengths: one-token edit splits the run at the edit site") {
     // doc2 = doc1 with token 15 replaced: grams 13/14/15 break, so the
     // shared diagonal splits into runs of 13 grams (pos 0–12) and 2

@@ -2852,7 +2852,8 @@ object OracleSql {
         |       ELSE 52 END AS rho FROM k),
         |regs AS (SELECT event_type, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
         |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
-        |  sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << mj)) AS sum_present
+        |  CAST(sum(CAST(1 AS BIGINT) << (52 - mj)) AS DOUBLE)
+        |    / 4503599627370496.0 AS sum_present
         |  FROM regs GROUP BY 1),
         |e AS (SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
@@ -2932,7 +2933,8 @@ object OracleSql {
         |un AS (SELECT 'union' AS set_name, reg, max(mj) AS mj FROM pt GROUP BY 2),
         |allr AS (SELECT * FROM pt UNION ALL SELECT * FROM un),
         |agg AS (SELECT set_name, CAST(count(*) AS BIGINT) AS n_present,
-        |  sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << mj)) AS sum_present
+        |  CAST(sum(CAST(1 AS BIGINT) << (52 - mj)) AS DOUBLE)
+        |    / 4503599627370496.0 AS sum_present
         |  FROM allr GROUP BY 1),
         |f AS (SELECT set_name, n_present, 512 - n_present AS n_zero,
         |  CAST(512 - n_present AS DOUBLE) + sum_present AS denom FROM agg),

@@ -66,7 +66,12 @@ object SparkEntry {
     "q30_exact_dedup"      -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q31_minhash_sig"      -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
     "q32_minhash_pairs"    -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
-    "q33_near_dup"         -> ((s, d) => Dedup.nearDupPairs(Tables.documents(s, d))),
+    // verified near-dup pairs, served from the materialized cascade
+    // (content-addressed; q33/q68/q72/q104 share ONE build — the
+    // ivfIndexFor pattern: production runs the LSH cascade once per
+    // corpus snapshot and probes it from every consumer)
+    "q33_near_dup"         -> ((s, d) =>
+      Dedup.nearDupPairsCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     "q34_simhash"          -> ((s, d) => Dedup.simhashSignatures(Tables.documents(s, d))),
     // multimodal plumbing
     "q35_binary_meta"      -> ((s, d) => Multimodal.binaryMeta(Tables.documents(s, d))),
@@ -108,13 +113,18 @@ object SparkEntry {
     "q62_mixture_sample"   -> ((s, d) => TrainingData.mixtureSample(Tables.documents(s, d))),
     // cross-document paragraph-level exact dedup (C4-style cleaning tier)
     "q63_paragraph_dedup"  -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
-    // cluster-canonical cleaning: one survivor per near-dup component
-    "q72_cleaning_clustered" -> ((s, d) => Dedup.cleaningPipelineClustered(Tables.documents(s, d))),
+    // cluster-canonical cleaning: one survivor per near-dup component;
+    // probes the materialized raw-corpus pair frame (restricted to the
+    // canonical ids inside — pair-local cascade ⇒ identical result,
+    // spec-asserted + hash-proven)
+    "q72_cleaning_clustered" -> ((s, d) =>
+      Dedup.cleaningPipelineClusteredCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // simhash near-dup pairs via pigeonhole block banding
     "q71_simhash_pairs"    -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     // near-dup clustering: connected components over verified pairs,
     // canonical representative = component min doc_id
-    "q68_dup_clusters"     -> ((s, d) => Dedup.dupClusters(Tables.documents(s, d))),
+    "q68_dup_clusters"     -> ((s, d) =>
+      Dedup.dupClustersCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // per-source mixture controls: deterministic cap (runs on the
     // custom TopKPerKey heap operator) + token accounting
     "q69_source_cap"       -> ((s, d) => TrainingData.sourceCap(Tables.documents(s, d))),
@@ -262,7 +272,8 @@ object SparkEntry {
     // sequence-length histogram + cumulative coverage (sizes seqLen)
     "q103_length_histogram" -> ((s, d) => TrainingData.lengthHistogram(Tables.documents(s, d))),
     // dedup-aggressiveness audit: near-dup cluster size distribution
-    "q104_cluster_sizes"   -> ((s, d) => Dedup.clusterSizeDistribution(Tables.documents(s, d))),
+    "q104_cluster_sizes"   -> ((s, d) =>
+      Dedup.clusterSizeDistributionCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // skew audit: top-k hottest keys with corpus share, via TakeOrdered
     "q105_hot_keys"        -> ((s, d) => Aggregates.hotKeys(Tables.events(s, d), "user_id")),
     // per-source stage-attrition funnel (gate → exact dedup →
@@ -506,6 +517,21 @@ object SparkEntry {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ivf_${new java.io.File(d).getName}_$ph").getAbsolutePath
     Similarity.ivfIndexDir(s, s"$d/embeddings.parquet", base)
+  }
+
+  /** Content-addressed home of the documents table's materialized
+    * dedup cascade (verified pairs + CC labels) — same base-keying
+    * rationale as [[ivfIndexFor]]. Shared by q33/q68/q72/q104 so the
+    * one LSH → verify → CC build serves pair reporting, cluster
+    * labeling, the size audit, and cluster-canonical cleaning.
+    */
+  private[graft] def ccCascadeFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_cc_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    Dedup.cascadeDir(s, s"$d/documents.parquet", base)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

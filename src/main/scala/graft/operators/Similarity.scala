@@ -184,35 +184,8 @@ object Similarity {
     * worse, collapse every corpus to one address.
     */
   def ivfIndexDir(spark: org.apache.spark.sql.SparkSession,
-                  dataPath: String, base: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dataPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"ivfIndexDir: no corpus at $dataPath")
-    // RECURSIVE listing: a partitioned/nested corpus keeps its data
-    // files in subdirectories (exactly what partitionBy writes) — a
-    // top-level-only listing would sign the directory skeleton and
-    // miss every real data file, making stale-index reuse reachable
-    val files = (if (fs.getFileStatus(p).isDirectory) {
-        val it = fs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
-        while (it.hasNext) buf += it.next()
-        buf.toSeq
-      } else Seq(fs.getFileStatus(p)))
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-    require(files.nonEmpty, s"ivfIndexDir: no data files under $dataPath")
-    val sig = files.map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("|")
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val dir = new java.io.File(base, s"ivf_$h")
-    val baseDir = new java.io.File(base)
-    if (baseDir.isDirectory)
-      baseDir.listFiles().filter(f => f.isDirectory &&
-          f.getName.startsWith("ivf_") && f.getName != dir.getName)
-        .foreach(stale => org.apache.commons.io.FileUtils.deleteQuietly(stale))
-    dir.getAbsolutePath
-  }
+                  dataPath: String, base: String): String =
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base, "ivf_", "ivfIndexDir")
 
   /** Bucket-tagged projection of the corpus; also the index row
     * layout. Ensures the partitioned index exists and returns the

@@ -68,10 +68,16 @@ object Sketches {
     *     bits, from the top) is computed as `51 − length(bin(rest)) +
     *     1` — STRING-based bit length, no float log2 near a power of
     *     two to disagree on;
-    *  2. the harmonic denominator Σ 2^−M_j is a sum of dyadic
-    *     rationals ≥ 2⁻⁵² — exact in IEEE double in ANY summation
-    *     order (the q178 trick), with empty registers contributing
-    *     2⁰ = 1 via the register count;
+    *  2. the harmonic denominator Σ 2^−M_j is summed as INTEGER
+    *     numerators over the common denominator 2^(61−p): each
+    *     register contributes the BIGINT 2^(61−p−M_j), the sum is
+    *     exact in int64 (≤ m·2^(60−p) = 2^60), and one final
+    *     cast-to-double ÷ 2^(61−p) is the only rounding step — both
+    *     engines round the identical integer identically, in ANY
+    *     summation order. (A plain double Σ of up to 512 dyadic terms
+    *     spanning 2^−1..2^−52 can need ~60 significand bits, so
+    *     extreme register mixes could make it order-dependent.)
+    *     Empty registers contribute 2⁰ = 1 via the register count;
     *  3. the closing α_m·m²/Σ (and the small-range linear-counting
     *     branch m·ln(m/V)) is one formula with identical text in
     *     both engines.
@@ -184,9 +190,13 @@ object Sketches {
                   p: Int = 9): DataFrame = {
     val m = 1 << p
     val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // Σ 2^−mj as exact int64 numerators over 2^(61−p) — see the
+    // hllUsersByType doc, move 2: order-independent by construction
     regs.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n_present"),
-      sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), mj)")).as("sum_present"))
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${61 - p} - mj)")).as("num_present"))
+      .withColumn("sum_present",
+        col("num_present").cast("double") / lit(math.pow(2.0, 61 - p)))
       .withColumn("n_zero", lit(m) - col("n_present"))
       .withColumn("denom", col("n_zero").cast("double") + col("sum_present"))
       .withColumn("raw", lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / col("denom"))
@@ -197,6 +207,6 @@ object Sketches {
         when(col("method") === "linear",
           lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero")))
           .otherwise(col("raw")), 2))
-      .drop("sum_present", "denom", "raw")
+      .drop("num_present", "sum_present", "denom", "raw")
   }
 }

@@ -494,7 +494,7 @@ object TrainingData {
     val tgt = tgtToks.groupBy("b").agg(count(lit(1)).as("tg"))
     val src = poolToks.groupBy("b").agg(count(lit(1)).as("sg"))
     val tot = tgt.agg(sum(col("tg")).as("tt"))
-      .crossJoin(src.agg(sum(col("sg")).as("st")))
+      .crossJoin(broadcast(src.agg(sum(col("sg")).as("st"))))
     val grid = docs.sparkSession.range(0, buckets)
       .select(col("id").cast("int").as("b"))
     val lm = grid

@@ -70,7 +70,7 @@ class ArtifactFormatSpec extends AnyFunSuite {
     val worst = names.map(_ -> 99.9)           // 999 ds — widest cell
     val qs = Bench.queriesJson(worst)
     val slow = Bench.slowestJson(worst)        // capped at 8 entries
-    val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","enc":"queries[i]=deciseconds of query i+1","queries":$qs,"slowest_sec":$slow,"errs":99,"sf":"sf0.1"}"""
+    val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","enc":"queries[i]=deciseconds of query i+1, capped 999","queries":$qs,"slowest_sec":$slow,"q41_fit_sec":999.99,"errs":99,"sf":"sf0.1"}"""
     // probe count follows Bench's cadence: start + every-30 + the
     // dedicated post-q41 probe + final — derive it from the REAL
     // query count so growth can't silently outrun the model

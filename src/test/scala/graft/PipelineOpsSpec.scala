@@ -534,6 +534,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("materialized cascade: cached q33/q68/q72/q104 equal the self-computing operators") {
+    import spark.implicits._
+    // adversarial corpus for the pair-local restriction proof:
+    //  - docs 5/6: exact duplicates (same gated text, different ids);
+    //  - doc 2: SUB-GATE (8 tokens < minTokens 10) near-dup of gated
+    //    doc 10 with a SMALLER id — if the cached q72 path failed to
+    //    drop raw pairs touching non-canonical ids, cluster {2,10}
+    //    would take min 2 and wrongly delete canonical doc 10;
+    //  - docs 1/2/3-style chains and stars come via the random tail.
+    val rnd = new scala.util.Random(31)
+    val shared = (0 until 8).map(i => s"s_$i")
+    val fixed = Seq(
+      (2L, shared.mkString(" ")),                              // 8 tokens: sub-gate
+      (10L, (shared ++ Seq("u_1", "u_2")).mkString(" ")),      // gated superset of doc 2
+      (5L, (0 until 12).map(i => s"d_$i").mkString(" ")),
+      (6L, (0 until 12).map(i => s"d_$i").mkString(" ")))      // exact dup of 5
+    val tail = (20L to 70L).map { i =>
+      val n = 10 + rnd.nextInt(8)
+      (i, Seq.fill(n)("t" + rnd.nextInt(10)).mkString(" "))
+    }
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-cc-corpus").toString
+    (fixed ++ tail).map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-cc-base").toString
+    val t = 0.05
+    val dir = Dedup.cascadeDir(spark, corpusDir, base, threshold = t)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: cached and self-computed runs diverge")
+    // the sub-gate pair must exist in the RAW pair frame for the q72
+    // restriction to be exercised at all
+    val rawPairs = Dedup.nearDupPairsCached(docs, dir, threshold = t)
+    assert(rawPairs.filter(col("id_a") === 2L && col("id_b") === 10L).count() == 1,
+      "fixture must produce the sub-gate raw pair (2,10)")
+    same(rawPairs, Dedup.nearDupPairs(docs, threshold = t), "q33 pairs")
+    same(Dedup.dupClustersCached(docs, dir, threshold = t),
+      Dedup.dupClusters(docs, threshold = t), "q68 labels")
+    same(Dedup.clusterSizeDistributionCached(docs, dir, threshold = t),
+      Dedup.clusterSizeDistribution(docs, threshold = t), "q104 sizes")
+    val cleanedCached =
+      Dedup.cleaningPipelineClusteredCached(docs, dir, jaccardThreshold = t)
+    same(cleanedCached,
+      Dedup.cleaningPipelineClustered(docs, jaccardThreshold = t), "q72 cleaning")
+    // the restriction actually mattered: doc 10 survives, doc 2 was
+    // never admitted (sub-gate), doc 6 lost to its exact dup 5
+    val kept = cleanedCached.collect().map(_.getLong(0)).toSet
+    assert(kept.contains(10L) && !kept.contains(2L) && !kept.contains(6L) &&
+      kept.contains(5L), s"kept = $kept")
+    // amortization is real: a second prebuild call reuses both frames
+    assert(!Dedup.prebuildCascade(docs, dir, threshold = t),
+      "second prebuild must be a no-op reuse")
+    spark.catalog.clearCache()
+  }
+
   test("piiScrub redacts planted identifiers, counts them, and is idempotent") {
     import spark.implicits._
     val docs = Seq(

@@ -99,12 +99,39 @@ class PlanAuditSpec extends AnyFunSuite {
   test("near-dup verify never aggregates arrays (no collect_set in plan)") {
     // the 100 TB contract from SCALE.md: |A∩B| via narrow-row joins,
     // never an array payload through a shuffle — regression guard for
-    // the round-2 scale-killer
-    for (q <- Seq("q33_near_dup", "q55_cleaning_pipeline")) {
-      val p = plan(q)
+    // the round-2 scale-killer. q33 now serves from the materialized
+    // cascade, so the BUILD shape is audited on the operator directly
+    // (it is what prebuildCascade runs); q55 still self-computes.
+    val build = graft.operators.Dedup
+      .nearDupPairs(graft.engine.Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    for ((q, p) <- Seq("q33_near_dup(build)" -> build,
+        "q55_cleaning_pipeline" -> plan("q55_cleaning_pipeline"))) {
       assert(!p.contains("collect_set"), s"$q ships array payloads:\n$p")
       assert(!p.contains("array_intersect"), s"$q compares array cells:\n$p")
     }
+  }
+
+  test("cascade probes scan the materialized frame — no shingle generate, no band join") {
+    // the amortization contract: once the content-addressed cascade
+    // exists, q33/q68/q104 are parquet probes (plus tiny aggregates),
+    // NOT a third LSH → verify → CC rebuild. The Generate/Exchange-free
+    // label scan is the 100 TB story — auditing cluster sizes reads
+    // the (long, long) label frame, never re-shingles the corpus.
+    graft.operators.Dedup.prebuildCascade(
+      graft.engine.Tables.documents(spark, sfDir),
+      SparkEntry.ccCascadeFor(spark, sfDir))
+    for (q <- Seq("q33_near_dup", "q68_dup_clusters", "q104_cluster_sizes")) {
+      val p = plan(q)
+      assert(!p.contains("Generate"), s"$q re-shingles the corpus:\n$p")
+      assert(!p.toLowerCase.contains("join"), s"$q re-runs the band join:\n$p")
+      assert(p.contains("Scan parquet") || p.contains("FileScan"),
+        s"$q does not scan the materialized frame:\n$p")
+    }
+    // q72 keeps its canonical gate + semi-join restriction + anti-join
+    // finish, but must not re-shingle either
+    val p72 = plan("q72_cleaning_clustered")
+    assert(!p72.contains("Generate"), s"q72 re-shingles the corpus:\n$p72")
   }
 
   test("tf-idf folds the corpus count into the plan as a broadcast 1-row aggregate") {

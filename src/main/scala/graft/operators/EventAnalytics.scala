@@ -466,11 +466,17 @@ object EventAnalytics {
     val probes = ev.filter(col("event_type") === probeType)
       .select(col("event_id"), col("user_id"),
         unix_timestamp(col("ts")).as("sec"))
-    probes.join(hist, probes("user_id") === hist("user_id")
-        && col("valid_from_sec") <= col("sec")
-        && (col("valid_to_sec").isNull || col("sec") < col("valid_to_sec")))
-      .select(col("event_id"), probes("user_id"), col("sec"),
-        col("version").as("state_version"), col("state").as("state_at_event"))
+    // both sides derive from `ev`, so unaliased probes("user_id") ===
+    // hist("user_id") resolves same-lineage and trips Spark's
+    // "trivially true equals predicate" warning (the plan was already
+    // an equi-join — PlanAuditSpec pins it); explicit aliases make the
+    // two lineages unambiguous, the `transitions` a/b pattern
+    probes.as("p").join(hist.as("h"),
+        col("p.user_id") === col("h.user_id")
+          && col("h.valid_from_sec") <= col("p.sec")
+          && (col("h.valid_to_sec").isNull || col("p.sec") < col("h.valid_to_sec")))
+      .select(col("p.event_id"), col("p.user_id"), col("p.sec"),
+        col("h.version").as("state_version"), col("h.state").as("state_at_event"))
       .orderBy("event_id")
   }
 
@@ -907,13 +913,30 @@ object EventAnalytics {
       .orderBy("touch_type")
   }
 
-  def cusumChangepoint(ev: DataFrame): DataFrame = {
-    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("cnt"))
-    val cal = ev.agg(min(to_date(col("ts"))).as("d0"),
-        max(to_date(col("ts"))).as("d1"))
+  def cusumChangepoint(ev: DataFrame): DataFrame =
+    cusumFromDaily(ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The CUSUM finisher over an ALREADY-AGGREGATED (event_type, day,
+    * cnt) frame — the shared closing arithmetic of the batch operator
+    * above and the streaming twin
+    * ([[graft.streaming.StreamPipeline.dailyCountsStream]] emits
+    * finalized daily counts; a foreachBatch consumer runs THIS on the
+    * accumulated rows to refresh the live changepoint alert — the
+    * q187 registers-plus-shared-finisher pattern). The global
+    * [min, max] calendar derives from the daily frame itself
+    * (min/max day with ≥1 event — identical to deriving it from raw
+    * events). Everything here runs on #types×#days rows.
+    */
+  def cusumFromDaily(daily: DataFrame): DataFrame = {
+    val cal = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-    val dense = daily.select("event_type").distinct()
+    // the grid's columns are re-aliased so their attribute ids are
+    // FRESH: grid and right side both derive from `daily`, and when
+    // the caller's `daily` is one materialized table read (the
+    // streaming twin's memory sink) all three uses would otherwise
+    // share ids and fail join resolution outright
+    val dense = daily.select(col("event_type").as("event_type")).distinct()
       .crossJoin(broadcast(cal))
       .join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),

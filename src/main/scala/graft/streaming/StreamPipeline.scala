@@ -331,8 +331,86 @@ object StreamPipeline {
       .agg(max(col("rho")).as("mj"))
       .select(col("window.start").as("hour_start"), col("reg"), col("mj"))
 
-  /** Open session-path state: last event second and the ≤ maxLen
-    * journey prefix collected so far (bounded — the q180 cap). */
+  /** Streaming daily event counts — the live half of q177's CUSUM
+    * level-shift screen: a watermarked 1-day tumbling count per event
+    * type emits each finalized (event_type, day, cnt) row append-mode;
+    * the shared finisher
+    * [[graft.operators.EventAnalytics.cusumFromDaily]] then turns the
+    * accumulated rows into the current most-likely changepoint per
+    * type — in production a [[foreachBatchSink]] consumer re-runs the
+    * finisher per trigger (its input is the O(#types×#days) daily
+    * frame, not the event stream) and diffs `peak_day` against the
+    * last alert. Day bucketing is the session-UTC `window(ts, "1
+    * day")` start date — identical to the batch `to_date(ts)`, so
+    * batch backfill and live stream produce the same frame
+    * (spec-asserted).
+    *
+    * State bound: open windows only — one (type, day) count per type
+    * per unexpired day, pruned by the watermark.
+    */
+  def dailyCountsStream(stream: DataFrame,
+                        watermark: String = "2 days"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        col("window.start").cast("date").as("day"), col("cnt"))
+
+  /** Posting state for one winnow fingerprint: the (bounded) ids of
+    * documents that selected it. */
+  case class FpPosting(docIds: Seq[Long])
+
+  /** One shared-fingerprint observation between two documents. */
+  case class FpMatch(fp: Long, doc_a: Long, doc_b: Long)
+
+  /** Streaming winnowed-fingerprint matching — the live twin of
+    * q176's [[graft.operators.Dedup.winnowedPairs]]: state is keyed
+    * by FINGERPRINT (exactly the bounded thing winnowing exists to
+    * produce — ~1/w of a document's grams) and holds the ids that
+    * selected it; a document's arrival emits one [[FpMatch]] row per
+    * (fingerprint, earlier holder) on the spot. Downstream, the batch
+    * finisher — group by (doc_a, doc_b), count, filter ≥ minShared —
+    * is the IDENTICAL tail of the batch operator, so stream-then-
+    * aggregate equals the batch pair report (spec-asserted).
+    *
+    * State bound: ≤ `maxPosting` longs per fingerprint — the capped-
+    * postings discipline of the q139 inverted index. A fingerprint
+    * hotter than the cap (boilerplate) stops ACCUMULATING holders but
+    * keeps emitting matches against the retained ones; the trade is
+    * bounded recall on the degenerate cluster for hard-bounded state,
+    * and the cap is off (Int.MaxValue) only in tests. Re-deliveries
+    * of a (doc, fp) already in state emit nothing (idempotent).
+    */
+  def winnowMatchesStream(stream: DataFrame, n: Int = 3, w: Int = 4,
+                          maxPosting: Int = 64)
+      : org.apache.spark.sql.Dataset[FpMatch] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    stream.select(col("doc_id"),
+        graft.functions.WinnowGenerator.winnowed(col("text"), n, w).as("fp"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[FpPosting, FpMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (fp, rows, state) =>
+          val seen = state.getOption.map(_.docIds).getOrElse(Seq.empty)
+          // micro-batch iterators carry no order guarantee; ids sort
+          // so same-batch arrivals pair deterministically (a < b)
+          val arriving = rows.map(_._1).toSeq.distinct.sorted
+            .filterNot(seen.contains)
+          val known = scala.collection.mutable.ArrayBuffer.empty[Long]
+          known ++= seen
+          val matches = arriving.flatMap { b =>
+            val ms = known.map(a => FpMatch(fp,
+              math.min(a, b), math.max(a, b))).toSeq
+            known += b
+            ms
+          }
+          state.update(FpPosting(known.take(maxPosting).toSeq))
+          matches.iterator
+      }
+  }
   case class OpenPath(lastSec: Long, types: Seq[String], n: Long)
 
   /** A gap-closed session's journey, emitted downstream. */

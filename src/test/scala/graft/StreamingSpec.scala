@@ -545,6 +545,104 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dailyCountsStream: finalized daily counts + shared finisher equal batch CUSUM") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.dailyCountsStream(stream),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-cusum").toString,
+        queryName = "cusum_mem").start()
+    // a level shift for clicks at day 4 (2→20/day); views flat except a
+    // missing day 3 (the zero-day the dense calendar must see)
+    val rows = (1 to 5).flatMap { d =>
+      val clicks = (1 to (if (d >= 4) 20 else 2)).map(i =>
+        (d * 100L + i, Timestamp.valueOf(f"2026-01-0$d%d 10:${i % 60}%02d:00"),
+          i.toLong, "click", 1.0, "{}"))
+      val views = if (d == 3) Seq.empty else (1 to 5).map(i =>
+        (d * 1000L + i, Timestamp.valueOf(f"2026-01-0$d%d 12:${i % 60}%02d:00"),
+          i.toLong, "view", 1.0, "{}"))
+      clicks ++ views
+    }
+    try {
+      // out-of-order WITHIN each micro-batch, forward progress across
+      // them (cross-batch disorder beyond the 2-day watermark would be
+      // legitimately DROPPED as late data — not what this asserts);
+      // day windows stay open across the batch boundary and merge
+      val shuffled = new scala.util.Random(5).shuffle(rows)
+      val (h1, h2) = shuffled.partition(_._2.getTime <
+        Timestamp.valueOf("2026-01-04 00:00:00").getTime)
+      mem.addData(h1: _*); query.processAllAvailable()
+      mem.addData(h2: _*); query.processAllAvailable()
+      // far-future sentinel pushes the watermark past day 5 + 2 days
+      mem.addData((9999L, Timestamp.valueOf("2026-01-20 00:00:00"), 1L, "sentinel", 1.0, "{}"))
+      query.processAllAvailable()
+      val streamedDaily = spark.table("cusum_mem")
+      val batchDf = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // the daily frames agree row-for-row (the sentinel's window is
+      // still open, so it is in neither side)
+      val batchDaily = batchDf.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(streamedDaily.exceptAll(batchDaily).isEmpty &&
+        batchDaily.exceptAll(streamedDaily).isEmpty,
+        "finalized streaming daily counts must equal the batch aggregate")
+      // and the SHARED finisher turns them into the identical alert
+      val live = graft.operators.EventAnalytics.cusumFromDaily(streamedDaily).collect()
+      val batch = graft.operators.EventAnalytics.cusumChangepoint(batchDf).collect()
+      assert(live.toSeq == batch.toSeq)
+      // the click shift is where it was planted: last pre-shift day
+      val clickRow = live.find(_.getString(0) == "click").get
+      assert(clickRow.getDate(2).toString == "2026-01-03" &&
+        clickRow.getString(4) == "below", clickRow.toString)
+    } finally query.stop()
+  }
+
+  test("winnowMatchesStream: matches emit on arrival; aggregated they equal batch winnowedPairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.winnowMatchesStream(stream,
+          maxPosting = Int.MaxValue).toDF(),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-winnow").toString,
+        queryName = "winnow_mem").start()
+    val span = (0 until 10).map(i => s"s_$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$span tail_a tail_b tail_c",
+      2L -> s"head_x head_y $span",                  // shares the span with 1
+      3L -> (0 until 14).map(i => s"u_$i").mkString(" "), // unrelated
+      4L -> s"$span tail_a tail_b tail_c")           // exact dup of 1
+    try {
+      mem.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      val afterTwo = spark.table("winnow_mem").count()
+      assert(afterTwo > 0, "cross-document matches must emit on arrival, no window close")
+      mem.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      // re-delivery of an already-seen (doc, fp) emits nothing new
+      val beforeRedeliver = spark.table("winnow_mem").count()
+      mem.addData(docs.head)
+      query.processAllAvailable()
+      assert(spark.table("winnow_mem").count() == beforeRedeliver, "re-delivery must be idempotent")
+      // the batch finisher over the match stream equals the batch operator
+      val minShared = 2
+      val streamedPairs = spark.table("winnow_mem")
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+      val batchPairs = graft.operators.Dedup.winnowedPairs(
+        docs.toDF("doc_id", "text"), minShared = minShared)
+      assert(streamedPairs.exceptAll(batchPairs).isEmpty &&
+        batchPairs.exceptAll(streamedPairs).isEmpty,
+        "stream-then-aggregate must equal the batch pair report")
+      // the planted relations are all present
+      val got = streamedPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got((1L, 2L)) && got((1L, 4L)) && got((2L, 4L)) &&
+        !got.exists(p => p._1 == 3L || p._2 == 3L), got.toString)
+    } finally query.stop()
+  }
+
   test("file streaming source runs the same plan over parquet drops (S2-equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
     val batchDf = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -99,7 +99,10 @@ object SparkEntry {
     "q53_ann_mllib"        -> ((s, d) => Similarity.annMllib(Tables.embeddings(s, d))),
     "q54_label_centroids"  -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     // flagship LLM-pipeline composite: gate → dedup → near-dup removal
-    "q55_cleaning_pipeline" -> ((s, d) => Dedup.cleaningPipeline(Tables.documents(s, d))),
+    // pair-based cleaning, probing the shared materialized cascade
+    // (restriction to canonical ids inside — see q72's note)
+    "q55_cleaning_pipeline" -> ((s, d) =>
+      Dedup.cleaningPipelineCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // training-data corpus management (deterministic split, eval-set
     // decontamination, repetition quality gate)
     "q57_deterministic_split" -> ((s, d) => TrainingData.deterministicSplit(Tables.documents(s, d))),

@@ -353,10 +353,19 @@ object Dedup {
     * from this file, chained — the flagship LLM-pipeline composite.
     * Same caching contract as [[nearDupPairs]] (persists `canonical`
     * for the lifetime of the returned lazy frame).
+    *
+    * `pairs`: same contract as [[cleaningPipelineClustered]]'s —
+    * an already-verified pair list (raw-corpus frames welcome) is
+    * restricted to this pipeline's canonical ids before the loser
+    * projection; None self-computes. The restriction matters for the
+    * SAME reason as there: a raw pair (a, b) whose b is canonical but
+    * whose a is not would still delete b, where the canonical-frame
+    * cascade never produces that pair.
     */
   def cleaningPipeline(docs: DataFrame, minTokens: Int = 10,
                        jaccardThreshold: Double = 0.2,
-                       maxBucketSize: Option[Int] = None): DataFrame = {
+                       maxBucketSize: Option[Int] = None,
+                       pairs: Option[DataFrame] = None): DataFrame = {
     val gated = docs.filter(size(split(col("text"), " ")) >= minTokens)
     // read twice (shingle cascade + final anti-join) — persist so the
     // exact-dedup shuffle over the full text runs once
@@ -364,8 +373,16 @@ object Dedup {
       .groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupLosers = nearDupPairs(canonical, jaccardThreshold, maxBucketSize = maxBucketSize)
-      .select(col("id_b").as("doc_id")).distinct()
+    val verified = pairs match {
+      case Some(supplied) =>
+        val ids = canonical.select("doc_id")
+        supplied.select("id_a", "id_b")
+          .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+          .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      case None =>
+        nearDupPairs(canonical, jaccardThreshold, maxBucketSize = maxBucketSize)
+    }
+    val dupLosers = verified.select(col("id_b").as("doc_id")).distinct()
     canonical.join(dupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens"),
@@ -1354,6 +1371,19 @@ object Dedup {
     * on a fixture with gated-out, exact-duplicate, and star-shaped
     * documents, and hash-proven by the driver oracle.
     */
+  /** [[cleaningPipeline]] (pair-based rule) probing the materialized
+    * raw-corpus pair frame — same restriction proof as the clustered
+    * variant below.
+    */
+  def cleaningPipelineCached(docs: DataFrame, dir: String,
+                             minTokens: Int = 10,
+                             jaccardThreshold: Double = 0.2,
+                             bands: Int = 4): DataFrame = {
+    prebuildCascade(docs, dir, jaccardThreshold, bands)
+    cleaningPipeline(docs, minTokens, jaccardThreshold,
+      pairs = Some(docs.sparkSession.read.parquet(s"$dir/pairs")))
+  }
+
   def cleaningPipelineClusteredCached(docs: DataFrame, dir: String,
                                       minTokens: Int = 10,
                                       jaccardThreshold: Double = 0.2,

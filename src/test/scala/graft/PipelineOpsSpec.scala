@@ -580,6 +580,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       Dedup.cleaningPipelineClusteredCached(docs, dir, jaccardThreshold = t)
     same(cleanedCached,
       Dedup.cleaningPipelineClustered(docs, jaccardThreshold = t), "q72 cleaning")
+    same(Dedup.cleaningPipelineCached(docs, dir, jaccardThreshold = t),
+      Dedup.cleaningPipeline(docs, jaccardThreshold = t), "q55 cleaning")
     // the restriction actually mattered: doc 10 survives, doc 2 was
     // never admitted (sub-gate), doc 6 lost to its exact dup 5
     val kept = cleanedCached.collect().map(_.getLong(0)).toSet

@@ -102,11 +102,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // the round-2 scale-killer. q33 now serves from the materialized
     // cascade, so the BUILD shape is audited on the operator directly
     // (it is what prebuildCascade runs); q55 still self-computes.
-    val build = graft.operators.Dedup
-      .nearDupPairs(graft.engine.Tables.documents(spark, sfDir))
+    // q33 and q55 now serve from the materialized cascade, so the
+    // BUILD shapes are audited on the self-computing operators
+    // directly (they are what prebuildCascade runs)
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val build = graft.operators.Dedup.nearDupPairs(docs)
+      .queryExecution.executedPlan.toString
+    val buildClean = graft.operators.Dedup.cleaningPipeline(docs)
       .queryExecution.executedPlan.toString
     for ((q, p) <- Seq("q33_near_dup(build)" -> build,
-        "q55_cleaning_pipeline" -> plan("q55_cleaning_pipeline"))) {
+        "q55_cleaning_pipeline(build)" -> buildClean)) {
       assert(!p.contains("collect_set"), s"$q ships array payloads:\n$p")
       assert(!p.contains("array_intersect"), s"$q compares array cells:\n$p")
     }
@@ -128,10 +133,12 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("Scan parquet") || p.contains("FileScan"),
         s"$q does not scan the materialized frame:\n$p")
     }
-    // q72 keeps its canonical gate + semi-join restriction + anti-join
-    // finish, but must not re-shingle either
-    val p72 = plan("q72_cleaning_clustered")
-    assert(!p72.contains("Generate"), s"q72 re-shingles the corpus:\n$p72")
+    // q55/q72 keep their canonical gate + semi-join restriction +
+    // anti-join finish, but must not re-shingle either
+    for (q <- Seq("q55_cleaning_pipeline", "q72_cleaning_clustered")) {
+      val p = plan(q)
+      assert(!p.contains("Generate"), s"$q re-shingles the corpus:\n$p")
+    }
   }
 
   test("tf-idf folds the corpus count into the plan as a broadcast 1-row aggregate") {

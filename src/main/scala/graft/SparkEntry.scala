@@ -65,7 +65,8 @@ object SparkEntry {
     // dedup cascade
     "q30_exact_dedup"      -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q31_minhash_sig"      -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
-    "q32_minhash_pairs"    -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
+    "q32_minhash_pairs"    -> ((s, d) =>
+      Dedup.minhashCandidatePairsCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // verified near-dup pairs, served from the materialized cascade
     // (content-addressed; q33/q68/q72/q104 share ONE build — the
     // ivfIndexFor pattern: production runs the LSH cascade once per
@@ -343,7 +344,8 @@ object SparkEntry {
     "q118_ks_test"         -> ((s, d) => EventAnalytics.ksTest(Tables.events(s, d))),
     // edit-distance fuzzy near-dup pairs (length-band blocked,
     // threshold levenshtein verify on a bounded prefix)
-    "q119_fuzzy_dedup"     -> ((s, d) => Dedup.fuzzyDupPairs(Tables.documents(s, d))),
+    "q119_fuzzy_dedup"     -> ((s, d) =>
+      Dedup.fuzzyDupPairsCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // source-priority paragraph dedup: trusted-tier keeper per
     // duplicated paragraph fingerprint
     "q120_priority_dedup"  -> ((s, d) => Dedup.priorityDedup(Tables.documents(s, d))),
@@ -473,7 +475,8 @@ object SparkEntry {
     // Hill tail-index of the doc-length distribution (top-k TakeOrdered)
     "q182_hill_tail"        -> ((s, d) => RobustStats.hillTailIndex(Tables.documents(s, d))),
     // longest shared verbatim run per LSH candidate pair (diagonal islands)
-    "q183_shared_runs"      -> ((s, d) => Dedup.sharedRunLengths(Tables.documents(s, d))),
+    "q183_shared_runs"      -> ((s, d) =>
+      Dedup.sharedRunLengthsCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // sorted-neighborhood (SNM) blocking, two passes + exact Jaccard verify
     "q184_snm_neardups"     -> ((s, d) => Dedup.snmNearDups(Tables.documents(s, d))),
     // order-free per-source dataset fingerprints (XOR of row hashes)

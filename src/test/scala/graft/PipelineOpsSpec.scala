@@ -582,6 +582,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       Dedup.cleaningPipelineClustered(docs, jaccardThreshold = t), "q72 cleaning")
     same(Dedup.cleaningPipelineCached(docs, dir, jaccardThreshold = t),
       Dedup.cleaningPipeline(docs, jaccardThreshold = t), "q55 cleaning")
+    same(Dedup.minhashCandidatePairsCached(docs, dir, threshold = t),
+      Dedup.minhashCandidatePairs(docs), "q32 candidates")
+    same(Dedup.fuzzyDupPairsCached(docs, dir, threshold = t),
+      Dedup.fuzzyDupPairs(docs), "q119 fuzzy")
+    same(Dedup.sharedRunLengthsCached(docs, dir, threshold = t),
+      Dedup.sharedRunLengths(docs), "q183 shared runs")
     // the restriction actually mattered: doc 10 survives, doc 2 was
     // never admitted (sub-gate), doc 6 lost to its exact dup 5
     val kept = cleanedCached.collect().map(_.getLong(0)).toSet

@@ -126,7 +126,8 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.operators.Dedup.prebuildCascade(
       graft.engine.Tables.documents(spark, sfDir),
       SparkEntry.ccCascadeFor(spark, sfDir))
-    for (q <- Seq("q33_near_dup", "q68_dup_clusters", "q104_cluster_sizes")) {
+    for (q <- Seq("q32_minhash_pairs", "q33_near_dup", "q68_dup_clusters",
+        "q104_cluster_sizes")) {
       val p = plan(q)
       assert(!p.contains("Generate"), s"$q re-shingles the corpus:\n$p")
       assert(!p.toLowerCase.contains("join"), s"$q re-runs the band join:\n$p")

@@ -36,31 +36,48 @@ object OracleSql {
     * over range(1, k+1)) — ids stay stable, mirroring the Spark side's
     * map_from_entries + try_element_at guard.
     */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  /** `p` prefixes every CTE name so several chains can coexist in one
+    * query (the q192/q193 PQ oracles run one chain PER SUBSPACE);
+    * `eSql` overrides the vector source (PQ feeds subvector slices).
+    * Defaults reproduce the original single-chain names verbatim.
+    */
+  private def kmeansCtes(k: Int, iters: Int,
+      eSql: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      p: String = ""): String = {
     def assignCte(i: Int, cPrev: String) =
-      s"""a$i AS (SELECT vec_id, v,
+      s"""${p}a$i AS (SELECT vec_id, v,
          |  CAST(list_position(d, list_aggregate(d, 'min')) AS INT) AS cluster,
          |  list_aggregate(d, 'min') AS dist_r
          |  FROM (SELECT vec_id, v, list_transform($cPrev.cs, c ->
          |    CASE WHEN len(v) = 0 THEN 0.0 ELSE
          |    round(list_reduce(list_transform(v, (el, j) ->
          |      (el - c[j]) * (el - c[j])), (x, y) -> x + y), 6) END) AS d
-         |    FROM e CROSS JOIN $cPrev))""".stripMargin
+         |    FROM ${p}e CROSS JOIN $cPrev))""".stripMargin
     def updateCte(i: Int) =
-      s"""u$i AS (SELECT cluster, list(m ORDER BY dim) AS cm FROM (
+      s"""${p}u$i AS (SELECT cluster, list(m ORDER BY dim) AS cm FROM (
          |    SELECT cluster, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS m
-         |    FROM a$i, unnest(range(1, len(v) + 1)) AS t(i)
+         |    FROM ${p}a$i, unnest(range(1, len(v) + 1)) AS t(i)
          |    GROUP BY 1, 2) GROUP BY 1),
-         |c$i AS (SELECT list(coalesce(u.cm, p.cs[g.cluster]) ORDER BY g.cluster) AS cs
+         |${p}c$i AS (SELECT list(coalesce(u.cm, p.cs[g.cluster]) ORDER BY g.cluster) AS cs
          |  FROM range(1, $k + 1) AS g(cluster)
-         |  LEFT JOIN u$i u ON u.cluster = g.cluster
-         |  CROSS JOIN c${i - 1} p)""".stripMargin
+         |  LEFT JOIN ${p}u$i u ON u.cluster = g.cluster
+         |  CROSS JOIN ${p}c${i - 1} p)""".stripMargin
     val ctes = (1 to iters).flatMap(i =>
-      Seq(assignCte(i, s"c${i - 1}"), updateCte(i))) :+
-      assignCte(iters + 1, s"c$iters")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < $k),
+      Seq(assignCte(i, s"${p}c${i - 1}"), updateCte(i))) :+
+      assignCte(iters + 1, s"${p}c$iters")
+    s"""${p}e AS ($eSql),
+       |${p}c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM ${p}e WHERE vec_id < $k),
        |${ctes.mkString(",\n")}""".stripMargin
+  }
+
+  /** Subspace-sliced vector source for the PQ oracles: subspace `s`
+    * (0-based, of `m`) covers dims [s·⌊d/m⌋+1 ..], the LAST takes the
+    * remainder — the identical split as the Spark side's `subSlice`.
+    */
+  private def pqSubSql(s: Int, m: Int): String = {
+    val hi = if (s == m - 1) "len(v)" else s"${s + 1} * (len(v) // $m)"
+    s"""SELECT vec_id, v[$s * (len(v) // $m) + 1 : $hi] AS v
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
   }
 
   /** The shingle → minhash → banding cascade CTEs (3-token shingles,
@@ -2965,6 +2982,52 @@ object OracleSql {
         |  UNION ALL SELECT 'intersection', i FROM ex)
         |SELECT e.set_name, e.exact_distinct, alle.estimate
         |FROM exl e JOIN alle USING (set_name) ORDER BY set_name""".stripMargin,
+
+    // PQ codes: one kmeans CTE chain PER SUBSPACE (prefixes s0/s1)
+    // over //-sliced vectors — the q142 recurrence twice.
+    "q192_pq_codes" ->
+      s"""WITH ${kmeansCtes(4, 3, pqSubSql(0, 2), "s0")},
+         |${kmeansCtes(4, 3, pqSubSql(1, 2), "s1")}
+         |SELECT vec_id, 0 AS sub, cluster AS code,
+         |  floor(dist_r * 10000 + 0.5) / 10000 AS dist2
+         |FROM s0a4
+         |UNION ALL
+         |SELECT vec_id, 1 AS sub, cluster AS code,
+         |  floor(dist_r * 10000 + 0.5) / 10000 AS dist2
+         |FROM s1a4
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    // PQ ADC: codebooks from the FINAL update CTEs (s0c3/s1c3), the
+    // kmeans round-6 distance kernel for the query-side LUT, integer
+    // micro-unit promotion before the cross-subspace sum (a 2-term
+    // double sum is order-safe, but the BIGINT form stays exact at
+    // any m), rank ties on vec_id.
+    "q193_pq_ann" ->
+      s"""WITH ${kmeansCtes(4, 3, pqSubSql(0, 2), "s0")},
+         |${kmeansCtes(4, 3, pqSubSql(1, 2), "s1")},
+         |codes AS (SELECT vec_id, 0 AS sub, cluster AS code FROM s0a4
+         |  UNION ALL SELECT vec_id, 1, cluster FROM s1a4),
+         |cb AS (SELECT 0 AS sub, CAST(g.i AS INT) AS code,
+         |    c.cs[CAST(g.i AS INT)] AS cv
+         |  FROM range(1, 5) AS g(i) CROSS JOIN s0c3 c
+         |  UNION ALL SELECT 1, CAST(g.i AS INT), c.cs[CAST(g.i AS INT)]
+         |  FROM range(1, 5) AS g(i) CROSS JOIN s1c3 c),
+         |q AS (SELECT 0 AS sub, vec_id AS q_id, v AS qv FROM s0e WHERE vec_id < 8
+         |  UNION ALL SELECT 1, vec_id, v FROM s1e WHERE vec_id < 8),
+         |lut AS (SELECT q_id, sub, code,
+         |  CAST(round(round(CASE WHEN len(qv) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(qv, (el, j) ->
+         |      (el - cv[j]) * (el - cv[j])), (x, y) -> x + y) END, 6)
+         |    * 1000000) AS BIGINT) AS pdm
+         |  FROM q JOIN cb USING (sub)),
+         |sc AS (SELECT q_id, vec_id, CAST(sum(pdm) AS BIGINT) AS adcm
+         |  FROM codes JOIN lut USING (sub, code) GROUP BY 1, 2),
+         |r AS (SELECT q_id, vec_id,
+         |  CAST((adcm + 50) // 100 AS DOUBLE) / 10000 AS adc_dist2,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY adcm, vec_id)
+         |    AS INT) AS rk FROM sc)
+         |SELECT q_id, vec_id, adc_dist2, rk FROM r WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
 
     "q189_forget_audit" ->
       """WITH f AS (SELECT DISTINCT user_id FROM events WHERE user_id % 53 = 0),

@@ -504,7 +504,14 @@ object SparkEntry {
     // exact integer exceedance, oracle-checkable p-value
     "q190_permutation_test" -> ((s, d) => RobustStats.permutationTest(Tables.events(s, d))),
     // HLL set algebra: register-max union + inclusion–exclusion overlap
-    "q191_hll_overlap"      -> ((s, d) => Sketches.hllOverlap(Tables.events(s, d)))
+    "q191_hll_overlap"      -> ((s, d) => Sketches.hllOverlap(Tables.events(s, d))),
+    // product-quantization codes: per-subspace deterministic-k-means
+    // codebooks — the 100×-compression tier IVF+PQ stacks on q64's
+    // coarse index; every code exact-oracled (unrolled CTE chains)
+    "q192_pq_codes"         -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
+    // PQ ADC top-k: per-subspace LUT distances summed in integer
+    // micro-units — probe-time scan touches codes, never vectors
+    "q193_pq_ann"           -> ((s, d) => Similarity.pqAnn(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

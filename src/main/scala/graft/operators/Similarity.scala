@@ -606,13 +606,30 @@ object Similarity {
     val base = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def assign(cents: DataFrame): DataFrame =
-      base.crossJoin(broadcast(cents))
-        .withColumn("d", transform(col("cs"), c =>
-          round(aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, t) => acc + t), 6)))
-        .withColumn("cluster", array_position(col("d"), array_min(col("d"))).cast("int"))
-        .withColumn("dist_r", array_min(col("d")))
+    kmAssign(base, kmTrain(base, k, iters))
+      .select(col("vec_id"), col("cluster"), round(col("dist_r"), 4).as("dist2"))
+      .orderBy("vec_id")
+  }
+
+  /** One Lloyd assignment pass of `base` (vec_id, v) against a 1-row
+    * centroid frame (cs) — shared by [[kmeans]]'s final assign and
+    * the PQ encoder. */
+  private def kmAssign(base: DataFrame, cents: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cents))
+      .withColumn("d", transform(col("cs"), c =>
+        round(aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t), 6)))
+      .withColumn("cluster", array_position(col("d"), array_min(col("d"))).cast("int"))
+      .withColumn("dist_r", array_min(col("d")))
+
+  /** [[kmeans]]'s training loop alone: returns the final centroids as
+    * ONE broadcastable row (cs = array of ≤ k centroid arrays, slot =
+    * 1-based cluster id) — the codebook consumers (PQ's ADC tables)
+    * need, where [[kmeans]] itself only returns assignments. All the
+    * determinism notes on [[kmeans]] apply verbatim.
+    */
+  private[graft] def kmTrain(base: DataFrame, k: Int, iters: Int): DataFrame = {
+    def assign(cents: DataFrame): DataFrame = kmAssign(base, cents)
     // init = the k LOWEST vec_ids PRESENT (TakeOrdered, k rows), not
     // `vec_id < k`: a filtered subset (e.g. the pipeline's
     // lexical-survivor embeddings) may be missing ids 0..k−1
@@ -653,9 +670,110 @@ object Similarity {
         // checkpoint stores exactly the round(6)-synced coordinates).
         .localCheckpoint()
     }
-    assign(cents)
-      .select(col("vec_id"), col("cluster"), round(col("dist_r"), 4).as("dist2"))
-      .orderBy("vec_id")
+    cents
+  }
+
+  /** Subspace slice of a vector column: subspace `s` (0-based, of `m`)
+    * covers dims [s·⌊d/m⌋+1 ..], the LAST subspace takes any
+    * remainder — mirrored exactly by the oracle's `//`-sliced CTEs.
+    */
+  private def subSlice(v: Column, s: Int, m: Int): Column = {
+    val w = (size(v) / lit(m)).cast("int")
+    val len = if (s == m - 1) size(v) - lit(s) * w else w
+    slice(v, lit(s) * w + 1, len)
+  }
+
+  /** Product-quantization codes (Jégou/Douze/Schmid, the IVF+PQ
+    * memory-scale standard): the vector splits into `m` contiguous
+    * subspaces, each trained with its OWN deterministic [[kmeans]]
+    * codebook of `k` centroids, and a vector's code in subspace s is
+    * its nearest sub-centroid — m·log₂k bits replace d floats, which
+    * is what lets a 100 TB ANN corpus keep its vectors IN MEMORY
+    * (int8 (q76) compresses 4×; PQ compresses 100×+ and its ADC
+    * distance needs no decode). Deterministic end to end (first-k
+    * init, fixed iterations, round-6 resync), so every code and
+    * residual is DuckDB-hash-exact — not a property MLlib's seeded
+    * KMeans can offer.
+    *
+    * Output: (vec_id, sub, code, dist2) — dist2 is the subspace
+    * quantization residual, whose per-corpus sum is the PQ
+    * distortion audit.
+    *
+    * Scale: each subspace's train/encode is the map-only broadcast-
+    * centroid shape of [[kmeans]] on a NARROWER vector; the m
+    * sub-results union column-compatibly. Nothing here shuffles more
+    * than (cluster, dim) partial means.
+    */
+  def pqCodes(emb: DataFrame, m: Int = 2, k: Int = 4, iters: Int = 3): DataFrame =
+    (0 until m).map { s =>
+      val sub = emb.select(col("vec_id"),
+          subSlice(col("embedding").cast("array<double>"), s, m).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // dist2 display-rounds via the quantized floor form (the
+      // moneyRound convention), NOT round(,4): Spark's round goes
+      // through the double's SHORTEST string repr while DuckDB rounds
+      // the raw double, so a residual landing on a .xxxx5 boundary
+      // (one does, on this corpus's subspace slices) would hash-split
+      // the engines; floor(x·10⁴ + 0.5) is the same IEEE ops on the
+      // same double in both
+      kmAssign(sub, kmTrain(sub, k, iters))
+        .select(col("vec_id"), lit(s).as("sub"), col("cluster").as("code"),
+          (floor(col("dist_r") * 1e4 + 0.5) / 1e4).as("dist2"))
+    }.reduce(_.unionByName(_)).orderBy("vec_id", "sub")
+
+  /** PQ ANN via asymmetric distance computation (ADC): queries stay
+    * EXACT, corpus vectors are their PQ codes, and the query-to-code
+    * distance is a sum of per-subspace lookup-table entries — the
+    * scan never touches a corpus float. The LUT is (nQueries · m · k)
+    * rows built from the codebooks (tiny, broadcast); the corpus-side
+    * work is one equi-join of (vec_id, sub, code) rows against it
+    * plus a group-limited rank — no vector arithmetic per corpus row
+    * at probe time, which is the entire point of PQ at scale (and it
+    * composes with the q64 IVF partition pruning: prune to probed
+    * buckets, THEN ADC-scan only those).
+    *
+    * Determinism: per-subspace LUT distances are round-6 doubles
+    * promoted to integer MICRO-units before the cross-subspace sum
+    * (a 3+-term double sum would re-associate across engines; the
+    * BIGINT sum cannot), ranks tie-break on vec_id.
+    */
+  def pqAnn(emb: DataFrame, m: Int = 2, k: Int = 4, iters: Int = 3,
+            nQueries: Int = 8, topK: Int = 5): DataFrame = {
+    val parts = (0 until m).map { s =>
+      val sub = emb.select(col("vec_id"),
+          subSlice(col("embedding").cast("array<double>"), s, m).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = kmTrain(sub, k, iters)
+      val codes = kmAssign(sub, cents)
+        .select(col("vec_id"), lit(s).as("sub"), col("cluster").as("code"))
+      // posexplode is 0-based; cluster ids are 1-based array slots
+      val centRows = cents.select(posexplode(col("cs")).as(Seq("pos", "cv")))
+        .select(lit(s).as("sub"), (col("pos") + 1).cast("int").as("code"), col("cv"))
+      val qs = sub.filter(col("vec_id") < nQueries)
+        .select(lit(s).as("sub"), col("vec_id").as("q_id"), col("v").as("qv"))
+      (codes, centRows, qs)
+    }
+    val codes = parts.map(_._1).reduce(_.unionByName(_))
+    val cents = parts.map(_._2).reduce(_.unionByName(_))
+    val qs = parts.map(_._3).reduce(_.unionByName(_))
+    // the identical round-6 squared-distance kernel as kmAssign, then
+    // micro-unit integers so the m-term ADC sum is order-independent
+    val lut = qs.join(cents, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        round(round(aggregate(zip_with(col("qv"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t), 6)
+          * 1e6).cast("long").as("pdm"))
+    val w = Window.partitionBy("q_id").orderBy(col("adcm").asc, col("vec_id").asc)
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("q_id", "vec_id").agg(sum("pdm").as("adcm"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      // 4-decimal display from integer micro-units by INTEGER
+      // half-up division — no double round boundary can exist
+      .select(col("q_id"), col("vec_id"),
+        (floor((col("adcm") + 50) / 100).cast("double") / 10000).as("adc_dist2"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("q_id", "rk")
   }
 
   /** SemDeDup-style cluster-bounded semantic deduplication (Abbas et

@@ -448,6 +448,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("PQ ADC probe: broadcast LUT equi-join, group-limited rank, no cartesian") {
+    // the scale contract: the corpus side carries (vec_id, sub, code)
+    // rows against a BROADCAST LUT (nQueries·m·k rows), the top-k rank
+    // is group-limited, and nothing is a cartesian product (the 1-row
+    // centroid broadcasts inside the encoder are BNLJ by design)
+    val p = plan("q193_pq_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("OHLC bars: struct arg-min/max is a partial aggregate, not a window") {
     // min/max over the (second, event_id, value) struct must map-side
     // combine — a Window node here means every event crosses the wire

@@ -388,6 +388,45 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(res.values.forall(_._2 == 0.0025))
   }
 
+  test("PQ: codebook-seed copies encode residual-free; ADC equals exact distance on them") {
+    // dim-4 vectors; first 4 = distinct seeds (each subspace's first-k
+    // init), the rest exact copies → per-subspace kmeans converges
+    // onto the seed grid (residual 0 everywhere), so a vector's code
+    // is its seed's slot and ADC to a query is the EXACT squared
+    // distance between the seed vectors
+    val seeds = Seq(0.0f, 1.0f, 2.0f, 3.0f).map(x => Array(x, x, x, x))
+    val emb = (0L until 12L).map(i => (i, seeds((i % 4).toInt), 0))
+      .toDF("vec_id", "embedding", "label")
+    val codes = Similarity.pqCodes(emb, m = 2, k = 4, iters = 3).collect()
+    assert(codes.length == 24)
+    assert(codes.forall(_.getDouble(3) == 0.0), "seed copies must quantize losslessly")
+    assert(codes.forall(r => r.getInt(2) == (r.getLong(0) % 4).toInt + 1),
+      "code = the seed's 1-based init slot, in every subspace")
+    val ann = Similarity.pqAnn(emb, m = 2, k = 4, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    // q0's three zero-distance copies rank 1-3 by vec_id tie-break
+    assert(ann((0L, 0L)) == (0.0, 1) && ann((0L, 4L)) == (0.0, 2) &&
+      ann((0L, 8L)) == (0.0, 3))
+    // next-nearest seed (all-ones): exact squared distance 4·1² = 4
+    assert(ann((0L, 1L)) == (4.0, 4) && ann((0L, 5L)) == (4.0, 5))
+  }
+
+  test("PQ: an odd dimension gives the last subspace the remainder, residual-free") {
+    // dim 5, m 2 → subspaces of 2 and 3 dims; the split must cover
+    // every dim exactly once (a dropped or doubled dim would leave a
+    // nonzero residual or shift the codes off the seed slots)
+    val seeds = Seq(0.0f, 1.0f, 2.0f, 3.0f).map(x => Array(x, x, x, x, x))
+    val emb = (0L until 8L).map(i => (i, seeds((i % 4).toInt), 0))
+      .toDF("vec_id", "embedding", "label")
+    val codes = Similarity.pqCodes(emb, m = 2, k = 4, iters = 2).collect()
+    assert(codes.length == 16)
+    assert(codes.forall(_.getDouble(3) == 0.0))
+    val ann = Similarity.pqAnn(emb, m = 2, k = 4, iters = 2, nQueries = 1, topK = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // 5 dims now separate the seeds by 5·Δ²
+    assert(ann(0L) == 0.0 && ann(4L) == 0.0 && ann(1L) == 5.0)
+  }
+
   test("kmeans: argmin ties resolve to the lowest cluster id") {
     // after the update, centroids are 0.5 and 2.0; the point at 1.0
     // sits 0.25 from c1 vs 1.0 from c2 — but at init it is exactly

@@ -3029,6 +3029,49 @@ object OracleSql {
          |SELECT q_id, vec_id, adc_dist2, rk FROM r WHERE rk <= 5
          |ORDER BY q_id, rk""".stripMargin,
 
+    // PQ recall: the q193 ADC block verbatim for the approx set, a
+    // broadcast-panel exact-L2 scan for the truth set, semi-join count
+    // per query (0-hit queries kept by the left join off the panel).
+    "q194_pq_recall" ->
+      s"""WITH ${kmeansCtes(4, 3, pqSubSql(0, 2), "s0")},
+         |${kmeansCtes(4, 3, pqSubSql(1, 2), "s1")},
+         |codes AS (SELECT vec_id, 0 AS sub, cluster AS code FROM s0a4
+         |  UNION ALL SELECT vec_id, 1, cluster FROM s1a4),
+         |cb AS (SELECT 0 AS sub, CAST(g.i AS INT) AS code,
+         |    c.cs[CAST(g.i AS INT)] AS cv
+         |  FROM range(1, 5) AS g(i) CROSS JOIN s0c3 c
+         |  UNION ALL SELECT 1, CAST(g.i AS INT), c.cs[CAST(g.i AS INT)]
+         |  FROM range(1, 5) AS g(i) CROSS JOIN s1c3 c),
+         |q AS (SELECT 0 AS sub, vec_id AS q_id, v AS qv FROM s0e WHERE vec_id < 8
+         |  UNION ALL SELECT 1, vec_id, v FROM s1e WHERE vec_id < 8),
+         |lut AS (SELECT q_id, sub, code,
+         |  CAST(round(round(CASE WHEN len(qv) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(qv, (el, j) ->
+         |      (el - cv[j]) * (el - cv[j])), (x, y) -> x + y) END, 6)
+         |    * 1000000) AS BIGINT) AS pdm
+         |  FROM q JOIN cb USING (sub)),
+         |sc AS (SELECT q_id, vec_id, CAST(sum(pdm) AS BIGINT) AS adcm
+         |  FROM codes JOIN lut USING (sub, code) GROUP BY 1, 2),
+         |ap AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY adcm, vec_id) AS rk
+         |  FROM sc) WHERE rk <= 5),
+         |fe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |exd AS (SELECT p.vec_id AS q_id, e.vec_id,
+         |  round(CASE WHEN len(e.v) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(e.v, (el, j) ->
+         |      (el - p.v[j]) * (el - p.v[j])), (x, y) -> x + y) END, 6) AS d2
+         |  FROM fe e CROSS JOIN (SELECT vec_id, v FROM fe WHERE vec_id < 8) p),
+         |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rk
+         |  FROM exd) WHERE rk <= 5),
+         |hit AS (SELECT ext.q_id, CAST(count(ap.vec_id) AS BIGINT) AS n_hit
+         |  FROM ext LEFT JOIN ap ON ext.q_id = ap.q_id AND ext.vec_id = ap.vec_id
+         |  GROUP BY 1)
+         |SELECT p.q_id, coalesce(h.n_hit, 0) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5 AS recall
+         |FROM (SELECT DISTINCT vec_id AS q_id FROM fe WHERE vec_id < 8) p
+         |LEFT JOIN hit h USING (q_id) ORDER BY q_id""".stripMargin,
+
     "q189_forget_audit" ->
       """WITH f AS (SELECT DISTINCT user_id FROM events WHERE user_id % 53 = 0),
         |s AS (SELECT e.* FROM events e LEFT JOIN f ON e.user_id = f.user_id

@@ -511,7 +511,10 @@ object SparkEntry {
     "q192_pq_codes"         -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
     // PQ ADC top-k: per-subspace LUT distances summed in integer
     // micro-units — probe-time scan touches codes, never vectors
-    "q193_pq_ann"           -> ((s, d) => Similarity.pqAnn(Tables.embeddings(s, d)))
+    "q193_pq_ann"           -> ((s, d) => Similarity.pqAnn(Tables.embeddings(s, d))),
+    // PQ recall audit: |ADC top-k ∩ exact-L2 top-k| / k per panel
+    // query — the m/k tuning gauge, itself oracle-exact
+    "q194_pq_recall"        -> ((s, d) => Similarity.pqRecall(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

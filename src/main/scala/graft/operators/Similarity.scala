@@ -776,6 +776,39 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** ADC-vs-exact recall audit for the PQ tier — the q93 ANN-recall
+    * discipline applied to [[pqAnn]]: per panel query, how many of
+    * the EXACT L2 top-k the code-only ADC scan recovered. The number
+    * a deployment tunes (m, k) against before trusting the 100×
+    * compression; deterministic end to end, so the recall fractions
+    * themselves are oracle-exact. Exact side is the broadcast-panel
+    * linear scan (bounded: nQueries·n rows, group-limited rank) — the
+    * audit runs on a sample in production, like q93.
+    */
+  def pqRecall(emb: DataFrame, m: Int = 2, k: Int = 4, iters: Int = 3,
+               nQueries: Int = 8, topK: Int = 5): DataFrame = {
+    val approx = pqAnn(emb, m, k, iters, nQueries, topK)
+      .select(col("q_id"), col("vec_id"))
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val qs = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("vec_id").asc)
+    val exact = base.crossJoin(broadcast(qs))
+      .withColumn("d2", round(aggregate(zip_with(col("v"), col("qv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select("q_id", "vec_id")
+    val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    qs.select("q_id").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / topK).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** SemDeDup-style cluster-bounded semantic deduplication (Abbas et
     * al. 2023, arXiv:2303.09540): pairwise cosine comparison runs ONLY
     * within [[kmeans]] clusters, so the candidate count drops from

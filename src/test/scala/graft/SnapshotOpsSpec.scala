@@ -409,6 +409,10 @@ class SnapshotOpsSpec extends AnyFunSuite {
       ann((0L, 8L)) == (0.0, 3))
     // next-nearest seed (all-ones): exact squared distance 4·1² = 4
     assert(ann((0L, 1L)) == (4.0, 4) && ann((0L, 5L)) == (4.0, 5))
+    // lossless codes ⇒ ADC ≡ exact (same tie-breaks): recall is 1.0
+    // for every panel query
+    val rec = Similarity.pqRecall(emb, m = 2, k = 4, iters = 3).collect()
+    assert(rec.length == 8 && rec.forall(_.getDouble(2) == 1.0), rec.mkString(";"))
   }
 
   test("PQ: an odd dimension gives the last subspace the remainder, residual-free") {

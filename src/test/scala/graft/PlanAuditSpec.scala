@@ -30,7 +30,12 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("minhash banding is an equi hash join, not a nested-loop join") {
-    val p = plan("q32_minhash_pairs")
+    // q32 now serves from the materialized cascade (probe shape pinned
+    // in the "cascade probes" test below) — the BUILD shape is audited
+    // on the self-computing operator, which is what prebuildCascade runs
+    val p = graft.operators.Dedup
+      .minhashCandidatePairs(graft.engine.Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
@@ -375,10 +380,20 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("fuzzy dedup: LSH-banded candidates, equi-joins only, no product") {
+    // the driver query probes the materialized candidate frame — its
+    // verify tail must stay equi-join-only with no re-shingling
     val p = plan("q119_fuzzy_dedup")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("md5"), p) // candidates come from the minhash banding
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("cand"), p) // scans the cascade's candidate frame
+    // the BUILD shape (self-computing form): banded md5 candidates
+    val build = graft.operators.Dedup
+      .fuzzyDupPairs(graft.engine.Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!build.contains("CartesianProduct"), build)
+    assert(!build.contains("BroadcastNestedLoopJoin"), build)
+    assert(build.contains("md5"), build)
   }
 
   test("priority dedup: only 16-byte fingerprints cross the exchange, never text") {

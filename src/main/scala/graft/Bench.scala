@@ -247,7 +247,17 @@ object Bench {
       dropAllState()
       if (built) (System.nanoTime() - ccT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
-    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"sf":${jsonStr(sfDir)}}""")
+    // pre-build the PQ index (codes + codebooks; q192/q193/q194 probe
+    // it): one train per subspace per corpus snapshot. 0 = reused.
+    val pqT0 = System.nanoTime()
+    val pqBuildSec = try {
+      val built = graft.operators.Similarity.prebuildPqIndex(
+        graft.engine.Tables.embeddings(spark, sfDir),
+        SparkEntry.pqIndexFor(spark, sfDir))
+      dropAllState()
+      if (built) (System.nanoTime() - pqT0) / 1e9 else 0.0
+    } catch { case _: Throwable => -1.0 }
+    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"sf":${jsonStr(sfDir)}}""")
 
     // a probe must never abort the run: a broken environment (e.g.
     // missing data dir) should still produce BENCH_META, per-query

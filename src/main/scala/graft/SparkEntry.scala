@@ -508,13 +508,19 @@ object SparkEntry {
     // product-quantization codes: per-subspace deterministic-k-means
     // codebooks — the 100×-compression tier IVF+PQ stacks on q64's
     // coarse index; every code exact-oracled (unrolled CTE chains)
-    "q192_pq_codes"         -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
+    // (codes/books served from the materialized PQ index — one train
+    // per subspace per corpus snapshot, the ivfIndexFor discipline;
+    // q192/q193/q194 all probe it)
+    "q192_pq_codes"         -> ((s, d) =>
+      Similarity.pqCodesCached(Tables.embeddings(s, d), pqIndexFor(s, d))),
     // PQ ADC top-k: per-subspace LUT distances summed in integer
     // micro-units — probe-time scan touches codes, never vectors
-    "q193_pq_ann"           -> ((s, d) => Similarity.pqAnn(Tables.embeddings(s, d))),
+    "q193_pq_ann"           -> ((s, d) =>
+      Similarity.pqAnnCached(Tables.embeddings(s, d), pqIndexFor(s, d))),
     // PQ recall audit: |ADC top-k ∩ exact-L2 top-k| / k per panel
     // query — the m/k tuning gauge, itself oracle-exact
-    "q194_pq_recall"        -> ((s, d) => Similarity.pqRecall(Tables.embeddings(s, d)))
+    "q194_pq_recall"        -> ((s, d) =>
+      Similarity.pqRecallCached(Tables.embeddings(s, d), pqIndexFor(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.
@@ -548,6 +554,19 @@ object SparkEntry {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_cc_${new java.io.File(d).getName}_$ph").getAbsolutePath
     Dedup.cascadeDir(s, s"$d/documents.parquet", base)
+  }
+
+  /** Content-addressed home of the embeddings table's materialized PQ
+    * index (codes + codebooks) — the [[ivfIndexFor]] discipline;
+    * shared by q192/q193/q194.
+    */
+  private[graft] def pqIndexFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_pq_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    Similarity.pqIndexDir(s, s"$d/embeddings.parquet", base)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

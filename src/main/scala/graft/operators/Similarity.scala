@@ -776,6 +776,98 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Content-addressed home of a corpus's MATERIALIZED PQ index —
+    * codes (vec_id, sub, code, dist2) and codebooks (sub, code, cv) —
+    * keyed like the IVF index and the dedup cascade: corpus file
+    * signature + the (m, k, iters) setting, stale revisions pruned.
+    * Production persists exactly this: codebooks train once per
+    * corpus snapshot, every ADC consumer probes them.
+    */
+  def pqIndexDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
+                 base: String, m: Int = 2, k: Int = 4, iters: Int = 3): String =
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base,
+      s"pq${m}x${k}i${iters}_", "pqIndexDir")
+
+  /** Build the PQ index now iff absent (the `prebuildIvfIndex` /
+    * `prebuildCascade` warm-up hook): ONE train per subspace feeds
+    * both the code and the codebook frames — where the self-computing
+    * q192/q193/q194 entries would train 3× each per bench pass.
+    * Returns true when a build happened.
+    */
+  def prebuildPqIndex(emb: DataFrame, dir: String, m: Int = 2, k: Int = 4,
+                      iters: Int = 3): Boolean = {
+    val codesDir = new java.io.File(dir, "codes")
+    val booksDir = new java.io.File(dir, "books")
+    val fresh = !new java.io.File(codesDir, "_SUCCESS").exists() ||
+      !new java.io.File(booksDir, "_SUCCESS").exists()
+    if (fresh) {
+      val parts = (0 until m).map { s =>
+        val sub = emb.select(col("vec_id"),
+            subSlice(col("embedding").cast("array<double>"), s, m).as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cents = kmTrain(sub, k, iters)
+        val codes = kmAssign(sub, cents)
+          .select(col("vec_id"), lit(s).as("sub"), col("cluster").as("code"),
+            (floor(col("dist_r") * 1e4 + 0.5) / 1e4).as("dist2"))
+        val books = cents.select(posexplode(col("cs")).as(Seq("pos", "cv")))
+          .select(lit(s).as("sub"), (col("pos") + 1).cast("int").as("code"), col("cv"))
+        (codes, books)
+      }
+      parts.map(_._1).reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(codesDir.getAbsolutePath)
+      parts.map(_._2).reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(booksDir.getAbsolutePath)
+    }
+    fresh
+  }
+
+  /** [[pqCodes]] served from the materialized index — identical rows
+    * (long/int/floor-rounded-double roundtrip parquet exactly). */
+  def pqCodesCached(emb: DataFrame, dir: String, m: Int = 2, k: Int = 4,
+                    iters: Int = 3): DataFrame = {
+    prebuildPqIndex(emb, dir, m, k, iters)
+    emb.sparkSession.read.parquet(s"$dir/codes").orderBy("vec_id", "sub")
+  }
+
+  /** [[pqAnn]] probing the materialized index: the LUT builds from
+    * the stored codebooks, the scan from the stored codes — NO
+    * k-means work at probe time, which is the deployed shape.
+    */
+  def pqAnnCached(emb: DataFrame, dir: String, m: Int = 2, k: Int = 4,
+                  iters: Int = 3, nQueries: Int = 8, topK: Int = 5): DataFrame = {
+    prebuildPqIndex(emb, dir, m, k, iters)
+    val spark = emb.sparkSession
+    val codes = spark.read.parquet(s"$dir/codes").select("vec_id", "sub", "code")
+    val books = spark.read.parquet(s"$dir/books")
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qs = (0 until m).map { s =>
+      base.filter(col("vec_id") < nQueries)
+        .select(lit(s).as("sub"), col("vec_id").as("q_id"),
+          subSlice(col("v"), s, m).as("qv"))
+    }.reduce(_.unionByName(_))
+    val lut = qs.join(books, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        round(round(aggregate(zip_with(col("qv"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t), 6)
+          * 1e6).cast("long").as("pdm"))
+    val w = Window.partitionBy("q_id").orderBy(col("adcm").asc, col("vec_id").asc)
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("q_id", "vec_id").agg(sum("pdm").as("adcm"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"),
+        (floor((col("adcm") + 50) / 100).cast("double") / 10000).as("adc_dist2"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** [[pqRecall]] with the approx side from the materialized index
+    * (the exact side is the audit itself and stays live). */
+  def pqRecallCached(emb: DataFrame, dir: String, m: Int = 2, k: Int = 4,
+                     iters: Int = 3, nQueries: Int = 8, topK: Int = 5): DataFrame =
+    pqRecallFrom(pqAnnCached(emb, dir, m, k, iters, nQueries, topK),
+      emb, nQueries, topK)
+
   /** ADC-vs-exact recall audit for the PQ tier — the q93 ANN-recall
     * discipline applied to [[pqAnn]]: per panel query, how many of
     * the EXACT L2 top-k the code-only ADC scan recovered. The number
@@ -786,9 +878,14 @@ object Similarity {
     * audit runs on a sample in production, like q93.
     */
   def pqRecall(emb: DataFrame, m: Int = 2, k: Int = 4, iters: Int = 3,
-               nQueries: Int = 8, topK: Int = 5): DataFrame = {
-    val approx = pqAnn(emb, m, k, iters, nQueries, topK)
-      .select(col("q_id"), col("vec_id"))
+               nQueries: Int = 8, topK: Int = 5): DataFrame =
+    pqRecallFrom(pqAnn(emb, m, k, iters, nQueries, topK), emb, nQueries, topK)
+
+  /** The recall computation over ANY ADC result frame — shared by the
+    * self-computing and index-probing forms. */
+  private def pqRecallFrom(ann: DataFrame, emb: DataFrame,
+                           nQueries: Int, topK: Int): DataFrame = {
+    val approx = ann.select(col("q_id"), col("vec_id"))
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val qs = base.filter(col("vec_id") < nQueries)

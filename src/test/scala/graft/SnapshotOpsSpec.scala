@@ -415,6 +415,27 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(rec.length == 8 && rec.forall(_.getDouble(2) == 1.0), rec.mkString(";"))
   }
 
+  test("PQ index: cached codes/ANN/recall equal the self-computing operators; reuse is a no-op") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-pq-corpus").toString
+    (0L until 40L).map(i => (i, Array.fill(6)(rnd.nextFloat()), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(corpusDir)
+    val emb = spark.read.parquet(corpusDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-pq-base").toString
+    val dir = Similarity.pqIndexDir(spark, corpusDir, base)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: cached and self-computed runs diverge")
+    same(Similarity.pqCodesCached(emb, dir), Similarity.pqCodes(emb), "codes")
+    same(Similarity.pqAnnCached(emb, dir), Similarity.pqAnn(emb), "ann")
+    same(Similarity.pqRecallCached(emb, dir), Similarity.pqRecall(emb), "recall")
+    assert(!Similarity.prebuildPqIndex(emb, dir), "second prebuild must reuse")
+    spark.catalog.clearCache()
+  }
+
   test("PQ: an odd dimension gives the last subspace the remainder, residual-free") {
     // dim 5, m 2 → subspaces of 2 and 3 dims; the split must cover
     // every dim exactly once (a dropped or doubled dim would leave a

@@ -100,9 +100,8 @@ object TextAnalysis {
     * against per-language reference profiles with cosine/overlap).
     */
   def charNgramProfile(docs: DataFrame, n: Int = 2, top: Int = 8): DataFrame = {
-    val grams = expr(
-      s"transform(sequence(1, greatest(length(text) - ${n - 1}, 0)), i -> substring(text, i, $n))")
-    docs.select(col("doc_id"), explode(grams).as("gram"))
+    docs.select(col("doc_id"),
+        graft.functions.CharGramGenerator.chargrams(col("text"), n).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
@@ -433,9 +432,13 @@ object TextAnalysis {
     * sequence/ANSI trap — see the charEntropy notes above).
     */
   def bigramLmScore(docs: DataFrame): DataFrame = {
+    // native generator (graft.functions.CharGramGenerator): the
+    // composable transform+explode form is an interpreted lambda paid
+    // TWICE here (model + scoring) — identical gram multiset,
+    // spec-asserted, every oracle hash unchanged
     def grams(df: DataFrame) = df.filter(length(col("text")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+      .select(col("doc_id"),
+        graft.functions.CharGramGenerator.chargrams(col("text"), 2).as("bg"))
     val model = grams(docs).groupBy("bg").agg(count(lit(1)).as("ng"))
       .withColumn("n1", sum(col("ng")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(substring(col("bg"), 1, 1))))

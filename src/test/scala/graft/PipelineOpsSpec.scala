@@ -186,6 +186,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       math.abs(r.getDouble(3) - math.exp(-r.getDouble(2))) < 0.01))
   }
 
+  test("CharGramGenerator emits exactly the composable char-gram multiset") {
+    import spark.implicits._
+    import graft.functions.CharGramGenerator.chargrams
+    // edges: exactly-n chars, shorter-than-n (emits nothing), empty,
+    // repeats, multi-byte characters (positions are CHARACTER-based)
+    val df = Seq((1L, "abcd"), (2L, "ab"), (3L, "a"), (4L, ""),
+      (5L, "aaaa"), (6L, "héllo"))
+      .toDF("doc_id", "text")
+    // the reference BRANCHES on short text: the greatest()-guard form
+    // the generator replaced hit Spark's DESCENDING sequence(1, 0) on
+    // sub-n documents and emitted two phantom empty grams — a latent
+    // bug the generator fixes (emit nothing), hence the explicit case
+    def composed(n: Int) = df.select(col("doc_id"), explode(expr(
+      s"case when length(text) < $n then array() " +
+        s"else transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)) end"))
+      .as("gram"))
+    for (n <- Seq(1, 2, 3)) {
+      val native = df.select(col("doc_id"), chargrams(col("text"), n).as("gram"))
+      assert(native.exceptAll(composed(n)).count() == 0 &&
+        composed(n).exceptAll(native).count() == 0,
+        s"n=$n native: ${native.collect().toSeq}\ncomposed: ${composed(n).collect().toSeq}")
+    }
+    // and on the real corpus at the q121 width
+    val corpus = documents.select(col("doc_id"), col("text"))
+    val nat = corpus.select(col("doc_id"), chargrams(col("text"), 2).as("gram"))
+    val com = corpus.select(col("doc_id"), explode(expr(
+      "case when length(text) < 2 then array() " +
+        "else transform(sequence(1, length(text) - 1), i -> substring(text, i, 2)) end")).as("gram"))
+    assert(nat.exceptAll(com).count() == 0 && com.exceptAll(nat).count() == 0)
+  }
+
   test("ShingleGenerator emits exactly the composable pipeline's shingle multiset") {
     import spark.implicits._
     import graft.functions.ShingleGenerator.shingles

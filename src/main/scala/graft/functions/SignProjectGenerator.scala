@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructType}
+
+/** Native random-sign projection UDTF — one row (rp_dim, rp_val) per
+  * output dimension, the whole outDim×d matrix-vector product in one
+  * tight JVM loop per input row.
+  *
+  * The composable form this replaces — `transform(sequence(0,
+  * outDim−1), j -> round(aggregate(sequence(1, size(v)), 0.0,
+  * (acc, i) -> acc + v[i]·signs[j+1][i]), 4))` then `posexplode` —
+  * evaluates outDim·d INTERPRETED expression nodes per row (boxed
+  * accumulators, per-element literal-array probes): ~5M node
+  * evaluations per pass over the bench corpus, measured ~3 s where
+  * this loop is milliseconds. Same ladder as ChunkGenerator (17.6 s
+  * → 0.9 s).
+  *
+  * Exactness: the ±1 signs are the identical md5 fixture
+  * (md5("j:i")'s first hex < '8' → +1), the fold is the identical
+  * ascending left fold, and the 4-decimal rounding calls the same
+  * shortest-repr HALF_UP path as Spark's `round` — bit-identical
+  * output, spec-asserted, the q97 oracle hash unchanged.
+  *
+  * Contract edges (mirroring the composable form): a NULL vector
+  * emits nothing (posexplode of null); an EMPTY vector emits outDim
+  * zero rows (the guarded empty sum); a vector longer than
+  * `maxInputDim` fails LOUDLY rather than projecting on a silently
+  * truncated basis (the composable form's ANSI element_at did the
+  * same).
+  */
+case class SignProjectGenerator(child: Expression, outDim: Int, maxInputDim: Int)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  require(outDim >= 1 && maxInputDim >= 1, "dims must be >= 1")
+
+  override def elementSchema: StructType = new StructType()
+    .add("rp_dim", IntegerType, nullable = false)
+    .add("rp_val", DoubleType, nullable = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"signProject requires array<double>, got ${t.catalogString}")
+  }
+
+  private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(outDim, maxInputDim) { (j, i) =>
+      if (SignProjectGenerator.md5FirstHex(s"$j:$i") < '8') 1.0 else -1.0
+    }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val raw = child.eval(input)
+    if (raw == null) return Iterator.empty
+    val arr = raw.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    require(n <= maxInputDim,
+      s"signProject: input dim $n exceeds the $maxInputDim-dim sign basis")
+    (0 until outDim).iterator.map { j =>
+      val row = signs(j)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += arr.getDouble(i) * row(i); i += 1 }
+      val r = if (n == 0) 0.0
+        else java.math.BigDecimal.valueOf(s)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      InternalRow(j, r)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignProjectGenerator =
+    copy(child = newChild)
+}
+
+object SignProjectGenerator {
+  private[graft] def md5FirstHex(s: String): Char =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+
+  /** Column-API entry: `.select(col("vec_id"), signProject(v, 16, 256).as(Seq("rp_dim", "rp_val")))`. */
+  def signProject(v: Column, outDim: Int, maxInputDim: Int): Column =
+    ColumnBridge.column(SignProjectGenerator(ColumnBridge.expression(v), outDim, maxInputDim))
+}

@@ -537,47 +537,35 @@ object Similarity {
     * "matrix" is a hash function, not data — nothing is broadcast,
     * nothing is trained, and both engines derive the identical sign
     * from the identical md5 — so the projection is exact-oracle-
-    * checkable. One narrow projection per row (O(d·k) inside codegen
-    * HOFs), no shuffle; output explodes to (vec_id, rp_dim, rp_val)
-    * so the driver's dump stays flat. Preserves pairwise geometry at
-    * k ≪ d for cheap pre-filtering in front of exact cosine.
+    * checkable. One narrow projection per row, no shuffle; output is
+    * (vec_id, rp_dim, rp_val) rows so the driver's dump stays flat.
+    * Preserves pairwise geometry at k ≪ d for cheap pre-filtering in
+    * front of exact cosine.
     *
-    * The signs are materialized ONCE, driver-side, as a plan literal:
-    * they depend only on (j, i), so evaluating md5 inside the row fold
-    * — as this operator originally did — recomputes the identical
-    * outDim×dim matrix for every row (16×64 = 1024 md5 calls/row ⇒
-    * 51M at sf0.1, measured 22.8 s; the literal form is a pure
-    * arithmetic fold, sub-second). `maxInputDim` bounds the literal
-    * (outDim×maxInputDim doubles ≈ 32 KB at the defaults — far under
-    * the task-binary budget the q77 Bloom lesson set); an input vector
-    * longer than maxInputDim fails LOUDLY (ANSI element_at) rather
-    * than projecting on a silently-truncated basis.
+    * Evolution of the hot loop (the native-extension ladder, each
+    * step measured): md5 inside the row fold recomputed the identical
+    * outDim×dim matrix per row (51M md5 calls at sf0.1 — 22.8 s);
+    * hoisting the signs to a plan literal made the fold pure
+    * arithmetic but still INTERPRETED (outDim·d boxed HOF nodes per
+    * row — ~3 s); the shipped form is a native generator holding the
+    * sign matrix as instance state and running the whole product as
+    * one JVM loop per row (sub-second). `maxInputDim` bounds the
+    * matrix (~32 KB at the defaults); a longer input fails LOUDLY
+    * rather than projecting on a silently-truncated basis.
     */
   def randomProjection(emb: DataFrame, outDim: Int = 16,
-                       maxInputDim: Int = 256): DataFrame = {
-    def md5FirstHex(s: String): Char =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
-    val signRows: Seq[Seq[Double]] = Seq.tabulate(outDim, maxInputDim) {
-      (j, i) => if (md5FirstHex(s"$j:$i") < '8') 1.0 else -1.0
-    }
-    val signs = typedlit(signRows)
-    val v = col("v")
+                       maxInputDim: Int = 256): DataFrame =
+    // native generator (graft.functions.SignProjectGenerator): the
+    // whole outDim×d product runs as one JVM loop per row where the
+    // composable transform/aggregate form evaluated outDim·d
+    // INTERPRETED nodes per row (~5M per bench pass, measured ~3 s →
+    // sub-second). Identical signs, fold order, and rounding —
+    // spec-asserted against the composable reference, oracle unchanged
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("rp",
-        transform(sequence(lit(0), lit(outDim - 1)), j =>
-          // size(v) = 0 branch: sequence(1, 0) is the DESCENDING
-          // [1, 0] (would probe element_at(v, 0) → ANSI throw); the
-          // empty sum is exactly 0, which is what the guard returns.
-          // CaseWhen evaluates branches lazily, so the fold never runs
-          // on the empty path
-          when(size(v) === 0, lit(0.0)).otherwise(
-            round(aggregate(sequence(lit(1), size(v)), lit(0.0),
-              (acc, i) => acc + element_at(v, i) *
-                element_at(element_at(signs, j + lit(1)), i)), 4))))
-      .select(col("vec_id"), posexplode(col("rp")).as(Seq("rp_dim", "rp_val")))
+      .select(col("vec_id"),
+        graft.functions.SignProjectGenerator.signProject(col("v"), outDim, maxInputDim)
+          .as(Seq("rp_dim", "rp_val")))
       .orderBy("vec_id", "rp_dim")
-  }
 
   /** Lloyd's k-means over the embedding corpus — deterministic and
     * DuckDB-oracle-exact: init is the first `k` vectors by vec_id,

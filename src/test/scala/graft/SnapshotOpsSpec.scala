@@ -366,6 +366,30 @@ class SnapshotOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomProjection: native generator equals the composable literal-signs form") {
+    // the plan form the SignProjectGenerator replaced, kept here as
+    // the independent reference (hand-fold exactness is pinned above)
+    val outDim = 16
+    val signRows: Seq[Seq[Double]] = Seq.tabulate(outDim, 256) { (j, i) =>
+      if (graft.functions.SignProjectGenerator.md5FirstHex(s"$j:$i") < '8') 1.0 else -1.0
+    }
+    val signs = typedlit(signRows)
+    val v = col("v")
+    val composed = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("rp",
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          when(size(v) === 0, lit(0.0)).otherwise(
+            round(aggregate(sequence(lit(1), size(v)), lit(0.0),
+              (acc, i) => acc + element_at(v, i) *
+                element_at(element_at(signs, j + lit(1)), i)), 4))))
+      .select(col("vec_id"), posexplode(col("rp")).as(Seq("rp_dim", "rp_val")))
+    val native = Similarity.randomProjection(Tables.embeddings(spark, sfDir))
+    assert(native.exceptAll(composed).count() == 0 &&
+      composed.exceptAll(native).count() == 0,
+      "generator and composable projections diverge")
+  }
+
   test("randomProjection survives an empty embedding (ANSI descending-sequence guard)") {
     val emb = Seq((7L, Array.empty[Float], 0)).toDF("vec_id", "embedding", "label")
     val res = Similarity.randomProjection(emb, outDim = 3).collect()

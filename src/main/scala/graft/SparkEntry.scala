@@ -378,7 +378,8 @@ object SparkEntry {
     // Count-Min sketch heavy hitters: estimate vs truth audit
     "q134_countmin"        -> ((s, d) => Sketches.countMinHeavyHitters(Tables.events(s, d))),
     // EXACT Jaccard set-similarity self-join via prefix filtering
-    "q135_prefix_jaccard"  -> ((s, d) => Dedup.prefixJaccardJoin(Tables.documents(s, d))),
+    "q135_prefix_jaccard"  -> ((s, d) =>
+      Dedup.prefixJaccardJoinCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // PSI distribution drift of each source vs the corpus
     "q136_psi_drift"       -> ((s, d) => RobustStats.psiDrift(Tables.documents(s, d))),
     // TextRank keywords: PageRank over the token co-occurrence graph
@@ -388,9 +389,11 @@ object SparkEntry {
     // inverted-index build: df/cf + heap-capped posting lists
     "q139_inverted_index"  -> ((s, d) => TextAnalysis.invertedIndex(Tables.documents(s, d))),
     // EXACT directed shingle-containment join (quote/wrapper detection)
-    "q140_containment"     -> ((s, d) => Dedup.containmentJoin(Tables.documents(s, d))),
+    "q140_containment"     -> ((s, d) =>
+      Dedup.containmentJoinCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // per-doc shingle novelty vs ingestion order (crawl freshness)
-    "q141_novelty"         -> ((s, d) => Dedup.noveltyScore(Tables.documents(s, d))),
+    "q141_novelty"         -> ((s, d) =>
+      Dedup.noveltyScoreCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // deterministic Lloyd's k-means (IVF coarse-quantizer training)
     "q142_kmeans"          -> ((s, d) => Similarity.kmeans(Tables.embeddings(s, d))),
     // hourly OHLC bars per event type (struct-ordered arg-min/max agg)

@@ -971,8 +971,9 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
 
-  def prefixJaccardJoin(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = hashedShingleSets(docs)
+  def prefixJaccardJoin(docs: DataFrame, threshold: Double = 0.8,
+                        shSets: Option[DataFrame] = None): DataFrame = {
+    val sh = shSets.getOrElse(hashedShingleSets(docs))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pref = rarityPrefix(sh, sz, threshold)
     // candidate join adds SSJoin's length filter: J ≥ t forces
@@ -1016,8 +1017,9 @@ object Dedup {
     * the b-full side is the corpus (doc, h) table itself, keyed on h —
     * rare-shingle prefixes keep the candidate volume content-bounded.
     */
-  def containmentJoin(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val sh = hashedShingleSets(docs)
+  def containmentJoin(docs: DataFrame, threshold: Double = 0.9,
+                      shSets: Option[DataFrame] = None): DataFrame = {
+    val sh = shSets.getOrElse(hashedShingleSets(docs))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pref = rarityPrefix(sh, sz, threshold)
     val cand = pref.as("a")
@@ -1049,8 +1051,9 @@ object Dedup {
     * cost is linear in distinct (doc, shingle) rows; shuffles carry
     * (long, long) rows (the fingerprints-not-documents rule).
     */
-  def noveltyScore(docs: DataFrame): DataFrame = {
-    val sh = hashedShingleSets(docs)
+  def noveltyScore(docs: DataFrame,
+                   shSets: Option[DataFrame] = None): DataFrame = {
+    val sh = shSets.getOrElse(hashedShingleSets(docs))
     val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
     sh.join(first, "h")
       .groupBy("doc_id").agg(
@@ -1331,8 +1334,43 @@ object Dedup {
           docs.sparkSession.read.parquet(pairsDir.getAbsolutePath)
             .select("id_a", "id_b"))
         .write.mode("overwrite").parquet(labelsDir.getAbsolutePath)
-    candFresh || pairsFresh || labelsFresh
+    // the exact set-similarity family's shared scan-side frame
+    // (threshold-independent: 60-bit hashed distinct shingle sets)
+    val shDir = new java.io.File(dir, "shsets")
+    val shFresh = !new java.io.File(shDir, "_SUCCESS").exists()
+    if (shFresh) {
+      val sh = hashedShingleSets(docs)
+      sh.write.mode("overwrite").parquet(shDir.getAbsolutePath)
+      sh.unpersist(blocking = false)
+    }
+    candFresh || pairsFresh || labelsFresh || shFresh
   }
+
+  /** The materialized [[hashedShingleSets]] frame, persisted for the
+    * consumer's multi-read pattern (df counts, sizes, prefix, both
+    * verify sides). */
+  def hashedShingleSetsCached(docs: DataFrame, dir: String,
+                              threshold: Double = 0.2, bands: Int = 4): DataFrame = {
+    prebuildCascade(docs, dir, threshold, bands)
+    docs.sparkSession.read.parquet(s"$dir/shsets")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[prefixJaccardJoin]] / [[containmentJoin]] / [[noveltyScore]]
+    * probing the materialized shingle-set frame — the exact family's
+    * shared scan skips re-shingling the corpus per audit. */
+  def prefixJaccardJoinCached(docs: DataFrame, dir: String,
+                              threshold: Double = 0.8): DataFrame =
+    prefixJaccardJoin(docs, threshold,
+      shSets = Some(hashedShingleSetsCached(docs, dir)))
+
+  def containmentJoinCached(docs: DataFrame, dir: String,
+                            threshold: Double = 0.9): DataFrame =
+    containmentJoin(docs, threshold,
+      shSets = Some(hashedShingleSetsCached(docs, dir)))
+
+  def noveltyScoreCached(docs: DataFrame, dir: String): DataFrame =
+    noveltyScore(docs, shSets = Some(hashedShingleSetsCached(docs, dir)))
 
   /** LSH candidate pairs served from the materialized cascade — the
     * pre-verification tier every blocking consumer shares (q32 pair

@@ -619,6 +619,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       Dedup.fuzzyDupPairs(docs), "q119 fuzzy")
     same(Dedup.sharedRunLengthsCached(docs, dir, threshold = t),
       Dedup.sharedRunLengths(docs), "q183 shared runs")
+    same(Dedup.prefixJaccardJoinCached(docs, dir, threshold = 0.5),
+      Dedup.prefixJaccardJoin(docs, threshold = 0.5), "q135 prefix jaccard")
+    same(Dedup.containmentJoinCached(docs, dir, threshold = 0.6),
+      Dedup.containmentJoin(docs, threshold = 0.6), "q140 containment")
+    same(Dedup.noveltyScoreCached(docs, dir),
+      Dedup.noveltyScore(docs), "q141 novelty")
     // the restriction actually mattered: doc 10 survives, doc 2 was
     // never admitted (sub-gate), doc 6 lost to its exact dup 5
     val kept = cleanedCached.collect().map(_.getLong(0)).toSet

@@ -140,8 +140,11 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q does not scan the materialized frame:\n$p")
     }
     // q55/q72 keep their canonical gate + semi-join restriction +
-    // anti-join finish, but must not re-shingle either
-    for (q <- Seq("q55_cleaning_pipeline", "q72_cleaning_clustered")) {
+    // anti-join finish, and the exact set-similarity family
+    // (q135/q140/q141) keeps its prefix/verify joins over the
+    // materialized shingle-set frame — none may re-shingle
+    for (q <- Seq("q55_cleaning_pipeline", "q72_cleaning_clustered",
+        "q135_prefix_jaccard", "q140_containment", "q141_novelty")) {
       val p = plan(q)
       assert(!p.contains("Generate"), s"$q re-shingles the corpus:\n$p")
     }

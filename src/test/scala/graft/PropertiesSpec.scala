@@ -236,4 +236,52 @@ class PropertiesSpec extends AnyFunSuite {
         r.getLong(3) <= spans(uid)._2))
     }
   }
+
+  test("CharGramGenerator laws: count, width, reassembly over random strings") {
+    import graft.functions.CharGramGenerator.chargrams
+    val texts = samples(Gen.listOfN(12,
+      Gen.oneOf(Gen.alphaNumChar, Gen.const(' '), Gen.const('é')))
+      .map(_.mkString), 30) :+ "" :+ "a" :+ "  "
+    for (n <- Seq(1, 2, 3)) {
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), chargrams(col("text"), n).as("g"))
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getString(1)).toSeq).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val gs = rows.getOrElse(i.toLong, Seq.empty)
+        // exactly max(len−n+1, 0) grams, each n chars, in order, and
+        // adjacent grams overlap by n−1 — the sliding-window law
+        assert(gs.size == math.max(t.length - n + 1, 0), s"n=$n '$t'")
+        assert(gs.forall(_.length == n))
+        assert(gs == (0 to t.length - n).map(j => t.substring(j, j + n)))
+      }
+    }
+  }
+
+  test("SignProjectGenerator laws: linearity and sign-flip symmetry on random vectors") {
+    import graft.functions.SignProjectGenerator.signProject
+    val vecs = samples(Gen.listOfN(8, Gen.choose(-8.0, 8.0))
+      .map(_.map(x => math.rint(x * 16) / 16.0)), 20) // dyadic inputs: exact sums
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), signProject(col("v"), 4, 16).as(Seq("j", "rp")))
+    val rp = df.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // negating the input negates every projection (the ±1 matrix is
+    // linear); dyadic inputs make the fold exact so this is EQUALITY
+    val neg = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(-_).toArray) }
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), signProject(col("v"), 4, 16).as(Seq("j", "rp")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    rp.foreach { case (k, x) =>
+      val y = neg(k)
+      assert(x == -y || (x == 0.0 && y == 0.0), s"$k: $x vs $y")
+    }
+    // and each projection is bounded by the L1 norm (all signs ±1)
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val l1 = v.map(math.abs).sum
+      (0 until 4).foreach(j =>
+        assert(math.abs(rp((i.toLong, j))) <= l1 + 1e-9))
+    }
+  }
 }

@@ -551,19 +551,22 @@ object TextAnalysis {
     val base = (1.0 - damping) / nNodes
     var r = top.select(col("term"), lit(1.0 / nNodes).as("r"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(r, edges("src") === r("term"))
         .join(deg, "src")
         .groupBy(col("dst").as("term"))
         .agg(sum(col("r") * col("w") / col("deg")).as("c"))
-      // each round materializes ≤ V rows over checkpointed leaves —
-      // every job optimizes a constant-depth plan
       r = top.select(col("term"))
         .join(contrib, Seq("term"), "left")
         .select(col("term"),
           (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
+      // lineage cut every SECOND round (the q68-CC convergence-count
+      // cadence): two rounds per eager job halves the job count at a
+      // bounded (depth-2) plan — a modest win (~0.3 s; the corpus-side
+      // token distinct dominates this query, A/B probed) — and the
+      // arithmetic DAG, and therefore every double, is unchanged
+      if (i % 2 == 0 || i == iters) r = r.localCheckpoint(true)
     }
     top.join(r, "term")
       .select(col("term"), col("df"), round(col("r"), 4).as("score"))

@@ -20,6 +20,28 @@ object Sketches {
     conv(substring(md5(concat(lit(s"cm$d:"), k)), 1, 8), 16, 10)
       .cast("long") % width
 
+  /** The depth-way bucket array for one key — posexplode it to get a
+    * key's (depth, bucket) increment rows. Shared by the batch
+    * builder, the estimate finisher, and the streaming twin
+    * ([[graft.streaming.StreamPipeline.cmsCountersStream]]) so the
+    * hash family can never drift between tiers. */
+  private[graft] def cmBucketArray(k: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(d => cmBucket(k, d, width)): _*)
+
+  /** CMS point estimates for a key panel over ANY (depth, bucket, c)
+    * counter frame — the finisher shared by the batch heavy-hitter
+    * report and a streamed-register consumer (the q187
+    * registers-plus-shared-finisher pattern): estimate = min over the
+    * key's depth cells; the counter matrix is depth·width rows and
+    * always broadcasts. */
+  def cmsEstimates(counters: DataFrame, keys: DataFrame,
+                   depth: Int = 4, width: Int = 64): DataFrame =
+    keys.select(col("k"))
+      .select(col("k"),
+        posexplode(cmBucketArray(col("k"), depth, width)).as(Seq("depth", "bucket")))
+      .join(broadcast(counters), Seq("depth", "bucket"))
+      .groupBy("k").agg(min("c").as("cms_count"))
+
   /** Count-Min heavy hitters over `keyCol`: build a depth×width
     * counter matrix, then report the top `topN` keys by TRUE count
     * alongside their CMS estimate and its overestimate — the sketch-
@@ -41,19 +63,13 @@ object Sketches {
                            topN: Int = 20): DataFrame = {
     val keys = events.select(col(keyCol).cast("string").as("k"))
     val counters = keys
-      .select(posexplode(array((0 until depth).map(d =>
-        cmBucket(col("k"), d, width)): _*)).as(Seq("depth", "bucket")))
+      .select(posexplode(cmBucketArray(col("k"), depth, width)).as(Seq("depth", "bucket")))
       .groupBy("depth", "bucket").agg(count(lit(1)).as("c"))
     val top = keys.groupBy("k").agg(count(lit(1)).as("true_count"))
       .orderBy(col("true_count").desc, col("k").asc).limit(topN)
-    top
-      .select(col("k"), col("true_count"),
-        posexplode(array((0 until depth).map(d =>
-          cmBucket(col("k"), d, width)): _*)).as(Seq("depth", "bucket")))
-      // counter matrix is depth·width rows — always the broadcast side
-      .join(broadcast(counters), Seq("depth", "bucket"))
-      .groupBy("k", "true_count").agg(min("c").as("cms_count"))
+    top.join(cmsEstimates(counters, top, depth, width), Seq("k"))
       .withColumn("overestimate", col("cms_count") - col("true_count"))
+      .select("k", "true_count", "cms_count", "overestimate")
       .orderBy(col("true_count").desc, col("k").asc)
   }
 

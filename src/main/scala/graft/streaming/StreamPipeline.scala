@@ -356,6 +356,36 @@ object StreamPipeline {
       .select(col("event_type"),
         col("window.start").cast("date").as("day"), col("cnt"))
 
+  /** Streaming Count-Min counters — the live twin of q134's exactly-
+    * oracled CMS, completing the sketch family's live story next to
+    * [[hllRegistersStream]]: per tumbling hour, each arriving key
+    * increments one counter per depth row and the windowed aggregate's
+    * state IS the sketch (cell-wise count addition is the CMS merge
+    * operator, so watermarked out-of-order arrival changes nothing).
+    * Finalized windows emit their ≤ depth·width (depth, bucket, c)
+    * cells append-mode; a sink feeds them to
+    * [[graft.operators.Sketches.cmsEstimates]] — the identical
+    * finisher as the batch report — and summing cells ACROSS emitted
+    * windows merges hourly sketches into any coarser range for free
+    * (the reason a 100 TB pipeline keeps per-segment sketches;
+    * batch ≡ stream and the cross-window merge are spec-asserted).
+    *
+    * State bound: ≤ depth·width longs per open window — constant,
+    * whatever the key cardinality; an exact streaming heavy-hitter
+    * count would hold every key seen.
+    */
+  def cmsCountersStream(stream: DataFrame, keyCol: String = "user_id",
+                        depth: Int = 4, width: Int = 64,
+                        watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .select(col("ts"),
+        posexplode(graft.operators.Sketches.cmBucketArray(
+          col(keyCol).cast("string"), depth, width)).as(Seq("depth", "bucket")))
+      .groupBy(window(col("ts"), "1 hour"), col("depth"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("hour_start"),
+        col("depth"), col("bucket"), col("c"))
+
   /** Posting state for one winnow fingerprint: the (bounded) ids of
     * documents that selected it. */
   case class FpPosting(docIds: Seq[Long])

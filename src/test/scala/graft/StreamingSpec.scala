@@ -598,6 +598,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cmsCountersStream: finalized counters equal the batch sketch; windows merge by cell addition") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.cmsCountersStream(stream),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-cms").toString,
+        queryName = "cms_mem").start()
+    // skewed keys across TWO hours (hour 10: user 1 hot; hour 11: user 2)
+    val rows = (1 to 30).map(i =>
+        (i.toLong, Timestamp.valueOf(f"2026-01-01 10:${i % 60}%02d:00"),
+          (if (i <= 20) 1L else i.toLong), "click", 1.0, "{}")) ++
+      (31 to 60).map(i =>
+        (i.toLong, Timestamp.valueOf(f"2026-01-01 11:${i % 60}%02d:30"),
+          (if (i <= 50) 2L else i.toLong), "view", 1.0, "{}"))
+    try {
+      val (h1, h2) = new scala.util.Random(3).shuffle(rows)
+        .partition(_._2.getTime < Timestamp.valueOf("2026-01-01 11:00:00").getTime)
+      mem.addData(h1: _*); query.processAllAvailable()
+      mem.addData(h2: _*); query.processAllAvailable()
+      mem.addData((999L, Timestamp.valueOf("2026-01-01 15:00:00"), 9L, "x", 1.0, "{}"))
+      query.processAllAvailable()
+      val streamed = spark.table("cms_mem")
+      // per-hour finalized counters equal the batch aggregate on that hour
+      for (h <- Seq(10, 11)) {
+        val hourRows = rows.filter(_._2.getTime <
+            Timestamp.valueOf(f"2026-01-01 ${h + 1}%02d:00:00").getTime)
+          .filter(_._2.getTime >= Timestamp.valueOf(f"2026-01-01 $h%02d:00:00").getTime)
+        val batch = hourRows.map(_._3).toDF("user_id")
+          .select(posexplode(Sketches.cmBucketArray(
+            col("user_id").cast("string"), 4, 64)).as(Seq("depth", "bucket")))
+          .groupBy("depth", "bucket").agg(count(lit(1)).as("c"))
+        val s = streamed
+          .filter(col("hour_start") === Timestamp.valueOf(f"2026-01-01 $h%02d:00:00"))
+          .select("depth", "bucket", "c")
+        assert(s.exceptAll(batch).isEmpty && batch.exceptAll(s).isEmpty,
+          s"hour $h counters diverge")
+      }
+      // MERGE: cell-wise sum of the two hourly sketches == the batch
+      // sketch over both hours, and the shared finisher's estimates
+      // over the merged cells match the batch heavy-hitter report
+      val merged = streamed.groupBy("depth", "bucket").agg(sum("c").as("c"))
+      val keys = rows.map(_._3).toDF("user_id")
+        .select(col("user_id").cast("string").as("k"))
+      val liveEst = Sketches.cmsEstimates(merged, keys.distinct())
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batchAll = keys
+        .select(posexplode(Sketches.cmBucketArray(col("k"), 4, 64)).as(Seq("depth", "bucket")))
+        .groupBy("depth", "bucket").agg(count(lit(1)).as("c"))
+      val batchEst = Sketches.cmsEstimates(batchAll, keys.distinct())
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(liveEst == batchEst, "merged live estimates must equal batch")
+      // CMS can only overestimate: the hot keys' estimates floor at truth
+      assert(liveEst("1") >= 20L && liveEst("2") >= 20L)
+    } finally query.stop()
+  }
+
   test("winnowMatchesStream: matches emit on arrival; aggregated they equal batch winnowedPairs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]

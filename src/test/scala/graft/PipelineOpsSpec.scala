@@ -633,6 +633,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     // amortization is real: a second prebuild call reuses both frames
     assert(!Dedup.prebuildCascade(docs, dir, threshold = t),
       "second prebuild must be a no-op reuse")
+    // content addressing on the dedup side specifically (the shared
+    // ContentAddress pruning law is pinned on ivfIndexDir too): the
+    // address is stable for unchanged data, a corpus CHANGE moves it
+    // and prunes the superseded sibling, a different (threshold,
+    // bands) setting coexists (different prefix, nothing pruned)
+    assert(Dedup.cascadeDir(spark, corpusDir, base, threshold = t) == dir,
+      "stable address for unchanged data")
+    val otherSetting = Dedup.cascadeDir(spark, corpusDir, base,
+      threshold = 0.9, bands = 8)
+    assert(otherSetting != dir && new java.io.File(dir, "pairs").exists(),
+      "settings must not collide or prune each other")
+    docs.limit(3).write.mode("append").parquet(corpusDir)
+    val moved = Dedup.cascadeDir(spark, corpusDir, base, threshold = t)
+    assert(moved != dir, "a changed corpus must change the address")
+    assert(!new java.io.File(dir).exists(),
+      "the superseded revision must be pruned")
     spark.catalog.clearCache()
   }
 

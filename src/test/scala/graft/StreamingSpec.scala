@@ -595,6 +595,15 @@ class StreamingSpec extends AnyFunSuite {
       val clickRow = live.find(_.getString(0) == "click").get
       assert(clickRow.getDate(2).toString == "2026-01-03" &&
         clickRow.getString(4) == "below", clickRow.toString)
+      // the watermark CONTRACT: an event older than watermark − delay
+      // arrives after its window finalized and is dropped — the daily
+      // frame must not change (at 100 TB this is the bounded-state
+      // guarantee; the price is documented late-data loss)
+      val before = spark.table("cusum_mem").count()
+      mem.addData((8888L, Timestamp.valueOf("2026-01-02 09:00:00"), 1L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      assert(spark.table("cusum_mem").count() == before,
+        "late data past the watermark must be dropped, not re-opened")
     } finally query.stop()
   }
 

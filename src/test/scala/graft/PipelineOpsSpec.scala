@@ -644,6 +644,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       threshold = 0.9, bands = 8)
     assert(otherSetting != dir && new java.io.File(dir, "pairs").exists(),
       "settings must not collide or prune each other")
+    // partial-build RESUME (the documented mid-death contract): kill
+    // the labels commit marker and prebuild must rebuild labels FROM
+    // the committed pairs — reuse of cand/pairs/shsets, identical
+    // labels — rather than re-running the whole LSH cascade
+    val labelsBefore = Dedup.dupClustersCached(docs, dir, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val marker = new java.io.File(s"$dir/labels", "_SUCCESS")
+    assert(marker.exists() && marker.delete())
+    val pairsMtime = new java.io.File(s"$dir/pairs", "_SUCCESS").lastModified()
+    assert(Dedup.prebuildCascade(docs, dir, threshold = t),
+      "a missing commit marker must trigger a resume build")
+    assert(new java.io.File(s"$dir/pairs", "_SUCCESS").lastModified() == pairsMtime,
+      "resume must NOT rebuild the committed pair frame")
+    val labelsAfter = Dedup.dupClustersCached(docs, dir, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(labelsAfter == labelsBefore, "resumed labels must be identical")
     docs.limit(3).write.mode("append").parquet(corpusDir)
     val moved = Dedup.cascadeDir(spark, corpusDir, base, threshold = t)
     assert(moved != dir, "a changed corpus must change the address")

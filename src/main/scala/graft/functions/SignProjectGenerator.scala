@@ -28,12 +28,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructTyp
   * shortest-repr HALF_UP path as Spark's `round` — bit-identical
   * output, spec-asserted, the q97 oracle hash unchanged.
   *
-  * Contract edges (mirroring the composable form): a NULL vector
-  * emits nothing (posexplode of null); an EMPTY vector emits outDim
-  * zero rows (the guarded empty sum); a vector longer than
-  * `maxInputDim` fails LOUDLY rather than projecting on a silently
-  * truncated basis (the composable form's ANSI element_at did the
-  * same).
+  * Contract edges: a NULL vector emits NO rows — a deliberate
+  * divergence from the composable form (whose `transform` array is
+  * never null, so it posexploded a null embedding into outDim rows of
+  * null rp_val). A null embedding has no projection; emitting it as
+  * outDim null rows would only seed every downstream sign bucket with
+  * junk keys, so the generator drops it at the source (callers that
+  * must audit nulls count them before projecting). An EMPTY vector
+  * emits outDim zero rows (the guarded empty sum); a vector longer
+  * than `maxInputDim` fails LOUDLY rather than projecting on a
+  * silently truncated basis (the composable form's ANSI element_at
+  * did the same).
   */
 case class SignProjectGenerator(child: Expression, outDim: Int, maxInputDim: Int)
   extends UnaryExpression with Generator with CodegenFallback {

@@ -1336,6 +1336,21 @@ object Dedup {
         .write.mode("overwrite").parquet(labelsDir.getAbsolutePath)
     // the exact set-similarity family's shared scan-side frame
     // (threshold-independent: 60-bit hashed distinct shingle sets)
+    val shFresh = prebuildShingleSets(docs, dir)
+    candFresh || pairsFresh || labelsFresh || shFresh
+  }
+
+  /** Build ONLY the threshold-independent `shsets` frame (60-bit
+    * hashed distinct shingle sets) into `dir/shsets` if missing.
+    * Deliberately does NOT build the cand/pairs/labels tiers: those
+    * depend on (threshold, bands), and an exact-family consumer must
+    * never commit them with defaults into a directory whose
+    * content-address promises another setting — committing a
+    * mismatched tier would let a later `nearDupPairsCached` at that
+    * setting silently serve wrong pairs. Returns true iff a build
+    * happened.
+    */
+  def prebuildShingleSets(docs: DataFrame, dir: String): Boolean = {
     val shDir = new java.io.File(dir, "shsets")
     val shFresh = !new java.io.File(shDir, "_SUCCESS").exists()
     if (shFresh) {
@@ -1343,15 +1358,17 @@ object Dedup {
       sh.write.mode("overwrite").parquet(shDir.getAbsolutePath)
       sh.unpersist(blocking = false)
     }
-    candFresh || pairsFresh || labelsFresh || shFresh
+    shFresh
   }
 
   /** The materialized [[hashedShingleSets]] frame, persisted for the
     * consumer's multi-read pattern (df counts, sizes, prefix, both
-    * verify sides). */
-  def hashedShingleSetsCached(docs: DataFrame, dir: String,
-                              threshold: Double = 0.2, bands: Int = 4): DataFrame = {
-    prebuildCascade(docs, dir, threshold, bands)
+    * verify sides). Builds only the threshold-independent `shsets`
+    * tier ([[prebuildShingleSets]]) — the exact family takes no
+    * (threshold, bands), so it must not commit LSH tiers at defaults
+    * into a dir addressed for another setting. */
+  def hashedShingleSetsCached(docs: DataFrame, dir: String): DataFrame = {
+    prebuildShingleSets(docs, dir)
     docs.sparkSession.read.parquet(s"$dir/shsets")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }

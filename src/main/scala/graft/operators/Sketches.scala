@@ -33,14 +33,19 @@ object Sketches {
     * report and a streamed-register consumer (the q187
     * registers-plus-shared-finisher pattern): estimate = min over the
     * key's depth cells; the counter matrix is depth·width rows and
-    * always broadcasts. */
+    * always broadcasts. Counter frames are SPARSE (a never-touched
+    * (depth, bucket) cell has no row — the normal shape for the
+    * streamed counter tier), so the join is a LEFT join with absent
+    * cells coalesced to 0: a key with any empty cell estimates 0/its
+    * true sparse minimum instead of overestimating past the CMS bound
+    * or vanishing from the report. */
   def cmsEstimates(counters: DataFrame, keys: DataFrame,
                    depth: Int = 4, width: Int = 64): DataFrame =
     keys.select(col("k"))
       .select(col("k"),
         posexplode(cmBucketArray(col("k"), depth, width)).as(Seq("depth", "bucket")))
-      .join(broadcast(counters), Seq("depth", "bucket"))
-      .groupBy("k").agg(min("c").as("cms_count"))
+      .join(broadcast(counters), Seq("depth", "bucket"), "left")
+      .groupBy("k").agg(min(coalesce(col("c"), lit(0L))).as("cms_count"))
 
   /** Count-Min heavy hitters over `keyCol`: build a depth×width
     * counter matrix, then report the top `topN` keys by TRUE count

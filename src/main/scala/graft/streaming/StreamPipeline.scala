@@ -399,17 +399,29 @@ object StreamPipeline {
     * produce — ~1/w of a document's grams) and holds the ids that
     * selected it; a document's arrival emits one [[FpMatch]] row per
     * (fingerprint, earlier holder) on the spot. Downstream, the batch
-    * finisher — group by (doc_a, doc_b), count, filter ≥ minShared —
-    * is the IDENTICAL tail of the batch operator, so stream-then-
-    * aggregate equals the batch pair report (spec-asserted).
+    * finisher — group by (doc_a, doc_b), count DISTINCT fp, filter
+    * ≥ minShared — equals the batch operator's count (each (fp, a, b)
+    * is unique in batch, so distinct-count ≡ count there), and the
+    * DISTINCT is load-bearing here: see the idempotency note below.
     *
     * State bound: ≤ `maxPosting` longs per fingerprint — the capped-
     * postings discipline of the q139 inverted index. A fingerprint
     * hotter than the cap (boilerplate) stops ACCUMULATING holders but
     * keeps emitting matches against the retained ones; the trade is
     * bounded recall on the degenerate cluster for hard-bounded state,
-    * and the cap is off (Int.MaxValue) only in tests. Re-deliveries
-    * of a (doc, fp) already in state emit nothing (idempotent).
+    * and the cap is off (Int.MaxValue) only in tests.
+    *
+    * Idempotency under at-least-once delivery: a re-delivered
+    * (doc, fp) whose doc is IN state emits nothing. A doc that was
+    * capped OUT of a hot fingerprint's posting is not in state, so
+    * its re-delivery re-emits the same FpMatch rows against the
+    * retained holders — duplicate ROWS, never new pairs. The
+    * distinct-count finisher absorbs exactly this: (fp, doc_a,
+    * doc_b) re-emissions collapse, so the end-to-end pair report is
+    * exactly-once without per-fingerprint tombstone state
+    * (spec-asserted, including the capped re-delivery case). A
+    * plain `count` finisher would instead inflate n_shared on hot
+    * fingerprints under re-delivery — don't use one.
     */
   def winnowMatchesStream(stream: DataFrame, n: Int = 3, w: Int = 4,
                           maxPosting: Int = 64)

@@ -668,6 +668,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("exact-family cached wrappers never commit LSH tiers into another setting's dir") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-cc-exact").toString
+    (1L to 30L).map(i => (i, (0 until 12).map(j => s"w${(i + j) % 9}").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-cc-exact-base").toString
+    // address the cascade at a NON-default setting, then make an
+    // exact-family (threshold-agnostic) wrapper the FIRST consumer
+    val t = 0.9; val bands = 8
+    val dir = Dedup.cascadeDir(spark, corpusDir, base, threshold = t, bands = bands)
+    Dedup.noveltyScoreCached(docs, dir).collect()
+    assert(new java.io.File(s"$dir/shsets", "_SUCCESS").exists(),
+      "the exact family builds its threshold-independent shsets tier")
+    for (tier <- Seq("cand", "pairs", "labels"))
+      assert(!new java.io.File(dir, tier).exists(),
+        s"the exact family must NOT commit the ($tier) LSH tier — it runs at " +
+          "defaults and this dir's address promises (0.9, 8)")
+    // the LSH consumer arriving later builds its tiers AT the
+    // addressed setting — the frame the address promised
+    val cachedPairs = Dedup.nearDupPairsCached(docs, dir, threshold = t, bands = bands)
+    val self = Dedup.nearDupPairs(docs, threshold = t, bands = bands)
+    assert(cachedPairs.exceptAll(self).count() == 0 && self.exceptAll(cachedPairs).count() == 0,
+      "pairs built after an exact-family first consumer must match the addressed setting")
+    spark.catalog.clearCache()
+  }
+
+  test("cmsEstimates on a sparse counter frame: absent cells count as zero") {
+    import spark.implicits._
+    // a sparse streamed counter frame: only the cells key "hot" hits
+    val keys = Seq("hot", "cold").toDF("k")
+    val hotCells = Seq("hot").toDF("k")
+      .select(posexplode(Sketches.cmBucketArray(col("k"), 4, 64)).as(Seq("depth", "bucket")))
+      .groupBy("depth", "bucket").agg((count(lit(1)) * 7).as("c"))
+    val est = Sketches.cmsEstimates(hotCells, keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("hot") == 7L, "a fully-present key takes min over its own cells")
+    // "cold" never touched the sketch: unless every one of its cells
+    // collides with a hot cell, at least one is absent -> estimate 0,
+    // and the key must not vanish from the report
+    assert(est.contains("cold"), "keys with absent cells must not vanish")
+    assert(est("cold") <= 7L, "absent cells floor the min at 0 (CMS bound)")
+    val allAbsent = Seq("zzz_nowhere").toDF("k")
+    val est2 = Sketches.cmsEstimates(hotCells.filter(lit(false)), allAbsent)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est2("zzz_nowhere") == 0L, "an empty counter frame estimates 0 for every key")
+  }
+
   test("piiScrub redacts planted identifiers, counts them, and is idempotent") {
     import spark.implicits._
     val docs = Seq(

@@ -694,10 +694,13 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(docs.head)
       query.processAllAvailable()
       assert(spark.table("winnow_mem").count() == beforeRedeliver, "re-delivery must be idempotent")
-      // the batch finisher over the match stream equals the batch operator
+      // the batch finisher over the match stream equals the batch
+      // operator (countDistinct: the contract finisher — each
+      // (fp,a,b) is unique in batch so distinct ≡ count there, and
+      // it absorbs capped-holder re-emission here)
       val minShared = 2
       val streamedPairs = spark.table("winnow_mem")
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(countDistinct(col("fp")).as("n_shared"))
         .filter(col("n_shared") >= minShared)
       val batchPairs = graft.operators.Dedup.winnowedPairs(
         docs.toDF("doc_id", "text"), minShared = minShared)
@@ -708,6 +711,42 @@ class StreamingSpec extends AnyFunSuite {
       val got = streamedPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got((1L, 2L)) && got((1L, 4L)) && got((2L, 4L)) &&
         !got.exists(p => p._1 == 3L || p._2 == 3L), got.toString)
+    } finally query.stop()
+  }
+
+  test("winnowMatchesStream: capped-out re-delivery re-emits rows, never new pairs; distinct finisher absorbs it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // maxPosting=1: the second holder of every fingerprint is capped
+    // out of state, so its re-delivery is the at-least-once worst case
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.winnowMatchesStream(stream, maxPosting = 1).toDF(),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-winnowcap").toString,
+        queryName = "winnowcap_mem").start()
+    val span = (0 until 10).map(i => s"s_$i").mkString(" ")
+    try {
+      mem.addData(1L -> span)
+      query.processAllAvailable()
+      mem.addData(2L -> span) // matches doc 1, then capped out of state
+      query.processAllAvailable()
+      val raw = spark.table("winnowcap_mem")
+      val rowsBefore = raw.count()
+      assert(rowsBefore > 0, "doc 2 must match doc 1 before capping")
+      def pairReport() = raw
+        .groupBy(col("doc_a"), col("doc_b")).agg(countDistinct(col("fp")).as("n_shared"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val reportBefore = pairReport()
+      mem.addData(2L -> span) // re-delivery of the capped-out holder
+      query.processAllAvailable()
+      val rowsAfter = spark.table("winnowcap_mem").count()
+      assert(rowsAfter > rowsBefore,
+        "capped-out re-delivery re-emits rows (the documented trade)")
+      assert(pairReport() == reportBefore,
+        "the distinct-count finisher must absorb re-emission: same pairs, same n_shared")
+      // and only the (1,2) pair ever exists — duplicates never invent pairs
+      assert(pairReport().map(t => (t._1, t._2)) == Set((1L, 2L)))
     } finally query.stop()
   }
 

@@ -3088,6 +3088,40 @@ object OracleSql {
         |  CAST((SELECT count(*) FROM s WHERE user_id IN (SELECT user_id FROM f)) = 0
         |    AND (SELECT count(*) FROM s) +
         |        (SELECT count(*) FROM events WHERE user_id IN (SELECT user_id FROM f))
-        |      = (SELECT count(*) FROM events) AS INT) AS clean""".stripMargin
+        |      = (SELECT count(*) FROM events) AS INT) AS clean""".stripMargin,
+
+    // Per-type OLS drift line over DAILY MEAN values. Engine parity:
+    // per-day cent-quantized BIGINT sums; ONE double division to the
+    // daily mean, re-quantized to 1e-4 units; the five OLS sufficient
+    // statistics are BIGINT sums (order-free, x re-based per type);
+    // the three closing formulas share identical text with the Spark
+    // side, and the 4-decimal displays use the floor(x*1e4+0.5)/1e4
+    // computed-double convention.
+    "q195_ols_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |       date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s_cents,
+        |  count(*) AS n_ev FROM events GROUP BY 1, 2),
+        |q AS (SELECT event_type, d,
+        |  CAST(floor(CAST(s_cents AS DOUBLE) / CAST(n_ev AS DOUBLE) * 100 + 0.5) AS BIGINT) AS yq
+        |  FROM daily),
+        |b AS (SELECT event_type, d - min(d) OVER (PARTITION BY event_type) AS x, yq FROM q),
+        |s AS (SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(yq * yq) AS BIGINT) AS syy,
+        |  CAST(sum(x * yq) AS BIGINT) AS sxy FROM b GROUP BY 1),
+        |m AS (SELECT event_type, n_days,
+        |  n_days * sxy - sx * sy AS cov, n_days * sxx - sx * sx AS vxx,
+        |  n_days * syy - sy * sy AS vyy, sx, sy FROM s)
+        |SELECT event_type, n_days,
+        |CASE WHEN vxx = 0 THEN NULL ELSE
+        |  floor(CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) / 10000.0 * 10000.0 + 0.5) / 10000.0 END AS slope,
+        |CASE WHEN vxx = 0 THEN NULL ELSE
+        |  floor((CAST(sy AS DOUBLE) - CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  / CAST(n_days AS DOUBLE) / 10000.0 * 10000.0 + 0.5) / 10000.0 END AS intercept,
+        |CASE WHEN vxx = 0 OR vyy = 0 THEN NULL ELSE
+        |  floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END AS r2
+        |FROM m ORDER BY event_type""".stripMargin
   )
 }

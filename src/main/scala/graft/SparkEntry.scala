@@ -523,7 +523,10 @@ object SparkEntry {
     // PQ recall audit: |ADC top-k ∩ exact-L2 top-k| / k per panel
     // query — the m/k tuning gauge, itself oracle-exact
     "q194_pq_recall"        -> ((s, d) =>
-      Similarity.pqRecallCached(Tables.embeddings(s, d), pqIndexFor(s, d)))
+      Similarity.pqRecallCached(Tables.embeddings(s, d), pqIndexFor(s, d))),
+    // per-type OLS drift line over quantized daily means — slope /
+    // intercept / r², integer sufficient statistics, oracle-exact
+    "q195_ols_trend"        -> ((s, d) => RobustStats.dailyOlsTrend(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -293,6 +293,63 @@ object RobustStats {
       .orderBy("event_type")
   }
 
+  /** Per-type ordinary-least-squares trend of the DAILY MEAN event
+    * value — the parametric complement to [[theilSenTrend]] (which is
+    * robust but reports only a median slope): slope, intercept, and
+    * r² per event_type, the "is this metric actually drifting and how
+    * well does a line explain it" report a pipeline runs before
+    * alerting on [[cusumChangepoint]]-style level shifts.
+    *
+    * Exactness (the engine-parity discipline): per-day value sums are
+    * cent-quantized BIGINTs (order-free), the daily mean is ONE
+    * double division then re-quantized to 1e-4 units, and all five
+    * OLS sufficient statistics (Σx, Σy, Σx², Σy², Σxy) are BIGINT
+    * sums over (day-index, quantized-mean) — exact integers in any
+    * summation order, with x re-based per type (x = d − min d) so the
+    * products stay far from int64 range. Only the three closing
+    * formulas run in doubles, with identical formula text in DuckDB.
+    *
+    * Scale: one map-side-combinable groupBy to the #types×#days daily
+    * frame (bounded: 100 TB of events still yields #types×#days
+    * rows), a window over that bounded frame, and a #types-row
+    * reduce. Nothing downstream of the first aggregate sees data
+    * volume.
+    */
+  def dailyOlsTrend(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev.groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+          .cast("bigint").as("d"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("bigint")).as("s_cents"),
+        count(lit(1)).as("n_ev"))
+      .selectExpr("event_type", "d",
+        "CAST(floor(CAST(s_cents AS DOUBLE) / CAST(n_ev AS DOUBLE) * 100 + 0.5) AS BIGINT) AS yq")
+    // x rebase: the window is over the BOUNDED daily frame
+    // (#types×#days rows), never the raw events
+    val based = daily.withColumn("x",
+      col("d") - min("d").over(Window.partitionBy("event_type")))
+    based.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yq") * col("yq")).as("syy"),
+        sum(col("x") * col("yq")).as("sxy"))
+      .selectExpr("event_type", "n_days",
+        "n_days * sxy - sx * sy AS cov",
+        "n_days * sxx - sx * sx AS vxx",
+        "n_days * syy - sy * sy AS vyy",
+        "sx", "sy")
+      .selectExpr("event_type", "n_days",
+        "CASE WHEN vxx = 0 THEN NULL ELSE " +
+          "floor(CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4 END AS slope",
+        "CASE WHEN vxx = 0 THEN NULL ELSE " +
+          "floor((CAST(sy AS DOUBLE) - CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+          "/ CAST(n_days AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4 END AS intercept",
+        "CASE WHEN vxx = 0 OR vyy = 0 THEN NULL ELSE " +
+          "floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) * 1e4 + 0.5) / 1e4 END AS r2")
+      .orderBy("event_type")
+  }
+
   /** Hill tail-index estimate over the document-length distribution —
     * the quantitative answer to "HOW heavy is the tail" that the Zipf
     * slope (q128) gives for term frequencies and PSI (q136) cannot

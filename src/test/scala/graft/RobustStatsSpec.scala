@@ -233,6 +233,44 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == math.rint((1.0 + 4.0 / 3) / 2 * 1e4) / 1e4)
   }
 
+  test("dailyOlsTrend: exact line recovered (slope, intercept, r2 = 1); types fit independently") {
+    // type "lin": one event per day, value = 10 + 2·day → a perfect
+    // line: slope 2, intercept 10, r² = 1. type "flat": constant 7 →
+    // slope 0, intercept 7, r² NULL (vyy = 0).
+    val rows = (0 until 5).flatMap { day =>
+      Seq((100L + day, Timestamp.valueOf(f"2024-03-${day + 1}%02d 09:00:00"),
+            1L, "lin", 10.0 + 2 * day, "{}"),
+          (200L + day, Timestamp.valueOf(f"2024-03-${day + 1}%02d 10:00:00"),
+            1L, "flat", 7.0, "{}"))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RobustStats.dailyOlsTrend(df).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("lin").getLong(1) == 5L)
+    assert(r("lin").getDouble(2) == 2.0 && r("lin").getDouble(3) == 10.0 &&
+      r("lin").getDouble(4) == 1.0)
+    assert(r("flat").getDouble(2) == 0.0 && r("flat").getDouble(3) == 7.0 &&
+      r("flat").isNullAt(4), "zero variance in y must yield r2 NULL, not NaN")
+  }
+
+  test("dailyOlsTrend: daily MEAN is fit (not the sum) and noise drops r2 below 1") {
+    // day 0 has TWO events averaging 10 (8 and 12): the fit sees the
+    // mean. days 0..3 means: 10, 12, 14, 17 — not collinear → r² < 1,
+    // and the slope is the OLS closed form on the quantized means.
+    val base = Seq(
+      (1L, "2024-03-01 09:00:00", 8.0), (2L, "2024-03-01 10:00:00", 12.0),
+      (3L, "2024-03-02 09:00:00", 12.0), (4L, "2024-03-03 09:00:00", 14.0),
+      (5L, "2024-03-04 09:00:00", 17.0))
+    val df = base.map { case (id, ts, v) =>
+      (id, Timestamp.valueOf(ts), 1L, "m", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RobustStats.dailyOlsTrend(df).collect()(0)
+    assert(r.getLong(1) == 4L)
+    // closed form over x=0..3, y=10,12,14,17: slope = 2.3, r² ≈ 0.9915
+    assert(r.getDouble(2) == 2.3, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(4) > 0.98 && r.getDouble(4) < 1.0)
+  }
+
   test("theilSenTrend on the events table: pair counts match the grid exactly") {
     val ev = Tables.events(spark, sfDir)
     val r = RobustStats.theilSenTrend(ev).collect()

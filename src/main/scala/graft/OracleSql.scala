@@ -3122,6 +3122,26 @@ object OracleSql {
         |  / CAST(n_days AS DOUBLE) / 10000.0 * 10000.0 + 0.5) / 10000.0 END AS intercept,
         |CASE WHEN vxx = 0 OR vyy = 0 THEN NULL ELSE
         |  floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END AS r2
-        |FROM m ORDER BY event_type""".stripMargin
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // Phrase search: the oracle mines trigrams row-locally (the q58
+    // shingle pattern) — semantically identical to the Spark side's
+    // positional-postings adjacency joins. Panel ties: count desc,
+    // phrase asc; per-phrase doc rank: n_in_doc desc, doc_id asc.
+    "q196_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS phrase
+        |       FROM toks WHERE len(tk) >= 3),
+        |pd AS (SELECT phrase, doc_id, count(*) AS n_in_doc FROM tri GROUP BY 1, 2),
+        |panel AS (SELECT phrase, CAST(sum(n_in_doc) AS BIGINT) AS occurrences,
+        |  count(*) AS df FROM pd GROUP BY 1
+        |  ORDER BY occurrences DESC, phrase LIMIT 5),
+        |r AS (SELECT pd.phrase, panel.df, panel.occurrences, pd.doc_id,
+        |  pd.n_in_doc, CAST(row_number() OVER (PARTITION BY pd.phrase
+        |    ORDER BY pd.n_in_doc DESC, pd.doc_id) AS INT) AS rk
+        |  FROM pd JOIN panel USING (phrase))
+        |SELECT phrase, df, occurrences, doc_id, n_in_doc, rk FROM r
+        |WHERE rk <= 3 ORDER BY occurrences DESC, phrase, rk""".stripMargin
   )
 }

@@ -526,7 +526,10 @@ object SparkEntry {
       Similarity.pqRecallCached(Tables.embeddings(s, d), pqIndexFor(s, d))),
     // per-type OLS drift line over quantized daily means — slope /
     // intercept / r², integer sufficient statistics, oracle-exact
-    "q195_ols_trend"        -> ((s, d) => RobustStats.dailyOlsTrend(Tables.events(s, d)))
+    "q195_ols_trend"        -> ((s, d) => RobustStats.dailyOlsTrend(Tables.events(s, d))),
+    // positional-postings phrase search: top trigram phrases with
+    // df/occurrences and TopKPerKey-capped top documents
+    "q196_phrase_search"    -> ((s, d) => TextAnalysis.phraseSearch(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -657,6 +657,53 @@ object TextAnalysis {
       .select(col("term"), col("df"), col("cf"), col("postings"))
   }
 
+  /** Positional-index phrase search: the retrieval capability the
+    * term-level [[invertedIndex]] (q139) cannot express — "these
+    * words ADJACENT, in order". The corpus's top-`topN` trigram
+    * phrases (the query panel, mined deterministically: count desc,
+    * phrase asc) are searched via POSITIONAL POSTINGS adjacency — the
+    * (doc_id, pos, term) frame joined to itself at pos+1 and pos+2 on
+    * the (doc_id, pos) key — and each phrase reports its document
+    * frequency, total occurrences, and top-`topDocs` documents
+    * (per-doc count desc, the [[graft.plans.TopK.perKey]] cap).
+    *
+    * Scale: the postings frame is the one corpus-sized object; all
+    * three adjacency sides share its (doc_id, pos) partitioning (the
+    * persisted frame is scanned three times, shuffled once per side
+    * on the same key — on a cluster the materialized positional index
+    * is the thing phrase queries probe, built once like the q139
+    * index). The window runs on the panel-capped frame
+    * (≤ topN·topDocs rows) AFTER TopK.perKey bounds per-phrase fan-in
+    * inside the scan stage.
+    */
+  def phraseSearch(docs: DataFrame, topN: Int = 5, topDocs: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val post = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val t2 = post.select(col("doc_id"), (col("pos") - 1).as("pos"), col("term").as("t2"))
+    val t3 = post.select(col("doc_id"), (col("pos") - 2).as("pos"), col("term").as("t3"))
+    val tri = post.join(t2, Seq("doc_id", "pos")).join(t3, Seq("doc_id", "pos"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("term"), col("t2"), col("t3")).as("phrase"))
+    val perDoc = tri.groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_in_doc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val panel = perDoc.groupBy("phrase")
+      .agg(sum("n_in_doc").as("occurrences"), count(lit(1)).as("df"))
+      .orderBy(col("occurrences").desc, col("phrase").asc).limit(topN)
+    val hits = perDoc.join(broadcast(panel), "phrase")
+    val capped = graft.plans.TopK.perKey(hits, Seq("phrase"),
+      Seq(col("n_in_doc").desc, col("doc_id").asc), topDocs)
+    capped
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("phrase")
+          .orderBy(col("n_in_doc").desc, col("doc_id").asc)).cast("int"))
+      .select(col("phrase"), col("df"), col("occurrences"), col("doc_id"),
+        col("n_in_doc"), col("rk"))
+      .orderBy(col("occurrences").desc, col("phrase").asc, col("rk").asc)
+  }
+
   /** Triangle census of the token co-occurrence graph: for each
     * top-`vocab` token, the number of triangles it participates in —
     * the clustering signal that separates hub terms (high degree, few

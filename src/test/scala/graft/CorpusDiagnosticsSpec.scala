@@ -503,6 +503,38 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseSearch: adjacency in order, df vs occurrences, top-doc ranking") {
+    // doc 1: "x y z x y z" → trigrams [x y z, y z x, z x y, x y z]
+    //   ("x y z" twice). doc 2: "x y z q". doc 3: too short for any.
+    val df = docsDf(Seq(
+      (1L, "x y z x y z", "s"), (2L, "x y z q", "s"), (3L, "a b", "s")))
+    val rows = TextAnalysis.phraseSearch(df, topN = 2, topDocs = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    val top = rows.filter(_._1 == "x y z")
+    // "x y z": occurrences 3 (2 in doc 1, 1 in doc 2), df 2; doc 1
+    // ranks first on per-doc count
+    assert(top.toSeq == Seq(("x y z", 2L, 3L, 1L, 2L, 1),
+      ("x y z", 2L, 3L, 2L, 1L, 2)), rows.mkString(";"))
+    // order matters: a reversed phrase never appears
+    assert(!rows.exists(_._1 == "z y x"))
+    // panel is capped at topN phrases
+    assert(rows.map(_._1).distinct.length <= 2)
+  }
+
+  test("phraseSearch on the corpus: rk caps at topDocs, df <= occurrences, deterministic panel") {
+    val res = TextAnalysis.phraseSearch(Tables.documents(spark, sfDir), topN = 5, topDocs = 3).collect()
+    assert(res.nonEmpty && res.map(_.getString(0)).distinct.length <= 5)
+    res.foreach { r =>
+      assert(r.getInt(5) >= 1 && r.getInt(5) <= 3)
+      assert(r.getLong(1) <= r.getLong(2), "df <= occurrences")
+      assert(r.getLong(4) >= 1L)
+    }
+    // rerun is identical (deterministic tie-breaks end to end)
+    val again = TextAnalysis.phraseSearch(Tables.documents(spark, sfDir), topN = 5, topDocs = 3).collect()
+    assert(res.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   // ---- q135 prefix-filtering Jaccard join ---------------------------
 
   test("prefixJaccardJoin: identical docs J=1, disjoint docs absent") {

@@ -3142,6 +3142,53 @@ object OracleSql {
         |    ORDER BY pd.n_in_doc DESC, pd.doc_id) AS INT) AS rk
         |  FROM pd JOIN panel USING (phrase))
         |SELECT phrase, df, occurrences, doc_id, n_in_doc, rk FROM r
-        |WHERE rk <= 3 ORDER BY occurrences DESC, phrase, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY occurrences DESC, phrase, rk""".stripMargin,
+
+    // Truncation recall sweep: q93's exact-vs-approx recall pattern,
+    // with the approx tier = brute-force cosine on v[1:d] prefixes.
+    // One ranked CTE per dim, identical cosine formula text per tier.
+    "q197_truncation_recall" -> {
+      val dims = Seq(8, 16, 32)
+      def rankedCte(name: String, vec: String, qvec: String) =
+        s"""$name AS (SELECT q.q_id, b.vec_id, row_number() OVER (PARTITION BY q.q_id
+           |ORDER BY list_dot_product($vec, $qvec) /
+           |(sqrt(list_dot_product($vec, $vec)) * sqrt(list_dot_product($qvec, $qvec))) DESC,
+           |b.vec_id) AS rk FROM base b CROSS JOIN q WHERE b.vec_id <> q.q_id)""".stripMargin
+      val sweepCtes = dims.map(d =>
+        rankedCte(s"a$d", s"b.v[1:$d]", s"q.qv[1:$d]") + ",\n" +
+          s"s$d AS (SELECT CAST($d AS INT) AS dim, q_id, vec_id FROM a$d WHERE rk <= 5)")
+        .mkString(",\n")
+      val sweepUnion = dims.map(d => s"SELECT * FROM s$d").mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 8),
+         |${rankedCte("ex", "b.v", "q.qv")},
+         |e5 AS (SELECT q_id, vec_id FROM ex WHERE rk <= 5),
+         |$sweepCtes,
+         |sw AS ($sweepUnion),
+         |dims AS (SELECT CAST(unnest([${dims.mkString(", ")}]) AS INT) AS dim),
+         |expd AS (SELECT d.dim, e.q_id, e.vec_id FROM e5 e CROSS JOIN dims d)
+         |SELECT expd.dim, CAST(count(*) AS INT) AS n_expected,
+         |CAST(count(sw.vec_id) AS INT) AS hits,
+         |floor(CAST(count(sw.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS recall
+         |FROM expd LEFT JOIN sw ON expd.dim = sw.dim AND expd.q_id = sw.q_id
+         |  AND expd.vec_id = sw.vec_id
+         |GROUP BY expd.dim ORDER BY expd.dim""".stripMargin
+    },
+
+    // LSH bucket balance: exact integer stats off the q38 bucket ids;
+    // the two closing divisions use the computed-double floor display.
+    "q198_bucket_balance" ->
+      s"""WITH b AS (SELECT CAST(${bucketTerms("CAST(embedding AS DOUBLE[])")} AS INT)
+         |  AS bucket_id FROM embeddings),
+         |s AS (SELECT bucket_id, count(*) AS n FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_vecs, count(*) AS n_buckets,
+         |  CAST(max(n) AS BIGINT) AS max_bucket,
+         |  CAST(sum(n * (n - 1)) AS BIGINT) AS cand2 FROM s)
+         |SELECT n_vecs, n_buckets, max_bucket,
+         |cand2 // 2 AS candidate_pairs,
+         |n_vecs * (n_vecs - 1) // 2 AS brute_pairs,
+         |floor(CAST(cand2 AS DOUBLE) / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cand_frac,
+         |floor(CAST(max_bucket AS DOUBLE) / (CAST(n_vecs AS DOUBLE) / CAST(n_buckets AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS imbalance
+         |FROM t""".stripMargin
   )
 }

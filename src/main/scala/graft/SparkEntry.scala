@@ -529,7 +529,13 @@ object SparkEntry {
     "q195_ols_trend"        -> ((s, d) => RobustStats.dailyOlsTrend(Tables.events(s, d))),
     // positional-postings phrase search: top trigram phrases with
     // df/occurrences and TopKPerKey-capped top documents
-    "q196_phrase_search"    -> ((s, d) => TextAnalysis.phraseSearch(Tables.documents(s, d)))
+    "q196_phrase_search"    -> ((s, d) => TextAnalysis.phraseSearch(Tables.documents(s, d))),
+    // matryoshka truncation sweep: prefix-dim top-k recall vs the
+    // full-dim ground truth — the two-stage ANN cost-lever audit
+    "q197_truncation_recall" -> ((s, d) => Similarity.truncationRecallSweep(Tables.embeddings(s, d))),
+    // sign-LSH bucket-size skew + exact candidate-pair cost: the
+    // COST side of the LSH trade (q110 lsh_recall audits the recall side)
+    "q198_bucket_balance"   -> ((s, d) => Similarity.bucketBalanceAudit(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

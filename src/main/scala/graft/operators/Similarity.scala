@@ -531,6 +531,79 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Matryoshka-style truncation recall sweep: top-k recall of
+    * brute-force cosine on PREFIX-TRUNCATED embeddings (dims 8/16/32
+    * of 64) against the full-dimension ground truth — the audit that
+    * decides how small a cheap pre-filter dimension can go before it
+    * stops finding the real neighbors (truncate → shortlist → re-rank
+    * at full dim is the standard two-stage ANN cost lever).
+    *
+    * Per dim the candidate ranking is capped inside the scan stage by
+    * [[graft.plans.TopK.perKey]] (no full sort, no unbounded window);
+    * the recall join then runs on #dims·#queries·k rows. The
+    * brute-force pass is the AUDIT tier — production serves from the
+    * IVF/PQ index and runs this sweep on a sampled panel exactly like
+    * this one.
+    */
+  def truncationRecallSweep(emb: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
+                            nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import emb.sparkSession.implicits._
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def topkAt(slicer: Column => Column): DataFrame = {
+      val b = base.select(col("vec_id"), slicer(col("v")).as("w"))
+      val q = b.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("w").as("qw"))
+      val scored = b.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("w"), col("qw")))
+      graft.plans.TopK.perKey(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id").asc), k)
+        .select(col("q_id"), col("vec_id").as("nid"))
+    }
+    val exact = topkAt(identity)
+    val sweeps = dims.map(d =>
+        topkAt(v => slice(v, 1, d)).withColumn("dim", lit(d)))
+      .reduce(_ unionByName _)
+      .select(col("dim").as("s_dim"), col("q_id").as("s_qid"), col("nid").as("s_nid"))
+    val expected = exact.crossJoin(
+      broadcast(dims.toDF("dim")))
+    expected.join(sweeps,
+        expected("dim") === sweeps("s_dim") && expected("q_id") === sweeps("s_qid") &&
+          expected("nid") === sweeps("s_nid"), "left")
+      .groupBy(expected("dim"))
+      .agg(count(lit(1)).cast("int").as("n_expected"),
+        count(col("s_nid")).cast("int").as("hits"))
+      .selectExpr("dim", "n_expected", "hits",
+        "floor(CAST(hits AS DOUBLE) / CAST(n_expected AS DOUBLE) * 1e4 + 0.5) / 1e4 AS recall")
+      .orderBy("dim")
+  }
+
+  /** Sign-LSH index-health audit: bucket-size skew and the candidate-
+    * pair cost the bucketing actually buys. `candidate_pairs` =
+    * Σ n_b·(n_b−1)/2 is EXACTLY the number of comparisons a
+    * same-bucket join performs; `cand_frac` (vs brute n·(n−1)/2) is
+    * the speedup factor, and `imbalance` (max bucket vs mean) is the
+    * straggler warning — a hot bucket is where a 1000-executor job
+    * loses its tail latency, and this one row says so before the job
+    * runs. Complements [[graft.operators.Dedup.lshRecallReport]]
+    * (which audits the RECALL side of the same trade).
+    *
+    * One narrow scan → #buckets-row aggregate → 1 row; every stat is
+    * an exact integer until the two closing divisions.
+    */
+  def bucketBalanceAudit(emb: DataFrame): DataFrame =
+    emb.select(lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
+      .groupBy("bucket_id").agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("n_vecs"), count(lit(1)).as("n_buckets"),
+        max("n").as("max_bucket"), sum(col("n") * (col("n") - 1)).as("cand2"))
+      .selectExpr("n_vecs", "n_buckets", "max_bucket",
+        "cand2 DIV 2 AS candidate_pairs",
+        "n_vecs * (n_vecs - 1) DIV 2 AS brute_pairs",
+        "floor(CAST(cand2 AS DOUBLE) / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cand_frac",
+        "floor(CAST(max_bucket AS DOUBLE) / (CAST(n_vecs AS DOUBLE) / CAST(n_buckets AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS imbalance")
+
   /** Deterministic sparse-sign random projection (Achlioptas-style,
     * signs only): rp[j] = Σ_i v[i]·sign(i, j) with sign(i, j) = +1
     * when the first hex digit of md5("j:i") < '8', else −1. The

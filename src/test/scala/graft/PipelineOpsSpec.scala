@@ -1189,6 +1189,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("truncationRecallSweep: a planted prefix-impostor kills prefix recall; full dim recovers it") {
+    import spark.implicits._
+    // query 0 = [1,0,0,0]. v1 matches PERFECTLY on the 2-dim prefix
+    // but is far at full dim (huge tail); v2 is the true full-dim
+    // neighbor. dim-2 search picks v1 (recall 0); dim-4 = full dim
+    // picks v2 (recall 1).
+    val df = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 10.0, 0.0)),
+      (2L, Seq(1.0, 0.1, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.truncationRecallSweep(df, dims = Seq(2, 4),
+        nQueries = 1, k = 1).collect()
+      .map(x => x.getInt(0) -> (x.getInt(1), x.getInt(2), x.getDouble(3))).toMap
+    assert(r(2) == ((1, 0, 0.0)), s"prefix impostor must win at dim 2: ${r(2)}")
+    assert(r(4) == ((1, 1, 1.0)), s"full dim must recover the true neighbor: ${r(4)}")
+  }
+
+  test("truncationRecallSweep on the corpus: recall weakly improves with dimension") {
+    val r = Similarity.truncationRecallSweep(embeddings).collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(8, 16, 32))
+    r.foreach(x => assert(x.getDouble(3) >= 0 && x.getDouble(3) <= 1 &&
+      x.getInt(2) <= x.getInt(1)))
+  }
+
+  test("bucketBalanceAudit: candidate-pair cost and skew recomputed from the bucket frame") {
+    val sizes = Similarity.lshBuckets(embeddings)
+      .groupBy("bucket_id").count().collect().map(_.getLong(1))
+    val r = Similarity.bucketBalanceAudit(embeddings).collect()(0)
+    assert(r.getLong(0) == sizes.sum && r.getLong(1) == sizes.length &&
+      r.getLong(2) == sizes.max)
+    assert(r.getLong(3) == sizes.map(n => n * (n - 1) / 2).sum)
+    assert(r.getLong(4) == sizes.sum * (sizes.sum - 1) / 2)
+    assert(r.getLong(3) <= r.getLong(4), "bucketing can only shrink the pair count")
+    assert(r.getDouble(6) >= 1.0, "max bucket is at least the mean")
+  }
+
   test("knnPredict on the corpus: one row per query, votes bounded by k") {
     val p = Similarity.knnPredict(embeddings).cache()
     assert(p.count() == 8)

@@ -3189,6 +3189,34 @@ object OracleSql {
          |n_vecs * (n_vecs - 1) // 2 AS brute_pairs,
          |floor(CAST(cand2 AS DOUBLE) / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cand_frac,
          |floor(CAST(max_bucket AS DOUBLE) / (CAST(n_vecs AS DOUBLE) / CAST(n_buckets AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS imbalance
-         |FROM t""".stripMargin
+         |FROM t""".stripMargin,
+
+    // MinHash estimator calibration: q33's cand + exact-Jaccard tail
+    // at threshold 0.05, an independent md5 "c<i>:" 16-component
+    // signature, and integer-quantized error means.
+    "q199_minhash_calibration" -> {
+      val k = 16
+      val compCols = (0 until k).map(i => s"min(md5('c$i:' || shingle)) AS c$i").mkString(", ")
+      val mExpr = (0 until k).map(i => s"(CASE WHEN a.c$i = b.c$i THEN 1 ELSE 0 END)").mkString(" + ")
+      shingleCte +
+        s""",
+           |sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sset FROM sh GROUP BY doc_id),
+           |j AS (SELECT id_a, id_b,
+           |round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+           |(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) AS jaccard
+           |FROM cand JOIN sets sa ON cand.id_a = sa.doc_id JOIN sets sb ON cand.id_b = sb.doc_id),
+           |jp AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05),
+           |comps AS (SELECT doc_id, $compCols FROM sh GROUP BY doc_id),
+           |sc AS (SELECT jp.jaccard, ($mExpr) AS m
+           |  FROM jp JOIN comps a ON jp.id_a = a.doc_id JOIN comps b ON jp.id_b = b.doc_id),
+           |e AS (SELECT CAST(m AS DOUBLE) / CAST($k AS DOUBLE) AS est,
+           |  CAST(floor(jaccard * 1e4 + 0.5) AS BIGINT) AS tq,
+           |  CAST(floor(abs(CAST(m AS DOUBLE) / CAST($k AS DOUBLE) - jaccard) * 1e6 + 0.5) AS BIGINT) AS eq
+           |  FROM sc)
+           |SELECT est, count(*) AS n_pairs,
+           |floor(CAST(sum(tq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4 AS mean_true,
+           |floor(CAST(sum(eq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_abs_err
+           |FROM e GROUP BY est ORDER BY est""".stripMargin
+    }
   )
 }

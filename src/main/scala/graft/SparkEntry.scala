@@ -535,7 +535,10 @@ object SparkEntry {
     "q197_truncation_recall" -> ((s, d) => Similarity.truncationRecallSweep(Tables.embeddings(s, d))),
     // sign-LSH bucket-size skew + exact candidate-pair cost: the
     // COST side of the LSH trade (q110 lsh_recall audits the recall side)
-    "q198_bucket_balance"   -> ((s, d) => Similarity.bucketBalanceAudit(Tables.embeddings(s, d)))
+    "q198_bucket_balance"   -> ((s, d) => Similarity.bucketBalanceAudit(Tables.embeddings(s, d))),
+    // MinHash estimator calibration: E|J-hat − J| measured against the
+    // exact Jaccard on the verified pair frame, by estimate value
+    "q199_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -203,6 +203,53 @@ object Dedup {
     * returned plan; the caller releases it (`clearCache`/`unpersist`)
     * when the report has been consumed.
     */
+  /** MinHash ESTIMATOR calibration — the sketch-accuracy audit
+    * [[lshRecallReport]] (recall of the banding) and the q134 CMS
+    * overestimate report give for their sketches, applied to the
+    * Jaccard estimator itself: over the verified near-dup pairs,
+    * compare Ĵ = (#matching components)/k from an independent
+    * `k`-component MinHash signature (md5 "c<i>:" family — disjoint
+    * from the banding's "b<i>:" family) against the EXACT Jaccard,
+    * grouped by estimate value: pair count, mean true Jaccard, mean
+    * absolute error. This is the number that decides whether a
+    * 100 TB pipeline can skip the exact-verify tier and trust the
+    * sketch (E|Ĵ−J| ~ 1/√k), measured on its own corpus rather than
+    * assumed.
+    *
+    * Scale: signatures are one hash aggregate over the shingle scan
+    * (k fixed-width strings per doc — fingerprints, never text,
+    * cross the shuffle); the pair frame is LSH-bounded. Everything
+    * after is exact integer arithmetic (quantized error units) until
+    * the two closing mean divisions.
+    */
+  def minhashCalibration(docs: DataFrame, k: Int = 16,
+                         threshold: Double = 0.05, bands: Int = 4): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold, bands)
+    val sh = shingleDocs(docs).dropDuplicates("doc_id", "shingle")
+    val compAggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"c$i:"), col("shingle")))).as(s"c$i"))
+    val comps = sh.groupBy("doc_id").agg(compAggs.head, compAggs.tail: _*)
+    val a = comps.select(col("doc_id").as("id_a") +:
+      (0 until k).map(i => col(s"c$i").as(s"a$i")): _*)
+    val b = comps.select(col("doc_id").as("id_b") +:
+      (0 until k).map(i => col(s"c$i").as(s"b$i")): _*)
+    val m = (0 until k).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("m", m)
+      .select(
+        (col("m").cast("double") / lit(k.toDouble)).as("est"),
+        floor(col("jaccard") * 1e4 + 0.5).cast("bigint").as("tq"),
+        floor(abs(col("m").cast("double") / lit(k.toDouble) - col("jaccard")) * 1e6 + 0.5)
+          .cast("bigint").as("eq"))
+      .groupBy("est")
+      .agg(count(lit(1)).as("n_pairs"), sum("tq").as("st"), sum("eq").as("se"))
+      .selectExpr("est", "n_pairs",
+        "floor(CAST(st AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4 AS mean_true",
+        "floor(CAST(se AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_abs_err")
+      .orderBy("est")
+  }
+
   def lshRecallReport(docs: DataFrame, threshold: Double = 0.2,
                       sampleSize: Int = 500): DataFrame = {
     require(threshold > 0, "threshold must be > 0")

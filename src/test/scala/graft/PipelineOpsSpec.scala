@@ -717,6 +717,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(est2("zzz_nowhere") == 0L, "an empty counter frame estimates 0 for every key")
   }
 
+  test("minhashCalibration: exact duplicates estimate 1.0 with zero error; errors are internally consistent") {
+    import spark.implicits._
+    val tail = (10L to 40L).map { i =>
+      (i, (0 until 12).map(j => s"t${(i * 7 + j) % 13}").mkString(" "), "en", "s", 0L)
+    }
+    val fixed = Seq(
+      (1L, "a b c d e f g h i j k l", "en", "s", 0L),
+      (2L, "a b c d e f g h i j k l", "en", "s", 0L), // exact dup of 1
+      (3L, "a b c d e f g h i j x y", "en", "s", 0L)) // strong overlap with 1/2
+    val docs = (fixed ++ tail).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.minhashCalibration(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // the exact-dup pair: every component min matches -> est 1.0,
+    // true jaccard 1.0, error 0
+    val perfect = rows.find(_._1 == 1.0).get
+    assert(perfect._3 == 1.0 && perfect._4 == 0.0, perfect.toString)
+    rows.foreach { case (est, n, meanTrue, meanErr) =>
+      assert(est >= 0.0 && est <= 1.0 && math.rint(est * 16) == est * 16,
+        s"est $est must be a multiple of 1/16")
+      assert(n >= 1 && meanTrue >= 0.0 && meanTrue <= 1.0 && meanErr >= 0.0)
+      // |est - mean_true| <= mean|est - true| (Jensen, exact here)
+      assert(math.abs(est - meanTrue) <= meanErr + 1e-4,
+        s"($est, $meanTrue, $meanErr) violates the mean-error bound")
+    }
+    // pair accounting: every verified pair lands in exactly one bucket
+    val nPairs = Dedup.nearDupPairs(docs, threshold = 0.05).count()
+    assert(rows.map(_._2).sum == nPairs)
+  }
+
   test("piiScrub redacts planted identifiers, counts them, and is idempotent") {
     import spark.implicits._
     val docs = Seq(

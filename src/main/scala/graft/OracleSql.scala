@@ -124,6 +124,37 @@ object OracleSql {
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
       |         JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared greedy-subword-segmentation CTEs ending in
+    * `st(doc_id, n_words, n_subwords, n_unk)` — a recursive CTE
+    * running the IDENTICAL maximal-munch recurrence as
+    * [[graft.functions.SubwordGenerator]] (whose DefaultVocab is
+    * inlined here: one source of truth for both engines). Each
+    * DISTINCT word segments once (pos advances by the longest vocab
+    * match, else 1 with an UNK count); per-document stats then join
+    * word instances back — identical counts to the per-instance
+    * Spark generator.
+    */
+  private val subwordCtes: String = {
+    val vocabList = graft.functions.SubwordGenerator.DefaultVocab
+      .map(v => s"'$v'").mkString(", ")
+    val munch = "(SELECT v FROM vocab WHERE substr(w, CAST(pos AS INT), len(v)) = v " +
+      "ORDER BY len(v) DESC, v LIMIT 1)"
+    s"""WITH RECURSIVE vocab(v) AS (SELECT unnest([$vocabList])),
+       |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dw AS (SELECT DISTINCT w FROM words WHERE len(w) > 0),
+       |seg AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS pos, 0 AS n_sub, 0 AS n_unk FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + coalesce(len($munch), 1), n_sub + 1,
+       |    n_unk + CASE WHEN $munch IS NULL THEN 1 ELSE 0 END
+       |  FROM seg WHERE pos <= len(w)),
+       |done AS (SELECT w, n_sub, n_unk FROM seg WHERE pos = len(w) + 1),
+       |st AS (SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(sum(n_unk) AS BIGINT) AS n_unk
+       |  FROM words JOIN done ON words.w = done.w GROUP BY 1)""".stripMargin
+  }
+
   /** Shared simhash CTEs ending in `ssig(doc_id, simhash)`. */
   private val simhashCtes: String = {
     val votes = (0 until 32)
@@ -3217,6 +3248,24 @@ object OracleSql {
            |floor(CAST(sum(tq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4 AS mean_true,
            |floor(CAST(sum(eq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_abs_err
            |FROM e GROUP BY est ORDER BY est""".stripMargin
-    }
+    },
+
+    "q200_subword_stats" -> (subwordCtes +
+      """
+        |SELECT doc_id, n_words, n_subwords, n_unk,
+        |floor(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e4 + 0.5) / 1e4 AS fertility
+        |FROM st ORDER BY doc_id""".stripMargin),
+
+    "q201_subword_fertility" -> (subwordCtes +
+      """,
+        |stl AS (SELECT d.lang, st.n_words, st.n_subwords, st.n_unk
+        |  FROM st JOIN documents d USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |CAST(sum(n_words) AS BIGINT) AS n_words,
+        |CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+        |CAST(sum(n_unk) AS BIGINT) AS n_unk,
+        |floor(CAST(sum(n_subwords) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS fertility,
+        |floor(CAST(sum(n_unk) AS DOUBLE) / CAST(sum(n_subwords) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS unk_rate
+        |FROM stl GROUP BY lang ORDER BY lang""".stripMargin)
   )
 }

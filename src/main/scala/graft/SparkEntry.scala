@@ -538,7 +538,13 @@ object SparkEntry {
     "q198_bucket_balance"   -> ((s, d) => Similarity.bucketBalanceAudit(Tables.embeddings(s, d))),
     // MinHash estimator calibration: E|J-hat − J| measured against the
     // exact Jaccard on the verified pair frame, by estimate value
-    "q199_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(Tables.documents(s, d)))
+    "q199_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(Tables.documents(s, d))),
+    // native greedy subword segmentation (maximal munch, fixed
+    // vocab): per-doc token counts + fertility, exact-oracled via a
+    // DuckDB recursive CTE running the identical recurrence
+    "q200_subword_stats"    -> ((s, d) => TextAnalysis.subwordStats(Tables.documents(s, d))),
+    // tokenizer-fitness rollup: fertility + UNK rate by language
+    "q201_subword_fertility" -> ((s, d) => TextAnalysis.subwordFertility(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

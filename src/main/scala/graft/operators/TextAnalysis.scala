@@ -657,6 +657,45 @@ object TextAnalysis {
       .select(col("term"), col("df"), col("cf"), col("postings"))
   }
 
+  /** Per-document subword-tokenizer stats over the native greedy
+    * segmenter ([[graft.functions.SubwordGenerator]]): word count,
+    * subword count, UNK-character count, and fertility (subwords per
+    * word) — the two numbers (fertility, UNK rate) a tokenizer/vocab
+    * swap is judged by, measured exactly on the corpus instead of
+    * assumed. Map-only to the per-doc aggregate: segmentation is a
+    * pure per-row JVM loop; nothing but (doc_id, counts) crosses the
+    * shuffle.
+    */
+  def subwordStats(docs: DataFrame,
+                   vocab: Seq[String] = graft.functions.SubwordGenerator.DefaultVocab): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.SubwordGenerator.subwords(col("text"), vocab)
+          .as(Seq("word_idx", "sub_idx", "token", "is_unk")))
+      .groupBy("doc_id")
+      .agg((max("word_idx") + 1).cast("bigint").as("n_words"),
+        count(lit(1)).as("n_subwords"),
+        sum("is_unk").cast("bigint").as("n_unk"))
+      .selectExpr("doc_id", "n_words", "n_subwords", "n_unk",
+        "floor(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e4 + 0.5) / 1e4 AS fertility")
+      .orderBy("doc_id")
+
+  /** Corpus fertility/UNK report by language over [[subwordStats]] —
+    * the per-language tokenizer-fitness rollup (a vocab tuned on one
+    * language shows up as fertility/UNK skew in the others).
+    */
+  def subwordFertility(docs: DataFrame,
+                       vocab: Seq[String] = graft.functions.SubwordGenerator.DefaultVocab): DataFrame =
+    subwordStats(docs, vocab)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"), sum("n_subwords").as("n_subwords"),
+        sum("n_unk").as("n_unk"))
+      .selectExpr("lang", "n_docs", "n_words", "n_subwords", "n_unk",
+        "floor(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e4 + 0.5) / 1e4 AS fertility",
+        "floor(CAST(n_unk AS DOUBLE) / CAST(n_subwords AS DOUBLE) * 1e4 + 0.5) / 1e4 AS unk_rate")
+      .orderBy("lang")
+
   /** Positional-index phrase search: the retrieval capability the
     * term-level [[invertedIndex]] (q139) cannot express — "these
     * words ADJACENT, in order". The corpus's top-`topN` trigram

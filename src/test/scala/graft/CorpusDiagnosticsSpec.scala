@@ -503,6 +503,49 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("SubwordGenerator: maximal munch, UNK fallback, word boundaries, double spaces") {
+    import graft.functions.SubwordGenerator
+    val df = docsDf(Seq((1L, "tablex qu  zz", "s")))
+    val toks = df.select(col("doc_id"),
+        SubwordGenerator.subwords(col("text"), Seq("table", "ta", "qu", "z"))
+          .as(Seq("word_idx", "sub_idx", "token", "is_unk")))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4)))
+    assert(toks.toSeq == Seq(
+      (0, 0, "table", 0), (0, 1, "x", 1),  // longest match beats "ta"; x is UNK
+      (1, 0, "qu", 0),                     // whole word
+      (2, 0, "z", 0), (2, 1, "z", 0)),     // double space: no empty word emitted
+      toks.mkString(";"))
+  }
+
+  test("subwordStats and subwordFertility: hand-segmented counts and rollup") {
+    val vocab = Seq("table", "ta", "qu", "z", "b")
+    val df = Seq(
+      (1L, "tablex qu", "en", "s", 0L),   // 2 words, 3 subs, 1 unk
+      (2L, "zz b", "en", "s", 0L),        // 2 words, 3 subs, 0 unk
+      (3L, "qqq", "de", "s", 0L))         // 1 word, 3 subs, 3 unk ("q" not in vocab)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val st = TextAnalysis.subwordStats(df, vocab).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(st(1L) == ((2L, 3L, 1L, 1.5)))
+    assert(st(2L) == ((2L, 3L, 0L, 1.5)))
+    assert(st(3L) == ((1L, 3L, 3L, 3.0)))
+    val f = TextAnalysis.subwordFertility(df, vocab).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(f("en") == ((2L, 4L, 6L, 1L, 1.5, math.rint(1.0 / 6 * 1e4) / 1e4)))
+    assert(f("de") == ((1L, 1L, 3L, 3L, 3.0, 1.0)))
+  }
+
+  test("subwordStats on the corpus: every doc covered, fertility >= 1, unk bounded by subwords") {
+    val docs = Tables.documents(spark, sfDir)
+    val res = TextAnalysis.subwordStats(docs).collect()
+    assert(res.length == docs.count())
+    res.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "at least one subword per word")
+      assert(r.getLong(3) <= r.getLong(2) && r.getDouble(4) >= 1.0)
+    }
+  }
+
   test("phraseSearch: adjacency in order, df vs occurrences, top-doc ranking") {
     // doc 1: "x y z x y z" → trigrams [x y z, y z x, z x y, x y z]
     //   ("x y z" twice). doc 2: "x y z q". doc 3: too short for any.

@@ -3266,6 +3266,26 @@ object OracleSql {
         |CAST(sum(n_unk) AS BIGINT) AS n_unk,
         |floor(CAST(sum(n_subwords) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS fertility,
         |floor(CAST(sum(n_unk) AS DOUBLE) / CAST(sum(n_subwords) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS unk_rate
-        |FROM stl GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM stl GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Arrival-order semantic dedup: the q79 bucket join restricted to
+    // the vec_id prefix, with the earliest-prior-match and prior
+    // count per vector; raw-double cosine threshold compares
+    // identically (q93-proven formula text).
+    "q202_semantic_prefix_dedup" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  CAST(${bucketTerms("CAST(embedding AS DOUBLE[])")} AS INT) AS bucket_id
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a
+         |  JOIN b c ON a.bucket_id = c.bucket_id AND a.vec_id < c.vec_id
+         |  WHERE list_dot_product(a.v, c.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.3),
+         |h AS (SELECT id_b AS vec_id, CAST(min(id_a) AS BIGINT) AS dup_of,
+         |  count(*) AS n_prior FROM p GROUP BY 1)
+         |SELECT e.vec_id,
+         |CAST(CASE WHEN h.dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
+         |h.dup_of, CAST(coalesce(h.n_prior, 0) AS BIGINT) AS n_prior
+         |FROM embeddings e LEFT JOIN h ON e.vec_id = h.vec_id
+         |ORDER BY e.vec_id""".stripMargin
   )
 }

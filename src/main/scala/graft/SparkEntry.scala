@@ -544,7 +544,11 @@ object SparkEntry {
     // DuckDB recursive CTE running the identical recurrence
     "q200_subword_stats"    -> ((s, d) => TextAnalysis.subwordStats(Tables.documents(s, d))),
     // tokenizer-fitness rollup: fertility + UNK rate by language
-    "q201_subword_fertility" -> ((s, d) => TextAnalysis.subwordFertility(Tables.documents(s, d)))
+    "q201_subword_fertility" -> ((s, d) => TextAnalysis.subwordFertility(Tables.documents(s, d))),
+    // arrival-order semantic dedup (the streaming-ingest semantics,
+    // batch-computed): dup verdict vs the vec_id prefix per LSH bucket
+    "q202_semantic_prefix_dedup" -> ((s, d) =>
+      Dedup.semanticDedupPrefix(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -803,6 +803,34 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** ARRIVAL-ORDER semantic dedup — the batch twin of
+    * [[graft.streaming.StreamPipeline.semanticDedupStream]]: a vector
+    * is a duplicate iff some EARLIER vector (vec_id <, the arrival
+    * order) in its sign-LSH bucket is within `threshold` cosine.
+    * Unlike [[semanticDedup]] (global connected components — the
+    * whole-corpus re-dedup), this is the ingest-time semantics: each
+    * arrival is judged against the prefix before it, which is exactly
+    * what a streaming deduper can decide on the spot, and the two
+    * agree on keep-sets when clusters arrive contiguously. Reports
+    * (vec_id, is_dup, dup_of = earliest prior match, n_prior).
+    *
+    * Scale: candidate pairs are bucket-bounded (the
+    * [[embeddingNearDup]] equi-join — never all-pairs), the verdict
+    * aggregate shuffles (id, id) longs only, and the final left join
+    * restores the full corpus frame.
+    */
+  def semanticDedupPrefix(emb: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val hits = embeddingNearDup(emb, threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("dup_of"), count(lit(1)).as("n_prior"))
+    emb.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("dup_of").isNull, 0).otherwise(1).as("is_dup"),
+        col("dup_of"), coalesce(col("n_prior"), lit(0L)).as("n_prior"))
+      .orderBy("vec_id")
+  }
+
   /** Cross-source duplication matrix — the provenance diagnostic a
     * multi-source corpus needs before mixture weighting: for every
     * source pair (a ≤ b), how many distinct content fingerprints

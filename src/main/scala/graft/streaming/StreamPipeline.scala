@@ -453,6 +453,84 @@ object StreamPipeline {
           matches.iterator
       }
   }
+  /** One LSH bucket's retained arrivals: parallel (id, vector) seqs. */
+  case class BucketVecs(ids: Seq[Long], vecs: Seq[Seq[Double]])
+
+  /** One arrival's dedup verdict, emitted on the spot. */
+  case class DedupVerdict(vec_id: Long, is_dup: Int, dup_of: Option[Long],
+                          n_prior: Long)
+
+  /** Streaming semantic dedup-on-ingest — the live twin of q202's
+    * [[graft.operators.Dedup.semanticDedupPrefix]]: state is keyed by
+    * SIGN-LSH BUCKET (the same partitioner the batch equi-join
+    * shuffles on) and holds the bucket's retained (id, vector)
+    * arrivals; each arriving vector is judged against the retained
+    * prefix on the spot — is_dup, earliest prior match, prior-match
+    * count — with the IDENTICAL fused cosine arithmetic as the batch
+    * native expression, so stream verdicts equal the batch frame row
+    * for row (spec-asserted).
+    *
+    * State bound: ≤ `maxPerBucket` vectors per bucket (the winnow
+    * maxPosting discipline). A bucket past the cap stops ACCUMULATING
+    * but keeps judging arrivals against the retained prefix — bounded
+    * recall on the degenerate bucket for hard-bounded state; the cap
+    * is off (Int.MaxValue) only in tests. Re-delivery of a RETAINED
+    * id emits nothing; a capped-out id's re-delivery re-emits its
+    * (identical) verdict — downstream consumers key on vec_id, so
+    * at-least-once re-emission is absorbed by the natural primary
+    * key, exactly the winnowMatchesStream countDistinct discipline.
+    */
+  def semanticDedupStream(stream: DataFrame, threshold: Double = 0.3,
+                          maxPerBucket: Int = 256)
+      : org.apache.spark.sql.Dataset[DedupVerdict] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    stream.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        graft.operators.Similarity.lshBucketId(
+          col("embedding").cast("array<double>")).as("bucket_id"))
+      .as[(Long, Seq[Double], Int)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[BucketVecs, DedupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val st = state.getOption.getOrElse(BucketVecs(Seq.empty, Seq.empty))
+          val ids = scala.collection.mutable.ArrayBuffer(st.ids: _*)
+          val vecs = scala.collection.mutable.ArrayBuffer(st.vecs: _*)
+          // micro-batch iterators carry no order guarantee; vec_id
+          // sort = the arrival-order contract the batch twin uses
+          val arriving = rows.toSeq.sortBy(_._1)
+            .filterNot(r => ids.contains(r._1))
+          val out = arriving.map { case (id, v, _) =>
+            var dupOf = Option.empty[Long]
+            var nPrior = 0L
+            var j = 0
+            while (j < ids.length) {
+              // the batch native CosineSimilarity loop, verbatim
+              val w = vecs(j)
+              val n = math.min(v.length, w.length)
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var i = 0
+              while (i < n) {
+                val xi = w(i); val yi = v(i)
+                dot += xi * yi; na += xi * xi; nb += yi * yi
+                i += 1
+              }
+              if (dot / (math.sqrt(na) * math.sqrt(nb)) >= threshold) {
+                nPrior += 1L
+                if (dupOf.isEmpty || ids(j) < dupOf.get) dupOf = Some(ids(j))
+              }
+              j += 1
+            }
+            if (ids.length < maxPerBucket) { ids += id; vecs += v }
+            DedupVerdict(id, if (dupOf.isDefined) 1 else 0, dupOf, nPrior)
+          }
+          state.update(BucketVecs(ids.toSeq, vecs.toSeq))
+          out.iterator
+      }
+  }
+
   case class OpenPath(lastSec: Long, types: Seq[String], n: Long)
 
   /** A gap-closed session's journey, emitted downstream. */

@@ -1255,6 +1255,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getDouble(6) >= 1.0, "max bucket is at least the mean")
   }
 
+  test("semanticDedupPrefix: verdicts recompute from the pair frame; earliest prior wins") {
+    val r = Dedup.semanticDedupPrefix(embeddings).cache()
+    assert(r.count() == embeddings.count(), "one verdict per vector")
+    val pairs = Dedup.embeddingNearDup(embeddings, 0.3)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val byB = pairs.groupBy(_._2)
+    r.collect().foreach { row =>
+      val id = row.getLong(0)
+      byB.get(id) match {
+        case Some(ps) =>
+          assert(row.getInt(1) == 1 && row.getLong(2) == ps.map(_._1).min &&
+            row.getLong(3) == ps.length, s"vec $id verdict mismatch")
+        case None =>
+          assert(row.getInt(1) == 0 && row.isNullAt(2) && row.getLong(3) == 0L,
+            s"vec $id should be clean")
+      }
+    }
+    r.unpersist()
+  }
+
   test("knnPredict on the corpus: one row per query, votes bounded by k") {
     val p = Similarity.knnPredict(embeddings).cache()
     assert(p.count() == 8)

@@ -14,7 +14,7 @@ import graft.streaming.StreamPipeline
   * test_stream_interfaces.py payload classes).
   */
 class StreamingSpec extends AnyFunSuite {
-  import SparkTestSession.spark
+  import SparkTestSession.{sfDir, spark}
   import spark.implicits._
 
   private def eventRows = Seq(
@@ -747,6 +747,63 @@ class StreamingSpec extends AnyFunSuite {
         "the distinct-count finisher must absorb re-emission: same pairs, same n_shared")
       // and only the (1,2) pair ever exists — duplicates never invent pairs
       assert(pairReport().map(t => (t._1, t._2)) == Set((1L, 2L)))
+    } finally query.stop()
+  }
+
+  test("semanticDedupStream: in-order delivery equals the batch prefix dedup row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val embFull = graft.engine.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val rows = embFull
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.semanticDedupStream(stream,
+          maxPerBucket = Int.MaxValue).toDF(),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString,
+        queryName = "semdedup_mem").start()
+    try {
+      // three in-order chunks — the arrival-order contract
+      rows.grouped(100).foreach { chunk =>
+        mem.addData(chunk: _*); query.processAllAvailable()
+      }
+      val live = spark.table("semdedup_mem")
+        .select("vec_id", "is_dup", "dup_of", "n_prior")
+      val batch = graft.operators.Dedup.semanticDedupPrefix(embFull)
+      assert(live.count() == batch.count())
+      assert(live.exceptAll(batch).isEmpty && batch.exceptAll(live).isEmpty,
+        "stream verdicts must equal the batch prefix-dedup frame")
+    } finally query.stop()
+  }
+
+  test("semanticDedupStream: a capped bucket keeps judging against the retained prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val v = Seq(1.0, 0.5, 0.25, 0.125) // identical vectors -> cos 1.0, same bucket
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.semanticDedupStream(stream, maxPerBucket = 1).toDF(),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-semdedupcap").toString,
+        queryName = "semdedupcap_mem").start()
+    try {
+      mem.addData(1L -> v); query.processAllAvailable()
+      mem.addData(2L -> v); query.processAllAvailable()
+      mem.addData(3L -> v); query.processAllAvailable()
+      def verdicts() = spark.table("semdedupcap_mem")
+        .select("vec_id", "is_dup", "dup_of", "n_prior").collect()
+        .map(r => (r.getLong(0), r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+      val before = verdicts().toSet
+      // id 1 retained and clean; ids 2 and 3 both judged against the
+      // retained prefix [1] only (the cap): n_prior 1, not 2
+      assert(before == Set((1L, 0, -1L, 0L), (2L, 1, 1L, 1L), (3L, 1, 1L, 1L)), before.toString)
+      // a capped-out id's re-delivery re-emits the identical verdict:
+      // rows grow, the per-vec_id verdict set does not change
+      mem.addData(2L -> v); query.processAllAvailable()
+      assert(verdicts().length == 4 && verdicts().toSet == before)
     } finally query.stop()
   }
 

@@ -41,6 +41,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("phrase search: postings adjacency is equi-join on (doc_id, pos); ranking is capped") {
+    val p = plan("q196_phrase_search")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TopKPerKey"), s"per-phrase doc cap must be the custom operator:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the panel must broadcast:\n$p")
+  }
+
+  test("truncation recall sweep: every per-dim ranking is TopKPerKey, queries broadcast") {
+    val p = plan("q197_truncation_recall")
+    // one capped ranking per tier: ground truth + 3 sweep dims
+    assert("TopKPerKey".r.findAllIn(p).length >= 4, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("WindowExec"), s"no unbounded window may rank the corpus:\n$p")
+  }
+
+  test("minhash calibration: signature joins are equi-joins, no product, fingerprints only") {
+    val p = plan("q199_minhash_calibration")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("collect_set") && !p.contains("collect_list"), p)
+  }
+
+  test("subword stats: map-only segmentation into a partial-aggregated groupBy") {
+    val p = plan("q200_subword_stats")
+    assert(p.contains("SubwordGenerator") || p.contains("Generate"), p)
+    assert(p.contains("partial_"), s"q200 missing partial aggregation:\n$p")
+    assert(!p.contains("Join"), s"segmentation must not join:\n$p")
+  }
+
+  test("semantic prefix dedup: bucket equi-join, never all-pairs") {
+    val p = plan("q202_semantic_prefix_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bucket_id"), p)
+  }
+
   test("embedding near-dup joins on the LSH bucket key — no all-pairs product") {
     val p = plan("q40_embedding_neardup")
     assert(!p.contains("CartesianProduct"), p)

@@ -3286,6 +3286,99 @@ object OracleSql {
          |CAST(CASE WHEN h.dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
          |h.dup_of, CAST(coalesce(h.n_prior, 0) AS BIGINT) AS n_prior
          |FROM embeddings e LEFT JOIN h ON e.vec_id = h.vec_id
-         |ORDER BY e.vec_id""".stripMargin
+         |ORDER BY e.vec_id""".stripMargin,
+
+    // Sliding-window HLL: the q187 register pipeline grouped hourly,
+    // merged over trailing offsets by register max (a sketch-row
+    // explode, never a second data pass), same dyadic-exact finisher.
+    "q203_hll_sliding" ->
+      """WITH h0 AS (SELECT
+        |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |    date_trunc('hour', ts)) / 3600 AS BIGINT) AS h, user_id,
+        |  CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) AS hsh FROM events),
+        |k AS (SELECT h, hsh >> 51 AS reg,
+        |  hsh & ((CAST(1 AS BIGINT) << 51) - 1) AS rest FROM h0),
+        |r AS (SELECT h, reg, CASE WHEN rest > 0
+        |  THEN 51 - length(bin(rest)) + 1 ELSE 52 END AS rho FROM k),
+        |regs AS (SELECT h, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |hours AS (SELECT DISTINCT h FROM h0),
+        |mg0 AS (SELECT regs.h + o.off AS h, reg, mj
+        |  FROM regs, unnest(range(0, 24)) AS o(off)),
+        |mg AS (SELECT m.h, reg, max(mj) AS mj FROM mg0 m
+        |  JOIN hours ON m.h = hours.h GROUP BY 1, 2),
+        |ex0 AS (SELECT DISTINCT h, user_id FROM h0),
+        |ex1 AS (SELECT e.h + o.off AS h, user_id
+        |  FROM ex0 e, unnest(range(0, 24)) AS o(off)),
+        |ex AS (SELECT e.h, CAST(count(DISTINCT user_id) AS BIGINT)
+        |  AS exact_distinct FROM ex1 e JOIN hours ON e.h = hours.h GROUP BY 1),
+        |pt AS (SELECT h, CAST(count(*) AS BIGINT) AS n_present,
+        |  CAST(sum(CAST(1 AS BIGINT) << (52 - mj)) AS DOUBLE)
+        |    / 4503599627370496.0 AS sum_present FROM mg GROUP BY 1),
+        |f AS (SELECT h, n_present, 512 - n_present AS n_zero,
+        |  CAST(512 - n_present AS DOUBLE) + sum_present AS denom FROM pt),
+        |g AS (SELECT *,
+        |  (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / denom AS raw FROM f)
+        |SELECT g.h, ex.exact_distinct, n_present,
+        |  CAST(n_zero AS BIGINT) AS n_zero,
+        |  CASE WHEN raw <= 2.5 * 512 AND n_zero > 0 THEN 'linear'
+        |       ELSE 'raw' END AS method,
+        |  round(CASE WHEN raw <= 2.5 * 512 AND n_zero > 0
+        |    THEN 512.0 * ln(512.0 / n_zero) ELSE raw END, 2) AS estimate
+        |FROM g JOIN ex USING (h) ORDER BY h""".stripMargin,
+
+    // Double-fire audit: lag inside natural (user, type) partitions.
+    "q204_duplicate_events" ->
+      """WITH s AS (SELECT user_id, event_type, event_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |l AS (SELECT event_type, sec, lag(sec) OVER (PARTITION BY user_id,
+        |  event_type ORDER BY sec, event_id) AS prev FROM s),
+        |d AS (SELECT event_type, CASE WHEN prev IS NOT NULL
+        |  AND sec - prev <= 60 THEN 1 ELSE 0 END AS is_dup FROM l)
+        |SELECT event_type, count(*) AS n_events,
+        |CAST(sum(is_dup) AS BIGINT) AS n_dups,
+        |floor(CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS dup_rate
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // CUPED: per-user cent-quantized period means, BIGINT sufficient
+    // statistics, double closing formulas shared textually.
+    "q205_cuped_lift" ->
+      """WITH days AS (SELECT user_id,
+        |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |    date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |sp AS (SELECT min(d) AS d0 FROM days),
+        |per0 AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN d < d0 + 15 THEN cents END) AS BIGINT) AS sxc,
+        |  count(CASE WHEN d < d0 + 15 THEN 1 END) AS nx,
+        |  CAST(sum(CASE WHEN NOT (d < d0 + 15) THEN cents END) AS BIGINT) AS syc,
+        |  count(CASE WHEN NOT (d < d0 + 15) THEN 1 END) AS ny
+        |  FROM days CROSS JOIN sp GROUP BY user_id),
+        |per AS (SELECT user_id,
+        |  CAST(floor(CAST(sxc AS DOUBLE) / CAST(nx AS DOUBLE) + 0.5) AS BIGINT) AS xq,
+        |  CAST(floor(CAST(syc AS DOUBLE) / CAST(ny AS DOUBLE) + 0.5) AS BIGINT) AS yq,
+        |  CAST(user_id % 2 AS INT) AS grp
+        |  FROM per0 WHERE nx > 0 AND ny > 0),
+        |s AS (SELECT count(*) AS n,
+        |  CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+        |  CAST(sum(xq * xq) AS BIGINT) AS sxx, CAST(sum(yq * yq) AS BIGINT) AS syy,
+        |  CAST(sum(xq * yq) AS BIGINT) AS sxy,
+        |  count(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+        |  CAST(sum(CASE WHEN grp = 0 THEN xq END) AS BIGINT) AS sxa,
+        |  CAST(sum(CASE WHEN grp = 0 THEN yq END) AS BIGINT) AS sya,
+        |  count(CASE WHEN grp = 1 THEN 1 END) AS n_b,
+        |  CAST(sum(CASE WHEN grp = 1 THEN xq END) AS BIGINT) AS sxb,
+        |  CAST(sum(CASE WHEN grp = 1 THEN yq END) AS BIGINT) AS syb
+        |  FROM per),
+        |m AS (SELECT n, n_a, n_b, n * sxy - sx * sy AS cov,
+        |  n * sxx - sx * sx AS vxx, n * syy - sy * sy AS vyy,
+        |  sx, sxa, sya, sxb, syb FROM s)
+        |SELECT n_a, n_b,
+        |floor(CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS theta,
+        |floor((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) / 1e2 * 1e4 + 0.5) / 1e4 AS lift_raw,
+        |floor(((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) - CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * (CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))) / 1e2 * 1e4 + 0.5) / 1e4 AS lift_cuped,
+        |floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS var_reduction
+        |FROM m""".stripMargin
   )
 }

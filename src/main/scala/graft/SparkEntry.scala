@@ -548,7 +548,17 @@ object SparkEntry {
     // arrival-order semantic dedup (the streaming-ingest semantics,
     // batch-computed): dup verdict vs the vec_id prefix per LSH bucket
     "q202_semantic_prefix_dedup" -> ((s, d) =>
-      Dedup.semanticDedupPrefix(Tables.embeddings(s, d)))
+      Dedup.semanticDedupPrefix(Tables.embeddings(s, d))),
+    // trailing-24h distinct users per hour, entirely in HLL register
+    // arithmetic (one data pass; the merge is a bounded sketch-row
+    // explode) — exact trailing distinct rides along as the audit
+    "q203_hll_sliding"      -> ((s, d) => Sketches.hllSlidingDistinct(Tables.events(s, d))),
+    // double-fire audit: same (user, type) within 60 s of the
+    // previous event — the at-least-once-ingest inflation rate
+    "q204_duplicate_events" -> ((s, d) => EventAnalytics.duplicateEventAudit(Tables.events(s, d))),
+    // CUPED-adjusted A/B lift: pre-period covariate variance
+    // reduction, deterministic hash-bucket assignment, 1-row report
+    "q205_cuped_lift"       -> ((s, d) => RobustStats.cupedAdjustedLift(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -52,6 +52,31 @@ object EventAnalytics {
         (2 to steps.length).map(i => max(col(s"t$i")).as(s"t$i")): _*)
   }
 
+  /** Double-fire audit: events of the same (user, type) landing
+    * within `gapSeconds` of the previous one — the client-retry /
+    * at-least-once-ingest artifact that silently inflates every
+    * downstream count, reported as a per-type rate BEFORE anyone
+    * trusts the funnel. The lag window runs inside natural
+    * (user_id, event_type) partitions — per-key event counts, never
+    * a global sort — then collapses to #types rows.
+    */
+  def duplicateEventAudit(ev: DataFrame, gapSeconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("sec"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("is_dup",
+        when(col("prev").isNotNull && col("sec") - col("prev") <= gapSeconds, 1)
+          .otherwise(0))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("is_dup")).cast("bigint").as("n_dups"))
+      .selectExpr("event_type", "n_events", "n_dups",
+        "floor(CAST(n_dups AS DOUBLE) / CAST(n_events AS DOUBLE) * 1e4 + 0.5) / 1e4 AS dup_rate")
+      .orderBy("event_type")
+  }
+
   def funnel(ev: DataFrame,
              steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     val perUser = stepTimes(ev, steps)

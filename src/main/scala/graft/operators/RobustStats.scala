@@ -293,6 +293,69 @@ object RobustStats {
       .orderBy("event_type")
   }
 
+  /** CUPED-adjusted A/B lift — the variance-reduction standard for
+    * online experimentation (Deng et al., WSDM'13), deterministic end
+    * to end: users split by `user_id % 2` (the hash-bucket assignment
+    * an experimentation platform uses), the first `preDays` days are
+    * the pre-period covariate window, and the adjusted metric
+    * y* = y − θ(x − x̄) removes the pre-period component of the
+    * variance (fraction ρ² — reported as `var_reduction`). Because
+    * the adjustment is linear, group means of y* need only GROUP SUMS:
+    * one pass to per-user (pre-mean, post-mean) pairs, one 1-row
+    * aggregate with conditional sums — no per-user second pass.
+    *
+    * Exactness: per-user period means are cent-quantized BIGINTs
+    * (one division + floor each); θ's sufficient statistics are
+    * BIGINT sums, exact in any order; every closing formula is a
+    * double expression with identical text in DuckDB. Users lacking
+    * either period are excluded (CUPED is undefined without the
+    * covariate) — identically on both engines.
+    *
+    * Scale: groupBy user (the one data-sized shuffle, carrying two
+    * quantized longs), then a single-row conditional aggregate.
+    */
+  def cupedAdjustedLift(ev: DataFrame, preDays: Int = 15): DataFrame = {
+    val days = ev.select(col("user_id"),
+      (unix_timestamp(date_trunc("day", col("ts"))) / 86400L).cast("bigint").as("d"),
+      floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+    val split = days.agg(min("d").as("d0"))
+    val per = days.crossJoin(broadcast(split))
+      .withColumn("pre", col("d") < col("d0") + preDays)
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("cents"))).as("sxc"),
+        count(when(col("pre"), lit(1))).as("nx"),
+        sum(when(!col("pre"), col("cents"))).as("syc"),
+        count(when(!col("pre"), lit(1))).as("ny"))
+      .filter(col("nx") > 0 && col("ny") > 0)
+      .selectExpr("user_id",
+        "CAST(floor(CAST(sxc AS DOUBLE) / CAST(nx AS DOUBLE) + 0.5) AS BIGINT) AS xq",
+        "CAST(floor(CAST(syc AS DOUBLE) / CAST(ny AS DOUBLE) + 0.5) AS BIGINT) AS yq",
+        "CAST(user_id % 2 AS INT) AS grp")
+    per.agg(
+        count(lit(1)).as("n"),
+        sum("xq").as("sx"), sum("yq").as("sy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("yq") * col("yq")).as("syy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        count(when(col("grp") === 0, lit(1))).as("n_a"),
+        sum(when(col("grp") === 0, col("xq"))).as("sxa"),
+        sum(when(col("grp") === 0, col("yq"))).as("sya"),
+        count(when(col("grp") === 1, lit(1))).as("n_b"),
+        sum(when(col("grp") === 1, col("xq"))).as("sxb"),
+        sum(when(col("grp") === 1, col("yq"))).as("syb"))
+      .selectExpr("n", "n_a", "n_b",
+        "n * sxy - sx * sy AS cov", "n * sxx - sx * sx AS vxx",
+        "n * syy - sy * sy AS vyy",
+        "sx", "sxa", "sya", "sxb", "syb")
+      .selectExpr("n_a", "n_b",
+        "floor(CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS theta",
+        "floor((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) / 1e2 * 1e4 + 0.5) / 1e4 AS lift_raw",
+        "floor(((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) " +
+          "- CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * " +
+          "(CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))) / 1e2 * 1e4 + 0.5) / 1e4 AS lift_cuped",
+        "floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS var_reduction")
+  }
+
   /** Per-type ordinary-least-squares trend of the DAILY MEAN event
     * value — the parametric complement to [[theilSenTrend]] (which is
     * robust but reports only a median slope): slope, intercept, and

@@ -124,6 +124,47 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** Sliding-window distinct users via HLL register merge — the
+    * mergeability story applied to TIME: distinct users over the
+    * trailing `windowHours` hours, for every hour, computed entirely
+    * in register arithmetic. The corpus is touched ONCE (the hourly
+    * register aggregate, ≤ #hours·2^p rows); the trailing merge is a
+    * bounded `windowHours`-way explode of SKETCH rows — at 100 TB the
+    * sliding-distinct dashboard costs register math, never a second
+    * data pass, and that is the entire point of keeping per-hour
+    * sketches. Same md5 registers as q187, so every merged register
+    * and estimate is DuckDB-hash-exact; the exact trailing distinct
+    * rides along as the accuracy audit (computed from per-hour
+    * DISTINCT (hour, user) rows — also a bounded explode, of the
+    * distinct tier, not the event stream).
+    */
+  def hllSlidingDistinct(events: DataFrame, windowHours: Int = 24,
+                         p: Int = 9): DataFrame = {
+    val hourCol = (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+      .cast("bigint").as("h")
+    val regsHourly = events.select(hourCol, hllReg(col("user_id"), p),
+        hllRho(col("user_id"), p))
+      .groupBy("h", "reg").agg(max(col("rho")).as("mj"))
+    val merged = regsHourly
+      .select(explode(sequence(lit(0), lit(windowHours - 1))).as("off"),
+        col("h"), col("reg"), col("mj"))
+      .select((col("h") + col("off")).as("h"), col("reg"), col("mj"))
+      .groupBy("h", "reg").agg(max(col("mj")).as("mj"))
+    val realHours = events.select(hourCol).distinct()
+    val exact = events
+      .select(hourCol, col("user_id")).distinct()
+      .select(explode(sequence(lit(0), lit(windowHours - 1))).as("off"),
+        col("h"), col("user_id"))
+      .select((col("h") + col("off")).as("h"), col("user_id"))
+      .join(realHours, Seq("h"), "left_semi")
+      .groupBy("h").agg(countDistinct(col("user_id")).as("exact_distinct"))
+    hllEstimate(merged.join(realHours, Seq("h"), "left_semi"), Seq("h"), p)
+      .join(exact, "h")
+      .select(col("h"), col("exact_distinct"), col("n_present"),
+        col("n_zero"), col("method"), col("estimate"))
+      .orderBy("h")
+  }
+
   /** HLL set algebra — the mergeability story completed: the UNION of
     * two user sets costs one register-wise max (never a data pass),
     * and inclusion–exclusion then prices the INTERSECTION from three

@@ -23,6 +23,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
     rows.map { case (id, t, u, ty) => (id, ts(t), u, ty, 1.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("duplicateEventAudit: gap boundary, per-(user,type) isolation, rates") {
+    // user 1 click: t, t+30 (dup), t+60-after-that (not: gap 61... use
+    // explicit seconds) — and user 2's click never pairs with user 1's
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:30"), 1L, "click", 1.0, "{}"),  // +30 s: dup
+      (3L, ts("2024-01-01 10:01:30"), 1L, "click", 1.0, "{}"),  // +60 s: dup (boundary)
+      (4L, ts("2024-01-01 10:03:00"), 1L, "click", 1.0, "{}"),  // +90 s: clean
+      (5L, ts("2024-01-01 10:00:10"), 2L, "click", 1.0, "{}"),  // other user: clean
+      (6L, ts("2024-01-01 10:00:20"), 1L, "view", 1.0, "{}"))   // other type: clean
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.duplicateEventAudit(df).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r("click") == ((5L, 2L, 0.4)), r("click").toString)
+    assert(r("view") == ((1L, 0L, 0.0)))
+  }
+
   // ---- q143 OHLC bars ------------------------------------------------
 
   test("ohlcBars: open/close follow (second, event_id) order; H/L exact") {

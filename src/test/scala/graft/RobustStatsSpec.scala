@@ -271,6 +271,41 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.getDouble(4) > 0.98 && r.getDouble(4) < 1.0)
   }
 
+  test("cupedAdjustedLift: hand-computed theta, lifts, and variance reduction") {
+    // four users, one pre event (day 0) and one post event (day 20)
+    // each: (x, y) pairs A = {(100,110), (200,230)}, B = {(150,170),
+    // (250,280)}. Closed form (cents): cov = 4·15.25e8 − 70000·79000
+    // = 5.7e8, vxx = 5e8 → theta = 1.14; lift_raw = (22500−17000)/100
+    // = 55; lift_cuped = 55 − 1.14·50 = −2; vyy = 6.51e8 → rho² =
+    // 32.49/32.55 = 0.99816 → 0.9982.
+    val rows = Seq(
+      (0L, 100.0, 110.0), (2L, 200.0, 230.0),   // grp A (even ids)
+      (1L, 150.0, 170.0), (3L, 250.0, 280.0))   // grp B (odd ids)
+      .flatMap { case (u, x, y) => Seq(
+        (u * 10 + 1, Timestamp.valueOf("2024-03-01 10:00:00"), u, "m", x, "{}"),
+        (u * 10 + 2, Timestamp.valueOf("2024-03-21 10:00:00"), u, "m", y, "{}")) }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RobustStats.cupedAdjustedLift(df).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.14, s"theta ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 55.0, s"lift_raw ${r.getDouble(3)}")
+    assert(r.getDouble(4) == -2.0, s"lift_cuped ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 0.9982, s"var_reduction ${r.getDouble(5)}")
+  }
+
+  test("cupedAdjustedLift: users missing a period are excluded; constant covariate yields no crash") {
+    // user 5 has ONLY a post event → excluded (n_a counts only user 0)
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-03-01 10:00:00"), 0L, "m", 100.0, "{}"),
+      (2L, Timestamp.valueOf("2024-03-21 10:00:00"), 0L, "m", 120.0, "{}"),
+      (3L, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "m", 200.0, "{}"),
+      (4L, Timestamp.valueOf("2024-03-21 10:00:00"), 1L, "m", 260.0, "{}"),
+      (5L, Timestamp.valueOf("2024-03-21 10:00:00"), 5L, "m", 999.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RobustStats.cupedAdjustedLift(rows).collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L, "post-only user 5 excluded")
+  }
+
   test("theilSenTrend on the events table: pair counts match the grid exactly") {
     val ev = Tables.events(spark, sfDir)
     val r = RobustStats.theilSenTrend(ev).collect()

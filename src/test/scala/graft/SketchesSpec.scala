@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.Tables
@@ -17,6 +18,45 @@ class SketchesSpec extends AnyFunSuite {
   private def eventsDf(keys: Seq[Long]) =
     keys.zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("event_id", "user_id")
+
+  test("hllSlidingDistinct: trailing window includes only in-range hours; exact audit by hand") {
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, u: Long) =
+      (id, Timestamp.valueOf(t), u, "view", 1.0, "{}")
+    // hour A: users 1, 2; hour A+5: user 3; hour A+30: user 4 (A and
+    // A+5 are OUTSIDE its trailing 24 h window, A+5 is outside by 25h)
+    val df = Seq(
+      ev(1, "2024-01-01 00:10:00", 1L), ev(2, "2024-01-01 00:20:00", 2L),
+      ev(3, "2024-01-01 05:10:00", 3L),
+      ev(4, "2024-01-02 06:10:00", 4L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Sketches.hllSlidingDistinct(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(5)))
+    // only the 3 REAL hours appear (no phantom trailing hours)
+    assert(r.length == 3)
+    val byH = r.toMap
+    val hours = r.map(_._1).sorted
+    assert(byH(hours(0))._1 == 2L, "hour A sees users {1,2}")
+    assert(byH(hours(1))._1 == 3L, "hour A+5 sees {1,2,3} (A in range)")
+    assert(byH(hours(2))._1 == 1L, "hour A+30 sees only user 4")
+    // linear-counting branch is near-exact at tiny cardinalities
+    r.foreach { case (_, (exact, est)) =>
+      assert(math.abs(est - exact) < 0.1, s"estimate $est vs exact $exact") }
+  }
+
+  test("hllSlidingDistinct on the events table: one row per real hour, estimate tracks exact") {
+    val ev = Tables.events(spark, sfDir)
+    val r = Sketches.hllSlidingDistinct(ev).cache()
+    val nHours = ev.select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+      .cast("bigint")).distinct().count()
+    assert(r.count() == nHours)
+    r.collect().foreach { x =>
+      val exact = x.getLong(1).toDouble
+      assert(math.abs(x.getDouble(5) - exact) / exact < 0.15,
+        s"hour ${x.getLong(0)}: est ${x.getDouble(5)} vs exact $exact")
+    }
+    r.unpersist()
+  }
 
   test("countMin width=1: every estimate is the stream length (total collision)") {
     val df = eventsDf(Seq(1L, 1L, 1L, 2L, 2L, 3L)) // 6 events, 3 keys

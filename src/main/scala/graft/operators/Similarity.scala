@@ -214,6 +214,32 @@ object Similarity {
     !existed
   }
 
+  /** INCREMENTAL index maintenance — append a batch of new vectors to
+    * an existing IVF index without touching the resident partitions:
+    * because the coarse quantizer is the FIXED sign-LSH family (not a
+    * trained k-means), a new vector's bucket is a pure function of the
+    * vector, so appended files land only in the buckets the batch
+    * actually hits and the result is bit-identical to a full rebuild
+    * over old ∪ new (spec-proven: probe equality + untouched-partition
+    * file sets). This is the production ingest path: nobody rewrites a
+    * 100 TB index to add a day of vectors — they append bucket files
+    * and let dynamic partition pruning keep probing the same way.
+    *
+    * Deliberately NOT for content-addressed bench dirs
+    * ([[ivfIndexDir]] addresses a frozen corpus snapshot — a mutated
+    * snapshot must get a new address); this is the mutable-index
+    * deployment API, taking the index path directly.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, indexDir: String): Unit = {
+    require(new java.io.File(indexDir, "_SUCCESS").exists(),
+      s"appendToIvfIndex requires an existing index at $indexDir")
+    newVecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
+      .repartition(col("bucket_id"))
+      .write.mode("append").partitionBy("bucket_id").parquet(indexDir)
+  }
+
   /** Broadcast-probe the corpus on bucket_id and rank cosine top-k —
     * the shared tail of every ANN variant.
     */

@@ -453,6 +453,52 @@ object StreamPipeline {
           matches.iterator
       }
   }
+  /** One (user, type) key's last-seen event second. */
+  case class LastSeen(sec: Long)
+
+  /** One event's double-fire flag, emitted on arrival. */
+  case class DupFlag(user_id: Long, event_type: String, event_id: Long,
+                     sec: Long, is_dup: Int)
+
+  /** Live double-fire flagging — the streaming twin of q204's
+    * [[graft.operators.EventAnalytics.duplicateEventAudit]]: state is
+    * ONE long per (user, type) key (the last raw event second), and
+    * each arrival emits its is_dup verdict on the spot — flagged iff
+    * it lands within `gapSeconds` of the previous RAW event of the
+    * same key, exactly the batch lag-window predicate. The per-type
+    * rate report is the identical batch tail (group by type, sum
+    * flags), so stream-then-aggregate equals the batch audit on
+    * in-order delivery (spec-asserted).
+    *
+    * State bound: O(1) per ACTIVE (user, type) key — the smallest
+    * state of any twin in this file; at 100 TB the keys are the
+    * active-user working set, not the event stream.
+    */
+  def duplicateFlagStream(stream: DataFrame, gapSeconds: Long = 60)
+      : org.apache.spark.sql.Dataset[DupFlag] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    stream.selectExpr("user_id", "event_type", "event_id",
+        "unix_timestamp(ts) AS sec")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[LastSeen, DupFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((uid, ty), rows, state) =>
+          // (sec, event_id) sort = the batch window's order contract
+          val evs = rows.toSeq.sortBy(r => (r._4, r._3))
+          var last = state.getOption.map(_.sec)
+          val out = evs.map { case (_, _, id, sec) =>
+            val dup = last.exists(p => sec - p <= gapSeconds)
+            last = Some(sec)
+            DupFlag(uid, ty, id, sec, if (dup) 1 else 0)
+          }
+          state.update(LastSeen(last.get))
+          out.iterator
+      }
+  }
+
   /** One LSH bucket's retained arrivals: parallel (id, vector) seqs. */
   case class BucketVecs(ids: Seq[Long], vecs: Seq[Seq[Double]])
 

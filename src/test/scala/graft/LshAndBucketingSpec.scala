@@ -117,6 +117,38 @@ class LshAndBucketingSpec extends AnyFunSuite {
     assert(single.join(multi, "q_id").filter(col("m1") < col("s1")).count() == 0)
   }
 
+  test("appendToIvfIndex: probe-identical to a full rebuild; resident partitions untouched") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") < 300)
+    val newer = emb.filter(col("vec_id") >= 300)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    assert(Similarity.prebuildIvfIndex(old, dirA))
+    def partFiles(dir: String): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("bucket_id="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = partFiles(dirA)
+    Similarity.appendToIvfIndex(newer, dirA)
+    val after = partFiles(dirA)
+    val newBuckets = Similarity.lshBuckets(newer)
+      .select("bucket_id").distinct().collect().map(r => s"bucket_id=${r.getInt(0)}").toSet
+    // append wrote SOMETHING, and only into the batch's own buckets
+    assert(newBuckets.exists(b => after(b) != before.getOrElse(b, Set.empty[String])))
+    before.keys.filterNot(newBuckets).foreach { b =>
+      assert(after(b) == before(b), s"resident partition $b must be untouched") }
+    // the appended index answers probes identically to a full rebuild
+    assert(Similarity.prebuildIvfIndex(emb, dirB))
+    val viaAppend = Similarity.annTopKIvf(emb, dirA)
+    val viaFull = Similarity.annTopKIvf(emb, dirB)
+    assert(viaAppend.exceptAll(viaFull).count() == 0 &&
+      viaFull.exceptAll(viaAppend).count() == 0,
+      "append must be bit-identical to rebuild (fixed coarse quantizer)")
+    // multi-probe agrees too (partition layout unchanged semantics)
+    val mpA = Similarity.annTopKIvfMultiProbe(emb, dirA)
+    val mpB = Similarity.annTopKIvfMultiProbe(emb, dirB)
+    assert(mpA.exceptAll(mpB).count() == 0 && mpB.exceptAll(mpA).count() == 0)
+  }
+
   test("ivfIndexDir is content-addressed and prunes superseded indexes") {
     val embPath = s"$sfDir/embeddings.parquet"
     val base = java.nio.file.Files.createTempDirectory("graft-ivf-addr").toString

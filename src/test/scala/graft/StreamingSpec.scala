@@ -779,6 +779,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("duplicateFlagStream: flags match the batch audit; state survives the batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.duplicateFlagStream(stream).toDF(),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-dupflag").toString,
+        queryName = "dupflag_mem").start()
+    val chunk1 = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:30"), 1L, "click", 1.0, "{}"), // dup
+      (3L, Timestamp.valueOf("2024-01-01 10:00:40"), 2L, "click", 1.0, "{}")) // other user
+    val chunk2 = Seq(
+      // 50 s after event 2 — a dup ONLY if state crossed the batch boundary
+      (4L, Timestamp.valueOf("2024-01-01 10:01:20"), 1L, "click", 1.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "click", 1.0, "{}")) // clean
+    try {
+      mem.addData(chunk1: _*); query.processAllAvailable()
+      mem.addData(chunk2: _*); query.processAllAvailable()
+      val flags = spark.table("dupflag_mem").collect()
+        .map(r => r.getLong(2) -> r.getInt(4)).toMap
+      assert(flags == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 0), flags.toString)
+      // the batch tail over the flag stream equals the batch audit
+      val streamedRates = spark.table("dupflag_mem")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("is_dup").cast("bigint").as("n_dups"))
+      val batch = graft.operators.EventAnalytics.duplicateEventAudit(
+          (chunk1 ++ chunk2).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .select("event_type", "n_events", "n_dups")
+      assert(streamedRates.exceptAll(batch).isEmpty && batch.exceptAll(streamedRates).isEmpty)
+    } finally query.stop()
+  }
+
   test("semanticDedupStream: a capped bucket keeps judging against the retained prefix") {
     implicit val sqlCtx = spark.sqlContext
     val v = Seq(1.0, 0.5, 0.25, 0.125) // identical vectors -> cos 1.0, same bucket

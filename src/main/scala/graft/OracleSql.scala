@@ -3223,8 +3223,10 @@ object OracleSql {
          |FROM t""".stripMargin,
 
     // MinHash estimator calibration: q33's cand + exact-Jaccard tail
-    // at threshold 0.05, an independent md5 "c<i>:" 16-component
-    // signature, and integer-quantized error means.
+    // at the cascade's operating threshold 0.2, an independent md5
+    // "c<i>:" 16-component signature, and integer-quantized error
+    // means. (The Spark side serves the pair frame from the
+    // materialized cascade; this oracle recomputes it — same rows.)
     "q199_minhash_calibration" -> {
       val k = 16
       val compCols = (0 until k).map(i => s"min(md5('c$i:' || shingle)) AS c$i").mkString(", ")
@@ -3236,7 +3238,7 @@ object OracleSql {
            |round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
            |(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) AS jaccard
            |FROM cand JOIN sets sa ON cand.id_a = sa.doc_id JOIN sets sb ON cand.id_b = sb.doc_id),
-           |jp AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05),
+           |jp AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2),
            |comps AS (SELECT doc_id, $compCols FROM sh GROUP BY doc_id),
            |sc AS (SELECT jp.jaccard, ($mExpr) AS m
            |  FROM jp JOIN comps a ON jp.id_a = a.doc_id JOIN comps b ON jp.id_b = b.doc_id),

@@ -537,8 +537,10 @@ object SparkEntry {
     // COST side of the LSH trade (q110 lsh_recall audits the recall side)
     "q198_bucket_balance"   -> ((s, d) => Similarity.bucketBalanceAudit(Tables.embeddings(s, d))),
     // MinHash estimator calibration: E|J-hat − J| measured against the
-    // exact Jaccard on the verified pair frame, by estimate value
-    "q199_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(Tables.documents(s, d))),
+    // exact Jaccard on the CASCADE's verified pair frame (the pairs
+    // the pipeline operates on, served from the materialized cascade)
+    "q199_minhash_calibration" -> ((s, d) =>
+      Dedup.minhashCalibrationCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // native greedy subword segmentation (maximal munch, fixed
     // vocab): per-doc token counts + fertility, exact-oracled via a
     // DuckDB recursive CTE running the identical recurrence

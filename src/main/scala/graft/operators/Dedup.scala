@@ -223,8 +223,9 @@ object Dedup {
     * the two closing mean divisions.
     */
   def minhashCalibration(docs: DataFrame, k: Int = 16,
-                         threshold: Double = 0.05, bands: Int = 4): DataFrame = {
-    val pairs = nearDupPairs(docs, threshold, bands)
+                         threshold: Double = 0.05, bands: Int = 4,
+                         pairsIn: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsIn.getOrElse(nearDupPairs(docs, threshold, bands))
     val sh = shingleDocs(docs).dropDuplicates("doc_id", "shingle")
     val compAggs = (0 until k).map(i =>
       min(md5(concat(lit(s"c$i:"), col("shingle")))).as(s"c$i"))
@@ -249,6 +250,17 @@ object Dedup {
         "floor(CAST(se AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_abs_err")
       .orderBy("est")
   }
+
+  /** [[minhashCalibration]] over the MATERIALIZED cascade's verified
+    * pair frame — the calibration population is the pairs the
+    * pipeline actually operates on (threshold = the cascade's own),
+    * and the expensive verify tier is served from parquet instead of
+    * recomputed; only the k-component signature aggregate runs fresh.
+    */
+  def minhashCalibrationCached(docs: DataFrame, dir: String, k: Int = 16,
+                               threshold: Double = 0.2, bands: Int = 4): DataFrame =
+    minhashCalibration(docs, k, threshold, bands,
+      pairsIn = Some(nearDupPairsCached(docs, dir, threshold, bands)))
 
   def lshRecallReport(docs: DataFrame, threshold: Double = 0.2,
                       sampleSize: Int = 500): DataFrame = {

@@ -619,6 +619,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       Dedup.fuzzyDupPairs(docs), "q119 fuzzy")
     same(Dedup.sharedRunLengthsCached(docs, dir, threshold = t),
       Dedup.sharedRunLengths(docs), "q183 shared runs")
+    same(Dedup.minhashCalibrationCached(docs, dir, threshold = t),
+      Dedup.minhashCalibration(docs, threshold = t), "q199 calibration")
     same(Dedup.prefixJaccardJoinCached(docs, dir, threshold = 0.5),
       Dedup.prefixJaccardJoin(docs, threshold = 0.5), "q135 prefix jaccard")
     same(Dedup.containmentJoinCached(docs, dir, threshold = 0.6),

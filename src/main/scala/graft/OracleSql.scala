@@ -3381,6 +3381,36 @@ object OracleSql {
         |floor((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) / 1e2 * 1e4 + 0.5) / 1e4 AS lift_raw,
         |floor(((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) - CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * (CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))) / 1e2 * 1e4 + 0.5) / 1e4 AS lift_cuped,
         |floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS var_reduction
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // RFM: per-user (recency, frequency, cent-quantized monetary),
+    // quartile thresholds via quantile_cont (= Spark's exact
+    // percentile, q11-proven), identical <=/>= tie comparisons.
+    "q206_rfm_segments" ->
+      """WITH per AS (SELECT user_id,
+        |  max(CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |    date_trunc('day', ts)) / 86400 AS BIGINT)) AS last_d,
+        |  count(*) AS f,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS dmax FROM per),
+        |rfm AS (SELECT user_id, dmax - last_d AS r, f, m FROM per CROSS JOIN mx),
+        |th AS (SELECT quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2,
+        |  quantile_cont(r, 0.75) AS r3,
+        |  quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+        |  quantile_cont(f, 0.75) AS f3,
+        |  quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2,
+        |  quantile_cont(m, 0.75) AS m3 FROM rfm),
+        |s AS (SELECT
+        |  CASE WHEN r <= r1 THEN 4 WHEN r <= r2 THEN 3 WHEN r <= r3 THEN 2
+        |    ELSE 1 END AS r_score,
+        |  CASE WHEN f >= f3 THEN 4 WHEN f >= f2 THEN 3 WHEN f >= f1 THEN 2
+        |    ELSE 1 END AS f_score,
+        |  CASE WHEN m >= m3 THEN 4 WHEN m >= m2 THEN 3 WHEN m >= m1 THEN 2
+        |    ELSE 1 END AS m_score, m
+        |  FROM rfm CROSS JOIN th)
+        |SELECT r_score, f_score, m_score, count(*) AS n_users,
+        |CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / 1e2 AS total_monetary
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

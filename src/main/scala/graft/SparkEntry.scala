@@ -560,7 +560,10 @@ object SparkEntry {
     "q204_duplicate_events" -> ((s, d) => EventAnalytics.duplicateEventAudit(Tables.events(s, d))),
     // CUPED-adjusted A/B lift: pre-period covariate variance
     // reduction, deterministic hash-bucket assignment, 1-row report
-    "q205_cuped_lift"       -> ((s, d) => RobustStats.cupedAdjustedLift(Tables.events(s, d)))
+    "q205_cuped_lift"       -> ((s, d) => RobustStats.cupedAdjustedLift(Tables.events(s, d))),
+    // RFM customer-value grid: quartile thresholds via one broadcast
+    // percentile aggregate, never a global ntile sort
+    "q206_rfm_segments"     -> ((s, d) => EventAnalytics.rfmSegments(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -52,6 +52,51 @@ object EventAnalytics {
         (2 to steps.length).map(i => max(col(s"t$i")).as(s"t$i")): _*)
   }
 
+  /** RFM segmentation — the classic customer-value grid (recency /
+    * frequency / monetary, each scored 1–4 by corpus quartile),
+    * computed SCALE-RIGHT: quartile thresholds come from one exact
+    * `percentile` aggregate (broadcast back as a 1-row frame), never
+    * a global `ntile` sort over the user population — the difference
+    * between a 9-double broadcast and a full shuffle-sort of every
+    * user at 100 TB. Recency scores ascending (recent = 4), frequency
+    * and monetary descending (high = 4); threshold ties resolve by
+    * the same `<=`/`>=` comparisons in both engines. Output is the
+    * ≤ 64-cell segment grid with user counts and total monetary.
+    */
+  def rfmSegments(ev: DataFrame): DataFrame = {
+    val per = ev.select(col("user_id"),
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L).cast("bigint").as("d"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+      .groupBy("user_id")
+      .agg(max("d").as("last_d"), count(lit(1)).as("f"), sum("cents").as("m"))
+    val maxd = per.agg(max("last_d").as("dmax"))
+    val rfm = per.crossJoin(broadcast(maxd))
+      .select(col("user_id"), (col("dmax") - col("last_d")).as("r"),
+        col("f"), col("m"))
+    val th = rfm.agg(
+      percentile(col("r"), lit(0.25)).as("r1"), percentile(col("r"), lit(0.5)).as("r2"),
+      percentile(col("r"), lit(0.75)).as("r3"),
+      percentile(col("f"), lit(0.25)).as("f1"), percentile(col("f"), lit(0.5)).as("f2"),
+      percentile(col("f"), lit(0.75)).as("f3"),
+      percentile(col("m"), lit(0.25)).as("m1"), percentile(col("m"), lit(0.5)).as("m2"),
+      percentile(col("m"), lit(0.75)).as("m3"))
+    rfm.crossJoin(broadcast(th))
+      .withColumn("r_score",
+        when(col("r") <= col("r1"), 4).when(col("r") <= col("r2"), 3)
+          .when(col("r") <= col("r3"), 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("f") >= col("f3"), 4).when(col("f") >= col("f2"), 3)
+          .when(col("f") >= col("f1"), 2).otherwise(1))
+      .withColumn("m_score",
+        when(col("m") >= col("m3"), 4).when(col("m") >= col("m2"), 3)
+          .when(col("m") >= col("m1"), 2).otherwise(1))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum(col("m")).as("mc"))
+      .selectExpr("r_score", "f_score", "m_score", "n_users",
+        "CAST(mc AS DOUBLE) / 1e2 AS total_monetary")
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Double-fire audit: events of the same (user, type) landing
     * within `gapSeconds` of the previous one — the client-retry /
     * at-least-once-ingest artifact that silently inflates every

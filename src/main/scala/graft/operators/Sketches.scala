@@ -145,11 +145,6 @@ object Sketches {
     val regsHourly = events.select(hourCol, hllReg(col("user_id"), p),
         hllRho(col("user_id"), p))
       .groupBy("h", "reg").agg(max(col("rho")).as("mj"))
-    val merged = regsHourly
-      .select(explode(sequence(lit(0), lit(windowHours - 1))).as("off"),
-        col("h"), col("reg"), col("mj"))
-      .select((col("h") + col("off")).as("h"), col("reg"), col("mj"))
-      .groupBy("h", "reg").agg(max(col("mj")).as("mj"))
     val realHours = events.select(hourCol).distinct()
     val exact = events
       .select(hourCol, col("user_id")).distinct()
@@ -158,11 +153,34 @@ object Sketches {
       .select((col("h") + col("off")).as("h"), col("user_id"))
       .join(realHours, Seq("h"), "left_semi")
       .groupBy("h").agg(countDistinct(col("user_id")).as("exact_distinct"))
-    hllEstimate(merged.join(realHours, Seq("h"), "left_semi"), Seq("h"), p)
+    hllSlidingEstimates(regsHourly, windowHours, p)
       .join(exact, "h")
       .select(col("h"), col("exact_distinct"), col("n_present"),
         col("n_zero"), col("method"), col("estimate"))
       .orderBy("h")
+  }
+
+  /** The trailing-merge + estimate FINISHER over any (h, reg, mj)
+    * hourly register frame — shared by the batch operator above and a
+    * [[graft.streaming.StreamPipeline.hllRegistersStream]] consumer
+    * (the q187 registers-plus-shared-finisher pattern): bounded
+    * `windowHours`-way explode of sketch rows, register-wise max (the
+    * HLL union), then the dyadic-exact closer; output hours are
+    * restricted to hours that actually have registers (no phantom
+    * trailing hours). Batch ≡ streamed-registers is spec-asserted.
+    */
+  def hllSlidingEstimates(regsHourly: DataFrame, windowHours: Int = 24,
+                          p: Int = 9): DataFrame = {
+    val realHours = regsHourly.select("h").distinct()
+    val merged = regsHourly
+      .select(explode(sequence(lit(0), lit(windowHours - 1))).as("off"),
+        col("h"), col("reg"), col("mj"))
+      .select((col("h") + col("off")).as("h"), col("reg"), col("mj"))
+      .groupBy("h", "reg").agg(max(col("mj")).as("mj"))
+      .join(realHours, Seq("h"), "left_semi")
+    hllEstimate(merged, Seq("h"), p)
+      .select(col("h"), col("n_present"), col("n_zero"),
+        col("method"), col("estimate"))
   }
 
   /** HLL set algebra — the mergeability story completed: the UNION of

@@ -23,6 +23,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     rows.map { case (id, t, u, ty) => (id, ts(t), u, ty, 1.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("rfmSegments: four users land one per quartile on every dimension") {
+    // user u (1..4): u events, all on day Jan (6+u), each value 10·u →
+    // r = 4−u (recent = high score), f = u, m = 1000·u² cents. With
+    // n = 4 the interpolated quartiles separate the four values, so
+    // user u scores (u, u, u) and total_monetary = 10·u² dollars.
+    val rows = (1 to 4).flatMap { u =>
+      (1 to u).map(i => ((u * 10 + i).toLong,
+        ts(f"2024-01-${6 + u}%02d 10:0$i:00"), u.toLong, "buy", 10.0 * u, "{}"))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.rfmSegments(df).collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      (1, 1, 1, 1L, 10.0), (2, 2, 2, 1L, 40.0),
+      (3, 3, 3, 1L, 90.0), (4, 4, 4, 1L, 160.0)), r.mkString(";"))
+  }
+
+  test("rfmSegments on the events table: grid cells partition the user population") {
+    val ev = Tables.events(spark, sfDir)
+    val r = EventAnalytics.rfmSegments(ev).collect()
+    assert(r.map(_.getLong(3)).sum == ev.select("user_id").distinct().count())
+    r.foreach { x =>
+      for (i <- 0 to 2) assert(x.getInt(i) >= 1 && x.getInt(i) <= 4)
+      assert(x.getLong(3) >= 1L)
+    }
+  }
+
   test("duplicateEventAudit: gap boundary, per-(user,type) isolation, rates") {
     // user 1 click: t, t+30 (dup), t+60-after-that (not: gap 61... use
     // explicit seconds) — and user 2's click never pairs with user 1's

@@ -289,6 +289,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("hllSlidingEstimates over streamed registers equals the batch sliding distinct (q203 live)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.appendSink(
+      StreamPipeline.hllRegistersStream(stream),
+      format = "memory",
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-hllslide").toString,
+      queryName = "hllslide_mem").start()
+    // hour 10: users 1–20; hour 12: users 15–30 (overlap); the
+    // trailing-24h window at hour 12 must union both register sets
+    val events =
+      (1 to 20).map(i => (i.toLong,
+        Timestamp.valueOf(f"2026-01-01 10:${i % 60}%02d:00"), i.toLong, "view", 1.0, "{}")) ++
+      (15 to 30).map(i => (100 + i.toLong,
+        Timestamp.valueOf(f"2026-01-01 12:${i % 60}%02d:00"), i.toLong, "view", 1.0, "{}"))
+    try {
+      mem.addData(events: _*)
+      query.processAllAvailable()
+      mem.addData((999L, Timestamp.valueOf("2026-01-02 00:00:00"), 999L, "view", 1.0, "{}"))
+      query.processAllAvailable() // watermark closes both real windows
+      val streamedRegs = spark.table("hllslide_mem")
+        .filter(col("hour_start") < Timestamp.valueOf("2026-01-01 23:00:00"))
+        .select((unix_timestamp(col("hour_start")) / 3600L).cast("bigint").as("h"),
+          col("reg"), col("mj"))
+      val live = graft.operators.Sketches.hllSlidingEstimates(streamedRegs)
+      val batch = graft.operators.Sketches.hllSlidingDistinct(
+          events.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .select("h", "n_present", "n_zero", "method", "estimate")
+      assert(live.count() == 2)
+      assert(live.exceptAll(batch).isEmpty && batch.exceptAll(live).isEmpty,
+        "streamed registers through the shared finisher must equal the batch operator")
+    } finally query.stop()
+  }
+
   test("sessionPathsStream emits capped journeys on gap close — the q180 rule, live") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]

@@ -155,6 +155,34 @@ object OracleSql {
        |  FROM words JOIN done ON words.w = done.w GROUP BY 1)""".stripMargin
   }
 
+  /** The q200 recursion extended to CARRY the consumed token per step
+    * (UNK steps carry the single character), ending in
+    * `pairs(w, t1, t2)` (adjacent subword pairs per DISTINCT word)
+    * and `wc(w, mult)` (word instance multiplicity) — the q207 BPE
+    * merge-candidate oracle's inputs.
+    */
+  private val subwordSeqCtes: String = {
+    val vocabList = graft.functions.SubwordGenerator.DefaultVocab
+      .map(v => s"'$v'").mkString(", ")
+    val munch = "(SELECT v FROM vocab WHERE substr(w, CAST(pos AS INT), len(v)) = v " +
+      "ORDER BY len(v) DESC, v LIMIT 1)"
+    s"""WITH RECURSIVE vocab(v) AS (SELECT unnest([$vocabList])),
+       |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dw AS (SELECT DISTINCT w FROM words WHERE len(w) > 0),
+       |seg AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS pos, 0 AS step,
+       |    CAST(NULL AS VARCHAR) AS tok FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + coalesce(len($munch), 1), step + 1,
+       |    coalesce($munch, substr(w, CAST(pos AS INT), 1))
+       |  FROM seg WHERE pos <= len(w)),
+       |pairs AS (SELECT s1.w, s1.tok AS t1, s2.tok AS t2
+       |  FROM seg s1 JOIN seg s2 ON s1.w = s2.w AND s2.step = s1.step + 1
+       |  WHERE s1.step >= 1),
+       |wc AS (SELECT w, count(*) AS mult FROM
+       |  (SELECT w FROM words WHERE len(w) > 0) GROUP BY w)""".stripMargin
+  }
+
   /** Shared simhash CTEs ending in `ssig(doc_id, simhash)`. */
   private val simhashCtes: String = {
     val votes = (0 until 32)
@@ -3411,6 +3439,12 @@ object OracleSql {
         |  FROM rfm CROSS JOIN th)
         |SELECT r_score, f_score, m_score, count(*) AS n_users,
         |CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / 1e2 AS total_monetary
-        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q207_bpe_merges" -> (subwordSeqCtes +
+      """
+        |SELECT t1, t2, t1 || t2 AS merged, CAST(sum(mult) AS BIGINT) AS pair_count
+        |FROM pairs JOIN wc USING (w)
+        |GROUP BY 1, 2 ORDER BY pair_count DESC, t1, t2 LIMIT 20""".stripMargin)
   )
 }

@@ -563,7 +563,10 @@ object SparkEntry {
     "q205_cuped_lift"       -> ((s, d) => RobustStats.cupedAdjustedLift(Tables.events(s, d))),
     // RFM customer-value grid: quartile thresholds via one broadcast
     // percentile aggregate, never a global ntile sort
-    "q206_rfm_segments"     -> ((s, d) => EventAnalytics.rfmSegments(Tables.events(s, d)))
+    "q206_rfm_segments"     -> ((s, d) => EventAnalytics.rfmSegments(Tables.events(s, d))),
+    // the BPE trainer's next-merge report: adjacent-subword pair
+    // counts under the current vocab's segmentation, top-N
+    "q207_bpe_merges"       -> ((s, d) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

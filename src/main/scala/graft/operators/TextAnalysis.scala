@@ -679,6 +679,41 @@ object TextAnalysis {
         "floor(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e4 + 0.5) / 1e4 AS fertility")
       .orderBy("doc_id")
 
+  /** BPE merge-candidate mining — the LEARNING half of byte-pair
+    * encoding, one iteration: under the CURRENT vocabulary's greedy
+    * segmentation, count every adjacent subword pair inside a word
+    * corpus-wide and report the top `topN` — each is the merge a BPE
+    * trainer would add next, ranked by exactly the count it maximizes.
+    * Run → extend vocab → re-run is the trainer loop; each iteration
+    * is one map-only segmentation pass + one pair aggregate, and the
+    * whole step is exact-oracle-checkable (the q200 recursive CTE
+    * carries the per-step token, so DuckDB reproduces every pair) —
+    * a seeded trainer would be rows-only.
+    *
+    * Scale: pairs are formed ROW-LOCALLY (adjacent sub_idx within
+    * (doc, word) — a self-join on the generator frame keyed by
+    * (doc_id, word_idx, sub_idx), co-partitioned), and only
+    * (pair, count) rows reach the final aggregate;
+    * TakeOrderedAndProject caps the report.
+    */
+  def bpeMergeCandidates(docs: DataFrame, topN: Int = 20,
+                         vocab: Seq[String] = graft.functions.SubwordGenerator.DefaultVocab): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      graft.functions.SubwordGenerator.subwords(col("text"), vocab)
+        .as(Seq("word_idx", "sub_idx", "token", "is_unk")))
+    val a = toks.select(col("doc_id"), col("word_idx"), col("sub_idx"),
+      col("token").as("t1"))
+    val b = toks.select(col("doc_id"), col("word_idx"),
+      (col("sub_idx") - 1).as("sub_idx"), col("token").as("t2"))
+    a.join(b, Seq("doc_id", "word_idx", "sub_idx"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .withColumn("merged", concat(col("t1"), col("t2")))
+      .select(col("t1"), col("t2"), col("merged"), col("pair_count"))
+      .orderBy(col("pair_count").desc, col("t1").asc, col("t2").asc)
+      .limit(topN)
+  }
+
   /** Corpus fertility/UNK report by language over [[subwordStats]] —
     * the per-language tokenizer-fitness rollup (a vocab tuned on one
     * language shows up as fertility/UNK skew in the others).

@@ -546,6 +546,22 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMergeCandidates: hand-counted pairs; applying the top merge reduces fertility") {
+    val vocab = Seq("ab", "c", "d")
+    val df = docsDf(Seq((1L, "abcd abab abcd", "s")))
+    val r = TextAnalysis.bpeMergeCandidates(df, topN = 10, vocab = vocab).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getLong(3)))
+    // "abcd" → [ab, c, d] twice; "abab" → [ab, ab] once
+    assert(r.toSeq == Seq(
+      ("ab", "c", "abc", 2L), ("c", "d", "cd", 2L), ("ab", "ab", "abab", 1L)),
+      r.mkString(";"))
+    // the trainer loop's invariant: adding the top merge shrinks the
+    // corpus token count (that is WHAT the count ranking maximizes)
+    def totalSubwords(v: Seq[String]) = TextAnalysis.subwordStats(df, v)
+      .agg(sum("n_subwords")).head().getLong(0)
+    assert(totalSubwords(vocab :+ "abc") < totalSubwords(vocab))
+  }
+
   test("phraseSearch: adjacency in order, df vs occurrences, top-doc ranking") {
     // doc 1: "x y z x y z" → trigrams [x y z, y z x, z x y, x y z]
     //   ("x y z" twice). doc 2: "x y z q". doc 3: too short for any.

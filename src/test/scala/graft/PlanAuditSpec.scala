@@ -78,6 +78,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("bucket_id"), p)
   }
 
+  test("RFM: quartile thresholds broadcast; no global ntile/row_number sort of the user population") {
+    val p = plan("q206_rfm_segments")
+    assert(p.contains("percentile"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"thresholds must broadcast:\n$p")
+    // ntile/row_number scoring would compile to a WindowExec over the
+    // user population ("percentile(" contains "ntile(", so name
+    // matching is useless here — match the operator)
+    assert(!p.contains("Window"),
+      s"scoring must use broadcast thresholds, not a rank window:\n$p")
+  }
+
+  test("BPE merges: row-local pair join on the generator frame, capped report, no product") {
+    val p = plan("q207_bpe_merges")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-N must not global-sort:\n$p")
+  }
+
   test("embedding near-dup joins on the LSH bucket key — no all-pairs product") {
     val p = plan("q40_embedding_neardup")
     assert(!p.contains("CartesianProduct"), p)

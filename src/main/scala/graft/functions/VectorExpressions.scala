@@ -121,17 +121,58 @@ object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Extract a compile-time Int argument (the native generators take
+    * their widths/dims as constructor constants, not runtime
+    * columns). */
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+        org.apache.spark.sql.types.IntegerType) => n
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Extract a literal string-array argument (subword vocabularies). */
+  private def strArrayLit(e: Expression, what: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+      items.map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, org.apache.spark.sql.types.StringType)
+          if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$what entries must be string literals, got $other")
+      }
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        arr: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+      arr.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal array of strings, got $other")
+  }
+
   private[graft] val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("dot_product", classOf[DotProduct].getName, (e: Seq[Expression]) => DotProduct(e(0), e(1))),
     ("cosine_sim", classOf[CosineSimilarity].getName, (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
     ("shingles", classOf[ShingleGenerator].getName, (e: Seq[Expression]) =>
-      ShingleGenerator(e(0), e(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, org.apache.spark.sql.types.IntegerType) => n
-        case other => throw new IllegalArgumentException(
-          s"shingles(text, n): n must be an integer literal, got $other")
-      })))
+      ShingleGenerator(e(0), intLit(e(1), "shingles(text, n): n"))),
+    // the full native-generator surface, SQL-callable (the complete
+    // API story: every Column-API UDTF reachable from spark.sql too)
+    ("cdc_chunks", classOf[ChunkGenerator].getName, (e: Seq[Expression]) =>
+      ChunkGenerator(e(0), intLit(e(1), "cdc_chunks n"), intLit(e(2), "cdc_chunks divisor"))),
+    ("winnowed", classOf[WinnowGenerator].getName, (e: Seq[Expression]) =>
+      WinnowGenerator(e(0), intLit(e(1), "winnowed n"), intLit(e(2), "winnowed w"))),
+    ("gram_hashes", classOf[GramHashGenerator].getName, (e: Seq[Expression]) =>
+      GramHashGenerator(e(0), intLit(e(1), "gram_hashes n"))),
+    ("char_grams", classOf[CharGramGenerator].getName, (e: Seq[Expression]) =>
+      CharGramGenerator(e(0), intLit(e(1), "char_grams n"))),
+    ("sign_project", classOf[SignProjectGenerator].getName, (e: Seq[Expression]) =>
+      SignProjectGenerator(e(0), intLit(e(1), "sign_project outDim"),
+        intLit(e(2), "sign_project maxInputDim"))),
+    ("subwords", classOf[SubwordGenerator].getName, (e: Seq[Expression]) =>
+      SubwordGenerator(e(0),
+        if (e.length > 1) strArrayLit(e(1), "subwords vocab")
+        else SubwordGenerator.DefaultVocab)))
 
-  /** Make dot_product / cosine_sim / shingles callable from SQL in a live session. */
+  /** Make every native function/UDTF callable from SQL in a live session. */
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, cls, builder) =>
       ColumnBridge.registerFunction(spark, name, cls, builder)

@@ -65,6 +65,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(sh == Seq("a b c", "b c d"))
   }
 
+  test("every native generator is SQL-callable: cdc_chunks, winnowed, gram_hashes, char_grams, sign_project, subwords") {
+    VectorFunctions.register(spark)
+    // each call mirrors a Column-API result exactly
+    val chunks = spark.sql("SELECT cdc_chunks('a b c d e f g h', 3, 8)")
+      .count()
+    assert(chunks >= 1)
+    val winnow = spark.sql("SELECT winnowed('a b c d e f g h i j', 3, 4) AS fp").count()
+    val winnowDf = spark.range(1)
+      .select(graft.functions.WinnowGenerator.winnowed(lit("a b c d e f g h i j"), 3, 4))
+      .count()
+    assert(winnow == winnowDf && winnow >= 1)
+    assert(spark.sql("SELECT gram_hashes('a b c d', 2)").count() == 3)
+    assert(spark.sql("SELECT char_grams('abcd', 2)").count() == 3)
+    val rp = spark.sql("SELECT sign_project(array(1.0d, 2.0d), 4, 8)").count()
+    assert(rp == 4)
+    // subwords: default vocab (1-arg) and an explicit literal vocab
+    val sw = spark.sql(
+        "SELECT subwords('tablex', array('table', 'ta')) AS (word_idx, sub_idx, token, is_unk)")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(sw.toSeq == Seq((0, "table", 0), (1, "x", 1)), sw.mkString(";"))
+    assert(spark.sql("SELECT subwords('the data')").count() == 2)
+  }
+
   test("GraftExtensions injects both functions at builder time") {
     var injected = List.empty[String]
     val ext = new org.apache.spark.sql.SparkSessionExtensions {
@@ -76,7 +99,9 @@ class VectorExpressionsSpec extends AnyFunSuite {
       }
     }
     new GraftExtensions().apply(ext)
-    assert(injected.toSet == Set("dot_product", "cosine_sim", "shingles"))
+    assert(injected.toSet == Set("dot_product", "cosine_sim", "shingles",
+      "cdc_chunks", "winnowed", "gram_hashes", "char_grams", "sign_project",
+      "subwords"))
   }
 
   test("whole-stage codegen survives the native expression (no interpreted fallback)") {

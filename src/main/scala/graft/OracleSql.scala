@@ -3445,6 +3445,28 @@ object OracleSql {
       """
         |SELECT t1, t2, t1 || t2 AS merged, CAST(sum(mult) AS BIGINT) AS pair_count
         |FROM pairs JOIN wc USING (w)
-        |GROUP BY 1, 2 ORDER BY pair_count DESC, t1, t2 LIMIT 20""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY pair_count DESC, t1, t2 LIMIT 20""".stripMargin),
+
+    // Centroid-based silhouette over the q142 k-means chain: the
+    // per-centroid distances are the trainer's own round-6 values,
+    // per-point s quantized to 1e-6 before the BIGINT mean sums.
+    "q208_silhouette" ->
+      s"""WITH ${kmeansCtes(4, 3)},
+         |sd AS (SELECT a4.vec_id, a4.cluster,
+         |  list_sort(list_transform(c3.cs, c ->
+         |    CASE WHEN len(a4.v) = 0 THEN 0.0 ELSE
+         |    round(list_reduce(list_transform(a4.v, (el, j) ->
+         |      (el - c[j]) * (el - c[j])), (x, y) -> x + y), 6) END)) AS ds
+         |  FROM a4 CROSS JOIN c3),
+         |sil AS (SELECT cluster,
+         |  CAST(floor(sqrt(ds[1]) * 1e6 + 0.5) AS BIGINT) AS aq,
+         |  CAST(floor(CASE WHEN greatest(sqrt(ds[1]), sqrt(ds[2])) = 0 THEN 0.0
+         |    ELSE (sqrt(ds[2]) - sqrt(ds[1])) /
+         |    greatest(sqrt(ds[1]), sqrt(ds[2])) END * 1e6 + 0.5) AS BIGINT) AS sq
+         |  FROM sd)
+         |SELECT cluster, count(*) AS n_points,
+         |floor(CAST(sum(aq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_dist,
+         |floor(CAST(sum(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_silhouette
+         |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -566,7 +566,10 @@ object SparkEntry {
     "q206_rfm_segments"     -> ((s, d) => EventAnalytics.rfmSegments(Tables.events(s, d))),
     // the BPE trainer's next-merge report: adjacent-subword pair
     // counts under the current vocab's segmentation, top-N
-    "q207_bpe_merges"       -> ((s, d) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, d)))
+    "q207_bpe_merges"       -> ((s, d) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, d))),
+    // centroid-based silhouette over the deterministic k-means cells:
+    // the O(n·k) cluster-separation audit for IVF/SemDeDup health
+    "q208_silhouette"       -> ((s, d) => Similarity.simplifiedSilhouette(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

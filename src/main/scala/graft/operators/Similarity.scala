@@ -698,6 +698,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Simplified-silhouette cluster-quality audit over the
+    * deterministic [[kmeans]] cells — the index-health number that
+    * says whether an IVF/SemDeDup partitioning is actually separating
+    * structure or slicing noise: per point, a = distance to own
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b) (the centroid-based silhouette — O(n·k)
+    * instead of O(n²), the only formulation that scales), reported
+    * per cluster with point counts and mean centroid distance.
+    * s ≈ 1 = tight well-separated cells; s ≈ 0 = boundary mush (a
+    * multi-probe/recall warning for q64-style probes).
+    *
+    * Exactness: per-centroid squared distances are the SAME round-6
+    * quantized values the trainer uses (one arithmetic, no drift);
+    * per-point s is quantized to 1e-6 before the BIGINT mean sums;
+    * duplicate centroids give b = a → s = 0 on both engines.
+    * Scale: one broadcast of k centroids, one map pass, a k-row
+    * aggregate.
+    */
+  def simplifiedSilhouette(emb: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+    require(k >= 2, "silhouette needs at least 2 clusters")
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kmAssign(base, kmTrain(base, k, iters))
+      .withColumn("ds", array_sort(col("d")))
+      .selectExpr("cluster",
+        "CAST(floor(sqrt(element_at(ds, 1)) * 1e6 + 0.5) AS BIGINT) AS aq",
+        "CAST(floor(CASE WHEN greatest(sqrt(element_at(ds, 1)), sqrt(element_at(ds, 2))) = 0 THEN 0.0 " +
+          "ELSE (sqrt(element_at(ds, 2)) - sqrt(element_at(ds, 1))) / " +
+          "greatest(sqrt(element_at(ds, 1)), sqrt(element_at(ds, 2))) END * 1e6 + 0.5) AS BIGINT) AS sq")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"), sum("aq").as("sa"), sum("sq").as("ss"))
+      .selectExpr("cluster", "n_points",
+        "floor(CAST(sa AS DOUBLE) / CAST(n_points AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_dist",
+        "floor(CAST(ss AS DOUBLE) / CAST(n_points AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_silhouette")
+      .orderBy("cluster")
+  }
+
   /** One Lloyd assignment pass of `base` (vec_id, v) against a 1-row
     * centroid frame (cs) — shared by [[kmeans]]'s final assign and
     * the PQ encoder. */

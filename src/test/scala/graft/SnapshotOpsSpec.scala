@@ -476,6 +476,31 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(ann(0L) == 0.0 && ann(4L) == 0.0 && ann(1L) == 5.0)
   }
 
+  test("simplifiedSilhouette: tight separated blobs score near 1; scores are bounded") {
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f), 0), (1L, Array(10.0f, 10.0f), 0),
+      (2L, Array(0.1f, 0.0f), 0), (3L, Array(10.0f, 10.1f), 0),
+      (4L, Array(0.0f, 0.1f), 0), (5L, Array(10.1f, 10.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.simplifiedSilhouette(emb, k = 2, iters = 2).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.length == 2 && r.map(_._2).sum == 6L)
+    r.foreach { case (_, _, meanDist, s) =>
+      assert(s > 0.95 && s <= 1.0, s"well-separated blobs must score near 1: $s")
+      assert(meanDist < 0.1, s"tight blobs have tiny centroid distance: $meanDist")
+    }
+  }
+
+  test("simplifiedSilhouette on the corpus: every point counted, s in [0, 1]") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val r = Similarity.simplifiedSilhouette(emb).collect()
+    assert(r.map(_.getLong(1)).sum == emb.count())
+    r.foreach { x =>
+      assert(x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0)
+      assert(x.getDouble(2) >= 0.0)
+    }
+  }
+
   test("kmeans: argmin ties resolve to the lowest cluster id") {
     // after the update, centroids are 0.5 and 2.0; the point at 1.0
     // sits 0.25 from c1 vs 1.0 from c2 — but at init it is exactly

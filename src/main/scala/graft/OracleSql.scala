@@ -3467,6 +3467,35 @@ object OracleSql {
          |SELECT cluster, count(*) AS n_points,
          |floor(CAST(sum(aq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_dist,
          |floor(CAST(sum(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_silhouette
-         |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Shared-run excision: gram STRINGS stand in for the Spark side's
+    // 60-bit gram hashes (the q183 equivalence), coverage via a
+    // bounded offset explode, the run/grp/size windows inside doc
+    // partitions, coalesce('') for the fully-excised-document edge.
+    "q209_excise_runs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |pg AS (SELECT doc_id, i - 1 AS pos,
+        |  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+        |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+        |sh AS (SELECT g FROM pg GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+        |cs AS (SELECT DISTINCT doc_id, pos + o.off AS j
+        |  FROM pg, unnest(range(0, 3)) AS o(off)
+        |  WHERE g IN (SELECT g FROM sh)),
+        |t AS (SELECT doc_id, i - 1 AS j, tk[i] AS tok
+        |  FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        |f AS (SELECT t.doc_id, t.j, t.tok,
+        |  CASE WHEN cs.j IS NULL THEN 0 ELSE 1 END AS cov
+        |  FROM t LEFT JOIN cs ON t.doc_id = cs.doc_id AND t.j = cs.j),
+        |r AS (SELECT *, j - row_number() OVER (PARTITION BY doc_id, cov
+        |  ORDER BY j) AS grp FROM f),
+        |rs AS (SELECT *, count(*) OVER (PARTITION BY doc_id, cov, grp) AS rsz
+        |  FROM r),
+        |k AS (SELECT doc_id, j, tok, (cov = 0 OR rsz < 6) AS keep FROM rs)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |coalesce(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY j), '')
+        |  AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

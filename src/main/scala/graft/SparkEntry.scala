@@ -569,7 +569,10 @@ object SparkEntry {
     "q207_bpe_merges"       -> ((s, d) => TextAnalysis.bpeMergeCandidates(Tables.documents(s, d))),
     // centroid-based silhouette over the deterministic k-means cells:
     // the O(n·k) cluster-separation audit for IVF/SemDeDup health
-    "q208_silhouette"       -> ((s, d) => Similarity.simplifiedSilhouette(Tables.embeddings(s, d)))
+    "q208_silhouette"       -> ((s, d) => Similarity.simplifiedSilhouette(Tables.embeddings(s, d))),
+    // repeated-substring excision (Lee et al.): cut >= minRun-token
+    // runs that appear verbatim in more than one document
+    "q209_excise_runs"      -> ((s, d) => Dedup.exciseSharedRuns(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

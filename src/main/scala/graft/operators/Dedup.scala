@@ -843,6 +843,58 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Shared-run EXCISION — the removal half of the substring-dedup
+    * story ([[sharedRunLengths]] is the forensics half): delete every
+    * maximal token run of ≥ `minRun` tokens that appears verbatim in
+    * more than one document, keeping the surrounding text. This is
+    * the Lee-et-al-style repeated-substring cut a training corpus
+    * gets where whole-document dedup can't fire (boilerplate headers,
+    * license blocks, quoted spans) — and `minRun` is the guard that
+    * keeps incidental short n-gram collisions (common phrases) from
+    * shredding documents.
+    *
+    * Mechanics: positional 60-bit gram hashes (the native
+    * [[graft.functions.GramHashGenerator]]) → shared-gram vocabulary
+    * (hash aggregate on 8-byte keys, distinct-doc count > 1) →
+    * covered token positions via a bounded n-way explode of the
+    * shared STARTS → consecutive-coverage runs inside natural doc_id
+    * window partitions → drop covered runs ≥ minRun → rebuild text
+    * from the kept tokens (doc-local sort_array(collect_list)).
+    * Only hashes and (doc, pos) pairs cross shuffles — never text
+    * until the final doc-local rebuild.
+    */
+  def exciseSharedRuns(docs: DataFrame, n: Int = 3, minRun: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"),
+        graft.functions.GramHashGenerator.gramHashes(col("text"), n).as(Seq("pos", "h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1).select("h")
+    val covered = grams.join(shared, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("j"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("j", "tok")))
+    val flagged = toks
+      .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "j"), "left")
+      .withColumn("cov", coalesce(col("cov"), lit(0)))
+    val runs = flagged.withColumn("grp",
+        col("j") - row_number().over(
+          Window.partitionBy("doc_id", "cov").orderBy("j")))
+      .withColumn("rsz", count(lit(1)).over(
+        Window.partitionBy("doc_id", "cov", "grp")))
+      .withColumn("keep", col("cov") === 0 || col("rsz") < minRun)
+    runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("keep"), 0).otherwise(1)).cast("bigint").as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("j"), col("tok"))))),
+          s => s.getField("tok"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source duplication matrix — the provenance diagnostic a
     * multi-source corpus needs before mixture weighting: for every
     * source pair (a ≤ b), how many distinct content fingerprints

@@ -719,6 +719,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(est2("zzz_nowhere") == 0L, "an empty counter frame estimates 0 for every key")
   }
 
+  test("exciseSharedRuns: long shared spans cut, short collisions kept, second pass is a no-op") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"A$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"h1 h2 $span t1 t2", "en", "s", 0L),
+      (2L, s"x1 $span y1 y2 y3", "en", "s", 0L),
+      (3L, "p1 p2 A1 A2 A3 q1 q2", "en", "s", 0L)) // 3-token collision < minRun
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.exciseSharedRuns(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) == ((14L, 10L, "h1 h2 t1 t2")), r(1L).toString)
+    assert(r(2L) == ((14L, 10L, "x1 y1 y2 y3")), r(2L).toString)
+    assert(r(3L) == ((7L, 0L, "p1 p2 A1 A2 A3 q1 q2")),
+      s"short collisions must not shred documents: ${r(3L)}")
+    // the cut is convergent: a second pass over the cleaned corpus
+    // finds nothing left to excise
+    val cleaned = r.toSeq.map { case (id, (_, _, t)) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.exciseSharedRuns(cleaned).collect().forall(_.getLong(2) == 0L))
+  }
+
   test("minhashCalibration: exact duplicates estimate 1.0 with zero error; errors are internally consistent") {
     import spark.implicits._
     val tail = (10L to 40L).map { i =>

@@ -3496,6 +3496,52 @@ object OracleSql {
         |CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
         |coalesce(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY j), '')
         |  AS clean_text
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // aHash: byte extraction via the hex STRING (both engines hex
+    // uppercase), exact-integer threshold bits (48·g_i > Σg), the
+    // whole signature one list_reduce.
+    "q210_image_ahash" ->
+      """WITH p AS (SELECT doc_id, encode(text) AS b FROM documents),
+        |h AS (SELECT doc_id, CAST(octet_length(b) AS BIGINT) AS n_bytes,
+        |  upper(hex(b)) AS hx FROM p WHERE octet_length(b) >= 1),
+        |g AS (SELECT doc_id, n_bytes, list_transform(range(0, 48), i ->
+        |  ('0x' || substring(hx, CAST(2 * (1 + i * n_bytes // 48) - 1 AS INT), 2))::BIGINT) AS g
+        |  FROM h),
+        |s AS (SELECT *, list_reduce(g, (a, x) -> a + x) AS s FROM g)
+        |SELECT doc_id, n_bytes,
+        |list_reduce(list_transform(range(0, 48), i ->
+        |  CASE WHEN 48 * g[CAST(i + 1 AS INT)] > s
+        |  THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END),
+        |  (a, x) -> a + x) AS ahash
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // aHash pairs: the q34-family pigeonhole (6 byte blocks on the
+    // 48-bit signature) + bit_count verify.
+    "q211_ahash_pairs" ->
+      """WITH p AS (SELECT doc_id, encode(text) AS b FROM documents),
+        |h AS (SELECT doc_id, CAST(octet_length(b) AS BIGINT) AS n_bytes,
+        |  upper(hex(b)) AS hx FROM p WHERE octet_length(b) >= 1),
+        |g AS (SELECT doc_id, n_bytes, list_transform(range(0, 48), i ->
+        |  ('0x' || substring(hx, CAST(2 * (1 + i * n_bytes // 48) - 1 AS INT), 2))::BIGINT) AS g
+        |  FROM h),
+        |s AS (SELECT *, list_reduce(g, (a, x) -> a + x) AS s FROM g),
+        |sig AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(0, 48), i ->
+        |    CASE WHEN 48 * g[CAST(i + 1 AS INT)] > s
+        |    THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END),
+        |    (a, x) -> a + x) AS ahash FROM s),
+        |blocks AS (SELECT doc_id, o.blk,
+        |  (ahash >> CAST(o.blk * 8 AS INT)) & 255 AS bv
+        |  FROM sig, unnest(range(0, 6)) AS o(blk)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bv = b.bv
+        |  AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |CAST(bit_count(xor(sa.ahash, sb.ahash)) AS INT) AS hamming
+        |FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+        |JOIN sig sb ON cand.id_b = sb.doc_id
+        |WHERE bit_count(xor(sa.ahash, sb.ahash)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

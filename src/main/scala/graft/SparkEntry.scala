@@ -572,7 +572,13 @@ object SparkEntry {
     "q208_silhouette"       -> ((s, d) => Similarity.simplifiedSilhouette(Tables.embeddings(s, d))),
     // repeated-substring excision (Lee et al.): cut >= minRun-token
     // runs that appear verbatim in more than one document
-    "q209_excise_runs"      -> ((s, d) => Dedup.exciseSharedRuns(Tables.documents(s, d)))
+    "q209_excise_runs"      -> ((s, d) => Dedup.exciseSharedRuns(Tables.documents(s, d))),
+    // perceptual average-hash over the binary payloads (sampled-byte
+    // thumbnail stand-in; exact-integer threshold bits)
+    "q210_image_ahash"      -> ((s, d) => Multimodal.imageAHash(Tables.documents(s, d))),
+    // aHash near-dup pairs via 6-block pigeonhole banding + one
+    // bit_count(xor) verify per candidate — image near-dup at scale
+    "q211_ahash_pairs"      -> ((s, d) => Multimodal.ahashPairs(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

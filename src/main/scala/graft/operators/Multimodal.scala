@@ -36,6 +36,70 @@ object Multimodal {
         (length(col("payload")) % 64).as("stub_width"))
       .orderBy("doc_id")
 
+  /** Perceptual average-hash (aHash) over a binary payload — the
+    * image-near-dup signature, computed from the DOWNSAMPLE-BY-
+    * SAMPLING stand-in for a real decode (`k` bytes evenly spaced
+    * across the payload play the 8×8 grayscale thumbnail; with a
+    * codec library the same pipeline runs on real pixels — the
+    * signature/join machinery is identical). Bit i is set iff sample
+    * i is strictly above the payload mean, compared as EXACT integers
+    * (k·gᵢ > Σg — no division ever happens), so the whole hash is
+    * engine-parity by construction. k = 48 keeps the signature inside
+    * a positive BIGINT (bit 63 would overflow ANSI long arithmetic).
+    *
+    * Everything is codegen'd built-ins over the hex string — a narrow
+    * per-row transform, no shuffle, no UDF.
+    */
+  def imageAHash(docs: DataFrame, k: Int = 48): DataFrame = {
+    require(k >= 8 && k <= 62, "signature must fit a positive BIGINT")
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .selectExpr("doc_id", "CAST(length(payload) AS BIGINT) AS n_bytes",
+        "upper(hex(payload)) AS hx")
+      .filter(col("n_bytes") >= 1)
+      .selectExpr("doc_id", "n_bytes",
+        s"transform(sequence(0, ${k - 1}), i -> " +
+          s"CAST(conv(substring(hx, CAST(2 * (1 + i * n_bytes DIV $k) - 1 AS INT), 2), 16, 10) AS BIGINT)) AS g")
+      .selectExpr("doc_id", "n_bytes", "g",
+        "aggregate(g, CAST(0 AS BIGINT), (a, x) -> a + x) AS s")
+      .selectExpr("doc_id", "n_bytes",
+        s"aggregate(sequence(0, ${k - 1}), CAST(0 AS BIGINT), (a, i) -> " +
+          s"a + CASE WHEN $k * element_at(g, i + 1) > s " +
+          "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END) AS ahash")
+      .orderBy("doc_id")
+  }
+
+  /** aHash near-dup pairs WITHOUT an all-pairs comparison — the
+    * [[graft.operators.Dedup.simhashPairs]] pigeonhole discipline on
+    * the 48-bit signature: 6 byte blocks, so two hashes within
+    * `maxHamming` ≤ 5 flips must agree on at least one whole block
+    * (5 flips touch at most 5 of 6), and candidate generation is an
+    * exact-recall equi-join on (block, value); verification is one
+    * codegen'd bit_count(xor) per candidate. This is image near-dup
+    * at corpus scale: work ∝ block collisions, never n².
+    */
+  def ahashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 5,
+      "6-block pigeonhole banding guarantees full recall only for maxHamming <= 5")
+    val sig = imageAHash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = (0 until 6).map(b =>
+        sig.select(col("doc_id"), lit(b).as("blk"),
+          shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L)).as("bv")))
+      .reduce(_.unionByName(_))
+    val cand = blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("ahash").as("ha")), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("ahash").as("hb")), Seq("id_b"))
+      .selectExpr("id_a", "id_b",
+        "CAST(bit_count(ha ^ hb) AS INT) AS hamming")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   /** REAL header decode — no codec library needed, because container
     * formats carry their dimensions in fixed-offset header bytes:
     * PNG's IHDR stores width/height as big-endian u32 at bytes 17-24,

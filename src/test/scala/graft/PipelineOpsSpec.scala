@@ -719,6 +719,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(est2("zzz_nowhere") == 0L, "an empty counter frame estimates 0 for every key")
   }
 
+  test("imageAHash/ahashPairs: perturbation-stable signatures, pigeonhole candidates, verify tier filters") {
+    import spark.implicits._
+    val base = "a" * 100 + "A" * 100
+    val near = base.updated(50, 'A') // one byte differs
+    val far  = "A" * 200             // flat payload: zero signature
+    val docs = Seq(
+      (1L, base, "en", "s", 0L), (2L, near, "en", "s", 0L),
+      (3L, far, "en", "s", 0L), (4L, base, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sig = Multimodal.imageAHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sig(1L) == sig(4L), "identical payloads hash identically")
+    assert(sig(3L) == 0L, "a flat payload has no strictly-above-mean bits")
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(2L)) <= 1,
+      "a one-byte perturbation flips at most the sample that hit it")
+    val pairs = Multimodal.ahashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs((1L, 2L)) <= 1 && pairs((2L, 4L)) <= 1)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "the flat payload collides in empty blocks but must fail the hamming verify")
+  }
+
   test("exciseSharedRuns: long shared spans cut, short collisions kept, second pass is a no-op") {
     import spark.implicits._
     val span = (1 to 10).map(i => s"A$i").mkString(" ")

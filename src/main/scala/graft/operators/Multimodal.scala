@@ -50,7 +50,14 @@ object Multimodal {
     * Everything is codegen'd built-ins over the hex string — a narrow
     * per-row transform, no shuffle, no UDF.
     */
-  def imageAHash(docs: DataFrame, k: Int = 48): DataFrame = {
+  def imageAHash(docs: DataFrame, k: Int = 48): DataFrame =
+    ahashSignatures(docs, k).orderBy("doc_id")
+
+  /** [[imageAHash]] without the presentation sort — the frame the
+    * pair join persists (caching a global Sort would pay a full
+    * range-exchange for an ordering the banded join immediately
+    * destroys). */
+  private def ahashSignatures(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 8 && k <= 62, "signature must fit a positive BIGINT")
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .selectExpr("doc_id", "CAST(length(payload) AS BIGINT) AS n_bytes",
@@ -65,7 +72,6 @@ object Multimodal {
         s"aggregate(sequence(0, ${k - 1}), CAST(0 AS BIGINT), (a, i) -> " +
           s"a + CASE WHEN $k * element_at(g, i + 1) > s " +
           "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END) AS ahash")
-      .orderBy("doc_id")
   }
 
   /** aHash near-dup pairs WITHOUT an all-pairs comparison — the
@@ -80,7 +86,7 @@ object Multimodal {
   def ahashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 5,
       "6-block pigeonhole banding guarantees full recall only for maxHamming <= 5")
-    val sig = imageAHash(docs)
+    val sig = ahashSignatures(docs, 48)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = (0 until 6).map(b =>
         sig.select(col("doc_id"), lit(b).as("blk"),

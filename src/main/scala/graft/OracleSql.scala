@@ -3542,6 +3542,109 @@ object OracleSql {
         |FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
         |JOIN sig sb ON cand.id_b = sb.doc_id
         |WHERE bit_count(xor(sa.ahash, sb.ahash)) <= 4
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Golden-record survivorship over the q68 CC labels: longest text
+    // wins, ties to the smallest doc_id; provenance breadth from the
+    // same attribute join. The label CTEs are q68's verbatim.
+    "q212_golden_record" ->
+      ("WITH RECURSIVE " + shingleCascade("documents") + ",\n" + jaccardVerify + ",\n" +
+        """pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+          |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+          |UNION ALL SELECT id_b, id_a FROM pairs),
+          |reach(a, b) AS (SELECT a, b FROM und
+          |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          |labels AS (SELECT a AS doc_id,
+          |  CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+          |  FROM reach GROUP BY a),
+          |m AS (SELECT l.cluster_id, d.doc_id, d.source, d.lang, d.n_chars
+          |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id),
+          |agg AS (SELECT cluster_id, count(*) AS n_members,
+          |  count(DISTINCT source) AS n_sources,
+          |  count(DISTINCT lang) AS n_langs,
+          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+          |  FROM m GROUP BY 1),
+          |surv AS (SELECT cluster_id, doc_id AS survivor_id,
+          |  source AS survivor_source FROM (SELECT m.*, row_number() OVER
+          |    (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+          |    FROM m) WHERE rk = 1)
+          |SELECT a.cluster_id, a.n_members, a.n_sources, a.n_langs,
+          |a.min_chars, a.max_chars, s.survivor_id, s.survivor_source
+          |FROM agg a JOIN surv s ON a.cluster_id = s.cluster_id
+          |ORDER BY a.cluster_id""".stripMargin),
+
+    // RBO p=1/2 depth 10: the bm25 CTEs are q138's verbatim; the
+    // second ranking drops length normalization. Suffix weights
+    // W(m)·C are exact integers under C = lcm(1..10)·2^10 = 2580480;
+    // the closing divide is the only float op.
+    "q213_rbo_rankings" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |       FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |          FROM tf GROUP BY 1),
+        |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+        |sa AS (SELECT q.q_id, tf.doc_id,
+        |    round(sum(
+        |      ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |        * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75
+        |            + 0.75 * dl.dl * n.n_docs / tot.total))), 6) AS score_r
+        |  FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN tot
+        |  WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
+        |ra AS (SELECT q_id, doc_id, ra FROM (SELECT q_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_r DESC, doc_id) AS INT) AS ra FROM sa)
+        |  WHERE ra <= 10),
+        |sb AS (SELECT q.q_id, tf.doc_id,
+        |    round(sum(ln(n.n_docs / d.df) * tf.tf), 6) AS score_r
+        |  FROM tf JOIN q USING (term) JOIN dfreq d USING (term) CROSS JOIN n
+        |  WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
+        |rb AS (SELECT q_id, doc_id, rb FROM (SELECT q_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_r DESC, doc_id) AS INT) AS rb FROM sb)
+        |  WHERE rb <= 10),
+        |rj AS (SELECT a.q_id, greatest(a.ra, b.rb) AS m
+        |  FROM ra a JOIN rb b ON a.q_id = b.q_id AND a.doc_id = b.doc_id),
+        |agg AS (SELECT q_id, count(*) AS n_overlap,
+        |  sum(CASE m WHEN 1 THEN 1788440 WHEN 2 THEN 498200
+        |    WHEN 3 THEN 175640 WHEN 4 THEN 68120 WHEN 5 THEN 27800
+        |    WHEN 6 THEN 11672 WHEN 7 THEN 4952 WHEN 8 THEN 2072
+        |    WHEN 9 THEN 812 ELSE 252 END) AS sc
+        |  FROM rj GROUP BY 1),
+        |qs AS (SELECT DISTINCT q_id FROM ra)
+        |SELECT qs.q_id, CAST(coalesce(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |floor(CAST(coalesce(a.sc, 0) AS DOUBLE) / 2580480.0 * 1e6 + 0.5) / 1e6 AS rbo
+        |FROM qs LEFT JOIN agg a ON qs.q_id = a.q_id
+        |ORDER BY qs.q_id""".stripMargin,
+
+    // CDC compaction: last (sec, event_id) writer wins per user,
+    // D tombstones null the value; cents-BIGINT in, dollars out.
+    "q214_cdc_compact" ->
+      """WITH ops AS (SELECT user_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+        |  event_id,
+        |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'U'
+        |    WHEN 'error' THEN 'D' END AS op,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'purchase', 'error')),
+        |last AS (SELECT user_id, op AS final_op, cents FROM
+        |  (SELECT ops.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY sec DESC, event_id DESC) AS rk FROM ops)
+        |  WHERE rk = 1),
+        |counts AS (SELECT user_id, count(*) AS n_ops,
+        |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+        |  FROM ops GROUP BY 1)
+        |SELECT c.user_id, c.n_ops, c.n_deletes,
+        |CASE WHEN l.final_op = 'D' THEN 0 ELSE 1 END AS alive,
+        |CASE WHEN l.final_op = 'D' THEN NULL
+        |  ELSE CAST(l.cents AS DOUBLE) / 1e2 END AS final_value
+        |FROM counts c JOIN last l ON c.user_id = l.user_id
+        |ORDER BY c.user_id""".stripMargin
   )
 }

@@ -578,7 +578,19 @@ object SparkEntry {
     "q210_image_ahash"      -> ((s, d) => Multimodal.imageAHash(Tables.documents(s, d))),
     // aHash near-dup pairs via 6-block pigeonhole banding + one
     // bit_count(xor) verify per candidate — image near-dup at scale
-    "q211_ahash_pairs"      -> ((s, d) => Multimodal.ahashPairs(Tables.documents(s, d)))
+    "q211_ahash_pairs"      -> ((s, d) => Multimodal.ahashPairs(Tables.documents(s, d))),
+    // golden-record survivorship over the cascade's CC labels:
+    // longest-text-wins master row + provenance breadth per cluster,
+    // probing the one materialized LSH → verify → CC build
+    "q212_golden_record"    -> ((s, d) =>
+      Dedup.goldenRecordsCached(Tables.documents(s, d), ccCascadeFor(s, d))),
+    // rank-biased overlap (p = 1/2, depth 10) between the BM25 and
+    // raw tf·idf rankings — exact-integer suffix weights, one
+    // equi-join per query instead of a depth loop
+    "q213_rbo_rankings"     -> ((s, d) => TextAnalysis.rboRankings(Tables.documents(s, d))),
+    // CDC log compaction: I/U/D ops per entity → last-writer-wins
+    // final state with tombstones — the SCD1 MERGE maintenance pass
+    "q214_cdc_compact"      -> ((s, d) => EventAnalytics.cdcCompact(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

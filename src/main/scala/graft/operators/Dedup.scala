@@ -1623,4 +1623,50 @@ object Dedup {
     cleaningPipelineClustered(docs, minTokens, jaccardThreshold,
       pairs = Some(docs.sparkSession.read.parquet(s"$dir/pairs")))
   }
+
+  /** Golden-record survivorship: one merged master row per near-dup
+    * cluster — the entity-resolution step AFTER clustering, where the
+    * cluster's members are collapsed into the record the pipeline
+    * keeps. Survivorship rule: the longest text wins (`n_chars` desc),
+    * ties broken by the smallest `doc_id` — a deterministic stand-in
+    * for the usual trust-ranked source precedence. Alongside the
+    * survivor, the merged row carries the provenance breadth a data
+    * steward audits (member count, distinct sources/langs, the
+    * length range) so a cluster that fused records it shouldn't have
+    * is visible as an implausibly wide row.
+    *
+    * Scale: `labels` is #docs-in-clusters rows of (long, long); the
+    * attribute join is an equi-join on `doc_id` (text never moves —
+    * only the survivorship features), and both the aggregate and the
+    * row_number window partition on `cluster_id`, whose cardinality
+    * LSH verification already bounded. No cross join, no global sort
+    * before the final #clusters-row output.
+    */
+  def goldenRecords(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val m = labels.join(
+      docs.select("doc_id", "source", "lang", "n_chars"), Seq("doc_id"))
+    val agg = m.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_members"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+    val surv = m.withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+        col("source").as("survivor_source"))
+    agg.join(surv, Seq("cluster_id")).orderBy("cluster_id")
+  }
+
+  /** [[goldenRecords]] fed from the materialized cascade's label
+    * frame — the q68/q72/q104 amortization: survivorship is a probe
+    * over the one LSH → verify → CC build, never a fourth cascade.
+    */
+  def goldenRecordsCached(docs: DataFrame, dir: String,
+                          threshold: Double = 0.2, bands: Int = 4): DataFrame = {
+    prebuildCascade(docs, dir, threshold, bands)
+    goldenRecords(docs, docs.sparkSession.read.parquet(s"$dir/labels"))
+  }
 }

@@ -1030,4 +1030,45 @@ object EventAnalytics {
           .as("direction"))
       .orderBy("event_type")
   }
+
+  /** CDC log compaction — the SCD1 / last-writer-wins MERGE every
+    * lakehouse table maintenance job runs: a change log of
+    * insert/update/delete ops per entity collapses to the final
+    * entity state (the Delta/Hudi "compact the deltas into the
+    * snapshot" step, expressed engine-side). Op mapping from the
+    * events feed: `signup` → I, `purchase` → U (new value), `error`
+    * → D (tombstone); `view`/`click` are reads, not changes. Order
+    * within an entity is (second, event_id) — the ingest tiebreak —
+    * and a D followed by a later I correctly resurrects the entity.
+    *
+    * Scale: one hash partition on `user_id` drives both the
+    * last-writer window (row_number inside natural per-key
+    * partitions, never a global sort) and the op-count aggregate;
+    * Catalyst shares the Exchange. Values quantize to cents BIGINT
+    * on the way in (the q206 money discipline) and only the final
+    * per-entity row re-scales to display dollars.
+    */
+  def cdcCompact(ev: DataFrame): DataFrame = {
+    val ops = ev.select(col("user_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "purchase", "U")
+          .when(col("event_type") === "error", "D").as("op"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+      .filter(col("op").isNotNull)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("sec").desc, col("event_id").desc)
+    val last = ops.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("op").as("final_op"), col("cents"))
+    val counts = ops.groupBy("user_id").agg(
+      count(lit(1)).as("n_ops"),
+      sum(when(col("op") === "D", 1).otherwise(0)).cast("bigint").as("n_deletes"))
+    counts.join(last, Seq("user_id"))
+      .selectExpr("user_id", "n_ops", "n_deletes",
+        "CASE WHEN final_op = 'D' THEN 0 ELSE 1 END AS alive",
+        "CASE WHEN final_op = 'D' THEN NULL " +
+          "ELSE CAST(cents AS DOUBLE) / 1e2 END AS final_value")
+      .orderBy("user_id")
+  }
 }

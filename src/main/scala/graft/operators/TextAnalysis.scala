@@ -1039,4 +1039,82 @@ object TextAnalysis {
           "- 84.6 * (CAST(n_syllables AS DOUBLE) / nullif(n_words, 0)), 4) " +
           "AS flesch")
       .orderBy("doc_id")
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    * BM25 ranking (q138's exact scoring chain) and a plain tf·idf
+    * overlap ranking, per panel query, at fixed depth `k` = 10 with
+    * persistence p = 1/2 — the index-migration gauge: "how much does
+    * the cheap ranking's top-10 agree with the reference ranking,
+    * weighted toward the top where users actually look".
+    *
+    * RBO_min = Σ_{d=1..k} (1−p)·p^{d−1} · |A_{1..d} ∩ B_{1..d}| / d.
+    * Two exactness levers: (1) the depth loop disappears — a doc at
+    * ranks (ra, rb) in the two lists enters every prefix-overlap from
+    * depth m = max(ra, rb) on, so its total contribution is the
+    * SUFFIX weight W(m) = Σ_{d=m..k} w_d, making RBO one equi-join +
+    * one aggregate per query, no d-way self-join; (2) with p = 1/2
+    * every w_d = C/(2^d·d) is an exact integer under C = lcm(1..10)
+    * · 2^10 = 2 580 480, so the per-query sum is BIGINT-exact in any
+    * order and the single closing divide is one IEEE op in both
+    * engines.
+    *
+    * Scale: both rankings flow through the broadcast query-term panel
+    * join (inverted-index access, q138's note); the rank windows
+    * partition by q_id; the RBO join is (q_id, doc_id) equi over two
+    * ≤ k·|panel|-row frames.
+    */
+  def rboRankings(docs: DataFrame, nQueries: Int = 8, k: Int = 10,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k == 10, "suffix-weight literals are derived for depth 10")
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dlen = terms.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val total = terms.agg(count(lit(1)).cast("double").as("total"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("term"))
+    // ranking A: q138's BM25 chain, verbatim formula text
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy("q_id").orderBy(col("sa").desc, col("doc_id"))
+    val ra = tf.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dfreq, "term")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(total))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * col("tf") / (col("tf") +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") * col("n_docs") / col("total"))))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum("contrib"), 6).as("sa"))
+      .withColumn("ra", row_number().over(wA)).filter(col("ra") <= k)
+      .select("q_id", "doc_id", "ra")
+    // ranking B: raw tf·idf overlap — no length normalization
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("q_id").orderBy(col("sb").desc, col("doc_id"))
+    val rb = tf.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("contrib", log(col("n_docs") / col("df")) * col("tf"))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum("contrib"), 6).as("sb"))
+      .withColumn("rb", row_number().over(wB)).filter(col("rb") <= k)
+      .select("q_id", "doc_id", "rb")
+    // suffix weights W(m)·C for C = lcm(1..10)·2^10 = 2 580 480
+    val agg = ra.join(rb, Seq("q_id", "doc_id"))
+      .withColumn("m", greatest(col("ra"), col("rb")))
+      .selectExpr("q_id",
+        "CASE m WHEN 1 THEN 1788440 WHEN 2 THEN 498200 WHEN 3 THEN 175640 " +
+          "WHEN 4 THEN 68120 WHEN 5 THEN 27800 WHEN 6 THEN 11672 " +
+          "WHEN 7 THEN 4952 WHEN 8 THEN 2072 WHEN 9 THEN 812 ELSE 252 END AS w")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_overlap"), sum("w").as("sc"))
+    ra.select("q_id").distinct()
+      .join(agg, Seq("q_id"), "left")
+      .selectExpr("q_id", "CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap",
+        "floor(CAST(coalesce(sc, 0) AS DOUBLE) / 2580480.0 * 1e6 + 0.5) / 1e6 AS rbo")
+      .orderBy("q_id")
+  }
 }

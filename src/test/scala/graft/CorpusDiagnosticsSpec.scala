@@ -973,4 +973,39 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
       assert(r.getLong(2) >= 2L)
     }
   }
+
+  // ---- q213 rank-biased overlap -------------------------------------
+
+  test("rboRankings: per-query RBO stays inside the suffix-weight envelope") {
+    // C = lcm(1..10)·2^10; each overlapping doc contributes between
+    // W(10)·C = 252 and W(1)·C = 1788440, and identical top-10 lists
+    // reach exactly (C − lcm)/C = 0.999023 (1 − 2^-10, quantized).
+    val res = TextAnalysis.rboRankings(Tables.documents(spark, sfDir)).collect()
+    assert(res.length == 8)
+    res.foreach { r =>
+      val ov = r.getLong(1); val rbo = r.getDouble(2)
+      assert(ov >= 0 && ov <= 10)
+      assert(rbo >= ov * 252.0 / 2580480.0 - 1e-6)
+      assert(rbo <= ov * 1788440.0 / 2580480.0 + 1e-6)
+      assert(rbo <= 0.999023 + 1e-9)
+      assert((ov == 0) == (rbo == 0.0))
+    }
+  }
+
+  test("rboRankings: identical rankings score 1 - 2^-10") {
+    // one query term appearing with distinct tf in 10+ docs of equal
+    // length: both scorers rank by tf desc, so the lists coincide and
+    // RBO_min(1/2, 10) = 0.999023 exactly. The apple-free padding
+    // docs keep df < N so the tf·idf scorer's ln(N/df) is nonzero
+    // (df = N would collapse ranking B to an all-tie).
+    val docs = (1 to 12).map { i =>
+      (i.toLong, (Seq.fill(i + 1)("apple") ++ Seq.fill(14 - i)("f" + i)).mkString(" "), "s")
+    } ++ (13 to 19).map { i =>
+      (i.toLong, Seq.fill(15)("pad" + i).mkString(" "), "s")
+    } :+ ((0L, Seq.fill(15)("apple").mkString(" "), "s"))
+    val r = TextAnalysis.rboRankings(docsDf(docs), nQueries = 1).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 10L)
+    assert(r(0).getDouble(2) == 0.999023)
+  }
 }

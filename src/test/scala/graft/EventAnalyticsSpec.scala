@@ -849,4 +849,46 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(nDays.length == 1, "all types share the global calendar")
     res.foreach(r => assert(r.getString(4) == "above" || r.getString(4) == "below"))
   }
+
+  // ---- q214 CDC log compaction ---------------------------------------
+
+  test("cdcCompact: last writer wins, tombstones null, delete-then-insert resurrects") {
+    def ev(id: Long, t: String, u: Long, ty: String, v: Double) =
+      (id, ts(t), u, ty, v, "{}")
+    val df = Seq(
+      // u1: I(10) then U(25) → alive at 25
+      ev(1, "2024-01-01 10:00:00", 1, "signup", 10.0),
+      ev(2, "2024-01-01 11:00:00", 1, "purchase", 25.0),
+      // u2: I then D → dead, value null
+      ev(3, "2024-01-01 10:00:00", 2, "signup", 10.0),
+      ev(4, "2024-01-02 10:00:00", 2, "error", 0.0),
+      // u3: D then I → resurrected
+      ev(5, "2024-01-01 10:00:00", 3, "error", 0.0),
+      ev(6, "2024-01-01 12:00:00", 3, "signup", 7.5),
+      // u4: same-second tie → higher event_id wins
+      ev(7, "2024-01-01 10:00:00", 4, "purchase", 1.0),
+      ev(8, "2024-01-01 10:00:00", 4, "purchase", 2.0),
+      // u5: only reads → absent from the compacted state
+      ev(9, "2024-01-01 10:00:00", 5, "view", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.cdcCompact(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    assert((r(1L).getLong(1), r(1L).getInt(3), r(1L).getDouble(4)) == ((2L, 1, 25.0)))
+    assert((r(2L).getLong(2), r(2L).getInt(3)) == ((1L, 0)))
+    assert(r(2L).isNullAt(4))
+    assert((r(3L).getInt(3), r(3L).getDouble(4)) == ((1, 7.5)))
+    assert(r(4L).getDouble(4) == 2.0)
+  }
+
+  test("cdcCompact on the corpus: every changed user has one row, reads never count") {
+    val events = Tables.events(spark, sfDir)
+    val res = EventAnalytics.cdcCompact(events).cache()
+    val changed = events
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+    assert(res.count() == changed.select("user_id").distinct().count())
+    assert(res.agg(sum("n_ops")).head().getLong(0) == changed.count())
+    assert(res.filter(col("alive") === 0 && col("final_value").isNotNull).count() == 0)
+    res.unpersist()
+  }
 }

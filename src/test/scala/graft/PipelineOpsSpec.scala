@@ -1409,4 +1409,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(r.map(_.getDouble(4)).sum - 1.0) < 1e-2)
     assert(r.map(_.getInt(5)).sorted.toSeq == (1 to dims))
   }
+
+  // ---- q212 golden-record survivorship -------------------------------
+
+  test("goldenRecords: longest text wins, ties to smallest id, breadth is audited") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a", "en", "srcA", 5L),
+      (2L, "a a a a", "en", "srcB", 7L),   // longest in cluster 1 → survivor
+      (3L, "a a a", "fr", "srcA", 5L),
+      (7L, "b b", "en", "srcC", 3L),       // tie on n_chars with 9 → min id wins
+      (9L, "b b", "en", "srcC", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val r = Dedup.goldenRecords(docs, labels).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 3L)               // n_members
+    assert(r(1L).getLong(2) == 2L)               // n_sources (srcA, srcB)
+    assert(r(1L).getLong(3) == 2L)               // n_langs (en, fr)
+    assert((r(1L).getLong(4), r(1L).getLong(5)) == ((5L, 7L)))
+    assert(r(1L).getLong(6) == 2L)               // survivor: longest text
+    assert(r(1L).getString(7) == "srcB")
+    assert(r(7L).getLong(6) == 7L)               // n_chars tie → smallest doc_id
+    assert(r(7L).getLong(1) == 2L)
+  }
+
+  test("goldenRecords over the cascade: one row per cluster, survivor is a member") {
+    val labels = Dedup.dupClusters(documents, threshold = 0.2).cache()
+    val r = Dedup.goldenRecords(documents, labels).cache()
+    assert(r.count() == labels.select("cluster_id").distinct().count())
+    // every survivor carries its own cluster's label
+    val lab = labels.select(col("doc_id").as("survivor_id"),
+      col("cluster_id").as("survivor_cluster"))
+    assert(r.join(lab, "survivor_id")
+      .filter(col("cluster_id") =!= col("survivor_cluster")).count() == 0)
+    // survivor has the cluster's max_chars
+    val docsN = documents.select(col("doc_id").as("survivor_id"),
+      col("n_chars").as("sc"))
+    assert(r.join(docsN, "survivor_id")
+      .filter(col("sc") =!= col("max_chars")).count() == 0)
+    r.unpersist()
+  }
 }

@@ -3645,6 +3645,95 @@ object OracleSql {
         |CASE WHEN l.final_op = 'D' THEN NULL
         |  ELSE CAST(l.cents AS DOUBLE) / 1e2 END AS final_value
         |FROM counts c JOIN last l ON c.user_id = l.user_id
-        |ORDER BY c.user_id""".stripMargin
+        |ORDER BY c.user_id""".stripMargin,
+
+    // Source-overlap matrix: DISTINCT (source, 60-bit md5 8-gram)
+    // sets, |S|²/2 closed matrix with zeros; jaccard/containment
+    // floor-quantized to 1e-6 (single divides of exact BIGINTs).
+    "q215_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |  ('0x' || substring(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |    || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]
+        |    || ' ' || tk[i+6] || ' ' || tk[i+7]), 1, 15))::BIGINT AS h
+        |  FROM toks, UNNEST(range(1, len(tk) - 6)) AS u(i)
+        |  WHERE len(tk) >= 8),
+        |sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+        |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared FROM g a JOIN g b
+        |  ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+        |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  a.n_grams AS grams_a, b.n_grams AS grams_b
+        |  FROM sz a JOIN sz b ON a.source < b.source)
+        |SELECT p.source_a, p.source_b, p.grams_a, p.grams_b,
+        |CAST(coalesce(i.n_shared, 0) AS BIGINT) AS n_shared,
+        |floor(CAST(coalesce(i.n_shared, 0) AS DOUBLE)
+        |  / (p.grams_a + p.grams_b - coalesce(i.n_shared, 0)) * 1e6 + 0.5) / 1e6 AS jaccard,
+        |floor(CAST(coalesce(i.n_shared, 0) AS DOUBLE)
+        |  / least(p.grams_a, p.grams_b) * 1e6 + 0.5) / 1e6 AS containment
+        |FROM pairs p LEFT JOIN inter i
+        |ON p.source_a = i.source_a AND p.source_b = i.source_b
+        |ORDER BY p.source_a, p.source_b""".stripMargin,
+
+    // Churn labels: features from days <= cutoff, label from the
+    // holdout; cents-BIGINT money, integer day arithmetic throughout.
+    "q216_churn_labels" ->
+      """WITH days AS (SELECT user_id,
+        |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |    date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+        |  event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |cut AS (SELECT max(d) - 14 AS cutoff FROM days),
+        |feat AS (SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS spend_cents,
+        |  count(DISTINCT d) AS n_active_days,
+        |  max(cutoff - d) AS oldest_gap,
+        |  min(cutoff - d) AS recency_days
+        |  FROM days CROSS JOIN cut WHERE d <= cutoff GROUP BY 1),
+        |holdout AS (SELECT DISTINCT user_id FROM days CROSS JOIN cut
+        |  WHERE d > cutoff)
+        |SELECT f.user_id, f.n_events, f.n_purchases,
+        |CAST(f.spend_cents AS DOUBLE) / 1e2 AS spend,
+        |f.n_active_days, f.recency_days, f.oldest_gap,
+        |CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS churned
+        |FROM feat f LEFT JOIN holdout h ON f.user_id = h.user_id
+        |ORDER BY f.user_id""".stripMargin,
+
+    // Kaplan–Meier: exact-integer risk sets; the running Σln factor
+    // accumulates in identical day order in both engines; exp closes
+    // through the floor(·1e4+0.5) display quantizer.
+    "q217_km_conversion" ->
+      """WITH secs AS (SELECT user_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+        |  event_type FROM events),
+        |hz AS (SELECT max(sec) AS end_sec FROM secs),
+        |subj AS (SELECT user_id,
+        |  CASE WHEN min(CASE WHEN event_type = 'purchase' THEN sec END)
+        |    IS NULL THEN 0 ELSE 1 END AS converted,
+        |  CAST(floor(CAST(coalesce(min(CASE WHEN event_type = 'purchase'
+        |      THEN sec END), max(end_sec)) - min(sec) AS DOUBLE) / 86400.0)
+        |    AS BIGINT) AS dur
+        |  FROM secs CROSS JOIN hz GROUP BY user_id),
+        |tot AS (SELECT count(*) AS n_total FROM subj),
+        |byday AS (SELECT dur,
+        |  CAST(sum(CASE WHEN converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |  CAST(sum(CASE WHEN converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1),
+        |risk AS (SELECT dur, d, c,
+        |  n_total - coalesce(sum(d + c) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byday CROSS JOIN tot),
+        |run AS (SELECT dur, d, c, n_risk,
+        |  sum(CASE WHEN d > 0 AND d < n_risk
+        |    THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
+        |    OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum
+        |  FROM risk)
+        |SELECT dur AS t_day, CAST(n_risk AS BIGINT) AS n_risk,
+        |d AS n_events, c AS n_censored,
+        |CASE WHEN d = n_risk THEN 0.0
+        |  ELSE floor(exp(cum) * 1e4 + 0.5) / 1e4 END AS survival
+        |FROM run WHERE d > 0 ORDER BY t_day""".stripMargin
   )
 }

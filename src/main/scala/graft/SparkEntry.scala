@@ -590,7 +590,16 @@ object SparkEntry {
     "q213_rbo_rankings"     -> ((s, d) => TextAnalysis.rboRankings(Tables.documents(s, d))),
     // CDC log compaction: I/U/D ops per entity → last-writer-wins
     // final state with tombstones — the SCD1 MERGE maintenance pass
-    "q214_cdc_compact"      -> ((s, d) => EventAnalytics.cdcCompact(Tables.events(s, d)))
+    "q214_cdc_compact"      -> ((s, d) => EventAnalytics.cdcCompact(Tables.events(s, d))),
+    // source×source 8-gram-set Jaccard/containment matrix — which
+    // FEEDS are the same corpus, zeros included, 8-byte keys only
+    "q215_source_overlap"   -> ((s, d) => Dedup.sourceOverlapMatrix(Tables.documents(s, d))),
+    // leakage-safe churn training set: observation-window features,
+    // holdout-window label, temporal split enforced by construction
+    "q216_churn_labels"     -> ((s, d) => EventAnalytics.churnLabels(Tables.events(s, d))),
+    // Kaplan–Meier time-to-conversion with right-censoring: the
+    // not-converted-YET-aware funnel-latency curve
+    "q217_km_conversion"    -> ((s, d) => RobustStats.kmConversion(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

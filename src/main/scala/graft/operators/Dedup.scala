@@ -1669,4 +1669,44 @@ object Dedup {
     prebuildCascade(docs, dir, threshold, bands)
     goldenRecords(docs, docs.sparkSession.read.parquet(s"$dir/labels"))
   }
+
+  /** Corpus-level source-overlap matrix: n-gram-set Jaccard and
+    * containment between every pair of ingest sources — the
+    * which-feeds-duplicate-each-other audit that decides whether a
+    * new source is worth its ingest cost BEFORE doc-level dedup ever
+    * runs (q102 answers "which documents collide"; this answers
+    * "which SOURCES are the same corpus"). Containment (shared / the
+    * smaller side) is what flags a feed that is a strict subset
+    * mirror even when the size imbalance keeps Jaccard low.
+    *
+    * Scale: the corpus collapses to DISTINCT (source, gram-hash) —
+    * 8-byte keys off the native [[graft.functions.GramHashGenerator]],
+    * partial-aggregated map-side, text never shuffles. The
+    * intersection self-join keys on the gram hash, so its cost is
+    * Σ_g (#sources containing g)², bounded by |S|² per gram — never
+    * n². The closed matrix is |S|²/2 rows via a broadcast cross of
+    * the |S|-row size frame, zeros included (a zero-overlap claim is
+    * an audit RESULT, not an absent row).
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sets = docs.select(col("source"),
+        graft.functions.GramHashGenerator.gramHashes(col("text"), n).as(Seq("pos", "h")))
+      .select("source", "h").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sets.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val inter = sets.as("a").join(sets.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val pairs = sizes.select(col("source").as("source_a"), col("n_grams").as("grams_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_grams").as("grams_b"))),
+        col("source_a") < col("source_b"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .selectExpr("source_a", "source_b", "grams_a", "grams_b", "n_shared",
+        "floor(CAST(n_shared AS DOUBLE) / (grams_a + grams_b - n_shared) * 1e6 + 0.5) / 1e6 AS jaccard",
+        "floor(CAST(n_shared AS DOUBLE) / least(grams_a, grams_b) * 1e6 + 0.5) / 1e6 AS containment")
+      .orderBy("source_a", "source_b")
+  }
 }

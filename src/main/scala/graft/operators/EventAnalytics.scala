@@ -1071,4 +1071,47 @@ object EventAnalytics {
           "ELSE CAST(cents AS DOUBLE) / 1e2 END AS final_value")
       .orderBy("user_id")
   }
+
+  /** Leakage-safe churn training-set builder: features strictly from
+    * the observation window (days ≤ cutoff = last day − `horizon`),
+    * label strictly from the holdout window after it — the temporal
+    * split every churn/propensity model needs and every naive
+    * "features from all history" job silently violates. Emits one
+    * row per user active in the observation window: activity volume,
+    * purchase behaviour, breadth (active days), recency at cutoff,
+    * and churned = 1 iff the user has NO event in the holdout.
+    *
+    * Scale: one groupBy(user_id) over the observation slice builds
+    * every feature; the label is a left-anti-shaped left join against
+    * the DISTINCT holdout users (ids only — the holdout's payload
+    * never shuffles). The cutoff ships as a broadcast 1-row frame,
+    * never a driver collect. Money stays cents-BIGINT until display.
+    */
+  def churnLabels(ev: DataFrame, horizon: Int = 14): DataFrame = {
+    val days = ev.select(col("user_id"),
+      (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+        .cast("bigint").as("d"),
+      col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+    val cutoff = days.agg((max("d") - horizon).as("cutoff"))
+    val tagged = days.crossJoin(broadcast(cutoff))
+    val feat = tagged.filter(col("d") <= col("cutoff"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("bigint").as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).cast("bigint").as("spend_cents"),
+        countDistinct(col("d")).as("n_active_days"),
+        max(col("cutoff") - col("d")).as("oldest_gap"),
+        min(col("cutoff") - col("d")).as("recency_days"))
+    val holdout = tagged.filter(col("d") > col("cutoff"))
+      .select("user_id").distinct().withColumn("seen", lit(1))
+    feat.join(holdout, Seq("user_id"), "left")
+      .selectExpr("user_id", "n_events", "n_purchases",
+        "CAST(spend_cents AS DOUBLE) / 1e2 AS spend",
+        "n_active_days", "recency_days", "oldest_gap",
+        "CASE WHEN seen IS NULL THEN 1 ELSE 0 END AS churned")
+      .orderBy("user_id")
+  }
 }

@@ -511,4 +511,57 @@ object RobustStats {
           .otherwise(round(lit(k.toDouble) * lit(1.0e9) / col("sum_ln_e9"), 4))
           .as("alpha"))
   }
+
+  /** Kaplan–Meier time-to-conversion curve with right-censoring: per
+    * user, birth = first event, the event of interest = first
+    * `purchase`, duration in whole days; users who never convert are
+    * censored at the global observation end. S(t) = Π_{tᵢ ≤ t}
+    * (1 − dᵢ/nᵢ) over event days tᵢ, with the risk set nᵢ counting
+    * both future converters and future-censored users — the estimator
+    * product teams reach for the moment "average days to convert"
+    * is biased by the users who haven't converted YET.
+    *
+    * Scale: subjects collapse to one (duration, converted) row per
+    * user in a single groupBy; the curve is then #distinct-day rows
+    * — the cumulative windows (exits before t, running Σln factor)
+    * order by day inside that tiny frame, so no window ever sees the
+    * raw events. Engine parity: dᵢ/nᵢ is one IEEE divide of exact
+    * BIGINTs; the running Σ ln(1 − dᵢ/nᵢ) accumulates in the same
+    * day order in both engines (identical op sequence, the q138 ln
+    * discipline), and the closing exp quantizes via floor(·1e4+0.5).
+    */
+  def kmConversion(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val secs = ev.select(col("user_id"),
+      unix_timestamp(col("ts")).as("sec"), col("event_type"))
+    val horizon = secs.agg(max("sec").as("end_sec"))
+    val subjects = secs.groupBy("user_id")
+      .agg(min("sec").as("birth"),
+        min(when(col("event_type") === "purchase", col("sec"))).as("conv"))
+      .crossJoin(broadcast(horizon))
+      .selectExpr("user_id",
+        "CASE WHEN conv IS NULL THEN 0 ELSE 1 END AS converted",
+        "CAST(floor(CAST(coalesce(conv, end_sec) - birth AS DOUBLE) / 86400.0) AS BIGINT) AS dur")
+    val total = subjects.agg(count(lit(1)).as("n_total"))
+    val byDay = subjects.groupBy("dur")
+      .agg(sum(when(col("converted") === 1, 1).otherwise(0)).cast("bigint").as("d"),
+        sum(when(col("converted") === 0, 1).otherwise(0)).cast("bigint").as("c"))
+      .crossJoin(broadcast(total))
+    val wPrev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    byDay
+      .withColumn("n_risk", col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("lnf",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk"))).otherwise(lit(0.0)))
+      .withColumn("cum", sum("lnf").over(wRun))
+      .filter(col("d") > 0)
+      // d = n_risk empties the risk set (only possible on the final
+      // event day): S drops to exactly 0 — the factor is excluded
+      // from the ln sum so neither engine evaluates ln(0)
+      .selectExpr("dur AS t_day", "n_risk", "d AS n_events", "c AS n_censored",
+        "CASE WHEN d = n_risk THEN 0.0 " +
+          "ELSE floor(exp(cum) * 1e4 + 0.5) / 1e4 END AS survival")
+      .orderBy("t_day")
+  }
 }

@@ -881,6 +881,52 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r(4L).getDouble(4) == 2.0)
   }
 
+  // ---- q216 leakage-safe churn labels --------------------------------
+
+  test("churnLabels: temporal split — observation features, holdout label") {
+    def ev(id: Long, t: String, u: Long, ty: String, v: Double) =
+      (id, ts(t), u, ty, v, "{}")
+    // max day = Jan 20 → cutoff = Jan 6. u1 active only on/before the
+    // cutoff → churned; u2 active both sides → retained; u3 only in
+    // the holdout → no training row at all.
+    val df = Seq(
+      ev(1, "2024-01-04 10:00:00", 1, "purchase", 10.0),
+      ev(2, "2024-01-06 10:00:00", 1, "view", 1.0),
+      ev(3, "2024-01-05 10:00:00", 2, "purchase", 20.0),
+      ev(4, "2024-01-05 11:00:00", 2, "purchase", 2.5),
+      ev(5, "2024-01-20 10:00:00", 2, "view", 1.0),
+      ev(6, "2024-01-19 10:00:00", 3, "signup", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.churnLabels(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L))
+    // u1: 2 events, 1 purchase, $10, 2 active days, recency 0, oldest 2, churned
+    assert((r(1L).getLong(1), r(1L).getLong(2), r(1L).getDouble(3)) == ((2L, 1L, 10.0)))
+    assert((r(1L).getLong(4), r(1L).getLong(5), r(1L).getLong(6), r(1L).getInt(7)) ==
+      ((2L, 0L, 2L, 1)))
+    // u2: both purchases same day, $22.50, recency 1, retained
+    assert((r(2L).getLong(1), r(2L).getLong(2), r(2L).getDouble(3)) == ((2L, 2L, 22.5)))
+    assert((r(2L).getLong(4), r(2L).getLong(5), r(2L).getInt(7)) == ((1L, 1L, 0)))
+  }
+
+  test("churnLabels on the corpus: features never see the holdout") {
+    val events = Tables.events(spark, sfDir)
+    val r = EventAnalytics.churnLabels(events).cache()
+    assert(r.count() > 0)
+    // churned users have, by definition, no holdout presence: total
+    // events across labeled users equals the observation-window count
+    val cutoff = events.agg(
+      (max(unix_timestamp(date_trunc("day", col("ts"))) / 86400L).cast("bigint") - 14))
+      .head().getLong(0)
+    val obs = events.filter(
+      (unix_timestamp(date_trunc("day", col("ts"))) / 86400L).cast("bigint") <= cutoff)
+    assert(r.agg(sum("n_events")).head().getLong(0) == obs.count())
+    assert(r.count() == obs.select("user_id").distinct().count())
+    assert(r.filter(col("recency_days") < 0 || col("oldest_gap") < col("recency_days"))
+      .count() == 0)
+    r.unpersist()
+  }
+
   test("cdcCompact on the corpus: every changed user has one row, reads never count") {
     val events = Tables.events(spark, sfDir)
     val res = EventAnalytics.cdcCompact(events).cache()

@@ -1451,4 +1451,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter(col("sc") =!= col("max_chars")).count() == 0)
     r.unpersist()
   }
+
+  // ---- q215 source-overlap matrix ------------------------------------
+
+  test("sourceOverlapMatrix: mirrored source scores 1.0, disjoint source 0.0") {
+    import spark.implicits._
+    val t1 = (1 to 10).map("a" + _).mkString(" ")   // 10 tokens → 3 8-grams
+    val t2 = (1 to 10).map("z" + _).mkString(" ")
+    val docs = Seq(
+      (1L, t1, "en", "srcA", t1.length.toLong),
+      (2L, t1, "en", "srcB", t1.length.toLong),    // B mirrors A
+      (3L, t2, "en", "srcC", t2.length.toLong))    // C disjoint
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.sourceOverlapMatrix(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    val ab = r(("srcA", "srcB"))
+    assert((ab.getLong(2), ab.getLong(3), ab.getLong(4)) == ((3L, 3L, 3L)))
+    assert((ab.getDouble(5), ab.getDouble(6)) == ((1.0, 1.0)))
+    val ac = r(("srcA", "srcC"))
+    assert(ac.getLong(4) == 0L)
+    assert((ac.getDouble(5), ac.getDouble(6)) == ((0.0, 0.0)))
+  }
+
+  test("sourceOverlapMatrix on the corpus: closed matrix, planted dups show up") {
+    val srcCount = documents.select("source").distinct().count()
+    val r = Dedup.sourceOverlapMatrix(documents).cache()
+    assert(r.count() == srcCount * (srcCount - 1) / 2)
+    r.collect().foreach { x =>
+      val (ga, gb, sh) = (x.getLong(2), x.getLong(3), x.getLong(4))
+      assert(sh <= math.min(ga, gb))
+      assert(x.getDouble(5) <= x.getDouble(6) + 1e-9) // jaccard <= containment
+    }
+    // the corpus plants cross-source exact dups → some overlap exists
+    assert(r.filter(col("n_shared") > 0).count() > 0)
+    r.unpersist()
+  }
 }

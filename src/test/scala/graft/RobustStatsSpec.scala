@@ -375,4 +375,35 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.length == 1)
     assert(!r(0).isNullAt(3) && r(0).getDouble(3) > 0)
   }
+
+  // ---- q217 Kaplan–Meier time-to-conversion --------------------------
+
+  test("kmConversion: hand-built cohort with censoring") {
+    // u1/u3 convert at day 2, u4 at day 5, u2 never (censored at the
+    // global end, day 10). Day 2: n=4, d=2 → S=1/2. Day 5: n=2, d=1
+    // → S=1/4. The censor-only day 10 emits no row.
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-03 00:00:00", "purchase"),
+      (2L, "2024-01-01 00:00:00", "signup"),
+      (2L, "2024-01-11 00:00:00", "view"),
+      (3L, "2024-01-02 00:00:00", "signup"),
+      (3L, "2024-01-04 00:00:00", "purchase"),
+      (4L, "2024-01-01 00:00:00", "signup"),
+      (4L, "2024-01-06 00:00:00", "purchase")))
+    val r = RobustStats.kmConversion(df).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq((2L, 4L, 2L, 0L, 0.5), (5L, 2L, 1L, 0L, 0.25)))
+  }
+
+  test("kmConversion on the corpus: survival is monotone non-increasing in [0, 1]") {
+    val r = RobustStats.kmConversion(Tables.events(spark, sfDir)).collect()
+    assert(r.nonEmpty)
+    val s = r.map(_.getDouble(4))
+    assert(s.forall(v => v >= 0 && v <= 1))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    // risk sets shrink strictly along the curve
+    val n = r.map(_.getLong(1))
+    assert(n.zip(n.tail).forall { case (a, b) => a > b })
+  }
 }

@@ -705,6 +705,54 @@ object StreamPipeline {
       }
   }
 
+  /** Compacted CDC entity state (see [[cdcStateStream]]). */
+  case class CdcState(n_ops: Long, n_deletes: Long, sec: Long,
+                      event_id: Long, op: String, cents: Long)
+  case class CdcRow(user_id: Long, n_ops: Long, n_deletes: Long,
+                    alive: Int, final_value: Option[Double])
+
+  /** Live SCD1 compaction — the streaming twin of
+    * [[graft.operators.EventAnalytics.cdcCompact]] (q214): per-user
+    * state is O(1) — op/delete counters plus the current
+    * last-writer (sec, event_id, op, cents) — and each micro-batch
+    * re-emits the user's compacted row in Update mode, so a sink
+    * table upserted by key always equals the batch MERGE over the
+    * log so far.
+    *
+    * Stronger equivalence than the order-preconditioned twins
+    * ([[ewmaLevelStream]], [[transitionsStream]]): last-writer is a
+    * MAX over (sec, event_id) and the counters are sums — all
+    * commutative — so batch≡stream holds under ANY arrival order,
+    * not just per-key in-order delivery (spec-asserted on a shuffled
+    * replay).
+    */
+  def cdcStateStream(stream: DataFrame)
+      : org.apache.spark.sql.Dataset[CdcRow] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    stream.selectExpr("user_id", "unix_timestamp(ts) AS sec", "event_id",
+        "CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'U' " +
+          "WHEN 'error' THEN 'D' END AS op",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .filter("op IS NOT NULL")
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CdcState, CdcRow](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var s = state.getOption.getOrElse(CdcState(0L, 0L, Long.MinValue, Long.MinValue, "", 0L))
+          rows.foreach { case (_, sec, eid, op, cents) =>
+            val nd = s.n_deletes + (if (op == "D") 1 else 0)
+            s = if (sec > s.sec || (sec == s.sec && eid > s.event_id))
+              CdcState(s.n_ops + 1, nd, sec, eid, op, cents)
+            else s.copy(n_ops = s.n_ops + 1, n_deletes = nd)
+          }
+          state.update(s)
+          CdcRow(uid, s.n_ops, s.n_deletes, if (s.op == "D") 0 else 1,
+            if (s.op == "D") None else Some(s.cents.toDouble / 1e2))
+      }
+  }
+
   /** The current smoothed level per user (see [[ewmaLevelStream]]). */
   case class UserEwma(user_id: Long, n_events: Long,
                       last_event_id: Long, ewma_value: Double)

@@ -995,6 +995,55 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("user_id"), p)
   }
 
+  test("golden record: label probe joins docs on doc_id, window partitions by cluster") {
+    // q212 probes the materialized label frame (scan + equi-join +
+    // per-cluster window) — the build shape is pinned by the cascade
+    // audits; nothing here may regenerate shingles or pairs
+    val p = plan("q212_golden_record")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Generate"), s"the probe must not re-shingle:\n$p")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("cluster_id#")),
+      s"survivorship window must partition by cluster_id:\n$p")
+  }
+
+  test("rbo: both rankings ride the broadcast query-term panel; windows per query") {
+    val p = plan("q213_rbo_rankings")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("q_id#")),
+      s"rank windows must partition by q_id:\n$p")
+  }
+
+  test("cdc compact: last-writer window inside user partitions, no global sort") {
+    val p = plan("q214_cdc_compact")
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id#")),
+      s"the last-writer window must partition by user_id:\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("source overlap: intersection is a gram-hash equi-join; sizes broadcast") {
+    val p = plan("q215_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+    // the |S|-row closed-matrix cross is the ONLY permitted non-equi join;
+    // the gram-hash intersection itself must be a hash/merge equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || "BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("churn labels: one observation-window aggregate, holdout joins ids only") {
+    val p = plan("q216_churn_labels")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

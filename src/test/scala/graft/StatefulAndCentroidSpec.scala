@@ -58,6 +58,54 @@ class StatefulAndCentroidSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cdcStateStream converges to batch cdcCompact under shuffled arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamPipeline.cdcStateStream(stream)
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cdcc").toString)
+      .start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // deliberately OUT of order across batches: last-writer is a max,
+    // so the twin needs no delivery-order precondition at all
+    val rows = Seq(
+      (6L, ts("2026-01-01 12:00:00"), 3L, "signup", 7.5, "{}"),   // u3 resurrect (late)
+      (2L, ts("2026-01-01 11:00:00"), 1L, "purchase", 25.0, "{}"),
+      (4L, ts("2026-01-02 10:00:00"), 2L, "error", 0.0, "{}"),
+      (9L, ts("2026-01-01 10:00:00"), 5L, "view", 9.0, "{}"))     // read: ignored
+    val rows2 = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "signup", 10.0, "{}"),  // older than u1's U
+      (3L, ts("2026-01-01 10:00:00"), 2L, "signup", 10.0, "{}"),
+      (5L, ts("2026-01-01 10:00:00"), 3L, "error", 0.0, "{}"),
+      (7L, ts("2026-01-01 10:00:00"), 4L, "purchase", 1.0, "{}"),
+      (8L, ts("2026-01-01 10:00:00"), 4L, "purchase", 2.0, "{}")) // same-sec id tie
+    try {
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      mem.addData(rows2: _*)
+      query.processAllAvailable()
+      val emitted = spark.table("cdc_stream").collect().zipWithIndex
+      val streamFinal = emitted.groupBy(_._1.getLong(0))
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      val batch = graft.operators.EventAnalytics.cdcCompact(
+        (rows ++ rows2).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(streamFinal.keySet == batch.keySet)
+      assert(batch.keySet == Set(1L, 2L, 3L, 4L))
+      for (u <- batch.keySet) {
+        val (s, b) = (streamFinal(u), batch(u))
+        assert((s.getLong(1), s.getLong(2), s.getInt(3)) ==
+          ((b.getLong(1), b.getLong(2), b.getInt(3))), s"user $u")
+        assert(s.isNullAt(4) == b.isNullAt(4), s"user $u")
+        if (!b.isNullAt(4)) assert(s.getDouble(4) == b.getDouble(4), s"user $u")
+      }
+    } finally query.stop()
+  }
+
   test("ewmaLevelStream converges to batch ewmaLastPerUser (bounded-state twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

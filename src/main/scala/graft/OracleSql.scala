@@ -3734,6 +3734,87 @@ object OracleSql {
         |d AS n_events, c AS n_censored,
         |CASE WHEN d = n_risk THEN 0.0
         |  ELSE floor(exp(cum) * 1e4 + 0.5) / 1e4 END AS survival
-        |FROM run WHERE d > 0 ORDER BY t_day""".stripMargin
+        |FROM run WHERE d > 0 ORDER BY t_day""".stripMargin,
+
+    // Markov stationary: the q116 chain, rates quantized once to
+    // ⌊c·10⁹/tot⌋, 8 unrolled integer power-iteration steps — every
+    // op BIGINT (// is DuckDB integer division ≡ Spark's div).
+    "q218_markov_stationary" -> {
+      val steps = (1 to 8).map { t =>
+        s"""x$t AS (SELECT e.to_type AS state,
+           |  CAST(sum((x.xv * e.q9) // 1000000000) AS BIGINT) AS xv
+           |  FROM x${t - 1} x JOIN e ON x.state = e.from_type GROUP BY 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT event_type AS from_type,
+         |  lead(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS to_type
+         |  FROM events),
+         |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+         |e AS (SELECT c.from_type, c.to_type,
+         |  CAST((c.n * 1000000000) // t.tot AS BIGINT) AS q9
+         |  FROM c JOIN tot t ON c.from_type = t.from_type),
+         |states AS (SELECT DISTINCT from_type AS state FROM e),
+         |ns AS (SELECT count(*) AS n_states FROM states),
+         |x0 AS (SELECT state,
+         |  CAST(1000000000 // n_states AS BIGINT) AS xv
+         |  FROM states CROSS JOIN ns),
+         |$steps
+         |SELECT s.state, CAST(coalesce(x8.xv, 0) AS BIGINT) AS mass_e9,
+         |CAST(coalesce(x8.xv, 0) AS DOUBLE) / 1e9 AS stationary
+         |FROM states s LEFT JOIN x8 ON s.state = x8.state
+         |ORDER BY s.state""".stripMargin
+    },
+
+    // MMR: q37's cosine CTEs; 5 unrolled greedy steps, each an
+    // argmax window over the shortlist minus the selected set, with
+    // the penalty join against the intra-shortlist sim matrix.
+    // Weights are 7e-1/3e-1 DOUBLE literals — matching the Spark
+    // side's explicit 0.7/0.3 (never a computed 1−λ).
+    "q219_mmr_rerank" -> {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      val steps = (2 to 5).map { t =>
+        s"""p$t AS (SELECT q_id, vec_id, rel, score, $t AS pick FROM (
+           |  SELECT c.q_id, c.vec_id, c.rel,
+           |    c.rel * 7e-1 - mx.pen * 3e-1 AS score,
+           |    row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY c.rel * 7e-1 - mx.pen * 3e-1 DESC, c.vec_id) AS rk
+           |  FROM cand c
+           |  JOIN (SELECT s.q_id, s.id_a AS vec_id, max(s.sim) AS pen
+           |        FROM sims s JOIN sel${t - 1} ss
+           |        ON s.q_id = ss.q_id AND s.id_b = ss.vec_id
+           |        GROUP BY 1, 2) mx
+           |  ON c.q_id = mx.q_id AND c.vec_id = mx.vec_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} ex
+           |    WHERE ex.q_id = c.q_id AND ex.vec_id = c.vec_id)
+           |) WHERE rk = 1),
+           |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 8),
+         |sc AS (SELECT q_id, vec_id, v, ${cos("v", "qv")} AS rel
+         |  FROM base CROSS JOIN q WHERE vec_id <> q_id),
+         |cand AS (SELECT q_id, vec_id, v, rel FROM
+         |  (SELECT sc.*, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rel DESC, vec_id) AS rk FROM sc)
+         |  WHERE rk <= 20),
+         |sims AS (SELECT a.q_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cos("a.v", "b.v")} AS sim
+         |  FROM cand a JOIN cand b
+         |  ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+         |sel1 AS (SELECT q_id, vec_id, rel, rel * 7e-1 AS score, 1 AS pick FROM
+         |  (SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rel * 7e-1 DESC, vec_id) AS rk FROM cand)
+         |  WHERE rk = 1),
+         |$steps
+         |SELECT q_id, pick, vec_id AS neighbor_id,
+         |floor(rel * 1e6 + 0.5) / 1e6 AS relevance,
+         |floor(score * 1e6 + 0.5) / 1e6 AS mmr_score
+         |FROM sel5 ORDER BY q_id, pick""".stripMargin
+    }
   )
 }

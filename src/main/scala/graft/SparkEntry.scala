@@ -599,7 +599,13 @@ object SparkEntry {
     "q216_churn_labels"     -> ((s, d) => EventAnalytics.churnLabels(Tables.events(s, d))),
     // Kaplan–Meier time-to-conversion with right-censoring: the
     // not-converted-YET-aware funnel-latency curve
-    "q217_km_conversion"    -> ((s, d) => RobustStats.kmConversion(Tables.events(s, d)))
+    "q217_km_conversion"    -> ((s, d) => RobustStats.kmConversion(Tables.events(s, d))),
+    // stationary distribution of the q116 journey chain by exact
+    // integer power iteration — probabilities never exist as floats
+    "q218_markov_stationary" -> ((s, d) => EventAnalytics.markovStationary(Tables.events(s, d))),
+    // MMR diversity re-ranking over the q37 shortlist: greedy
+    // λ·rel − (1−λ)·max-sim selection, fixed k-deep broadcast chain
+    "q219_mmr_rerank"       -> ((s, d) => Similarity.mmrRerank(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

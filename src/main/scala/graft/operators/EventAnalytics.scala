@@ -1114,4 +1114,53 @@ object EventAnalytics {
         "CASE WHEN seen IS NULL THEN 1 ELSE 0 END AS churned")
       .orderBy("user_id")
   }
+
+  /** Stationary distribution of the empirical event-type Markov chain
+    * (q116's transition matrix) by bounded power iteration — "where
+    * does the user journey spend its time in the long run", the
+    * one-number-per-state summary the transition MATRIX doesn't give.
+    *
+    * Exactness: probabilities never exist as floats. Transition rates
+    * quantize once to q9 = ⌊c(a,b)·10⁹ / tot(a)⌋ (integer div of
+    * exact BIGINTs), the mass vector lives at the same 10⁹ scale, and
+    * each step is x'ᵢ = Σⱼ ⌊xⱼ·q9(j,i) / 10⁹⌋ — every term an exact
+    * BIGINT (≤ 10¹⁸, no overflow), every sum order-free, so both
+    * engines run bit-identical integer arithmetic for all `iters`
+    * steps (the floor leaks ≤ |S|·iters units of 10⁻⁹ mass — the
+    * audit column makes the leak visible instead of renormalizing it
+    * away).
+    *
+    * Scale: ONE pass over events builds the |S|²-row rate frame; the
+    * iteration then never touches data again — each step is a join
+    * between two ≤ |S|²-row broadcast-sized frames. iters is a
+    * compile-time bound, not a convergence loop: the plan is a fixed
+    * 8-deep chain, no driver-side convergence collect.
+    */
+  def markovStationary(ev: DataFrame, iters: Int = 8): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy("from_type").agg(sum("n").as("tot"))
+    val rates = counts.join(tot, Seq("from_type"))
+      .selectExpr("from_type", "to_type",
+        "CAST((n * 1000000000) div tot AS BIGINT) AS q9")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val states = rates.select(col("from_type").as("state")).distinct()
+    val nStates = states.agg(count(lit(1)).as("n_states"))
+    var x = states.crossJoin(broadcast(nStates))
+      .selectExpr("state", "CAST(1000000000 div n_states AS BIGINT) AS xv")
+    for (_ <- 1 to iters)
+      x = rates.join(x.withColumnRenamed("state", "from_type"), Seq("from_type"))
+        .groupBy(col("to_type").as("state"))
+        .agg(sum(expr("(xv * q9) div 1000000000")).cast("bigint").as("xv"))
+    states.join(x, Seq("state"), "left")
+      .withColumn("mass_e9", coalesce(col("xv"), lit(0L)))
+      .selectExpr("state", "mass_e9",
+        "CAST(mass_e9 AS DOUBLE) / 1e9 AS stationary")
+      .orderBy("state")
+  }
 }

@@ -1125,4 +1125,73 @@ object Similarity {
         "var_rank")
       .orderBy("dim")
   }
+
+  /** MMR diversity re-ranking (Carbonell & Goldstein 1998): greedy
+    * maximal-marginal-relevance selection of `k` results from each
+    * query's `pool`-deep relevance shortlist — score(d) = λ·rel(q,d)
+    * − (1−λ)·max_{s∈S} sim(d,s) — the standard retrieval/RAG move
+    * against near-duplicate result lists that plain top-k can't make.
+    *
+    * Mechanics: the shortlist is the q37 broadcast-panel scan
+    * (rk ≤ pool); the intra-shortlist sim matrix is pool²·|panel|
+    * rows; each greedy step is then a frame-only argmax (penalty =
+    * max-sim join against the selected set, rank window per q_id,
+    * rk = 1) — k is a compile-time bound, so the plan is a fixed
+    * k-deep chain on broadcast-sized frames and the corpus is
+    * scanned exactly once. At 100 TB the shortlist generator swaps
+    * for the IVF/PQ probe; the re-rank stage is unchanged.
+    *
+    * Engine parity: every cosine is the bit-reproducible sequential
+    * fold q37 hash-matches on; λ-arithmetic is identical single IEEE
+    * ops; ranking happens on the raw doubles with vec_id tiebreaks,
+    * round(6) only in the projection.
+    */
+  def mmrRerank(emb: DataFrame, nQueries: Int = 8, pool: Int = 20,
+                k: Int = 5, lambda: Double = 0.7,
+                oneMinusLambda: Double = 0.3): DataFrame = {
+    // both weights are explicit literals: 1.0 − 0.7 evaluates to
+    // 0.30000000000000004 in IEEE — computing the complement instead
+    // of passing it would silently diverge from the oracle's 3e-1
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wRel = Window.partitionBy("q_id").orderBy(col("rel").desc, col("vec_id"))
+    val cand = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rel", cosine(col("v"), col("qv")))
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= pool)
+      .select(col("q_id"), col("vec_id"), col("v"), col("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sims = cand.select(col("q_id"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(cand.select(col("q_id"), col("vec_id").as("id_b"), col("v").as("vb")), Seq("q_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("q_id"), col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rel = cand.select("q_id", "vec_id", "rel")
+    val wPick = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    // pick 1: pure relevance (empty S ⇒ zero penalty)
+    var selected = rel
+      .withColumn("score", col("rel") * lambda)
+      .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+      .select(col("q_id"), col("vec_id"), col("rel"), col("score"), lit(1).as("pick"))
+    for (t <- 2 to k) {
+      val selIds = selected.select(col("q_id"), col("vec_id").as("id_b"))
+      val rem = rel.join(selected.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      val pen = rem.join(sims.join(selIds, Seq("q_id", "id_b"))
+          .groupBy(col("q_id"), col("id_a").as("vec_id"))
+          .agg(max("sim").as("pen")), Seq("q_id", "vec_id"))
+      val next = pen
+        .withColumn("score", col("rel") * lambda - col("pen") * oneMinusLambda)
+        .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"), col("score"), lit(t).as("pick"))
+      selected = selected.unionByName(next)
+    }
+    selected.selectExpr("q_id", "pick", "vec_id AS neighbor_id",
+        "floor(rel * 1e6 + 0.5) / 1e6 AS relevance",
+        "floor(score * 1e6 + 0.5) / 1e6 AS mmr_score")
+      .orderBy("q_id", "pick")
+  }
 }

@@ -881,6 +881,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r(4L).getDouble(4) == 2.0)
   }
 
+  // ---- q218 Markov stationary distribution ---------------------------
+
+  test("markovStationary: two-state chain converges to (4/5, 1/5)") {
+    // one user, sequence A A A A B A → counts A→A 3, A→B 1, B→A 1:
+    // P = [[3/4, 1/4], [1, 0]], stationary (0.8, 0.2); the second
+    // eigenvalue is −1/4, so 8 iterations land within (1/4)^8 ≈ 2e-5.
+    val seq = Seq("A", "A", "A", "A", "B", "A")
+    val df = seq.zipWithIndex.map { case (ty, i) =>
+      (i.toLong, ts(s"2024-01-01 10:0$i:00"), 1L, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.markovStationary(df).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r.keySet == Set("A", "B"))
+    assert(math.abs(r("A") - 0.8) < 1e-3, r)
+    assert(math.abs(r("B") - 0.2) < 1e-3, r)
+  }
+
+  test("markovStationary on the corpus: a near-stochastic mass vector over all types") {
+    val r = EventAnalytics.markovStationary(Tables.events(spark, sfDir)).collect()
+    assert(r.length == 5)
+    val mass = r.map(_.getLong(1)).sum
+    // floor leakage only: each of 8 steps loses < |S| units per target
+    // state (per-term floors) plus the rate quantization's < |S| units
+    // per source row — ≤ 8·(25 + 25) = 400 units of 1e-9 total
+    assert(mass <= 1000000000L && mass >= 1000000000L - 400)
+    r.foreach(x => assert(x.getDouble(2) >= 0 && x.getDouble(2) <= 1))
+  }
+
   // ---- q216 leakage-safe churn labels --------------------------------
 
   test("churnLabels: temporal split — observation features, holdout label") {

@@ -1452,6 +1452,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  // ---- q219 MMR diversity re-rank ------------------------------------
+
+  test("mmrRerank: the diverse result outranks the near-duplicate at pick 2") {
+    import spark.implicits._
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // query along 0°; candidates at 10° and 11° are near-dups of each
+    // other, the -20° one is diverse: λ=0.7 scores pick 2 as
+    // 0.7·cos20 − 0.3·cos30 ≈ 0.398 > 0.7·cos11 − 0.3·cos1 ≈ 0.387
+    val df = Seq(
+      (0L, at(0), 0), (10L, at(10), 0), (11L, at(11), 0), (12L, at(-20), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.mmrRerank(df, nQueries = 1).collect()
+    assert(r.map(x => (x.getInt(1), x.getLong(2))).toSeq ==
+      Seq((1, 10L), (2, 12L), (3, 11L)))
+    // relevance of pick 1 is the plain top-1; scores decrease along picks
+    val scores = r.map(_.getDouble(4))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("mmrRerank on the corpus: 8 queries x 5 picks, pick 1 = exact top-1") {
+    val r = Similarity.mmrRerank(embeddings).cache()
+    assert(r.count() == 40)
+    // per query: picks are 1..5 over distinct neighbors
+    r.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      assert(rows.map(_.getLong(2)).distinct.length == 5)
+    }
+    val top1 = Similarity.bruteForceTopK(embeddings).filter(col("rk") === 1)
+      .select(col("q_id"), col("neighbor_id").as("bf_top"))
+    assert(r.filter(col("pick") === 1).join(top1, "q_id")
+      .filter(col("neighbor_id") =!= col("bf_top")).count() == 0)
+    r.unpersist()
+  }
+
   // ---- q215 source-overlap matrix ------------------------------------
 
   test("sourceOverlapMatrix: mirrored source scores 1.0, disjoint source 0.0") {

@@ -1044,6 +1044,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("markov stationary: iteration steps probe the cached rate frame, not the data") {
+    val p = plan("q218_markov_stationary")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+    // the rate frame is persisted: every power-iteration step reads
+    // InMemoryTableScan — a raw re-scan of events per step would show
+    // Scan parquet OUTSIDE an InMemoryRelation block (the cached
+    // plan's printed lineage repeats its child scan; runtime executes
+    // it once)
+    assert(p.contains("InMemoryTableScan"),
+      s"power iteration must probe the cached rate frame:\n$p")
+  }
+
+  test("mmr rerank: greedy steps probe the cached shortlist/sim frames") {
+    val p = plan("q219_mmr_rerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"),
+      s"greedy steps must reuse the persisted cand/sims frames:\n$p")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("q_id#")),
+      s"argmax windows must partition by q_id:\n$p")
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

@@ -3815,6 +3815,41 @@ object OracleSql {
          |floor(rel * 1e6 + 0.5) / 1e6 AS relevance,
          |floor(score * 1e6 + 0.5) / 1e6 AS mmr_score
          |FROM sel5 ORDER BY q_id, pick""".stripMargin
-    }
+    },
+
+    // Poisson bootstrap: md5 top-60-bit uniform inverted through
+    // Poisson(1) CDF literal thresholds (e-notation DOUBLEs both
+    // engines); BIGINT replicate sums; b=41 makes the CI percentile
+    // indexes exact (order statistics, no interpolation).
+    "q220_poisson_bootstrap" ->
+      """WITH rows_ AS (SELECT event_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |point AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cs FROM rows_),
+        |reps AS (SELECT r.r, cents,
+        |  ('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':'
+        |    || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT
+        |    / 1152921504606846976.0 AS u
+        |  FROM rows_, UNNEST(range(0, 41)) AS r(r)),
+        |wts AS (SELECT r, cents,
+        |  CASE WHEN u < 3.6787944117144233e-1 THEN 0
+        |    WHEN u < 7.357588823428847e-1 THEN 1
+        |    WHEN u < 9.196986029286058e-1 THEN 2
+        |    WHEN u < 9.810118431238463e-1 THEN 3
+        |    WHEN u < 9.963401531726563e-1 THEN 4
+        |    WHEN u < 9.994058151824183e-1 THEN 5
+        |    WHEN u < 9.99916758850712e-1 THEN 6
+        |    WHEN u < 9.999897508033253e-1 THEN 7 ELSE 8 END AS w
+        |  FROM reps),
+        |means AS (SELECT CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(sum(w) AS BIGINT) AS mean_cents
+        |  FROM wts GROUP BY r),
+        |ci AS (SELECT quantile_cont(mean_cents, 0.025) AS pl,
+        |  quantile_cont(mean_cents, 0.975) AS ph FROM means)
+        |SELECT n,
+        |floor(CAST(cs AS DOUBLE) / n / 1e2 * 1e4 + 0.5) / 1e4 AS mean_value,
+        |floor(pl / 1e2 * 1e4 + 0.5) / 1e4 AS boot_lo,
+        |floor(ph / 1e2 * 1e4 + 0.5) / 1e4 AS boot_hi
+        |FROM ci CROSS JOIN point""".stripMargin
   )
 }

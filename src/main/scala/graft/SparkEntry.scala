@@ -605,7 +605,11 @@ object SparkEntry {
     "q218_markov_stationary" -> ((s, d) => EventAnalytics.markovStationary(Tables.events(s, d))),
     // MMR diversity re-ranking over the q37 shortlist: greedy
     // λ·rel − (1−λ)·max-sim selection, fixed k-deep broadcast chain
-    "q219_mmr_rerank"       -> ((s, d) => Similarity.mmrRerank(Tables.embeddings(s, d)))
+    "q219_mmr_rerank"       -> ((s, d) => Similarity.mmrRerank(Tables.embeddings(s, d))),
+    // Poisson bootstrap CI for the mean purchase value: 41 replicates
+    // in ONE data pass via per-(row, replicate) md5-Poisson weights;
+    // exact-index order-statistic CI, no resampling shuffle
+    "q220_poisson_bootstrap" -> ((s, d) => RobustStats.poissonBootstrap(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

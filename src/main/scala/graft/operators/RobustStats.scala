@@ -530,6 +530,59 @@ object RobustStats {
     * day order in both engines (identical op sequence, the q138 ln
     * discipline), and the closing exp quantizes via floor(·1e4+0.5).
     */
+  /** Poisson bootstrap confidence interval for the mean purchase
+    * value — THE distributed bootstrap: classic resampling needs n
+    * draws-with-replacement per replicate (a shuffle per replicate);
+    * the Poisson approximation gives every (row, replicate) an
+    * independent Poisson(1) weight, so all `b` replicates ride ONE
+    * pass over the data and aggregate map-side. Deterministic end to
+    * end: the uniform is md5(event_id:replicate)'s top-60-bits / 2⁶⁰
+    * (exact parity on both engines) inverted through the Poisson(1)
+    * CDF as literal-double thresholds (e-notation so neither engine
+    * parses DECIMAL), weights cap at 8 (≈1.1e-6 tail mass, same cap
+    * both sides).
+    *
+    * Exactness: per-replicate Σw·cents and Σw are BIGINT-exact in
+    * any order; each replicate mean is one IEEE divide. `b` = 41
+    * replicates make the 2.5/97.5 percentile indexes exact integers
+    * (0.025·40 = 1), so the CI bounds are order statistics — no
+    * interpolation formula to diverge between engines.
+    */
+  def poissonBootstrap(ev: DataFrame, b: Int = 41): DataFrame = {
+    require(b == 41, "the exact-index percentile argument needs b = 41")
+    val rows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val point = rows.agg(count(lit(1)).as("n"), sum("cents").as("cs"))
+    val reps = rows
+      .select(col("event_id"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"))
+      .withColumn("u",
+        conv(substring(md5(concat_ws(":", col("event_id"), col("r"))), 1, 15), 16, 10)
+          .cast("long") / lit(1152921504606846976.0))
+      .selectExpr("r", "cents",
+        "CASE WHEN u < 3.6787944117144233e-1 THEN 0 " +
+          "WHEN u < 7.357588823428847e-1 THEN 1 " +
+          "WHEN u < 9.196986029286058e-1 THEN 2 " +
+          "WHEN u < 9.810118431238463e-1 THEN 3 " +
+          "WHEN u < 9.963401531726563e-1 THEN 4 " +
+          "WHEN u < 9.994058151824183e-1 THEN 5 " +
+          "WHEN u < 9.99916758850712e-1 THEN 6 " +
+          "WHEN u < 9.999897508033253e-1 THEN 7 ELSE 8 END AS w")
+      .groupBy("r")
+      .agg(sum(expr("w * cents")).cast("bigint").as("cw"),
+        sum("w").cast("bigint").as("wsum"))
+      .selectExpr("CAST(cw AS DOUBLE) / wsum AS mean_cents")
+    reps.agg(percentile(col("mean_cents"), lit(0.025)).as("pl"),
+        percentile(col("mean_cents"), lit(0.975)).as("ph"))
+      .crossJoin(broadcast(point))
+      .selectExpr("n",
+        "floor(CAST(cs AS DOUBLE) / n / 1e2 * 1e4 + 0.5) / 1e4 AS mean_value",
+        "floor(pl / 1e2 * 1e4 + 0.5) / 1e4 AS boot_lo",
+        "floor(ph / 1e2 * 1e4 + 0.5) / 1e4 AS boot_hi")
+  }
+
   def kmConversion(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val secs = ev.select(col("user_id"),

@@ -1067,6 +1067,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"argmax windows must partition by q_id:\n$p")
   }
 
+  test("poisson bootstrap: all replicates ride one pass; replicate sums partial-agg") {
+    val p = plan("q220_poisson_bootstrap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+    // point estimate + replicate fan-out share the persisted row frame
+    assert(p.contains("InMemoryTableScan"), p)
+    // the 41-replicate fan-out is a Generate over the row, never a join
+    assert(p.contains("Generate"), p)
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

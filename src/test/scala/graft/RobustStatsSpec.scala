@@ -376,6 +376,40 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(!r(0).isNullAt(3) && r(0).getDouble(3) > 0)
   }
 
+  // ---- q220 Poisson bootstrap ----------------------------------------
+
+  test("poissonBootstrap: CI brackets the point mean; deterministic across runs") {
+    val ev = Tables.events(spark, sfDir)
+    val r1 = RobustStats.poissonBootstrap(ev).head()
+    val (n, mean, lo, hi) =
+      (r1.getLong(0), r1.getDouble(1), r1.getDouble(2), r1.getDouble(3))
+    assert(n > 0)
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket $mean")
+    assert(hi - lo > 0, "replicate means cannot all coincide")
+    // a 95% bootstrap CI of a ~uniform money metric is narrow: the
+    // half-width shrinks like 1/sqrt(n)
+    assert((hi - lo) / mean < 0.5)
+    val r2 = RobustStats.poissonBootstrap(ev).head()
+    assert(r1 == r2, "md5-derived weights make the bootstrap a pure function")
+  }
+
+  test("poissonBootstrap: md5-Poisson weights average to ~1 (unit-mean resampling)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val rows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), explode(sequence(lit(0), lit(40))).as("r"))
+    val w = rows
+      .withColumn("u",
+        conv(substring(md5(concat_ws(":", col("event_id"), col("r"))), 1, 15), 16, 10)
+          .cast("long") / lit(1152921504606846976.0))
+      .selectExpr("CASE WHEN u < 3.6787944117144233e-1 THEN 0 " +
+        "WHEN u < 7.357588823428847e-1 THEN 1 " +
+        "WHEN u < 9.196986029286058e-1 THEN 2 " +
+        "WHEN u < 9.810118431238463e-1 THEN 3 ELSE 4 END AS w")
+      .agg(avg("w")).head().getDouble(0)
+    assert(math.abs(w - 1.0) < 0.03, s"mean Poisson(1) weight was $w")
+  }
+
   // ---- q217 Kaplan–Meier time-to-conversion --------------------------
 
   test("kmConversion: hand-built cohort with censoring") {

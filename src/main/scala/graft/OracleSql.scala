@@ -3850,6 +3850,54 @@ object OracleSql {
         |floor(CAST(cs AS DOUBLE) / n / 1e2 * 1e4 + 0.5) / 1e4 AS mean_value,
         |floor(pl / 1e2 * 1e4 + 0.5) / 1e4 AS boot_lo,
         |floor(ph / 1e2 * 1e4 + 0.5) / 1e4 AS boot_hi
-        |FROM ci CROSS JOIN point""".stripMargin
+        |FROM ci CROSS JOIN point""".stripMargin,
+
+    // WOE/IV: observation-activity quintiles vs the top-half-holdout-
+    // spender median split (both classes exist by construction);
+    // quantile_cont ≡ Spark percentile (q206 parity), +0.5 Laplace
+    // smoothing keeps ln off zero; formula text shared.
+    "q221_woe_audit" ->
+      """WITH days AS (SELECT user_id,
+        |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |    date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+        |  event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |cut AS (SELECT max(d) - 14 AS cutoff FROM days),
+        |feat AS (SELECT user_id, count(*) AS n_events
+        |  FROM days CROSS JOIN cut WHERE d <= cutoff GROUP BY 1),
+        |spend AS (SELECT user_id, CAST(sum(cents) AS BIGINT) AS ho_cents
+        |  FROM days CROSS JOIN cut
+        |  WHERE d > cutoff AND event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT f.user_id, f.n_events,
+        |  coalesce(s.ho_cents, 0) AS ho_cents
+        |  FROM feat f LEFT JOIN spend s ON f.user_id = s.user_id),
+        |med AS (SELECT quantile_cont(ho_cents, 0.5) AS med FROM j),
+        |lab AS (SELECT user_id, n_events,
+        |  CASE WHEN ho_cents > med THEN 1 ELSE 0 END AS hi
+        |  FROM j CROSS JOIN med),
+        |th AS (SELECT quantile_cont(n_events, 0.2) AS t1,
+        |  quantile_cont(n_events, 0.4) AS t2,
+        |  quantile_cont(n_events, 0.6) AS t3,
+        |  quantile_cont(n_events, 0.8) AS t4 FROM lab),
+        |tot AS (SELECT
+        |  CAST(sum(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hi_tot,
+        |  CAST(sum(CASE WHEN hi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS lo_tot
+        |  FROM lab),
+        |binned AS (SELECT CASE WHEN n_events <= t1 THEN 1
+        |    WHEN n_events <= t2 THEN 2 WHEN n_events <= t3 THEN 3
+        |    WHEN n_events <= t4 THEN 4 ELSE 5 END AS bin, hi
+        |  FROM lab CROSS JOIN th),
+        |agg AS (SELECT bin, count(*) AS n_users,
+        |  CAST(sum(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |  FROM binned GROUP BY 1)
+        |SELECT bin, n_users, n_hi,
+        |floor(CAST(n_hi AS DOUBLE) / n_users * 1e4 + 0.5) / 1e4 AS hi_rate,
+        |floor(ln(((CAST(n_hi AS DOUBLE) + 0.5) / hi_tot) /
+        |  ((CAST(n_users - n_hi AS DOUBLE) + 0.5) / lo_tot)) * 1e4 + 0.5) / 1e4 AS woe,
+        |floor((CAST(n_hi AS DOUBLE) / hi_tot -
+        |  CAST(n_users - n_hi AS DOUBLE) / lo_tot) *
+        |  ln(((CAST(n_hi AS DOUBLE) + 0.5) / hi_tot) /
+        |  ((CAST(n_users - n_hi AS DOUBLE) + 0.5) / lo_tot)) * 1e6 + 0.5) / 1e6 AS iv_term
+        |FROM agg CROSS JOIN tot ORDER BY bin""".stripMargin
   )
 }

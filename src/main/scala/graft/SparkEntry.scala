@@ -609,7 +609,10 @@ object SparkEntry {
     // Poisson bootstrap CI for the mean purchase value: 41 replicates
     // in ONE data pass via per-(row, replicate) md5-Poisson weights;
     // exact-index order-statistic CI, no resampling shuffle
-    "q220_poisson_bootstrap" -> ((s, d) => RobustStats.poissonBootstrap(Tables.events(s, d)))
+    "q220_poisson_bootstrap" -> ((s, d) => RobustStats.poissonBootstrap(Tables.events(s, d))),
+    // WOE/IV feature-power audit over the leakage-safe churn frame:
+    // quintile bins from one broadcast percentile, 5-row output
+    "q221_woe_audit"        -> ((s, d) => EventAnalytics.woeAudit(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

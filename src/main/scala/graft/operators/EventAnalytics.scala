@@ -1115,6 +1115,75 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Weight-of-evidence / information-value audit — the
+    * credit-scoring-born screen that answers "does this feature
+    * actually separate the target" BEFORE a model trains on it.
+    * Feature: observation-window activity (events on days ≤ cutoff =
+    * last − `horizon`, the [[churnLabels]] temporal split). Target:
+    * top-half holdout spender — holdout purchase cents above the
+    * labeled population's median, a median split so BOTH classes
+    * exist at every corpus scale by construction (churn/purchase
+    * incidence in this feed is degenerate — every user stays active).
+    * Quintile-binned: WOEᵢ = ln((hiᵢ/hi)/(loᵢ/lo)) with +0.5 Laplace
+    * smoothing (an empty cell must not produce ln(0)), IVᵢ =
+    * (hiᵢ/hi − loᵢ/lo)·WOEᵢ.
+    *
+    * Scale: one observation-window groupBy for the feature, one
+    * holdout groupBy for the target, an id-only join between them;
+    * thresholds and the median are ONE broadcast percentile
+    * aggregate each (the q206 discipline — never a global ntile
+    * sort); output is 5 rows. Counts exact BIGINTs, each rate one
+    * IEEE divide, ln/closing formula text shared, display
+    * floor-quantized.
+    */
+  def woeAudit(ev: DataFrame, horizon: Int = 14): DataFrame = {
+    val days = ev.select(col("user_id"),
+      (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+        .cast("bigint").as("d"),
+      col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+    val cutoff = days.agg((max("d") - horizon).as("cutoff"))
+    val tagged = days.crossJoin(broadcast(cutoff))
+    val feat = tagged.filter(col("d") <= col("cutoff"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val spend = tagged.filter(col("d") > col("cutoff") &&
+        col("event_type") === "purchase")
+      .groupBy("user_id").agg(sum("cents").as("ho_cents"))
+    val joined = feat.join(spend, Seq("user_id"), "left")
+      .withColumn("ho_cents", coalesce(col("ho_cents"), lit(0L)))
+    val med = joined.agg(percentile(col("ho_cents"), lit(0.5)).as("med"))
+    val labeled = joined.crossJoin(broadcast(med))
+      .withColumn("hi", when(col("ho_cents") > col("med"), 1).otherwise(0))
+      .select("user_id", "n_events", "hi")
+    val th = labeled.agg(
+      percentile(col("n_events"), lit(0.2)).as("t1"),
+      percentile(col("n_events"), lit(0.4)).as("t2"),
+      percentile(col("n_events"), lit(0.6)).as("t3"),
+      percentile(col("n_events"), lit(0.8)).as("t4"))
+    val tot = labeled.agg(
+      sum(when(col("hi") === 1, 1).otherwise(0)).cast("bigint").as("hi_tot"),
+      sum(when(col("hi") === 0, 1).otherwise(0)).cast("bigint").as("lo_tot"))
+    labeled.crossJoin(broadcast(th))
+      .withColumn("bin",
+        when(col("n_events") <= col("t1"), 1)
+          .when(col("n_events") <= col("t2"), 2)
+          .when(col("n_events") <= col("t3"), 3)
+          .when(col("n_events") <= col("t4"), 4).otherwise(5))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("hi") === 1, 1).otherwise(0)).cast("bigint").as("n_hi"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("bin", "n_users", "n_hi",
+        "floor(CAST(n_hi AS DOUBLE) / n_users * 1e4 + 0.5) / 1e4 AS hi_rate",
+        "floor(ln(((CAST(n_hi AS DOUBLE) + 0.5) / hi_tot) / " +
+          "((CAST(n_users - n_hi AS DOUBLE) + 0.5) / lo_tot)) * 1e4 + 0.5) / 1e4 AS woe",
+        "floor((CAST(n_hi AS DOUBLE) / hi_tot - " +
+          "CAST(n_users - n_hi AS DOUBLE) / lo_tot) * " +
+          "ln(((CAST(n_hi AS DOUBLE) + 0.5) / hi_tot) / " +
+          "((CAST(n_users - n_hi AS DOUBLE) + 0.5) / lo_tot)) * 1e6 + 0.5) / 1e6 AS iv_term")
+      .orderBy("bin")
+  }
+
   /** Stationary distribution of the empirical event-type Markov chain
     * (q116's transition matrix) by bounded power iteration — "where
     * does the user journey spend its time in the long run", the

@@ -1162,36 +1162,62 @@ object Similarity {
       .withColumn("rk", row_number().over(wRel))
       .filter(col("rk") <= pool)
       .select(col("q_id"), col("vec_id"), col("v"), col("rel"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sims = cand.select(col("q_id"), col("vec_id").as("id_a"), col("v").as("va"))
-      .join(cand.select(col("q_id"), col("vec_id").as("id_b"), col("v").as("vb")), Seq("q_id"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("q_id"), col("id_a"), col("id_b"),
-        cosine(col("va"), col("vb")).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rel = cand.select("q_id", "vec_id", "rel")
-    val wPick = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    // pick 1: pure relevance (empty S ⇒ zero penalty)
-    var selected = rel
-      .withColumn("score", col("rel") * lambda)
-      .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
-      .select(col("q_id"), col("vec_id"), col("rel"), col("score"), lit(1).as("pick"))
-    for (t <- 2 to k) {
-      val selIds = selected.select(col("q_id"), col("vec_id").as("id_b"))
-      val rem = rel.join(selected.select(col("q_id"), col("vec_id")),
-        Seq("q_id", "vec_id"), "left_anti")
-      val pen = rem.join(sims.join(selIds, Seq("q_id", "id_b"))
-          .groupBy(col("q_id"), col("id_a").as("vec_id"))
-          .agg(max("sim").as("pen")), Seq("q_id", "vec_id"))
-      val next = pen
-        .withColumn("score", col("rel") * lambda - col("pen") * oneMinusLambda)
-        .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
-        .select(col("q_id"), col("vec_id"), col("rel"), col("score"), lit(t).as("pick"))
-      selected = selected.unionByName(next)
-    }
-    selected.selectExpr("q_id", "pick", "vec_id AS neighbor_id",
-        "floor(rel * 1e6 + 0.5) / 1e6 AS relevance",
-        "floor(score * 1e6 + 0.5) / 1e6 AS mmr_score")
+    // The greedy phase runs as ONE mapGroups pass: the pool is
+    // bounded (`pool` rows per query) BY CONSTRUCTION, so per-query
+    // MMR is a local O(k·pool²) loop — a frame-per-step formulation
+    // of the same greedy costs ~5 shuffle stages per pick (measured
+    // 11 s of pure stage-scheduling at sf0.1); this is the genuine
+    // per-group-imperative case the typed API exists for. The local
+    // cosine replays CosineSimilarity.nullSafeEval's sequential fold
+    // (≡ DuckDB's list_dot_product closing formula) bit-for-bit.
+    val session = emb.sparkSession
+    import session.implicits._
+    cand.as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Array[Double], Double)]) =>
+        val p = it.toArray.sortBy(_._2) // ascending vec_id: ties resolve to the smallest id
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          val n = math.min(a.length, b.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val m = p.length
+        val sim = Array.ofDim[Double](m, m)
+        var i = 0
+        while (i < m) {
+          var j = 0
+          while (j < m) { if (i != j) sim(i)(j) = cos(p(i)._3, p(j)._3); j += 1 }
+          i += 1
+        }
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+        (1 to math.min(k, m)).iterator.map { t =>
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < m) {
+            if (!chosen.contains(c)) {
+              val score =
+                if (chosen.isEmpty) p(c)._4 * lambda
+                else {
+                  var pen = Double.NegativeInfinity
+                  chosen.foreach(s => if (sim(c)(s) > pen) pen = sim(c)(s))
+                  p(c)._4 * lambda - pen * oneMinusLambda
+                }
+              // strict > with ascending-id iteration ⇒ score ties keep
+              // the smallest vec_id (the frame formulation's ORDER BY
+              // score DESC, vec_id)
+              if (score > bestScore) { bestScore = score; best = c }
+            }
+            c += 1
+          }
+          chosen += best
+          (qid, t, p(best)._2,
+            math.floor(p(best)._4 * 1e6 + 0.5) / 1e6,
+            math.floor(bestScore * 1e6 + 0.5) / 1e6)
+        }
+      }
+      .toDF("q_id", "pick", "neighbor_id", "relevance", "mmr_score")
       .orderBy("q_id", "pick")
   }
 }

@@ -881,6 +881,45 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r(4L).getDouble(4) == 2.0)
   }
 
+  // ---- q221 WOE / information value ----------------------------------
+
+  test("woeAudit: hand-computed WOE on a perfectly separating feature") {
+    // users u=1..10 with u observation events; holdout purchase of
+    // $1 (u <= 5) vs $100 (u >= 6) → median split labels 6..10 hi.
+    // Quintiles of 1..10 put {1,2} in bin 1 (0/2 hi): woe =
+    // ln((0.5/5)/(2.5/5)) = −ln 5, iv_term = (0/5 − 2/5)·(−ln 5).
+    val rows = (1 to 10).flatMap { u =>
+      (1 to u).map(i => ((u * 100 + i).toLong,
+        ts(f"2024-01-0${1 + (i - 1) % 6}%01d 10:${i % 60}%02d:00"), u.toLong,
+        "view", 1.0, "{}"))
+    } ++ (1 to 10).map(u => ((u * 100 + 99).toLong,
+      ts("2024-01-20 10:00:00"), u.toLong, "purchase",
+      if (u >= 6) 100.0 else 1.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.woeAudit(df).collect()
+      .map(x => x.getInt(0) -> x).toMap
+    assert(r.keySet == Set(1, 2, 3, 4, 5))
+    assert((r(1).getLong(1), r(1).getLong(2)) == ((2L, 0L)))
+    assert(r(1).getDouble(3) == 0.0)
+    assert(r(1).getDouble(4) == -1.6094)         // −ln 5, floor-4dp
+    assert(r(1).getDouble(5) == 0.643775)        // 0.4·ln 5, floor-6dp
+    assert(r(5).getLong(2) == 2L)                // high-activity bin is all hi
+    assert(r(5).getDouble(4) > 0)
+  }
+
+  test("woeAudit on the corpus: five bins partition the users, both classes present") {
+    val r = EventAnalytics.woeAudit(Tables.events(spark, sfDir)).collect()
+    // tied quintile thresholds can empty a bin at tiny scale — the
+    // emitted bins are a nonempty subset of 1..5
+    val bins = r.map(_.getInt(0)).sorted.toSeq
+    assert(bins.nonEmpty && bins.forall((1 to 5).contains) && bins == bins.distinct)
+    val labeled = EventAnalytics.churnLabels(Tables.events(spark, sfDir))
+    assert(r.map(_.getLong(1)).sum == labeled.count())
+    val hi = r.map(_.getLong(2)).sum
+    assert(hi > 0 && hi < r.map(_.getLong(1)).sum,
+      "the median split must produce both classes")
+  }
+
   // ---- q218 Markov stationary distribution ---------------------------
 
   test("markovStationary: two-state chain converges to (4/5, 1/5)") {

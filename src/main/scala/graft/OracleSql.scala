@@ -3898,6 +3898,55 @@ object OracleSql {
         |  CAST(n_users - n_hi AS DOUBLE) / lo_tot) *
         |  ln(((CAST(n_hi AS DOUBLE) + 0.5) / hi_tot) /
         |  ((CAST(n_users - n_hi AS DOUBLE) + 0.5) / lo_tot)) * 1e6 + 0.5) / 1e6 AS iv_term
-        |FROM agg CROSS JOIN tot ORDER BY bin""".stripMargin
+        |FROM agg CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    // Trending keys: half-over-half smoothed log-lift per props.k,
+    // top-N by (lift DESC, k).
+    "q222_trending_keys" ->
+      """WITH days AS (SELECT
+        |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |    date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events),
+        |f AS (SELECT d, k FROM days WHERE k IS NOT NULL),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM f),
+        |h AS (SELECT k, CASE WHEN d < (d0 + d1 + 1) // 2 THEN 0 ELSE 1 END AS half
+        |  FROM f CROSS JOIN span),
+        |c AS (SELECT k,
+        |  CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM h GROUP BY 1)
+        |SELECT k, c1, c2,
+        |floor(ln((CAST(c2 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5)) * 1e4 + 0.5) / 1e4 AS lift
+        |FROM c ORDER BY lift DESC, k LIMIT 20""".stripMargin,
+
+    // Cross-correlation: zero-filled daily spine, lag fan-out on the
+    // bounded frame, q161's corr formula text per lag.
+    "q223_cross_correlation" ->
+      """WITH daily AS (SELECT
+        |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |    date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+        |spine AS (SELECT s.d, coalesce(daily.a, 0) AS a, coalesce(daily.b, 0) AS b
+        |  FROM (SELECT unnest(range(d0, d1 + 1)) AS d FROM span) s
+        |  LEFT JOIN daily ON s.d = daily.d),
+        |pairs AS (SELECT l.lag, x.a, y.b
+        |  FROM spine x, UNNEST(range(-7, 8)) AS l(lag)
+        |  JOIN spine y ON y.d = x.d + l.lag),
+        |g AS (SELECT lag, count(*) AS n_days,
+        |  CAST(sum(a) AS BIGINT) AS sx, CAST(sum(b) AS BIGINT) AS sy,
+        |  CAST(sum(a * b) AS BIGINT) AS sxy,
+        |  CAST(sum(a * a) AS BIGINT) AS sxx,
+        |  CAST(sum(b * b) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS INT) AS lag, n_days,
+        |round((CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        | nullif(sqrt(CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |        sqrt(CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0),
+        | 4) AS xcorr
+        |FROM g ORDER BY lag""".stripMargin
   )
 }

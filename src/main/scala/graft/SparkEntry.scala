@@ -612,7 +612,13 @@ object SparkEntry {
     "q220_poisson_bootstrap" -> ((s, d) => RobustStats.poissonBootstrap(Tables.events(s, d))),
     // WOE/IV feature-power audit over the leakage-safe churn frame:
     // quintile bins from one broadcast percentile, 5-row output
-    "q221_woe_audit"        -> ((s, d) => EventAnalytics.woeAudit(Tables.events(s, d)))
+    "q221_woe_audit"        -> ((s, d) => EventAnalytics.woeAudit(Tables.events(s, d))),
+    // half-over-half trending props keys: smoothed log-lift, top-N
+    // via TakeOrdered — the what-took-off screen
+    "q222_trending_keys"    -> ((s, d) => EventAnalytics.trendingKeys(Tables.events(s, d))),
+    // lead-lag cross-correlation of daily purchase vs error volumes
+    // over the zero-filled calendar — q161's bivariate sibling
+    "q223_cross_correlation" -> ((s, d) => EventAnalytics.crossCorrelation(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -1184,6 +1184,89 @@ object EventAnalytics {
       .orderBy("bin")
   }
 
+  /** Half-over-half trending keys: smoothed log-lift of each props-`k`
+    * key's event count in the span's second half vs its first — the
+    * what-took-off screen (bot surges, feature launches, data-feed
+    * shifts) run before anyone eyeballs dashboards. +0.5 smoothing
+    * keeps new keys (c1 = 0) finite instead of infinite, and the
+    * lift is symmetric: a disappearing key scores the mirror-image
+    * negative.
+    *
+    * Scale: one map pass (day + JSON key extraction) → one groupBy(k)
+    * with two conditional BIGINT counts → #keys rows; the top-N is
+    * TakeOrdered (heap per partition + N-row driver merge), never a
+    * full sort. The span ships as a broadcast 1-row frame.
+    */
+  def trendingKeys(ev: DataFrame, topN: Int = 20): DataFrame = {
+    val days = ev.select(
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+          .cast("bigint").as("d"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k").isNotNull)
+    val span = days.agg(min("d").as("d0"), max("d").as("d1"))
+    days.crossJoin(broadcast(span))
+      .withColumn("half",
+        when(col("d") < expr("(d0 + d1 + 1) div 2"), 0).otherwise(1))
+      .groupBy("k")
+      .agg(sum(when(col("half") === 0, 1).otherwise(0)).cast("bigint").as("c1"),
+        sum(when(col("half") === 1, 1).otherwise(0)).cast("bigint").as("c2"))
+      .selectExpr("k", "c1", "c2",
+        "floor(ln((CAST(c2 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5)) * 1e4 + 0.5) / 1e4 AS lift")
+      .orderBy(col("lift").desc, col("k")).limit(topN)
+  }
+
+  /** Lead–lag cross-correlation between two event types' daily count
+    * series (default: does `error` volume LEAD `purchase` volume?) —
+    * the q161 autocorrelation's bivariate sibling: Pearson r of
+    * x(d) = a-count vs y(d+lag) = b-count for lag ∈ [−maxLag,
+    * +maxLag], a positive peak at lag +L reading "a at day d
+    * co-moves with b L days later". The calendar densifies to the
+    * global span with zero-fill (a missing day is a 0-count
+    * observation, not an absent row — dropping it biases r toward
+    * the busy days).
+    *
+    * Scale: events collapse to the #days×2 daily frame first; the
+    * lag fan-out and the shifted self-join run entirely on that
+    * bounded spine. All sufficient statistics are exact BIGINTs;
+    * r's closing formula is the q161 text (each variance under its
+    * own sqrt — the BIGINT product of the two would overflow).
+    */
+  def crossCorrelation(ev: DataFrame, typeA: String = "purchase",
+                       typeB: String = "error", maxLag: Int = 7): DataFrame = {
+    val daily = ev.select(
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+          .cast("bigint").as("d"),
+        col("event_type"))
+      .groupBy("d")
+      .agg(sum(when(col("event_type") === typeA, 1).otherwise(0))
+          .cast("bigint").as("a"),
+        sum(when(col("event_type") === typeB, 1).otherwise(0))
+          .cast("bigint").as("b"))
+    val span = daily.agg(min("d").as("d0"), max("d").as("d1"))
+    val spine = span.select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shifted join: y at day d + lag
+    val pairs = spine.select(col("d"), col("a"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .join(spine.select(col("d").as("dy"), col("b")),
+        col("dy") === col("d") + col("lag"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum("a").cast("bigint").as("sx"), sum("b").cast("bigint").as("sy"),
+        sum(expr("a * b")).cast("bigint").as("sxy"),
+        sum(expr("a * a")).cast("bigint").as("sxx"),
+        sum(expr("b * b")).cast("bigint").as("syy"))
+      .selectExpr("lag", "n_days",
+        "round((CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /" +
+          " nullif(sqrt(CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *" +
+          "        sqrt(CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0)," +
+          " 4) AS xcorr")
+      .orderBy("lag")
+  }
+
   /** Stationary distribution of the empirical event-type Markov chain
     * (q116's transition matrix) by bounded power iteration — "where
     * does the user journey spend its time in the long run", the

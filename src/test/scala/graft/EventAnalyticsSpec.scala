@@ -920,6 +920,46 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "the median split must produce both classes")
   }
 
+  // ---- q222 trending keys --------------------------------------------
+
+  test("trendingKeys: smoothed log-lift orders new > rising > falling") {
+    // span Jan 1-4 → halves {1,2} vs {3,4}. k=3 appears only in the
+    // second half (lift ln 5), k=1 rises 1→4 (ln 3), k=2 falls 4→1
+    // (−ln 3).
+    var id = 0L
+    def ev(day: Int, k: Int) = { id += 1
+      (id, ts(f"2024-01-0$day%01d 10:00:00"), id % 7, "view", 1.0, s"""{"k": $k}""") }
+    val rows = Seq(ev(1, 1)) ++ (1 to 4).map(_ => ev(3, 1)) ++
+      (1 to 4).map(_ => ev(1, 2)) ++ Seq(ev(4, 2)) ++
+      (1 to 2).map(_ => ev(4, 3))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.trendingKeys(df).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (3, 0L, 2L, 1.6094), (1, 1L, 4L, 1.0986), (2, 4L, 1L, -1.0986)))
+  }
+
+  // ---- q223 lead-lag cross-correlation -------------------------------
+
+  test("crossCorrelation: a series shifted by 2 days peaks at lag +2 with r = 1") {
+    // purchases alternate 1/2 per day over Jan 1-10; errors replay the
+    // same pattern 2 days later — the lag-2 pairs align perfectly.
+    var id = 1000L
+    def evs(day: Int, n: Int, ty: String) = (1 to n).map { _ =>
+      id += 1; (id, ts(f"2024-01-${day}%02d 10:00:00"), id % 5, ty, 1.0, "{}") }
+    val rows = (1 to 10).flatMap(d => evs(d, 1 + (d % 2), "purchase")) ++
+      (3 to 10).flatMap(d => evs(d, 1 + ((d - 2) % 2), "error"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.crossCorrelation(df).collect()
+      .map(x => x.getInt(0) -> (x.getLong(1), if (x.isNullAt(2)) Double.NaN else x.getDouble(2)))
+      .toMap
+    assert(r.size == 15)
+    // n_days shrinks by |lag| off the 10-day spine
+    assert(r(0)._1 == 10L && r(7)._1 == 3L && r(-7)._1 == 3L)
+    assert(r(2)._2 == 1.0, s"lag +2 must align perfectly: ${r(2)}")
+    assert(r(1)._2 < 1.0 && r(3)._2 < 1.0)
+  }
+
   // ---- q218 Markov stationary distribution ---------------------------
 
   test("markovStationary: two-state chain converges to (4/5, 1/5)") {

@@ -1079,6 +1079,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
   }
 
+  test("trending keys: top-N is TakeOrdered, counts partial-agg before the shuffle") {
+    val p = plan("q222_trending_keys")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cross correlation: the shifted self-join is an equi-join on the day spine") {
+    val p = plan("q223_cross_correlation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+    // the lag fan-out explodes the BOUNDED spine, never the events
+    assert(p.contains("Generate"), p)
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

@@ -3947,6 +3947,37 @@ object OracleSql {
         | nullif(sqrt(CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
         |        sqrt(CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0),
         | 4) AS xcorr
-        |FROM g ORDER BY lag""".stripMargin
+        |FROM g ORDER BY lag""".stripMargin,
+
+    // DiD: q205's deterministic arms, q222's midpoint split, four
+    // BIGINT cell sums in ONE conditional aggregate; formula text
+    // shared.
+    "q224_did_estimate" ->
+      """WITH days AS (SELECT user_id,
+        |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |    date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM days),
+        |t AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+        |  CASE WHEN d < (d0 + d1 + 1) // 2 THEN 0 ELSE 1 END AS post, cents
+        |  FROM days CROSS JOIN span),
+        |g AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN cents END) AS BIGINT) AS s_t1,
+        |  count(CASE WHEN arm = 1 AND post = 1 THEN 1 END) AS n_t1,
+        |  CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN cents END) AS BIGINT) AS s_t0,
+        |  count(CASE WHEN arm = 1 AND post = 0 THEN 1 END) AS n_t0,
+        |  CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN cents END) AS BIGINT) AS s_c1,
+        |  count(CASE WHEN arm = 0 AND post = 1 THEN 1 END) AS n_c1,
+        |  CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN cents END) AS BIGINT) AS s_c0,
+        |  count(CASE WHEN arm = 0 AND post = 0 THEN 1 END) AS n_c0
+        |  FROM t)
+        |SELECT n_t0, n_t1, n_c0, n_c1,
+        |floor(CAST(s_t0 AS DOUBLE) / n_t0 / 1e2 * 1e4 + 0.5) / 1e4 AS t_pre,
+        |floor(CAST(s_t1 AS DOUBLE) / n_t1 / 1e2 * 1e4 + 0.5) / 1e4 AS t_post,
+        |floor(CAST(s_c0 AS DOUBLE) / n_c0 / 1e2 * 1e4 + 0.5) / 1e4 AS c_pre,
+        |floor(CAST(s_c1 AS DOUBLE) / n_c1 / 1e2 * 1e4 + 0.5) / 1e4 AS c_post,
+        |floor(((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0) -
+        |  (CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0)) / 1e2 * 1e4 + 0.5) / 1e4 AS did
+        |FROM g""".stripMargin
   )
 }

@@ -618,7 +618,10 @@ object SparkEntry {
     "q222_trending_keys"    -> ((s, d) => EventAnalytics.trendingKeys(Tables.events(s, d))),
     // lead-lag cross-correlation of daily purchase vs error volumes
     // over the zero-filled calendar — q161's bivariate sibling
-    "q223_cross_correlation" -> ((s, d) => EventAnalytics.crossCorrelation(Tables.events(s, d)))
+    "q223_cross_correlation" -> ((s, d) => EventAnalytics.crossCorrelation(Tables.events(s, d))),
+    // difference-in-differences with deterministic arms + midpoint
+    // intervention: one conditional aggregate, 1-row report
+    "q224_did_estimate"     -> ((s, d) => RobustStats.didEstimate(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -583,6 +583,47 @@ object RobustStats {
         "floor(ph / 1e2 * 1e4 + 0.5) / 1e4 AS boot_hi")
   }
 
+  /** Difference-in-differences estimator — the quasi-experimental
+    * workhorse when there's no randomized control: with deterministic
+    * arms (user_id % 2, the q205 assignment) and the span's midpoint
+    * as the "intervention", DiD = (T̄post − T̄pre) − (C̄post − C̄pre)
+    * cancels both the arms' level difference and the common time
+    * trend. Emitted with all four cell means and counts so the
+    * parallel-trends eyeball check has its inputs.
+    *
+    * Scale: ONE conditional aggregate over the cents-quantized
+    * event frame — four BIGINT sums + four counts, a 1-row result;
+    * the span midpoint rides a broadcast 1-row frame. Every mean is
+    * one IEEE divide of exact integers; the closing formula text is
+    * shared with the oracle.
+    */
+  def didEstimate(ev: DataFrame): DataFrame = {
+    val days = ev.select(col("user_id"),
+      (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+        .cast("bigint").as("d"),
+      floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+    val span = days.agg(min("d").as("d0"), max("d").as("d1"))
+    days.crossJoin(broadcast(span))
+      .selectExpr("CAST(user_id % 2 AS INT) AS arm",
+        "CASE WHEN d < (d0 + d1 + 1) div 2 THEN 0 ELSE 1 END AS post", "cents")
+      .agg(
+        sum(when(col("arm") === 1 && col("post") === 1, col("cents"))).as("s_t1"),
+        count(when(col("arm") === 1 && col("post") === 1, lit(1))).as("n_t1"),
+        sum(when(col("arm") === 1 && col("post") === 0, col("cents"))).as("s_t0"),
+        count(when(col("arm") === 1 && col("post") === 0, lit(1))).as("n_t0"),
+        sum(when(col("arm") === 0 && col("post") === 1, col("cents"))).as("s_c1"),
+        count(when(col("arm") === 0 && col("post") === 1, lit(1))).as("n_c1"),
+        sum(when(col("arm") === 0 && col("post") === 0, col("cents"))).as("s_c0"),
+        count(when(col("arm") === 0 && col("post") === 0, lit(1))).as("n_c0"))
+      .selectExpr("n_t0", "n_t1", "n_c0", "n_c1",
+        "floor(CAST(s_t0 AS DOUBLE) / n_t0 / 1e2 * 1e4 + 0.5) / 1e4 AS t_pre",
+        "floor(CAST(s_t1 AS DOUBLE) / n_t1 / 1e2 * 1e4 + 0.5) / 1e4 AS t_post",
+        "floor(CAST(s_c0 AS DOUBLE) / n_c0 / 1e2 * 1e4 + 0.5) / 1e4 AS c_pre",
+        "floor(CAST(s_c1 AS DOUBLE) / n_c1 / 1e2 * 1e4 + 0.5) / 1e4 AS c_post",
+        "floor(((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0) - " +
+          "(CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0)) / 1e2 * 1e4 + 0.5) / 1e4 AS did")
+  }
+
   def kmConversion(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val secs = ev.select(col("user_id"),

@@ -376,6 +376,31 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(!r(0).isNullAt(3) && r(0).getDouble(3) > 0)
   }
 
+  // ---- q224 difference-in-differences --------------------------------
+
+  test("didEstimate: hand-built 2x2 — (25-10) - (8-5) = 12") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "purchase", 10.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-03 10:00:00"), 1L, "purchase", 25.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "purchase", 5.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-03 11:00:00"), 2L, "purchase", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RobustStats.didEstimate(df).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 1L, 1L, 1L)))
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)) ==
+      ((10.0, 25.0, 5.0, 8.0)))
+    assert(r.getDouble(8) == 12.0)
+  }
+
+  test("didEstimate on the corpus: cells partition the events, identity holds") {
+    val ev = Tables.events(spark, sfDir)
+    val r = RobustStats.didEstimate(ev).head()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3) == ev.count())
+    val did = (r.getDouble(5) - r.getDouble(4)) - (r.getDouble(7) - r.getDouble(6))
+    assert(math.abs(r.getDouble(8) - did) < 3e-4) // four floor-4dp roundings
+  }
+
   // ---- q220 Poisson bootstrap ----------------------------------------
 
   test("poissonBootstrap: CI brackets the point mean; deterministic across runs") {

@@ -3978,6 +3978,65 @@ object OracleSql {
         |floor(CAST(s_c1 AS DOUBLE) / n_c1 / 1e2 * 1e4 + 0.5) / 1e4 AS c_post,
         |floor(((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0) -
         |  (CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0)) / 1e2 * 1e4 + 0.5) / 1e4 AS did
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // F2 self-join estimate: exact Σc² vs the ×rate-scaled sum over
+    // the h%10=0 md5 key sample — BIGINT to the single error divide.
+    "q225_selfjoin_estimate" ->
+      """WITH c AS (SELECT l_partkey AS k, count(*) AS c,
+        |  ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT count(*) AS n_keys,
+        |  CAST(sum(c * c) AS BIGINT) AS exact_f2,
+        |  CAST(sum(CASE WHEN h % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN h % 10 = 0 THEN c * c ELSE 0 END) * 10 AS BIGINT) AS est_f2
+        |  FROM c)
+        |SELECT n_keys, exact_f2, n_sampled, est_f2,
+        |floor(abs(CAST(est_f2 AS DOUBLE) - exact_f2) / exact_f2 * 1e4 + 0.5) / 1e4 AS rel_error
+        |FROM g""".stripMargin,
+
+    // Packing sweep: the greedy no-split recurrence replayed per
+    // shard as a recursive CTE carrying (fill, packs) for all four
+    // lengths; used tokens are a plain aggregate. Sentinel fill >
+    // every L forces the first doc to open a pack.
+    "q226_packing_sweep" -> {
+      val ls = Seq(128, 256, 512, 1024)
+      val carry = ls.indices.map(i => s"f$i, b$i").mkString(", ")
+      val anchor = ls.indices.map(_ => "999999, 0").mkString(", ")
+      val stepCols = ls.zipWithIndex.map { case (l, i) =>
+        s"""CASE WHEN s.f$i + least(d.n, $l) <= $l
+           |  THEN s.f$i + least(d.n, $l) ELSE least(d.n, $l) END,
+           |s.b$i + CASE WHEN s.f$i + least(d.n, $l) <= $l THEN 0 ELSE 1 END"""
+          .stripMargin
+      }.mkString(",\n")
+      val usedCols = ls.zipWithIndex.map { case (l, i) =>
+        s"CAST(sum(least(n, $l)) AS BIGINT) AS u$i" }.mkString(", ")
+      val perL = ls.zipWithIndex.map { case (l, i) =>
+        s"""SELECT $l AS seq_len, CAST(sum(fin.b$i) AS BIGINT) AS n_packs,
+           |CAST(sum(used.u$i) AS BIGINT) AS used_tokens
+           |FROM fin JOIN used ON fin.shard = used.shard"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+         |CAST(len(string_split(text, ' ')) AS INT) AS n FROM documents),
+         |idx AS (SELECT shard, n,
+         |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS i FROM t),
+         |mx AS (SELECT shard, max(i) AS m FROM idx GROUP BY 1),
+         |step(shard, i, $carry) AS (
+         |  SELECT shard, 0, $anchor FROM mx
+         |  UNION ALL
+         |  SELECT s.shard, s.i + 1,
+         |$stepCols
+         |  FROM step s JOIN idx d ON d.shard = s.shard AND d.i = s.i + 1),
+         |fin AS (SELECT st.* FROM step st JOIN mx ON st.shard = mx.shard AND st.i = mx.m),
+         |used AS (SELECT shard, $usedCols FROM idx GROUP BY 1),
+         |allL AS (
+         |$perL)
+         |SELECT seq_len, n_packs, used_tokens,
+         |floor(CAST(n_packs * seq_len - used_tokens AS DOUBLE) /
+         |  (n_packs * seq_len) * 1e4 + 0.5) / 1e4 AS waste
+         |FROM allL ORDER BY seq_len""".stripMargin
+    }
   )
 }

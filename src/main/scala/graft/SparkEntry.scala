@@ -621,7 +621,14 @@ object SparkEntry {
     "q223_cross_correlation" -> ((s, d) => EventAnalytics.crossCorrelation(Tables.events(s, d))),
     // difference-in-differences with deterministic arms + midpoint
     // intervention: one conditional aggregate, 1-row report
-    "q224_did_estimate"     -> ((s, d) => RobustStats.didEstimate(Tables.events(s, d)))
+    "q224_did_estimate"     -> ((s, d) => RobustStats.didEstimate(Tables.events(s, d))),
+    // F2 self-join size estimation from a 1-in-10 md5 KEY sample vs
+    // the exact second moment — the pre-join shuffle-blowup statistic
+    "q225_selfjoin_estimate" -> ((s, d) => Aggregates.selfJoinSizeEstimate(Tables.lineitem(s, d))),
+    // no-split greedy packing waste curve at 128/256/512/1024 —
+    // one flatMapGroups pass folds all four lengths per shard;
+    // oracle replays the recurrence as a recursive CTE
+    "q226_packing_sweep"    -> ((s, d) => TrainingData.packingSweep(Tables.documents(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

@@ -665,4 +665,34 @@ object Aggregates {
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(h)").as("xor_fp"))
       .orderBy("source")
+
+  /** Self-join size estimation by key sampling — the optimizer
+    * statistic that predicts a shuffle blowup BEFORE the join runs:
+    * |R ⋈_k R| = Σ_k c(k)² (the second frequency moment F2), and a
+    * 1-in-`rate` KEY sample (md5 of the key — sampling ROWS instead
+    * biases F2 toward heavy keys) scaled by `rate` estimates it from
+    * a fraction of the statistics build cost. Emitted as exact vs
+    * estimate with the relative error — on `lineitem ⋈ lineitem` on
+    * `l_partkey`, the textbook part-popularity self-join.
+    *
+    * Scale: one groupBy(key) builds c(k); exact and estimate are two
+    * aggregates over that #keys frame (ReuseExchange shares the
+    * shuffle). Everything to the error's single divide is exact
+    * BIGINT; the md5 key sample is the engine-neutral determinism
+    * trick (h % rate = 0 picks the same keys everywhere).
+    */
+  def selfJoinSizeEstimate(lineitem: DataFrame, rate: Int = 10): DataFrame = {
+    val counts = lineitem.groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("h", conv(substring(md5(col("k").cast("string")), 1, 15), 16, 10)
+        .cast("long"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(expr("c * c")).cast("bigint").as("exact_f2"),
+        sum(when(col("h") % rate === 0, 1).otherwise(0)).cast("bigint").as("n_sampled"),
+        (sum(when(col("h") % rate === 0, expr("c * c")).otherwise(0L))
+          * rate).cast("bigint").as("est_f2"))
+      .selectExpr("n_keys", "exact_f2", "n_sampled", "est_f2",
+        "floor(abs(CAST(est_f2 AS DOUBLE) - exact_f2) / exact_f2 * 1e4 + 0.5) / 1e4 AS rel_error")
+  }
 }

@@ -188,6 +188,57 @@ object TrainingData {
       .select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
       .orderBy("shard", "start_offset", "doc_id")
 
+  /** Context-length packing sweep — the tokenizer-budget planning
+    * number: for each candidate sequence length L, greedy first-fit
+    * packing WITHOUT document splitting (the instruction-tuning
+    * discipline, where q67's padding-free stream packing is not
+    * allowed to cross document boundaries): a doc (clamped to L)
+    * goes into the current pack if it fits, else opens a new one.
+    * Emits per L: packs, used tokens, and the padding waste fraction
+    * — the curve that decides which context length to train at.
+    *
+    * Mechanics: pack state is inherently sequential per shard (the
+    * fill level depends on every prior doc), so the sweep runs as
+    * ONE typed flatMapGroups over the q67 shard/order layout — all
+    * four L values fold in the same pass over each shard's
+    * (hash, doc_id)-ordered docs. Scale knob = nShards (pack streams
+    * are per-worker in production anyway). The DuckDB oracle replays
+    * the identical recurrence as a recursive CTE (the q200 subword
+    * precedent), so even the sequential state is engine-checked.
+    */
+  def packingSweep(docs: DataFrame, nShards: Int = 8,
+                   lengths: Seq[Int] = Seq(128, 256, 512, 1024)): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val ls = lengths.toArray
+    val rows = docs.select(md5Bucket(nShards).as("shard"), docHash.as("h"),
+        col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Int, String, Long, Int)]
+    val perShard = rows.groupByKey(_._1)
+      .flatMapGroups { (shard: Int, it: Iterator[(Int, String, Long, Int)]) =>
+        val ds = it.toArray.sortBy(t => (t._2, t._3))
+        ls.iterator.map { l =>
+          var fill = l + 1 // sentinel > l: first doc always opens a pack (no overflow)
+          var bins = 0L
+          var used = 0L
+          ds.foreach { d =>
+            val n = math.min(d._4, l)
+            used += n
+            if (fill + n <= l) fill += n else { bins += 1; fill = n }
+          }
+          (shard, l, bins, used)
+        }
+      }
+      .toDF("shard", "seq_len", "packs", "used")
+    perShard.groupBy("seq_len")
+      .agg(sum("packs").cast("bigint").as("n_packs"),
+        sum("used").cast("bigint").as("used_tokens"))
+      .selectExpr("seq_len", "n_packs", "used_tokens",
+        "floor(CAST(n_packs * seq_len - used_tokens AS DOUBLE) / " +
+          "(n_packs * seq_len) * 1e4 + 0.5) / 1e4 AS waste")
+      .orderBy("seq_len")
+  }
+
   /** Deterministic per-source document cap: keep at most `k` documents
     * per source, chosen by md5-hash order — the mixture-control knob
     * for over-represented sources (a web crawl dwarfing curated sets).

@@ -1094,6 +1094,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
   }
 
+  test("selfjoin estimate: exact and sampled F2 share one key-count aggregate") {
+    val p = plan("q225_selfjoin_estimate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), s"both moments fold in one aggregate, no join:\n$p")
+  }
+
+  test("packing sweep: the four-length fold is a single MapGroups over shards") {
+    val p = plan("q226_packing_sweep")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("MapGroups"), s"pack state is sequential per shard:\n$p")
+  }
+
   test("no driver-side collect hides in any query plan (all run as jobs)") {
     // every query must be expressible as a single DataFrame action;
     // constructing the frame must not itself trigger row collection to

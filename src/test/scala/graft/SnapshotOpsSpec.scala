@@ -720,4 +720,30 @@ class SnapshotOpsSpec extends AnyFunSuite {
       base.filter(_._1 != changedSource))
     assert(base.values.map(_._1).sum == docs.count())
   }
+
+  // ---- q225 F2 self-join size estimation ------------------------------
+
+  test("selfJoinSizeEstimate: exact F2 is the sum of squared key counts") {
+    import spark.implicits._
+    // counts 3/2/1 → F2 = 9 + 4 + 1 = 14; the estimate is the scaled
+    // sample sum, so it is a multiple of the rate by construction
+    val li = (Seq.fill(3)(101L) ++ Seq.fill(2)(202L) ++ Seq(303L))
+      .zipWithIndex.map { case (pk, i) => (i.toLong, pk) }
+      .toDF("l_orderkey", "l_partkey")
+    val r = Aggregates.selfJoinSizeEstimate(li).head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 14L)))
+    assert(r.getLong(3) % 10 == 0 && r.getLong(2) <= 3)
+  }
+
+  test("selfJoinSizeEstimate on the corpus: ~10% key sample, bounded error") {
+    val li = Tables.lineitem(spark, sfDir)
+    val r = Aggregates.selfJoinSizeEstimate(li).head()
+    val (nKeys, exact, nSampled, est) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(exact >= li.count(), "F2 >= n always (c^2 >= c)")
+    assert(nSampled > 0 && nSampled < nKeys)
+    // md5 is uniform: the 1-in-10 key sample lands near 10%
+    assert(math.abs(nSampled.toDouble / nKeys - 0.1) < 0.05)
+    assert(est > 0 && r.getDouble(4) < 1.0, "order-of-magnitude agreement")
+  }
 }

@@ -582,4 +582,32 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(x.getLong(5) <= x.getLong(1))
     }
   }
+
+  // ---- q226 packing sweep --------------------------------------------
+
+  test("packingSweep: uniform 60-token docs pack order-independently") {
+    import spark.implicits._
+    // 10 docs × 60 tokens, one shard: L=128 fits 2/pack → 5 packs
+    // (waste 40/640), L=256 fits 4 → 3 packs, L=512 fits 8 → 2,
+    // L=1024 → 1; equal sizes make the greedy independent of the
+    // md5 visit order, so the exact pack counts are forced.
+    val text = Seq.fill(60)("w").mkString(" ")
+    val docs = (1 to 10).map(i => (i.toLong, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TrainingData.packingSweep(docs, nShards = 1).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(128) == ((5L, 600L, 0.0625)))
+    assert(r(256) == ((3L, 600L, 0.2188)))
+    assert(r(512) == ((2L, 600L, 0.4141)))
+    assert(r(1024) == ((1L, 600L, 0.4141)))
+  }
+
+  test("packingSweep on the corpus: waste bounded, used tokens monotone in L") {
+    val r = TrainingData.packingSweep(Tables.documents(spark, sfDir)).collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(128, 256, 512, 1024))
+    r.foreach(x => assert(x.getDouble(3) >= 0 && x.getDouble(3) < 1))
+    val used = r.map(_.getLong(2))
+    assert(used.zip(used.tail).forall { case (a, b) => a <= b },
+      "longer contexts truncate less")
+  }
 }

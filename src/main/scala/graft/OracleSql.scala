@@ -4037,6 +4037,36 @@ object OracleSql {
          |floor(CAST(n_packs * seq_len - used_tokens AS DOUBLE) /
          |  (n_packs * seq_len) * 1e4 + 0.5) / 1e4 AS waste
          |FROM allL ORDER BY seq_len""".stripMargin
-    }
+    },
+
+    // Timed funnel: greedy-earliest chaining with the 1 h window
+    // evaluated inside the user equi-join; integer-second latencies,
+    // quantile_cont ≡ Spark percentile.
+    "q227_timed_funnel" ->
+      """WITH base AS (SELECT user_id, event_type,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |v AS (SELECT user_id, min(sec) AS t1 FROM base
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT b.user_id, min(v.t1) AS t1, min(b.sec) AS t2
+        |  FROM base b JOIN v ON b.user_id = v.user_id
+        |  WHERE b.event_type = 'click' AND b.sec > v.t1
+        |    AND b.sec <= v.t1 + 3600 GROUP BY 1),
+        |p AS (SELECT b.user_id, min(c.t2) AS t2, min(b.sec) AS t3
+        |  FROM base b JOIN c ON b.user_id = c.user_id
+        |  WHERE b.event_type = 'purchase' AND b.sec > c.t2
+        |    AND b.sec <= c.t2 + 3600 GROUP BY 1),
+        |r AS (SELECT 1 AS step, (SELECT count(*) FROM v) AS users,
+        |    CAST(NULL AS DOUBLE) AS med_step_sec
+        |  UNION ALL SELECT 2, (SELECT count(*) FROM c),
+        |    (SELECT quantile_cont(t2 - t1, 0.5) FROM c)
+        |  UNION ALL SELECT 3, (SELECT count(*) FROM p),
+        |    (SELECT quantile_cont(t3 - t2, 0.5) FROM p)),
+        |w AS (SELECT step, users, med_step_sec,
+        |  lag(users) OVER (ORDER BY step) AS prev FROM r)
+        |SELECT step, users, med_step_sec,
+        |CASE WHEN prev IS NULL THEN 1.0 WHEN prev = 0 THEN 0.0
+        |  ELSE round(users / prev, 4) END AS conv_from_prev
+        |FROM w ORDER BY step""".stripMargin
   )
 }

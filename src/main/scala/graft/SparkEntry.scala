@@ -628,7 +628,10 @@ object SparkEntry {
     // no-split greedy packing waste curve at 128/256/512/1024 —
     // one flatMapGroups pass folds all four lengths per shard;
     // oracle replays the recurrence as a recursive CTE
-    "q226_packing_sweep"    -> ((s, d) => TrainingData.packingSweep(Tables.documents(s, d)))
+    "q226_packing_sweep"    -> ((s, d) => TrainingData.packingSweep(Tables.documents(s, d))),
+    // SLA-aware funnel: each step within 1 h of the previous,
+    // greedy-earliest anchoring, median step latency per stage
+    "q227_timed_funnel"     -> ((s, d) => EventAnalytics.timedFunnel(Tables.events(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

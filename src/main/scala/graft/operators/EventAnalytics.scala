@@ -137,6 +137,56 @@ object EventAnalytics {
       .orderBy("step")
   }
 
+  /** Time-constrained funnel — the SLA-aware counterpart of [[funnel]]
+    * (which asks "did the steps ever happen in order"; this asks "did
+    * each step happen within `windowSeconds` of the previous one"):
+    * per user, the earliest view, then the FIRST click within the
+    * window after it, then the first purchase within the window after
+    * that click. Greedy-earliest anchoring is deterministic and
+    * matches how funnel SLAs are actually reported (time-to-next-step
+    * from the first qualifying event, not the best retrospective
+    * alignment).
+    *
+    * Scale: three #users-bounded frames chained by user_id equi-joins
+    * (the range predicate evaluates inside the per-user hash match,
+    * the q175 discipline); min() aggregates keep every frame one row
+    * per user. Output is the 3-row funnel with within-window
+    * conversion and median step latency (exact integer seconds).
+    */
+  def timedFunnel(ev: DataFrame, windowSeconds: Long = 3600): DataFrame = {
+    val base = ev.select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("sec"))
+    val v = base.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("t1"))
+    val c = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec").as("cs"))
+      .join(v, Seq("user_id"))
+      .filter(col("cs") > col("t1") && col("cs") <= col("t1") + windowSeconds)
+      .groupBy("user_id").agg(min("t1").as("t1"), min("cs").as("t2"))
+    val p = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec").as("ps"))
+      .join(c, Seq("user_id"))
+      .filter(col("ps") > col("t2") && col("ps") <= col("t2") + windowSeconds)
+      .groupBy("user_id").agg(min("t2").as("t2"), min("ps").as("t3"))
+    val n1 = v.agg(count(lit(1)).as("users"),
+      lit(null).cast("double").as("med_step_sec")).selectExpr("1 AS step", "*")
+    val n2 = c.agg(count(lit(1)).as("users"),
+      percentile(col("t2") - col("t1"), lit(0.5)).as("med_step_sec"))
+      .selectExpr("2 AS step", "*")
+    val n3 = p.agg(count(lit(1)).as("users"),
+      percentile(col("t3") - col("t2"), lit(0.5)).as("med_step_sec"))
+      .selectExpr("3 AS step", "*")
+    val ws = Window.orderBy("step")
+    n1.unionByName(n2).unionByName(n3)
+      .withColumn("prev", lag(col("users"), 1).over(ws))
+      .withColumn("conv_from_prev",
+        when(col("prev").isNull, lit(1.0))
+          .when(col("prev") === 0, lit(0.0))
+          .otherwise(round(col("users") / col("prev"), 4)))
+      .select("step", "users", "med_step_sec", "conv_from_prev")
+      .orderBy("step")
+  }
+
   /** First-touch weekly cohort retention: users are assigned to the
     * ISO week of their first event, and each (cohort, week-offset)
     * cell counts the distinct users of that cohort active in that

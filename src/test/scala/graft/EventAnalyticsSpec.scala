@@ -920,6 +920,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "the median split must produce both classes")
   }
 
+  // ---- q227 time-constrained funnel ----------------------------------
+
+  test("timedFunnel: the window disqualifies late steps the plain funnel counts") {
+    val df = eventsDf(Seq(
+      // u1: view → click 30 min → purchase 30 min: full pass
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:30:00", 1L, "click"),
+      (3L, "2024-01-01 11:00:00", 1L, "purchase"),
+      // u2: click 2 h after the view — ordered, but outside the window
+      (4L, "2024-01-01 10:00:00", 2L, "view"),
+      (5L, "2024-01-01 12:00:00", 2L, "click"),
+      (6L, "2024-01-01 12:30:00", 2L, "purchase"),
+      // u3: click in window, purchase 100 min after the click — drops at 3
+      (7L, "2024-01-01 10:00:00", 3L, "view"),
+      (8L, "2024-01-01 10:10:00", 3L, "click"),
+      (9L, "2024-01-01 11:50:00", 3L, "purchase")))
+    val r = EventAnalytics.timedFunnel(df).collect()
+    assert(r.map(x => (x.getInt(0), x.getLong(1))).toSeq ==
+      Seq((1, 3L), (2, 2L), (3, 1L)))
+    // step latencies: clicks at 30 and 10 min → median 20 min
+    assert(r(1).getDouble(2) == 1200.0)
+    assert(r(2).getDouble(2) == 1800.0)
+    assert(r(1).getDouble(3) == 0.6667 && r(2).getDouble(3) == 0.5)
+    // the unconstrained funnel would count u2/u3 at every step
+    val plain = EventAnalytics.funnel(df).collect()
+    assert(plain.map(_.getLong(2)).toSeq == Seq(3L, 3L, 3L))
+  }
+
+  test("timedFunnel on the corpus: monotone counts, latencies inside the window") {
+    val r = EventAnalytics.timedFunnel(Tables.events(spark, sfDir)).collect()
+    val u = r.map(_.getLong(1))
+    assert(u.zip(u.tail).forall { case (a, b) => a >= b })
+    r.drop(1).filter(!_.isNullAt(2)).foreach { x =>
+      assert(x.getDouble(2) > 0 && x.getDouble(2) <= 3600)
+    }
+  }
+
   // ---- q222 trending keys --------------------------------------------
 
   test("trendingKeys: smoothed log-lift orders new > rising > falling") {

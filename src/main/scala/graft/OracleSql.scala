@@ -4067,6 +4067,77 @@ object OracleSql {
         |SELECT step, users, med_step_sec,
         |CASE WHEN prev IS NULL THEN 1.0 WHEN prev = 0 THEN 0.0
         |  ELSE round(users / prev, 4) END AS conv_from_prev
-        |FROM w ORDER BY step""".stripMargin
+        |FROM w ORDER BY step""".stripMargin,
+
+    // Session entry/exit/bounce: q47's gap sessions on whole-second
+    // (sec, event_id) order; first/last via twin row_numbers.
+    "q228_session_entries" ->
+      """WITH t AS (SELECT user_id, event_id, event_type,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |l AS (SELECT t.*, lag(sec) OVER
+        |  (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM t),
+        |s AS (SELECT user_id, event_id, event_type, sec,
+        |  CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |g AS (SELECT user_id, event_id, event_type, sec,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s),
+        |n AS (SELECT user_id, sid, event_type,
+        |  row_number() OVER (PARTITION BY user_id, sid ORDER BY sec, event_id) AS ra,
+        |  row_number() OVER (PARTITION BY user_id, sid ORDER BY sec DESC, event_id DESC) AS rd
+        |  FROM g),
+        |ps AS (SELECT user_id, sid,
+        |  max(CASE WHEN ra = 1 THEN event_type END) AS entry_type,
+        |  max(CASE WHEN rd = 1 THEN event_type END) AS exit_type,
+        |  count(*) AS n_events
+        |  FROM n GROUP BY 1, 2),
+        |en AS (SELECT entry_type AS event_type, count(*) AS n_entries,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+        |  FROM ps GROUP BY 1),
+        |ex AS (SELECT exit_type AS event_type, count(*) AS n_exits
+        |  FROM ps GROUP BY 1)
+        |SELECT coalesce(en.event_type, ex.event_type) AS event_type,
+        |CAST(coalesce(n_entries, 0) AS BIGINT) AS n_entries,
+        |CAST(coalesce(n_exits, 0) AS BIGINT) AS n_exits,
+        |CAST(coalesce(n_bounces, 0) AS BIGINT) AS n_bounces,
+        |CASE WHEN coalesce(n_entries, 0) = 0 THEN CAST(NULL AS DOUBLE)
+        |  ELSE floor(CAST(n_bounces AS DOUBLE) / n_entries * 1e4 + 0.5) / 1e4 END AS bounce_rate
+        |FROM en FULL OUTER JOIN ex ON en.event_type = ex.event_type
+        |ORDER BY 1""".stripMargin,
+
+    // Dedup family agreement: the cascade's verified pairs vs the
+    // q71 simhash pairs, full-outer on (id_a, id_b) → 1-row summary.
+    "q229_dedup_agreement" ->
+      ("WITH " + shingleCascade("documents") + ",\n" + jaccardVerify + ",\n" +
+        s"$simhashCtes,\n" +
+        """jp AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+          |blocks AS (SELECT doc_id, 0 AS blk, (simhash >> 0) & 255 AS bv FROM ssig
+          |UNION ALL SELECT doc_id, 1, (simhash >> 8) & 255 FROM ssig
+          |UNION ALL SELECT doc_id, 2, (simhash >> 16) & 255 FROM ssig
+          |UNION ALL SELECT doc_id, 3, (simhash >> 24) & 255 FROM ssig),
+          |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM blocks a
+          |JOIN blocks b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+          |sp AS (SELECT c.id_a, c.id_b
+          |FROM scand c JOIN ssig sa ON c.id_a = sa.doc_id
+          |JOIN ssig sb ON c.id_b = sb.doc_id
+          |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+          |fo AS (SELECT coalesce(jp.id_a, sp.id_a) AS id_a,
+          |  CASE WHEN jp.id_a IS NOT NULL THEN 1 ELSE 0 END AS inj,
+          |  CASE WHEN sp.id_a IS NOT NULL THEN 1 ELSE 0 END AS ins
+          |  FROM jp FULL OUTER JOIN sp
+          |  ON jp.id_a = sp.id_a AND jp.id_b = sp.id_b),
+          |g AS (SELECT CAST(sum(inj) AS BIGINT) AS n_jaccard,
+          |  CAST(sum(ins) AS BIGINT) AS n_simhash,
+          |  CAST(sum(CASE WHEN inj = 1 AND ins = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+          |  FROM fo)
+          |SELECT n_jaccard, n_simhash, n_both,
+          |n_jaccard - n_both AS jaccard_only,
+          |n_simhash - n_both AS simhash_only,
+          |CASE WHEN least(n_jaccard, n_simhash) = 0 THEN CAST(NULL AS DOUBLE)
+          |  ELSE floor(CAST(n_both AS DOUBLE) / least(n_jaccard, n_simhash) * 1e4 + 0.5) / 1e4
+          |  END AS overlap_coefficient
+          |FROM g""".stripMargin)
   )
 }

@@ -631,7 +631,15 @@ object SparkEntry {
     "q226_packing_sweep"    -> ((s, d) => TrainingData.packingSweep(Tables.documents(s, d))),
     // SLA-aware funnel: each step within 1 h of the previous,
     // greedy-earliest anchoring, median step latency per stage
-    "q227_timed_funnel"     -> ((s, d) => EventAnalytics.timedFunnel(Tables.events(s, d)))
+    "q227_timed_funnel"     -> ((s, d) => EventAnalytics.timedFunnel(Tables.events(s, d))),
+    // session entry/exit/bounce profile over the q47 gap sessions —
+    // the landing-page report, one row per event type
+    "q228_session_entries"  -> ((s, d) => EventAnalytics.sessionEntryExit(Tables.events(s, d))),
+    // which dedup tier catches what: cascade exact pairs vs simhash
+    // hamming<=3, 1-row confusion + overlap coefficient (the fifth
+    // consumer of the one materialized cascade build)
+    "q229_dedup_agreement"  -> ((s, d) =>
+      Dedup.dedupFamilyAgreementCached(Tables.documents(s, d), ccCascadeFor(s, d)))
   )
 
   /** Content-addressed IVF index location for the dataset at `d`.

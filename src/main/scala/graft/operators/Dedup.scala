@@ -1670,6 +1670,48 @@ object Dedup {
     goldenRecords(docs, docs.sparkSession.read.parquet(s"$dir/labels"))
   }
 
+  /** Cross-family near-dup agreement — which dedup tier catches what:
+    * the Jaccard-verified LSH pairs (the cascade's exact tier) vs the
+    * SimHash Hamming-≤3 pairs, as a 1-row confusion summary with the
+    * overlap coefficient |A∩B| / min(|A|,|B|). This is the audit that
+    * justifies (or kills) running a cheaper family alone at scale:
+    * simhash-only pairs are its false-positive surface against the
+    * exact tier, jaccard-only pairs are its misses.
+    *
+    * Scale: both pair frames are LSH/pigeonhole-bounded (never n²);
+    * the comparison is one (id, id) full-outer equi-join collapsing
+    * straight into a 1-row conditional aggregate. The Jaccard side
+    * probes the materialized cascade via the cached entry — the
+    * fifth consumer of the one build.
+    */
+  def dedupFamilyAgreement(docs: DataFrame, pairsJ: DataFrame,
+                           maxHamming: Int = 3): DataFrame = {
+    val j = pairsJ.select(col("id_a"), col("id_b")).withColumn("inj", lit(1))
+    val s = simhashPairs(docs, maxHamming)
+      .select(col("id_a"), col("id_b")).withColumn("ins", lit(1))
+    j.join(s, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce(col("inj"), lit(0))).cast("bigint").as("n_jaccard"),
+        sum(coalesce(col("ins"), lit(0))).cast("bigint").as("n_simhash"),
+        sum(when(col("inj").isNotNull && col("ins").isNotNull, 1).otherwise(0))
+          .cast("bigint").as("n_both"))
+      .selectExpr("n_jaccard", "n_simhash", "n_both",
+        "n_jaccard - n_both AS jaccard_only",
+        "n_simhash - n_both AS simhash_only",
+        "CASE WHEN least(n_jaccard, n_simhash) = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE floor(CAST(n_both AS DOUBLE) / least(n_jaccard, n_simhash) * 1e4 + 0.5) / 1e4 " +
+          "END AS overlap_coefficient")
+  }
+
+  /** [[dedupFamilyAgreement]] with the Jaccard side served from the
+    * materialized cascade. */
+  def dedupFamilyAgreementCached(docs: DataFrame, dir: String,
+                                 threshold: Double = 0.2, bands: Int = 4,
+                                 maxHamming: Int = 3): DataFrame = {
+    prebuildCascade(docs, dir, threshold, bands)
+    dedupFamilyAgreement(docs,
+      docs.sparkSession.read.parquet(s"$dir/pairs"), maxHamming)
+  }
+
   /** Corpus-level source-overlap matrix: n-gram-set Jaccard and
     * containment between every pair of ingest sources — the
     * which-feeds-duplicate-each-other audit that decides whether a

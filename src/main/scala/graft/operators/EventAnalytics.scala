@@ -137,6 +137,49 @@ object EventAnalytics {
       .orderBy("step")
   }
 
+  /** Session entry/exit/bounce profile — the landing-page report over
+    * gap-based sessions (q47's 30-minute rule): per event type, how
+    * many sessions OPEN with it, how many CLOSE with it, and how many
+    * are single-event bounces of it, with the bounce rate among its
+    * entries. The first/last tie within a second breaks on event_id —
+    * the q204 ingest-order contract.
+    *
+    * Scale: the session assignment is the standard one user-partition
+    * window chain (one Exchange); sessions then collapse to one
+    * (entry, exit, n) row each before the #types-row rollup — the
+    * aggregate never carries event payloads.
+    */
+  def sessionEntryExit(ev: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val sess = ev.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perSession = sess.groupBy("user_id", "sid").agg(
+      min(struct(col("sec"), col("event_id"), col("event_type"))).as("fst"),
+      max(struct(col("sec"), col("event_id"), col("event_type"))).as("lst"),
+      count(lit(1)).as("n_events"))
+      .select(col("fst.event_type").as("entry_type"),
+        col("lst.event_type").as("exit_type"), col("n_events"))
+    val entries = perSession.groupBy(col("entry_type").as("event_type"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(when(col("n_events") === 1, 1).otherwise(0)).cast("bigint").as("n_bounces"))
+    val exits = perSession.groupBy(col("exit_type").as("event_type"))
+      .agg(count(lit(1)).as("n_exits"))
+    entries.join(exits, Seq("event_type"), "full_outer")
+      .selectExpr("event_type",
+        "CAST(coalesce(n_entries, 0) AS BIGINT) AS n_entries",
+        "CAST(coalesce(n_exits, 0) AS BIGINT) AS n_exits",
+        "CAST(coalesce(n_bounces, 0) AS BIGINT) AS n_bounces",
+        "CASE WHEN coalesce(n_entries, 0) = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE floor(CAST(n_bounces AS DOUBLE) / n_entries * 1e4 + 0.5) / 1e4 END AS bounce_rate")
+      .orderBy("event_type")
+  }
+
   /** Time-constrained funnel — the SLA-aware counterpart of [[funnel]]
     * (which asks "did the steps ever happen in order"; this asks "did
     * each step happen within `windowSeconds` of the previous one"):

@@ -920,6 +920,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "the median split must produce both classes")
   }
 
+  // ---- q228 session entry/exit/bounce --------------------------------
+
+  test("sessionEntryExit: entries, exits and bounces per hand-built session") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),     // S1: view → click
+      (2L, "2024-01-01 10:10:00", 1L, "click"),
+      (3L, "2024-01-01 12:00:00", 1L, "purchase"), // S2: purchase bounce
+      (4L, "2024-01-01 10:00:00", 2L, "click")))   // S3: click bounce
+    val r = EventAnalytics.sessionEntryExit(df).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("view", "click", "purchase"))
+    assert((r("view").getLong(1), r("view").getLong(2), r("view").getLong(3),
+      r("view").getDouble(4)) == ((1L, 0L, 0L, 0.0)))
+    assert((r("click").getLong(1), r("click").getLong(2), r("click").getLong(3),
+      r("click").getDouble(4)) == ((1L, 2L, 1L, 1.0)))
+    assert((r("purchase").getLong(1), r("purchase").getLong(2),
+      r("purchase").getLong(3), r("purchase").getDouble(4)) == ((1L, 1L, 1L, 1.0)))
+  }
+
+  test("sessionEntryExit on the corpus: entries = exits = sessions; bounces bounded") {
+    val r = EventAnalytics.sessionEntryExit(Tables.events(spark, sfDir)).collect()
+    val (en, ex, bo) = (r.map(_.getLong(1)).sum, r.map(_.getLong(2)).sum,
+      r.map(_.getLong(3)).sum)
+    assert(en == ex, "every session has exactly one entry and one exit")
+    assert(bo <= en)
+    val sessions = graft.operators.Aggregates.sessionize(Tables.events(spark, sfDir))
+      .select("user_id", "session_idx").distinct().count()
+    assert(en == sessions)
+  }
+
   // ---- q227 time-constrained funnel ----------------------------------
 
   test("timedFunnel: the window disqualifies late steps the plain funnel counts") {

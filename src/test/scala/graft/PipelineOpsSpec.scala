@@ -1452,6 +1452,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  // ---- q229 cross-family dedup agreement -----------------------------
+
+  test("dedupFamilyAgreement: identical docs land in both families; ledger adds up") {
+    import spark.implicits._
+    val txt = (1 to 12).map("tok" + _).mkString(" ")
+    val other = (1 to 12).map("zzz" + _).mkString(" ")
+    val docs = Seq(
+      (1L, txt, "en", "s", txt.length.toLong),
+      (2L, txt, "en", "s", txt.length.toLong),     // exact dup of 1
+      (9L, other, "en", "s", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.dedupFamilyAgreement(docs, Dedup.nearDupPairs(docs)).head()
+    val (nj, ns, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nj >= 1 && ns >= 1 && nb >= 1, "an exact dup is caught by every family")
+    assert(r.getLong(3) == nj - nb && r.getLong(4) == ns - nb)
+    assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+  }
+
+  test("dedupFamilyAgreement on the corpus: confusion cells are consistent") {
+    val r = Dedup.dedupFamilyAgreement(documents,
+      Dedup.nearDupPairs(documents)).head()
+    val (nj, ns, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nb <= math.min(nj, ns))
+    assert(nj > 0 && ns > 0 && nb > 0, "the planted dups hit both families")
+    assert(r.getLong(3) >= 0 && r.getLong(4) >= 0)
+  }
+
   // ---- q219 MMR diversity re-rank ------------------------------------
 
   test("mmrRerank: the diverse result outranks the near-duplicate at pick 2") {

@@ -247,6 +247,16 @@ object Bench {
       dropAllState()
       if (built) (System.nanoTime() - ccT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
+    // pre-build the simhash pair frame (q71/q229 probe it): one
+    // banding + Hamming-verify build per corpus snapshot. 0 = reused.
+    val shT0 = System.nanoTime()
+    val shBuildSec = try {
+      val built = graft.operators.Dedup.prebuildSimhashPairs(
+        graft.engine.Tables.documents(spark, sfDir),
+        SparkEntry.simhashFor(spark, sfDir))
+      dropAllState()
+      if (built) (System.nanoTime() - shT0) / 1e9 else 0.0
+    } catch { case _: Throwable => -1.0 }
     // pre-build the PQ index (codes + codebooks; q192/q193/q194 probe
     // it): one train per subspace per corpus snapshot. 0 = reused.
     val pqT0 = System.nanoTime()
@@ -257,7 +267,7 @@ object Bench {
       dropAllState()
       if (built) (System.nanoTime() - pqT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
-    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"sf":${jsonStr(sfDir)}}""")
+    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"sf":${jsonStr(sfDir)}}""")
 
     // a probe must never abort the run: a broken environment (e.g.
     // missing data dir) should still produce BENCH_META, per-query

@@ -124,7 +124,10 @@ object SparkEntry {
     "q72_cleaning_clustered" -> ((s, d) =>
       Dedup.cleaningPipelineClusteredCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // simhash near-dup pairs via pigeonhole block banding
-    "q71_simhash_pairs"    -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    // served from the materialized simhash frame (content-addressed;
+    // q71/q229 share ONE banding + Hamming-verify build)
+    "q71_simhash_pairs"    -> ((s, d) =>
+      Dedup.simhashPairsCached(Tables.documents(s, d), simhashFor(s, d))),
     // near-dup clustering: connected components over verified pairs,
     // canonical representative = component min doc_id
     "q68_dup_clusters"     -> ((s, d) =>
@@ -639,8 +642,21 @@ object SparkEntry {
     // hamming<=3, 1-row confusion + overlap coefficient (the fifth
     // consumer of the one materialized cascade build)
     "q229_dedup_agreement"  -> ((s, d) =>
-      Dedup.dedupFamilyAgreementCached(Tables.documents(s, d), ccCascadeFor(s, d)))
+      Dedup.dedupFamilyAgreementCached(Tables.documents(s, d),
+        ccCascadeFor(s, d), simhashFor(s, d)))
   )
+
+  /** Content-addressed home of the documents table's SimHash pair
+    * frame — the [[ccCascadeFor]] discipline; shared by q71/q229.
+    */
+  private[graft] def simhashFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sh_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    Dedup.simhashDir(s, s"$d/documents.parquet", base)
+  }
 
   /** Content-addressed IVF index location for the dataset at `d`.
     * Per-dataset base: ivfIndexDir prunes superseded content hashes

@@ -1684,11 +1684,9 @@ object Dedup {
     * probes the materialized cascade via the cached entry — the
     * fifth consumer of the one build.
     */
-  def dedupFamilyAgreement(docs: DataFrame, pairsJ: DataFrame,
-                           maxHamming: Int = 3): DataFrame = {
+  def dedupFamilyAgreement(pairsJ: DataFrame, pairsS: DataFrame): DataFrame = {
     val j = pairsJ.select(col("id_a"), col("id_b")).withColumn("inj", lit(1))
-    val s = simhashPairs(docs, maxHamming)
-      .select(col("id_a"), col("id_b")).withColumn("ins", lit(1))
+    val s = pairsS.select(col("id_a"), col("id_b")).withColumn("ins", lit(1))
     j.join(s, Seq("id_a", "id_b"), "full_outer")
       .agg(sum(coalesce(col("inj"), lit(0))).cast("bigint").as("n_jaccard"),
         sum(coalesce(col("ins"), lit(0))).cast("bigint").as("n_simhash"),
@@ -1702,14 +1700,44 @@ object Dedup {
           "END AS overlap_coefficient")
   }
 
-  /** [[dedupFamilyAgreement]] with the Jaccard side served from the
-    * materialized cascade. */
-  def dedupFamilyAgreementCached(docs: DataFrame, dir: String,
+  /** [[dedupFamilyAgreement]] with BOTH sides served from their
+    * materialized frames — the cascade's verified pairs and the
+    * [[simhashPairsCached]] frame. */
+  def dedupFamilyAgreementCached(docs: DataFrame, ccDir: String, shDir: String,
                                  threshold: Double = 0.2, bands: Int = 4,
                                  maxHamming: Int = 3): DataFrame = {
-    prebuildCascade(docs, dir, threshold, bands)
-    dedupFamilyAgreement(docs,
-      docs.sparkSession.read.parquet(s"$dir/pairs"), maxHamming)
+    prebuildCascade(docs, ccDir, threshold, bands)
+    dedupFamilyAgreement(
+      docs.sparkSession.read.parquet(s"$ccDir/pairs"),
+      simhashPairsCached(docs, shDir, maxHamming))
+  }
+
+  /** Content-addressed home of the corpus's SimHash pair frame —
+    * the [[cascadeDir]] discipline for the simhash family: q71 and
+    * q229 both consume the banding + Hamming verify, so the build is
+    * a corpus-level one-off probed by every consumer.
+    */
+  def simhashDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
+                 base: String, maxHamming: Int = 3): String =
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base,
+      s"sh${maxHamming}_", "simhashDir")
+
+  /** Build the simhash pair frame now iff not already committed. */
+  def prebuildSimhashPairs(docs: DataFrame, dir: String,
+                           maxHamming: Int = 3): Boolean = {
+    val pdir = new java.io.File(dir, "pairs")
+    val fresh = !new java.io.File(pdir, "_SUCCESS").exists()
+    if (fresh)
+      simhashPairs(docs, maxHamming)
+        .write.mode("overwrite").parquet(pdir.getAbsolutePath)
+    fresh
+  }
+
+  /** [[simhashPairs]] served from the materialized frame. */
+  def simhashPairsCached(docs: DataFrame, dir: String,
+                         maxHamming: Int = 3): DataFrame = {
+    prebuildSimhashPairs(docs, dir, maxHamming)
+    docs.sparkSession.read.parquet(s"$dir/pairs").orderBy("id_a", "id_b")
   }
 
   /** Corpus-level source-overlap matrix: n-gram-set Jaccard and

@@ -1463,7 +1463,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, txt, "en", "s", txt.length.toLong),     // exact dup of 1
       (9L, other, "en", "s", other.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val r = Dedup.dedupFamilyAgreement(docs, Dedup.nearDupPairs(docs)).head()
+    val r = Dedup.dedupFamilyAgreement(Dedup.nearDupPairs(docs), Dedup.simhashPairs(docs)).head()
     val (nj, ns, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
     assert(nj >= 1 && ns >= 1 && nb >= 1, "an exact dup is caught by every family")
     assert(r.getLong(3) == nj - nb && r.getLong(4) == ns - nb)
@@ -1471,8 +1471,8 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("dedupFamilyAgreement on the corpus: confusion cells are consistent") {
-    val r = Dedup.dedupFamilyAgreement(documents,
-      Dedup.nearDupPairs(documents)).head()
+    val r = Dedup.dedupFamilyAgreement(Dedup.nearDupPairs(documents),
+      Dedup.simhashPairs(documents)).head()
     val (nj, ns, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
     assert(nb <= math.min(nj, ns))
     assert(nj > 0 && ns > 0 && nb > 0, "the planted dups hit both families")

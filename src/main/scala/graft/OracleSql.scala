@@ -4138,6 +4138,22 @@ object OracleSql {
           |CASE WHEN least(n_jaccard, n_simhash) = 0 THEN CAST(NULL AS DOUBLE)
           |  ELSE floor(CAST(n_both AS DOUBLE) / least(n_jaccard, n_simhash) * 1e4 + 0.5) / 1e4
           |  END AS overlap_coefficient
-          |FROM g""".stripMargin)
+          |FROM g""".stripMargin),
+
+    // Latency SLO: q164's per-(user, type) integer-second gap stream,
+    // p50/p90/p99 via quantile_cont ≡ Spark percentile.
+    "q230_latency_slo" ->
+      """WITH s AS (SELECT user_id, event_type, event_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |  sec - lag(sec) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY sec, event_id) AS gap FROM s)
+        |SELECT event_type, count(*) AS n_gaps,
+        |quantile_cont(gap, 0.5) AS p50,
+        |quantile_cont(gap, 0.9) AS p90,
+        |quantile_cont(gap, 0.99) AS p99,
+        |CAST(max(gap) AS BIGINT) AS max_gap
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -643,7 +643,10 @@ object SparkEntry {
     // consumer of the one materialized cascade build)
     "q229_dedup_agreement"  -> ((s, d) =>
       Dedup.dedupFamilyAgreementCached(Tables.documents(s, d),
-        ccCascadeFor(s, d), simhashFor(s, d)))
+        ccCascadeFor(s, d), simhashFor(s, d))),
+    // inter-arrival SLO tail report: p50/p90/p99 gap per type over
+    // the q164 per-(user, type) gap stream
+    "q230_latency_slo"      -> ((s, d) => EventAnalytics.latencySlo(Tables.events(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -724,6 +724,36 @@ object EventAnalytics {
     * is what makes the operator shippable where a per-type global
     * ordering (one partition per type) would not be.
     */
+  /** Inter-arrival latency SLO report — the p50/p90/p99 tail summary
+    * per event type over the same per-(user, type) gap stream q164's
+    * burstiness reads (mean/CV say "bursty"; the SLO percentiles say
+    * "how late is the tail", which is what gets paged on). Gaps are
+    * exact integer seconds; the percentiles are broadcast exact
+    * aggregates per type (the q206 discipline — never a global ntile
+    * sort), interpolation parity via percentile ≡ quantile_cont on
+    * BIGINT inputs.
+    *
+    * Scale: one (user_id, type) lag window inside the standard user
+    * partitioning, then a #types-row percentile aggregate.
+    */
+  def latencySlo(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("sec"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        percentile(col("gap"), lit(0.5)).as("p50"),
+        percentile(col("gap"), lit(0.9)).as("p90"),
+        percentile(col("gap"), lit(0.99)).as("p99"),
+        max("gap").as("max_gap"))
+      .selectExpr("event_type", "n_gaps", "p50", "p90", "p99",
+        "CAST(max_gap AS BIGINT) AS max_gap")
+      .orderBy("event_type")
+  }
+
   def burstiness(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("sec"), col("event_id"))

@@ -920,6 +920,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "the median split must produce both classes")
   }
 
+  // ---- q230 inter-arrival latency SLO --------------------------------
+
+  test("latencySlo: hand-built gaps give exact interpolated percentiles") {
+    // one user, one type, events at 0/10/30/70/150 s → gaps
+    // {10, 20, 40, 80}: p50 = 30 (midpoint 20..40), p90 interpolates
+    // 40..80 at 0.7 → 68, max 80.
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:00:10", 1L, "view"),
+      (3L, "2024-01-01 10:00:30", 1L, "view"),
+      (4L, "2024-01-01 10:01:10", 1L, "view"),
+      (5L, "2024-01-01 10:02:30", 1L, "view")))
+    val r = EventAnalytics.latencySlo(df).collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert(x.getLong(1) == 4L)
+    assert(x.getDouble(2) == 30.0)
+    assert(x.getDouble(3) == 68.0)
+    assert(x.getLong(5) == 80L)
+  }
+
+  test("latencySlo on the corpus: ordered tails per type") {
+    val r = EventAnalytics.latencySlo(Tables.events(spark, sfDir)).collect()
+    assert(r.length == 5)
+    r.foreach { x =>
+      assert(x.getDouble(2) <= x.getDouble(3) && x.getDouble(3) <= x.getDouble(4))
+      assert(x.getDouble(4) <= x.getLong(5))
+      assert(x.getDouble(2) > 0)
+    }
+  }
+
   // ---- q228 session entry/exit/bounce --------------------------------
 
   test("sessionEntryExit: entries, exits and bounces per hand-built session") {

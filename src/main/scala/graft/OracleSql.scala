@@ -3405,10 +3405,10 @@ object OracleSql {
         |  n * sxx - sx * sx AS vxx, n * syy - sy * sy AS vyy,
         |  sx, sxa, sya, sxb, syb FROM s)
         |SELECT n_a, n_b,
-        |floor(CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS theta,
+        |CASE WHEN vxx = 0 THEN NULL ELSE floor(CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS theta,
         |floor((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) / 1e2 * 1e4 + 0.5) / 1e4 AS lift_raw,
-        |floor(((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) - CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * (CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))) / 1e2 * 1e4 + 0.5) / 1e4 AS lift_cuped,
-        |floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS var_reduction
+        |CASE WHEN vxx = 0 THEN NULL ELSE floor(((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) - CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * (CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))) / 1e2 * 1e4 + 0.5) / 1e4 END AS lift_cuped,
+        |CASE WHEN vxx = 0 OR vyy = 0 THEN NULL ELSE floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) * 1e4 + 0.5) / 1e4 END AS var_reduction
         |FROM m""".stripMargin,
 
     // RFM: per-user (recency, frequency, cent-quantized monetary),
@@ -3743,7 +3743,7 @@ object OracleSql {
       val steps = (1 to 8).map { t =>
         s"""x$t AS (SELECT e.to_type AS state,
            |  CAST(sum((x.xv * e.q9) // 1000000000) AS BIGINT) AS xv
-           |  FROM x${t - 1} x JOIN e ON x.state = e.from_type GROUP BY 1)"""
+           |  FROM x${t - 1} x JOIN e2 e ON x.state = e.from_type GROUP BY 1)"""
           .stripMargin
       }.mkString(",\n")
       s"""WITH p AS (SELECT event_type AS from_type,
@@ -3756,7 +3756,11 @@ object OracleSql {
          |e AS (SELECT c.from_type, c.to_type,
          |  CAST((c.n * 1000000000) // t.tot AS BIGINT) AS q9
          |  FROM c JOIN tot t ON c.from_type = t.from_type),
-         |states AS (SELECT DISTINCT from_type AS state FROM e),
+         |states AS (SELECT from_type AS state FROM e
+         |  UNION SELECT to_type FROM e),
+         |e2 AS (SELECT * FROM e UNION ALL
+         |  SELECT s.state, s.state, CAST(1000000000 AS BIGINT) FROM states s
+         |  WHERE s.state NOT IN (SELECT from_type FROM e)),
          |ns AS (SELECT count(*) AS n_states FROM states),
          |x0 AS (SELECT state,
          |  CAST(1000000000 // n_states AS BIGINT) AS xv

@@ -1424,12 +1424,27 @@ object EventAnalytics {
       .selectExpr("from_type", "to_type",
         "CAST((n * 1000000000) div tot AS BIGINT) AS q9")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val states = rates.select(col("from_type").as("state")).distinct()
+    // union of sources AND destinations: an absorbing state (appears
+    // only as to_type, no outgoing transitions) must stay in the
+    // output, else the mass flowing into it silently vanishes —
+    // invisible even to the mass_e9 floor-leak audit column. Dangling
+    // states get the standard implicit self-loop (q9 = 10⁹) so their
+    // mass ACCUMULATES instead of evaporating each step; on a corpus
+    // with no absorbing types the self-loop set is empty and the
+    // result is bit-identical to the pre-fix output.
+    val states = rates.select(col("from_type").as("state"))
+      .union(rates.select(col("to_type").as("state"))).distinct()
+    val dangling = states.join(
+      rates.select(col("from_type").as("state")).distinct(),
+      Seq("state"), "left_anti")
+    val ratesFull = rates.unionByName(dangling.selectExpr(
+      "state AS from_type", "state AS to_type",
+      "CAST(1000000000 AS BIGINT) AS q9"))
     val nStates = states.agg(count(lit(1)).as("n_states"))
     var x = states.crossJoin(broadcast(nStates))
       .selectExpr("state", "CAST(1000000000 div n_states AS BIGINT) AS xv")
     for (_ <- 1 to iters)
-      x = rates.join(x.withColumnRenamed("state", "from_type"), Seq("from_type"))
+      x = ratesFull.join(x.withColumnRenamed("state", "from_type"), Seq("from_type"))
         .groupBy(col("to_type").as("state"))
         .agg(sum(expr("(xv * q9) div 1000000000")).cast("bigint").as("xv"))
     states.join(x, Seq("state"), "left")

@@ -347,13 +347,17 @@ object RobustStats {
         "n * sxy - sx * sy AS cov", "n * sxx - sx * sx AS vxx",
         "n * syy - sy * sy AS vyy",
         "sx", "sxa", "sya", "sxb", "syb")
+      // vxx = 0 (constant pre-period covariate across all users) makes
+      // θ undefined: NULL, not Infinity/NaN — mirroring dailyOlsTrend's
+      // guard of the identical degenerate case (vyy = 0 likewise for
+      // var_reduction)
       .selectExpr("n_a", "n_b",
-        "floor(CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS theta",
+        "CASE WHEN vxx = 0 THEN NULL ELSE floor(CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS theta",
         "floor((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) / 1e2 * 1e4 + 0.5) / 1e4 AS lift_raw",
-        "floor(((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) " +
+        "CASE WHEN vxx = 0 THEN NULL ELSE floor(((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) " +
           "- CAST(cov AS DOUBLE) / CAST(vxx AS DOUBLE) * " +
-          "(CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))) / 1e2 * 1e4 + 0.5) / 1e4 AS lift_cuped",
-        "floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS var_reduction")
+          "(CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))) / 1e2 * 1e4 + 0.5) / 1e4 END AS lift_cuped",
+        "CASE WHEN vxx = 0 OR vyy = 0 THEN NULL ELSE floor(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) / (CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) * 1e4 + 0.5) / 1e4 END AS var_reduction")
   }
 
   /** Per-type ordinary-least-squares trend of the DAILY MEAN event

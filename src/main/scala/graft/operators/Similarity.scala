@@ -230,14 +230,45 @@ object Similarity {
     * snapshot must get a new address); this is the mutable-index
     * deployment API, taking the index path directly.
     */
+  /** Ingest discipline (two production hazards closed here):
+    * (1) id-disjointness is ENFORCED, not assumed — a re-appended
+    * resident vec_id would silently duplicate index rows and
+    * double-report neighbors in probeAndRank, so the batch is
+    * anti-joined against the resident id column first (a column-pruned
+    * vec_id-only scan, cheap relative to the write);
+    * (2) the batch is STAGED outside the live directory and its part
+    * files moved in last (atomic per-file rename on a posix fs), so a
+    * reader probing mid-append never sees a torn parquet file. A
+    * reader CAN still see only a prefix of a multi-file batch for the
+    * duration of the moves — per-file, not per-byte, granularity; a
+    * manifest/snapshot layer (Delta/Iceberg-style) is the full fix and
+    * out of scope for a plain-parquet index.
+    */
   def appendToIvfIndex(newVecs: DataFrame, indexDir: String): Unit = {
     require(new java.io.File(indexDir, "_SUCCESS").exists(),
       s"appendToIvfIndex requires an existing index at $indexDir")
-    newVecs.select(col("vec_id"),
+    val resident = newVecs.sparkSession.read.parquet(indexDir).select("vec_id")
+    val staging = indexDir + ".staging-" + java.util.UUID.randomUUID().toString
+    newVecs.join(resident, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"),
         lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
       .repartition(col("bucket_id"))
-      .write.mode("append").partitionBy("bucket_id").parquet(indexDir)
+      .write.mode("overwrite").partitionBy("bucket_id").parquet(staging)
+    val stagingDir = new java.io.File(staging)
+    try {
+      stagingDir.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket_id="))
+        .foreach { part =>
+          val dest = new java.io.File(indexDir, part.getName)
+          dest.mkdirs()
+          part.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+            java.nio.file.Files.move(pf.toPath,
+              new java.io.File(dest, pf.getName).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(stagingDir)
   }
 
   /** Broadcast-probe the corpus on bucket_id and rank cosine top-k —

@@ -545,10 +545,17 @@ object StreamPipeline {
           val ids = scala.collection.mutable.ArrayBuffer(st.ids: _*)
           val vecs = scala.collection.mutable.ArrayBuffer(st.vecs: _*)
           // micro-batch iterators carry no order guarantee; vec_id
-          // sort = the arrival-order contract the batch twin uses
-          val arriving = rows.toSeq.sortBy(_._1)
+          // sort = the arrival-order contract the batch twin uses.
+          // distinctBy collapses same-batch re-deliveries of one id
+          // (else the second copy would be judged against a prefix
+          // already holding its own vector — a wrong self-duplicate
+          // verdict — and appended twice, inflating n_prior); the
+          // in-loop ids.contains guard covers an id retained EARLIER
+          // in this same batch under a different sort position.
+          val arriving = rows.toSeq.sortBy(_._1).distinctBy(_._1)
             .filterNot(r => ids.contains(r._1))
-          val out = arriving.map { case (id, v, _) =>
+          val out = arriving.flatMap { case (id, v, _) =>
+            if (ids.contains(id)) None else Some {
             var dupOf = Option.empty[Long]
             var nPrior = 0L
             var j = 0
@@ -571,7 +578,7 @@ object StreamPipeline {
             }
             if (ids.length < maxPerBucket) { ids += id; vecs += v }
             DedupVerdict(id, if (dupOf.isDefined) 1 else 0, dupOf, nPrior)
-          }
+          } }
           state.update(BucketVecs(ids.toSeq, vecs.toSeq))
           out.iterator
       }

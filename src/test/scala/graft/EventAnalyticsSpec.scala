@@ -1075,6 +1075,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(math.abs(r("B") - 0.2) < 1e-3, r)
   }
 
+  test("markovStationary: an absorbing (destination-only) state keeps its mass") {
+    // one user, A B A B C → A→B twice, B→A once, B→C once; C has no
+    // outgoing transitions. Pre-fix, C was dropped from the state set
+    // and the mass flowing into it vanished. Now C gets the standard
+    // implicit self-loop: P = [[0,1,0],[.5,0,.5],[0,0,1]] — absorbing,
+    // so after 8 steps nearly all mass sits on C (exact chain from
+    // x0 = 1/3: C₈ = 0.958…), and total mass is conserved up to floor
+    // leakage.
+    val seq = Seq("A", "B", "A", "B", "C")
+    val df = seq.zipWithIndex.map { case (ty, i) =>
+      (i.toLong, ts(s"2024-01-01 10:0$i:00"), 1L, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.markovStationary(df).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r.keySet == Set("A", "B", "C"), s"absorbing C must appear: $r")
+    assert(r("C")._2 > 0.9 && r("A")._2 < 0.05 && r("B")._2 < 0.06, r.toString)
+    val mass = r.values.map(_._1).sum
+    assert(mass <= 1000000000L && mass >= 1000000000L - 1000,
+      s"self-loop must conserve mass up to floor leaks, got $mass")
+  }
+
   test("markovStationary on the corpus: a near-stochastic mass vector over all types") {
     val r = EventAnalytics.markovStationary(Tables.events(spark, sfDir)).collect()
     assert(r.length == 5)

@@ -149,6 +149,36 @@ class LshAndBucketingSpec extends AnyFunSuite {
     assert(mpA.exceptAll(mpB).count() == 0 && mpB.exceptAll(mpA).count() == 0)
   }
 
+  test("appendToIvfIndex: re-appending resident vec_ids is a no-op; staging never leaks") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") < 300)
+    val newer = emb.filter(col("vec_id") >= 300)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivf-reapp").toString
+    assert(Similarity.prebuildIvfIndex(old, dirA))
+    Similarity.appendToIvfIndex(newer, dirA)
+    val rowsOnce = spark.read.parquet(dirA).count()
+    assert(rowsOnce == emb.count())
+    // the WHOLE corpus again — every vec_id already resident: the
+    // id-disjointness anti-join must make this a no-op instead of
+    // silently duplicating index rows / double-reporting neighbors
+    Similarity.appendToIvfIndex(emb, dirA)
+    assert(spark.read.parquet(dirA).count() == rowsOnce,
+      "re-append of resident ids must not grow the index")
+    assert(spark.read.parquet(dirA).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0, "no duplicate vec_ids")
+    // probes still equal a clean rebuild
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivf-reapp-full").toString
+    assert(Similarity.prebuildIvfIndex(emb, dirB))
+    val a = Similarity.annTopKIvf(emb, dirA)
+    val b = Similarity.annTopKIvf(emb, dirB)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // the staged batch is moved in and the staging dir removed
+    val parent = new java.io.File(dirA).getParentFile
+    val stem = new java.io.File(dirA).getName + ".staging-"
+    assert(!parent.listFiles().exists(_.getName.startsWith(stem)),
+      "staging directories must be cleaned up")
+  }
+
   test("ivfIndexDir is content-addressed and prunes superseded indexes") {
     val embPath = s"$sfDir/embeddings.parquet"
     val base = java.nio.file.Files.createTempDirectory("graft-ivf-addr").toString

@@ -293,17 +293,25 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 0.9982, s"var_reduction ${r.getDouble(5)}")
   }
 
-  test("cupedAdjustedLift: users missing a period are excluded; constant covariate yields no crash") {
-    // user 5 has ONLY a post event → excluded (n_a counts only user 0)
+  test("cupedAdjustedLift: users missing a period are excluded; vxx = 0 yields NULLs, not Inf/NaN") {
+    // user 5 has ONLY a post event → excluded (n_a counts only user 0).
+    // Both retained users share the SAME pre-period value (100.0) →
+    // vxx = 0: theta/lift_cuped/var_reduction are undefined and must be
+    // NULL (the dailyOlsTrend guard), never Infinity/NaN; lift_raw
+    // needs no covariate and stays defined.
     val rows = Seq(
       (1L, Timestamp.valueOf("2024-03-01 10:00:00"), 0L, "m", 100.0, "{}"),
       (2L, Timestamp.valueOf("2024-03-21 10:00:00"), 0L, "m", 120.0, "{}"),
-      (3L, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "m", 200.0, "{}"),
+      (3L, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "m", 100.0, "{}"),
       (4L, Timestamp.valueOf("2024-03-21 10:00:00"), 1L, "m", 260.0, "{}"),
       (5L, Timestamp.valueOf("2024-03-21 10:00:00"), 5L, "m", 999.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val r = RobustStats.cupedAdjustedLift(rows).collect()(0)
     assert(r.getLong(0) == 1L && r.getLong(1) == 1L, "post-only user 5 excluded")
+    assert(r.isNullAt(2), s"theta must be NULL at vxx=0, got ${r.get(2)}")
+    assert(r.getDouble(3) == 140.0, s"lift_raw ${r.getDouble(3)}")
+    assert(r.isNullAt(4), s"lift_cuped must be NULL at vxx=0, got ${r.get(4)}")
+    assert(r.isNullAt(5), s"var_reduction must be NULL at vxx=0, got ${r.get(5)}")
   }
 
   test("theilSenTrend on the events table: pair counts match the grid exactly") {

@@ -876,6 +876,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("semanticDedupStream: same-batch re-delivery of one vec_id judges and appends once") {
+    implicit val sqlCtx = spark.sqlContext
+    val v = Seq(1.0, 0.5, 0.25, 0.125)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.semanticDedupStream(stream,
+          maxPerBucket = Int.MaxValue).toDF(),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-semdedup-dup").toString,
+        queryName = "semdedupdup_mem").start()
+    try {
+      // id 1 delivered TWICE inside one micro-batch: the second copy
+      // must neither be judged against its own vector (a wrong
+      // self-duplicate verdict) nor appended to state a second time
+      mem.addData(1L -> v, 1L -> v); query.processAllAvailable()
+      mem.addData(2L -> v); query.processAllAvailable()
+      val verdicts = spark.table("semdedupdup_mem")
+        .select("vec_id", "is_dup", "dup_of", "n_prior").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+      assert(verdicts.count(_._1 == 1L) == 1, "exactly one verdict for id 1")
+      // id 1 is CLEAN (not a self-duplicate); id 2 sees ONE prior —
+      // state holds a single copy of id 1, n_prior not inflated
+      assert(verdicts.toSet == Set((1L, 0, -1L, 0L), (2L, 1, 1L, 1L)),
+        verdicts.mkString(", "))
+    } finally query.stop()
+  }
+
   test("file streaming source runs the same plan over parquet drops (S2-equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
     val batchDf = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

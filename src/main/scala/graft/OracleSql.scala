@@ -4158,6 +4158,106 @@ object OracleSql {
         |quantile_cont(gap, 0.9) AS p90,
         |quantile_cont(gap, 0.99) AS p99,
         |CAST(max(gap) AS BIGINT) AS max_gap
-        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // URL curation family: the deterministic synth + canonicalization
+    // CTE is shared verbatim by q231/q232/q233 (urlCanonCte below).
+    "q231_url_canonicalize" ->
+      s"""$urlCanonCte
+         |SELECT doc_id, raw_url, canon_url, host,
+         |regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+         |FROM canon ORDER BY doc_id""".stripMargin,
+
+    "q232_per_host_cap" ->
+      s"""$urlCanonCte,
+         |pages AS (SELECT host, page_key, count(*) AS n_copies
+         |  FROM canon GROUP BY 1, 2),
+         |ranked AS (SELECT host, n_copies,
+         |  row_number() OVER (PARTITION BY host
+         |    ORDER BY md5(page_key), page_key) AS rk FROM pages)
+         |SELECT host, CAST(sum(n_copies) AS BIGINT) AS n_docs,
+         |CAST(count(*) AS BIGINT) AS n_pages,
+         |CAST(sum(CASE WHEN rk <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |CAST(sum(n_copies) - count(*) AS BIGINT) AS n_mirror_dropped,
+         |CAST(sum(CASE WHEN rk > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_cap_dropped
+         |FROM ranked GROUP BY host ORDER BY host""".stripMargin,
+
+    "q233_host_share" ->
+      s"""$urlCanonCte,
+         |per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars FROM canon GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS tot_chars FROM per),
+         |shares AS (SELECT host, n_docs, n_chars,
+         |  CAST((n_docs * 10000) // tot_docs AS BIGINT) AS doc_share_bp,
+         |  CAST((n_chars * 10000) // tot_chars AS BIGINT) AS char_share_bp
+         |  FROM per CROSS JOIN tot)
+         |SELECT host, n_docs, n_chars, doc_share_bp, char_share_bp,
+         |CAST(row_number() OVER (ORDER BY n_docs DESC, host) AS INT) AS size_rank,
+         |CAST(sum(doc_share_bp) OVER (ORDER BY n_docs DESC, host
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_share_bp,
+         |CASE WHEN doc_share_bp >= 800 THEN 'head'
+         |  WHEN doc_share_bp >= 400 THEN 'torso' ELSE 'tail' END AS tier
+         |FROM shares ORDER BY size_rank""".stripMargin
   )
+
+  /** DuckDB twin of UrlCuration's synth + canonicalize pipeline (see
+    * UrlCuration.scala for the per-step rationale): md5-bit variants,
+    * fragment/port/www/slash/tracking-param normalization, canon_url
+    * (scheme kept) and the scheme-insensitive page_key. A def, not a
+    * val: it is interpolated into `all` above, which initializes
+    * first.
+    */
+  private def urlCanonCte: String =
+    """WITH synth AS (SELECT doc_id, n_chars,
+      |  ('0x' || substring(md5(text), 1, 6))::BIGINT AS b, source
+      |  FROM documents),
+      |raw AS (SELECT doc_id, n_chars,
+      |  (CASE WHEN b % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+      |  (CASE (b // 2) % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'WWW.' END) ||
+      |  (CASE WHEN (b // 12) % 2 = 0 THEN upper(source) ELSE source END) ||
+      |  '.example' ||
+      |  (CASE WHEN length(source) % 2 = 0 THEN '.com' ELSE '.org' END) ||
+      |  (CASE (b // 24) % 4
+      |    WHEN 0 THEN (CASE WHEN b % 2 = 0 THEN ':80' ELSE ':443' END)
+      |    WHEN 1 THEN ':8080' ELSE '' END) ||
+      |  '/s' || CAST(doc_id // 200 AS VARCHAR) ||
+      |  '//docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+      |  (CASE WHEN (b // 96) % 2 = 0 THEN '/' ELSE '' END) ||
+      |  '?z=' || CAST((doc_id % 40) % 7 AS VARCHAR) ||
+      |  '&utm_source=feed&a=' || CAST((doc_id % 40) % 3 AS VARCHAR) ||
+      |  '&utm_campaign=x' ||
+      |  (CASE WHEN (b // 192) % 2 = 0 THEN '#top' ELSE '' END) AS raw_url
+      |  FROM synth),
+      |parts AS (SELECT doc_id, n_chars, raw_url,
+      |  regexp_replace(raw_url, '#.*$', '') AS nf FROM raw),
+      |pieces AS (SELECT doc_id, n_chars, raw_url,
+      |  lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+      |  lower(regexp_extract(nf, '^[A-Za-z]+://([^/?]*)', 1)) AS auth,
+      |  regexp_extract(nf, '^[A-Za-z]+://[^/?]*([^?]*)', 1) AS path,
+      |  regexp_extract(nf, '\?(.*)$', 1) AS qs FROM parts),
+      |cp AS (SELECT doc_id, n_chars, raw_url, scheme,
+      |  regexp_replace(regexp_extract(auth, '^([^:]*)', 1), '^www\.', '') AS host,
+      |  regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+      |  regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), '/+$', '') AS pc,
+      |  coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+      |    x -> NOT (substr(x, 1, 4) = 'utm_' OR substr(x, 1, 7) = 'fbclid='
+      |    OR substr(x, 1, 6) = 'gclid='))), '&'), '') AS cq
+      |  FROM pieces),
+      |canon AS (SELECT doc_id, n_chars, raw_url, host,
+      |  scheme || '://' || host ||
+      |  (CASE WHEN port = '' THEN ''
+      |    WHEN scheme = 'http'  AND port = '80'  THEN ''
+      |    WHEN scheme = 'https' AND port = '443' THEN ''
+      |    ELSE ':' || port END) ||
+      |  (CASE WHEN pc = '' THEN '/' ELSE pc END) ||
+      |  (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canon_url,
+      |  host ||
+      |  (CASE WHEN port = '' THEN ''
+      |    WHEN scheme = 'http'  AND port = '80'  THEN ''
+      |    WHEN scheme = 'https' AND port = '443' THEN ''
+      |    ELSE ':' || port END) ||
+      |  (CASE WHEN pc = '' THEN '/' ELSE pc END) ||
+      |  (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS page_key
+      |  FROM cp)""".stripMargin
 }

@@ -646,7 +646,16 @@ object SparkEntry {
         ccCascadeFor(s, d), simhashFor(s, d))),
     // inter-arrival SLO tail report: p50/p90/p99 gap per type over
     // the q164 per-(user, type) gap stream
-    "q230_latency_slo"      -> ((s, d) => EventAnalytics.latencySlo(Tables.events(s, d)))
+    "q230_latency_slo"      -> ((s, d) => EventAnalytics.latencySlo(Tables.events(s, d))),
+    // URL canonicalization: deterministic messy synthetic URLs →
+    // lowercased/stripped/param-sorted canonical form + host/domain
+    "q231_url_canonicalize" -> ((s, d) => UrlCuration.urlCanonicalize(Tables.documents(s, d))),
+    // mirror-page dedup on the canonical page key + per-site cap —
+    // the RefinedWeb curation recipe, all-integer per-host report
+    "q232_per_host_cap"     -> ((s, d) => UrlCuration.perHostCap(Tables.documents(s, d))),
+    // per-site concentration audit: exact basis-point doc/char
+    // shares, size rank, cumulative share, head/torso/tail tier
+    "q233_host_share"       -> ((s, d) => UrlCuration.hostShareAudit(Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

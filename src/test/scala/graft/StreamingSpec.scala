@@ -905,6 +905,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("exactlyOnceSink: a re-delivered micro-batch writes once; torn attempts never merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("id", "payload")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-e1-out").toString
+    val query = StreamPipeline.exactlyOnceSink(stream, outDir,
+      java.nio.file.Files.createTempDirectory("graft-e1-ckpt").toString).start()
+    try {
+      mem.addData(1L -> "a", 2L -> "b"); query.processAllAvailable()
+      mem.addData(3L -> "c"); query.processAllAvailable()
+    } finally query.stop()
+    val committed = spark.read.parquet(outDir)
+    assert(committed.count() == 3)
+    assert(committed.select("epoch").distinct().count() == 2,
+      "each micro-batch commits as its own epoch partition")
+    // crash-replay simulation: the SAME epoch delivered again (what a
+    // restart does after a crash between sink write and checkpoint
+    // commit) must be a no-op — this is THE exactly-once branch
+    val replay = spark.createDataFrame(Seq((99L, "dup"))).toDF("id", "payload")
+    assert(!StreamPipeline.writeEpochOnce(replay, 0L, outDir),
+      "re-delivered epoch must be skipped")
+    assert(spark.read.parquet(outDir).count() == 3, "no duplicate rows after replay")
+    // torn-attempt simulation: a crash mid-write leaves a staging dir;
+    // the epoch's re-delivery must clobber it, not merge with it
+    val staging = new java.io.File(outDir, ".epoch-7.staging")
+    spark.createDataFrame(Seq((100L, "torn"), (101L, "torn")))
+      .toDF("id", "payload").write.parquet(staging.toString)
+    val fresh = spark.createDataFrame(Seq((7L, "g"))).toDF("id", "payload")
+    assert(StreamPipeline.writeEpochOnce(fresh, 7L, outDir), "new epoch commits")
+    val ep7 = spark.read.parquet(outDir).filter(col("epoch") === 7)
+    assert(ep7.count() == 1 && ep7.select("id").head().getLong(0) == 7L,
+      "the torn attempt's rows must not survive")
+    assert(!staging.exists(), "staging dir consumed by the commit rename")
+  }
+
   test("file streaming source runs the same plan over parquet drops (S2-equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
     val batchDf = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -271,7 +271,7 @@ object OracleSql {
       |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint)
       |ORDER BY b.doc_id""".stripMargin
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q01_hourly_agg" ->
       """SELECT CAST(hour(ts) AS INT) AS hour, count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -4201,11 +4201,135 @@ object OracleSql {
          |FROM shares ORDER BY size_rank""".stripMargin
   )
 
+  /** One blocking family's pair count: the family's OWN oracle SQL
+    * wrapped verbatim as a counted subquery — one source of truth, so
+    * the q234 audit can never drift from the per-family oracles.
+    */
+  private def famCount(fam: String, q: String): String =
+    s"SELECT '$fam' AS family, CAST(count(*) AS BIGINT) AS n_pairs FROM (${base(q)})"
+
+  /** q234: per-family pair-set sizes + pairs-per-kdoc density (the
+    * scaling-exponent audit's single-SF leg — SCALE.md carries the
+    * cross-SF table). Derived AFTER `base` so it composes the
+    * already-defined family twins.
+    */
+  private val scalingAuditSql: String = {
+    val fams = Seq(
+      "containment"      -> "q140_containment",
+      "minhash_cand"     -> "q32_minhash_pairs",
+      "minhash_verified" -> "q33_near_dup",
+      "prefix_jaccard"   -> "q135_prefix_jaccard",
+      "simhash"          -> "q71_simhash_pairs",
+      "snm"              -> "q184_snm_neardups",
+      "winnow"           -> "q176_winnow_pairs")
+    "WITH fams AS (\n" +
+      fams.map { case (f, q) => famCount(f, q) }.mkString("\nUNION ALL\n") +
+      "\n),\nnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)\n" +
+      "SELECT family, n_docs, n_pairs,\n" +
+      "floor(CAST(n_pairs AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e3 AS pairs_per_kdoc\n" +
+      "FROM fams, nd ORDER BY family"
+  }
+
+  /** q235: the multi-iteration BPE trainer unrolled — vocab_i chains
+    * as plain CTEs over the previous iteration's top merge (vocab_i =
+    * vocab_{i-1} ∪ merge_i), each seg_i a maximal-munch segmentation
+    * of the distinct-word frame under vocab_i. m_i picks the top pair
+    * from seg_{i-1}; f_i reports corpus fertility under seg_i —
+    * exactly the two scalars the Spark trainer collects per iteration.
+    *
+    * TWO load-bearing DuckDB-1.0 engineering choices (each measured):
+    *
+    *  - NO recursive CTEs and NO correlated munch subquery: a CTE
+    *    referenced from inside a recursive arm (or a correlated
+    *    subquery) is re-evaluated per iteration/row, and here every
+    *    re-evaluation would drag the whole vocab_i ← m_i ← seg_{i-1}
+    *    chain with it — measured 511 s at sf0.01 for the recursive
+    *    form vs 0.16 s for this one. Instead the munch is a JOIN
+    *    (bm_i = best vocab match per (word, pos) via one window
+    *    rank), and the walk is unrolled into `hops` non-recursive
+    *    single-step CTEs (hops ≥ max word length — 8 in every
+    *    testdata SF, 12 used; a longer word would drop from done_i
+    *    and hash-mismatch loudly, never silently pass);
+    *  - the shared/multi-referenced CTEs are AS MATERIALIZED:
+    *    DuckDB 1.0 inlines every CTE reference by default, which
+    *    re-reads the parquet per reference (measured: "Too many open
+    *    files" at 4 segmentations × 12 hops). MATERIALIZED is safe
+    *    here precisely BECAUSE nothing is recursive — combining
+    *    MATERIALIZED with WITH RECURSIVE mis-evaluates this chain on
+    *    1.0 (measured: wrong merges), which is why the recursion had
+    *    to go first.
+    */
+  private def bpeTrainSql(iters: Int, hops: Int = 12): String = {
+    val vocabList = graft.functions.SubwordGenerator.DefaultVocab
+      .map(v => s"'$v'").mkString(", ")
+    def segCtes(i: Int): String = {
+      val bm =
+        s"""bm$i AS MATERIALIZED (SELECT w, pos, v FROM (
+           |  SELECT p.w, p.pos, v.v,
+           |    row_number() OVER (PARTITION BY p.w, p.pos
+           |      ORDER BY len(v.v) DESC, v.v) AS rk
+           |  FROM posn p JOIN vocab$i v
+           |    ON substr(p.w, CAST(p.pos AS INT), len(v.v)) = v.v
+           |) WHERE rk = 1)""".stripMargin
+      val h0 = s"h${i}_0 AS (SELECT w, CAST(1 AS BIGINT) AS pos, " +
+        "0 AS step, CAST(NULL AS VARCHAR) AS tok FROM wc)"
+      val steps = (1 to hops).map { j =>
+        s"""h${i}_$j AS (
+           |  SELECT s.w, s.pos + coalesce(len(b.v), 1) AS pos,
+           |    s.step + 1 AS step,
+           |    coalesce(b.v, substr(s.w, CAST(s.pos AS INT), 1)) AS tok
+           |  FROM h${i}_${j - 1} s
+           |  LEFT JOIN bm$i b ON b.w = s.w AND b.pos = s.pos
+           |  WHERE s.pos <= len(s.w))""".stripMargin
+      }
+      val union = (0 to hops).map(j => s"SELECT * FROM h${i}_$j")
+        .mkString("\nUNION ALL ")
+      (Seq(bm, h0) ++ steps :+ s"seg$i AS MATERIALIZED ($union)")
+        .mkString(",\n")
+    }
+    def iterCtes(i: Int) =
+      s"""pc$i AS (SELECT s1.tok AS t1, s2.tok AS t2,
+         |  CAST(sum(mult) AS BIGINT) AS cnt
+         |  FROM seg${i - 1} s1 JOIN seg${i - 1} s2
+         |    ON s1.w = s2.w AND s2.step = s1.step + 1
+         |  JOIN wc ON wc.w = s1.w
+         |  WHERE s1.step >= 1 GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT t1, t2, t1 || t2 AS merged, cnt
+         |  FROM pc$i ORDER BY cnt DESC, t1, t2 LIMIT 1),
+         |vocab$i(v) AS MATERIALIZED (SELECT v FROM vocab${i - 1}
+         |  UNION ALL SELECT merged FROM m$i),
+         |${segCtes(i)},
+         |f$i AS (SELECT floor(CAST(sum(d.step * wc.mult) AS DOUBLE) /
+         |  (SELECT n FROM nw) * 1e4 + 0.5) / 1e4 AS fertility
+         |  FROM (SELECT w, step FROM seg$i WHERE pos = len(w) + 1) d
+         |  JOIN wc ON wc.w = d.w)""".stripMargin
+    val header =
+      s"""WITH vocab0(v) AS MATERIALIZED (SELECT unnest([$vocabList])),
+         |words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS mult
+         |  FROM words WHERE len(w) > 0 GROUP BY w),
+         |nw AS (SELECT CAST(sum(mult) AS DOUBLE) AS n FROM wc),
+         |posn AS MATERIALIZED (SELECT w, unnest(range(1, len(w) + 1)) AS pos
+         |  FROM wc),
+         |${segCtes(0)},
+         |${(1 to iters).map(iterCtes).mkString(",\n")}""".stripMargin
+    val rowsSel = (1 to iters).map { i =>
+      s"SELECT $i AS iter, t1, t2, merged, cnt AS pair_count, " +
+        s"(SELECT fertility FROM f$i) AS fertility FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    header + s"\nSELECT * FROM (\n$rowsSel\n) ORDER BY iter"
+  }
+
+  val all: Map[String, String] =
+    base +
+      ("q234_scaling_audit" -> scalingAuditSql) +
+      ("q235_bpe_train" -> bpeTrainSql(3))
+
   /** DuckDB twin of UrlCuration's synth + canonicalize pipeline (see
     * UrlCuration.scala for the per-step rationale): md5-bit variants,
     * fragment/port/www/slash/tracking-param normalization, canon_url
     * (scheme kept) and the scheme-insensitive page_key. A def, not a
-    * val: it is interpolated into `all` above, which initializes
+    * val: it is interpolated into `base` above, which initializes
     * first.
     */
   private def urlCanonCte: String =

@@ -655,7 +655,16 @@ object SparkEntry {
     "q232_per_host_cap"     -> ((s, d) => UrlCuration.perHostCap(Tables.documents(s, d))),
     // per-site concentration audit: exact basis-point doc/char
     // shares, size rank, cumulative share, head/torso/tail tier
-    "q233_host_share"       -> ((s, d) => UrlCuration.hostShareAudit(Tables.documents(s, d)))
+    "q233_host_share"       -> ((s, d) => UrlCuration.hostShareAudit(Tables.documents(s, d))),
+    // scaling-exponent audit: per blocking family, emitted pair count
+    // + pairs-per-kdoc density off the SAME functions the family
+    // queries run — the driver-checkable "no quadratic blowup" row set
+    "q234_scaling_audit"    -> ((s, d) =>
+      Dedup.scalingAudit(Tables.documents(s, d), ccCascadeFor(s, d), simhashFor(s, d))),
+    // multi-iteration BPE trainer: k merge-adopt-resegment steps over
+    // the distinct-word frame; oracle unrolls the loop as chained
+    // recursive CTEs
+    "q235_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

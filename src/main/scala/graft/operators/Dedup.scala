@@ -1779,4 +1779,44 @@ object Dedup {
         "floor(CAST(n_shared AS DOUBLE) / least(grams_a, grams_b) * 1e6 + 0.5) / 1e6 AS containment")
       .orderBy("source_a", "source_b")
   }
+
+  /** Scaling-exponent audit: one row per blocking family with the
+    * size of its emitted pair set and the pairs-per-thousand-docs
+    * density — the driver-checkable evidence behind the "no quadratic
+    * blowup" claim. Run at two scale factors, the ratio of
+    * `pairs_per_kdoc` IS the family's scaling exponent minus one: a
+    * family whose candidate tier degenerated to ~n² would show the
+    * density growing ~linearly with corpus size, while a properly
+    * blocked family holds it near-constant (SCALE.md records the
+    * measured sf0.01 → sf0.1 table).
+    *
+    * Every family is counted from the SAME function the family's own
+    * query runs (the materialized frames where one exists), so the
+    * audit can never drift from what q32/q33/q71/q135/q140/q176/q184
+    * actually emit; the oracle likewise wraps each family's own
+    * DuckDB twin as a counted subquery.
+    *
+    * Scale: seven 1-row aggregates unioned plus a broadcast 1-row
+    * docs count — the per-family counts are partial-aggregated scans
+    * of frames the cascade has already bounded.
+    */
+  def scalingAudit(docs: DataFrame, ccDir: String, shDir: String): DataFrame = {
+    def cnt(fam: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("bigint").as("n_pairs"))
+        .select(lit(fam).as("family"), col("n_pairs"))
+    val fams = Seq(
+      cnt("containment", containmentJoinCached(docs, ccDir)),
+      cnt("minhash_cand", minhashCandidatePairsCached(docs, ccDir)),
+      cnt("minhash_verified", nearDupPairsCached(docs, ccDir)),
+      cnt("prefix_jaccard", prefixJaccardJoinCached(docs, ccDir)),
+      cnt("simhash", simhashPairsCached(docs, shDir)),
+      cnt("snm", snmNearDups(docs)),
+      cnt("winnow", winnowedPairs(docs)))
+    val nd = docs.agg(count(lit(1)).cast("bigint").as("n_docs"))
+    fams.reduce(_ unionByName _)
+      .crossJoin(broadcast(nd))
+      .selectExpr("family", "n_docs", "n_pairs",
+        "floor(CAST(n_pairs AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e3 AS pairs_per_kdoc")
+      .orderBy("family")
+  }
 }

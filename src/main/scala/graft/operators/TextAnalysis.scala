@@ -731,6 +731,82 @@ object TextAnalysis {
         "floor(CAST(n_unk AS DOUBLE) / CAST(n_subwords AS DOUBLE) * 1e4 + 0.5) / 1e4 AS unk_rate")
       .orderBy("lang")
 
+  /** Multi-iteration BPE trainer: the q207 single-step miner closed
+    * into the actual training loop — segment under the CURRENT vocab,
+    * adopt the highest-count adjacent pair as a new vocab token
+    * (ties: count desc, t1 asc, t2 asc), re-segment, repeat `iters`
+    * times. One row per iteration: the merge adopted, its corpus
+    * pair count under the PRE-merge vocab, and the corpus fertility
+    * (subwords per word instance) under the POST-merge vocab — the
+    * invariant a trainer is judged by is that fertility ratchets
+    * down as merges land.
+    *
+    * The adopted merge is always genuinely new: t1 was the maximal
+    * munch at its position, so t1·t2 cannot already be in the vocab
+    * (the longer token would have been munched instead) — the vocab
+    * grows by exactly one entry per iteration by construction.
+    *
+    * Scale: segmentation runs over DISTINCT words carrying their
+    * instance multiplicity (the corpus collapses to its vocabulary
+    * before any per-character work — BPE's standard word-count trick),
+    * so each iteration is one generator pass + one co-partitioned
+    * self-join on the vocabulary-bounded frame; only TWO scalar rows
+    * (the top pair, the subword total) reach the driver per
+    * iteration, and `iters` is a constant. Each segmentation frame is
+    * persisted and reused by the NEXT iteration's pair mining
+    * (k+1 segmentation jobs total, not 2k).
+    *
+    * Exact-oracle-checkable end to end: the DuckDB twin unrolls the
+    * same loop as chained recursive CTEs (vocab_i = vocab_{i-1} ∪
+    * merge_i), and every reported number is an exact BIGINT or a
+    * floor-rounded ratio of exact BIGINTs.
+    */
+  def bpeTrain(docs: DataFrame, iters: Int = 3,
+               baseVocab: Seq[String] = graft.functions.SubwordGenerator.DefaultVocab): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).cast("bigint").as("mult"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nWordInstances = words.agg(sum("mult")).first().getLong(0)
+
+    def segment(vocab: Seq[String]): DataFrame =
+      words.select(col("w"), col("mult"),
+        graft.functions.SubwordGenerator.subwords(col("w"), vocab)
+          .as(Seq("word_idx", "sub_idx", "token", "is_unk")))
+
+    var vocab = baseVocab
+    var seg = segment(vocab).persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = Seq.newBuilder[(Int, String, String, String, Long, Double)]
+    for (i <- 1 to iters) {
+      val a = seg.select(col("w"), col("mult"), col("sub_idx"),
+        col("token").as("t1"))
+      val b = seg.select(col("w"), (col("sub_idx") - 1).as("sub_idx"),
+        col("token").as("t2"))
+      val top = a.join(b, Seq("w", "sub_idx"))
+        .groupBy("t1", "t2").agg(sum("mult").cast("bigint").as("cnt"))
+        .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
+        .limit(1).collect()(0)
+      val (t1, t2, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      vocab = vocab :+ (t1 + t2)
+      val next = segment(vocab).persist(StorageLevel.MEMORY_AND_DISK)
+      // one row per (distinct word, token): Σ mult = corpus subword total
+      val nSub = next.agg(sum("mult")).first().getLong(0)
+      seg.unpersist(blocking = false)
+      seg = next
+      val fert = math.floor(
+        nSub.toDouble / nWordInstances.toDouble * 1e4 + 0.5) / 1e4
+      rows += ((i, t1, t2, t1 + t2, cnt, fert))
+    }
+    seg.unpersist(blocking = false)
+    words.unpersist(blocking = false)
+    import spark.implicits._
+    rows.result()
+      .toDF("iter", "t1", "t2", "merged", "pair_count", "fertility")
+      .orderBy("iter")
+  }
+
   /** Positional-index phrase search: the retrieval capability the
     * term-level [[invertedIndex]] (q139) cannot express — "these
     * words ADJACENT, in order". The corpus's top-`topN` trigram

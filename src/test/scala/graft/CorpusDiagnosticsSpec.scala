@@ -562,6 +562,66 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(totalSubwords(vocab :+ "abc") < totalSubwords(vocab))
   }
 
+  test("bpeTrain: the hand-traced 3-iteration loop on the toy corpus") {
+    val vocab = Seq("ab", "c", "d")
+    // distinct words: "abcd" ×2, "abab" ×1 → 3 word instances
+    val df = docsDf(Seq((1L, "abcd abab abcd", "s")))
+    val r = TextAnalysis.bpeTrain(df, iters = 3, baseVocab = vocab).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getString(3),
+        x.getLong(4), x.getDouble(5)))
+    // iter 1: pairs (ab,c)=2, (c,d)=2, (ab,ab)=1 → tie breaks on t1
+    //   ("ab" < "c") → merge "abc"; abcd→[abc,d]×2, abab→[ab,ab]×1
+    //   → 6 subwords / 3 words = 2.0
+    // iter 2: (abc,d)=2 beats (ab,ab)=1 → "abcd"; 4/3 → 1.3333
+    // iter 3: only (ab,ab)=1 → "abab"; 3/3 = 1.0
+    assert(r.toSeq == Seq(
+      (1, "ab", "c", "abc", 2L, 2.0),
+      (2, "abc", "d", "abcd", 2L, math.floor(4.0 / 3 * 1e4 + 0.5) / 1e4),
+      (3, "ab", "ab", "abab", 1L, 1.0)), r.mkString(";"))
+  }
+
+  test("bpeTrain on the corpus: fertility ratchets down, merges are new tokens, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val r = TextAnalysis.bpeTrain(docs, iters = 3).collect()
+    assert(r.length == 3)
+    r.foreach { x =>
+      assert(x.getString(3) == x.getString(1) + x.getString(2), "merged = t1||t2")
+      assert(x.getLong(4) >= 1L, "adopted merge has support")
+      assert(!graft.functions.SubwordGenerator.DefaultVocab.contains(x.getString(3)),
+        "adopted merge is genuinely new")
+    }
+    // each merge can only shrink (or hold) the greedy token total on
+    // the corpus it was mined from — the trainer's ratchet
+    val ferts = r.map(_.getDouble(5)).toSeq
+    assert(ferts == ferts.sorted.reverse, s"fertility non-increasing: $ferts")
+    assert(r.map(_.getString(3)).distinct.length == 3, "three distinct merges")
+    val again = TextAnalysis.bpeTrain(docs, iters = 3).collect()
+    assert(r.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("scalingAudit: per-family counts equal the family functions' own counts") {
+    val docs = Tables.documents(spark, sfDir)
+    val cc = java.nio.file.Files.createTempDirectory("graft-audit-cc").toString
+    val sh = java.nio.file.Files.createTempDirectory("graft-audit-sh").toString
+    val r = Dedup.scalingAudit(docs, cc, sh).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r.keySet == Set("containment", "minhash_cand", "minhash_verified",
+      "prefix_jaccard", "simhash", "snm", "winnow"))
+    val nDocs = docs.count()
+    r.values.foreach { case (nd, np, ppk) =>
+      assert(nd == nDocs)
+      assert(ppk == math.floor(np.toDouble / nd * 1e6 + 0.5) / 1e3)
+    }
+    // the audit counts the SAME frames the family queries emit
+    assert(r("minhash_cand")._2 == Dedup.minhashCandidatePairsCached(docs, cc).count())
+    assert(r("minhash_verified")._2 == Dedup.nearDupPairsCached(docs, cc).count())
+    assert(r("simhash")._2 == Dedup.simhashPairsCached(docs, sh).count())
+    assert(r("snm")._2 == Dedup.snmNearDups(docs).count())
+    assert(r("winnow")._2 == Dedup.winnowedPairs(docs).count())
+    // verified ⊆ candidates
+    assert(r("minhash_verified")._2 <= r("minhash_cand")._2)
+  }
+
   test("phraseSearch: adjacency in order, df vs occurrences, top-doc ranking") {
     // doc 1: "x y z x y z" → trigrams [x y z, y z x, z x y, x y z]
     //   ("x y z" twice). doc 2: "x y z q". doc 3: too short for any.

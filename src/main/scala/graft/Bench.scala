@@ -267,7 +267,19 @@ object Bench {
       dropAllState()
       if (built) (System.nanoTime() - pqT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
-    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"sf":${jsonStr(sfDir)}}""")
+    // pre-build the four verified-pair family frames (prefix-Jaccard,
+    // containment, SNM, winnowing — q135/q140/q176/q184 and the q234
+    // audit all probe them): one verify join per family per corpus
+    // snapshot. 0 = reused, -1 = failed.
+    val famT0 = System.nanoTime()
+    val famBuildSec = try {
+      val built = graft.operators.Dedup.prebuildPairFamilies(
+        graft.engine.Tables.documents(spark, sfDir),
+        SparkEntry.ccCascadeFor(spark, sfDir))
+      dropAllState()
+      if (built) (System.nanoTime() - famT0) / 1e9 else 0.0
+    } catch { case _: Throwable => -1.0 }
+    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"sf":${jsonStr(sfDir)}}""")
 
     // a probe must never abort the run: a broken environment (e.g.
     // missing data dir) should still produce BENCH_META, per-query

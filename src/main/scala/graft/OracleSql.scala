@@ -4208,11 +4208,49 @@ object OracleSql {
   private def famCount(fam: String, q: String): String =
     s"SELECT '$fam' AS family, CAST(count(*) AS BIGINT) AS n_pairs FROM (${base(q)})"
 
+  /** The capped minhash candidate tier's twin: [[shingleCte]]'s band
+    * rows restricted to buckets of ≤ `cap` members before the
+    * self-join — `Dedup.capBuckets` in SQL. Counted in the q234 audit
+    * so the mitigation's effect is measured next to the uncapped
+    * tier it mitigates.
+    */
+  private def cappedCandSql(cap: Int): String =
+    shingleCte + s""",
+      |ok AS (SELECT band, mh FROM bands GROUP BY band, mh
+      |  HAVING count(*) <= $cap),
+      |candc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM (SELECT bands.* FROM bands JOIN ok USING (band, mh)) a
+      |  JOIN (SELECT bands.* FROM bands JOIN ok USING (band, mh)) b
+      |  ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b FROM candc""".stripMargin
+
   /** q234: per-family pair-set sizes + pairs-per-kdoc density (the
     * scaling-exponent audit's single-SF leg — SCALE.md carries the
     * cross-SF table). Derived AFTER `base` so it composes the
     * already-defined family twins.
     */
+  /** The AND-amplified (r = 2) candidate tier's twin
+    * (`Dedup.minhashCandidatePairsFine`): band key = concatenation of
+    * two salted MinHashes, collisions need agreement on both.
+    */
+  private val fineCandSql: String = {
+    val sigCols = (for (b <- 0 to 3; j <- 0 to 1)
+      yield s"min(md5('b${b}_$j:' || shingle)) AS mh_${b}_$j").mkString(", ")
+    val bandSel = (0 to 3).map(b =>
+      s"SELECT doc_id, $b AS band, mh_${b}_0 || mh_${b}_1 AS mh FROM sigf")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+       |       FROM toks WHERE len(tk) >= 3),
+       |sigf AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bandsf AS ($bandSel),
+       |candf AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandsf a JOIN bandsf b
+       |  ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b FROM candf""".stripMargin
+  }
+
   private val scalingAuditSql: String = {
     val fams = Seq(
       "containment"      -> "q140_containment",
@@ -4223,7 +4261,12 @@ object OracleSql {
       "snm"              -> "q184_snm_neardups",
       "winnow"           -> "q176_winnow_pairs")
     "WITH fams AS (\n" +
-      fams.map { case (f, q) => famCount(f, q) }.mkString("\nUNION ALL\n") +
+      (fams.map { case (f, q) => famCount(f, q) } ++ Seq(
+        "SELECT 'minhash_cand_capped' AS family, " +
+          s"CAST(count(*) AS BIGINT) AS n_pairs FROM (${cappedCandSql(50)})",
+        "SELECT 'minhash_cand_r2' AS family, " +
+          s"CAST(count(*) AS BIGINT) AS n_pairs FROM ($fineCandSql)"))
+        .mkString("\nUNION ALL\n") +
       "\n),\nnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)\n" +
       "SELECT family, n_docs, n_pairs,\n" +
       "floor(CAST(n_pairs AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e3 AS pairs_per_kdoc\n" +

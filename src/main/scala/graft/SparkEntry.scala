@@ -467,7 +467,8 @@ object SparkEntry {
     // point-in-time SCD2 state lookup for purchase events
     "q175_scd_lookup"       -> ((s, d) => EventAnalytics.scdLookup(Tables.events(s, d))),
     // MOSS winnowing: window-min fingerprint selection + shared-pair report
-    "q176_winnow_pairs"     -> ((s, d) => Dedup.winnowedPairs(Tables.documents(s, d))),
+    "q176_winnow_pairs"     -> ((s, d) =>
+      Dedup.winnowedPairsCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // CUSUM level-shift changepoint per event type, exact integer argmax
     "q177_cusum_changepoint" -> ((s, d) => EventAnalytics.cusumChangepoint(Tables.events(s, d))),
     // multi-touch attribution: dyadic time-decay credit, exactly summable
@@ -484,7 +485,8 @@ object SparkEntry {
     "q183_shared_runs"      -> ((s, d) =>
       Dedup.sharedRunLengthsCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // sorted-neighborhood (SNM) blocking, two passes + exact Jaccard verify
-    "q184_snm_neardups"     -> ((s, d) => Dedup.snmNearDups(Tables.documents(s, d))),
+    "q184_snm_neardups"     -> ((s, d) =>
+      Dedup.snmNearDupsCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // order-free per-source dataset fingerprints (XOR of row hashes)
     "q185_source_fingerprints" -> ((s, d) => Aggregates.sourceFingerprints(Tables.documents(s, d))),
     // two-sided as-of: linear interpolation at probe times, LOCF/backfill edges
@@ -663,7 +665,7 @@ object SparkEntry {
       Dedup.scalingAudit(Tables.documents(s, d), ccCascadeFor(s, d), simhashFor(s, d))),
     // multi-iteration BPE trainer: k merge-adopt-resegment steps over
     // the distinct-word frame; oracle unrolls the loop as chained
-    // recursive CTEs
+    // non-recursive CTEs
     "q235_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d)))
   )
 

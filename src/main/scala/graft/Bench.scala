@@ -279,7 +279,17 @@ object Bench {
       dropAllState()
       if (built) (System.nanoTime() - famT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
-    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"sf":${jsonStr(sfDir)}}""")
+    // pre-build the parsed-props long frame (q173/q222 probe it): one
+    // JSON parse per corpus snapshot. 0 = reused, -1 = failed.
+    val prT0 = System.nanoTime()
+    val propsBuildSec = try {
+      val built = graft.operators.JsonRouting.prebuildPropsLong(
+        graft.engine.Tables.events(spark, sfDir),
+        SparkEntry.propsFor(spark, sfDir))
+      dropAllState()
+      if (built) (System.nanoTime() - prT0) / 1e9 else 0.0
+    } catch { case _: Throwable => -1.0 }
+    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"props_build_sec":${dec(propsBuildSec, 2)},"sf":${jsonStr(sfDir)}}""")
 
     // a probe must never abort the run: a broken environment (e.g.
     // missing data dir) should still produce BENCH_META, per-query

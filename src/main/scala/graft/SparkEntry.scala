@@ -180,17 +180,16 @@ object SparkEntry {
     // Bloom-admission incremental dedup: same contract as q65 (results
     // are identical by construction — the Bloom filter only decides who
     // SKIPS the exact anti-join), so it shares q65's oracle SQL. The
-    // filter is sized for the test corpora (1 MiB), not the operator's
-    // 10M-doc production default: the literal ships inside every task
-    // binary that probes it, and sizing is semantics-free — a false
-    // positive only routes that row to the exact anti-join
+    // filter auto-sizes from a corpus count (~10 bits/doc), so the
+    // plan literal every task serializes is KBs here, 8 MiB only at
+    // tens of millions of corpus docs; sizing is semantics-free — a
+    // false positive only routes that row to the exact anti-join
     "q77_bloom_dedup"      -> ((s, d) => {
       val docs = Tables.documents(s, d)
       import org.apache.spark.sql.functions.col
       Dedup.incrementalDedupBloom(
         docs.filter(col("source") =!= "src2"),
-        docs.filter(col("source") === "src2"),
-        expectedItems = 1000000L, numBits = 1L << 23)
+        docs.filter(col("source") === "src2"))
     }),
     // RefinedWeb-style duplicated n-gram fraction: the substring-level
     // dup signal between doc-level dedup and paragraph dedup
@@ -460,8 +459,10 @@ object SparkEntry {
     // referential-integrity audit over the two fact→parent FK edges
     "q172_ref_integrity"    -> ((s, d) => Joins.refIntegrityAudit(
       Tables.orders(s, d), Tables.customer(s, d), Tables.lineitem(s, d))),
-    // schema-on-read JSON map mining over the open props column
-    "q173_props_profile"    -> ((s, d) => JsonRouting.propsProfile(Tables.events(s, d))),
+    // schema-on-read JSON map mining over the open props column,
+    // served from the materialized parsed-props frame (propsFor)
+    "q173_props_profile"    -> ((s, d) =>
+      JsonRouting.propsProfileCached(Tables.events(s, d), propsFor(s, d))),
     // Dataset.intersect / except over two sources' fingerprint sets
     "q174_set_relations"    -> ((s, d) => SetOps.setRelations(Tables.documents(s, d))),
     // point-in-time SCD2 state lookup for purchase events
@@ -619,8 +620,10 @@ object SparkEntry {
     // quintile bins from one broadcast percentile, 5-row output
     "q221_woe_audit"        -> ((s, d) => EventAnalytics.woeAudit(Tables.events(s, d))),
     // half-over-half trending props keys: smoothed log-lift, top-N
-    // via TakeOrdered — the what-took-off screen
-    "q222_trending_keys"    -> ((s, d) => EventAnalytics.trendingKeys(Tables.events(s, d))),
+    // via TakeOrdered — the what-took-off screen, probing the
+    // materialized parsed-props frame (no per-row JSON in the probe)
+    "q222_trending_keys"    -> ((s, d) =>
+      EventAnalytics.trendingKeysCached(Tables.events(s, d), propsFor(s, d))),
     // lead-lag cross-correlation of daily purchase vs error volumes
     // over the zero-filled calendar — q161's bivariate sibling
     "q223_cross_correlation" -> ((s, d) => EventAnalytics.crossCorrelation(Tables.events(s, d))),
@@ -725,6 +728,20 @@ object SparkEntry {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_pq_${new java.io.File(d).getName}_$ph").getAbsolutePath
     Similarity.pqIndexDir(s, s"$d/embeddings.parquet", base)
+  }
+
+  /** Content-addressed home of the events table's materialized
+    * parsed-props long frame — the [[ivfIndexFor]] discipline; shared
+    * by q173 (props profile) and q222 (trending keys), the only two
+    * consumers that parse the open JSON props column.
+    */
+  private[graft] def propsFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_props_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    graft.operators.JsonRouting.propsDir(s, s"$d/events.parquet", base)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

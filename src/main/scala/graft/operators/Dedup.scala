@@ -558,6 +558,20 @@ object Dedup {
     * fraction of the cost (spec-asserted) — the re-run touches the
     * full corpus text, this touches its fingerprints once.
     */
+  /** Bloom sizing for [[incrementalDedupBloom]]'s auto path: the next
+    * power of two above ~10 bits/item (≈1% fpp at the optimal hash
+    * count), floored at 8192 bits (1 KiB — below that the literal is
+    * noise either way) and capped at 2^26 (8 MiB — the ~50M-doc point
+    * past which a caller should shard the corpus or pass an explicit
+    * budget rather than ship a bigger per-task literal).
+    */
+  private[graft] def bloomBitsFor(items: Long): Long = {
+    val want = math.max(8192L, items * 10L)
+    var bits = 8192L
+    while (bits < want && bits < (1L << 26)) bits <<= 1
+    bits
+  }
+
   def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
     def fp(df: DataFrame) =
       df.select(col("doc_id"), TextAnalysis.fingerprintCol.as("fingerprint"))
@@ -582,28 +596,42 @@ object Dedup {
     * could itself be pre-filtered at scale. Results are spec-asserted
     * identical to [[incrementalDedup]].
     *
-    * The filter itself is `numBits/8` bytes on the driver (8 MiB at
-    * the defaults, sized for ~10M corpus docs at ~2% fpp) and ships
+    * The filter itself is `numBits/8` bytes on the driver and ships
     * to executors as a literal — the bounded-driver-state exception
-    * of the same class as a broadcast dimension. Uses Spark's native
+    * of the same class as a broadcast dimension, so its SIZE is a
+    * per-task serialization tax and must track the actual corpus,
+    * not a worst case: at the defaults (0 = auto) the corpus is
+    * counted first (one narrow column scan — trivially cheaper than
+    * the bloom-build aggregation that follows it) and the filter gets
+    * the next power of two above ~10 bits/doc (≈1% fpp), floored at
+    * 1 KiB and capped at 8 MiB — a 5k-doc test corpus pays a 8 KiB
+    * literal, a 10M-doc production corpus the 8 MiB one, and an
+    * over-full filter degrades to more exact-join traffic, never to
+    * wrong results. Callers that already know their corpus cardinality
+    * pass `expectedItems`/`numBits` explicitly and skip the count.
+    * Uses Spark's native
     * `BloomFilterAggregate`/`BloomFilterMightContain` (the runtime
     * join-pruning machinery) via the expression bridge, so the probe
     * stays codegen'd.
     */
   def incrementalDedupBloom(corpus: DataFrame, batch: DataFrame,
-                            expectedItems: Long = 10000000L,
-                            numBits: Long = 67108864L): DataFrame = {
+                            expectedItems: Long = 0L,
+                            numBits: Long = 0L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
     def fp(df: DataFrame) =
       df.select(col("doc_id"), TextAnalysis.fingerprintCol.as("fingerprint"))
+    val corpusFps = fp(corpus).select("fingerprint")
+    val items =
+      if (expectedItems > 0L) expectedItems
+      else math.max(corpusFps.count(), 1L)
+    val bits = if (numBits > 0L) numBits else bloomBitsFor(items)
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expressionEager(xxhash64(col("fingerprint"))),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    val corpusFps = fp(corpus).select("fingerprint")
+        Literal(items), Literal(bits)).toAggregateExpression())
     val bfBytes = corpusFps.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
     val batchFp = fp(batch)
       .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))

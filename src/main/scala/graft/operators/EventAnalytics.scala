@@ -1320,12 +1320,35 @@ object EventAnalytics {
     * TakeOrdered (heap per partition + N-row driver merge), never a
     * full sort. The span ships as a broadcast 1-row frame.
     */
-  def trendingKeys(ev: DataFrame, topN: Int = 20): DataFrame = {
-    val days = ev.select(
-        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
-          .cast("bigint").as("d"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
-      .filter(col("k").isNotNull)
+  def trendingKeys(ev: DataFrame, topN: Int = 20): DataFrame =
+    trendingFromDayKeys(
+      ev.select(
+          (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+            .cast("bigint").as("d"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k").isNotNull),
+      topN)
+
+  /** [[trendingKeys]] served from the materialized parsed-props frame
+    * ([[JsonRouting.propsLongCached]]): the probe reads an
+    * already-parsed (d, prop_key, value) parquet — no per-row JSON
+    * extraction, no timestamp truncation — filters the one key and
+    * runs the same bounded groupBy + TakeOrdered. `try_cast(value AS
+    * INT)` on the map-extracted string ≡ `get_json_object(...$.k)
+    * CAST INT` on valid JSON (both null out non-numeric and absent
+    * keys; malformed JSON is dropped by both parses) — spec-asserted
+    * identical to self-computing.
+    */
+  def trendingKeysCached(ev: DataFrame, dir: String,
+                         topN: Int = 20): DataFrame =
+    trendingFromDayKeys(
+      JsonRouting.propsLongCached(ev, dir)
+        .filter(col("prop_key") === "k")
+        .select(col("d"), expr("try_cast(value AS INT)").as("k"))
+        .filter(col("k").isNotNull),
+      topN)
+
+  private def trendingFromDayKeys(days: DataFrame, topN: Int): DataFrame = {
     val span = days.agg(min("d").as("d0"), max("d").as("d1"))
     days.crossJoin(broadcast(span))
       .withColumn("half",

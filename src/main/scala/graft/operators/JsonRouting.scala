@@ -90,9 +90,32 @@ object JsonRouting {
     * bounded by the property vocabulary, never event volume.
     */
   def propsProfile(ev: DataFrame): DataFrame =
+    profileFromLong(propsLong(ev))
+
+  // ───────────── materialized parsed-props frame (q173/q222) ─────────────
+
+  /** The parsed-props LONG frame: one row per (event, JSON property),
+    * carrying everything either props consumer downstream needs —
+    * event_type, the epoch-day of the event, the property key, and
+    * its RAW string value. This is the frame worth materializing once
+    * per corpus snapshot: JSON parsing is the only per-row cost the
+    * props family pays twice (q173 profiles it, q222 trends on it),
+    * and at 100 TB nobody re-parses an open JSON column per
+    * analytical question — the long frame IS the production
+    * "promote the payload to a table" step. Malformed JSON → null map
+    * → explode drops the row (both consumers' oracle semantics).
+    */
+  def propsLong(ev: DataFrame): DataFrame =
     ev.select(col("event_type"),
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+          .cast("bigint").as("d"),
         explode(from_json(col("props"), MapType(StringType, StringType))))
-      .select(col("event_type"), col("key").as("prop_key"),
+      .select(col("event_type"), col("d"), col("key").as("prop_key"),
+        col("value"))
+
+  /** [[propsProfile]] from an (already parsed) long frame. */
+  private[graft] def profileFromLong(kv: DataFrame): DataFrame =
+    kv.select(col("event_type"), col("prop_key"),
         expr("try_cast(value AS DOUBLE)").as("num"))
       .groupBy("event_type", "prop_key")
       .agg(count(lit(1)).as("n"),
@@ -100,4 +123,44 @@ object JsonRouting {
         min(col("num")).as("min_num"),
         max(col("num")).as("max_num"))
       .orderBy("event_type", "prop_key")
+
+  /** Content-addressed home of one event table's materialized
+    * [[propsLong]] frame — the IVF/cascade discipline
+    * ([[graft.engine.ContentAddress]]): the address hashes the event
+    * files' (path, size, mtime), so a changed table can never serve a
+    * stale parse.
+    */
+  def propsDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
+               base: String): String =
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base, "props_",
+      "propsDir")
+
+  /** Build the materialized [[propsLong]] frame under `dir/kv` iff
+    * missing (`_SUCCESS`-gated, resumable — the [[graft.operators
+    * .Dedup.prebuildCascade]] contract). Returns true iff a build
+    * happened, so a bench/deploy warm-up can account the one-off cost
+    * separately from probe measurements.
+    */
+  def prebuildPropsLong(ev: DataFrame, dir: String): Boolean = {
+    val kvDir = new java.io.File(dir, "kv")
+    val fresh = !new java.io.File(kvDir, "_SUCCESS").exists()
+    if (fresh)
+      propsLong(ev).write.mode("overwrite").parquet(kvDir.getAbsolutePath)
+    fresh
+  }
+
+  /** The materialized [[propsLong]] frame, built on first touch. */
+  def propsLongCached(ev: DataFrame, dir: String): DataFrame = {
+    prebuildPropsLong(ev, dir)
+    ev.sparkSession.read.parquet(s"$dir/kv")
+  }
+
+  /** [[propsProfile]] served from the materialized long frame: the
+    * probe is one groupBy over an already-parsed narrow parquet scan —
+    * no JSON parse, no timestamp work. Results are spec-asserted
+    * identical to self-computing (the parquet roundtrip is exact:
+    * strings and BIGINTs only).
+    */
+  def propsProfileCached(ev: DataFrame, dir: String): DataFrame =
+    profileFromLong(propsLongCached(ev, dir))
 }

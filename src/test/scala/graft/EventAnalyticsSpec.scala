@@ -1037,6 +1037,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (3, 0L, 2L, 1.6094), (1, 1L, 4L, 1.0986), (2, 4L, 1L, -1.0986)))
   }
 
+  test("q173/q222 cached twins: materialized parsed-props frame ≡ self-computed") {
+    import graft.operators.JsonRouting
+    val ev = Tables.events(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-props").toString
+    val dir = JsonRouting.propsDir(spark, s"$sfDir/events.parquet", base)
+    // first touch builds, second reuses (the _SUCCESS gate)
+    assert(JsonRouting.prebuildPropsLong(ev, dir), "first touch must build")
+    assert(!JsonRouting.prebuildPropsLong(ev, dir), "second touch must reuse")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: cached and self-computed runs diverge")
+    same(JsonRouting.propsProfileCached(ev, dir),
+      JsonRouting.propsProfile(ev), "q173 props profile")
+    same(EventAnalytics.trendingKeysCached(ev, dir),
+      EventAnalytics.trendingKeys(ev), "q222 trending keys")
+  }
+
   // ---- q223 lead-lag cross-correlation -------------------------------
 
   test("crossCorrelation: a series shifted by 2 days peaks at lag +2 with r = 1") {

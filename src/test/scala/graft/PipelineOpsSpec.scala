@@ -847,6 +847,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     val empty = corpus.filter(lit(false))
     val allNew = Dedup.incrementalDedupBloom(empty, batch)
     assert(allNew.count() == Dedup.incrementalDedup(empty, batch).count())
+    // auto-sizing: the plan literal tracks the corpus (~10 bits/doc,
+    // next pow2, 1 KiB floor / 8 MiB cap) instead of a worst-case
+    // constant — a 5k-doc corpus ships an 8 KiB filter, never 8 MiB
+    assert(Dedup.bloomBitsFor(1L) == 8192L)
+    assert(Dedup.bloomBitsFor(5000L) == 65536L)
+    assert(Dedup.bloomBitsFor(10000000L) == (1L << 26),
+      "sizing must cap at 8 MiB")
   }
 
   test("int8 embedding quantization: bounded reconstruction error, zero-vector safe") {

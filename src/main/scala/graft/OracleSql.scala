@@ -4366,7 +4366,61 @@ object OracleSql {
   val all: Map[String, String] =
     base +
       ("q234_scaling_audit" -> scalingAuditSql) +
-      ("q235_bpe_train" -> bpeTrainSql(3))
+      ("q235_bpe_train" -> bpeTrainSql(3)) +
+      ("q236_url_funnel" -> urlFunnelSql)
+
+  /** q236: q106's funnel CTEs verbatim, with the URL gate prepended —
+    * `t` (the funnel's input) is documents restricted to URL keepers
+    * (mirror min-doc_id per page, per-host rank ≤ 8 by md5 priority),
+    * and the final per-source report adds the n_url column. q106's
+    * `canon` CTE is renamed `canond` (the URL CTE owns the name).
+    */
+  private def urlFunnelSql: String =
+    s"""$urlCanonCte,
+       |urlpages AS (SELECT host, page_key, min(doc_id) AS doc_id
+       |  FROM canon GROUP BY 1, 2),
+       |urlkeep AS (SELECT doc_id FROM (SELECT doc_id,
+       |  row_number() OVER (PARTITION BY host
+       |    ORDER BY md5(page_key), page_key) AS rk FROM urlpages)
+       |  WHERE rk <= 8),
+       |t AS (SELECT d.doc_id, d.source, d.text, string_split(d.text, ' ') AS tk
+       |  FROM documents d JOIN urlkeep u ON d.doc_id = u.doc_id),
+       |f AS (SELECT doc_id, source, text, tk,
+       |CAST(len(tk) AS INT) AS n_tokens,
+       |round(CAST(length(text) AS DOUBLE) / len(tk), 4) AS mean_token_len,
+       |round(CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(tk), 4) AS stopword_ratio,
+       |CASE WHEN len(tk) < 3 THEN 0.0 ELSE
+       |round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk) - 1),
+       |i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS DOUBLE) / (len(tk) - 2), 4) END AS rep_ratio
+       |FROM t),
+       |gated AS (SELECT doc_id, source, text, tk FROM f
+       |WHERE n_tokens >= 10 AND n_tokens <= 1000
+       |  AND mean_token_len >= 2.0 AND mean_token_len <= 10.0
+       |  AND stopword_ratio >= 0.01 AND rep_ratio <= 0.5),
+       |canond AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+       |ded AS (SELECT g.doc_id, g.tk FROM gated g JOIN canond c ON g.doc_id = c.doc_id),
+       |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+       |       FROM ded WHERE len(tk) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+       |ev0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id % 10 = 0),
+       |evsh AS (SELECT DISTINCT unnest(list_transform(range(1, len(tk) - 1),
+       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+       |       FROM ev0 WHERE len(tk) >= 3),
+       |o AS (SELECT doc_id, count(*) AS n_overlap FROM sh
+       |      WHERE shingle IN (SELECT shingle FROM evsh) GROUP BY doc_id),
+       |s AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+       |keptids AS (SELECT s.doc_id FROM s LEFT JOIN o ON s.doc_id = o.doc_id
+       |WHERE round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / s.n_shingles, 4) <= 0.5)
+       |SELECT d.source, count(*) AS n_input, count(u.doc_id) AS n_url,
+       |count(g.doc_id) AS n_gated, count(dd.doc_id) AS n_deduped,
+       |count(k.doc_id) AS n_kept
+       |FROM documents d
+       |LEFT JOIN urlkeep u ON d.doc_id = u.doc_id
+       |LEFT JOIN gated g ON d.doc_id = g.doc_id
+       |LEFT JOIN ded dd ON d.doc_id = dd.doc_id
+       |LEFT JOIN keptids k ON d.doc_id = k.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** DuckDB twin of UrlCuration's synth + canonicalize pipeline (see
     * UrlCuration.scala for the per-step rationale): md5-bit variants,

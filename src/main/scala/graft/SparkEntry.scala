@@ -669,7 +669,16 @@ object SparkEntry {
     // multi-iteration BPE trainer: k merge-adopt-resegment steps over
     // the distinct-word frame; oracle unrolls the loop as chained
     // non-recursive CTEs
-    "q235_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d)))
+    "q235_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d))),
+    // per-source attrition funnel with the URL stage first (q106 +
+    // the RefinedWeb ordering): input → URL keepers → Gopher gate →
+    // exact dedup → decontamination, each stage on the previous one's
+    // survivors — the CorpusPipeline urlHostCap composition's report
+    "q236_url_funnel"       -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      UrlCuration.urlPipelineFunnel(docs, docs.filter(col("doc_id") % 10 === 0))
+    })
   )
 
   /** Content-addressed home of the documents table's SimHash pair

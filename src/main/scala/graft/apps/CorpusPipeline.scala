@@ -50,15 +50,17 @@ import graft.operators.{Dedup, TextAnalysis, TrainingData}
   */
 object CorpusPipeline {
 
-  /** Per-stage document counts: raw input → gate survivors (incl. the
-    * optional boilerplate-coverage cut) → dedup canonical survivors →
-    * decontamination survivors → shipped (= kept, unless the optional
-    * temperature-mixture or PPS-budget stages downsampled it).
+  /** Per-stage document counts: raw input → URL-gate survivors
+    * (= input when the opt-in URL stage is off) → gate survivors
+    * (incl. the optional boilerplate-coverage cut) → dedup canonical
+    * survivors → decontamination survivors → shipped (= kept, unless
+    * the optional temperature-mixture or PPS-budget stages
+    * downsampled it).
     */
-  case class Report(input: Long, gated: Long, cleaned: Long, kept: Long,
-                    shipped: Long)
+  case class Report(input: Long, urlKept: Long, gated: Long, cleaned: Long,
+                    kept: Long, shipped: Long)
 
-  def run(docs: DataFrame, evalDocs: DataFrame,
+  def run(rawDocs: DataFrame, evalDocs: DataFrame,
           shardDir: String, jsonlDir: String,
           maxContamRatio: Double = 0.5,
           nShards: Int = 4, seqLen: Int = 256,
@@ -69,7 +71,17 @@ object CorpusPipeline {
           maxShipDocs: Option[Int] = None,
           embeddings: Option[DataFrame] = None,
           semDedupTau: Double = 0.35,
-          dsirTopN: Option[Int] = None): Report = {
+          dsirTopN: Option[Int] = None,
+          urlHostCap: Option[Int] = None): Report = {
+    // opt-in URL curation stage, FIRST (RefinedWeb §3 ordering: URL
+    // mirror-dedup + per-host capping before any content look — the
+    // cheapest gate runs before the cascade ever tokenizes a mirror)
+    val docs = urlHostCap match {
+      case Some(cap) => rawDocs.join(
+        graft.operators.UrlCuration.urlGateKeepers(rawDocs, cap),
+        Seq("doc_id"), "left_semi")
+      case None => rawDocs
+    }
     val gopherGated0 = TextAnalysis.gopherGateFilter(docs)
     // optional template cut: mine the corpus top-20 boilerplate grams
     // and drop documents whose coverage exceeds the threshold. Runs on
@@ -187,20 +199,22 @@ object CorpusPipeline {
     // here) fires once PER COMPUTATION and silently inflates the
     // counters — an aggregation over materialized frames cannot.
     val flag = org.apache.spark.sql.functions.lit(1)
-    val audit = docs.select(col("doc_id"))
+    val audit = rawDocs.select(col("doc_id"))
+      .join(docs.select(col("doc_id")).withColumn("u", flag), Seq("doc_id"), "left")
       .join(gated.select(col("doc_id")).withColumn("g", flag), Seq("doc_id"), "left")
       .join(cleaned.select(col("doc_id")).withColumn("c", flag), Seq("doc_id"), "left")
       .join(kept.select(col("doc_id")).withColumn("k", flag), Seq("doc_id"), "left")
       .join(shipped.select(col("doc_id")).withColumn("s", flag), Seq("doc_id"), "left")
       .agg(
         org.apache.spark.sql.functions.count(flag).as("input"),
+        org.apache.spark.sql.functions.count(col("u")).as("url_kept"),
         org.apache.spark.sql.functions.count(col("g")).as("gated"),
         org.apache.spark.sql.functions.count(col("c")).as("cleaned"),
         org.apache.spark.sql.functions.count(col("k")).as("kept"),
         org.apache.spark.sql.functions.count(col("s")).as("shipped"))
       .head()
     val report = Report(audit.getLong(0), audit.getLong(1),
-      audit.getLong(2), audit.getLong(3), audit.getLong(4))
+      audit.getLong(2), audit.getLong(3), audit.getLong(4), audit.getLong(5))
     if (clearCacheOnExit) docs.sparkSession.catalog.clearCache()
     else {
       (extraCaches.toSeq :+ gated :+ scrubbed :+ kept)
@@ -240,9 +254,9 @@ object CorpusPipeline {
           if (withSem) Some(graft.engine.Tables.embeddings(spark, sfDir))
           else None)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(s"corpus pipeline: input=${r.input} gated=${r.gated} " +
-        s"cleaned=${r.cleaned} kept=${r.kept} shipped=${r.shipped} " +
-        f"wall=$sec%.1fs out=$outDir")
+      println(s"corpus pipeline: input=${r.input} url=${r.urlKept} " +
+        s"gated=${r.gated} cleaned=${r.cleaned} kept=${r.kept} " +
+        s"shipped=${r.shipped} " + f"wall=$sec%.1fs out=$outDir")
     } finally spark.stop()
   }
 }

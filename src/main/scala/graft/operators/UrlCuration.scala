@@ -158,4 +158,65 @@ object UrlCuration {
           "WHEN doc_share_bp >= 400 THEN 'torso' ELSE 'tail' END AS tier")
       .orderBy("size_rank")
   }
+
+  /** The DOC-LEVEL survivors of the URL gate — the filter
+    * [[perHostCap]] reports on: mirror copies of one page collapse to
+    * the min-doc_id keeper, then each host keeps at most `cap` pages
+    * by the same md5-priority [[perHostCap]] ranks with (so `count(
+    * urlGateKeepers) = sum(perHostCap.n_kept)` by construction).
+    * Returns a (doc_id) frame ready for a left-semi join — the shape
+    * every other pipeline stage filter uses.
+    */
+  def urlGateKeepers(docs: DataFrame, cap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    canonPieces(docs)
+      .groupBy(col("host"), col("page_key"))
+      .agg(min("doc_id").as("doc_id"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("host")
+          .orderBy(expr("md5(page_key)"), col("page_key"))))
+      .filter(col("rk") <= cap)
+      .select("doc_id")
+  }
+
+  /** q236: the per-source attrition funnel WITH the URL stage first —
+    * q106's report extended the way a web-corpus run actually orders
+    * its gates (RefinedWeb §3: URL curation before any content look):
+    * input → URL keepers (mirror dedup + per-host cap) → Gopher gate →
+    * exact dedup → eval decontamination. Everything downstream runs on
+    * URL survivors only, so the report shows the real marginal
+    * attrition of each stage, and a monotone non-increasing row is a
+    * machine-checkable invariant (spec-pinned).
+    *
+    * Scale: the URL stage is one (host, page_key) groupBy + a per-host
+    * window (bounded by pages per host); the rest is q106's shape —
+    * id-keyed semi-joins, one final #sources-group aggregation.
+    */
+  def urlPipelineFunnel(docs: DataFrame, evalDocs: DataFrame,
+                        cap: Int = 8,
+                        maxContamRatio: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val urlKept = docs.join(urlGateKeepers(docs, cap), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated = TextAnalysis.gopherGateFilter(urlKept).select("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canonical = gated.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val deduped = gated.join(canonical, Seq("doc_id"), "left_semi")
+    val contamOk = TrainingData.evalDecontaminate(deduped, evalDocs = Some(evalDocs))
+      .filter(col("contam_ratio") <= maxContamRatio)
+      .select("doc_id")
+    val kept = deduped.join(contamOk, Seq("doc_id"), "left_semi")
+    docs.select(col("doc_id"), col("source"))
+      .join(urlKept.select(col("doc_id"), lit(1).as("u")), Seq("doc_id"), "left")
+      .join(gated.select(col("doc_id"), lit(1).as("g")), Seq("doc_id"), "left")
+      .join(deduped.select(col("doc_id"), lit(1).as("dd")), Seq("doc_id"), "left")
+      .join(kept.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_input"), count(col("u")).as("n_url"),
+        count(col("g")).as("n_gated"), count(col("dd")).as("n_deduped"),
+        count(col("k")).as("n_kept"))
+      .orderBy("source")
+  }
 }

@@ -204,6 +204,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rd.kept == r0.kept, "DSIR must not change the upstream stages")
   }
 
+  test("CorpusPipeline URL stage: gate runs first, report stays monotone, off = identity") {
+    val evalSet = docs.filter(col("doc_id") < 3)
+    val base = java.nio.file.Files.createTempDirectory("graft-cp-url").toString
+    val r = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$base/shards", s"$base/jsonl", nShards = 2, urlHostCap = Some(8))
+    assert(r.input >= r.urlKept && r.urlKept >= r.gated &&
+      r.gated >= r.cleaned && r.cleaned >= r.kept, s"stage order violated: $r")
+    assert(r.kept > 0, s"pipeline shipped nothing: $r")
+    // the URL stage count is exactly the standalone gate's
+    assert(r.urlKept ==
+      graft.operators.UrlCuration.urlGateKeepers(docs, cap = 8).count(),
+      s"audited URL count diverged: $r")
+    assert(r.urlKept < r.input, "this corpus has mirrors — the gate must drop some")
+    // stage off → identity: urlKept == input and downstream unchanged
+    val r0 = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$base/shards0", s"$base/jsonl0", nShards = 2)
+    assert(r0.urlKept == r0.input, s"disabled URL stage must be identity: $r0")
+  }
+
   test("CorpusPipeline semantic tier: semDedup drops leave the kept set, others untouched") {
     import org.apache.spark.sql.types._
     import spark.implicits._

@@ -93,4 +93,41 @@ class UrlCurationSpec extends AnyFunSuite {
     // with an unbounded cap nothing is cap-dropped
     assert(cap.map(_.getLong(5)).sum == 0)
   }
+
+  test("urlGateKeepers: doc-level filter reconciles with the q232 report") {
+    // the gate's survivor count IS the report's n_kept sum — one is
+    // the filter, the other the audit of the same decision
+    val keepers = UrlCuration.urlGateKeepers(docs, cap = 8)
+    val report = UrlCuration.perHostCap(docs, cap = 8).collect()
+    assert(keepers.count() == report.map(_.getLong(3)).sum,
+      "keeper docs must equal the per-host n_kept sum")
+    // keepers are distinct real doc_ids
+    assert(keepers.distinct().count() == keepers.count())
+    assert(keepers.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    // with an unbounded cap the gate keeps exactly one doc per page
+    val all = UrlCuration.urlGateKeepers(docs, cap = 1000000)
+    assert(all.count() == report.map(_.getLong(2)).sum)
+  }
+
+  test("q236 urlPipelineFunnel: per-source rows are monotone non-increasing") {
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+    val rows = UrlCuration.urlPipelineFunnel(docs, evalSet).collect()
+    assert(rows.nonEmpty)
+    var input = 0L; var url = 0L; var kept = 0L
+    rows.foreach { r =>
+      val (ni, nu, ng, nd, nk) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(ni >= nu && nu >= ng && ng >= nd && nd >= nk,
+        s"stage order violated: $r")
+      input += ni; url += nu; kept += nk
+    }
+    assert(input == nDocs, "funnel must account every input doc")
+    // a single SOURCE may legitimately lose everything to
+    // decontamination on the tiny fixture; the corpus must not
+    assert(kept > 0, "the whole corpus shipped nothing")
+    // the URL stage must actually drop something on this corpus (it
+    // has real mirrors), and the total matches the gate filter
+    assert(url == UrlCuration.urlGateKeepers(docs, cap = 8).count())
+    assert(url < input)
+  }
 }

@@ -4367,7 +4367,131 @@ object OracleSql {
     base +
       ("q234_scaling_audit" -> scalingAuditSql) +
       ("q235_bpe_train" -> bpeTrainSql(3)) +
-      ("q236_url_funnel" -> urlFunnelSql)
+      ("q236_url_funnel" -> urlFunnelSql) +
+      ("q237_retrieval_quality" -> retrievalQualitySql)
+
+  /** q237: both arms' rankings (q138's BM25 CTEs at depth 10, q152's
+    * hybrid chain verbatim) scored against the shared-shingle
+    * relevance band. Rank discounts are the same round(1e9/log2(i+1))
+    * integer literals the Spark side carries; IDCG is closed-form on
+    * (n2, n_rel) via cumulative-weight literals; MRR and nDCG are one
+    * closing divide each.
+    */
+  private def retrievalQualitySql: String = {
+    def cumw(e: String): String =
+      s"""CASE least($e, 10) WHEN 0 THEN 0
+         |  WHEN 1 THEN 1000000000 WHEN 2 THEN 1630929754
+         |  WHEN 3 THEN 2130929754 WHEN 4 THEN 2561606312
+         |  WHEN 5 THEN 2948459119 WHEN 6 THEN 3304666306
+         |  WHEN 7 THEN 3637999639 WHEN 8 THEN 3953464516
+         |  WHEN 9 THEN 4254494512 ELSE 4543559338 END""".stripMargin
+    val wCase = """CASE a.rk WHEN 1 THEN 1000000000 WHEN 2 THEN 630929754
+      |  WHEN 3 THEN 500000000 WHEN 4 THEN 430676558 WHEN 5 THEN 386852807
+      |  WHEN 6 THEN 356207187 WHEN 7 THEN 333333333 WHEN 8 THEN 315464877
+      |  WHEN 9 THEN 301029996 ELSE 289064826 END""".stripMargin
+    s"""WITH t AS (SELECT doc_id,
+       |  unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       |       FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+       |          FROM tf GROUP BY 1),
+       |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+       |scored AS (SELECT q.q_id, tf.doc_id,
+       |    round(sum(
+       |      ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |        * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75
+       |            + 0.75 * dl.dl * n.n_docs / tot.total))), 6) AS score_r
+       |  FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN tot
+       |  WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
+       |lexarm AS (SELECT q_id, doc_id, rk FROM (
+       |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_r DESC, doc_id) AS INT) AS rk FROM scored)
+       |  WHERE rk <= 10),
+       |lex AS (SELECT q_id, doc_id, rk_lex FROM (
+       |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_r DESC, doc_id) AS INT) AS rk_lex FROM scored)
+       |  WHERE rk_lex <= 20),
+       |sp AS (SELECT doc_id,
+       |    CAST(concat('0x', substring(md5('d:' || term), 1, 8)) AS BIGINT)
+       |      % 64 AS j,
+       |    CASE WHEN CAST(concat('0x', substring(md5('s:' || term), 1, 8))
+       |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s FROM t),
+       |sv AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v
+       |       FROM sp GROUP BY 1, 2 HAVING sum(s) <> 0),
+       |nrm AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS nrm
+       |        FROM sv GROUP BY 1),
+       |qv AS (SELECT doc_id AS q_id, j, v AS vq FROM sv WHERE doc_id < 8),
+       |dotp AS (SELECT qv.q_id, sv.doc_id,
+       |    CAST(sum(sv.v * qv.vq) AS BIGINT) AS dot
+       |  FROM sv JOIN qv USING (j) WHERE sv.doc_id <> qv.q_id
+       |  GROUP BY 1, 2),
+       |dsc AS (SELECT dp.q_id, dp.doc_id,
+       |    round(CAST(dp.dot AS DOUBLE)
+       |      / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)), 6)
+       |      AS cos_r
+       |  FROM dotp dp JOIN nrm n1 ON n1.doc_id = dp.doc_id
+       |  JOIN nrm n2 ON n2.doc_id = dp.q_id),
+       |dense AS (SELECT q_id, doc_id, rk_dense FROM (
+       |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_r DESC, doc_id) AS INT) AS rk_dense FROM dsc)
+       |  WHERE rk_dense <= 20),
+       |fused AS (SELECT coalesce(l.q_id, de.q_id) AS q_id,
+       |    coalesce(l.doc_id, de.doc_id) AS doc_id,
+       |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.rk_lex), 0)
+       |      + coalesce(CAST(1 AS DOUBLE) / (60 + de.rk_dense), 0), 6)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN dense de
+       |    ON l.q_id = de.q_id AND l.doc_id = de.doc_id),
+       |hybarm AS (SELECT q_id, doc_id, rk FROM (
+       |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, doc_id) AS INT) AS rk FROM fused)
+       |  WHERE rk <= 10),
+       |dtok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+       |       FROM dtok WHERE len(tk) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+       |qsh AS (SELECT doc_id AS q_id, shingle FROM sh WHERE doc_id < 8),
+       |rel AS (SELECT qsh.q_id, sh.doc_id,
+       |    CASE WHEN count(*) >= 5 THEN 2 ELSE 1 END AS rel
+       |  FROM sh JOIN qsh USING (shingle) WHERE sh.doc_id <> qsh.q_id
+       |  GROUP BY 1, 2),
+       |arms AS (SELECT 'bm25' AS arm, q_id, doc_id, rk FROM lexarm
+       |  UNION ALL SELECT 'hybrid', q_id, doc_id, rk FROM hybarm),
+       |am AS (SELECT a.q_id, a.arm,
+       |    CAST(sum((CASE r.rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)
+       |      * CAST(($wCase) AS BIGINT)) AS BIGINT) AS dcg_s,
+       |    min(CASE WHEN r.rel >= 1 THEN a.rk END) AS first_rel_rank
+       |  FROM arms a LEFT JOIN rel r
+       |    ON a.q_id = r.q_id AND a.doc_id = r.doc_id
+       |  GROUP BY 1, 2),
+       |ic AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel,
+       |    CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM rel GROUP BY 1),
+       |icg AS (SELECT q_id, n_rel,
+       |    CAST(3 * CAST((${cumw("n2")}) AS BIGINT)
+       |      + ((${cumw("n_rel")}) - (${cumw("n2")})) AS BIGINT) AS idcg_s
+       |  FROM ic),
+       |panel AS (SELECT doc_id AS q_id, arm FROM documents
+       |  CROSS JOIN (SELECT 'bm25' AS arm UNION ALL SELECT 'hybrid')
+       |  WHERE doc_id < 8)
+       |SELECT p.q_id, p.arm,
+       |CAST(coalesce(i.n_rel, 0) AS BIGINT) AS n_rel,
+       |CAST(coalesce(a.first_rel_rank, 0) AS INT) AS first_rel_rank,
+       |CASE WHEN a.first_rel_rank IS NULL THEN 0.0
+       |  ELSE floor(1e6 / a.first_rel_rank + 0.5) / 1e6 END AS rr,
+       |CAST(coalesce(a.dcg_s, 0) AS BIGINT) AS dcg_s,
+       |CASE WHEN coalesce(i.idcg_s, 0) = 0 THEN 0.0
+       |  ELSE floor(CAST(a.dcg_s AS DOUBLE) / CAST(i.idcg_s AS DOUBLE)
+       |    * 1e6 + 0.5) / 1e6 END AS ndcg
+       |FROM panel p LEFT JOIN am a ON p.q_id = a.q_id AND p.arm = a.arm
+       |LEFT JOIN icg i ON p.q_id = i.q_id
+       |ORDER BY p.q_id, p.arm""".stripMargin
+  }
 
   /** q236: q106's funnel CTEs verbatim, with the URL gate prepended —
     * `t` (the funnel's input) is documents restricted to URL keepers

@@ -678,7 +678,13 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)
       UrlCuration.urlPipelineFunnel(docs, docs.filter(col("doc_id") % 10 === 0))
-    })
+    }),
+    // retrieval-quality rank metrics: nDCG@10 + MRR of the BM25 and
+    // hybrid-RRF arms against the deterministic shared-shingle
+    // relevance band — integer-weight DCG, closed-form IDCG, one
+    // closing divide (the q213 discipline)
+    "q237_retrieval_quality" -> ((s, d) =>
+      TextAnalysis.retrievalQuality(Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -1195,4 +1195,90 @@ object TextAnalysis {
         "floor(CAST(coalesce(sc, 0) AS DOUBLE) / 2580480.0 * 1e6 + 0.5) / 1e6 AS rbo")
       .orderBy("q_id")
   }
+
+  /** q237: retrieval-quality rank metrics — nDCG@10 and MRR of both
+    * retrieval arms ([[bm25TopK]] lexical, [[hybridRrfTopK]] fused)
+    * against a DETERMINISTIC graded relevance label: rel(q, d) = 2
+    * when q and d share ≥ 5 distinct 3-shingles, 1 when they share
+    * ≥ 1, else 0 (the q106/q65 shingle convention — engine-exact), so
+    * "is the ranker any good" becomes a hash-checkable number. This
+    * closes the retrieval family's quality gap the way q93/q110/q194
+    * did for ANN/LSH/PQ: those measure the approximation against the
+    * exact ranking, this measures the ranking against ground truth.
+    *
+    * Exactness (the q213 integer-weight discipline): the rank
+    * discounts 1/log2(i+1) are pre-scaled INTEGER literals
+    * w(i) = round(1e9/log2(i+1)); gains 2^rel − 1 ∈ {1, 3} are
+    * integers; DCG@10 is an exact BIGINT sum of g·w, and the ideal
+    * IDCG@10 is CLOSED-FORM integer arithmetic on the (n_rel2,
+    * n_rel) counts via cumulative-weight literals — no ideal-ranking
+    * window anywhere. nDCG is ONE closing divide (floor-rounded
+    * 1e-6); MRR's reciprocal rank is one divide off the integer
+    * first-relevant rank (0 when no relevant doc is retrieved).
+    *
+    * Scale: relevance flows through a broadcast of the 8-query
+    * shingle panel (the inverted-index access pattern — only
+    * shingles the panel contains leave the corpus scan); the arm
+    * frames are the retrieval queries' own bounded outputs; every
+    * aggregate is per-q_id over ≤ k rows. Output: 2 rows per query.
+    */
+  def retrievalQuality(docs: DataFrame, nQueries: Int = 8,
+                       k: Int = 10): DataFrame = {
+    require(k == 10, "rank-discount literals are derived for depth 10")
+    val wCase = "CASE rk WHEN 1 THEN 1000000000L WHEN 2 THEN 630929754L " +
+      "WHEN 3 THEN 500000000L WHEN 4 THEN 430676558L WHEN 5 THEN 386852807L " +
+      "WHEN 6 THEN 356207187L WHEN 7 THEN 333333333L WHEN 8 THEN 315464877L " +
+      "WHEN 9 THEN 301029996L ELSE 289064826L END"
+    // cumulative discounted weight of the first m ranks, m capped at 10
+    def cumw(e: String) = s"CASE least($e, 10L) WHEN 0 THEN 0L " +
+      "WHEN 1 THEN 1000000000L WHEN 2 THEN 1630929754L " +
+      "WHEN 3 THEN 2130929754L WHEN 4 THEN 2561606312L " +
+      "WHEN 5 THEN 2948459119L WHEN 6 THEN 3304666306L " +
+      "WHEN 7 THEN 3637999639L WHEN 8 THEN 3953464516L " +
+      "WHEN 9 THEN 4254494512L ELSE 4543559338L END"
+    val sh = Dedup.shingleDocs(docs, 3).dropDuplicates("doc_id", "shingle")
+    val qsh = sh.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("shingle"))
+    val rel = sh.join(broadcast(qsh), "shingle")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("shared"))
+      .select(col("q_id"), col("doc_id"),
+        when(col("shared") >= 5, 2).otherwise(1).as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gainExpr = "CASE rel WHEN 2 THEN 3L WHEN 1 THEN 1L ELSE 0L END"
+    def armMetrics(ranked: DataFrame, arm: String): DataFrame =
+      ranked.join(rel, Seq("q_id", "doc_id"), "left")
+        .withColumn("g", expr(gainExpr))
+        .withColumn("w", expr(wCase))
+        .groupBy("q_id")
+        .agg(sum(expr("g * w")).cast("bigint").as("dcg_s"),
+          min(when(col("rel") >= 1, col("rk"))).cast("int").as("first_rel_rank"))
+        .withColumn("arm", lit(arm))
+    // ideal DCG in closed form: the ideal list is (all rel-2 docs,
+    // then rel-1) — min(n2,10) threes then the ones up to depth 10
+    val idcg = rel.groupBy("q_id").agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"))
+      .selectExpr("q_id", "n_rel",
+        s"CAST(3L * (${cumw("n2")}) + ((${cumw("n_rel")}) - (${cumw("n2")})) AS BIGINT) AS idcg_s")
+    val arms = armMetrics(
+        bm25TopK(docs, nQueries, k).select("q_id", "doc_id", "rk"), "bm25")
+      .unionByName(armMetrics(
+        hybridRrfTopK(docs, nQueries, kOut = k)
+          .select("q_id", "doc_id", "rk"), "hybrid"))
+    docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").cast("bigint").as("q_id"))
+      .withColumn("arm", explode(array(lit("bm25"), lit("hybrid"))))
+      .join(arms, Seq("q_id", "arm"), "left")
+      .join(idcg, Seq("q_id"), "left")
+      .selectExpr("q_id", "arm",
+        "CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel",
+        "CAST(coalesce(first_rel_rank, 0) AS INT) AS first_rel_rank",
+        "CASE WHEN first_rel_rank IS NULL THEN 0.0 " +
+          "ELSE floor(1e6 / first_rel_rank + 0.5) / 1e6 END AS rr",
+        "CAST(coalesce(dcg_s, 0) AS BIGINT) AS dcg_s",
+        "CASE WHEN coalesce(idcg_s, 0) = 0 THEN 0.0 " +
+          "ELSE floor(CAST(dcg_s AS DOUBLE) / CAST(idcg_s AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS ndcg")
+      .orderBy("q_id", "arm")
+  }
 }

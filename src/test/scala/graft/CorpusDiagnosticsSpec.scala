@@ -1042,6 +1042,47 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q237 retrieval-quality rank metrics ---------------------------
+
+  test("retrievalQuality: a lone perfect hit at rank 1 scores rr = ndcg = 1") {
+    // q0's ONLY relevant doc is its near-verbatim copy doc1 (shares 8
+    // distinct 3-shingles → rel 2); doc2 shares 5 TERMS but never an
+    // adjacent triple (rel 0), so n_rel = n2 = 1 and IDCG = 3·w(1).
+    // Both arms must put doc1 first (it contains every query term /
+    // nearly the full hashed vector), making DCG = IDCG exactly.
+    val df = docsDf(Seq(
+      (0L, "a b c d e f g h i j", "s"),
+      (1L, "a b c d e f g h i j pad1", "s"),
+      (2L, "a x1 c y1 e z1 g w1 i v1", "s"),
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8", "s"),
+      (4L, "n1 n2 n3 n4 n5 n6 n7 n8", "s")))
+    val r = TextAnalysis.retrievalQuality(df, nQueries = 1).collect()
+    assert(r.length == 2, s"one query x two arms: ${r.toSeq}")
+    r.foreach { row =>
+      assert(row.getLong(2) == 1L, s"n_rel: $row")
+      assert(row.getInt(3) == 1, s"first_rel_rank: $row")
+      assert(row.getDouble(4) == 1.0, s"rr: $row")
+      assert(row.getLong(5) == 3000000000L, s"dcg_s: $row")
+      assert(row.getDouble(6) == 1.0, s"ndcg: $row")
+    }
+  }
+
+  test("retrievalQuality on the corpus: 16 rows, metrics inside their bounds") {
+    val res = TextAnalysis.retrievalQuality(Tables.documents(spark, sfDir)).collect()
+    assert(res.length == 16)
+    assert(res.map(r => (r.getLong(0), r.getString(1))).distinct.length == 16)
+    res.foreach { r =>
+      val (first, rr, ndcg) = (r.getInt(3), r.getDouble(4), r.getDouble(6))
+      assert(first >= 0 && first <= 10, s"rank out of depth: $r")
+      assert(rr >= 0.0 && rr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0, s"$r")
+      // rr and the first-relevant rank agree: both zero or 1/first
+      if (first == 0) assert(rr == 0.0 && r.getLong(5) == 0L, s"$r")
+      else assert(math.abs(rr - math.floor(1e6 / first + 0.5) / 1e6) < 1e-12)
+      // a retrieved relevant doc implies relevant docs exist
+      if (first > 0) assert(r.getLong(2) > 0, s"$r")
+    }
+  }
+
   // ---- q213 rank-biased overlap -------------------------------------
 
   test("rboRankings: per-query RBO stays inside the suffix-weight envelope") {

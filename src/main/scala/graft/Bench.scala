@@ -377,6 +377,14 @@ object Bench {
       .map { case (scan, shuf, io, load) =>
         s"[${ds(scan)},${ds(shuf)},${ds(io)},${ld(load)}]" }
       .mkString("[", ",", "]")
+    // the artifact lines must be the LAST output the driver's
+    // 2000-char tail sees: stop Spark FIRST (its shutdown path logs
+    // WARNs under load — the r11 artifact lost the main line's front
+    // to exactly that noise landing after it) and silence the logger
+    // for anything a shutdown hook still emits. Nothing below needs
+    // the session — every value is already computed.
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
     // error DETAILS go on their own line BEFORE the main one so they
     // can never push the main line's front out of the 2000-char
     // artifact window; the main line carries only the failure count
@@ -398,6 +406,5 @@ object Bench {
     // the query loop, after BENCH_META is already out
     val fitSec = graft.ml.MlQueries.lastFitSec
     println(s"""{"metric":"total","value":${dec(total, 3)},"unit":"sec","enc":"queries[i]=deciseconds of query i+1, capped 999","queries":$qs,"slowest_sec":$slow,"q41_fit_sec":${dec(fitSec, 2)}$errs,"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")
-    spark.stop()
   }
 }

@@ -212,6 +212,42 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("props probes scan the materialized parsed frame — no JSON parse in the plan") {
+    // the q173/q222 amortization contract (round-12): once the
+    // content-addressed props frame exists, both consumers are narrow
+    // parquet probes — the per-row from_json/get_json_object and the
+    // timestamp truncation live ONLY in the one-off build. This is the
+    // structural close of the r10/r11 q222 driver-run pathology: the
+    // expensive expression no longer exists in the probe plan.
+    graft.operators.JsonRouting.prebuildPropsLong(
+      graft.engine.Tables.events(spark, sfDir),
+      SparkEntry.propsFor(spark, sfDir))
+    for (q <- Seq("q173_props_profile", "q222_trending_keys")) {
+      val p = plan(q)
+      assert(!p.contains("from_json") && !p.contains("get_json_object"),
+        s"$q re-parses JSON in the probe:\n$p")
+      assert(!p.contains("date_trunc"), s"$q re-derives the day column:\n$p")
+      assert(p.contains("Scan parquet") || p.contains("FileScan"),
+        s"$q does not scan the materialized frame:\n$p")
+    }
+  }
+
+  test("URL funnel: equi/semi joins only; retrieval quality broadcasts its panels") {
+    // q236: the gate is one (host, page_key) groupBy + a per-host
+    // window; every stage filter is an id-keyed semi-join — no
+    // products anywhere in the composed funnel
+    val pf = plan("q236_url_funnel")
+    assert(!pf.contains("CartesianProduct"), s"q236 plans a product:\n$pf")
+    assert(pf.contains("LeftSemi"), s"q236 lost its semi-join stages:\n$pf")
+    // q237: the relevance label and both arms' rank joins are hash
+    // joins (the query-panel side broadcast); the only nested-loop
+    // joins are the 1-row broadcast statistic frames BM25 carries
+    val pq = plan("q237_retrieval_quality")
+    assert(!pq.contains("CartesianProduct"), s"q237 plans a product:\n$pq")
+    assert(pq.contains("BroadcastHashJoin"),
+      s"q237 lost its broadcast panel joins:\n$pq")
+  }
+
   test("tf-idf folds the corpus count into the plan as a broadcast 1-row aggregate") {
     val p = plan("q50_tfidf_top_term")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
@@ -850,8 +886,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("props profile: map explode is a Generate over one scan; one partial pass") {
-    val p = plan("q173_props_profile")
+  test("props profile BUILD: map explode is a Generate over one scan; one partial pass") {
+    // the driver query is the materialized-frame PROBE since round 12
+    // (see "props probes scan the materialized parsed frame"); this
+    // pins the self-computing operator — the shape the one-off build
+    // pays per corpus snapshot
+    val p = graft.operators.JsonRouting.propsProfile(
+        graft.engine.Tables.events(spark, sfDir))
+      .queryExecution.executedPlan.toString
     assert(p.contains("Generate"), p)
     assert(p.contains("partial_"), p)
     assert(!p.contains("Join"), p)

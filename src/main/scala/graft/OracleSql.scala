@@ -4368,7 +4368,44 @@ object OracleSql {
       ("q234_scaling_audit" -> scalingAuditSql) +
       ("q235_bpe_train" -> bpeTrainSql(3)) +
       ("q236_url_funnel" -> urlFunnelSql) +
-      ("q237_retrieval_quality" -> retrievalQualitySql)
+      ("q237_retrieval_quality" -> retrievalQualitySql) +
+      ("q238_contam_provenance" -> contamProvenanceSql)
+
+  /** q238: the q65 shingle CTEs transposed to the eval side; the
+    * worst offender replays Spark's struct arg-max as a
+    * (ratio DESC, doc_id ASC) row_number — identical ordering.
+    */
+  private def contamProvenanceSql: String =
+    """WITH dtok AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+      |       FROM dtok WHERE len(tk) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+      |esz AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles
+      |  FROM ev GROUP BY 1),
+      |po AS (SELECT ev.eval_id, tr.doc_id, count(*) AS n_shared
+      |  FROM tr JOIN ev USING (shingle) GROUP BY 1, 2),
+      |pr AS (SELECT po.eval_id, po.doc_id,
+      |  round(CAST(po.n_shared AS DOUBLE) / esz.n_shingles, 4) AS ratio
+      |  FROM po JOIN esz USING (eval_id)),
+      |rk AS (SELECT eval_id, doc_id, ratio, row_number() OVER (
+      |  PARTITION BY eval_id ORDER BY ratio DESC, doc_id) AS rn FROM pr),
+      |agg AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_hit_docs,
+      |  CAST(sum(CASE WHEN ratio >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_compromised
+      |  FROM pr GROUP BY 1)
+      |SELECT e.eval_id, e.n_shingles,
+      |CAST(coalesce(a.n_hit_docs, 0) AS BIGINT) AS n_hit_docs,
+      |CAST(coalesce(a.n_compromised, 0) AS BIGINT) AS n_compromised,
+      |CAST(coalesce(r.doc_id, -1) AS BIGINT) AS top_doc,
+      |coalesce(r.ratio, 0.0) AS top_ratio
+      |FROM esz e LEFT JOIN agg a USING (eval_id)
+      |LEFT JOIN (SELECT eval_id, doc_id, ratio FROM rk WHERE rn = 1) r
+      |  USING (eval_id)
+      |ORDER BY e.eval_id""".stripMargin
 
   /** q237: both arms' rankings (q138's BM25 CTEs at depth 10, q152's
     * hybrid chain verbatim) scored against the shared-shingle

@@ -684,7 +684,12 @@ object SparkEntry {
     // relevance band — integer-weight DCG, closed-form IDCG, one
     // closing divide (the q213 discipline)
     "q237_retrieval_quality" -> ((s, d) =>
-      TextAnalysis.retrievalQuality(Tables.documents(s, d)))
+      TextAnalysis.retrievalQuality(Tables.documents(s, d))),
+    // eval-side contamination provenance: per eval doc, hit count,
+    // compromised count, and the worst offender — q65's question
+    // transposed to the benchmark owner's side
+    "q238_contam_provenance" -> ((s, d) =>
+      TrainingData.contaminationProvenance(Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -154,6 +154,60 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** q238: eval-side contamination PROVENANCE — the reverse direction
+    * of [[evalDecontaminate]]: that query asks "which training docs
+    * leak benchmark text", this one asks "which EVAL items are
+    * compromised, how badly, and by whom" — the report a benchmark
+    * owner reads before trusting a score. Per eval document: its
+    * distinct-shingle count, how many training docs share ≥ 1
+    * shingle, how many cross the compromise threshold (shared /
+    * eval-shingles ≥ `threshold`), and the single worst offender
+    * (max ratio, ties to the smallest doc_id) with its ratio. Zero-hit
+    * eval docs still get a row (top_doc = −1, ratio 0) — absence of
+    * contamination is the finding.
+    *
+    * The worst offender is a struct arg-max (ratio, −doc_id) — the
+    * q115 OHLC idiom — so no per-eval ranking window exists in the
+    * plan. The (eval, train) overlap frame is shingle-keyed
+    * equi-join work ∝ matching shingles ([[evalDecontaminate]]'s
+    * access pattern, transposed); join strategy stays with AQE for
+    * the same reason. `evalDocs` None uses the doc_id % 10 == 0
+    * convention.
+    */
+  def contaminationProvenance(docs: DataFrame, n: Int = 3,
+                              evalDocs: Option[DataFrame] = None,
+                              threshold: Double = 0.5): DataFrame = {
+    val sh = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (train, evalSh) = evalDocs match {
+      case Some(ev) =>
+        (sh, Dedup.shingleDocs(ev, n).dropDuplicates("doc_id", "shingle"))
+      case None =>
+        (sh.filter(col("doc_id") % 10 =!= 0),
+          sh.filter(col("doc_id") % 10 === 0))
+    }
+    val evalPanel = evalSh.select(col("doc_id").as("eval_id"), col("shingle"))
+    val evalSize = evalPanel.groupBy("eval_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val ratios = train.join(evalPanel, Seq("shingle"))
+      .groupBy("eval_id", "doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(evalSize, "eval_id")
+      .withColumn("ratio",
+        round(col("n_shared").cast("double") / col("n_shingles"), 4))
+    val perEval = ratios.groupBy("eval_id").agg(
+      count(lit(1)).as("n_hit_docs"),
+      sum(when(col("ratio") >= threshold, 1L).otherwise(0L)).as("n_compromised"),
+      max(struct(col("ratio"), (-col("doc_id")).as("nid"),
+        col("doc_id").as("top_doc"))).as("top"))
+    evalSize.join(perEval, Seq("eval_id"), "left")
+      .selectExpr("eval_id", "n_shingles",
+        "CAST(coalesce(n_hit_docs, 0) AS BIGINT) AS n_hit_docs",
+        "CAST(coalesce(n_compromised, 0) AS BIGINT) AS n_compromised",
+        "CAST(coalesce(top.top_doc, -1) AS BIGINT) AS top_doc",
+        "coalesce(top.ratio, 0.0) AS top_ratio")
+      .orderBy("eval_id")
+  }
+
   /** Deterministic shard assignment + within-shard order for training
     * data: shard = 32-bit md5 bucket of doc_id mod `nShards`, position
     * = rank of the full md5 hash within the shard. The composition is

@@ -159,6 +159,14 @@ object UrlCuration {
       .orderBy("size_rank")
   }
 
+  /** The per-doc (doc_id, host, page_key) canonical identity frame —
+    * the projection both the batch gate and the streaming mirror twin
+    * key on. Pure per-row string work (codegen'd, no shuffle), so it
+    * runs unchanged on a stream.
+    */
+  def pageKeys(docs: DataFrame): DataFrame =
+    canonPieces(docs).select("doc_id", "host", "page_key")
+
   /** The DOC-LEVEL survivors of the URL gate — the filter
     * [[perHostCap]] reports on: mirror copies of one page collapse to
     * the min-doc_id keeper, then each host keeps at most `cap` pages

@@ -548,6 +548,62 @@ object StreamPipeline {
       }
   }
 
+  /** One canonical page's keeper doc id. */
+  case class PageKeeper(keeper: Long)
+
+  /** One arrival's mirror verdict, emitted on the spot. */
+  case class MirrorFlag(doc_id: Long, host: String, page_key: String,
+                        is_mirror: Int)
+
+  /** Live mirror-page flagging — the streaming twin of q232's mirror
+    * tier ([[graft.operators.UrlCuration.perHostCap]]'s first stage,
+    * the [[graft.operators.UrlCuration.urlGateKeepers]] filter at an
+    * unbounded cap): URL canonicalization is stateless per-row (the
+    * identical codegen'd expressions via
+    * [[graft.operators.UrlCuration.pageKeys]], so a crawl frontier is
+    * deduped ON INGEST instead of in a nightly batch), and the keeper
+    * decision is ONE long per canonical page — state keyed by
+    * page_key, each arrival judged on the spot. Same-batch arrivals
+    * sort by doc_id, so the min-doc keeper survives regardless of
+    * iterator order; on in-doc-id-order delivery the stream's keeper
+    * set equals the batch gate's exactly (spec-asserted).
+    * Re-delivery of the keeper itself re-emits its (identical)
+    * verdict; downstream keys on doc_id, the duplicateFlagStream
+    * at-least-once discipline.
+    *
+    * The per-host CAP tier deliberately has no streaming twin: an
+    * md5-priority rank over a host's full page set is a batch
+    * decision by construction — a stream cannot know a page loses
+    * its slot to a page that hasn't arrived. Production order:
+    * stream-dedup mirrors on ingest, cap per host in the batch gate.
+    *
+    * State bound: one long per DISTINCT canonical page — the page
+    * working set, not the crawl volume (mirrors and re-fetches add
+    * zero state).
+    */
+  def mirrorFlagStream(stream: DataFrame)
+      : org.apache.spark.sql.Dataset[MirrorFlag] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    graft.operators.UrlCuration.pageKeys(stream)
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[PageKeeper, MirrorFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (pk, rows, state) =>
+          val arrivals = rows.toSeq.sortBy(_._1)
+          var keeper = state.getOption.map(_.keeper)
+          val out = arrivals.map { case (id, host, _) =>
+            val mirror = keeper.exists(_ != id)
+            if (keeper.isEmpty) keeper = Some(id)
+            MirrorFlag(id, host, pk, if (mirror) 1 else 0)
+          }
+          state.update(PageKeeper(keeper.get))
+          out.iterator
+      }
+  }
+
   /** One LSH bucket's retained arrivals: parallel (id, vector) seqs. */
   case class BucketVecs(ids: Seq[Long], vecs: Seq[Seq[Double]])
 

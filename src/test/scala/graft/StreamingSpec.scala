@@ -905,6 +905,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("mirrorFlagStream: keeper set equals the batch URL gate; re-delivery is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.UrlCuration
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100)
+      .select("doc_id", "text", "source", "n_chars")
+    val rows = docs.as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source", "n_chars")
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.mirrorFlagStream(stream).toDF(),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-mirror").toString,
+        queryName = "mirror_mem").start()
+    try {
+      // in-doc_id-order delivery across two micro-batches
+      mem.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+      val flags = spark.table("mirror_mem")
+      assert(flags.count() == rows.length, "one verdict per arrival")
+      // keepers ≡ the batch gate at an unbounded cap (mirror tier only)
+      val streamKeepers = flags.filter(col("is_mirror") === 0).select("doc_id")
+      val batchKeepers = UrlCuration.urlGateKeepers(docs, cap = Int.MaxValue)
+      assert(streamKeepers.exceptAll(batchKeepers).isEmpty &&
+        batchKeepers.exceptAll(streamKeepers).isEmpty,
+        "stream keeper set must equal the batch mirror-dedup gate")
+      // the fixture must actually contain mirrors
+      assert(flags.filter(col("is_mirror") === 1).count() > 0)
+      // re-delivery: the keeper re-emits its identical verdict (the
+      // at-least-once contract — doc_id is the natural key), and no
+      // mirror is ever promoted to keeper
+      val keeperRow = rows.find(r =>
+        streamKeepers.filter(col("doc_id") === r._1).count() == 1).get
+      mem.addData(keeperRow)
+      query.processAllAvailable()
+      val again = spark.table("mirror_mem")
+        .filter(col("doc_id") === keeperRow._1).collect()
+      assert(again.length == 2 && again.forall(_.getAs[Int]("is_mirror") == 0),
+        s"re-delivered keeper must re-emit the same verdict: ${again.toSeq}")
+      assert(spark.table("mirror_mem").filter(col("is_mirror") === 0)
+        .select("doc_id").distinct().count() == batchKeepers.count(),
+        "re-delivery must not mint a new keeper")
+    } finally query.stop()
+  }
+
   test("exactlyOnceSink: a re-delivered micro-batch writes once; torn attempts never merge") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]

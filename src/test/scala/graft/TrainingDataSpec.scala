@@ -355,6 +355,51 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(res(12L) == ((2L, 0L, 0.0)))
   }
 
+  test("contaminationProvenance: worst offender, compromise count, zero-hit row") {
+    import spark.implicits._
+    // eval doc 0: "a b c d e" → 3 distinct shingles. Training doc 1 is
+    // a verbatim copy (3/3 = ratio 1.0, compromised), doc 2 shares
+    // exactly one shingle "a b c" (1/3 = 0.3333), doc 3 is disjoint.
+    // Eval doc 10 ("p q r s") shares nothing → the zero-hit row.
+    val df = Seq(
+      (0L, "a b c d e"), (10L, "p q r s"),
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "m n o u v"))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = TrainingData.contaminationProvenance(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(res.keySet == Set(0L, 10L), s"one row per eval doc: $res")
+    assert(res(0L) == ((3L, 2L, 1L, 1L, 1.0)), s"eval 0: ${res(0L)}")
+    assert(res(10L) == ((2L, 0L, 0L, -1L, 0.0)), s"zero-hit eval: ${res(10L)}")
+    // tie on ratio → smallest doc_id wins: two verbatim copies
+    val tie = Seq((0L, "a b c d e"), (7L, "a b c d e"), (4L, "a b c d e"))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t0 = TrainingData.contaminationProvenance(tie).collect().head
+    assert(t0.getLong(4) == 4L, s"tie must go to the smallest doc_id: $t0")
+  }
+
+  test("contaminationProvenance on the corpus: reconciles with evalDecontaminate") {
+    // the two directions describe the SAME overlap frame: a training
+    // doc with n_overlap > 0 hits at least one eval doc, so the total
+    // hit-pair count seen from the eval side is bounded below by the
+    // number of contaminated training docs
+    val res = TrainingData.contaminationProvenance(docs).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(3) <= r.getLong(2), s"compromised <= hits: $r")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, s"$r")
+      assert((r.getLong(2) == 0L) == (r.getLong(4) == -1L), s"$r")
+    }
+    val evalHitPairs = res.map(_.getLong(2)).sum
+    val contaminatedTrain = TrainingData.evalDecontaminate(docs)
+      .filter(col("n_overlap") > 0).count()
+    assert(evalHitPairs >= contaminatedTrain,
+      s"pair count $evalHitPairs < contaminated train docs $contaminatedTrain")
+  }
+
   test("decontamination: explicit eval corpus, broadcast and shuffle paths agree") {
     import spark.implicits._
     def mk(rows: Seq[(Long, String)]) = rows

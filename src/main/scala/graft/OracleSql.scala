@@ -4369,7 +4369,31 @@ object OracleSql {
       ("q235_bpe_train" -> bpeTrainSql(3)) +
       ("q236_url_funnel" -> urlFunnelSql) +
       ("q237_retrieval_quality" -> retrievalQualitySql) +
-      ("q238_contam_provenance" -> contamProvenanceSql)
+      ("q238_contam_provenance" -> contamProvenanceSql) +
+      ("q239_video_neardups" -> videoNearDupsSql)
+
+  /** q239: the q36 frame arithmetic (hex-string indexing, the q210
+    * idiom) + a row_number-capped posting self-join (the q139 cap
+    * twin). Frame fingerprints hash the UPPERCASE hex of the frame
+    * bytes on both engines.
+    */
+  private def videoNearDupsSql: String =
+    """WITH p AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+      |  octet_length(encode(text)) AS nb FROM documents),
+      |f0 AS (SELECT doc_id, hx, nb,
+      |  unnest(range(0, greatest(CAST(floor(nb / 32) AS INT), 1))) AS fi
+      |  FROM p),
+      |fr AS (SELECT doc_id,
+      |  md5(substring(hx, CAST(2 * fi * 32 + 1 AS INT), 64)) AS fp
+      |  FROM f0 WHERE fi % 4 = 0),
+      |dd AS (SELECT DISTINCT doc_id, fp FROM fr),
+      |cap AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
+      |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM dd)
+      |  WHERE rn <= 64)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |CAST(count(*) AS BIGINT) AS n_shared
+      |FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin
 
   /** q238: the q65 shingle CTEs transposed to the eval side; the
     * worst offender replays Spark's struct arg-max as a

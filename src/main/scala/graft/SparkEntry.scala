@@ -689,7 +689,12 @@ object SparkEntry {
     // compromised count, and the worst offender — q65's question
     // transposed to the benchmark owner's side
     "q238_contam_provenance" -> ((s, d) =>
-      TrainingData.contaminationProvenance(Tables.documents(s, d)))
+      TrainingData.contaminationProvenance(Tables.documents(s, d))),
+    // video keyframe near-dup: per-frame content fingerprints +
+    // heap-capped inverted-index co-occurrence — q211's pair tier
+    // for the video payload family
+    "q239_video_neardups"   -> ((s, d) =>
+      Multimodal.videoNearDups(Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -208,4 +208,44 @@ object Multimodal {
       .filter(col("frame_idx") % stride === 0)
       .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
       .orderBy("doc_id", "frame_idx")
+
+  /** q239: video keyframe near-dup — the multimodal family's pair
+    * tier, closing the video story the way q211 closed images: the
+    * [[sampleFrames]] keyframes each get a CONTENT fingerprint
+    * (md5 of the frame bytes — a real system swaps in the q210
+    * perceptual aHash per decoded frame; the md5 stands in because
+    * the container has no codecs, and the JOIN SHAPE is identical),
+    * and two payloads are near-dups when they share ≥ `minShared`
+    * distinct keyframe fingerprints — re-encodes, re-containerings,
+    * and partial copies of one video collide on content, not on the
+    * file hash.
+    *
+    * Scale (the q102/q176 inverted-index shape): only co-occurring
+    * fingerprints pair, and a hot frame (black/intro frames — the
+    * video analogue of a stopword bucket) is capped to its
+    * `maxPosting` lowest doc ids by the [[graft.plans.TopKPerKey]]
+    * heap BEFORE the self-join, so no fingerprint can go quadratic.
+    * Never all-pairs on payloads.
+    */
+  def videoNearDups(docs: DataFrame, frameBytes: Int = 32, stride: Int = 4,
+                    minShared: Int = 2, maxPosting: Int = 64): DataFrame = {
+    val frames = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(int(length(payload) / $frameBytes) - 1, 0))," +
+          s" i -> substring(payload, i * $frameBytes + 1, $frameBytes))")))
+      .filter(col("pos") % stride === 0)
+      .select(col("doc_id"), md5(hex(col("col"))).as("fp"))
+      .dropDuplicates("doc_id", "fp")
+    val capped = graft.plans.TopK.perKey(
+      frames, Seq("fp"), Seq(col("doc_id").asc), maxPosting)
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -1058,6 +1058,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("videoNearDups: shared aligned frames pair; a hot frame is posting-capped") {
+    import spark.implicits._
+    // 32-byte blocks: two shared frames make a pair, one does not
+    def blk(c: Char) = c.toString * 32
+    def vid(id: Long, blocks: String*) = (id, blocks.mkString, "en", "s", 0L)
+    val df = Seq(
+      vid(1L, blk('A'), blk('B'), blk('C'), blk('D')),
+      vid(2L, blk('A'), blk('B'), blk('X'), blk('Y')),
+      vid(3L, blk('A'), blk('P'), blk('Q'), blk('R')),
+      vid(4L, blk('E'), blk('F'), blk('G'), blk('H')))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Multimodal.videoNearDups(df, stride = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)),
+      s"only the 2-shared-frame pair qualifies: ${pairs.toSeq}")
+    // hot-frame cap: three videos share frames Z+W; maxPosting=2 keeps
+    // only the two lowest ids in each posting, so (11,13)/(12,13)
+    // never form — bounded work on the degenerate frame
+    val hot = Seq(
+      vid(11L, blk('Z'), blk('W'), blk('a')),
+      vid(12L, blk('Z'), blk('W'), blk('b')),
+      vid(13L, blk('Z'), blk('W'), blk('c')))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val capped = Multimodal.videoNearDups(hot, stride = 1, maxPosting = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((11L, 12L)), s"cap must bound the posting: ${capped.toSeq}")
+    val uncapped = Multimodal.videoNearDups(hot, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.toSet == Set((11L, 12L), (11L, 13L), (12L, 13L)))
+    // the corpus has exact-dup payloads: the default query is non-empty
+    assert(Multimodal.videoNearDups(documents).count() > 0)
+  }
+
   test("char-ngram profiles rank the most frequent bigrams per doc") {
     import spark.implicits._
     val df = Seq((1L, "aaabbbaaa", "en", "s", 0L))

@@ -4370,7 +4370,52 @@ object OracleSql {
       ("q236_url_funnel" -> urlFunnelSql) +
       ("q237_retrieval_quality" -> retrievalQualitySql) +
       ("q238_contam_provenance" -> contamProvenanceSql) +
-      ("q239_video_neardups" -> videoNearDupsSql)
+      ("q239_video_neardups" -> videoNearDupsSql) +
+      ("q240_dup_quality" -> dupQualitySql)
+
+  /** q240: q68's recursive CC labels + q27's quality terms + q106's
+    * gate predicate, rolled up per duplication band. Quality
+    * quantizes to a q4 BIGINT before the band sum; the means close
+    * with one divide each.
+    */
+  private def dupQualitySql: String =
+    "WITH RECURSIVE " + shingleCascade("documents") + ",\n" + jaccardVerify + ",\n" +
+      """pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM und
+        |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |csz AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1),
+        |dsz AS (SELECT lab.doc_id, csz.sz FROM lab JOIN csz USING (cluster_id)),
+        |qs AS (SELECT doc_id,
+        |  CAST(floor(round((least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) +
+        |    least(CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(tk) * 10.0, 1.0)) / 2.0,
+        |    4) * 1e4 + 0.5) AS BIGINT) AS q4 FROM toks),
+        |gt AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE) / len(tk), 4) AS mean_token_len,
+        |  round(CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(tk), 4) AS stopword_ratio,
+        |  CASE WHEN len(tk) < 3 THEN 0.0 ELSE
+        |  round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS DOUBLE) / (len(tk) - 2), 4) END AS rep_ratio
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)),
+        |gok AS (SELECT doc_id, 1 AS g FROM gt
+        |  WHERE n_tokens >= 10 AND n_tokens <= 1000
+        |  AND mean_token_len >= 2.0 AND mean_token_len <= 10.0
+        |  AND stopword_ratio >= 0.01 AND rep_ratio <= 0.5),
+        |rows0 AS (SELECT d.doc_id,
+        |  CASE WHEN s.sz IS NULL THEN 'unique'
+        |    WHEN s.sz <= 4 THEN 'small' ELSE 'large' END AS band,
+        |  q.q4, coalesce(g.g, 0) AS g
+        |  FROM documents d LEFT JOIN dsz s ON d.doc_id = s.doc_id
+        |  JOIN qs q ON d.doc_id = q.doc_id
+        |  LEFT JOIN gok g ON d.doc_id = g.doc_id)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+        |floor(CAST(sum(q4) AS DOUBLE) / count(*) + 0.5) / 1e4 AS mean_quality,
+        |CAST(sum(g) AS BIGINT) AS n_gated,
+        |floor(CAST(sum(g) AS DOUBLE) * 1e4 / count(*) + 0.5) / 1e4 AS gate_rate
+        |FROM rows0 GROUP BY band ORDER BY band""".stripMargin
 
   /** q239: the q36 frame arithmetic (hex-string indexing, the q210
     * idiom) + a row_number-capped posting self-join (the q139 cap

@@ -694,7 +694,12 @@ object SparkEntry {
     // heap-capped inverted-index co-occurrence — q211's pair tier
     // for the video payload family
     "q239_video_neardups"   -> ((s, d) =>
-      Multimodal.videoNearDups(Tables.documents(s, d)))
+      Multimodal.videoNearDups(Tables.documents(s, d))),
+    // duplication level x quality: per near-dup band (unique/small/
+    // large cluster), exact mean quality + Gopher pass rate — the
+    // "are dups low-quality" folklore, measured off the cached labels
+    "q240_dup_quality"      -> ((s, d) =>
+      Dedup.dupQualityInteraction(Tables.documents(s, d), ccCascadeFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -1725,6 +1725,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** q240: duplication level × quality interaction — the curation
+    * diagnostic behind the "duplicates are disproportionately
+    * low-quality boilerplate" folklore, measured instead of assumed:
+    * per duplication band (`unique` = in no verified near-dup
+    * cluster, `small` = cluster size 2–4, `large` = 5+), the doc
+    * count, mean quality score, and Gopher-gate pass rate. If the
+    * large band gates worse, dedup and the quality gate are partly
+    * redundant and the cheaper one should run first; if it doesn't,
+    * dedup is removing GOOD text and the thresholds deserve a look.
+    *
+    * Exactness: per-doc quality (the q27 terms) quantizes to a q4
+    * BIGINT before any sum — band means are exact-integer sums with
+    * ONE closing divide (the q213 discipline); the gate is the q106
+    * boolean. Scale: probes the materialized cluster labels (never a
+    * cascade re-run), sizes fold on the #clusters frame, and the
+    * band rollup is a 3-row aggregate.
+    */
+  def dupQualityInteraction(docs: DataFrame, dir: String,
+                            threshold: Double = 0.2,
+                            bands: Int = 4): DataFrame = {
+    val labels = dupClustersCached(docs, dir, threshold, bands)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val docSz = labels.join(sizes, "cluster_id").select("doc_id", "sz")
+    val q4 = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"),
+        floor(col("quality") * 1e4 + 0.5).cast("long").as("q4"))
+    val gated = TextAnalysis.gopherGateFilter(docs)
+      .select(col("doc_id"), lit(1L).as("g"))
+    docs.select("doc_id")
+      .join(docSz, Seq("doc_id"), "left")
+      .join(q4, "doc_id")
+      .join(gated, Seq("doc_id"), "left")
+      .withColumn("band",
+        when(col("sz").isNull, "unique")
+          .when(col("sz") <= 4, "small").otherwise("large"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("q4").cast("bigint").as("sum_q4"),
+        sum(coalesce(col("g"), lit(0L))).cast("bigint").as("n_gated"))
+      .selectExpr("band", "n_docs",
+        "floor(CAST(sum_q4 AS DOUBLE) / n_docs + 0.5) / 1e4 AS mean_quality",
+        "n_gated",
+        "floor(CAST(n_gated AS DOUBLE) * 1e4 / n_docs + 0.5) / 1e4 AS gate_rate")
+      .orderBy("band")
+  }
+
   /** [[cleaningPipelineClustered]] probing the materialized RAW-corpus
     * pair frame instead of re-running the cascade on the canonical
     * frame. Correct because `nearDupPairs` is PAIR-LOCAL end to end —

@@ -1058,6 +1058,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupQualityInteraction: bands partition the corpus and reconcile with the parts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-dupq").toString
+    val dir = Dedup.cascadeDir(spark, s"${SparkTestSession.sfDir}/documents.parquet", base)
+    val res = Dedup.dupQualityInteraction(documents, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    // bands partition the corpus exactly
+    assert(res.values.map(_._1).sum == documents.count())
+    // gate counts reconcile with the standalone gate
+    assert(res.values.map(_._3).sum ==
+      graft.operators.TextAnalysis.gopherGateFilter(documents).count())
+    // the unique band is the unlabeled remainder
+    val labeled = Dedup.dupClustersCached(documents, dir).count()
+    assert(res("unique")._1 == documents.count() - labeled)
+    res.foreach { case (band, (n, mq, g, gr)) =>
+      assert(n > 0 && mq >= 0.0 && mq <= 1.0 && g <= n, s"$band: ${res(band)}")
+      assert(math.abs(gr - math.floor(g.toDouble * 1e4 / n + 0.5) / 1e4) < 1e-12)
+    }
+    // one band's mean quality cross-checked against a direct fold
+    val uniqIds = documents.select("doc_id")
+      .join(Dedup.dupClustersCached(documents, dir), Seq("doc_id"), "left_anti")
+    val q4 = graft.operators.TextAnalysis.qualityScore(documents)
+      .join(uniqIds, "doc_id")
+      .select(floor(col("quality") * 1e4 + 0.5).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(res("unique")._2 ==
+      math.floor(q4.sum.toDouble / q4.length + 0.5) / 1e4)
+  }
+
   test("videoNearDups: shared aligned frames pair; a hot frame is posting-capped") {
     import spark.implicits._
     // 32-byte blocks: two shared frames make a pair, one does not

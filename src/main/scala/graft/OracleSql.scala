@@ -4371,7 +4371,63 @@ object OracleSql {
       ("q237_retrieval_quality" -> retrievalQualitySql) +
       ("q238_contam_provenance" -> contamProvenanceSql) +
       ("q239_video_neardups" -> videoNearDupsSql) +
-      ("q240_dup_quality" -> dupQualitySql)
+      ("q240_dup_quality" -> dupQualitySql) +
+      ("q241_mann_whitney" -> mannWhitneySql) +
+      ("q242_host_quality" -> hostQualitySql)
+
+  /** q242: the shared URL canonicalization CTE + q240's quantized
+    * quality/gate fragments, rolled up per host.
+    */
+  private def hostQualitySql: String =
+    s"""$urlCanonCte,
+       |qs AS (SELECT doc_id,
+       |  CAST(floor(round((least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) +
+       |    least(CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(tk) * 10.0, 1.0)) / 2.0,
+       |    4) * 1e4 + 0.5) AS BIGINT) AS q4
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+       |gt AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+       |  round(CAST(length(text) AS DOUBLE) / len(tk), 4) AS mean_token_len,
+       |  round(CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(tk), 4) AS stopword_ratio,
+       |  CASE WHEN len(tk) < 3 THEN 0.0 ELSE
+       |  round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk) - 1),
+       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS DOUBLE) / (len(tk) - 2), 4) END AS rep_ratio
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)),
+       |gok AS (SELECT doc_id, 1 AS g FROM gt
+       |  WHERE n_tokens >= 10 AND n_tokens <= 1000
+       |  AND mean_token_len >= 2.0 AND mean_token_len <= 10.0
+       |  AND stopword_ratio >= 0.01 AND rep_ratio <= 0.5)
+       |SELECT c.host, CAST(count(*) AS BIGINT) AS n_docs,
+       |floor(CAST(sum(q.q4) AS DOUBLE) / count(*) + 0.5) / 1e4 AS mean_quality,
+       |CAST(sum(coalesce(g.g, 0)) AS BIGINT) AS n_gated,
+       |floor(CAST(sum(coalesce(g.g, 0)) AS DOUBLE) * 1e4 / count(*) + 0.5) / 1e4 AS gate_rate
+       |FROM canon c JOIN qs q ON c.doc_id = q.doc_id
+       |LEFT JOIN gok g ON c.doc_id = g.doc_id
+       |GROUP BY c.host ORDER BY c.host""".stripMargin
+
+  /** q241: the q117 bin grid, 2U/tie as exact BIGINTs, identical
+    * closing formula text for the two float outputs.
+    */
+  private def mannWhitneySql: String =
+    """WITH c AS (SELECT CAST(floor(value / 0.5) AS BIGINT) AS bin,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+      |w AS (SELECT bin, na, nb,
+      |  coalesce(CAST(sum(nb) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cnb,
+      |  na + nb AS t FROM c),
+      |a AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+      |  CAST(sum(nb) AS BIGINT) AS n_b,
+      |  CAST(count(*) AS BIGINT) AS n_bins,
+      |  CAST(sum(na * (2 * cnb + nb)) AS BIGINT) AS u2_a,
+      |  CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM w)
+      |SELECT n_a, n_b, n_bins, u2_a,
+      |floor(CAST(u2_a AS DOUBLE) / (2.0 * n_a * n_b) * 1e6 + 0.5) / 1e6 AS p_superiority,
+      |round((CAST(u2_a AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2) /
+      |sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+      |((n_a + n_b + 1) - CAST(tie3 AS DOUBLE) /
+      |(CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 4) AS z
+      |FROM a""".stripMargin
 
   /** q240: q68's recursive CC labels + q27's quality terms + q106's
     * gate predicate, rolled up per duplication band. Quality

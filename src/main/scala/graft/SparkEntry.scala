@@ -699,7 +699,15 @@ object SparkEntry {
     // large cluster), exact mean quality + Gopher pass rate — the
     // "are dups low-quality" folklore, measured off the cached labels
     "q240_dup_quality"      -> ((s, d) =>
-      Dedup.dupQualityInteraction(Tables.documents(s, d), ccCascadeFor(s, d)))
+      Dedup.dupQualityInteraction(Tables.documents(s, d), ccCascadeFor(s, d))),
+    // Mann-Whitney U on the q117 bin grid: exact 2U/tie integers from
+    // per-bin counts, one float z at the close — no global rank sort
+    "q241_mann_whitney"     -> ((s, d) =>
+      RobustStats.mannWhitney(Tables.events(s, d))),
+    // per-host quality audit: q233's size view joined with exact mean
+    // quality + gate rate — the domain-blocklist cut table
+    "q242_host_quality"     -> ((s, d) =>
+      UrlCuration.hostQualityAudit(Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -662,4 +662,59 @@ object RobustStats {
           "ELSE floor(exp(cum) * 1e4 + 0.5) / 1e4 END AS survival")
       .orderBy("t_day")
   }
+
+  /** q241: Mann–Whitney U rank-sum test on two event types' value
+    * distributions — the nonparametric "did the distribution shift"
+    * companion to the binned KS test (q117's grid discipline): KS
+    * reports the worst CDF gap, U reports stochastic dominance
+    * P(A > B), and heavy-tailed metric distributions (every revenue
+    * column) violate the t-test both replace.
+    *
+    * Exactness: ranks never exist. Values bin to the q117 integer
+    * grid; with per-bin counts (na, nb), midrank arithmetic collapses
+    * to 2·U_A = Σ_bins na·(2·cumNb(<bin) + nb) — an exact BIGINT (the
+    * ×2 absorbs the tie half-credit), as is the tie-correction term
+    * Σ(t³ − t). The z-score's normal approximation is the ONLY float
+    * step: one formula text over the exact integers, both engines
+    * replaying it identically. At corpus scales where a single bin
+    * exceeds ~2M rows, t³ nears BIGINT range — the grid (binWidth)
+    * is the documented lever, exactly as in q117.
+    *
+    * Scale: one grouped count over the event scan, then a cumulative
+    * window over the BIN GRID (aggregate-bounded — the q117 shape),
+    * closing in a 1-row report. No global rank sort anywhere — the
+    * textbook formulation's fatal flaw at 100 TB.
+    */
+  def mannWhitney(ev: DataFrame, typeA: String = "view",
+                  typeB: String = "purchase",
+                  binWidth: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = ev.filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .groupBy("bin").agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("nb"))
+    val wPrev = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("cnb", coalesce(sum(col("nb")).over(wPrev), lit(0L)))
+      .withColumn("u2term", col("na") * (lit(2L) * col("cnb") + col("nb")))
+      .withColumn("t", col("na") + col("nb"))
+      .agg(sum("na").cast("bigint").as("n_a"),
+        sum("nb").cast("bigint").as("n_b"),
+        count(lit(1)).as("n_bins"),
+        sum("u2term").cast("bigint").as("u2_a"),
+        sum(expr("t * t * t - t")).cast("bigint").as("tie3"))
+      .selectExpr("n_a", "n_b", "n_bins", "u2_a",
+        // P(A > B) + P(tie)/2 — the common-language effect size; one
+        // divide over exact integers
+        "floor(CAST(u2_a AS DOUBLE) / (2.0 * n_a * n_b) * 1e6 + 0.5) / 1e6 AS p_superiority",
+        // tie-corrected normal approximation; identical formula text
+        // in the oracle so the doubles replay bit-for-bit
+        "round((CAST(u2_a AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2) / " +
+          "sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 * " +
+          "((n_a + n_b + 1) - CAST(tie3 AS DOUBLE) / " +
+          "(CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 4) AS z")
+  }
 }

@@ -188,6 +188,37 @@ object UrlCuration {
       .select("doc_id")
   }
 
+  /** q242: per-host quality audit — the domain-level curation readout
+    * that turns q233's "who is big" into "who is big AND bad": per
+    * host, doc count, exact mean quality score, and Gopher-gate pass
+    * rate. RefinedWeb/C4-style domain blocklists are cut from exactly
+    * this table — a head host with a tail gate-rate is the first
+    * candidate. Same exactness as q240 (quality quantizes to a q4
+    * BIGINT before the per-host sum, means close with one divide);
+    * the rollup is per-row string work + ONE (host) groupBy — the
+    * q232 partitioning, host skew stays in its partition.
+    */
+  def hostQualityAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hostOf = canonPieces(docs).select("doc_id", "host")
+    val q4 = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"),
+        floor(col("quality") * 1e4 + 0.5).cast("long").as("q4"))
+    val gated = TextAnalysis.gopherGateFilter(docs)
+      .select(col("doc_id"), lit(1L).as("g"))
+    hostOf.join(q4, "doc_id")
+      .join(gated, Seq("doc_id"), "left")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("q4").cast("bigint").as("sum_q4"),
+        sum(coalesce(col("g"), lit(0L))).cast("bigint").as("n_gated"))
+      .selectExpr("host", "n_docs",
+        "floor(CAST(sum_q4 AS DOUBLE) / n_docs + 0.5) / 1e4 AS mean_quality",
+        "n_gated",
+        "floor(CAST(n_gated AS DOUBLE) * 1e4 / n_docs + 0.5) / 1e4 AS gate_rate")
+      .orderBy("host")
+  }
+
   /** q236: the per-source attrition funnel WITH the URL stage first —
     * q106's report extended the way a web-corpus run actually orders
     * its gates (RefinedWeb §3: URL curation before any content look):

@@ -473,4 +473,38 @@ class RobustStatsSpec extends AnyFunSuite {
     val n = r.map(_.getLong(1))
     assert(n.zip(n.tail).forall { case (a, b) => a > b })
   }
+
+  // ---- q241 Mann-Whitney U --------------------------------------------
+
+  test("mannWhitney: disjoint samples hit the closed form; full ties are symmetric") {
+    import graft.operators.RobustStats
+    def ev(rows: Seq[(String, Double)]) =
+      rows.zipWithIndex.map { case ((ty, v), i) => (i.toLong, ty, v) }
+        .toDF("event_id", "event_type", "value")
+    // A = {1,2} strictly below B = {3,4}: no (a > b) pair, so
+    // 2U_A = 0, P(A>B) = 0, and z = -(nA*nB/2)/sqrt(nA*nB/12*(n+1))
+    // = -2/sqrt(5/3) = -1.5492 (no ties: tie3 = 0)
+    val lo = RobustStats.mannWhitney(
+      ev(Seq("view" -> 1.0, "view" -> 2.0,
+        "purchase" -> 3.0, "purchase" -> 4.0))).collect().head
+    assert((lo.getLong(0), lo.getLong(1), lo.getLong(3)) == ((2L, 2L, 0L)), lo.toString)
+    assert(lo.getDouble(4) == 0.0 && lo.getDouble(5) == -1.5492, lo.toString)
+    // identical samples with ties: U_A = nA*nB/2 exactly -> z = 0,
+    // P(A>B) (with half-tie credit) = 0.5
+    val tie = RobustStats.mannWhitney(
+      ev(Seq("view" -> 1.0, "view" -> 3.0,
+        "purchase" -> 1.0, "purchase" -> 3.0))).collect().head
+    assert(tie.getLong(3) == 4L && tie.getDouble(4) == 0.5 &&
+      tie.getDouble(5) == 0.0, tie.toString)
+  }
+
+  test("mannWhitney on the corpus: totals reconcile, effect size in [0, 1]") {
+    import graft.operators.RobustStats
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val r = RobustStats.mannWhitney(ev).collect().head
+    val nAB = ev.filter(org.apache.spark.sql.functions.col("event_type").isin("view", "purchase")).count()
+    assert(r.getLong(0) + r.getLong(1) == nAB)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    assert(!r.isNullAt(5) && !r.getDouble(5).isNaN)
+  }
 }

@@ -109,6 +109,22 @@ class UrlCurationSpec extends AnyFunSuite {
     assert(all.count() == report.map(_.getLong(2)).sum)
   }
 
+  test("q242 hostQualityAudit: totals reconcile with the share audit and the gate") {
+    val res = UrlCuration.hostQualityAudit(docs).collect()
+    // one row per host, same host set as the share audit
+    val shareHosts = UrlCuration.hostShareAudit(docs).collect()
+      .map(_.getString(0)).toSet
+    assert(res.map(_.getString(0)).toSet == shareHosts)
+    assert(res.map(_.getLong(1)).sum == nDocs)
+    assert(res.map(_.getLong(3)).sum ==
+      graft.operators.TextAnalysis.gopherGateFilter(docs).count())
+    res.foreach { r =>
+      val (n, mq, g, gr) = (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(g <= n && mq >= 0.0 && mq <= 1.0, r.toString)
+      assert(gr == math.floor(g.toDouble * 1e4 / n + 0.5) / 1e4, r.toString)
+    }
+  }
+
   test("q236 urlPipelineFunnel: per-source rows are monotone non-increasing") {
     val evalSet = docs.filter(col("doc_id") % 10 === 0)
     val rows = UrlCuration.urlPipelineFunnel(docs, evalSet).collect()

@@ -4373,7 +4373,36 @@ object OracleSql {
       ("q239_video_neardups" -> videoNearDupsSql) +
       ("q240_dup_quality" -> dupQualitySql) +
       ("q241_mann_whitney" -> mannWhitneySql) +
-      ("q242_host_quality" -> hostQualitySql)
+      ("q242_host_quality" -> hostQualitySql) +
+      ("q243_centroid_drift" -> centroidDriftSql)
+
+  /** q243: q6-quantized component sums → floored integer centroid
+    * means → exact BIGINT dots/norms, one closing divide. The v[i]
+    * indexing is the q87 idiom (64-dim embeddings).
+    */
+  private def centroidDriftSql: String =
+    """WITH base AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |q AS (SELECT label, i,
+      |  CAST(floor(v[i] * 1e6 + 0.5) AS BIGINT) AS qv
+      |  FROM base, range(1, 65) t(i)),
+      |m AS (SELECT label, i,
+      |  CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS m,
+      |  CAST(count(*) AS BIGINT) AS n
+      |  FROM q GROUP BY label, i),
+      |nn AS (SELECT label, max(n) AS n_vecs,
+      |  CAST(sum(m * m) AS BIGINT) AS nrm FROM m GROUP BY label),
+      |d AS (SELECT a.label AS label_a, b.label AS label_b,
+      |  CAST(sum(a.m * b.m) AS BIGINT) AS dot
+      |  FROM m a JOIN m b ON a.i = b.i AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT d.label_a, d.label_b, na.n_vecs AS n_a, nb.n_vecs AS n_b,
+      |round(CAST(dot AS DOUBLE) /
+      |nullif(sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 0.0), 6)
+      |  AS cos_centroid
+      |FROM d JOIN nn na ON na.label = d.label_a
+      |JOIN nn nb ON nb.label = d.label_b
+      |ORDER BY d.label_a, d.label_b""".stripMargin
 
   /** q242: the shared URL canonicalization CTE + q240's quantized
     * quality/gate fragments, rolled up per host.

@@ -707,7 +707,11 @@ object SparkEntry {
     // per-host quality audit: q233's size view joined with exact mean
     // quality + gate rate — the domain-blocklist cut table
     "q242_host_quality"     -> ((s, d) =>
-      UrlCuration.hostQualityAudit(Tables.documents(s, d)))
+      UrlCuration.hostQualityAudit(Tables.documents(s, d))),
+    // label-centroid drift matrix: pairwise cosine of exact-integer
+    // per-label centroids — the embedding-space separability report
+    "q243_centroid_drift"   -> ((s, d) =>
+      Similarity.labelCentroidDrift(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

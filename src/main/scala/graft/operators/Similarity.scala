@@ -1251,4 +1251,50 @@ object Similarity {
       .toDF("q_id", "pick", "neighbor_id", "relevance", "mmr_score")
       .orderBy("q_id", "pick")
   }
+
+  /** q243: label-centroid drift matrix — pairwise cosine between the
+    * per-label embedding centroids, the embedding-space separability
+    * report a mixture/eval owner reads before trusting label-based
+    * sampling (two labels whose centroids cosine ≈ 1 are one concept
+    * wearing two names; a drifting re-embed run shows up as the whole
+    * matrix shifting). Grouping key is the embeddings table's `label`;
+    * the same code serves any categorical column.
+    *
+    * Exactness: centroids never exist as float means. Components
+    * quantize to q6 BIGINTs, sum exactly per (label, dim), and the
+    * centroid is the FLOORED integer mean at the same q6 scale
+    * (floor(s/n) via one double divide of exactly-representable
+    * integers — |s| < 2^53 up to ~10⁹ vectors per label). Dots and
+    * norms over the q6 centroids are exact BIGINTs (≤ dim·10¹² —
+    * overflow-free by construction); cosine is ONE closing divide,
+    * round 6. Scale: one generator pass to (label, dim) partial
+    * sums — #labels·dim rows — and every later frame is bounded by
+    * #labels²·dim. The corpus is scanned once.
+    */
+  def labelCentroidDrift(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).as("i"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("qv"))
+    val m = q.groupBy("label", "i")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("m"),
+        col("n"))
+    val norms = m.groupBy("label").agg(
+      max("n").cast("bigint").as("n_vecs"),
+      sum(expr("m * m")).cast("bigint").as("nrm"))
+    m.as("a").join(m.as("b"),
+        col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(expr("a.m * b.m")).cast("bigint").as("dot"))
+      .join(norms.select(col("label").as("label_a"),
+        col("n_vecs").as("n_a"), col("nrm").as("nrm_a")), "label_a")
+      .join(norms.select(col("label").as("label_b"),
+        col("n_vecs").as("n_b"), col("nrm").as("nrm_b")), "label_b")
+      .selectExpr("label_a", "label_b", "n_a", "n_b",
+        "round(CAST(dot AS DOUBLE) / " +
+          "nullif(sqrt(CAST(nrm_a AS DOUBLE) * CAST(nrm_b AS DOUBLE)), 0.0), 6)" +
+          " AS cos_centroid")
+      .orderBy("label_a", "label_b")
+  }
 }

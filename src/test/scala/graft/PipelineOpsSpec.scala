@@ -1258,6 +1258,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     nt.unpersist()
   }
 
+  test("labelCentroidDrift: colinear/orthogonal/opposite centroids hit ±1 and 0") {
+    import spark.implicits._
+    // label 0 averages to (2, 0, 0); 1 is orthogonal; 2 colinear with
+    // 0 (scale-invariant cosine); 3 points the other way
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0), (2L, Seq(3.0, 0.0, 0.0), 0),
+      (3L, Seq(0.0, 1.0, 0.0), 1),
+      (4L, Seq(0.5, 0.0, 0.0), 2),
+      (5L, Seq(-1.0, 0.0, 0.0), 3))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroidDrift(df).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(4)).toMap
+    assert(r.size == 6) // C(4,2)
+    assert(r((0, 1)) == 0.0 && r((0, 2)) == 1.0 && r((0, 3)) == -1.0, r.toString)
+    assert(r((1, 2)) == 0.0 && r((2, 3)) == -1.0)
+  }
+
+  test("labelCentroidDrift on the corpus: full label matrix, cosines in [-1, 1]") {
+    val res = Similarity.labelCentroidDrift(embeddings).collect()
+    val k = embeddings.select("label").distinct().count()
+    assert(res.length == k * (k - 1) / 2, s"expected C($k,2): ${res.length}")
+    res.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1))
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+      assert(r.getDouble(4) >= -1.0 - 1e-9 && r.getDouble(4) <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
   test("centroidOutliers: planted off-cluster vector is its label's worst row") {
     import spark.implicits._
     // label 0 clusters at e1; vec 99 points the other way → rank 1 outlier

@@ -4265,7 +4265,9 @@ object OracleSql {
         "SELECT 'minhash_cand_capped' AS family, " +
           s"CAST(count(*) AS BIGINT) AS n_pairs FROM (${cappedCandSql(50)})",
         "SELECT 'minhash_cand_r2' AS family, " +
-          s"CAST(count(*) AS BIGINT) AS n_pairs FROM ($fineCandSql)"))
+          s"CAST(count(*) AS BIGINT) AS n_pairs FROM ($fineCandSql)",
+        "SELECT 'video_frames' AS family, " +
+          s"CAST(count(*) AS BIGINT) AS n_pairs FROM ($videoNearDupsSql)"))
         .mkString("\nUNION ALL\n") +
       "\n),\nnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)\n" +
       "SELECT family, n_docs, n_pairs,\n" +

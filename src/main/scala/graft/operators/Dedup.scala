@@ -2008,6 +2008,9 @@ object Dedup {
       cnt("prefix_jaccard", prefixJaccardJoinCached(docs, ccDir)),
       cnt("simhash", simhashPairsCached(docs, shDir)),
       cnt("snm", snmNearDupsCached(docs, ccDir)),
+      // the round-12 video pair family joins the audit the day it
+      // ships — every pair-generating family stays measured
+      cnt("video_frames", Multimodal.videoNearDups(docs)),
       cnt("winnow", winnowedPairsCached(docs, ccDir)))
     val nd = docs.agg(count(lit(1)).cast("bigint").as("n_docs"))
     fams.reduce(_ unionByName _)

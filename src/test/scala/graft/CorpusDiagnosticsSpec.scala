@@ -607,7 +607,7 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
       .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
     assert(r.keySet == Set("containment", "minhash_cand", "minhash_cand_capped",
       "minhash_cand_r2", "minhash_verified", "prefix_jaccard", "simhash",
-      "snm", "winnow"))
+      "snm", "video_frames", "winnow"))
     val nDocs = docs.count()
     r.values.foreach { case (nd, np, ppk) =>
       assert(nd == nDocs)
@@ -628,6 +628,8 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
       Dedup.minhashCandidatePairs(docs, maxBucketSize = Some(50)).count())
     assert(r("minhash_cand_r2")._2 ==
       Dedup.minhashCandidatePairsFine(docs).count())
+    assert(r("video_frames")._2 ==
+      graft.operators.Multimodal.videoNearDups(docs).count())
   }
 
   test("phraseSearch: adjacency in order, df vs occurrences, top-doc ranking") {

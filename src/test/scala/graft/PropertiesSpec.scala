@@ -284,4 +284,69 @@ class PropertiesSpec extends AnyFunSuite {
         assert(math.abs(rp((i.toLong, j))) <= l1 + 1e-9))
     }
   }
+
+  test("mannWhitney anti-symmetry: swapping the arms negates z and complements P(A>B)") {
+    import graft.operators.RobustStats
+    // with ties, 2U_A + 2U_B = 2*nA*nB exactly — so the swapped run's
+    // p_superiority complements and its z negates, on ANY sample
+    val valGen = Gen.listOfN(14, Gen.choose(0, 6).map(_ * 0.5))
+    samples(Gen.zip(valGen, valGen), 6).foreach { case (as, bs) =>
+      val rows = as.map(("view", _)) ++ bs.map(("purchase", _))
+      val df = rows.zipWithIndex
+        .map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+      val fwd = RobustStats.mannWhitney(df).collect().head
+      val rev = RobustStats.mannWhitney(df, typeA = "purchase",
+        typeB = "view").collect().head
+      assert(fwd.getLong(3) + rev.getLong(3) ==
+        2L * fwd.getLong(0) * fwd.getLong(1),
+        s"2U_A + 2U_B must equal 2*nA*nB: $fwd vs $rev")
+      assert(math.abs(fwd.getDouble(4) + rev.getDouble(4) - 1.0) <= 2e-6,
+        s"effect sizes must complement: $fwd vs $rev")
+      assert(math.abs(fwd.getDouble(5) + rev.getDouble(5)) <= 2e-4,
+        s"z must negate: $fwd vs $rev")
+    }
+  }
+
+  test("urlGateKeepers laws: keepers are a deduped subset, cap monotone in coverage") {
+    import graft.operators.UrlCuration
+    // random doc populations: keepers are distinct real ids, a larger
+    // cap never keeps fewer, and an unbounded cap keeps one per page
+    val docsGen = Gen.choose(5, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 400L), Gen.oneOf("src0", "src1", "src2"))))
+    samples(docsGen, 5).foreach { rows =>
+      val df = rows.distinct.map { case (id, src) =>
+        (id, s"text body $id", "en", src, 20L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val k2 = UrlCuration.urlGateKeepers(df, cap = 2)
+      val k8 = UrlCuration.urlGateKeepers(df, cap = 8)
+      val kAll = UrlCuration.urlGateKeepers(df, cap = Int.MaxValue)
+      assert(k2.count() <= k8.count() && k8.count() <= kAll.count())
+      assert(kAll.join(df, Seq("doc_id"), "left_anti").count() == 0)
+      assert(kAll.distinct().count() == kAll.count())
+      // a doc set with no two docs on one page keeps everything
+      val pages = UrlCuration.perHostCap(df, cap = 1000000).collect()
+      assert(kAll.count() == pages.map(_.getLong(2)).sum)
+    }
+  }
+
+  test("contaminationProvenance: padding the training side never lowers a hit count") {
+    import graft.operators.TrainingData
+    val base = Seq(
+      (0L, "a b c d e"), (10L, "f g h i j"),
+      (1L, "a b c x y"), (2L, "f g h z w"))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val more = Seq((3L, "a b c d q"), (4L, "f g h i q"))
+      .map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      TrainingData.contaminationProvenance(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val before = hits(base)
+    val after = hits(base.unionByName(more))
+    before.foreach { case (e, n) =>
+      assert(after(e) >= n, s"eval $e lost hits after adding training docs")
+    }
+  }
 }

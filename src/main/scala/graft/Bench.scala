@@ -384,7 +384,10 @@ object Bench {
     // for anything a shutdown hook still emits. Nothing below needs
     // the session — every value is already computed.
     spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
+    // stop() guarded: a broken shutdown path (the degraded environments
+    // everything above defends against) must never cost the artifact
+    // lines — they are the run's entire record
+    try spark.stop() catch { case _: Throwable => () }
     // error DETAILS go on their own line BEFORE the main one so they
     // can never push the main line's front out of the 2000-char
     // artifact window; the main line carries only the failure count

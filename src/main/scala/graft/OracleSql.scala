@@ -4453,11 +4453,11 @@ object OracleSql {
       |  CAST(sum(na * (2 * cnb + nb)) AS BIGINT) AS u2_a,
       |  CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM w)
       |SELECT n_a, n_b, n_bins, u2_a,
-      |floor(CAST(u2_a AS DOUBLE) / (2.0 * n_a * n_b) * 1e6 + 0.5) / 1e6 AS p_superiority,
+      |floor(CAST(u2_a AS DOUBLE) / nullif(2.0 * n_a * n_b, 0.0) * 1e6 + 0.5) / 1e6 AS p_superiority,
       |round((CAST(u2_a AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2) /
-      |sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+      |nullif(sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
       |((n_a + n_b + 1) - CAST(tie3 AS DOUBLE) /
-      |(CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 4) AS z
+      |nullif(CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1), 0.0))), 0.0), 4) AS z
       |FROM a""".stripMargin
 
   /** q240: q68's recursive CC labels + q27's quality terms + q106's

@@ -370,7 +370,8 @@ object SparkEntry {
     // Shannon entropy of the per-day event-type mix
     "q129_type_entropy"    -> ((s, d) => RobustStats.eventTypeEntropy(Tables.events(s, d))),
     // PMI collocations over the top-50 vocabulary
-    "q130_token_pmi"       -> ((s, d) => TextAnalysis.tokenPmi(Tables.documents(s, d))),
+    "q130_token_pmi"       -> ((s, d) =>
+      TextAnalysis.tokenPmiCached(Tables.documents(s, d), tokenTfFor(s, d))),
     // per-user LOCF time-weighted average of the value signal
     "q131_time_weighted"   -> ((s, d) => EventAnalytics.timeWeightedAvg(Tables.events(s, d))),
     // Z-order clustering-key layout audit (part x supplier interleave)
@@ -385,11 +386,14 @@ object SparkEntry {
     // PSI distribution drift of each source vs the corpus
     "q136_psi_drift"       -> ((s, d) => RobustStats.psiDrift(Tables.documents(s, d))),
     // TextRank keywords: PageRank over the token co-occurrence graph
-    "q137_textrank"        -> ((s, d) => TextAnalysis.textRank(Tables.documents(s, d))),
+    "q137_textrank"        -> ((s, d) =>
+      TextAnalysis.textRankCached(Tables.documents(s, d), tokenTfFor(s, d))),
     // BM25 top-k retrieval: first 8 docs as queries, inverted-index probe
-    "q138_bm25_topk"       -> ((s, d) => TextAnalysis.bm25TopK(Tables.documents(s, d))),
+    "q138_bm25_topk"       -> ((s, d) =>
+      TextAnalysis.bm25TopKCached(Tables.documents(s, d), armsFor(s, d))),
     // inverted-index build: df/cf + heap-capped posting lists
-    "q139_inverted_index"  -> ((s, d) => TextAnalysis.invertedIndex(Tables.documents(s, d))),
+    "q139_inverted_index"  -> ((s, d) =>
+      TextAnalysis.invertedIndexCached(Tables.documents(s, d), tokenTfFor(s, d))),
     // EXACT directed shingle-containment join (quote/wrapper detection)
     "q140_containment"     -> ((s, d) =>
       Dedup.containmentJoinCached(Tables.documents(s, d), ccCascadeFor(s, d))),
@@ -401,11 +405,13 @@ object SparkEntry {
     // hourly OHLC bars per event type (struct-ordered arg-min/max agg)
     "q143_ohlc_bars"       -> ((s, d) => EventAnalytics.ohlcBars(Tables.events(s, d))),
     // triangle census of the token co-occurrence graph
-    "q144_triangles"       -> ((s, d) => TextAnalysis.tokenTriangles(Tables.documents(s, d))),
+    "q144_triangles"       -> ((s, d) =>
+      TextAnalysis.tokenTrianglesCached(Tables.documents(s, d), tokenTfFor(s, d))),
     // fastText-style hashed linear classifier (map-only inference)
     "q145_hashed_classifier" -> ((s, d) => TextAnalysis.hashedClassifier(Tables.documents(s, d))),
     // OOV occurrence rate vs the corpus top-16 vocabulary head
-    "q146_oov_rate"        -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
+    "q146_oov_rate"        -> ((s, d) =>
+      TextAnalysis.oovRateCached(Tables.documents(s, d), tokenTfFor(s, d))),
     // anchored power-sum moments (mergeable sufficient statistics)
     "q147_power_moments"   -> ((s, d) => RobustStats.powerMoments(Tables.events(s, d))),
     // per-dimension embedding health audit (dead dims, anisotropy)
@@ -417,7 +423,8 @@ object SparkEntry {
     // per-source corpus health dashboard (volume, langs, median, dups)
     "q151_corpus_report"   -> ((s, d) => TrainingData.corpusReport(Tables.documents(s, d))),
     // BM25 + hashed-dense reciprocal-rank fusion (hybrid retrieval)
-    "q152_hybrid_rrf"      -> ((s, d) => TextAnalysis.hybridRrfTopK(Tables.documents(s, d))),
+    "q152_hybrid_rrf"      -> ((s, d) =>
+      TextAnalysis.hybridRrfTopKCached(Tables.documents(s, d), armsFor(s, d))),
     // SCD Type-2 state history: validity intervals from the event feed
     "q153_scd_history"     -> ((s, d) => EventAnalytics.scdHistory(Tables.events(s, d))),
     // GROUPING SETS: both marginal breakdowns in one fact-table scan
@@ -593,7 +600,8 @@ object SparkEntry {
     // rank-biased overlap (p = 1/2, depth 10) between the BM25 and
     // raw tf·idf rankings — exact-integer suffix weights, one
     // equi-join per query instead of a depth loop
-    "q213_rbo_rankings"     -> ((s, d) => TextAnalysis.rboRankings(Tables.documents(s, d))),
+    "q213_rbo_rankings"     -> ((s, d) =>
+      TextAnalysis.rboRankingsCached(Tables.documents(s, d), armsFor(s, d))),
     // CDC log compaction: I/U/D ops per entity → last-writer-wins
     // final state with tombstones — the SCD1 MERGE maintenance pass
     "q214_cdc_compact"      -> ((s, d) => EventAnalytics.cdcCompact(Tables.events(s, d))),
@@ -684,7 +692,7 @@ object SparkEntry {
     // relevance band — integer-weight DCG, closed-form IDCG, one
     // closing divide (the q213 discipline)
     "q237_retrieval_quality" -> ((s, d) =>
-      TextAnalysis.retrievalQuality(Tables.documents(s, d))),
+      TextAnalysis.retrievalQualityCached(Tables.documents(s, d), armsFor(s, d))),
     // eval-side contamination provenance: per eval doc, hit count,
     // compromised count, and the worst offender — q65's question
     // transposed to the benchmark owner's side
@@ -784,6 +792,34 @@ object SparkEntry {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_props_${new java.io.File(d).getName}_$ph").getAbsolutePath
     graft.operators.JsonRouting.propsDir(s, s"$d/events.parquet", base)
+  }
+
+  /** Content-addressed home of the documents table's materialized
+    * token-tf frame ([[graft.operators.TextAnalysis.tokenTf]]) — the
+    * [[propsFor]] discipline applied to the token family; shared by
+    * q130/q137/q139/q144/q146 and the retrieval-arm builds.
+    */
+  private[graft] def tokenTfFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_tok_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    TextAnalysis.tokenTfDir(s, s"$d/documents.parquet", base)
+  }
+
+  /** Content-addressed home of the documents table's materialized
+    * retrieval-arm rankings (+ graded relevance) — shared by
+    * q138/q152/q213/q237, which previously each re-ran one or both
+    * arms end to end.
+    */
+  private[graft] def armsFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_arms_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    TextAnalysis.retrievalArmsDir(s, s"$d/documents.parquet", base)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -561,9 +561,12 @@ object Dedup {
   /** Bloom sizing for [[incrementalDedupBloom]]'s auto path: the next
     * power of two above ~10 bits/item (≈1% fpp at the optimal hash
     * count), floored at 8192 bits (1 KiB — below that the literal is
-    * noise either way) and capped at 2^26 (8 MiB — the ~50M-doc point
-    * past which a caller should shard the corpus or pass an explicit
-    * budget rather than ship a bigger per-task literal).
+    * noise either way) and capped at 2^26 (8 MiB). At 10 bits/item the
+    * cap engages around ~6.7M items, so beyond that the fpp degrades
+    * (more candidate traffic into the exact verify join — still
+    * correct, just less admission pruning); a caller past that point
+    * should shard the corpus or pass an explicit budget rather than
+    * ship a bigger per-task literal.
     */
   private[graft] def bloomBitsFor(items: Long): Long = {
     val want = math.max(8192L, items * 10L)

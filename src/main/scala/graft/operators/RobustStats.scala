@@ -709,12 +709,15 @@ object RobustStats {
       .selectExpr("n_a", "n_b", "n_bins", "u2_a",
         // P(A > B) + P(tie)/2 — the common-language effect size; one
         // divide over exact integers
-        "floor(CAST(u2_a AS DOUBLE) / (2.0 * n_a * n_b) * 1e6 + 0.5) / 1e6 AS p_superiority",
+        "floor(CAST(u2_a AS DOUBLE) / nullif(2.0 * n_a * n_b, 0.0) * 1e6 + 0.5) / 1e6 AS p_superiority",
         // tie-corrected normal approximation; identical formula text
-        // in the oracle so the doubles replay bit-for-bit
+        // in the oracle so the doubles replay bit-for-bit. Both
+        // denominators nullif-guarded (the labelCentroidDrift
+        // discipline): one empty side (n_a·n_b = 0) or a single
+        // observation (n_a+n_b ≤ 1) yields NULL, never NaN.
         "round((CAST(u2_a AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2) / " +
-          "sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 * " +
+          "nullif(sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 * " +
           "((n_a + n_b + 1) - CAST(tie3 AS DOUBLE) / " +
-          "(CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 4) AS z")
+          "nullif(CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1), 0.0))), 0.0), 4) AS z")
   }
 }

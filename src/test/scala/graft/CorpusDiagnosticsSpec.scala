@@ -19,6 +19,54 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     rows.map { case (i, t, s) => (i, t, "en", s, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  // ---- materialized token-tf + retrieval-arm frames -------------------
+
+  test("token-family cached twins: materialized tf frame ≡ self-computed") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    val dir = TextAnalysis.tokenTfDir(spark, s"$sfDir/documents.parquet", base)
+    // first touch builds, second reuses (the _SUCCESS gate)
+    assert(TextAnalysis.prebuildTokenTf(docs, dir), "first touch must build")
+    assert(!TextAnalysis.prebuildTokenTf(docs, dir), "second touch must reuse")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: cached and self-computed runs diverge")
+    same(TextAnalysis.tokenPmiCached(docs, dir),
+      TextAnalysis.tokenPmi(docs), "q130 token PMI")
+    same(TextAnalysis.textRankCached(docs, dir),
+      TextAnalysis.textRank(docs), "q137 textRank")
+    same(TextAnalysis.invertedIndexCached(docs, dir),
+      TextAnalysis.invertedIndex(docs), "q139 inverted index")
+    same(TextAnalysis.tokenTrianglesCached(docs, dir),
+      TextAnalysis.tokenTriangles(docs), "q144 triangles")
+    same(TextAnalysis.oovRateCached(docs, dir),
+      TextAnalysis.oovRate(docs), "q146 OOV rate")
+  }
+
+  test("retrieval-arm cached twins: materialized rankings ≡ self-computed") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-arms").toString
+    val dir = TextAnalysis.retrievalArmsDir(
+      spark, s"$sfDir/documents.parquet", base)
+    assert(TextAnalysis.prebuildRetrievalArms(docs, dir),
+      "first touch must build")
+    assert(!TextAnalysis.prebuildRetrievalArms(docs, dir),
+      "second touch must reuse")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: cached and self-computed runs diverge")
+    same(TextAnalysis.bm25TopKCached(docs, dir),
+      TextAnalysis.bm25TopK(docs), "q138 BM25 top-k (k = 5 cut)")
+    same(TextAnalysis.hybridRrfTopKCached(docs, dir),
+      TextAnalysis.hybridRrfTopK(docs), "q152 hybrid RRF")
+    same(TextAnalysis.rboRankingsCached(docs, dir),
+      TextAnalysis.rboRankings(docs), "q213 RBO")
+    same(TextAnalysis.retrievalQualityCached(docs, dir),
+      TextAnalysis.retrievalQuality(docs), "q237 retrieval quality")
+  }
+
   // ---- q163 Flesch readability ---------------------------------------
 
   test("readability: hand-counted words/sentences/vowel-groups and the formula") {

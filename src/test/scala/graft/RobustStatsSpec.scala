@@ -498,6 +498,23 @@ class RobustStatsSpec extends AnyFunSuite {
       tie.getDouble(5) == 0.0, tie.toString)
   }
 
+  test("mannWhitney: degenerate inputs yield NULL, never NaN") {
+    import graft.operators.RobustStats
+    def ev(rows: Seq[(String, Double)]) =
+      rows.zipWithIndex.map { case ((ty, v), i) => (i.toLong, ty, v) }
+        .toDF("event_id", "event_type", "value")
+    // one arm empty: n_a*n_b = 0 — both float outputs NULL (the
+    // nullif guards), not NaN from a 0/0
+    val oneArm = RobustStats.mannWhitney(
+      ev(Seq("view" -> 1.0, "view" -> 2.0))).collect().head
+    assert(oneArm.getLong(0) == 2L && oneArm.getLong(1) == 0L)
+    assert(oneArm.isNullAt(4) && oneArm.isNullAt(5), oneArm.toString)
+    // a single observation total: n_a+n_b-1 = 0 inside the tie term
+    val single = RobustStats.mannWhitney(
+      ev(Seq("purchase" -> 1.0))).collect().head
+    assert(single.isNullAt(4) && single.isNullAt(5), single.toString)
+  }
+
   test("mannWhitney on the corpus: totals reconcile, effect size in [0, 1]") {
     import graft.operators.RobustStats
     val ev = graft.engine.Tables.events(spark, sfDir)

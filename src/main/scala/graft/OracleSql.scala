@@ -4376,7 +4376,88 @@ object OracleSql {
       ("q240_dup_quality" -> dupQualitySql) +
       ("q241_mann_whitney" -> mannWhitneySql) +
       ("q242_host_quality" -> hostQualitySql) +
-      ("q243_centroid_drift" -> centroidDriftSql)
+      ("q243_centroid_drift" -> centroidDriftSql) +
+      ("q244_ann_quality" -> annQualitySql)
+
+  /** q244: the q39/q74 ANN probe CTEs at depth 10 (single-probe +
+    * Hamming-1 multi-probe over the deterministic sign-LSH buckets),
+    * scored against the exact brute-force ranking with rank-graded
+    * relevance (true top-3 → rel 2, top-10 → rel 1), closed with the
+    * q237 integer-ladder metric text (BIGINT DCG, closed-form IDCG,
+    * one divide per float).
+    */
+  private def annQualitySql: String = {
+    def cumw(e: String): String =
+      s"""CASE least($e, 10) WHEN 0 THEN 0
+         |  WHEN 1 THEN 1000000000 WHEN 2 THEN 1630929754
+         |  WHEN 3 THEN 2130929754 WHEN 4 THEN 2561606312
+         |  WHEN 5 THEN 2948459119 WHEN 6 THEN 3304666306
+         |  WHEN 7 THEN 3637999639 WHEN 8 THEN 3953464516
+         |  WHEN 9 THEN 4254494512 ELSE 4543559338 END""".stripMargin
+    val wCase = """CASE a.rk WHEN 1 THEN 1000000000 WHEN 2 THEN 630929754
+      |  WHEN 3 THEN 500000000 WHEN 4 THEN 430676558 WHEN 5 THEN 386852807
+      |  WHEN 6 THEN 356207187 WHEN 7 THEN 333333333 WHEN 8 THEN 315464877
+      |  WHEN 9 THEN 301029996 ELSE 289064826 END""".stripMargin
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, CAST(${bucketTerms("v")} AS INT) AS bucket_id FROM base),
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket_id FROM b WHERE vec_id < 8),
+       |s1 AS (SELECT q.q_id, b.vec_id,
+       |list_dot_product(b.v, q.qv) /
+       |(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       |FROM b JOIN q ON b.bucket_id = q.bucket_id WHERE b.vec_id <> q.q_id),
+       |a1 AS (SELECT q_id, vec_id AS doc_id, rk FROM (
+       |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS INT) AS rk FROM s1) WHERE rk <= 10),
+       |probes AS (SELECT q_id, qv, bucket_id FROM q
+       |UNION ALL SELECT q_id, qv, CAST(xor(bucket_id, (1 << i)) AS INT) AS bucket_id
+       |FROM q, range(0, 8) t(i)),
+       |s2 AS (SELECT p.q_id, b.vec_id,
+       |list_dot_product(b.v, p.qv) /
+       |(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cos
+       |FROM b JOIN probes p ON b.bucket_id = p.bucket_id WHERE b.vec_id <> p.q_id),
+       |a2 AS (SELECT q_id, vec_id AS doc_id, rk FROM (
+       |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS INT) AS rk FROM s2) WHERE rk <= 10),
+       |ex AS (SELECT q.q_id, ba.vec_id,
+       |list_dot_product(ba.v, q.qv) /
+       |(sqrt(list_dot_product(ba.v, ba.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       |FROM base ba, q WHERE ba.vec_id <> q.q_id),
+       |rel AS (SELECT q_id, vec_id AS doc_id,
+       |  CASE WHEN rk <= 3 THEN 2 ELSE 1 END AS rel FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rk FROM ex) WHERE rk <= 10),
+       |arms AS (SELECT 'ivf' AS arm, q_id, doc_id, rk FROM a1
+       |UNION ALL SELECT 'multiprobe', q_id, doc_id, rk FROM a2),
+       |am AS (SELECT a.q_id, a.arm,
+       |    CAST(sum((CASE r.rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)
+       |      * CAST(($wCase) AS BIGINT)) AS BIGINT) AS dcg_s,
+       |    min(CASE WHEN r.rel >= 1 THEN a.rk END) AS first_rel_rank
+       |  FROM arms a LEFT JOIN rel r
+       |    ON a.q_id = r.q_id AND a.doc_id = r.doc_id
+       |  GROUP BY 1, 2),
+       |ic AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel,
+       |    CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM rel GROUP BY 1),
+       |icg AS (SELECT q_id, n_rel,
+       |    CAST(3 * CAST((${cumw("n2")}) AS BIGINT)
+       |      + ((${cumw("n_rel")}) - (${cumw("n2")})) AS BIGINT) AS idcg_s
+       |  FROM ic),
+       |panel AS (SELECT vec_id AS q_id, arm FROM embeddings
+       |  CROSS JOIN (SELECT 'ivf' AS arm UNION ALL SELECT 'multiprobe')
+       |  WHERE vec_id < 8)
+       |SELECT p.q_id, p.arm,
+       |CAST(coalesce(i.n_rel, 0) AS BIGINT) AS n_rel,
+       |CAST(coalesce(a.first_rel_rank, 0) AS INT) AS first_rel_rank,
+       |CASE WHEN a.first_rel_rank IS NULL THEN 0.0
+       |  ELSE floor(1e6 / a.first_rel_rank + 0.5) / 1e6 END AS rr,
+       |CAST(coalesce(a.dcg_s, 0) AS BIGINT) AS dcg_s,
+       |CASE WHEN coalesce(i.idcg_s, 0) = 0 THEN 0.0
+       |  ELSE floor(CAST(coalesce(a.dcg_s, 0) AS DOUBLE) / CAST(i.idcg_s AS DOUBLE)
+       |    * 1e6 + 0.5) / 1e6 END AS ndcg
+       |FROM panel p LEFT JOIN am a ON p.q_id = a.q_id AND p.arm = a.arm
+       |LEFT JOIN icg i ON p.q_id = i.q_id
+       |ORDER BY p.q_id, p.arm""".stripMargin
+  }
 
   /** q243: q6-quantized component sums → floored integer centroid
     * means → exact BIGINT dots/norms, one closing divide. The v[i]
@@ -4679,7 +4760,7 @@ object OracleSql {
        |  ELSE floor(1e6 / a.first_rel_rank + 0.5) / 1e6 END AS rr,
        |CAST(coalesce(a.dcg_s, 0) AS BIGINT) AS dcg_s,
        |CASE WHEN coalesce(i.idcg_s, 0) = 0 THEN 0.0
-       |  ELSE floor(CAST(a.dcg_s AS DOUBLE) / CAST(i.idcg_s AS DOUBLE)
+       |  ELSE floor(CAST(coalesce(a.dcg_s, 0) AS DOUBLE) / CAST(i.idcg_s AS DOUBLE)
        |    * 1e6 + 0.5) / 1e6 END AS ndcg
        |FROM panel p LEFT JOIN am a ON p.q_id = a.q_id AND p.arm = a.arm
        |LEFT JOIN icg i ON p.q_id = i.q_id

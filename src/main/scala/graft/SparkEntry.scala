@@ -719,7 +719,11 @@ object SparkEntry {
     // label-centroid drift matrix: pairwise cosine of exact-integer
     // per-label centroids — the embedding-space separability report
     "q243_centroid_drift"   -> ((s, d) =>
-      Similarity.labelCentroidDrift(Tables.embeddings(s, d)))
+      Similarity.labelCentroidDrift(Tables.embeddings(s, d))),
+    // graded nDCG@10 + MRR of both index-served ANN arms vs the exact
+    // ranking — rank-placement quality, q93's set-recall companion
+    "q244_ann_quality"      -> ((s, d) =>
+      Similarity.annQuality(Tables.embeddings(s, d), ivfIndexFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

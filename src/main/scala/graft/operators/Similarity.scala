@@ -588,6 +588,43 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** q244: graded nDCG@10 + MRR of the two index-served ANN arms
+    * (single-probe [[annTopKIvf]], Hamming-1 [[annTopKIvfMultiProbe]])
+    * against the exact [[bruteForceTopK]] ground truth — the
+    * q237-style QUALITY metric for the ANN family: [[annRecall]]
+    * (q93) counts set overlap, this scores RANK placement with graded
+    * gains, so "the approximation found the right docs but in the
+    * wrong order" finally shows up as a number. Relevance grades come
+    * from the exact ranking itself: rel = 2 for true top-3 neighbors,
+    * 1 for true top-10 — deterministic, hence exact-oracled.
+    *
+    * Exactness is the q237 ladder discipline
+    * ([[TextAnalysis.rankQualityClose]]): integer rank-discount
+    * weights, BIGINT DCG, closed-form integer IDCG, one closing
+    * divide per float.
+    *
+    * Scale: the two arms probe the materialized index (bucket DPP,
+    * the q64/q74 plans); the brute-force side is the AUDIT tier —
+    * a fixed query panel against the corpus, same as q93/q194, run
+    * on a sampled panel in production. Metric assembly is per-q_id
+    * aggregates over ≤ k rows.
+    */
+  def annQuality(emb: DataFrame, indexDir: String, nQueries: Int = 8,
+                 k: Int = 10): DataFrame = {
+    require(k == 10, "rank-discount literals are derived for depth 10")
+    val rel = bruteForceTopK(emb, nQueries, k)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        when(col("rk") <= 3, 2).otherwise(1).as("rel"))
+    def arm(df: DataFrame): DataFrame =
+      df.select(col("q_id"), col("neighbor_id").as("doc_id"), col("rk"))
+    TextAnalysis.rankQualityClose(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").cast("bigint").as("q_id")),
+      Seq("ivf" -> arm(annTopKIvf(emb, indexDir, nQueries, k)),
+        "multiprobe" -> arm(annTopKIvfMultiProbe(emb, indexDir, nQueries, k))),
+      rel)
+  }
+
   /** Matryoshka-style truncation recall sweep: top-k recall of
     * brute-force cosine on PREFIX-TRUNCATED embeddings (dims 8/16/32
     * of 64) against the full-dimension ground truth — the audit that

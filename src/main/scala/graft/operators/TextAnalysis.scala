@@ -1423,6 +1423,25 @@ object TextAnalysis {
                                    hybridRanked: DataFrame, rel: DataFrame,
                                    nQueries: Int, k: Int): DataFrame = {
     require(k == 10, "rank-discount literals are derived for depth 10")
+    rankQualityClose(
+      docs.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").cast("bigint").as("q_id")),
+      Seq("bm25" -> bm25Ranked, "hybrid" -> hybridRanked), rel)
+  }
+
+  /** Shared rank-metric closing (q237 retrieval arms, q244 ANN arms):
+    * given a 1-column `q_id` panel, per-arm (q_id, doc_id, rk)
+    * rankings at DEPTH 10, and graded relevance labels (q_id, doc_id,
+    * rel ∈ {1, 2}; absent = 0), emit per (q_id, arm): n_rel,
+    * first_rel_rank, MRR's reciprocal rank, the exact-BIGINT DCG@10
+    * (integer discount-weight ladder), and nDCG@10 with the
+    * closed-form integer IDCG — one closing divide per float. Panel
+    * rows with no retrieved-relevant docs still report (rr = 0,
+    * ndcg = 0): absence of quality is the finding.
+    */
+  private[operators] def rankQualityClose(panel: DataFrame,
+                                          armsRanked: Seq[(String, DataFrame)],
+                                          rel: DataFrame): DataFrame = {
     val wCase = "CASE rk WHEN 1 THEN 1000000000L WHEN 2 THEN 630929754L " +
       "WHEN 3 THEN 500000000L WHEN 4 THEN 430676558L WHEN 5 THEN 386852807L " +
       "WHEN 6 THEN 356207187L WHEN 7 THEN 333333333L WHEN 8 THEN 315464877L " +
@@ -1450,11 +1469,12 @@ object TextAnalysis {
         sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"))
       .selectExpr("q_id", "n_rel",
         s"CAST(3L * (${cumw("n2")}) + ((${cumw("n_rel")}) - (${cumw("n2")})) AS BIGINT) AS idcg_s")
-    val arms = armMetrics(bm25Ranked, "bm25")
-      .unionByName(armMetrics(hybridRanked, "hybrid"))
-    docs.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").cast("bigint").as("q_id"))
-      .withColumn("arm", explode(array(lit("bm25"), lit("hybrid"))))
+    val arms = armsRanked.map { case (name, ranked) =>
+      armMetrics(ranked, name)
+    }.reduce(_.unionByName(_))
+    panel
+      .withColumn("arm",
+        explode(array(armsRanked.map(a => lit(a._1)): _*)))
       .join(arms, Seq("q_id", "arm"), "left")
       .join(idcg, Seq("q_id"), "left")
       .selectExpr("q_id", "arm",
@@ -1463,8 +1483,11 @@ object TextAnalysis {
         "CASE WHEN first_rel_rank IS NULL THEN 0.0 " +
           "ELSE floor(1e6 / first_rel_rank + 0.5) / 1e6 END AS rr",
         "CAST(coalesce(dcg_s, 0) AS BIGINT) AS dcg_s",
+        // dcg_s coalesces INSIDE the divide too: an arm that retrieved
+        // zero candidates for a panel query (a lone-vector LSH bucket)
+        // must score ndcg 0, not NULL
         "CASE WHEN coalesce(idcg_s, 0) = 0 THEN 0.0 " +
-          "ELSE floor(CAST(dcg_s AS DOUBLE) / CAST(idcg_s AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS ndcg")
+          "ELSE floor(CAST(coalesce(dcg_s, 0) AS DOUBLE) / CAST(idcg_s AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS ndcg")
       .orderBy("q_id", "arm")
   }
 

@@ -173,6 +173,11 @@ object TrainingData {
     * access pattern, transposed); join strategy stays with AQE for
     * the same reason. `evalDocs` None uses the doc_id % 10 == 0
     * convention.
+    *
+    * Caching contract (the [[pipelineFunnel]] rule): the shingle frame
+    * persists for the duration of the returned plan; the caller
+    * releases it (`clearCache`/`unpersist`) once the report is
+    * consumed — the bench harness does so between probes.
     */
   def contaminationProvenance(docs: DataFrame, n: Int = 3,
                               evalDocs: Option[DataFrame] = None,

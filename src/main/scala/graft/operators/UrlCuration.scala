@@ -231,6 +231,12 @@ object UrlCuration {
     * Scale: the URL stage is one (host, page_key) groupBy + a per-host
     * window (bounded by pages per host); the rest is q106's shape —
     * id-keyed semi-joins, one final #sources-group aggregation.
+    *
+    * Caching contract (the [[graft.operators.TrainingData.pipelineFunnel]]
+    * rule): the URL-survivor and gate-survivor frames persist for the
+    * duration of the returned plan; the caller releases them
+    * (`clearCache`/`unpersist`) once the report is consumed — the
+    * bench harness does so between probes.
     */
   def urlPipelineFunnel(docs: DataFrame, evalDocs: DataFrame,
                         cap: Int = 8,

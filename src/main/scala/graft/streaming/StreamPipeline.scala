@@ -571,10 +571,12 @@ object StreamPipeline {
     * verdict; downstream keys on doc_id, the duplicateFlagStream
     * at-least-once discipline.
     *
-    * The per-host CAP tier deliberately has no streaming twin: an
-    * md5-priority rank over a host's full page set is a batch
-    * decision by construction — a stream cannot know a page loses
-    * its slot to a page that hasn't arrived. Production order:
+    * The per-host CAP tier's md5-priority RANK deliberately has no
+    * streaming twin: a priority rank over a host's full page set is a
+    * batch decision by construction — a stream cannot know a page
+    * loses its slot to a page that hasn't arrived. The streaming-
+    * semantics counterpart is [[hostBudgetStream]] (first-come
+    * admission, count-equivalent to the batch cap). Production order:
     * stream-dedup mirrors on ingest, cap per host in the batch gate.
     *
     * State bound: one long per DISTINCT canonical page — the page
@@ -600,6 +602,64 @@ object StreamPipeline {
             MirrorFlag(id, host, pk, if (mirror) 1 else 0)
           }
           state.update(PageKeeper(keeper.get))
+          out.iterator
+      }
+  }
+
+  /** One arrival's host-budget verdict, emitted on the spot. */
+  case class HostAdmit(doc_id: Long, host: String, page_key: String,
+                       admitted: Int)
+
+  /** One host's admitted canonical pages (≤ cap by construction). */
+  case class HostBudget(pages: Seq[String])
+
+  /** Live per-host crawl-budget admission — the streaming twin of the
+    * URL gate's CAP tier ([[graft.operators.UrlCuration.urlGateKeepers]]'
+    * second stage), completing the curation family's twin set
+    * ([[mirrorFlagStream]] covers the mirror tier): state is keyed by
+    * host and holds the admitted canonical-page set; each arrival is
+    * admitted iff its page is already admitted (a mirror/re-fetch of
+    * an admitted page) or the host still has budget. This is what a
+    * live crawl frontier actually enforces — you cannot rank by a
+    * priority you haven't seen, you spend a budget as pages arrive.
+    *
+    * Equivalence to the batch gate is on COUNTS, not identities, and
+    * is spec-asserted: admitted DISTINCT pages per host =
+    * min(#pages, cap) = [[graft.operators.UrlCuration.perHostCap]]'s
+    * n_kept — the admitted SET equals the batch keeper set only when
+    * arrival order matches the md5 priority (the batch tier exists
+    * precisely to impose a deterministic order on a full snapshot).
+    *
+    * State bound: ≤ `cap` page keys per host — HARD-bounded per key,
+    * the strongest state contract in the streaming family (the crawl
+    * volume never appears: mirrors and over-budget arrivals add zero
+    * state). Re-delivery of an admitted page re-emits admitted = 1;
+    * of a rejected page, admitted = 0 — idempotent per doc_id, the
+    * [[mirrorFlagStream]] at-least-once discipline.
+    */
+  def hostBudgetStream(stream: DataFrame, cap: Int = 8)
+      : org.apache.spark.sql.Dataset[HostAdmit] = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    graft.operators.UrlCuration.pageKeys(stream)
+      .as[(Long, String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[HostBudget, HostAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (host, rows, state) =>
+          // same-batch arrivals sort by doc_id (the mirrorFlagStream
+          // rule), so budget goes to the lowest doc ids regardless of
+          // iterator order
+          val arrivals = rows.toSeq.sortBy(_._1)
+          var pages = state.getOption.map(_.pages).getOrElse(Seq.empty)
+          val out = arrivals.map { case (id, _, pk) =>
+            val resident = pages.contains(pk)
+            val admit = resident || pages.size < cap
+            if (!resident && admit) pages = pages :+ pk
+            HostAdmit(id, host, pk, if (admit) 1 else 0)
+          }
+          state.update(HostBudget(pages))
           out.iterator
       }
   }

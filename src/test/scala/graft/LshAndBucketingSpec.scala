@@ -117,6 +117,49 @@ class LshAndBucketingSpec extends AnyFunSuite {
     assert(single.join(multi, "q_id").filter(col("m1") < col("s1")).count() == 0)
   }
 
+  test("annQuality: one-bucket fixture scores perfect metrics on both arms") {
+    import spark.implicits._
+    // scalar multiples of one direction: every vector lands in the
+    // same LSH bucket and every pairwise cosine is 1.0, so both arms
+    // see the full corpus and rank exactly like the ground truth —
+    // the metric plumbing must report a perfect score
+    val emb = (0L until 14L)
+      .map(i => (i, Array.fill(64)((i + 1).toFloat), "a"))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annq").toString
+    val rows = Similarity.annQuality(emb, dir, nQueries = 2).collect()
+    assert(rows.length == 4) // 2 queries x 2 arms
+    rows.foreach { r =>
+      assert(r.getLong(2) == 10L, s"n_rel: $r")           // exact top-10
+      assert(r.getInt(3) == 1, s"first_rel_rank: $r")
+      assert(r.getDouble(4) == 1.0, s"rr: $r")
+      assert(r.getDouble(6) == 1.0, s"ndcg: $r")
+    }
+  }
+
+  test("annQuality on the corpus: bounds hold; multi-probe dominates single-probe") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annq-c").toString
+    val rows = Similarity.annQuality(emb, dir).collect()
+    assert(rows.length == 16) // 8 queries x 2 arms
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"rr: $r")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, s"ndcg: $r")
+    }
+    // dominance law: the multi-probe candidate set is a superset of
+    // the single-probe set ranked by the same (cos desc, vec_id) total
+    // order, and relevance grades are non-increasing along that order
+    // — so at every rank position the multi-probe gain >= the
+    // single-probe gain, hence nDCG and MRR can only improve
+    val byQ = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(r => r.getString(1) ->
+        (r.getDouble(4), r.getDouble(6))).toMap }
+    byQ.foreach { case (q, arms) =>
+      assert(arms("multiprobe")._1 >= arms("ivf")._1, s"q$q rr regressed")
+      assert(arms("multiprobe")._2 >= arms("ivf")._2, s"q$q ndcg regressed")
+    }
+  }
+
   test("appendToIvfIndex: probe-identical to a full rebuild; resident partitions untouched") {
     val emb = Tables.embeddings(spark, sfDir)
     val old = emb.filter(col("vec_id") < 300)

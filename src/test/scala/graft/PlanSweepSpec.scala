@@ -69,7 +69,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q194_pq_recall" -> "query panel: the exact side ranked against PQ/ADC candidates",
     "q197_truncation_recall" -> "query panel per truncation tier: ground-truth + sweep kernels",
     "q208_silhouette" -> "fixed-k centroid panel: per-point nearest/second-nearest centroid",
-    "q219_mmr_rerank" -> "per-query top-k shortlist panel: the MMR rerank set is k-capped")
+    "q219_mmr_rerank" -> "per-query top-k shortlist panel: the MMR rerank set is k-capped",
+    "q244_ann_quality" -> "8-row query panel: the exact ground-truth side of the graded-nDCG audit (arms probe the index)")
 
   /** Walk a physical plan: unwrap AQE, descend into cached relations,
     * reused exchanges, subquery expressions (scalar + DPP), children.

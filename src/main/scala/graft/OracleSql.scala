@@ -4377,7 +4377,135 @@ object OracleSql {
       ("q241_mann_whitney" -> mannWhitneySql) +
       ("q242_host_quality" -> hostQualitySql) +
       ("q243_centroid_drift" -> centroidDriftSql) +
-      ("q244_ann_quality" -> annQualitySql)
+      ("q244_ann_quality" -> annQualitySql) +
+      ("q245_cluster_cohesion" -> clusterCohesionSql) +
+      ("q246_arm_agreement" -> armAgreementSql)
+
+  /** q245: q240's recursive CC labels + the verified pair list,
+    * rolled up per cluster — density as exact integer basis points,
+    * per-edge jaccard q4-BIGINT-quantized before the mean's single
+    * divide.
+    */
+  private def clusterCohesionSql: String =
+    "WITH RECURSIVE " + shingleCascade("documents") + ",\n" + jaccardVerify + ",\n" +
+      """pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM und
+        |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |e AS (SELECT l.cluster_id,
+        |  CAST(floor(p.jaccard * 1e4 + 0.5) AS BIGINT) AS j4
+        |  FROM pairs p JOIN lab l ON p.id_a = l.doc_id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM lab GROUP BY 1),
+        |ea AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(j4) AS BIGINT) AS sum_j4,
+        |  CAST(min(j4) AS BIGINT) AS min_j4 FROM e GROUP BY 1)
+        |SELECT sz.cluster_id, sz.n_docs, ea.n_edges,
+        |CAST((ea.n_edges * 2 * 10000) // (sz.n_docs * (sz.n_docs - 1)) AS BIGINT) AS density_bp,
+        |CAST(ea.min_j4 AS DOUBLE) / 1e4 AS min_jaccard,
+        |floor(CAST(ea.sum_j4 AS DOUBLE) / ea.n_edges + 0.5) / 1e4 AS mean_jaccard
+        |FROM sz JOIN ea USING (cluster_id)
+        |ORDER BY sz.cluster_id""".stripMargin
+
+  /** q246: the three arm rankings (q237's BM25 + hybrid CTEs, q213's
+    * tf·idf CTE) closed pairwise with q213's suffix-weight RBO text —
+    * per pair, qs anchors on the pair's FIRST arm, mirroring the
+    * Spark rboClose contract.
+    */
+  private def armAgreementSql: String = {
+    val wSum = """sum(CASE m WHEN 1 THEN 1788440 WHEN 2 THEN 498200
+      |    WHEN 3 THEN 175640 WHEN 4 THEN 68120 WHEN 5 THEN 27800
+      |    WHEN 6 THEN 11672 WHEN 7 THEN 4952 WHEN 8 THEN 2072
+      |    WHEN 9 THEN 812 ELSE 252 END)""".stripMargin
+    def pairBlock(i: Int, tag: String, a: String, b: String): String =
+      s"""rj$i AS (SELECT a.q_id, greatest(a.rk, b.rk) AS m
+         |  FROM $a a JOIN $b b ON a.q_id = b.q_id AND a.doc_id = b.doc_id),
+         |ag$i AS (SELECT q_id, count(*) AS n_overlap, $wSum AS sc
+         |  FROM rj$i GROUP BY 1),
+         |qs$i AS (SELECT DISTINCT q_id FROM $a),
+         |r$i AS (SELECT '$tag' AS pair, qs$i.q_id,
+         |  CAST(coalesce(ag$i.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  floor(CAST(coalesce(ag$i.sc, 0) AS DOUBLE) / 2580480.0 * 1e6 + 0.5) / 1e6 AS rbo
+         |  FROM qs$i LEFT JOIN ag$i ON qs$i.q_id = ag$i.q_id)""".stripMargin
+    s"""WITH t AS (SELECT doc_id,
+       |  unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       |       FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+       |          FROM tf GROUP BY 1),
+       |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 8),
+       |scored AS (SELECT q.q_id, tf.doc_id,
+       |    round(sum(
+       |      ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |        * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75
+       |            + 0.75 * dl.dl * n.n_docs / tot.total))), 6) AS score_r
+       |  FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN tot
+       |  WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
+       |armb AS (SELECT q_id, doc_id, rk FROM (
+       |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_r DESC, doc_id) AS INT) AS rk FROM scored)
+       |  WHERE rk <= 10),
+       |lex AS (SELECT q_id, doc_id, rk_lex FROM (
+       |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_r DESC, doc_id) AS INT) AS rk_lex FROM scored)
+       |  WHERE rk_lex <= 20),
+       |sp AS (SELECT doc_id,
+       |    CAST(concat('0x', substring(md5('d:' || term), 1, 8)) AS BIGINT)
+       |      % 64 AS j,
+       |    CASE WHEN CAST(concat('0x', substring(md5('s:' || term), 1, 8))
+       |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s FROM t),
+       |sv AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v
+       |       FROM sp GROUP BY 1, 2 HAVING sum(s) <> 0),
+       |nrm AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS nrm
+       |        FROM sv GROUP BY 1),
+       |qv AS (SELECT doc_id AS q_id, j, v AS vq FROM sv WHERE doc_id < 8),
+       |dotp AS (SELECT qv.q_id, sv.doc_id,
+       |    CAST(sum(sv.v * qv.vq) AS BIGINT) AS dot
+       |  FROM sv JOIN qv USING (j) WHERE sv.doc_id <> qv.q_id
+       |  GROUP BY 1, 2),
+       |dsc AS (SELECT dp.q_id, dp.doc_id,
+       |    round(CAST(dp.dot AS DOUBLE)
+       |      / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)), 6)
+       |      AS cos_r
+       |  FROM dotp dp JOIN nrm n1 ON n1.doc_id = dp.doc_id
+       |  JOIN nrm n2 ON n2.doc_id = dp.q_id),
+       |dense AS (SELECT q_id, doc_id, rk_dense FROM (
+       |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_r DESC, doc_id) AS INT) AS rk_dense FROM dsc)
+       |  WHERE rk_dense <= 20),
+       |fused AS (SELECT coalesce(l.q_id, de.q_id) AS q_id,
+       |    coalesce(l.doc_id, de.doc_id) AS doc_id,
+       |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.rk_lex), 0)
+       |      + coalesce(CAST(1 AS DOUBLE) / (60 + de.rk_dense), 0), 6)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN dense de
+       |    ON l.q_id = de.q_id AND l.doc_id = de.doc_id),
+       |armh AS (SELECT q_id, doc_id, rk FROM (
+       |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, doc_id) AS INT) AS rk FROM fused)
+       |  WHERE rk <= 10),
+       |sb AS (SELECT q.q_id, tf.doc_id,
+       |    round(sum(ln(n.n_docs / d.df) * tf.tf), 6) AS score_r
+       |  FROM tf JOIN q USING (term) JOIN dfreq d USING (term) CROSS JOIN n
+       |  WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
+       |armt AS (SELECT q_id, doc_id, rk FROM (
+       |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_r DESC, doc_id) AS INT) AS rk FROM sb)
+       |  WHERE rk <= 10),
+       |${pairBlock(1, "bm25~hybrid", "armb", "armh")},
+       |${pairBlock(2, "bm25~tfidf", "armb", "armt")},
+       |${pairBlock(3, "tfidf~hybrid", "armt", "armh")}
+       |SELECT pair, q_id, n_overlap, rbo FROM (
+       |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+       |ORDER BY pair, q_id""".stripMargin
+  }
 
   /** q244: the q39/q74 ANN probe CTEs at depth 10 (single-probe +
     * Hamming-1 multi-probe over the deterministic sign-LSH buckets),

@@ -723,7 +723,15 @@ object SparkEntry {
     // graded nDCG@10 + MRR of both index-served ANN arms vs the exact
     // ranking — rank-placement quality, q93's set-recall companion
     "q244_ann_quality"      -> ((s, d) =>
-      Similarity.annQuality(Tables.embeddings(s, d), ivfIndexFor(s, d)))
+      Similarity.annQuality(Tables.embeddings(s, d), ivfIndexFor(s, d))),
+    // per-cluster cohesion audit: edge density + min/mean verified
+    // jaccard — the chain-merge diagnostic behind cluster-canonical
+    // cleaning, off the materialized cascade frames
+    "q245_cluster_cohesion" -> ((s, d) =>
+      Dedup.clusterCohesion(Tables.documents(s, d), ccCascadeFor(s, d))),
+    // pairwise RBO matrix across all three materialized retrieval arms
+    "q246_arm_agreement"    -> ((s, d) =>
+      TextAnalysis.armAgreement(Tables.documents(s, d), armsFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -1728,6 +1728,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** q245: cluster-cohesion audit — the CHAIN-MERGE diagnostic for
+    * CC-based dedup, the known failure mode of transitive clustering:
+    * A≈B and B≈C force A into C's cluster even when jaccard(A, C) ≈ 0,
+    * so a "cluster" can be a long chain of pairwise-similar documents
+    * whose ends share nothing — and cluster-canonical cleaning (q72)
+    * would then deduplicate documents that are NOT duplicates. Per
+    * verified near-dup cluster: size, verified-edge count, edge
+    * density in basis points (2E·10⁴ div n(n−1) — an exact integer;
+    * 10 000 = a clique, low = a chain), and the min / mean verified
+    * Jaccard along its edges. The report a curation owner reads
+    * before trusting cluster-level dedup: a big low-density
+    * low-min-jaccard cluster gets a tighter threshold or a diameter
+    * cap, not a canonical wipe.
+    *
+    * Exactness (the q240 discipline): per-edge jaccard — already
+    * round(·, 4) — quantizes to a q4 BIGINT before any sum, so the
+    * mean closes with ONE divide; min needs no summation; density is
+    * integer arithmetic end to end.
+    *
+    * Scale: probes the MATERIALIZED cascade frames (pairs + labels —
+    * never a cascade re-run); edge attribution is one id-keyed
+    * equi-join (both endpoints share the cluster by construction, so
+    * joining id_a suffices); the report is two aggregates bounded by
+    * #clusters, never doc volume.
+    */
+  def clusterCohesion(docs: DataFrame, dir: String,
+                      threshold: Double = 0.2, bands: Int = 4): DataFrame = {
+    val pairs = nearDupPairsCached(docs, dir, threshold, bands)
+    val labels = dupClustersCached(docs, dir, threshold, bands)
+    val edges = pairs
+      .join(labels.select(col("doc_id").as("id_a"), col("cluster_id")),
+        Seq("id_a"))
+      .select(col("cluster_id"),
+        floor(col("jaccard") * 1e4 + 0.5).cast("long").as("j4"))
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+    val edgeAgg = edges.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("bigint").as("n_edges"),
+        sum("j4").cast("bigint").as("sum_j4"),
+        min("j4").cast("bigint").as("min_j4"))
+    sizes.join(edgeAgg, Seq("cluster_id"))
+      .selectExpr("cluster_id", "n_docs", "n_edges",
+        "CAST((n_edges * 2 * 10000) div (n_docs * (n_docs - 1)) AS BIGINT) AS density_bp",
+        "CAST(min_j4 AS DOUBLE) / 1e4 AS min_jaccard",
+        "floor(CAST(sum_j4 AS DOUBLE) / n_edges + 0.5) / 1e4 AS mean_jaccard")
+      .orderBy("cluster_id")
+  }
+
   /** q240: duplication level × quality interaction — the curation
     * diagnostic behind the "duplicates are disproportionately
     * low-quality boilerplate" folklore, measured instead of assumed:

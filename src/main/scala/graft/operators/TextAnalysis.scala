@@ -1491,6 +1491,35 @@ object TextAnalysis {
       .orderBy("q_id", "arm")
   }
 
+  /** q246: retrieval-arm agreement matrix — pairwise RBO(p = ½, k =
+    * 10) between ALL THREE materialized arms (BM25, tf·idf, hybrid
+    * RRF), per panel query: q213's single comparison generalized to
+    * the full matrix, which is the actual index-migration question
+    * ("which cheap ranker best tracks the fused one, and is the
+    * lexical–dense disagreement coming from the fusion or from the
+    * rankers"). Probes the materialized arm frames only
+    * ([[prebuildRetrievalArms]] — the q240 probe-the-frame
+    * precedent); each cell is the [[rboClose]] suffix-weight join,
+    * BIGINT-exact until one closing divide. Output: 3 pairs ×
+    * #panel rows, bounded by construction.
+    */
+  def armAgreement(docs: DataFrame, armsDir: String): DataFrame = {
+    prebuildRetrievalArms(docs, armsDir)
+    val rd = docs.sparkSession.read
+    def armOf(name: String, rkAs: String): DataFrame =
+      rd.parquet(s"$armsDir/$name")
+        .select(col("q_id"), col("doc_id"), col("rk").as(rkAs))
+    Seq(("bm25~hybrid", "bm25", "hybrid"),
+        ("bm25~tfidf", "bm25", "tfidf"),
+        ("tfidf~hybrid", "tfidf", "hybrid"))
+      .map { case (tag, a, b) =>
+        rboClose(armOf(a, "ra"), armOf(b, "rb")).withColumn("pair", lit(tag))
+      }
+      .reduce(_.unionByName(_))
+      .select("pair", "q_id", "n_overlap", "rbo")
+      .orderBy("pair", "q_id")
+  }
+
   // ---- materialized retrieval arms ------------------------------------
 
   /** The panel the materialized arms are built at: every consumer's

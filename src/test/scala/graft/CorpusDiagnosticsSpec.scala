@@ -67,6 +67,28 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
       TextAnalysis.retrievalQuality(docs), "q237 retrieval quality")
   }
 
+  test("armAgreement: the bm25~tfidf cell IS q213; all cells inside the RBO envelope") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-agree").toString
+    val dir = TextAnalysis.retrievalArmsDir(
+      spark, s"$sfDir/documents.parquet", base)
+    val res = TextAnalysis.armAgreement(docs, dir)
+    assert(res.count() == 24) // 3 pairs x 8 panel queries
+    // the bm25~tfidf cell is exactly the q213 comparison
+    val cell = res.filter(col("pair") === "bm25~tfidf")
+      .select("q_id", "n_overlap", "rbo")
+    val q213 = TextAnalysis.rboRankings(docs)
+    assert(cell.exceptAll(q213).count() == 0 &&
+      q213.exceptAll(cell).count() == 0,
+      "bm25~tfidf must equal rboRankings")
+    // every cell obeys the suffix-weight envelope: overlap <= 10 and
+    // rbo <= 1 - 2^-10 (identical depth-10 lists), >= 0
+    res.collect().foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10L, r.toString)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 0.999024, r.toString)
+    }
+  }
+
   // ---- q163 Flesch readability ---------------------------------------
 
   test("readability: hand-counted words/sentences/vowel-groups and the formula") {

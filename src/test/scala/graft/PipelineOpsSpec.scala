@@ -1087,6 +1087,47 @@ class PipelineOpsSpec extends AnyFunSuite {
       math.floor(q4.sum.toDouble / q4.length + 0.5) / 1e4)
   }
 
+  test("clusterCohesion: identical-pair fixture is a clique; corpus rows reconcile and obey the connectivity law") {
+    import spark.implicits._
+    // two identical docs (banding always pairs identical texts — every
+    // band min coincides) + one unrelated doc: exactly one cluster of
+    // 2 with 1 edge at jaccard 1.0 — a clique, density 10000 bp
+    val fix = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 0L),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "s", 0L),
+      (3L, "one two three four five six seven eight nine", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fbase = java.nio.file.Files.createTempDirectory("graft-cohf").toString
+    val fres = Dedup.clusterCohesion(fix, fbase).collect()
+    assert(fres.length == 1)
+    val r = fres.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 2L, 1L, 10000L)), r.toString)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
+    // corpus: sizes reconcile with the label frame, edge totals with
+    // the pair frame, and every cluster is CONNECTED by construction
+    // (CC was built from exactly these edges): n-1 <= E <= n(n-1)/2
+    val base = java.nio.file.Files.createTempDirectory("graft-coh").toString
+    val dir = Dedup.cascadeDir(spark, s"${SparkTestSession.sfDir}/documents.parquet", base)
+    val res = Dedup.clusterCohesion(documents, dir).collect()
+    val sizes = Dedup.dupClustersCached(documents, dir)
+      .groupBy("cluster_id").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(res.map(_.getLong(0)).toSet == sizes.keySet)
+    assert(res.map(_.getLong(2)).sum ==
+      Dedup.nearDupPairsCached(documents, dir).count())
+    res.foreach { x =>
+      val (cid, n, e) = (x.getLong(0), x.getLong(1), x.getLong(2))
+      assert(n == sizes(cid), s"cluster $cid size")
+      assert(e >= n - 1 && e <= n * (n - 1) / 2, s"cluster $cid: n=$n e=$e")
+      val density = x.getLong(3)
+      assert(density == e * 2 * 10000 / (n * (n - 1)) && density <= 10000L)
+      // min <= mean, both inside the verified band [threshold, 1]
+      assert(x.getDouble(4) <= x.getDouble(5) + 1e-12)
+      assert(x.getDouble(4) >= 0.2 && x.getDouble(5) <= 1.0)
+    }
+  }
+
   test("videoNearDups: shared aligned frames pair; a hot frame is posting-capped") {
     import spark.implicits._
     // 32-byte blocks: two shared frames make a pair, one does not

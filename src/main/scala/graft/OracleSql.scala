@@ -4379,7 +4379,31 @@ object OracleSql {
       ("q243_centroid_drift" -> centroidDriftSql) +
       ("q244_ann_quality" -> annQualitySql) +
       ("q245_cluster_cohesion" -> clusterCohesionSql) +
-      ("q246_arm_agreement" -> armAgreementSql)
+      ("q246_arm_agreement" -> armAgreementSql) +
+      ("q247_data_budget" -> dataBudgetSql)
+
+  /** q247: one grouped token aggregate, √n quantized to a BIGINT at
+    * 10⁶ (IEEE sqrt is correctly rounded in both engines — the q86
+    * argument), then pure integer arithmetic for weight / allocation /
+    * epoch count.
+    */
+  private def dataBudgetSql: String =
+    """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |b AS (SELECT source, n_docs, n_tokens,
+      |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS r
+      |  FROM a),
+      |t AS (SELECT CAST(sum(r) AS BIGINT) AS rt,
+      |  CAST(sum(n_tokens) * 2 AS BIGINT) AS bt FROM b),
+      |c AS (SELECT source, n_docs, n_tokens,
+      |  CAST((r * 10000) // rt AS BIGINT) AS weight_bp,
+      |  CAST((bt * ((r * 10000) // rt)) // 10000 AS BIGINT) AS alloc_tokens
+      |  FROM b, t)
+      |SELECT source, n_docs, n_tokens, weight_bp, alloc_tokens,
+      |CAST((alloc_tokens * 10000) // n_tokens AS BIGINT) AS epochs_q4,
+      |CAST((alloc_tokens * 10000) // n_tokens AS BIGINT) > 40000 AS over_epoched
+      |FROM c ORDER BY source""".stripMargin
 
   /** q245: q240's recursive CC labels + the verified pair list,
     * rolled up per cluster — density as exact integer basis points,

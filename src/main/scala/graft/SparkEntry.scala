@@ -731,7 +731,11 @@ object SparkEntry {
       Dedup.clusterCohesion(Tables.documents(s, d), ccCascadeFor(s, d))),
     // pairwise RBO matrix across all three materialized retrieval arms
     "q246_arm_agreement"    -> ((s, d) =>
-      TextAnalysis.armAgreement(Tables.documents(s, d), armsFor(s, d)))
+      TextAnalysis.armAgreement(Tables.documents(s, d), armsFor(s, d))),
+    // data-budget epoching plan: temperature weights → allocation →
+    // forced epoch count per source, over-epoch flag at 4 epochs
+    "q247_data_budget"      -> ((s, d) =>
+      TrainingData.dataBudgetPlan(Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -334,6 +334,54 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** q247: data-budget epoching plan — the table a pretraining run is
+    * actually planned from: given a token budget B = `budgetMult` ×
+    * corpus tokens and temperature-flattened source weights
+    * (w_s ∝ √tokens_s, the [[temperatureMixture]] T = 2 default
+    * applied at the TOKEN level), per source: its weight, its
+    * allocated share of the budget, and the EPOCH COUNT that
+    * allocation forces (allocated / available) — with an
+    * over-epoching flag at 4 epochs, the point past which repeated
+    * data stops buying loss (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"). Flattening is exactly what
+    * makes small sources over-epoch — this report shows WHERE the
+    * mixture silently turned into repetition, before the run does.
+    *
+    * Exactness: √n is one correctly-rounded IEEE op (the q86
+    * argument), immediately quantized to r = ⌊√n·10⁶ + ½⌋ BIGINT; the
+    * weight (bp), allocation, and epoch count (10⁻⁴ epochs) are then
+    * pure integer arithmetic — weight_bp = r·10⁴ div Σr, alloc =
+    * B·weight_bp div 10⁴, epochs_q4 = alloc·10⁴ div n. Headroom:
+    * B·weight_bp ≤ 9.2e18 holds through ~10¹⁴ budget tokens (a ~PB
+    * text corpus) — past that, rescale the bp grid.
+    *
+    * Scale: one grouped count/sum over the corpus; the totals ride a
+    * window over the #sources-row AGGREGATE (the q233 shape — bounded
+    * by the source vocabulary, never doc volume).
+    */
+  def dataBudgetPlan(docs: DataFrame, budgetMult: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    docs
+      .select(col("source"), size(split(col("text"), " ")).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").cast("bigint").as("n_tokens"))
+      .withColumn("r",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6 + 0.5).cast("long"))
+      .withColumn("rt", sum("r").over(w).cast("long"))
+      .withColumn("bt",
+        (sum("n_tokens").over(w) * budgetMult).cast("long"))
+      .withColumn("weight_bp", expr("CAST((r * 10000) div rt AS BIGINT)"))
+      .withColumn("alloc_tokens",
+        expr("CAST((bt * weight_bp) div 10000 AS BIGINT)"))
+      .withColumn("epochs_q4",
+        expr("CAST((alloc_tokens * 10000) div n_tokens AS BIGINT)"))
+      .withColumn("over_epoched", col("epochs_q4") > 40000L)
+      .select("source", "n_docs", "n_tokens", "weight_bp", "alloc_tokens",
+        "epochs_q4", "over_epoched")
+      .orderBy("source")
+  }
+
   /** Gopher-style repetition gate: fraction of a document's n-token
     * shingles that are repeats (1 - distinct/total). Boilerplate,
     * keyboard-mash, and template spam score high; clean prose scores

@@ -486,6 +486,42 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(math.abs(shareSum - 1.0) < 0.01, s"shares sum to $shareSum")
   }
 
+  test("dataBudgetPlan: hand-computed integer plan; flattening over-epochs the tiny source") {
+    import spark.implicits._
+    // token counts 100 / 400 / 4 → r = ⌊√n·1e6+½⌋ = 10e6 / 20e6 / 2e6,
+    // Σr = 32e6, budget = 2·504 = 1008:
+    //   weights  3125 / 6250 / 625 bp
+    //   alloc    1008·w div 1e4 = 315 / 630 / 63
+    //   epochs   315e4/100 = 31500; 630e4/400 = 15750; 63e4/4 = 157500
+    // — only the 4-token source crosses the 4-epoch line: flattening
+    // turned its share into 15.75 epochs of repetition
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("w").mkString(" "), "en", src, 0L)
+    val df = Seq(doc(1, "a", 100), doc(2, "b", 400), doc(3, "c", 4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TrainingData.dataBudgetPlan(df).collect()
+      .map(x => x.getString(0) -> ((x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getBoolean(6)))).toMap
+    assert(r("a") == ((100L, 3125L, 315L, 31500L, false)), r("a").toString)
+    assert(r("b") == ((400L, 6250L, 630L, 15750L, false)), r("b").toString)
+    assert(r("c") == ((4L, 625L, 63L, 157500L, true)), r("c").toString)
+  }
+
+  test("dataBudgetPlan on the corpus: weights and allocation close within rounding") {
+    val rows = TrainingData.dataBudgetPlan(docs).collect()
+    val nSources = rows.length
+    val totalTokens = rows.map(_.getLong(2)).sum
+    // weights sum to 10000 less at most one floor unit per source
+    val wSum = rows.map(_.getLong(3)).sum
+    assert(wSum <= 10000L && wSum > 10000L - nSources, s"wSum=$wSum")
+    // allocation never exceeds the budget; epochs flag is consistent
+    assert(rows.map(_.getLong(4)).sum <= 2L * totalTokens)
+    rows.foreach { x =>
+      assert(x.getBoolean(6) == (x.getLong(5) > 40000L), x.toString)
+      assert(x.getLong(4) >= 0L && x.getLong(5) >= 0L)
+    }
+  }
+
   test("compact rewrites a fragmented parquet directory to size-targeted files") {
     val frag = java.nio.file.Files.createTempDirectory("graft-frag").toString
     // 64 tiny files — the post-ingest shape compaction exists to fix

@@ -4380,7 +4380,37 @@ object OracleSql {
       ("q244_ann_quality" -> annQualitySql) +
       ("q245_cluster_cohesion" -> clusterCohesionSql) +
       ("q246_arm_agreement" -> armAgreementSql) +
-      ("q247_data_budget" -> dataBudgetSql)
+      ("q247_data_budget" -> dataBudgetSql) +
+      ("q248_ahash_hot_blocks" -> ahashHotBlocksSql)
+
+  /** q248: q211's signature + block CTEs verbatim, then one grouped
+    * count per (block, value), integer pair counts and bp shares
+    * (nullif-guarded total), TakeOrdered top-20.
+    */
+  private def ahashHotBlocksSql: String =
+    """WITH p AS (SELECT doc_id, encode(text) AS b FROM documents),
+      |h AS (SELECT doc_id, CAST(octet_length(b) AS BIGINT) AS n_bytes,
+      |  upper(hex(b)) AS hx FROM p WHERE octet_length(b) >= 1),
+      |g AS (SELECT doc_id, n_bytes, list_transform(range(0, 48), i ->
+      |  ('0x' || substring(hx, CAST(2 * (1 + i * n_bytes // 48) - 1 AS INT), 2))::BIGINT) AS g
+      |  FROM h),
+      |s AS (SELECT *, list_reduce(g, (a, x) -> a + x) AS s FROM g),
+      |sig AS (SELECT doc_id,
+      |  list_reduce(list_transform(range(0, 48), i ->
+      |    CASE WHEN 48 * g[CAST(i + 1 AS INT)] > s
+      |    THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END),
+      |    (a, x) -> a + x) AS ahash FROM s),
+      |blocks AS (SELECT doc_id, CAST(o.blk AS INT) AS blk,
+      |  (ahash >> CAST(o.blk * 8 AS INT)) & 255 AS bv
+      |  FROM sig, unnest(range(0, 6)) AS o(blk)),
+      |posts AS (SELECT blk, bv, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM blocks GROUP BY 1, 2),
+      |c AS (SELECT blk, bv, n_docs,
+      |  CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT) AS n_cand FROM posts),
+      |t AS (SELECT CAST(sum(n_cand) AS BIGINT) AS tot FROM c)
+      |SELECT blk, bv, n_docs, n_cand,
+      |CAST((n_cand * 10000) // nullif(tot, 0) AS BIGINT) AS cand_share_bp
+      |FROM c, t ORDER BY n_cand DESC, blk, bv LIMIT 20""".stripMargin
 
   /** q247: one grouped token aggregate, √n quantized to a BIGINT at
     * 10⁶ (IEEE sqrt is correctly rounded in both engines — the q86

@@ -735,7 +735,11 @@ object SparkEntry {
     // data-budget epoching plan: temperature weights → allocation →
     // forced epoch count per source, over-epoch flag at 4 epochs
     "q247_data_budget"      -> ((s, d) =>
-      TrainingData.dataBudgetPlan(Tables.documents(s, d)))
+      TrainingData.dataBudgetPlan(Tables.documents(s, d))),
+    // hot-block audit for the aHash pair family: per-bucket candidate
+    // volume + share — the find half of the q105→q108 skew pair
+    "q248_ahash_hot_blocks" -> ((s, d) =>
+      Multimodal.ahashHotBlocks(Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

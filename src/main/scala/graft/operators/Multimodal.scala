@@ -106,6 +106,43 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** q248: hot-block audit for the aHash pair family — the q105→q108
+    * find-then-fix discipline applied to [[ahashPairs]]' candidate
+    * generator (the corpus' heaviest pair join): per (block, value)
+    * posting list, the `topK` largest by size, with each bucket's
+    * n(n−1)/2 candidate-pair contribution and its basis-point share
+    * of the family's TOTAL candidate volume. A degenerate block value
+    * (the all-zero-byte payload — this family's stopword-bucket
+    * analogue) dominates this report BEFORE it dominates a shuffle:
+    * the number that decides whether the family needs a hot-bucket
+    * cap (the [[graft.operators.Dedup.nearDupPairs]] maxBucketSize
+    * lever) at the next scale-up.
+    *
+    * Exactness: counts, pair counts, and the bp share are integer
+    * arithmetic end to end (nullif-guarded total). Scale: one grouped
+    * count over the 6-row-per-doc block projection; the share window
+    * runs over the ≤ 6·256-row bucket AGGREGATE; top-k is
+    * TakeOrdered. Nothing here is ever data-volume-sized.
+    */
+  def ahashHotBlocks(docs: DataFrame, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = ahashSignatures(docs, 48)
+    val blocks = (0 until 6).map(b =>
+        sig.select(col("doc_id"), lit(b).as("blk"),
+          shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L)).as("bv")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    blocks.groupBy("blk", "bv")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .withColumn("n_cand",
+        expr("CAST((n_docs * (n_docs - 1)) div 2 AS BIGINT)"))
+      .withColumn("tot", sum("n_cand").over(w).cast("long"))
+      .selectExpr("blk", "bv", "n_docs", "n_cand",
+        "CAST((n_cand * 10000) div nullif(tot, 0) AS BIGINT) AS cand_share_bp")
+      .orderBy(col("n_cand").desc, col("blk"), col("bv"))
+      .limit(topK)
+  }
+
   /** REAL header decode — no codec library needed, because container
     * formats carry their dimensions in fixed-offset header bytes:
     * PNG's IHDR stores width/height as big-endian u32 at bytes 17-24,

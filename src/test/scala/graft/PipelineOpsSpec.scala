@@ -1128,6 +1128,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ahashHotBlocks: identical payloads concentrate 6 equal buckets; corpus shares close") {
+    import spark.implicits._
+    // three identical payloads: every one of the 6 blocks has exactly
+    // one bucket of 3 docs — 6 rows, n_cand 3 each, tot 18, share
+    // 3·10⁴/18 = 1666 bp, independent of the actual hash values
+    val fix = Seq.tabulate(3)(i =>
+        (i.toLong + 1, "same payload text body", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fres = Multimodal.ahashHotBlocks(fix).collect()
+    assert(fres.length == 6)
+    fres.foreach { r =>
+      assert(r.getLong(2) == 3L && r.getLong(3) == 3L &&
+        r.getLong(4) == 1666L, r.toString)
+    }
+    // corpus: top-k full, pair counts exact, shares bounded and
+    // non-increasing down the report
+    val res = Multimodal.ahashHotBlocks(documents).collect()
+    assert(res.length == 20)
+    res.foreach { r =>
+      val (n, cand, share) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cand == n * (n - 1) / 2, r.toString)
+      assert(share >= 0L && share <= 10000L, r.toString)
+    }
+    val cands = res.map(_.getLong(3))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b })
+  }
+
   test("videoNearDups: shared aligned frames pair; a hot frame is posting-capped") {
     import spark.implicits._
     // 32-byte blocks: two shared frames make a pair, one does not

@@ -349,4 +349,31 @@ class PropertiesSpec extends AnyFunSuite {
       assert(after(e) >= n, s"eval $e lost hits after adding training docs")
     }
   }
+
+  test("dataBudgetPlan laws: weights scale-invariant (±1 bp quantization); budget closes; epochs reconcile") {
+    import graft.operators.TrainingData
+    // uniform 4x token growth multiplies every sqrt(n) by exactly 2, so
+    // weight ratios — hence weight_bp — are invariant up to the 1-bp
+    // floor-quantization slack; allocation never exceeds the budget and
+    // the epoch count is exactly alloc*1e4 div n on every row
+    val srcGen = Gen.choose(2, 5).flatMap(k => Gen.listOfN(k,
+      Gen.choose(1, 200)))
+    samples(srcGen, 5).foreach { tokenCounts =>
+      def corpus(mult: Int) = tokenCounts.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n * mult)("w").mkString(" "), "en", s"s$i", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      def plan(mult: Int) = TrainingData.dataBudgetPlan(corpus(mult))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val p1 = plan(1)
+      val p4 = plan(4)
+      p1.foreach { case (src, (n, w, alloc, epochs)) =>
+        assert(math.abs(p4(src)._2 - w) <= 1L,
+          s"$src: weight not scale-invariant: $w vs ${p4(src)._2}")
+        assert(epochs == alloc * 10000L / n, s"$src: epochs reconcile")
+      }
+      val totalTokens = p1.values.map(_._1).sum
+      assert(p1.values.map(_._3).sum <= 2L * totalTokens, "budget closes")
+    }
+  }
 }

@@ -289,6 +289,27 @@ object Bench {
       dropAllState()
       if (built) (System.nanoTime() - prT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
+    // pre-build the aHash signature frame (q210/q211/q248 probe it):
+    // one per-byte sampling pass per corpus snapshot. 0 = reused.
+    val ahT0 = System.nanoTime()
+    val ahBuildSec = try {
+      val built = graft.operators.Multimodal.prebuildAhashSignatures(
+        graft.engine.Tables.documents(spark, sfDir),
+        SparkEntry.ahashFor(spark, sfDir))
+      dropAllState()
+      if (built) (System.nanoTime() - ahT0) / 1e9 else 0.0
+    } catch { case _: Throwable => -1.0 }
+    // pre-build the exact graded ANN ground truth (q244 scores both
+    // index arms against it): one brute-force panel ranking per corpus
+    // snapshot. 0 = reused, -1 = failed.
+    val gtT0 = System.nanoTime()
+    val gtBuildSec = try {
+      val built = graft.operators.Similarity.prebuildAnnGroundTruth(
+        graft.engine.Tables.embeddings(spark, sfDir),
+        SparkEntry.annGtFor(spark, sfDir))
+      dropAllState()
+      if (built) (System.nanoTime() - gtT0) / 1e9 else 0.0
+    } catch { case _: Throwable => -1.0 }
     // pre-build the token-tf frame (q130/q137/q139/q144/q146 and the
     // retrieval-arm builds all probe it): one text explode + tf
     // aggregate per corpus snapshot. 0 = reused, -1 = failed.
@@ -344,12 +365,14 @@ object Bench {
         SparkEntry.pqIndexFor(spark, sfDir),
         SparkEntry.propsFor(spark, sfDir),
         SparkEntry.tokenTfFor(spark, sfDir),
-        SparkEntry.armsFor(spark, sfDir))
+        SparkEntry.armsFor(spark, sfDir),
+        SparkEntry.annGtFor(spark, sfDir),
+        SparkEntry.ahashFor(spark, sfDir))
         .foreach(d => touch(new java.io.File(d)))
       pretouchMb = bytes / 1e6
       (System.nanoTime() - touchT0) / 1e9
     } catch { case _: Throwable => -1.0 }
-    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"props_build_sec":${dec(propsBuildSec, 2)},"tok_build_sec":${dec(tokBuildSec, 2)},"arm_build_sec":${dec(armBuildSec, 2)},"pretouch_sec":${dec(pretouchSec, 2)},"pretouch_mb":${dec(pretouchMb, 1)},"sf":${jsonStr(sfDir)}}""")
+    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"props_build_sec":${dec(propsBuildSec, 2)},"gt_build_sec":${dec(gtBuildSec, 2)},"ah_build_sec":${dec(ahBuildSec, 2)},"tok_build_sec":${dec(tokBuildSec, 2)},"arm_build_sec":${dec(armBuildSec, 2)},"pretouch_sec":${dec(pretouchSec, 2)},"pretouch_mb":${dec(pretouchMb, 1)},"sf":${jsonStr(sfDir)}}""")
 
     // a probe must never abort the run: a broken environment (e.g.
     // missing data dir) should still produce BENCH_META, per-query
@@ -477,7 +500,8 @@ object Bench {
     val buildsJson = Seq(
       "ivf" -> ivfBuildSec, "cc" -> ccBuildSec, "sh" -> shBuildSec,
       "pq" -> pqBuildSec, "fam" -> famBuildSec, "props" -> propsBuildSec,
-      "tok" -> tokBuildSec, "arm" -> armBuildSec, "touch" -> pretouchSec)
+      "gt" -> gtBuildSec, "ah" -> ahBuildSec, "tok" -> tokBuildSec,
+      "arm" -> armBuildSec, "touch" -> pretouchSec)
       .map { case (k, v) => jsonStr(k) + ":" + qnum(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${dec(total, 3)},"unit":"sec","enc":"queries[i]=deciseconds of query i+1, capped 999","queries":$qs,"slowest_sec":$slow,"q41_fit_sec":${dec(fitSec, 2)},"builds_sec":$buildsJson$errs,"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")

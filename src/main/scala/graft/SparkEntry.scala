@@ -588,10 +588,12 @@ object SparkEntry {
     "q209_excise_runs"      -> ((s, d) => Dedup.exciseSharedRuns(Tables.documents(s, d))),
     // perceptual average-hash over the binary payloads (sampled-byte
     // thumbnail stand-in; exact-integer threshold bits)
-    "q210_image_ahash"      -> ((s, d) => Multimodal.imageAHash(Tables.documents(s, d))),
+    "q210_image_ahash"      -> ((s, d) =>
+      Multimodal.imageAHashCached(Tables.documents(s, d), ahashFor(s, d))),
     // aHash near-dup pairs via 6-block pigeonhole banding + one
     // bit_count(xor) verify per candidate — image near-dup at scale
-    "q211_ahash_pairs"      -> ((s, d) => Multimodal.ahashPairs(Tables.documents(s, d))),
+    "q211_ahash_pairs"      -> ((s, d) =>
+      Multimodal.ahashPairsCached(Tables.documents(s, d), ahashFor(s, d))),
     // golden-record survivorship over the cascade's CC labels:
     // longest-text-wins master row + provenance breadth per cluster,
     // probing the one materialized LSH → verify → CC build
@@ -721,9 +723,11 @@ object SparkEntry {
     "q243_centroid_drift"   -> ((s, d) =>
       Similarity.labelCentroidDrift(Tables.embeddings(s, d))),
     // graded nDCG@10 + MRR of both index-served ANN arms vs the exact
-    // ranking — rank-placement quality, q93's set-recall companion
+    // ranking — rank-placement quality, q93's set-recall companion;
+    // the exact graded ground truth is a materialized frame
     "q244_ann_quality"      -> ((s, d) =>
-      Similarity.annQuality(Tables.embeddings(s, d), ivfIndexFor(s, d))),
+      Similarity.annQuality(Tables.embeddings(s, d), ivfIndexFor(s, d),
+        gtDir = Some(annGtFor(s, d)))),
     // per-cluster cohesion audit: edge density + min/mean verified
     // jaccard — the chain-merge diagnostic behind cluster-canonical
     // cleaning, off the materialized cascade frames
@@ -739,7 +743,7 @@ object SparkEntry {
     // hot-block audit for the aHash pair family: per-bucket candidate
     // volume + share — the find half of the q105→q108 skew pair
     "q248_ahash_hot_blocks" -> ((s, d) =>
-      Multimodal.ahashHotBlocks(Tables.documents(s, d)))
+      Multimodal.ahashHotBlocksCached(Tables.documents(s, d), ahashFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair
@@ -840,6 +844,33 @@ object SparkEntry {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_arms_${new java.io.File(d).getName}_$ph").getAbsolutePath
     TextAnalysis.retrievalArmsDir(s, s"$d/documents.parquet", base)
+  }
+
+  /** Content-addressed home of the documents table's materialized
+    * 48-bit aHash signature frame
+    * ([[graft.operators.Multimodal.prebuildAhashSignatures]]) — shared
+    * by q210/q211/q248.
+    */
+  private[graft] def ahashFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ah_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    Multimodal.ahashDir(s, s"$d/documents.parquet", base)
+  }
+
+  /** Content-addressed home of the embeddings table's exact graded ANN
+    * ground truth ([[graft.operators.Similarity.prebuildAnnGroundTruth]])
+    * — the frozen audit panel q244 scores against.
+    */
+  private[graft] def annGtFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_anngt_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    Similarity.annGtDir(s, s"$d/embeddings.parquet", base)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

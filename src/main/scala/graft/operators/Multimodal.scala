@@ -74,6 +74,61 @@ object Multimodal {
           "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END) AS ahash")
   }
 
+  // ---- materialized aHash signature frame ------------------------------
+
+  /** Content-addressed home of one corpus' materialized 48-bit aHash
+    * signature frame ([[graft.engine.ContentAddress]]) — the token-tf
+    * discipline applied to the perceptual-hash family: q210/q211/q248
+    * all start from exactly this (doc_id, n_bytes, ahash) frame, and
+    * the hex/conv sampling expression is the only per-byte cost the
+    * family pays. Types are (BIGINT, BIGINT, BIGINT) — exact parquet
+    * roundtrip.
+    */
+  def ahashDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
+               base: String): String =
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base, "ah_",
+      "ahashDir")
+
+  /** Build the materialized signature frame under `dir/sig` iff
+    * missing (`_SUCCESS`-gated, the prebuildCascade contract). Returns
+    * true iff a build happened.
+    */
+  def prebuildAhashSignatures(docs: DataFrame, dir: String): Boolean = {
+    val sigDir = new java.io.File(dir, "sig")
+    val fresh = !new java.io.File(sigDir, "_SUCCESS").exists()
+    if (fresh)
+      ahashSignatures(docs, 48)
+        .write.mode("overwrite").parquet(sigDir.getAbsolutePath)
+    fresh
+  }
+
+  /** The materialized signature frame, built on first touch. */
+  def ahashSignaturesCached(docs: DataFrame, dir: String): DataFrame = {
+    prebuildAhashSignatures(docs, dir)
+    docs.sparkSession.read.parquet(s"$dir/sig")
+  }
+
+  /** [[imageAHash]] served from the materialized signature frame
+    * (spec-asserted ≡ self-computing).
+    */
+  def imageAHashCached(docs: DataFrame, dir: String): DataFrame =
+    ahashSignaturesCached(docs, dir).orderBy("doc_id")
+
+  /** [[ahashPairs]] served from the materialized signature frame:
+    * block/verify scans hit an already-hashed narrow parquet, never
+    * the payload bytes (spec-asserted ≡ self-computing).
+    */
+  def ahashPairsCached(docs: DataFrame, dir: String,
+                       maxHamming: Int = 4): DataFrame =
+    ahashPairsFrom(ahashSignaturesCached(docs, dir), maxHamming)
+
+  /** [[ahashHotBlocks]] served from the materialized signature frame
+    * (spec-asserted ≡ self-computing).
+    */
+  def ahashHotBlocksCached(docs: DataFrame, dir: String,
+                           topK: Int = 20): DataFrame =
+    ahashHotBlocksFrom(ahashSignaturesCached(docs, dir), topK)
+
   /** aHash near-dup pairs WITHOUT an all-pairs comparison — the
     * [[graft.operators.Dedup.simhashPairs]] pigeonhole discipline on
     * the 48-bit signature: 6 byte blocks, so two hashes within
@@ -83,11 +138,15 @@ object Multimodal {
     * codegen'd bit_count(xor) per candidate. This is image near-dup
     * at corpus scale: work ∝ block collisions, never n².
     */
-  def ahashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+  def ahashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
+    ahashPairsFrom(
+      ahashSignatures(docs, 48)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      maxHamming)
+
+  private def ahashPairsFrom(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 5,
       "6-block pigeonhole banding guarantees full recall only for maxHamming <= 5")
-    val sig = ahashSignatures(docs, 48)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = (0 until 6).map(b =>
         sig.select(col("doc_id"), lit(b).as("blk"),
           shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L)).as("bv")))
@@ -124,13 +183,20 @@ object Multimodal {
     * runs over the ≤ 6·256-row bucket AGGREGATE; top-k is
     * TakeOrdered. Nothing here is ever data-volume-sized.
     */
-  def ahashHotBlocks(docs: DataFrame, topK: Int = 20): DataFrame = {
+  def ahashHotBlocks(docs: DataFrame, topK: Int = 20): DataFrame =
+    ahashHotBlocksFrom(ahashSignatures(docs, 48), topK)
+
+  private def ahashHotBlocksFrom(sig: DataFrame, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sig = ahashSignatures(docs, 48)
-    val blocks = (0 until 6).map(b =>
-        sig.select(col("doc_id"), lit(b).as("blk"),
-          shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L)).as("bv")))
-      .reduce(_.unionByName(_))
+    // ONE signature pass: the 6 block values ride a posexplode off a
+    // single computed hash ([[ahashPairs]] pays the union shape only
+    // because it must persist the signature for the verify join
+    // anyway; here nothing is persisted, so a 6-way union would
+    // recompute the hash expression six times)
+    val blocks = sig.select(col("doc_id"),
+        posexplode(array((0 until 6).map(b =>
+          shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L))): _*)))
+      .select(col("pos").cast("int").as("blk"), col("col").as("bv"))
     val w = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     blocks.groupBy("blk", "bv")
       .agg(count(lit(1)).cast("bigint").as("n_docs"))

@@ -610,11 +610,20 @@ object Similarity {
     * aggregates over ≤ k rows.
     */
   def annQuality(emb: DataFrame, indexDir: String, nQueries: Int = 8,
-                 k: Int = 10): DataFrame = {
+                 k: Int = 10, gtDir: Option[String] = None): DataFrame = {
     require(k == 10, "rank-discount literals are derived for depth 10")
-    val rel = bruteForceTopK(emb, nQueries, k)
-      .select(col("q_id"), col("neighbor_id").as("doc_id"),
-        when(col("rk") <= 3, 2).otherwise(1).as("rel"))
+    require(gtDir.isEmpty || nQueries == 8,
+      "the materialized ground truth is built at the 8-query panel")
+    // graded ground truth: from the materialized frame when a gtDir is
+    // given (one narrow scan per consumer subtree — the exact-ranking
+    // kernel runs ONCE per corpus snapshot, the production recall-
+    // dashboard shape), else self-computed (spec-asserted identical)
+    val rel = gtDir match {
+      case Some(d) =>
+        prebuildAnnGroundTruth(emb, d)
+        emb.sparkSession.read.parquet(s"$d/rel")
+      case None => annGroundTruth(emb, nQueries, k)
+    }
     def arm(df: DataFrame): DataFrame =
       df.select(col("q_id"), col("neighbor_id").as("doc_id"), col("rk"))
     TextAnalysis.rankQualityClose(
@@ -623,6 +632,40 @@ object Similarity {
       Seq("ivf" -> arm(annTopKIvf(emb, indexDir, nQueries, k)),
         "multiprobe" -> arm(annTopKIvfMultiProbe(emb, indexDir, nQueries, k))),
       rel)
+  }
+
+  /** The graded exact ground truth q244 scores against: rel(q, d) = 2
+    * for the true top-3 neighbors, 1 for the true top-10.
+    */
+  private def annGroundTruth(emb: DataFrame, nQueries: Int,
+                             k: Int): DataFrame =
+    bruteForceTopK(emb, nQueries, k)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        when(col("rk") <= 3, 2).otherwise(1).as("rel"))
+
+  /** Content-addressed home of the embeddings table's exact graded
+    * ANN ground truth — the frozen audit panel a production
+    * recall/quality dashboard re-probes across index rebuilds (the
+    * exact kernel is the expensive side of q244; the arms are cheap
+    * index probes). The [[ivfIndexDir]] discipline.
+    */
+  def annGtDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
+               base: String): String =
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base, "anngt_",
+      "annGtDir")
+
+  /** Build the materialized ground truth under `dir/rel` iff missing
+    * (`_SUCCESS`-gated, the prebuildCascade contract). Returns true
+    * iff a build happened. Types are (BIGINT, BIGINT, INT) — exact
+    * parquet roundtrip.
+    */
+  def prebuildAnnGroundTruth(emb: DataFrame, dir: String): Boolean = {
+    val relDir = new java.io.File(dir, "rel")
+    val fresh = !new java.io.File(relDir, "_SUCCESS").exists()
+    if (fresh)
+      annGroundTruth(emb, nQueries = 8, k = 10)
+        .write.mode("overwrite").parquet(relDir.getAbsolutePath)
+    fresh
   }
 
   /** Matryoshka-style truncation recall sweep: top-k recall of

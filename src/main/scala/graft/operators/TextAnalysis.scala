@@ -1454,14 +1454,18 @@ object TextAnalysis {
       "WHEN 7 THEN 3637999639L WHEN 8 THEN 3953464516L " +
       "WHEN 9 THEN 4254494512L ELSE 4543559338L END"
     val gainExpr = "CASE rel WHEN 2 THEN 3L WHEN 1 THEN 1L ELSE 0L END"
-    def armMetrics(ranked: DataFrame, arm: String): DataFrame =
+    // arms union FIRST so the relevance frame is joined ONCE for all
+    // of them — with a self-computing rel (q244's exact-ranking
+    // subtree) a per-arm join would recompute it per arm
+    def tagged(arm: (String, DataFrame)): DataFrame =
+      arm._2.withColumn("arm", lit(arm._1))
+    def armMetricsAll(ranked: DataFrame): DataFrame =
       ranked.join(rel, Seq("q_id", "doc_id"), "left")
         .withColumn("g", expr(gainExpr))
         .withColumn("w", expr(wCase))
-        .groupBy("q_id")
+        .groupBy("q_id", "arm")
         .agg(sum(expr("g * w")).cast("bigint").as("dcg_s"),
           min(when(col("rel") >= 1, col("rk"))).cast("int").as("first_rel_rank"))
-        .withColumn("arm", lit(arm))
     // ideal DCG in closed form: the ideal list is (all rel-2 docs,
     // then rel-1) — min(n2,10) threes then the ones up to depth 10
     val idcg = rel.groupBy("q_id").agg(
@@ -1469,9 +1473,8 @@ object TextAnalysis {
         sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"))
       .selectExpr("q_id", "n_rel",
         s"CAST(3L * (${cumw("n2")}) + ((${cumw("n_rel")}) - (${cumw("n2")})) AS BIGINT) AS idcg_s")
-    val arms = armsRanked.map { case (name, ranked) =>
-      armMetrics(ranked, name)
-    }.reduce(_.unionByName(_))
+    val arms = armMetricsAll(
+      armsRanked.map(tagged).reduce(_.unionByName(_)))
     panel
       .withColumn("arm",
         explode(array(armsRanked.map(a => lit(a._1)): _*)))

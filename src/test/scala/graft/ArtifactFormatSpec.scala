@@ -71,7 +71,7 @@ class ArtifactFormatSpec extends AnyFunSuite {
     val qs = Bench.queriesJson(worst)
     val slow = Bench.slowestJson(worst)        // capped at 8 entries
     // builds_sec at worst case: every build re-ran at the display cap
-    val builds = """{"ivf":999,"cc":999,"sh":999,"pq":999,"fam":999,"props":999,"tok":999,"arm":999,"touch":999}"""
+    val builds = """{"ivf":999,"cc":999,"sh":999,"pq":999,"fam":999,"props":999,"gt":999,"ah":999,"tok":999,"arm":999,"touch":999}"""
     val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","enc":"queries[i]=deciseconds of query i+1, capped 999","queries":$qs,"slowest_sec":$slow,"q41_fit_sec":999.99,"builds_sec":$builds,"errs":99,"sf":"sf0.1"}"""
     // probe count follows Bench's cadence: start + every-30 + the
     // dedicated post-q41 probe + final — derive it from the REAL

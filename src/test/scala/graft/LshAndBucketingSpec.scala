@@ -141,6 +141,16 @@ class LshAndBucketingSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft-annq-c").toString
     val rows = Similarity.annQuality(emb, dir).collect()
+    // the materialized-ground-truth path is row-identical to
+    // self-computing (INT grades — exact parquet roundtrip)
+    val gtDir = java.nio.file.Files.createTempDirectory("graft-annq-gt").toString
+    assert(Similarity.prebuildAnnGroundTruth(emb, gtDir),
+      "first touch must build")
+    assert(!Similarity.prebuildAnnGroundTruth(emb, gtDir),
+      "second touch must reuse")
+    val cached = Similarity.annQuality(emb, dir, gtDir = Some(gtDir)).collect()
+    assert(rows.map(_.toString).toSeq == cached.map(_.toString).toSeq,
+      "gt-cached and self-computed runs diverge")
     assert(rows.length == 16) // 8 queries x 2 arms
     rows.foreach { r =>
       assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"rr: $r")

@@ -1155,6 +1155,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cands.zip(cands.tail).forall { case (a, b) => a >= b })
   }
 
+  test("ahash cached twins: materialized signature frame ≡ self-computed") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ah").toString
+    val dir = Multimodal.ahashDir(
+      spark, s"${SparkTestSession.sfDir}/documents.parquet", base)
+    assert(Multimodal.prebuildAhashSignatures(documents, dir),
+      "first touch must build")
+    assert(!Multimodal.prebuildAhashSignatures(documents, dir),
+      "second touch must reuse")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: cached and self-computed runs diverge")
+    same(Multimodal.imageAHashCached(documents, dir),
+      Multimodal.imageAHash(documents), "q210 image aHash")
+    same(Multimodal.ahashPairsCached(documents, dir),
+      Multimodal.ahashPairs(documents), "q211 aHash pairs")
+    same(Multimodal.ahashHotBlocksCached(documents, dir),
+      Multimodal.ahashHotBlocks(documents), "q248 hot blocks")
+  }
+
   test("videoNearDups: shared aligned frames pair; a hot frame is posting-capped") {
     import spark.implicits._
     // 32-byte blocks: two shared frames make a pair, one does not

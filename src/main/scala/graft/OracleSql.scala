@@ -4381,7 +4381,30 @@ object OracleSql {
       ("q245_cluster_cohesion" -> clusterCohesionSql) +
       ("q246_arm_agreement" -> armAgreementSql) +
       ("q247_data_budget" -> dataBudgetSql) +
-      ("q248_ahash_hot_blocks" -> ahashHotBlocksSql)
+      ("q248_ahash_hot_blocks" -> ahashHotBlocksSql) +
+      ("q249_neardup_sources" -> nearDupSourcesSql)
+
+  /** q249: q240's recursive CC labels joined to sources, then q102's
+    * matrix SQL over (cluster, source) counts.
+    */
+  private def nearDupSourcesSql: String =
+    "WITH RECURSIVE " + shingleCascade("documents") + ",\n" + jaccardVerify + ",\n" +
+      """pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM und
+        |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |m AS (SELECT l.cluster_id, d.source
+        |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id),
+        |ps AS (SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM m GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |CAST(count(*) AS BIGINT) AS shared_clusters
+        |FROM ps a JOIN ps b ON a.cluster_id = b.cluster_id
+        |WHERE a.source < b.source OR (a.source = b.source AND a.n >= 2)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q248: q211's signature + block CTEs verbatim, then one grouped
     * count per (block, value), integer pair counts and bp shares

@@ -743,7 +743,11 @@ object SparkEntry {
     // hot-block audit for the aHash pair family: per-bucket candidate
     // volume + share — the find half of the q105→q108 skew pair
     "q248_ahash_hot_blocks" -> ((s, d) =>
-      Multimodal.ahashHotBlocksCached(Tables.documents(s, d), ahashFor(s, d)))
+      Multimodal.ahashHotBlocksCached(Tables.documents(s, d), ahashFor(s, d))),
+    // q102's provenance matrix at the NEAR-dup tier, off the cached
+    // cluster labels: who paraphrases whom
+    "q249_neardup_sources"  -> ((s, d) =>
+      Dedup.nearDupSourceMatrix(Tables.documents(s, d), ccCascadeFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -1009,6 +1009,40 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** q249: the q102 provenance matrix lifted to the NEAR-dup tier —
+    * per source pair (a ≤ b), how many VERIFIED near-dup clusters
+    * contain documents from both sources (diagonal: clusters holding
+    * ≥ 2 documents of that source). q102 lights up only when whole
+    * fingerprints coincide; this is the "who paraphrases whom" matrix
+    * — cross-source near-duplication that skews mixture weights
+    * without ever being an exact copy. Answered OFF THE MATERIALIZED
+    * cluster labels (the q240 probe-the-frame precedent): no cascade
+    * re-run.
+    *
+    * Scale shape (q102's argument, transposed to clusters): the
+    * (cluster, source) pre-aggregation means the self-join shuffles
+    * one narrow row per distinct (cluster, source) — never documents —
+    * and a cluster's join fan-out is bounded by #sources², so a
+    * mega-cluster cannot amplify. Output ≤ #sources² rows.
+    */
+  def nearDupSourceMatrix(docs: DataFrame, dir: String,
+                          threshold: Double = 0.2,
+                          bands: Int = 4): DataFrame = {
+    val labeled = dupClustersCached(docs, dir, threshold, bands)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val perSource = labeled.groupBy("cluster_id", "source")
+      .agg(count(lit(1)).as("n"))
+    val a = perSource.select(col("cluster_id"),
+      col("source").as("source_a"), col("n").as("n_a"))
+    val b = perSource.select(col("cluster_id"), col("source").as("source_b"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("source_a") < col("source_b") ||
+        (col("source_a") === col("source_b") && col("n_a") >= 2))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_clusters"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Size distribution of the near-dup clusters — the dedup-
     * aggressiveness audit: a heavy tail of large clusters means the
     * threshold is catching template families, a wall of 2s means it

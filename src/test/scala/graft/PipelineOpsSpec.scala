@@ -1155,6 +1155,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cands.zip(cands.tail).forall { case (a, b) => a >= b })
   }
 
+  test("nearDupSourceMatrix: cross-source and within-source cells from a planted fixture") {
+    import spark.implicits._
+    // identical texts always band together: {1,2} spans src0~src1,
+    // {3,4} sits inside src0, doc 5 clusters with nobody
+    val fix = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "src0", 0L),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "src1", 0L),
+      (3L, "one two three four five six seven eight", "en", "src0", 0L),
+      (4L, "one two three four five six seven eight", "en", "src0", 0L),
+      (5L, "totally unrelated standalone body of words here", "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = java.nio.file.Files.createTempDirectory("graft-ndsm").toString
+    val r = Dedup.nearDupSourceMatrix(fix, base).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("src0", "src0") -> 1L, ("src0", "src1") -> 1L), r.toString)
+    // corpus: every cell is positive, bounded by the cluster count,
+    // and the diagonal reconciles with a direct label-frame fold
+    val dir = Dedup.cascadeDir(
+      spark, s"${SparkTestSession.sfDir}/documents.parquet",
+      java.nio.file.Files.createTempDirectory("graft-ndsm-c").toString)
+    val res = Dedup.nearDupSourceMatrix(documents, dir).collect()
+    val nClusters = Dedup.dupClustersCached(documents, dir)
+      .select("cluster_id").distinct().count()
+    assert(res.nonEmpty)
+    res.foreach { x =>
+      assert(x.getString(0) <= x.getString(1), x.toString)
+      assert(x.getLong(2) >= 1L && x.getLong(2) <= nClusters, x.toString)
+    }
+    val diag = Dedup.dupClustersCached(documents, dir)
+      .join(documents.select("doc_id", "source"), "doc_id")
+      .groupBy("cluster_id", "source").count()
+      .filter(col("count") >= 2)
+      .groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    res.filter(x => x.getString(0) == x.getString(1)).foreach { x =>
+      assert(diag(x.getString(0)) == x.getLong(2), s"diagonal: $x")
+    }
+  }
+
   test("ahash cached twins: materialized signature frame ≡ self-computed") {
     val base = java.nio.file.Files.createTempDirectory("graft-ah").toString
     val dir = Multimodal.ahashDir(

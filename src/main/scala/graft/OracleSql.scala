@@ -4382,7 +4382,75 @@ object OracleSql {
       ("q246_arm_agreement" -> armAgreementSql) +
       ("q247_data_budget" -> dataBudgetSql) +
       ("q248_ahash_hot_blocks" -> ahashHotBlocksSql) +
-      ("q249_neardup_sources" -> nearDupSourcesSql)
+      ("q249_neardup_sources" -> nearDupSourcesSql) +
+      ("q250_budget_epochs" -> budgetEpochsSql) +
+      ("q251_guarded_clean" -> guardedCleanSql)
+
+  /** q250: q247's plan CTEs verbatim, joined back per document; full
+    * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs
+    * whose md5 32-bit prefix clears the integer threshold
+    * floor(rem/src · 2³²) — one double op chain, identical IEEE steps
+    * in both engines; epochs unroll via range() and roll up per
+    * (source, epoch).
+    */
+  private def budgetEpochsSql: String =
+    """WITH a AS (SELECT doc_id, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u32
+      |  FROM documents),
+      |b AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens FROM a GROUP BY 1),
+      |c AS (SELECT source, src_tokens,
+      |  CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS r
+      |  FROM b),
+      |t AS (SELECT CAST(sum(r) AS BIGINT) AS rt,
+      |  CAST(sum(src_tokens) * 2 AS BIGINT) AS bt FROM c),
+      |p AS (SELECT source, src_tokens,
+      |  CAST((bt * ((r * 10000) // rt)) // 10000 AS BIGINT) AS alloc_tokens
+      |  FROM c, t),
+      |q AS (SELECT source, src_tokens, alloc_tokens,
+      |  CAST(((alloc_tokens * 10000) // src_tokens) // 10000 AS INT) AS eps_full
+      |  FROM p),
+      |j AS (SELECT a.doc_id, a.source, a.n_tok, a.u32, q.eps_full,
+      |  CAST(floor(CAST(alloc_tokens - eps_full * src_tokens AS DOUBLE)
+      |    / CAST(src_tokens AS DOUBLE) * 4294967296.0) AS BIGINT) AS thresh
+      |  FROM a JOIN q USING (source)),
+      |e AS (SELECT doc_id, source, n_tok,
+      |  eps_full + (CASE WHEN u32 < thresh THEN 1 ELSE 0 END) AS n_ep FROM j),
+      |x AS (SELECT source, n_tok, CAST(unnest(range(1, n_ep + 1)) AS INT) AS epoch
+      |  FROM e WHERE n_ep > 0)
+      |SELECT source, epoch, CAST(count(*) AS BIGINT) AS n_docs,
+      |CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q251: q245's recursive CC labels + edge-density CTEs, closed as a
+    * per-document verdict — guarded members of low-density clusters
+    * survive, dense clusters keep only their root.
+    */
+  private def guardedCleanSql: String =
+    "WITH RECURSIVE " + shingleCascade("documents") + ",\n" + jaccardVerify + ",\n" +
+      """pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM und
+        |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |e AS (SELECT l.cluster_id FROM pairs p JOIN lab l ON p.id_a = l.doc_id),
+        |ea AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+        |  FROM e GROUP BY 1),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM lab GROUP BY 1),
+        |dens AS (SELECT cluster_id,
+        |  CAST((n_edges * 2 * 10000) // (n_docs * (n_docs - 1)) AS BIGINT) AS density_bp
+        |  FROM sz JOIN ea USING (cluster_id)),
+        |v AS (SELECT lab.doc_id, lab.cluster_id,
+        |  CASE WHEN dens.density_bp < 5000 THEN 'keep_guarded'
+        |       WHEN lab.doc_id = lab.cluster_id THEN 'keep_canonical'
+        |       ELSE 'drop_dup' END AS action
+        |  FROM lab JOIN dens USING (cluster_id))
+        |SELECT d.doc_id, v.cluster_id, coalesce(v.action, 'keep_unique') AS action
+        |FROM documents d LEFT JOIN v USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
 
   /** q249: q240's recursive CC labels joined to sources, then q102's
     * matrix SQL over (cluster, source) counts.

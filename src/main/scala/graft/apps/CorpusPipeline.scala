@@ -72,7 +72,9 @@ object CorpusPipeline {
           embeddings: Option[DataFrame] = None,
           semDedupTau: Double = 0.35,
           dsirTopN: Option[Int] = None,
-          urlHostCap: Option[Int] = None): Report = {
+          urlHostCap: Option[Int] = None,
+          cohesionFloorBp: Option[Long] = None,
+          budgetMult: Option[Int] = None): Report = {
     // opt-in URL curation stage, FIRST (RefinedWeb §3 ordering: URL
     // mirror-dedup + per-host capping before any content look — the
     // cheapest gate runs before the cascade ever tokenizes a mirror)
@@ -103,8 +105,12 @@ object CorpusPipeline {
     // cleaningPipelineClustered emits (doc_id, n_tokens, fingerprint);
     // the text rides back in via a doc_id equi-join against the gated
     // frame (cheap: survivors-sized build side, no text re-derivation)
+    // cohesionFloorBp (opt-in): the q245→q251 guard — clusters whose
+    // edge density says "chain merge" keep all their members instead
+    // of being canonical-wiped
     val cleaned = Dedup.cleaningPipelineClustered(
-      gated, checkpointDir = checkpointDir)
+      gated, checkpointDir = checkpointDir,
+      cohesionFloorBp = cohesionFloorBp)
     val survivors0 = gated.join(
       cleaned.select("doc_id"), Seq("doc_id"), "left_semi")
     val scrubbed = TextAnalysis.piiScrub(survivors0, ordered = false)
@@ -186,7 +192,28 @@ object CorpusPipeline {
         Seq("doc_id"), "left_semi")
       case None => targeted
     }
-    ParquetSink.writeTrainingShards(shipped, shardDir, nShards, seqLen)
+    // budgetMult (opt-in): epoch-expand the shipped corpus by the
+    // q247 data-budget plan (q250) instead of training one fixed pass
+    // per document — each (doc, pass) copy gets a distinct synthetic
+    // id (doc_id·2^headroom + epoch) so the shard packer's doc_id keys
+    // stay unique and the pack order stays deterministic. Headroom
+    // comes from the plan itself (#sources rows collected — metadata,
+    // not data), so ids can never collide whatever the budget.
+    val sharded = budgetMult match {
+      case Some(m) =>
+        val withSrc = shipped.join(docs.select("doc_id", "source"), Seq("doc_id"))
+        val maxEpoch = TrainingData.dataBudgetPlan(withSrc, m)
+          .agg(org.apache.spark.sql.functions
+            .max(org.apache.spark.sql.functions.expr(
+              "CAST(epochs_q4 div 10000 AS BIGINT)"))).head().getLong(0) + 1L
+        val mult = java.lang.Long.highestOneBit(math.max(maxEpoch, 1L)) * 4L
+        TrainingData.epochExpandedDocs(withSrc, m)
+          .join(shipped.select("doc_id", "text"), Seq("doc_id"))
+          .select((col("doc_id") * mult + col("epoch")).as("doc_id"),
+            col("text"))
+      case None => shipped
+    }
+    ParquetSink.writeTrainingShards(sharded, shardDir, nShards, seqLen)
     JsonlSink.writePartitioned(shipped, jsonlDir)
     // Stage counts in ONE audit aggregation instead of five count()
     // actions: membership flags for every stage frame left-join the

@@ -24,6 +24,18 @@ import org.apache.spark.sql.SparkSession
   */
 object ContentAddress {
 
+  /** `_SUCCESS`-commit check through the Hadoop FS API — the same API
+    * [[dirFor]] resolves the corpus with, so a prebuild's reuse gate
+    * works on whatever filesystem the artifact base lives on. A
+    * `java.io.File` check would silently report "missing" on any
+    * non-local FS, making every call rebuild with mode(overwrite) and
+    * the amortization disappear without an error.
+    */
+  def hasSuccess(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** `tag` labels error messages with the calling operator. */
   def dirFor(spark: SparkSession, dataPath: String, base: String,
              prefix: String, tag: String): String = {

@@ -679,12 +679,21 @@ object Dedup {
     * sketch; spec-asserted). None (the default) self-computes.
     * `checkpointDir` is passed through to the CC rounds (see
     * [[dupClusters]]).
+    *
+    * `cohesionFloorBp`: the q245→q251 chain-merge guard, opt-in — a
+    * cluster whose verified-edge density (exact basis points) falls
+    * below the floor is suspected of transitive over-merging and is
+    * NOT cleaned: all its members survive. Density is computed from
+    * the same `verified` frame the clustering consumed (one extra
+    * #clusters-bounded aggregate); 2-doc clusters are always cliques,
+    * so pairwise dedup is never blocked.
     */
   def cleaningPipelineClustered(docs: DataFrame, minTokens: Int = 10,
                                 jaccardThreshold: Double = 0.2,
                                 maxBucketSize: Option[Int] = None,
                                 pairs: Option[DataFrame] = None,
-                                checkpointDir: Option[String] = None): DataFrame = {
+                                checkpointDir: Option[String] = None,
+                                cohesionFloorBp: Option[Long] = None): DataFrame = {
     val gated = docs.filter(size(split(col("text"), " ")) >= minTokens)
     val canonical = gated
       .groupBy("text").agg(min("doc_id").as("doc_id"))
@@ -699,9 +708,29 @@ object Dedup {
       case None =>
         nearDupPairs(canonical, jaccardThreshold, maxBucketSize = maxBucketSize)
     }
-    val losers = dupClustersFromPairs(verified, checkpointDir = checkpointDir)
+    val labels = dupClustersFromPairs(verified, checkpointDir = checkpointDir)
+    val condemned = labels
       .filter(col("doc_id") =!= col("cluster_id"))
-      .select("doc_id")
+      .select("doc_id", "cluster_id")
+    val losers = cohesionFloorBp match {
+      case Some(floorBp) =>
+        // edge attribution via one endpoint suffices (both share the
+        // cluster by construction — the q245 argument); low-density
+        // clusters are exempted from cleaning wholesale
+        val lowCohesion = verified.select("id_a")
+          .join(labels.select(col("doc_id").as("id_a"), col("cluster_id")),
+            Seq("id_a"))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).cast("bigint").as("n_edges"))
+          .join(labels.groupBy("cluster_id")
+            .agg(count(lit(1)).cast("bigint").as("n_docs")), Seq("cluster_id"))
+          .filter(expr("CAST((n_edges * 2 * 10000) div " +
+            s"(n_docs * (n_docs - 1)) AS BIGINT) < ${floorBp}L"))
+          .select("cluster_id")
+        condemned.join(lowCohesion, Seq("cluster_id"), "left_anti")
+          .select("doc_id")
+      case None => condemned.select("doc_id")
+    }
     canonical.join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens"),
@@ -1025,10 +1054,12 @@ object Dedup {
     * and a cluster's join fan-out is bounded by #sources², so a
     * mega-cluster cannot amplify. Output ≤ #sources² rows.
     */
-  def nearDupSourceMatrix(docs: DataFrame, dir: String,
-                          threshold: Double = 0.2,
-                          bands: Int = 4): DataFrame = {
-    val labeled = dupClustersCached(docs, dir, threshold, bands)
+  def nearDupSourceMatrix(docs: DataFrame, dir: String): DataFrame = {
+    // no (threshold, bands) knobs HERE by design: `dir` already
+    // encodes them ([[cascadeDir]]'s prefix), so a probe-side param
+    // that disagreed with the dir would silently read frames built at
+    // the other setting — the probe reads whatever the address holds
+    val labeled = dupClustersCached(docs, dir)
       .join(docs.select("doc_id", "source"), "doc_id")
     val perSource = labeled.groupBy("cluster_id", "source")
       .agg(count(lit(1)).as("n"))
@@ -1787,10 +1818,12 @@ object Dedup {
     * joining id_a suffices); the report is two aggregates bounded by
     * #clusters, never doc volume.
     */
-  def clusterCohesion(docs: DataFrame, dir: String,
-                      threshold: Double = 0.2, bands: Int = 4): DataFrame = {
-    val pairs = nearDupPairsCached(docs, dir, threshold, bands)
-    val labels = dupClustersCached(docs, dir, threshold, bands)
+  def clusterCohesion(docs: DataFrame, dir: String): DataFrame = {
+    // no (threshold, bands) knobs HERE by design — see
+    // [[nearDupSourceMatrix]]: `dir` already encodes them, the probe
+    // must read what the address holds
+    val pairs = nearDupPairsCached(docs, dir)
+    val labels = dupClustersCached(docs, dir)
     val edges = pairs
       .join(labels.select(col("doc_id").as("id_a"), col("cluster_id")),
         Seq("id_a"))
@@ -1808,6 +1841,41 @@ object Dedup {
         "CAST(min_j4 AS DOUBLE) / 1e4 AS min_jaccard",
         "floor(CAST(sum_j4 AS DOUBLE) / n_edges + 0.5) / 1e4 AS mean_jaccard")
       .orderBy("cluster_id")
+  }
+
+  /** q251: cohesion-guarded canonical cleaning — the pipeline stage
+    * that ACTS on q245's chain-merge audit instead of leaving it a
+    * report: a verified near-dup cluster whose edge density (exact
+    * basis points, the [[clusterCohesion]] number) falls below
+    * `densityFloorBp` is treated as a suspected chain merge and NOT
+    * canonical-cleaned — all its members survive, flagged
+    * `keep_guarded`, for a tighter-threshold re-pass. Dense clusters
+    * clean as q72 does: the root (min doc_id — the CC label itself)
+    * survives as `keep_canonical`, every other member is `drop_dup`;
+    * documents in no cluster are `keep_unique`. A 2-doc cluster is
+    * always a clique (density 10⁴), so the guard can never block the
+    * plain pairwise dedup tier.
+    *
+    * Scale: probes the MATERIALIZED cascade frames (never a cascade
+    * re-run); density is the q245 aggregate (#clusters-bounded); the
+    * verdict is one labels⋈density equi-join plus one left join back
+    * onto the id-only corpus scan.
+    */
+  def guardedCanonicalClean(docs: DataFrame, dir: String,
+                            densityFloorBp: Long = 5000L): DataFrame = {
+    val labels = dupClustersCached(docs, dir)
+    val density = clusterCohesion(docs, dir)
+      .select("cluster_id", "density_bp")
+    val verdicts = labels.join(density, "cluster_id")
+      .withColumn("action",
+        when(col("density_bp") < densityFloorBp, lit("keep_guarded"))
+          .when(col("doc_id") === col("cluster_id"), lit("keep_canonical"))
+          .otherwise(lit("drop_dup")))
+      .select("doc_id", "cluster_id", "action")
+    docs.select("doc_id")
+      .join(verdicts, Seq("doc_id"), "left")
+      .withColumn("action", coalesce(col("action"), lit("keep_unique")))
+      .orderBy("doc_id")
   }
 
   /** q240: duplication level × quality interaction — the curation

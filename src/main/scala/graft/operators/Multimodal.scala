@@ -86,7 +86,10 @@ object Multimodal {
     */
   def ahashDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
                base: String): String =
-    graft.engine.ContentAddress.dirFor(spark, dataPath, base, "ah_",
+    // b48 bakes the signature width into the address (the cascadeDir
+    // convention) — a width change re-addresses rather than serving
+    // stale 48-bit frames
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base, "ah_b48_",
       "ahashDir")
 
   /** Build the materialized signature frame under `dir/sig` iff
@@ -94,11 +97,11 @@ object Multimodal {
     * true iff a build happened.
     */
   def prebuildAhashSignatures(docs: DataFrame, dir: String): Boolean = {
-    val sigDir = new java.io.File(dir, "sig")
-    val fresh = !new java.io.File(sigDir, "_SUCCESS").exists()
+    val sigDir = s"$dir/sig"
+    val fresh = !graft.engine.ContentAddress.hasSuccess(docs.sparkSession, sigDir)
     if (fresh)
       ahashSignatures(docs, 48)
-        .write.mode("overwrite").parquet(sigDir.getAbsolutePath)
+        .write.mode("overwrite").parquet(sigDir)
     fresh
   }
 

@@ -487,10 +487,10 @@ object TextAnalysis {
     * one-off cost separately from probe measurements.
     */
   def prebuildTokenTf(docs: DataFrame, dir: String): Boolean = {
-    val tfDir = new java.io.File(dir, "tf")
-    val fresh = !new java.io.File(tfDir, "_SUCCESS").exists()
+    val tfDir = s"$dir/tf"
+    val fresh = !graft.engine.ContentAddress.hasSuccess(docs.sparkSession, tfDir)
     if (fresh)
-      tokenTf(docs).write.mode("overwrite").parquet(tfDir.getAbsolutePath)
+      tokenTf(docs).write.mode("overwrite").parquet(tfDir)
     fresh
   }
 
@@ -929,19 +929,41 @@ object TextAnalysis {
     * (≤ topN·topDocs rows) AFTER TopK.perKey bounds per-phrase fan-in
     * inside the scan stage.
     */
-  def phraseSearch(docs: DataFrame, topN: Int = 5, topDocs: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
+  def phraseSearch(docs: DataFrame, topN: Int = 5, topDocs: Int = 3): DataFrame =
+    phraseSearchFrom(
+      phrasePerDoc(docs).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      topN, topDocs)
+
+  /** The (phrase, doc_id, n_in_doc) trigram-phrase frame — the
+    * positional index [[phraseSearch]] probes, built via the
+    * three-way adjacency self-join of the (doc_id, pos, term)
+    * postings on the shared (doc_id, pos) key. Columns are (STRING,
+    * BIGINT, BIGINT) — exact parquet roundtrip.
+    */
+  private def phrasePerDoc(docs: DataFrame): DataFrame = {
+    // persisted: all three adjacency sides read this frame — the one
+    // corpus-sized object; the caller/bench releases it via clearCache
+    // (the LSH-cascade interior-frame contract)
     val post = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val t2 = post.select(col("doc_id"), (col("pos") - 1).as("pos"), col("term").as("t2"))
     val t3 = post.select(col("doc_id"), (col("pos") - 2).as("pos"), col("term").as("t3"))
-    val tri = post.join(t2, Seq("doc_id", "pos")).join(t3, Seq("doc_id", "pos"))
+    post.join(t2, Seq("doc_id", "pos")).join(t3, Seq("doc_id", "pos"))
       .select(col("doc_id"),
         concat_ws(" ", col("term"), col("t2"), col("t3")).as("phrase"))
-    val perDoc = tri.groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_in_doc"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_in_doc"))
+  }
+
+  /** [[phraseSearch]]'s probe alone — panel mining, per-phrase top-doc
+    * cap, and ranking over an already-built per-doc phrase frame. The
+    * frame is read twice (panel + hits); the self-computing path
+    * persists it, the cached path scans the narrow parquet.
+    */
+  private def phraseSearchFrom(perDoc: DataFrame, topN: Int,
+                               topDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val panel = perDoc.groupBy("phrase")
       .agg(sum("n_in_doc").as("occurrences"), count(lit(1)).as("df"))
       .orderBy(col("occurrences").desc, col("phrase").asc).limit(topN)
@@ -955,6 +977,44 @@ object TextAnalysis {
       .select(col("phrase"), col("df"), col("occurrences"), col("doc_id"),
         col("n_in_doc"), col("rk"))
       .orderBy(col("occurrences").desc, col("phrase").asc, col("rk").asc)
+  }
+
+  /** Content-addressed home of one corpus' materialized positional
+    * phrase index ([[phrasePerDoc]]) — the [[tokenTfDir]] discipline
+    * applied to the one remaining per-run heavy parse: the trigram
+    * adjacency self-join. The prefix bakes the phrase order (n3) in,
+    * so a future n-gram change can never serve a stale frame
+    * (the cascadeDir `cc${t}b${bands}_` convention).
+    */
+  def phraseIndexDir(spark: org.apache.spark.sql.SparkSession,
+                     dataPath: String, base: String): String =
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base, "post_n3_",
+      "phraseIndexDir")
+
+  /** Build the materialized phrase index under `dir/postings` iff
+    * missing (`_SUCCESS`-gated through the Hadoop FS — works on any
+    * filesystem the artifact base lives on). Returns true iff a build
+    * happened, so the bench warm-up accounts the one-off cost
+    * (`post_build_sec`) separately from probe measurements.
+    */
+  def prebuildPhraseIndex(docs: DataFrame, dir: String): Boolean = {
+    val pDir = s"$dir/postings"
+    val fresh = !graft.engine.ContentAddress.hasSuccess(docs.sparkSession, pDir)
+    if (fresh)
+      phrasePerDoc(docs).write.mode("overwrite").parquet(pDir)
+    fresh
+  }
+
+  /** [[phraseSearch]] probing the materialized phrase index: the probe
+    * starts at a narrow (STRING, BIGINT, BIGINT) parquet scan — no
+    * text re-parse, no adjacency self-join per query (spec-asserted ≡
+    * self-computing; the roundtrip is exact).
+    */
+  def phraseSearchCached(docs: DataFrame, dir: String, topN: Int = 5,
+                         topDocs: Int = 3): DataFrame = {
+    prebuildPhraseIndex(docs, dir)
+    phraseSearchFrom(docs.sparkSession.read.parquet(s"$dir/postings"),
+      topN, topDocs)
   }
 
   /** Triangle census of the token co-occurrence graph: for each
@@ -1545,8 +1605,12 @@ object TextAnalysis {
     */
   def retrievalArmsDir(spark: org.apache.spark.sql.SparkSession,
                        dataPath: String, base: String): String =
-    graft.engine.ContentAddress.dirFor(spark, dataPath, base, "arms_",
-      "retrievalArmsDir")
+    // the prefix bakes in every constant the frames were built at
+    // (panel size, depth, BM25 k1/b and the hybrid kEach/dims/rrfK
+    // behind the v1 tag) — the cascadeDir cc${t}b${bands}_ convention,
+    // so a constant change re-addresses instead of serving stale frames
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base,
+      s"arms_n${armNQueries}k${armK}v1_", "retrievalArmsDir")
 
   /** Build the materialized arm frames under `dir/{bm25,tfidf,hybrid,
     * rel}` iff missing (per-frame `_SUCCESS` gates — resumable, the
@@ -1560,9 +1624,9 @@ object TextAnalysis {
                             tfFrame: Option[DataFrame] = None): Boolean = {
     var built = false
     def need(name: String)(f: => DataFrame): Unit = {
-      val sub = new java.io.File(dir, name)
-      if (!new java.io.File(sub, "_SUCCESS").exists()) {
-        f.write.mode("overwrite").parquet(sub.getAbsolutePath)
+      val sub = s"$dir/$name"
+      if (!graft.engine.ContentAddress.hasSuccess(docs.sparkSession, sub)) {
+        f.write.mode("overwrite").parquet(sub)
         built = true
       }
     }

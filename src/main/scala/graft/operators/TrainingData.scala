@@ -382,6 +382,66 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** q250: epoch expansion BY the [[dataBudgetPlan]] — the consumer
+    * stage that turns q247's per-source allocation into an actual
+    * training corpus, closing the report→pipeline loop: instead of
+    * fixed mixture weights, each source replays `epochs_q4 div 10⁴`
+    * full passes, and the fractional remainder epoch admits a
+    * deterministic hash-drawn subset of its documents sized (in
+    * expectation, token-weighted by inclusion probability) to the
+    * remaining allocation. The draw is the [[docHash]] 32-bit prefix
+    * against an integer threshold `floor(rem/n_tokens · 2³²)` — ONE
+    * double multiply both engines execute identically, then pure
+    * BIGINT compares; no window, so (unlike a greedy cumulative-sum
+    * prefix) the fractional cut is MAP-ONLY and immune to per-source
+    * partition skew at 100 TB.
+    *
+    * Output is the audit rollup per (source, epoch): docs and tokens
+    * the expanded corpus carries — epoch ≤ full count = the whole
+    * source, the last (fractional) epoch = the drawn subset; a
+    * source whose remainder rounds to zero admits no fractional
+    * epoch. The expansion itself ([[epochExpandedDocs]]) feeds
+    * [[graft.apps.CorpusPipeline]]'s shard writer.
+    */
+  def epochExpandByPlan(docs: DataFrame, budgetMult: Int = 2): DataFrame =
+    epochExpandedDocs(docs, budgetMult)
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("bigint").as("n_tokens"))
+      .orderBy("source", "epoch")
+
+  /** The expanded (doc_id, source, epoch, n_tok) corpus — one row per
+    * (document, pass). Scale: the plan broadcasts (#sources rows); a
+    * document's epoch count is a map-side `sequence` explode bounded
+    * by the over-epoch audit (q247 flags ≥ 4 epochs); no shuffle
+    * before the caller's own consumption.
+    */
+  private[graft] def epochExpandedDocs(docs: DataFrame,
+                                       budgetMult: Int): DataFrame = {
+    val plan = dataBudgetPlan(docs, budgetMult)
+      .select(col("source"), col("n_tokens").as("src_tokens"),
+        col("alloc_tokens"), col("epochs_q4"))
+    val u32 = conv(substring(docHash, 1, 8), 16, 10).cast("long")
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"),
+        u32.as("u32"))
+      .join(broadcast(plan), "source")
+      .withColumn("full", expr("CAST(epochs_q4 div 10000 AS INT)"))
+      // integer threshold for the fractional draw: rem/src · 2³² as
+      // one double op chain — identical IEEE steps in DuckDB. The
+      // double detour (not rem·2³² div src) is deliberate: the BIGINT
+      // product overflows once a source holds ≳2³¹ tokens.
+      .withColumn("thresh", floor(
+        (col("alloc_tokens") - col("full") * col("src_tokens")).cast("double")
+          / col("src_tokens").cast("double") * lit(4294967296.0)).cast("long"))
+      .withColumn("n_epochs",
+        col("full") + when(col("u32") < col("thresh"), 1).otherwise(0))
+      .filter(col("n_epochs") > 0)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        explode(sequence(lit(1), col("n_epochs"))).as("epoch"))
+  }
+
   /** Gopher-style repetition gate: fraction of a document's n-token
     * shingles that are repeats (1 - distinct/total). Boilerplate,
     * keyboard-mash, and template spam score high; clean prose scores

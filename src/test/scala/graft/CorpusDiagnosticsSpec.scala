@@ -67,6 +67,22 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
       TextAnalysis.retrievalQuality(docs), "q237 retrieval quality")
   }
 
+  test("phrase-index cached twin: materialized postings ≡ self-computed phraseSearch") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-post").toString
+    val dir = TextAnalysis.phraseIndexDir(
+      spark, s"$sfDir/documents.parquet", base)
+    assert(TextAnalysis.prebuildPhraseIndex(docs, dir),
+      "first touch must build")
+    assert(!TextAnalysis.prebuildPhraseIndex(docs, dir),
+      "second touch must reuse")
+    val cached = TextAnalysis.phraseSearchCached(docs, dir)
+    val self = TextAnalysis.phraseSearch(docs)
+    assert(cached.exceptAll(self).count() == 0 &&
+      self.exceptAll(cached).count() == 0,
+      "q196 phrase search: cached and self-computed runs diverge")
+  }
+
   test("armAgreement: the bm25~tfidf cell IS q213; all cells inside the RBO envelope") {
     val docs = Tables.documents(spark, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft-agree").toString

@@ -1128,6 +1128,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("guardedCanonicalClean: planted chain is spared at floor 7000, cleaned at the default; corpus reconciles with cohesion") {
+    import spark.implicits._
+    // planted frames give exact control over the chain-vs-clique
+    // topology (a real shingle chain would hostage the test to LSH
+    // banding): {1,2,3} is a path (E=2, density 6666 bp), {4,5} a
+    // clique (10000 bp), 6 unclustered
+    val fix = Seq.tabulate(6)(i =>
+        ((i + 1).toLong, s"fixture body text number ${i + 1}", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-guard").toString
+    Seq((1L, 2L, 0.5), (2L, 3L, 0.5), (4L, 5L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+      .write.mode("overwrite").parquet(s"$dir/labels")
+    def verdicts(floorBp: Long) =
+      Dedup.guardedCanonicalClean(fix, dir, floorBp).collect()
+        .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(verdicts(7000L) == Map(
+      1L -> "keep_guarded", 2L -> "keep_guarded", 3L -> "keep_guarded",
+      4L -> "keep_canonical", 5L -> "drop_dup", 6L -> "keep_unique"))
+    // at the default floor (5000) the 6666-bp chain cleans like any
+    // dense cluster: root survives, members drop
+    assert(verdicts(5000L) == Map(
+      1L -> "keep_canonical", 2L -> "drop_dup", 3L -> "drop_dup",
+      4L -> "keep_canonical", 5L -> "drop_dup", 6L -> "keep_unique"))
+    // corpus: the verdict frame partitions every document, each dense
+    // cluster has exactly one canonical, and the guarded set is
+    // exactly the membership of the below-floor cohesion rows
+    val base = java.nio.file.Files.createTempDirectory("graft-guard-c").toString
+    val cdir = Dedup.cascadeDir(
+      spark, s"${SparkTestSession.sfDir}/documents.parquet", base)
+    val res = Dedup.guardedCanonicalClean(documents, cdir).collect()
+    assert(res.length == documents.count())
+    val lowClusters = Dedup.clusterCohesion(documents, cdir).collect()
+      .filter(_.getLong(3) < 5000L).map(_.getLong(0)).toSet
+    val byAction = res.groupBy(_.getString(2))
+    byAction.getOrElse("keep_guarded", Array.empty).foreach { x =>
+      assert(lowClusters.contains(x.getLong(1)), s"guarded outside a low-density cluster: $x")
+    }
+    val denseCanon = byAction.getOrElse("keep_canonical", Array.empty)
+    denseCanon.foreach(x => assert(x.getLong(0) == x.getLong(1),
+      "canonical must be the cluster root"))
+  }
+
+  test("cleaningPipelineClustered cohesionFloorBp: guarded clusters keep all members; floor 0 ≡ default") {
+    import spark.implicits._
+    // six ≥10-token DISTINCT texts (exact-dedup is a no-op) with
+    // supplied pairs: path {1,2,3} (6666 bp) + clique {4,5}
+    val fix = Seq.tabulate(6)(i =>
+        ((i + 1).toLong,
+          s"doc ${i + 1} " + Seq.tabulate(10)(j => s"w${i}x$j").mkString(" "),
+          "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    def kept(floor: Option[Long]) =
+      Dedup.cleaningPipelineClustered(fix, pairs = Some(pairs),
+          cohesionFloorBp = floor)
+        .collect().map(_.getLong(0)).toSet
+    assert(kept(Some(7000L)) == Set(1L, 2L, 3L, 4L, 6L),
+      "path spared, clique cleaned")
+    assert(kept(None) == Set(1L, 4L, 6L), "default: both cleaned")
+    assert(kept(Some(0L)) == kept(None), "floor 0 can never guard")
+  }
+
   test("ahashHotBlocks: identical payloads concentrate 6 equal buckets; corpus shares close") {
     import spark.implicits._
     // three identical payloads: every one of the 6 blocks has exactly

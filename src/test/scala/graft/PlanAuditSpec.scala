@@ -598,19 +598,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), p)
   }
 
-  test("kmeans: final assignment is map-only over one broadcast centroid row") {
-    // centroids travel as one broadcast row; distances + argmin are
-    // per-row HOFs. Since the eager-localCheckpoint change the update
+  test("kmeans: q142 probes the materialized cells; self-computing assignment is map-only broadcast") {
+    // q142 now probes the content-addressed cells frame: the plan must
+    // be a narrow parquet scan + projection + sort — no join of any
+    // kind, no Window, no aggregate (the train ran once at build time)
+    val p = plan("q142_kmeans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("Scan parquet"), p)
+    // the self-computing path keeps the map-only shape: centroids
+    // travel as one broadcast row; distances + argmin are per-row
+    // HOFs. Since the eager-localCheckpoint change the update
     // aggregates run in their own per-iteration jobs, so the FINAL
     // plan must be exactly the map-side assignment: broadcast +
     // project, no Window, no CartesianProduct, and no aggregate at
     // all (an aggregate here would mean lineage truncation regressed
     // and an update stage leaked back into the replayed plan)
-    val p = plan("q142_kmeans")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("Window"), p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
-    assert(!p.contains("HashAggregate"), p)
+    val sp = graft.operators.Similarity
+      .kmeans(graft.engine.Tables.embeddings(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("CartesianProduct"), sp)
+    assert(!sp.contains("Window"), sp)
+    assert(sp.contains("BroadcastNestedLoopJoin") || sp.contains("BroadcastExchange"), sp)
+    assert(!sp.contains("HashAggregate"), sp)
   }
 
   test("PQ ADC probe: broadcast LUT equi-join, group-limited rank, no cartesian") {

@@ -491,6 +491,24 @@ class SnapshotOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means cells cached twins: materialized cells ≡ self-computed q142/q155/q208") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-km").toString
+    val dir = Similarity.kmCellsDir(spark, s"$sfDir/embeddings.parquet", base)
+    assert(Similarity.prebuildKmeansCells(emb, dir), "first touch must build")
+    assert(!Similarity.prebuildKmeansCells(emb, dir), "second touch must reuse")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: cached and self-computed runs diverge")
+    same(Similarity.kmeansCached(emb, dir), Similarity.kmeans(emb),
+      "q142 kmeans labels")
+    same(Similarity.semDedupCached(emb, dir), Similarity.semDedup(emb),
+      "q155 semDedup")
+    same(Similarity.simplifiedSilhouetteCached(emb, dir),
+      Similarity.simplifiedSilhouette(emb), "q208 silhouette")
+  }
+
   test("simplifiedSilhouette on the corpus: every point counted, s in [0, 1]") {
     val emb = Tables.embeddings(spark, sfDir)
     val r = Similarity.simplifiedSilhouette(emb).collect()

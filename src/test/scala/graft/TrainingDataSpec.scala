@@ -522,6 +522,58 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("epochExpandByPlan: full epochs replay the whole source; the fractional epoch stays inside the remainder's source") {
+    // q250 consumes q247's plan: for each source the rollup must show
+    // epochs 1..full carrying EXACTLY the source's full doc/token
+    // counts, and at most ONE extra (fractional) epoch carrying a
+    // strict subset
+    val plan = TrainingData.dataBudgetPlan(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(5))))
+      .toMap
+    val res = TrainingData.epochExpandByPlan(docs).collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> ((x.getLong(2), x.getLong(3))))
+      .toMap
+    plan.foreach { case (src, (nDocs, nTokens, epochsQ4)) =>
+      val full = (epochsQ4 / 10000L).toInt
+      (1 to full).foreach { ep =>
+        assert(res((src, ep)) == ((nDocs, nTokens)),
+          s"$src epoch $ep must replay the whole source")
+      }
+      val frac = res.get((src, full + 1))
+      frac.foreach { case (d, t) =>
+        assert(d >= 1L && d <= nDocs && t >= 1L && t <= nTokens,
+          s"$src fractional epoch out of range: $d docs / $t tokens")
+      }
+      // no epoch beyond full+1 can exist
+      assert(!res.contains((src, full + 2)), s"$src over-expanded")
+      // realized tokens bracket the allocation: at least the full
+      // passes, at most one more whole source
+      val realized = (1 to full + 1).flatMap(ep => res.get((src, ep))).map(_._2).sum
+      assert(realized >= full * nTokens && realized <= (full + 1) * nTokens)
+    }
+    // nothing outside the plan's sources appears
+    assert(res.keySet.map(_._1) subsetOf plan.keySet)
+  }
+
+  test("epochExpandByPlan fixture: hand-computed full-epoch counts") {
+    import spark.implicits._
+    // the q247 fixture: epochs_q4 = 31500 / 15750 / 157500 → full
+    // passes 3 / 1 / 15
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("w").mkString(" "), "en", src, 0L)
+    val df = Seq(doc(1, "a", 100), doc(2, "b", 400), doc(3, "c", 4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = TrainingData.epochExpandByPlan(df).collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> ((x.getLong(2), x.getLong(3))))
+      .toMap
+    (1 to 3).foreach(ep => assert(res((("a"), ep)) == ((1L, 100L))))
+    assert(res((("b"), 1)) == ((1L, 400L)))
+    (1 to 15).foreach(ep => assert(res((("c"), ep)) == ((1L, 4L))))
+    // single-doc sources: the fractional epoch either admits the one
+    // doc whole or not at all
+    res.foreach { case ((_, _), (d, _)) => assert(d == 1L) }
+  }
+
   test("compact rewrites a fragmented parquet directory to size-targeted files") {
     val frag = java.nio.file.Files.createTempDirectory("graft-frag").toString
     // 64 tiny files — the post-ingest shape compaction exists to fix

@@ -1593,15 +1593,17 @@ object Dedup {
     val candDir = new java.io.File(dir, "cand")
     val pairsDir = new java.io.File(dir, "pairs")
     val labelsDir = new java.io.File(dir, "labels")
-    val candFresh = !new java.io.File(candDir, "_SUCCESS").exists()
+    def committed(d: java.io.File) = graft.engine.ContentAddress
+      .hasSuccess(docs.sparkSession, d.getAbsolutePath)
+    val candFresh = !committed(candDir)
     if (candFresh)
       minhashCandidatePairs(docs, bands)
         .write.mode("overwrite").parquet(candDir.getAbsolutePath)
-    val pairsFresh = !new java.io.File(pairsDir, "_SUCCESS").exists()
+    val pairsFresh = !committed(pairsDir)
     if (pairsFresh)
       nearDupPairs(docs, threshold, bands)
         .write.mode("overwrite").parquet(pairsDir.getAbsolutePath)
-    val labelsFresh = !new java.io.File(labelsDir, "_SUCCESS").exists()
+    val labelsFresh = !committed(labelsDir)
     if (labelsFresh)
       dupClustersFromPairs(
           docs.sparkSession.read.parquet(pairsDir.getAbsolutePath)
@@ -1625,7 +1627,8 @@ object Dedup {
     */
   def prebuildShingleSets(docs: DataFrame, dir: String): Boolean = {
     val shDir = new java.io.File(dir, "shsets")
-    val shFresh = !new java.io.File(shDir, "_SUCCESS").exists()
+    val shFresh = !graft.engine.ContentAddress
+      .hasSuccess(docs.sparkSession, shDir.getAbsolutePath)
     if (shFresh) {
       val sh = hashedShingleSets(docs)
       sh.write.mode("overwrite").parquet(shDir.getAbsolutePath)
@@ -1660,7 +1663,8 @@ object Dedup {
   private def cachedFamilyPairs(docs: DataFrame, dir: String, sub: String)
                                (build: => DataFrame): DataFrame = {
     val pdir = new java.io.File(dir, sub)
-    if (!new java.io.File(pdir, "_SUCCESS").exists())
+    if (!graft.engine.ContentAddress
+        .hasSuccess(docs.sparkSession, pdir.getAbsolutePath))
       build.write.mode("overwrite").parquet(pdir.getAbsolutePath)
     docs.sparkSession.read.parquet(pdir.getAbsolutePath)
   }
@@ -1674,7 +1678,7 @@ object Dedup {
   def prebuildPairFamilies(docs: DataFrame, dir: String): Boolean = {
     val before = Seq("pjpairs_t80", "cjpairs_t90", "snmpairs_t20",
         "winpairs_n3_w4", "candcap_50", "candr2_b4r2")
-      .map(s => new java.io.File(new java.io.File(dir, s), "_SUCCESS").exists())
+      .map(s => graft.engine.ContentAddress.hasSuccess(docs.sparkSession, s"$dir/$s"))
     prefixJaccardJoinCached(docs, dir)
     containmentJoinCached(docs, dir)
     snmNearDupsCached(docs, dir)
@@ -2063,11 +2067,11 @@ object Dedup {
   /** Build the simhash pair frame now iff not already committed. */
   def prebuildSimhashPairs(docs: DataFrame, dir: String,
                            maxHamming: Int = 3): Boolean = {
-    val pdir = new java.io.File(dir, "pairs")
-    val fresh = !new java.io.File(pdir, "_SUCCESS").exists()
+    val pdir = s"$dir/pairs"
+    val fresh = !graft.engine.ContentAddress.hasSuccess(docs.sparkSession, pdir)
     if (fresh)
       simhashPairs(docs, maxHamming)
-        .write.mode("overwrite").parquet(pdir.getAbsolutePath)
+        .write.mode("overwrite").parquet(pdir)
     fresh
   }
 

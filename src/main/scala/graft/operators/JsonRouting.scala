@@ -142,10 +142,10 @@ object JsonRouting {
     * separately from probe measurements.
     */
   def prebuildPropsLong(ev: DataFrame, dir: String): Boolean = {
-    val kvDir = new java.io.File(dir, "kv")
-    val fresh = !new java.io.File(kvDir, "_SUCCESS").exists()
+    val kvDir = s"$dir/kv"
+    val fresh = !graft.engine.ContentAddress.hasSuccess(ev.sparkSession, kvDir)
     if (fresh)
-      propsLong(ev).write.mode("overwrite").parquet(kvDir.getAbsolutePath)
+      propsLong(ev).write.mode("overwrite").parquet(kvDir)
     fresh
   }
 

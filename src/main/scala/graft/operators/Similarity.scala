@@ -197,7 +197,8 @@ object Similarity {
     val withBucket = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"),
       lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
-    if (rebuild || !new java.io.File(indexDir, "_SUCCESS").exists())
+    if (rebuild ||
+        !graft.engine.ContentAddress.hasSuccess(emb.sparkSession, indexDir))
       withBucket.repartition(col("bucket_id"))
         .write.mode("overwrite").partitionBy("bucket_id").parquet(indexDir)
     (withBucket, emb.sparkSession.read.parquet(indexDir))
@@ -209,7 +210,8 @@ object Similarity {
     * true when a build actually happened, false on reuse.
     */
   def prebuildIvfIndex(emb: DataFrame, indexDir: String): Boolean = {
-    val existed = new java.io.File(indexDir, "_SUCCESS").exists()
+    val existed =
+      graft.engine.ContentAddress.hasSuccess(emb.sparkSession, indexDir)
     if (!existed) ensureIvfIndex(emb, indexDir, rebuild = false)
     !existed
   }
@@ -245,6 +247,9 @@ object Similarity {
     * out of scope for a plain-parquet index.
     */
   def appendToIvfIndex(newVecs: DataFrame, indexDir: String): Unit = {
+    // java.io gate is CORRECT here (unlike the prebuilds' Hadoop-FS
+    // gates): this whole API is local-FS by design — the staged batch
+    // lands via per-file posix renames below
     require(new java.io.File(indexDir, "_SUCCESS").exists(),
       s"appendToIvfIndex requires an existing index at $indexDir")
     val resident = newVecs.sparkSession.read.parquet(indexDir).select("vec_id")
@@ -1097,8 +1102,9 @@ object Similarity {
                       iters: Int = 3): Boolean = {
     val codesDir = new java.io.File(dir, "codes")
     val booksDir = new java.io.File(dir, "books")
-    val fresh = !new java.io.File(codesDir, "_SUCCESS").exists() ||
-      !new java.io.File(booksDir, "_SUCCESS").exists()
+    val fresh =
+      !graft.engine.ContentAddress.hasSuccess(emb.sparkSession, codesDir.getAbsolutePath) ||
+      !graft.engine.ContentAddress.hasSuccess(emb.sparkSession, booksDir.getAbsolutePath)
     if (fresh) {
       val parts = (0 until m).map { s =>
         val sub = emb.select(col("vec_id"),

@@ -44,6 +44,14 @@ import org.apache.spark.sql.SparkSession
   *    `ivf_build_sec` in BENCH_META (0 = reused an existing index,
   *    -1 = build failed): a cold-index run is attributable to the
   *    build instead of inflating q64's measured time;
+  *  - every query carries a CONTENTION SAMPLE (1-minute load average
+  *    + system-wide /proc/diskstats read delta over exactly the
+  *    measured span — two cheap reads), compressed onto the main line
+  *    as per-5-query-block digit strings `el`/`eio` (see
+  *    [[envDigits]]): the r14 over-band cluster (q78, q221–q226) fell
+  *    BETWEEN the 25-query CAL probes and could be neither blamed on
+  *    the box nor cleared — the block digits bound any future burst
+  *    to the exact 5-query window it hit;
   *  - a query that throws is counted in the main line (`"errs":N`,
   *    omitted at zero; its value stays the elapsed time) with the
   *    per-query exceptions on a `BENCH_ERRORS` line printed BEFORE
@@ -72,6 +80,28 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** System-wide sectors read since boot, summed over physical block
+    * devices from `/proc/diskstats` (field 6 of each line; partitions
+    * and loop/ram devices are excluded so a read is counted once).
+    * −1 when the file is absent/unreadable (non-Linux) — callers emit
+    * the sentinel rather than fake a zero delta. Two cheap reads per
+    * query (this + loadAvg) are the per-query contention sample the
+    * round-14 over-band cluster was unadjudicatable without: BENCH_CAL's
+    * 25-query segments read quiet while q78/q221–q226 ran 4–6× band,
+    * so the burst could be neither confirmed environmental nor cleared.
+    */
+  private val physDev =
+    "(sd[a-z]+|vd[a-z]+|xvd[a-z]+|nvme\\d+n\\d+|mmcblk\\d+)".r
+  private[graft] def diskSectorsRead(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/diskstats")
+      try src.getLines().foldLeft(0L) { (acc, line) =>
+        val f = line.trim.split("\\s+")
+        if (f.length > 5 && physDev.matches(f(2))) acc + f(5).toLong
+        else acc
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
 
   private[graft] def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -152,6 +182,32 @@ object Bench {
         val num = k.drop(1).takeWhile(_ != '_')
         jsonStr(num.dropWhile(_ == '0')) + ":" + qnum(v)
       }.mkString("{", ",", "}")
+  }
+
+  /** Per-5-query-block contention digit strings for the main line:
+    * one digit per block of 5 consecutive queries (numeric suite
+    * order), `el` = the block's max 1-minute load average rounded and
+    * capped at 9, `eio` = log2 of the block's system-wide MB read
+    * from disk (+1), capped at 9 (9 ≥ 511 MB). `-` marks a block
+    * whose sample failed (/proc absent). ~51 chars each at 252
+    * queries — the minimum footprint that still lets a mid-segment
+    * burst be attributed to the exact 5-query window it hit, where
+    * the 25-query CAL segments averaged it away (the r14 lesson).
+    */
+  private[graft] def envDigits(perQuery: Seq[(Double, Double)]): (String, String) = {
+    val blocks = perQuery.grouped(5).toSeq
+    val loads = blocks.map { b =>
+      val m = b.map(_._1).max
+      if (m < 0) "-" else math.min(9L, math.rint(m).toLong).toString
+    }.mkString
+    val ios = blocks.map { b =>
+      if (b.exists(_._2 < 0)) "-"
+      else {
+        val mb = b.map(_._2).sum
+        math.min(9L, (math.log(mb + 1.0) / math.log(2.0)).toLong).toString
+      }
+    }.mkString
+    (loads, ios)
   }
 
   /** Top slow queries as a seconds dict — bounded at `cap` entries
@@ -334,6 +390,19 @@ object Bench {
       dropAllState()
       if (built) (System.nanoTime() - armT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
+    // pre-build the converged TextRank frame (q137 probes it): the 10
+    // damped iterations run once per corpus snapshot, fed from the
+    // materialized tf frame just built. 0 = reused, -1 = failed.
+    val trT0 = System.nanoTime()
+    val trBuildSec = try {
+      val docs = graft.engine.Tables.documents(spark, sfDir)
+      val built = graft.operators.TextAnalysis.prebuildTextRank(
+        docs, SparkEntry.textRankFor(spark, sfDir),
+        Some(graft.operators.TextAnalysis.tokenTfCached(docs,
+          SparkEntry.tokenTfFor(spark, sfDir))))
+      dropAllState()
+      if (built) (System.nanoTime() - trT0) / 1e9 else 0.0
+    } catch { case _: Throwable => -1.0 }
     // pre-build the k-means cells frame (q142/q155/q208 probe it):
     // one 3-iteration Lloyd train per embeddings snapshot. 0 = reused,
     // -1 = failed.
@@ -394,7 +463,8 @@ object Bench {
         SparkEntry.annGtFor(spark, sfDir),
         SparkEntry.ahashFor(spark, sfDir),
         SparkEntry.kmCellsFor(spark, sfDir),
-        SparkEntry.phraseIdxFor(spark, sfDir))
+        SparkEntry.phraseIdxFor(spark, sfDir),
+        SparkEntry.textRankFor(spark, sfDir))
         .foreach { d =>
           try touch(new java.io.File(d))
           catch { case _: Throwable => () }
@@ -402,7 +472,7 @@ object Bench {
       pretouchMb = bytes / 1e6
       (System.nanoTime() - touchT0) / 1e9
     } catch { case _: Throwable => -1.0 }
-    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"props_build_sec":${dec(propsBuildSec, 2)},"gt_build_sec":${dec(gtBuildSec, 2)},"ah_build_sec":${dec(ahBuildSec, 2)},"tok_build_sec":${dec(tokBuildSec, 2)},"arm_build_sec":${dec(armBuildSec, 2)},"km_build_sec":${dec(kmBuildSec, 2)},"post_build_sec":${dec(postBuildSec, 2)},"pretouch_sec":${dec(pretouchSec, 2)},"pretouch_mb":${dec(pretouchMb, 1)},"sf":${jsonStr(sfDir)}}""")
+    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"props_build_sec":${dec(propsBuildSec, 2)},"gt_build_sec":${dec(gtBuildSec, 2)},"ah_build_sec":${dec(ahBuildSec, 2)},"tok_build_sec":${dec(tokBuildSec, 2)},"arm_build_sec":${dec(armBuildSec, 2)},"km_build_sec":${dec(kmBuildSec, 2)},"post_build_sec":${dec(postBuildSec, 2)},"tr_build_sec":${dec(trBuildSec, 2)},"pretouch_sec":${dec(pretouchSec, 2)},"pretouch_mb":${dec(pretouchMb, 1)},"sf":${jsonStr(sfDir)}}""")
 
     // a probe must never abort the run: a broken environment (e.g.
     // missing data dir) should still produce BENCH_META, per-query
@@ -449,6 +519,13 @@ object Bench {
     recordCal()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-query contention samples (load average + system disk-read
+    // delta over exactly the measured span): the prevSectors baseline
+    // is re-read AFTER the inter-query housekeeping (unpersist, GC,
+    // calibration probes — calIo alone writes+reads ~4 MB) so probe
+    // I/O is never attributed to the next query's delta
+    val envSamples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var prevSectors = diskSectorsRead()
     // NUMERIC sort on the qNN prefix: plain lexicographic order puts
     // q100–q111 between q09 and q10 ("0" < "_"), which silently
     // shifted every calibration-probe position once 3-digit queries
@@ -465,6 +542,10 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val sectors = diskSectorsRead()
+        envSamples += ((loadAvg,
+          if (sectors < 0 || prevSectors < 0) -1.0
+          else (sectors - prevSectors) * 512.0 / 1e6))
         dropAllState()
         if (dt > 5.0) System.gc()
         // every-30 cadence plus a dedicated post-q41 probe (every-20
@@ -472,9 +553,11 @@ object Bench {
         // by the growing main line's share of the artifact window; the
         // q41 bracket survives because its probe is cadence-independent)
         if ((i + 1) % 30 == 0 || name.startsWith("q41")) recordCal()
+        prevSectors = diskSectorsRead()
         name -> dt
       }
     recordCal()
+    val (envLoad, envIo) = envDigits(envSamples.toSeq)
 
     val qs = queriesJson(results)
     // DECISECOND integers, display-capped at 99 (a ≥ 9.9 s probe is
@@ -532,9 +615,9 @@ object Bench {
       "pq" -> pqBuildSec, "fam" -> famBuildSec, "props" -> propsBuildSec,
       "gt" -> gtBuildSec, "ah" -> ahBuildSec, "tok" -> tokBuildSec,
       "arm" -> armBuildSec, "km" -> kmBuildSec, "post" -> postBuildSec,
-      "touch" -> pretouchSec)
+      "tr" -> trBuildSec, "touch" -> pretouchSec)
       .map { case (k, v) => jsonStr(k) + ":" + qnum(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${dec(total, 3)},"unit":"sec","enc":"queries[i]=deciseconds of query i+1, capped 999","queries":$qs,"slowest_sec":$slow,"q41_fit_sec":${dec(fitSec, 2)},"builds_sec":$buildsJson$errs,"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")
+    println(s"""{"metric":"total","value":${dec(total, 3)},"unit":"sec","enc":"queries[i]=deciseconds of query i+1, capped 999; el/eio=per-5-query max load (cap 9) / log2 MB disk read","queries":$qs,"slowest_sec":$slow,"el":${jsonStr(envLoad)},"eio":${jsonStr(envIo)},"q41_fit_sec":${dec(fitSec, 2)},"builds_sec":$buildsJson$errs,"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")
   }
 }

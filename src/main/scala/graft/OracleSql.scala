@@ -4384,7 +4384,8 @@ object OracleSql {
       ("q248_ahash_hot_blocks" -> ahashHotBlocksSql) +
       ("q249_neardup_sources" -> nearDupSourcesSql) +
       ("q250_budget_epochs" -> budgetEpochsSql) +
-      ("q251_guarded_clean" -> guardedCleanSql)
+      ("q251_guarded_clean" -> guardedCleanSql) +
+      ("q252_guard_delta" -> guardDeltaSql)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs
@@ -4451,6 +4452,46 @@ object OracleSql {
         |SELECT d.doc_id, v.cluster_id, coalesce(v.action, 'keep_unique') AS action
         |FROM documents d LEFT JOIN v USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
+
+  /** q252: q251's verdict CTEs verbatim, rolled up per source —
+    * drops vs guard-spared non-root members, integer-bp share with a
+    * zero-denominator CASE.
+    */
+  private def guardDeltaSql: String =
+    "WITH RECURSIVE " + shingleCascade("documents") + ",\n" + jaccardVerify + ",\n" +
+      """pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM und
+        |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |e AS (SELECT l.cluster_id FROM pairs p JOIN lab l ON p.id_a = l.doc_id),
+        |ea AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+        |  FROM e GROUP BY 1),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM lab GROUP BY 1),
+        |dens AS (SELECT cluster_id,
+        |  CAST((n_edges * 2 * 10000) // (n_docs * (n_docs - 1)) AS BIGINT) AS density_bp
+        |  FROM sz JOIN ea USING (cluster_id)),
+        |v AS (SELECT lab.doc_id, lab.cluster_id,
+        |  CASE WHEN dens.density_bp < 5000 THEN 'keep_guarded'
+        |       WHEN lab.doc_id = lab.cluster_id THEN 'keep_canonical'
+        |       ELSE 'drop_dup' END AS action
+        |  FROM lab JOIN dens USING (cluster_id)),
+        |g AS (SELECT d.doc_id, d.source, v.cluster_id,
+        |  coalesce(v.action, 'keep_unique') AS action
+        |  FROM documents d LEFT JOIN v USING (doc_id)),
+        |r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN action = 'drop_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN action = 'keep_guarded' AND doc_id <> cluster_id
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spared
+        |  FROM g GROUP BY 1)
+        |SELECT source, n_docs, n_dropped, n_spared,
+        |CAST(CASE WHEN n_dropped + n_spared = 0 THEN 0
+        |  ELSE (n_spared * 10000) // (n_dropped + n_spared) END AS BIGINT)
+        |  AS spared_share_bp
+        |FROM r ORDER BY source""".stripMargin
 
   /** q249: q240's recursive CC labels joined to sources, then q102's
     * matrix SQL over (cluster, source) counts.

@@ -385,9 +385,14 @@ object SparkEntry {
       Dedup.prefixJaccardJoinCached(Tables.documents(s, d), ccCascadeFor(s, d))),
     // PSI distribution drift of each source vs the corpus
     "q136_psi_drift"       -> ((s, d) => RobustStats.psiDrift(Tables.documents(s, d))),
-    // TextRank keywords: PageRank over the token co-occurrence graph
+    // TextRank keywords: PageRank over the token co-occurrence graph,
+    // probing the materialized converged ranks (built once per corpus
+    // snapshot from the materialized token-tf frame)
     "q137_textrank"        -> ((s, d) =>
-      TextAnalysis.textRankCached(Tables.documents(s, d), tokenTfFor(s, d))),
+      TextAnalysis.textRankMaterialized(Tables.documents(s, d),
+        textRankFor(s, d),
+        tf = Some(TextAnalysis.tokenTfCached(Tables.documents(s, d),
+          tokenTfFor(s, d))))),
     // BM25 top-k retrieval: first 8 docs as queries, inverted-index probe
     "q138_bm25_topk"       -> ((s, d) =>
       TextAnalysis.bm25TopKCached(Tables.documents(s, d), armsFor(s, d))),
@@ -760,7 +765,11 @@ object SparkEntry {
     // q245's cohesion audit ACTED ON: canonical cleaning that spares
     // suspected chain-merge clusters (density below the floor)
     "q251_guarded_clean"    -> ((s, d) =>
-      Dedup.guardedCanonicalClean(Tables.documents(s, d), ccCascadeFor(s, d)))
+      Dedup.guardedCanonicalClean(Tables.documents(s, d), ccCascadeFor(s, d))),
+    // q251's action column closed as the review-facing delta: per
+    // source, docs the clean drops vs docs the cohesion guard spared
+    "q252_guard_delta"      -> ((s, d) =>
+      Dedup.guardDelta(Tables.documents(s, d), ccCascadeFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair
@@ -903,6 +912,20 @@ object SparkEntry {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_post_${new java.io.File(d).getName}_$ph").getAbsolutePath
     TextAnalysis.phraseIndexDir(s, s"$d/documents.parquet", base)
+  }
+
+  /** Content-addressed home of the documents table's materialized
+    * converged TextRank frame
+    * ([[graft.operators.TextAnalysis.prebuildTextRank]]) — q137 probes
+    * it instead of re-running the 10 damped iterations per invocation.
+    */
+  private[graft] def textRankFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_tr_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    TextAnalysis.textRankDir(s, s"$d/documents.parquet", base)
   }
 
   /** Content-addressed home of the embeddings table's exact graded ANN

@@ -202,10 +202,14 @@ object CorpusPipeline {
     val sharded = budgetMult match {
       case Some(m) =>
         val withSrc = shipped.join(docs.select("doc_id", "source"), Seq("doc_id"))
-        val maxEpoch = TrainingData.dataBudgetPlan(withSrc, m)
+        // max over an EMPTY plan (every earlier stage dropped every
+        // doc) is null — guard it so the degenerate run writes empty
+        // shards instead of NPE-ing on getLong
+        val maxRow = TrainingData.dataBudgetPlan(withSrc, m)
           .agg(org.apache.spark.sql.functions
             .max(org.apache.spark.sql.functions.expr(
-              "CAST(epochs_q4 div 10000 AS BIGINT)"))).head().getLong(0) + 1L
+              "CAST(epochs_q4 div 10000 AS BIGINT)"))).head()
+        val maxEpoch = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 1L
         val mult = java.lang.Long.highestOneBit(math.max(maxEpoch, 1L)) * 4L
         TrainingData.epochExpandedDocs(withSrc, m)
           .join(shipped.select("doc_id", "text"), Seq("doc_id"))

@@ -36,9 +36,17 @@ object ContentAddress {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** `tag` labels error messages with the calling operator. */
+  /** `tag` labels error messages with the calling operator.
+    * `legacyPrefixes` names prefixes this artifact family PREVIOUSLY
+    * published under (e.g. `ah_` before the width was baked in as
+    * `ah_b48_`): their sibling dirs are pruned too, so a prefix rename
+    * cannot orphan old-prefix artifacts and leak tmp space on machines
+    * that built under the old name — the bounded-footprint invariant
+    * covers the family's whole history, not just its current prefix.
+    */
   def dirFor(spark: SparkSession, dataPath: String, base: String,
-             prefix: String, tag: String): String = {
+             prefix: String, tag: String,
+             legacyPrefixes: Seq[String] = Nil): String = {
     val p = new org.apache.hadoop.fs.Path(dataPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"$tag: no corpus at $dataPath")
@@ -61,9 +69,15 @@ object ContentAddress {
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val dir = new java.io.File(base, s"$prefix$h")
     val baseDir = new java.io.File(base)
+    // a legacy name must be EXACTLY legacyPrefix + 16-hex hash: a bare
+    // startsWith would also eat a current dir whose parameterized
+    // prefix extends the legacy one (arms_ vs arms_n4k5v1_)
+    def isLegacy(n: String) = legacyPrefixes.exists(lp =>
+      n.length == lp.length + 16 && n.startsWith(lp) &&
+        n.drop(lp.length).forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
     if (baseDir.isDirectory)
-      baseDir.listFiles().filter(f => f.isDirectory &&
-          f.getName.startsWith(prefix) && f.getName != dir.getName)
+      baseDir.listFiles().filter(f => f.isDirectory && f.getName != dir.getName &&
+          (f.getName.startsWith(prefix) || isLegacy(f.getName)))
         .foreach(stale => org.apache.commons.io.FileUtils.deleteQuietly(stale))
     dir.getAbsolutePath
   }

@@ -1590,25 +1590,28 @@ object Dedup {
     */
   def prebuildCascade(docs: DataFrame, dir: String,
                       threshold: Double = 0.2, bands: Int = 4): Boolean = {
-    val candDir = new java.io.File(dir, "cand")
-    val pairsDir = new java.io.File(dir, "pairs")
-    val labelsDir = new java.io.File(dir, "labels")
-    def committed(d: java.io.File) = graft.engine.ContentAddress
-      .hasSuccess(docs.sparkSession, d.getAbsolutePath)
+    // sub-paths via string interpolation, NOT java.io.File: File
+    // mangles a URI base (hdfs://x -> /cwd/hdfs:/x), which would pin
+    // these prebuilds to the local FS despite hasSuccess's portability
+    val candDir = s"$dir/cand"
+    val pairsDir = s"$dir/pairs"
+    val labelsDir = s"$dir/labels"
+    def committed(d: String) = graft.engine.ContentAddress
+      .hasSuccess(docs.sparkSession, d)
     val candFresh = !committed(candDir)
     if (candFresh)
       minhashCandidatePairs(docs, bands)
-        .write.mode("overwrite").parquet(candDir.getAbsolutePath)
+        .write.mode("overwrite").parquet(candDir)
     val pairsFresh = !committed(pairsDir)
     if (pairsFresh)
       nearDupPairs(docs, threshold, bands)
-        .write.mode("overwrite").parquet(pairsDir.getAbsolutePath)
+        .write.mode("overwrite").parquet(pairsDir)
     val labelsFresh = !committed(labelsDir)
     if (labelsFresh)
       dupClustersFromPairs(
-          docs.sparkSession.read.parquet(pairsDir.getAbsolutePath)
+          docs.sparkSession.read.parquet(pairsDir)
             .select("id_a", "id_b"))
-        .write.mode("overwrite").parquet(labelsDir.getAbsolutePath)
+        .write.mode("overwrite").parquet(labelsDir)
     // the exact set-similarity family's shared scan-side frame
     // (threshold-independent: 60-bit hashed distinct shingle sets)
     val shFresh = prebuildShingleSets(docs, dir)
@@ -1626,12 +1629,12 @@ object Dedup {
     * happened.
     */
   def prebuildShingleSets(docs: DataFrame, dir: String): Boolean = {
-    val shDir = new java.io.File(dir, "shsets")
+    val shDir = s"$dir/shsets"
     val shFresh = !graft.engine.ContentAddress
-      .hasSuccess(docs.sparkSession, shDir.getAbsolutePath)
+      .hasSuccess(docs.sparkSession, shDir)
     if (shFresh) {
       val sh = hashedShingleSets(docs)
-      sh.write.mode("overwrite").parquet(shDir.getAbsolutePath)
+      sh.write.mode("overwrite").parquet(shDir)
       sh.unpersist(blocking = false)
     }
     shFresh
@@ -1662,11 +1665,11 @@ object Dedup {
     */
   private def cachedFamilyPairs(docs: DataFrame, dir: String, sub: String)
                                (build: => DataFrame): DataFrame = {
-    val pdir = new java.io.File(dir, sub)
+    val pdir = s"$dir/$sub"
     if (!graft.engine.ContentAddress
-        .hasSuccess(docs.sparkSession, pdir.getAbsolutePath))
-      build.write.mode("overwrite").parquet(pdir.getAbsolutePath)
-    docs.sparkSession.read.parquet(pdir.getAbsolutePath)
+        .hasSuccess(docs.sparkSession, pdir))
+      build.write.mode("overwrite").parquet(pdir)
+    docs.sparkSession.read.parquet(pdir)
   }
 
   /** Build every pair-family frame the queries probe iff missing
@@ -1881,6 +1884,39 @@ object Dedup {
       .withColumn("action", coalesce(col("action"), lit("keep_unique")))
       .orderBy("doc_id")
   }
+
+  /** q252: the guard's DELTA report — per source, what
+    * [[guardedCanonicalClean]] actually changed vs an unguarded
+    * canonical clean: `n_dropped` documents the clean removes,
+    * `n_spared` documents the cohesion guard rescued (keep_guarded
+    * members that are NOT their cluster's root — exactly the rows an
+    * unguarded clean would have dropped), and the guard's share of
+    * the would-be drops in exact basis points. This is the number a
+    * curation review asks before trusting the floor: "how much data
+    * did the chain-merge guard keep, and from where?"
+    *
+    * Exactness: pure integer counts; the share is integer `div` with
+    * a zero-denominator CASE (a source with no clustered docs reads
+    * 0). Scale: rides the materialized labels + the #clusters-bounded
+    * density aggregate (never a cascade re-run); the rollup is
+    * #sources rows.
+    */
+  def guardDelta(docs: DataFrame, dir: String,
+                 densityFloorBp: Long = 5000L): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(guardedCanonicalClean(docs, dir, densityFloorBp), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("action") === "drop_dup", 1L).otherwise(0L))
+          .cast("bigint").as("n_dropped"),
+        sum(when(col("action") === "keep_guarded" &&
+            col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .cast("bigint").as("n_spared"))
+      .withColumn("spared_share_bp",
+        when(col("n_dropped") + col("n_spared") === 0L, lit(0L))
+          .otherwise(expr(
+            "CAST((n_spared * 10000) div (n_dropped + n_spared) AS BIGINT)")))
+      .orderBy("source")
 
   /** q240: duplication level × quality interaction — the curation
     * diagnostic behind the "duplicates are disproportionately

@@ -90,7 +90,7 @@ object Multimodal {
     // convention) — a width change re-addresses rather than serving
     // stale 48-bit frames
     graft.engine.ContentAddress.dirFor(spark, dataPath, base, "ah_b48_",
-      "ahashDir")
+      "ahashDir", legacyPrefixes = Seq("ah_"))
 
   /** Build the materialized signature frame under `dir/sig` iff
     * missing (`_SUCCESS`-gated, the prebuildCascade contract). Returns

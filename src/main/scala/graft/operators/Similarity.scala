@@ -660,7 +660,7 @@ object Similarity {
     // cascadeDir convention) — a panel change re-addresses, never
     // serves a stale ground truth
     graft.engine.ContentAddress.dirFor(spark, dataPath, base, "anngt_n8k10_",
-      "annGtDir")
+      "annGtDir", legacyPrefixes = Seq("anngt_"))
 
   /** Build the materialized ground truth under `dir/rel` iff missing
     * (`_SUCCESS`-gated, the prebuildCascade contract). Returns true
@@ -1100,11 +1100,13 @@ object Similarity {
     */
   def prebuildPqIndex(emb: DataFrame, dir: String, m: Int = 2, k: Int = 4,
                       iters: Int = 3): Boolean = {
-    val codesDir = new java.io.File(dir, "codes")
-    val booksDir = new java.io.File(dir, "books")
+    // interpolated sub-paths (not java.io.File): File mangles a URI
+    // base (hdfs://x -> /cwd/hdfs:/x) and would pin the prebuild local
+    val codesDir = s"$dir/codes"
+    val booksDir = s"$dir/books"
     val fresh =
-      !graft.engine.ContentAddress.hasSuccess(emb.sparkSession, codesDir.getAbsolutePath) ||
-      !graft.engine.ContentAddress.hasSuccess(emb.sparkSession, booksDir.getAbsolutePath)
+      !graft.engine.ContentAddress.hasSuccess(emb.sparkSession, codesDir) ||
+      !graft.engine.ContentAddress.hasSuccess(emb.sparkSession, booksDir)
     if (fresh) {
       val parts = (0 until m).map { s =>
         val sub = emb.select(col("vec_id"),
@@ -1119,9 +1121,9 @@ object Similarity {
         (codes, books)
       }
       parts.map(_._1).reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(codesDir.getAbsolutePath)
+        .write.mode("overwrite").parquet(codesDir)
       parts.map(_._2).reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(booksDir.getAbsolutePath)
+        .write.mode("overwrite").parquet(booksDir)
     }
     fresh
   }

@@ -594,7 +594,30 @@ object TextAnalysis {
     textRankFrom(tokenTfCached(docs, dir), vocab, iters, damping, topK)
 
   private def textRankFrom(tfFrame: DataFrame, vocab: Int, iters: Int,
-                           damping: Double, topK: Int): DataFrame = {
+                           damping: Double, topK: Int): DataFrame =
+    textRankFinish(textRankRanksFrom(tfFrame, vocab, iters, damping), topK)
+
+  /** The probe-side projection shared by the self-computing and
+    * materialized paths: round(4) + contract ordering + the top-k cut.
+    * Rounding happens HERE (not at build time) so the materialized
+    * frame stores the raw converged doubles — parquet roundtrips IEEE
+    * doubles exactly, so both paths hash identically at any `topK`.
+    */
+  private def textRankFinish(ranks: DataFrame, topK: Int): DataFrame =
+    ranks
+      .select(col("term"), col("df"), round(col("r"), 4).as("score"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(topK)
+
+  /** The converged (term, df, r) rank frame for ALL `vocab` nodes —
+    * the family's sufficient statistic (the km-cells discipline): the
+    * 10 damped join+aggregate rounds are a pure function of the corpus
+    * (fixed iteration count, IEEE-pinned constants), so production
+    * runs them once per corpus snapshot and every keyword report probes
+    * the ≤-`vocab`-row result.
+    */
+  private def textRankRanksFrom(tfFrame: DataFrame, vocab: Int, iters: Int,
+                                damping: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val docTokens = tfFrame.select("doc_id", "term")
     val dfreq = docTokens.groupBy("term").agg(count(lit(1)).as("df"))
@@ -640,10 +663,54 @@ object TextAnalysis {
       // arithmetic DAG, and therefore every double, is unchanged
       if (i % 2 == 0 || i == iters) r = r.localCheckpoint(true)
     }
-    top.join(r, "term")
-      .select(col("term"), col("df"), round(col("r"), 4).as("score"))
-      .orderBy(col("score").desc, col("term").asc)
-      .limit(topK)
+    top.join(r, "term").select(col("term"), col("df"), col("r"))
+  }
+
+  /** Content-addressed home of one corpus' materialized converged
+    * TextRank frame — the [[phraseIndexDir]] discipline applied to the
+    * suite's last per-run iterative computation: the 10 damped rounds
+    * are deterministic given the corpus (fixed iteration count,
+    * IEEE-pinned constants), so they run once per corpus snapshot. The
+    * prefix bakes (vocab, damping·100, iters) in, so a constant change
+    * re-addresses instead of serving stale ranks.
+    */
+  def textRankDir(spark: org.apache.spark.sql.SparkSession,
+                  dataPath: String, base: String, vocab: Int = 50,
+                  iters: Int = 10, damping: Double = 0.85): String =
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base,
+      s"tr_v${vocab}d${math.rint(damping * 100).toInt}i${iters}_",
+      "textRankDir")
+
+  /** Build the materialized converged-rank frame under `dir/ranks` iff
+    * missing (`_SUCCESS`-gated through the Hadoop FS). `tf` lets the
+    * bench warm-up feed the already-materialized token-tf frame so the
+    * one-time build is itself a probe of that frame, not a corpus
+    * re-tokenization. Returns true iff a build happened
+    * (`tr_build_sec` accounting).
+    */
+  def prebuildTextRank(docs: DataFrame, dir: String,
+                       tf: Option[DataFrame] = None, vocab: Int = 50,
+                       iters: Int = 10, damping: Double = 0.85): Boolean = {
+    val rDir = s"$dir/ranks"
+    val fresh = !graft.engine.ContentAddress.hasSuccess(docs.sparkSession, rDir)
+    if (fresh)
+      textRankRanksFrom(tf.getOrElse(tokenTf(docs)), vocab, iters, damping)
+        .write.mode("overwrite").parquet(rDir)
+    fresh
+  }
+
+  /** [[textRank]] probing the materialized converged ranks: a ≤-vocab
+    * row parquet scan + round + sort + limit — no graph build, no
+    * iteration at probe time (spec-asserted ≡ self-computing; the raw
+    * doubles roundtrip parquet exactly, so the round-4 scores match at
+    * any `topK ≤ vocab`).
+    */
+  def textRankMaterialized(docs: DataFrame, dir: String,
+                           tf: Option[DataFrame] = None, vocab: Int = 50,
+                           iters: Int = 10, damping: Double = 0.85,
+                           topK: Int = 20): DataFrame = {
+    prebuildTextRank(docs, dir, tf, vocab, iters, damping)
+    textRankFinish(docs.sparkSession.read.parquet(s"$dir/ranks"), topK)
   }
 
   /** BM25 top-k retrieval (Robertson–Spärck Jones; the Lucene
@@ -1610,7 +1677,8 @@ object TextAnalysis {
     // behind the v1 tag) — the cascadeDir cc${t}b${bands}_ convention,
     // so a constant change re-addresses instead of serving stale frames
     graft.engine.ContentAddress.dirFor(spark, dataPath, base,
-      s"arms_n${armNQueries}k${armK}v1_", "retrievalArmsDir")
+      s"arms_n${armNQueries}k${armK}v1_", "retrievalArmsDir",
+      legacyPrefixes = Seq("arms_"))
 
   /** Build the materialized arm frames under `dir/{bm25,tfidf,hybrid,
     * rel}` iff missing (per-frame `_SUCCESS` gates — resumable, the

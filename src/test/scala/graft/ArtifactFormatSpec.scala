@@ -71,8 +71,11 @@ class ArtifactFormatSpec extends AnyFunSuite {
     val qs = Bench.queriesJson(worst)
     val slow = Bench.slowestJson(worst)        // capped at 8 entries
     // builds_sec at worst case: every build re-ran at the display cap
-    val builds = """{"ivf":999,"cc":999,"sh":999,"pq":999,"fam":999,"props":999,"gt":999,"ah":999,"tok":999,"arm":999,"touch":999}"""
-    val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","enc":"queries[i]=deciseconds of query i+1, capped 999","queries":$qs,"slowest_sec":$slow,"q41_fit_sec":999.99,"builds_sec":$builds,"errs":99,"sf":"sf0.1"}"""
+    val builds = """{"ivf":999,"cc":999,"sh":999,"pq":999,"fam":999,"props":999,"gt":999,"ah":999,"tok":999,"arm":999,"km":999,"post":999,"tr":999,"touch":999}"""
+    // contention digit strings: one char per 5-query block
+    val envLen = (names.size + 4) / 5
+    val el = "9" * envLen
+    val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","enc":"queries[i]=deciseconds of query i+1, capped 999; el/eio=per-5-query max load (cap 9) / log2 MB disk read","queries":$qs,"slowest_sec":$slow,"el":"$el","eio":"$el","q41_fit_sec":999.99,"builds_sec":$builds,"errs":99,"sf":"sf0.1"}"""
     // probe count follows Bench's cadence: start + every-30 + the
     // dedicated post-q41 probe + final — derive it from the REAL
     // query count so growth can't silently outrun the model
@@ -91,6 +94,33 @@ class ArtifactFormatSpec extends AnyFunSuite {
     // slowest dict keeps bare-number keys
     assert(qs.startsWith("[") && qs.endsWith("]"), qs.take(40))
     assert(slow.contains("\"") && !slow.contains("\"q"), slow)
+  }
+
+  test("envDigits compresses per-query samples into capped block digits") {
+    // 7 queries -> 2 blocks; block 1: max load 3.6 -> '4', io 2+5+0+1+7=15 MB -> log2(16)=4
+    val samples = Seq((1.0, 2.0), (3.6, 5.0), (2.0, 0.0), (0.4, 1.0),
+      (1.0, 7.0), (0.2, 600.0), (0.1, 0.0))
+    val (el, eio) = Bench.envDigits(samples)
+    assert(el == "40", el)  // block 2: max load 0.2 rounds to 0
+    assert(eio == "49", eio)  // block 2: 600 MB -> log2(601)=9.2 -> capped 9
+    // an all-failed block reads '-', never a fake zero; a block with
+    // any valid load sample still reports it (max skips the -1)
+    val (el2, eio2) = Bench.envDigits(Seq((-1.0, -1.0)))
+    assert(el2 == "-" && eio2 == "-")
+    val (el3, eio3) = Bench.envDigits(Seq((-1.0, -1.0), (2.0, 3.0)))
+    assert(el3 == "2" && eio3 == "-")
+    // load caps at 9 even on a thrashing box
+    assert(Bench.envDigits(Seq((40.0, 1e9)))._1 == "9")
+    assert(Bench.envDigits(Seq((40.0, 1e9)))._2 == "9")
+  }
+
+  test("diskSectorsRead returns a positive monotone counter on Linux, -1 elsewhere") {
+    val a = Bench.diskSectorsRead()
+    if (new java.io.File("/proc/diskstats").canRead) {
+      assert(a > 0, s"expected positive sectors-read, got $a")
+      val b = Bench.diskSectorsRead()
+      assert(b >= a, s"counter went backwards: $a -> $b")
+    } else assert(a == -1L)
   }
 
   test("queriesJson falls back to the dict when query numbers have gaps") {

@@ -83,6 +83,28 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
       "q196 phrase search: cached and self-computed runs diverge")
   }
 
+  test("textRank cached twin: materialized converged ranks ≡ self-computed") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-tr").toString
+    val dir = TextAnalysis.textRankDir(
+      spark, s"$sfDir/documents.parquet", base)
+    assert(TextAnalysis.prebuildTextRank(docs, dir),
+      "first touch must build")
+    assert(!TextAnalysis.prebuildTextRank(docs, dir),
+      "second touch must reuse")
+    val cached = TextAnalysis.textRankMaterialized(docs, dir)
+    val self = TextAnalysis.textRank(docs)
+    assert(cached.exceptAll(self).count() == 0 &&
+      self.exceptAll(cached).count() == 0,
+      "q137 textRank: materialized and self-computed runs diverge")
+    // a sub-vocab topK cut is a row filter on identically-built ranks
+    val cut = TextAnalysis.textRankMaterialized(docs, dir, topK = 7)
+    val selfCut = TextAnalysis.textRank(docs, topK = 7)
+    assert(cut.exceptAll(selfCut).count() == 0 &&
+      selfCut.exceptAll(cut).count() == 0,
+      "q137 textRank topK=7: materialized and self-computed runs diverge")
+  }
+
   test("armAgreement: the bm25~tfidf cell IS q213; all cells inside the RBO envelope") {
     val docs = Tables.documents(spark, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft-agree").toString

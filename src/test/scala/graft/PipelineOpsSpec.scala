@@ -670,6 +670,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ContentAddress legacy prefixes: old-format dirs pruned, parameterized siblings survive") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-ca-leg").toString
+    Seq((1L, "a", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(corpusDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-ca-base").toString
+    // a pre-rename artifact (bare family prefix + 16-hex hash), a
+    // DIFFERENTLY-PARAMETERIZED current-format dir, and a non-hash
+    // name that merely shares the stem
+    val legacy = new java.io.File(base, "ah_" + "0123456789abcdef")
+    val otherParam = new java.io.File(base, "ah_b32_" + "0123456789abcdef")
+    val stemOnly = new java.io.File(base, "ah_readme")
+    Seq(legacy, otherParam, stemOnly).foreach(d => assert(d.mkdirs()))
+    val dir = graft.operators.Multimodal.ahashDir(spark, corpusDir, base)
+    assert(dir.contains("ah_b48_"), dir)
+    assert(!legacy.exists(), "pre-rename ah_ artifact must be pruned")
+    assert(otherParam.exists(), "a different parameterization must survive")
+    assert(stemOnly.exists(), "a non-hash name sharing the stem must survive")
+    // and a superseded CURRENT-prefix sibling is pruned as before
+    val stale = new java.io.File(base, "ah_b48_" + "fedcba9876543210")
+    assert(stale.mkdirs())
+    graft.operators.Multimodal.ahashDir(spark, corpusDir, base)
+    assert(!stale.exists(), "superseded current-prefix revision must be pruned")
+  }
+
   test("exact-family cached wrappers never commit LSH tiers into another setting's dir") {
     import spark.implicits._
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-cc-exact").toString
@@ -1172,6 +1197,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     val denseCanon = byAction.getOrElse("keep_canonical", Array.empty)
     denseCanon.foreach(x => assert(x.getLong(0) == x.getLong(1),
       "canonical must be the cluster root"))
+  }
+
+  test("guardDelta: planted chain/clique split per source; corpus totals reconcile with the verdicts") {
+    import spark.implicits._
+    // source a: a 5-path (E=4, density 4000 bp < the 5000 default) —
+    // guarded, so its 4 non-root members are exactly the spared set;
+    // source b: a 2-clique (10000 bp) cleans normally + one unique doc
+    val fix = Seq.tabulate(8)(i =>
+        ((i + 1).toLong, s"fixture body text number ${i + 1}", "en",
+          if (i < 5) "a" else "b", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gd").toString
+    Seq((1L, 2L, 0.5), (2L, 3L, 0.5), (3L, 4L, 0.5), (4L, 5L, 0.5),
+        (6L, 7L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+        (6L, 6L), (7L, 6L))
+      .toDF("doc_id", "cluster_id")
+      .write.mode("overwrite").parquet(s"$dir/labels")
+    val res = Dedup.guardDelta(fix, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(res("a") == ((5L, 0L, 4L, 10000L)), res.toString)
+    assert(res("b") == ((3L, 1L, 0L, 0L)), res.toString)
+    // corpus: the per-source rollup reconciles exactly with the
+    // verdict frame it rides on
+    val base = java.nio.file.Files.createTempDirectory("graft-gd-c").toString
+    val cdir = Dedup.cascadeDir(
+      spark, s"${SparkTestSession.sfDir}/documents.parquet", base)
+    val delta = Dedup.guardDelta(documents, cdir).collect()
+    val verdicts = Dedup.guardedCanonicalClean(documents, cdir)
+      .join(documents.select("doc_id", "source"), Seq("doc_id")).collect()
+    assert(delta.map(_.getLong(1)).sum == documents.count())
+    assert(delta.map(_.getLong(2)).sum ==
+      verdicts.count(_.getString(2) == "drop_dup"))
+    assert(delta.map(_.getLong(3)).sum ==
+      verdicts.count(x => x.getString(2) == "keep_guarded" &&
+        x.getLong(0) != x.getLong(1)))
+    delta.foreach { r =>
+      val share = r.getLong(4)
+      assert(share >= 0 && share <= 10000, r.toString)
+      if (r.getLong(2) + r.getLong(3) > 0)
+        assert(share ==
+          r.getLong(3) * 10000 / (r.getLong(2) + r.getLong(3)), r.toString)
+    }
   }
 
   test("cleaningPipelineClustered cohesionFloorBp: guarded clusters keep all members; floor 0 ≡ default") {

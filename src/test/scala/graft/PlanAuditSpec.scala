@@ -657,13 +657,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
-  test("textRank: final plan reads the checkpointed vocab-bounded ranks") {
-    // iterations run EAGERLY over localCheckpoint leaves (q68-CC
-    // style) — the returned plan is a shallow join over materialized
-    // RDDs, never a 10-join-deep DAG
+  test("textRank probe reads the materialized converged ranks — no graph, no iteration") {
+    // the round-15 materialization (the q142/q196 discipline): the 10
+    // damped rounds run once per corpus snapshot at prebuild; the
+    // probe is a ≤-vocab-row parquet scan + round + TopK — no join,
+    // no aggregate, no Generate, no window anywhere in the plan
     val p = plan("q137_textrank")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("ExistingRDD"), p)
+    assert(p.contains("Scan parquet") || p.contains("FileScan"), p)
+    assert(!p.contains("Join"), s"q137 rebuilds the graph in the probe:\n$p")
+    assert(!p.contains("HashAggregate"), s"q137 iterates in the probe:\n$p")
+    assert(!p.contains("Generate"), s"q137 re-tokenizes in the probe:\n$p")
   }
 
   test("bm25/hybrid probes scan the materialized arm — no ranking window, no text parse") {

@@ -204,6 +204,61 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rd.kept == r0.kept, "DSIR must not change the upstream stages")
   }
 
+  test("CorpusPipeline production profile: gate→guarded dedup→budget epochs→shards; manifest pinned") {
+    import org.apache.spark.sql.types._
+    // the q250/q251 closed loops ON together — the composition a
+    // production run ships, not just the stages: guarded canonical
+    // cleaning + data-budget epoch expansion feeding the shard packer
+    val evalSet = docs.filter(col("doc_id") < 3)
+    val base = java.nio.file.Files.createTempDirectory("graft-cp-prod").toString
+    val m = 3
+    val r = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$base/shards", s"$base/jsonl", nShards = 2,
+      cohesionFloorBp = Some(5000L), budgetMult = Some(m))
+    assert(r.input >= r.gated && r.gated >= r.cleaned &&
+      r.cleaned >= r.kept && r.shipped > 0, s"$r")
+    // the JSONL export is the pre-expansion shipped set — reconstruct
+    // the expansion the pipeline performed from IT, not from pipeline
+    // internals, so the test pins observable behavior only
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val shippedIds = Tables.jsonl(spark, s"$base/jsonl", schema)
+      .select("doc_id")
+    assert(shippedIds.count() == r.shipped)
+    val withSrc = shippedIds
+      .join(docs.select("doc_id", "source", "text"), Seq("doc_id"))
+    // the synthetic-id multiplier, recomputed exactly as the pipeline
+    // derives it (power-of-two headroom over the plan's max epoch)
+    val maxRow = TrainingData.dataBudgetPlan(withSrc, m)
+      .agg(max(expr("CAST(epochs_q4 div 10000 AS BIGINT)"))).head()
+    val maxEpoch = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 1L
+    val mult = java.lang.Long.highestOneBit(math.max(maxEpoch, 1L)) * 4L
+    val expected = TrainingData.epochExpandedDocs(withSrc, m)
+    val shards = spark.read.parquet(s"$base/shards")
+    // id-collision freedom at the expanded budget: one shard row per
+    // (doc, pass), every synthetic id unique
+    assert(shards.count() == expected.count(), "shard rows != expanded (doc, pass) rows")
+    assert(shards.select("doc_id").distinct().count() == shards.count(),
+      "synthetic doc_ids collide")
+    // the shard manifest: decode (orig, epoch) from the synthetic id
+    // and pin row counts per source×epoch against the budget plan's
+    // own expansion
+    val manifest = shards
+      .select((col("doc_id") divide mult).cast("long").as("orig"),
+        (col("doc_id") % mult).cast("int").as("epoch"))
+      .join(docs.select(col("doc_id").as("orig"), col("source")), Seq("orig"))
+      .groupBy("source", "epoch").count()
+    val want = expected.groupBy("source", "epoch").count()
+    assert(manifest.exceptAll(want).count() == 0 &&
+      want.exceptAll(manifest).count() == 0,
+      "shard manifest diverges from the plan's source×epoch expansion")
+    // every decoded original shipped, and each carries its full text
+    val decoded = shards.select((col("doc_id") divide mult).cast("long").as("doc_id"))
+      .distinct()
+    assert(decoded.exceptAll(shippedIds).count() == 0,
+      "a shard row decodes to a document that never shipped")
+  }
+
   test("CorpusPipeline URL stage: gate runs first, report stays monotone, off = identity") {
     val evalSet = docs.filter(col("doc_id") < 3)
     val base = java.nio.file.Files.createTempDirectory("graft-cp-url").toString

@@ -4385,7 +4385,8 @@ object OracleSql {
       ("q249_neardup_sources" -> nearDupSourcesSql) +
       ("q250_budget_epochs" -> budgetEpochsSql) +
       ("q251_guarded_clean" -> guardedCleanSql) +
-      ("q252_guard_delta" -> guardDeltaSql)
+      ("q252_guard_delta" -> guardDeltaSql) +
+      ("q253_capped_budget" -> cappedBudgetSql)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs
@@ -4566,6 +4567,46 @@ object OracleSql {
       |CAST((alloc_tokens * 10000) // n_tokens AS BIGINT) AS epochs_q4,
       |CAST((alloc_tokens * 10000) // n_tokens AS BIGINT) > 40000 AS over_epoched
       |FROM c ORDER BY source""".stripMargin
+
+  /** q253: q247's plan CTEs verbatim, then cap → excess → one
+    * pro-rata redistribution round → re-cap → spill, all BIGINT `//`
+    * arithmetic (zero-denominator CASEs on the redistribution).
+    */
+  private def cappedBudgetSql: String =
+    """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |b AS (SELECT source, n_docs, n_tokens,
+      |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS r
+      |  FROM a),
+      |t AS (SELECT CAST(sum(r) AS BIGINT) AS rt,
+      |  CAST(sum(n_tokens) * 2 AS BIGINT) AS bt FROM b),
+      |c AS (SELECT source, n_tokens,
+      |  CAST((r * 10000) // rt AS BIGINT) AS weight_bp,
+      |  CAST((bt * ((r * 10000) // rt)) // 10000 AS BIGINT) AS alloc_tokens
+      |  FROM b, t),
+      |d AS (SELECT source, n_tokens, weight_bp, alloc_tokens,
+      |  CAST((20000 * n_tokens) // 10000 AS BIGINT) AS cap_tokens FROM c),
+      |e AS (SELECT *,
+      |  CASE WHEN alloc_tokens > cap_tokens THEN cap_tokens ELSE alloc_tokens END AS alloc_capped,
+      |  CASE WHEN alloc_tokens > cap_tokens THEN alloc_tokens - cap_tokens ELSE 0 END AS excess,
+      |  CASE WHEN alloc_tokens > cap_tokens THEN 0 ELSE weight_bp END AS uw
+      |  FROM d),
+      |s AS (SELECT CAST(sum(excess) AS BIGINT) AS et,
+      |  CAST(sum(uw) AS BIGINT) AS uwt FROM e),
+      |f AS (SELECT e.*,
+      |  CAST(CASE WHEN uw > 0 AND uwt > 0 THEN (et * uw) // uwt ELSE 0 END AS BIGINT) AS redistributed
+      |  FROM e, s),
+      |g AS (SELECT *,
+      |  CASE WHEN alloc_capped + redistributed > cap_tokens THEN cap_tokens
+      |       ELSE alloc_capped + redistributed END AS alloc_final
+      |  FROM f)
+      |SELECT source, n_tokens, weight_bp, alloc_tokens,
+      |alloc_tokens > cap_tokens AS was_capped,
+      |CAST(alloc_final AS BIGINT) AS alloc_final,
+      |CAST((alloc_final * 10000) // n_tokens AS BIGINT) AS epochs_final_q4,
+      |CAST(alloc_capped + redistributed - alloc_final AS BIGINT) AS spilled_tokens
+      |FROM g ORDER BY source""".stripMargin
 
   /** q245: q240's recursive CC labels + the verified pair list,
     * rolled up per cluster — density as exact integer basis points,

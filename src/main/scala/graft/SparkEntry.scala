@@ -769,7 +769,11 @@ object SparkEntry {
     // q251's action column closed as the review-facing delta: per
     // source, docs the clean drops vs docs the cohesion guard spared
     "q252_guard_delta"      -> ((s, d) =>
-      Dedup.guardDelta(Tables.documents(s, d), ccCascadeFor(s, d)))
+      Dedup.guardDelta(Tables.documents(s, d), ccCascadeFor(s, d))),
+    // q247's over-epoch flag ACTED ON: per-source epoch cap + one
+    // pro-rata redistribution round, spill reported
+    "q253_capped_budget"    -> ((s, d) =>
+      TrainingData.cappedBudgetPlan(Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

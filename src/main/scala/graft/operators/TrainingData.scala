@@ -382,6 +382,58 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** q253: q247's over-epoch flag ACTED ON — capped budget
+    * reallocation (the data-constrained-scaling discipline closed as
+    * an allocation, not just a warning): every source's allocation is
+    * capped at `capEpochsQ4`·10⁻⁴ epochs of its own tokens
+    * (Muennighoff et al. 2023 — repetition past the cap stops buying
+    * loss), the capped-off excess is redistributed to UNCAPPED
+    * sources pro rata by their plan weight in ONE round, the cap is
+    * re-applied after redistribution, and whatever the uncapped set
+    * cannot absorb is reported as per-source `spilled_tokens` (budget
+    * the mixture should return, not force into repetition). One round
+    * by design: a fixpoint loop hides the spill a planner needs to
+    * see; the default cap of 2 epochs (20000 q4) keeps one epoch of
+    * headroom under the 4-epoch folklore limit.
+    *
+    * Exactness: rides [[dataBudgetPlan]]'s integer grid — cap, excess,
+    * redistribution, and final epochs are all BIGINT `div` arithmetic;
+    * the one-round conservation law (Σfinal + Σspill = Σcapped +
+    * Σredist) is exact by construction. Scale: the q247 aggregate plus
+    * window sums over the #sources-row frame — bounded by the source
+    * vocabulary, never doc volume.
+    */
+  def cappedBudgetPlan(docs: DataFrame, budgetMult: Int = 2,
+                       capEpochsQ4: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    dataBudgetPlan(docs, budgetMult)
+      .withColumn("cap_tokens",
+        expr(s"CAST(($capEpochsQ4 * n_tokens) div 10000 AS BIGINT)"))
+      .withColumn("was_capped", col("alloc_tokens") > col("cap_tokens"))
+      .withColumn("alloc_capped",
+        least(col("alloc_tokens"), col("cap_tokens")))
+      .withColumn("excess",
+        (col("alloc_tokens") - col("alloc_capped")).cast("bigint"))
+      .withColumn("uw",
+        when(!col("was_capped"), col("weight_bp")).otherwise(lit(0L)))
+      .withColumn("et", sum("excess").over(w).cast("bigint"))
+      .withColumn("uwt", sum("uw").over(w).cast("bigint"))
+      .withColumn("redistributed",
+        when(col("uw") > 0 && col("uwt") > 0,
+          expr("CAST((et * uw) div uwt AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("alloc_final",
+        least(col("alloc_capped") + col("redistributed"), col("cap_tokens")))
+      .withColumn("spilled_tokens",
+        (col("alloc_capped") + col("redistributed") - col("alloc_final"))
+          .cast("bigint"))
+      .withColumn("epochs_final_q4",
+        expr("CAST((alloc_final * 10000) div n_tokens AS BIGINT)"))
+      .select("source", "n_tokens", "weight_bp", "alloc_tokens",
+        "was_capped", "alloc_final", "epochs_final_q4", "spilled_tokens")
+      .orderBy("source")
+  }
+
   /** q250: epoch expansion BY the [[dataBudgetPlan]] — the consumer
     * stage that turns q247's per-source allocation into an actual
     * training corpus, closing the report→pipeline loop: instead of

@@ -204,6 +204,64 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rd.kept == r0.kept, "DSIR must not change the upstream stages")
   }
 
+  test("cappedBudgetPlan: cap binds, excess redistributes pro rata, spill conserves the budget") {
+    import spark.implicits._
+    // exact Long-arithmetic reference: recompute the capped plan from
+    // dataBudgetPlan's own rows and demand cell-for-cell equality
+    def reference(plan: Seq[(String, Long, Long, Long)], capQ4: Long)
+        : Map[String, (Long, Boolean, Long, Long, Long)] = {
+      val withCap = plan.map { case (src, n, w, a) =>
+        (src, n, w, a, capQ4 * n / 10000L)
+      }
+      val et = withCap.map { case (_, _, _, a, c) => math.max(a - c, 0L) }.sum
+      val uwt = withCap.collect { case (_, _, w, a, c) if a <= c => w }.sum
+      withCap.map { case (src, n, w, a, c) =>
+        val capped = math.min(a, c)
+        val redist =
+          if (a <= c && w > 0 && uwt > 0) et * w / uwt else 0L
+        val fin = math.min(capped + redist, c)
+        src -> ((a, a > c, fin, fin * 10000L / n, capped + redist - fin))
+      }.toMap
+    }
+    def check(docs: org.apache.spark.sql.DataFrame, capQ4: Long): Unit = {
+      val plan = TrainingData.dataBudgetPlan(docs).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      val want = reference(plan, capQ4)
+      val got = TrainingData.cappedBudgetPlan(docs, capEpochsQ4 = capQ4).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(3), r.getBoolean(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+        .toMap
+      assert(got == want, s"capped plan diverges from the Long reference at cap $capQ4")
+      // hard laws: nobody ends over the cap, the pot never grows
+      got.values.foreach { case (_, _, fin, epQ4, spill) =>
+        assert(epQ4 <= capQ4 && spill >= 0, got.toString)
+        assert(fin >= 0)
+      }
+      assert(got.values.map(_._3).sum <= plan.map(_._4).sum,
+        "redistribution grew the budget")
+    }
+    // planted: one tiny source over-epochs under the √-flattened
+    // mixture; the two large sources absorb its excess
+    val fix = ((1 to 2).map(i => (i.toLong, Seq.fill(10)(s"t$i").mkString(" "), "en", "tiny", 0L)) ++
+      (3 to 42).map(i => (i.toLong, Seq.fill(50)(s"a$i").mkString(" "), "en", "bigA", 0L)) ++
+      (43 to 82).map(i => (i.toLong, Seq.fill(50)(s"b$i").mkString(" "), "en", "bigB", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fres = TrainingData.cappedBudgetPlan(fix).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(fres("tiny").getBoolean(4), "the tiny source must hit the cap")
+    assert(!fres("bigA").getBoolean(4) && !fres("bigB").getBoolean(4))
+    assert(fres("bigA").getLong(5) > fres("bigA").getLong(3),
+      "uncapped sources must receive redistribution")
+    check(fix, 20000L)
+    check(fix, 40000L)
+    // corpus at the default: equivalence + at least one binding cap
+    // (the sf sources straddle 2.0 epochs under budgetMult = 2)
+    check(docs, 20000L)
+    val corpus = TrainingData.cappedBudgetPlan(docs).collect()
+    assert(corpus.exists(_.getBoolean(4)), "default cap never binds on the corpus")
+    assert(corpus.exists(r => !r.getBoolean(4)), "default cap binds everywhere")
+  }
+
   test("CorpusPipeline production profile: gate→guarded dedup→budget epochs→shards; manifest pinned") {
     import org.apache.spark.sql.types._
     // the q250/q251 closed loops ON together — the composition a

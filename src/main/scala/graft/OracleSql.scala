@@ -4386,7 +4386,9 @@ object OracleSql {
       ("q250_budget_epochs" -> budgetEpochsSql) +
       ("q251_guarded_clean" -> guardedCleanSql) +
       ("q252_guard_delta" -> guardDeltaSql) +
-      ("q253_capped_budget" -> cappedBudgetSql)
+      ("q253_capped_budget" -> cappedBudgetSql) +
+      ("q254_cap_sweep" -> capSweepSql) +
+      ("q255_decontam_queue" -> decontamQueueSql)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs
@@ -4607,6 +4609,75 @@ object OracleSql {
       |CAST((alloc_final * 10000) // n_tokens AS BIGINT) AS epochs_final_q4,
       |CAST(alloc_capped + redistributed - alloc_final AS BIGINT) AS spilled_tokens
       |FROM g ORDER BY source""".stripMargin
+
+  /** q254: q253's CTEs swept over the 1–4-epoch cap grid — the caps
+    * VALUES list cross-joined onto the #sources plan (constant ×
+    * vocabulary), excess/uncapped-weight totals grouped PER CAP, then
+    * one rollup row per cap. Same BIGINT `//` arithmetic as q253.
+    */
+  private def capSweepSql: String =
+    """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |b AS (SELECT source, n_docs, n_tokens,
+      |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS r
+      |  FROM a),
+      |t AS (SELECT CAST(sum(r) AS BIGINT) AS rt,
+      |  CAST(sum(n_tokens) * 2 AS BIGINT) AS bt FROM b),
+      |c AS (SELECT source, n_tokens,
+      |  CAST((r * 10000) // rt AS BIGINT) AS weight_bp,
+      |  CAST((bt * ((r * 10000) // rt)) // 10000 AS BIGINT) AS alloc_tokens
+      |  FROM b, t),
+      |caps AS (SELECT CAST(capq4 AS BIGINT) AS cap_q4
+      |  FROM (VALUES (10000), (20000), (30000), (40000)) v(capq4)),
+      |d AS (SELECT c.*, cap_q4,
+      |  CAST((cap_q4 * n_tokens) // 10000 AS BIGINT) AS cap_tokens
+      |  FROM c CROSS JOIN caps),
+      |e AS (SELECT *,
+      |  CASE WHEN alloc_tokens > cap_tokens THEN cap_tokens ELSE alloc_tokens END AS alloc_capped,
+      |  CASE WHEN alloc_tokens > cap_tokens THEN alloc_tokens - cap_tokens ELSE 0 END AS excess,
+      |  CASE WHEN alloc_tokens > cap_tokens THEN 0 ELSE weight_bp END AS uw
+      |  FROM d),
+      |s AS (SELECT cap_q4, CAST(sum(excess) AS BIGINT) AS et,
+      |  CAST(sum(uw) AS BIGINT) AS uwt FROM e GROUP BY 1),
+      |f AS (SELECT e.*,
+      |  CAST(CASE WHEN uw > 0 AND uwt > 0 THEN (et * uw) // uwt ELSE 0 END AS BIGINT) AS redistributed
+      |  FROM e JOIN s USING (cap_q4)),
+      |g AS (SELECT *,
+      |  CASE WHEN alloc_capped + redistributed > cap_tokens THEN cap_tokens
+      |       ELSE alloc_capped + redistributed END AS alloc_final
+      |  FROM f)
+      |SELECT cap_q4,
+      |CAST(count(*) FILTER (WHERE alloc_tokens > cap_tokens) AS BIGINT) AS n_capped,
+      |CAST(sum(alloc_capped + redistributed - alloc_final) AS BIGINT) AS spilled_tokens,
+      |CAST(sum(alloc_final) AS BIGINT) AS achieved_tokens,
+      |CAST(max((alloc_final * 10000) // n_tokens) AS BIGINT) AS max_epochs_q4,
+      |CAST((sum(alloc_final) * 10000) // (sum(n_tokens) * 2) AS BIGINT) AS achieved_bp
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q255: corpus × eval-panel cosine (the panel is the modulus-23
+    * stand-in), per-pair q6 BIGINT quantization, argmax per corpus
+    * vector (ties on eval_id), global top-50 cut (ties on vec_id) —
+    * the identical `list_dot_product` chain as the ANN oracles.
+    */
+  private def decontamQueueSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_id, v AS ev FROM base WHERE vec_id % 23 = 0),
+      |c AS (SELECT vec_id, label, v FROM base WHERE vec_id % 23 <> 0),
+      |s AS (SELECT c.vec_id, c.label, ev.eval_id,
+      |  CAST(floor(list_dot_product(c.v, ev.ev) /
+      |    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.ev, ev.ev)))
+      |    * 1e6 + 0.5) AS BIGINT) AS c6
+      |  FROM c CROSS JOIN ev),
+      |p AS (SELECT vec_id, label, eval_id, c6,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY c6 DESC, eval_id) AS r
+      |  FROM s),
+      |t AS (SELECT vec_id, label, eval_id, c6,
+      |  row_number() OVER (ORDER BY c6 DESC, vec_id) AS rk
+      |  FROM p WHERE r = 1)
+      |SELECT CAST(rk AS INT) AS rk, vec_id, label, eval_id,
+      |CAST(c6 AS DOUBLE) / 1e6 AS max_cos
+      |FROM t WHERE rk <= 50 ORDER BY rk""".stripMargin
 
   /** q245: q240's recursive CC labels + the verified pair list,
     * rolled up per cluster — density as exact integer basis points,

@@ -773,7 +773,16 @@ object SparkEntry {
     // q247's over-epoch flag ACTED ON: per-source epoch cap + one
     // pro-rata redistribution round, spill reported
     "q253_capped_budget"    -> ((s, d) =>
-      TrainingData.cappedBudgetPlan(Tables.documents(s, d)))
+      TrainingData.cappedBudgetPlan(Tables.documents(s, d))),
+    // the q253 knob chosen on evidence: the cap swept 1-4 epochs, one
+    // row per cap with sources bound / spill / achieved budget
+    "q254_cap_sweep"        -> ((s, d) =>
+      TrainingData.capSweep(Tables.documents(s, d))),
+    // embedding-level decontamination: the ranked review queue of
+    // corpus vectors nearest ANY eval-panel vector (paraphrase
+    // complement of the n-gram decontam q143/q238)
+    "q255_decontam_queue"   -> ((s, d) =>
+      Similarity.decontamQueue(Tables.embeddings(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -1460,4 +1460,52 @@ object Similarity {
           " AS cos_centroid")
       .orderBy("label_a", "label_b")
   }
+
+  /** q255: semantic decontamination review queue — the top-`topN`
+    * corpus vectors ranked by max cosine to ANY eval-set vector, each
+    * with its nearest eval item. The embedding-level complement of the
+    * n-gram decontamination ([[TrainingData.evalDecontaminate]] /
+    * q238's provenance): shingles catch verbatim leakage, this
+    * surfaces paraphrase — and it is deliberately THRESHOLD-FREE: on
+    * real corpora the right cosine cutoff is unknowable a priori (and
+    * on near-orthogonal synthetic data any fixed τ is vacuous), so the
+    * operator emits the ranked queue a decontamination review actually
+    * reads top-down, cutting where the similarity story dies.
+    *
+    * The eval panel is the `vec_id % modulus == 0` stand-in (the
+    * testdata ships no separate eval table); a real run substitutes
+    * its benchmark embeddings. Exactness: per-pair cosine quantizes to
+    * q6 BIGINT (floor(x·10⁶ + ½) — the established engine-identical
+    * chain: one fused dot/norm pass here, `list_dot_product` in the
+    * oracle), argmax per corpus vector breaks ties on eval_id, the
+    * global cut breaks ties on vec_id.
+    *
+    * Scale: eval benchmarks are constant-size by nature (suites of
+    * 10²–10⁴ items) — the panel broadcasts and the corpus side is ONE
+    * linear scan with a map-side per-vector argmax; the global top-N
+    * is a TakeOrdered (per-partition heaps, no global sort). Nothing
+    * here is corpus × corpus.
+    */
+  def decontamQueue(emb: DataFrame, modulus: Int = 23,
+                    topN: Int = 50): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val ev = base.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+    val corpus = base.filter(col("vec_id") % modulus =!= 0)
+    val wDoc = Window.partitionBy("vec_id")
+      .orderBy(col("c6").desc, col("eval_id").asc)
+    val perDoc = corpus.crossJoin(broadcast(ev))
+      .withColumn("c6",
+        floor(cosine(col("v"), col("ev")) * 1e6 + 0.5).cast("long"))
+      .withColumn("r", row_number().over(wDoc))
+      .filter(col("r") === 1)
+    // TakeOrdered bounds the frame to topN BEFORE the rank window
+    val wCut = Window.orderBy(col("c6").desc, col("vec_id").asc)
+    perDoc.orderBy(col("c6").desc, col("vec_id").asc).limit(topN)
+      .withColumn("rk", row_number().over(wCut))
+      .select(col("rk"), col("vec_id"), col("label"), col("eval_id"),
+        (col("c6").cast("double") / 1e6).as("max_cos"))
+      .orderBy("rk")
+  }
 }

@@ -407,9 +407,26 @@ object TrainingData {
                        capEpochsQ4: Long = 20000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    dataBudgetPlan(docs, budgetMult)
-      .withColumn("cap_tokens",
-        expr(s"CAST(($capEpochsQ4 * n_tokens) div 10000 AS BIGINT)"))
+    capAllocate(
+      dataBudgetPlan(docs, budgetMult)
+        .withColumn("cap_tokens",
+          expr(s"CAST(($capEpochsQ4 * n_tokens) div 10000 AS BIGINT)")), w)
+      .select("source", "n_tokens", "weight_bp", "alloc_tokens",
+        "was_capped", "alloc_final", "epochs_final_q4", "spilled_tokens")
+      .orderBy("source")
+  }
+
+  /** The cap→excess→one-round-pro-rata→re-cap→spill arithmetic shared
+    * by [[cappedBudgetPlan]] and [[capSweep]] — the SAME column chain,
+    * so the sweep can never drift from the plan it sweeps. Expects
+    * `weight_bp`/`alloc_tokens`/`n_tokens`/`cap_tokens`; the window
+    * scopes the excess/uncapped-weight totals (whole frame for the
+    * single-cap plan, per-cap partition for the sweep — both over the
+    * #sources-row aggregate, never doc volume).
+    */
+  private def capAllocate(planWithCap: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    planWithCap
       .withColumn("was_capped", col("alloc_tokens") > col("cap_tokens"))
       .withColumn("alloc_capped",
         least(col("alloc_tokens"), col("cap_tokens")))
@@ -429,9 +446,48 @@ object TrainingData {
           .cast("bigint"))
       .withColumn("epochs_final_q4",
         expr("CAST((alloc_final * 10000) div n_tokens AS BIGINT)"))
-      .select("source", "n_tokens", "weight_bp", "alloc_tokens",
-        "was_capped", "alloc_final", "epochs_final_q4", "spilled_tokens")
-      .orderBy("source")
+
+  /** q254: the cap CHOSEN on evidence — [[cappedBudgetPlan]] swept
+    * over candidate epoch caps (default 1–4 epochs, the
+    * data-constrained-scaling range), one summary row per cap: how
+    * many sources the cap binds, the budget spilled (unabsorbable by
+    * the uncapped set), the budget achieved, the worst final epoch
+    * count, and the achieved share of the target budget in basis
+    * points. This is the table the q253 knob is actually set FROM —
+    * the spill/repetition tradeoff made visible before a token is
+    * drawn: a cap of 4 spills nothing but repeats small sources 4×;
+    * a cap of 1 caps everything and returns budget.
+    *
+    * Exactness: the identical [[capAllocate]] BIGINT chain as q253
+    * (shared code), windowed per cap. Scale: the q247 aggregate once,
+    * exploded by #caps (a constant ≤ 4), window + rollup over the
+    * (#sources × #caps)-row frame — bounded by vocabulary × constant,
+    * never doc volume.
+    */
+  def capSweep(docs: DataFrame, budgetMult: Int = 2,
+               capsQ4: Seq[Long] = Seq(10000L, 20000L, 30000L, 40000L))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cap_q4")
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val planned = dataBudgetPlan(docs, budgetMult)
+      .withColumn("cap_q4", explode(typedLit(capsQ4)))
+      .withColumn("cap_tokens",
+        expr("CAST((cap_q4 * n_tokens) div 10000 AS BIGINT)"))
+    capAllocate(planned, w)
+      .groupBy("cap_q4")
+      .agg(
+        sum(when(col("was_capped"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_capped"),
+        sum("spilled_tokens").cast("bigint").as("spilled_tokens"),
+        sum("alloc_final").cast("bigint").as("achieved_tokens"),
+        max("epochs_final_q4").cast("bigint").as("max_epochs_q4"),
+        sum("n_tokens").cast("bigint").as("tot"))
+      .withColumn("achieved_bp",
+        expr(s"CAST((achieved_tokens * 10000) div (tot * $budgetMult) AS BIGINT)"))
+      .select("cap_q4", "n_capped", "spilled_tokens", "achieved_tokens",
+        "max_epochs_q4", "achieved_bp")
+      .orderBy("cap_q4")
   }
 
   /** q250: epoch expansion BY the [[dataBudgetPlan]] — the consumer

@@ -290,4 +290,54 @@ class LshAndBucketingSpec extends AnyFunSuite {
     }
     assert(rawExchanges.nonEmpty)
   }
+
+  test("decontamQueue: planted paraphrase tops the queue, eval members excluded, ties break low") {
+    import spark.implicits._
+    // ids 0 and 23 form the eval panel (0 mod 23); vec 7 duplicates
+    // eval 0's direction exactly (the paraphrase), vec 1 ties at c6
+    // between both eval items, vec 3 is anti-aligned
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), 0), (23L, Seq(0f, 1f, 0f), 0),
+      (7L, Seq(2f, 0f, 0f), 1), (1L, Seq(1f, 1f, 0f), 1),
+      (2L, Seq(0f, 3f, 1f), 1), (3L, Seq(-1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = Similarity.decontamQueue(emb).collect()
+    assert(q.map(_.getLong(1)).toSeq == Seq(7L, 2L, 1L, 3L),
+      "queue order must follow max cosine with vec_id tie-break")
+    assert(q.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(q.head.getDouble(4) == 1.0 && q.head.getLong(3) == 0L)
+    assert(q(1).getDouble(4) == 0.948683) // 3/√10 at q6
+    // vec 1's cosine is 1/√2 to BOTH eval items — argmax keeps eval 0
+    val id1 = q.find(_.getLong(1) == 1L).get
+    assert(id1.getLong(3) == 0L && id1.getDouble(4) == 0.707107,
+      "c6 tie must keep the smallest eval_id")
+  }
+
+  test("decontamQueue on the corpus: equals the HOF-cosine recompute with identical tie orders") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Similarity.decontamQueue(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.length == 50 && got.map(_._1).toSeq == (1 to 50))
+    // alternative formulation: zip_with/aggregate HOF cosine, argmax
+    // and cut replayed driver-side with the same tie-breaks
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val ev = base.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+    val pairs = base.filter(col("vec_id") % 23 =!= 0)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"), col("label"), col("eval_id"),
+        floor(Similarity.cosineHof(col("v"), col("ev")) * 1e6 + 0.5)
+          .cast("long").as("c6"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val want = pairs.groupBy(_._1).values
+      .map(_.minBy(p => (-p._4, p._3)))        // argmax c6, ties low eval_id
+      .toSeq.sortBy(p => (-p._4, p._1)).take(50) // cut, ties low vec_id
+      .zipWithIndex
+      .map { case ((vid, lab, eid, c6), i) =>
+        (i + 1, vid, lab, eid, c6.toDouble / 1e6) }
+    assert(got.toSeq == want, "native-expression queue diverges from the HOF recompute")
+  }
 }

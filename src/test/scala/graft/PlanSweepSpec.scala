@@ -70,7 +70,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q197_truncation_recall" -> "query panel per truncation tier: ground-truth + sweep kernels",
     "q208_silhouette" -> "fixed-k centroid panel: per-point nearest/second-nearest centroid",
     "q219_mmr_rerank" -> "per-query top-k shortlist panel: the MMR rerank set is k-capped",
-    "q244_ann_quality" -> "8-row query panel: the exact ground-truth side of the graded-nDCG audit (arms probe the index)")
+    "q244_ann_quality" -> "8-row query panel: the exact ground-truth side of the graded-nDCG audit (arms probe the index)",
+    "q255_decontam_queue" -> "eval-benchmark panel (modulus-filter stand-in) vs corpus: eval sets are constant-size by decontamination's premise; the corpus side is one linear scan")
 
   /** Walk a physical plan: unwrap AQE, descend into cached relations,
     * reused exchanges, subquery expressions (scalar + DPP), children.

@@ -262,6 +262,54 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(corpus.exists(r => !r.getBoolean(4)), "default cap binds everywhere")
   }
 
+  test("capSweep: every cap row equals the single-cap plan's rollup; binding shrinks and budget holds as the cap grows") {
+    import spark.implicits._
+    val caps = Seq(10000L, 20000L, 30000L, 40000L)
+    // the law that matters: the sweep is the SAME allocation as q253
+    // at each cap (catches any drift in the explode / per-cap window
+    // wiring), plus the theorems the shared arithmetic guarantees
+    def check(d: org.apache.spark.sql.DataFrame): Unit = {
+      val tot = d.select(sum(size(split(col("text"), " "))).cast("long"))
+        .head().getLong(0)
+      val got = TrainingData.capSweep(d).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+      assert(got.keySet == caps.toSet)
+      caps.foreach { c =>
+        val rows = TrainingData.cappedBudgetPlan(d, capEpochsQ4 = c).collect()
+        val want = (rows.count(_.getBoolean(4)).toLong,
+          rows.map(_.getLong(7)).sum, rows.map(_.getLong(5)).sum,
+          rows.map(_.getLong(6)).max)
+        val (gn, gs, ga, gm, gbp) = got(c)
+        assert((gn, gs, ga, gm) == want,
+          s"cap $c: sweep row diverges from the single-cap plan rollup")
+        assert(gm <= c, s"cap $c: a source ended over the cap")
+        assert(gbp == ga * 10000L / (tot * 2L) && gbp <= 10000L,
+          s"cap $c: achieved_bp inconsistent with the achieved tokens")
+      }
+      // cap_tokens is monotone in the cap with alloc fixed, so the
+      // binding set can only shrink and the achieved budget only grow
+      val ordered = caps.map(got)
+      assert(ordered.map(_._1).sliding(2).forall(p => p.head >= p.last),
+        "n_capped must be nonincreasing in the cap")
+      assert(ordered.map(_._3).sliding(2).forall(p => p.head <= p.last),
+        "achieved_tokens must be nondecreasing in the cap")
+    }
+    // planted: the q253 fixture — one tiny source the low caps bind
+    val fix = ((1 to 2).map(i => (i.toLong, Seq.fill(10)(s"t$i").mkString(" "), "en", "tiny", 0L)) ++
+      (3 to 42).map(i => (i.toLong, Seq.fill(50)(s"a$i").mkString(" "), "en", "bigA", 0L)) ++
+      (43 to 82).map(i => (i.toLong, Seq.fill(50)(s"b$i").mkString(" "), "en", "bigB", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    check(fix)
+    check(docs)
+    // the sweep must actually discriminate on the corpus: some cap
+    // binds somewhere and the top cap achieves at least as much as
+    // every other (already implied by monotonicity, kept explicit)
+    val corpus = TrainingData.capSweep(docs).collect()
+    assert(corpus.exists(_.getLong(1) > 0L), "no cap ever binds — sweep is vacuous")
+  }
+
   test("CorpusPipeline production profile: gate→guarded dedup→budget epochs→shards; manifest pinned") {
     import org.apache.spark.sql.types._
     // the q250/q251 closed loops ON together — the composition a

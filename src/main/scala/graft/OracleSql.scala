@@ -4388,7 +4388,8 @@ object OracleSql {
       ("q252_guard_delta" -> guardDeltaSql) +
       ("q253_capped_budget" -> cappedBudgetSql) +
       ("q254_cap_sweep" -> capSweepSql) +
-      ("q255_decontam_queue" -> decontamQueueSql)
+      ("q255_decontam_queue" -> decontamQueueSql) +
+      ("q256_capped_epochs" -> cappedEpochsSql)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs
@@ -4678,6 +4679,57 @@ object OracleSql {
       |SELECT CAST(rk AS INT) AS rk, vec_id, label, eval_id,
       |CAST(c6 AS DOUBLE) / 1e6 AS max_cos
       |FROM t WHERE rk <= 50 ORDER BY rk""".stripMargin
+
+  /** q256: q250's expansion CTEs with q253's capped-allocation chain
+    * substituted for the raw plan — `alloc_final` feeds the full-epoch
+    * count and the fractional threshold. Same BIGINT grid, same
+    * md5-u32 draw, same rollup.
+    */
+  private def cappedEpochsSql: String =
+    """WITH a AS (SELECT doc_id, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u32
+      |  FROM documents),
+      |b AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens FROM a GROUP BY 1),
+      |c AS (SELECT source, src_tokens,
+      |  CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS r
+      |  FROM b),
+      |t AS (SELECT CAST(sum(r) AS BIGINT) AS rt,
+      |  CAST(sum(src_tokens) * 2 AS BIGINT) AS bt FROM c),
+      |p AS (SELECT source, src_tokens,
+      |  CAST((r * 10000) // rt AS BIGINT) AS weight_bp,
+      |  CAST((bt * ((r * 10000) // rt)) // 10000 AS BIGINT) AS alloc_tokens
+      |  FROM c, t),
+      |d AS (SELECT *,
+      |  CAST((20000 * src_tokens) // 10000 AS BIGINT) AS cap_tokens FROM p),
+      |e0 AS (SELECT *,
+      |  CASE WHEN alloc_tokens > cap_tokens THEN cap_tokens ELSE alloc_tokens END AS alloc_capped,
+      |  CASE WHEN alloc_tokens > cap_tokens THEN alloc_tokens - cap_tokens ELSE 0 END AS excess,
+      |  CASE WHEN alloc_tokens > cap_tokens THEN 0 ELSE weight_bp END AS uw
+      |  FROM d),
+      |s0 AS (SELECT CAST(sum(excess) AS BIGINT) AS et,
+      |  CAST(sum(uw) AS BIGINT) AS uwt FROM e0),
+      |f AS (SELECT e0.*,
+      |  CAST(CASE WHEN uw > 0 AND uwt > 0 THEN (et * uw) // uwt ELSE 0 END AS BIGINT) AS redistributed
+      |  FROM e0, s0),
+      |g AS (SELECT source, src_tokens,
+      |  CAST(CASE WHEN alloc_capped + redistributed > cap_tokens THEN cap_tokens
+      |       ELSE alloc_capped + redistributed END AS BIGINT) AS alloc_fin
+      |  FROM f),
+      |q AS (SELECT source, src_tokens, alloc_fin,
+      |  CAST(((alloc_fin * 10000) // src_tokens) // 10000 AS INT) AS eps_full
+      |  FROM g),
+      |j AS (SELECT a.doc_id, a.source, a.n_tok, a.u32, q.eps_full,
+      |  CAST(floor(CAST(alloc_fin - eps_full * src_tokens AS DOUBLE)
+      |    / CAST(src_tokens AS DOUBLE) * 4294967296.0) AS BIGINT) AS thresh
+      |  FROM a JOIN q USING (source)),
+      |e AS (SELECT doc_id, source, n_tok,
+      |  eps_full + (CASE WHEN u32 < thresh THEN 1 ELSE 0 END) AS n_ep FROM j),
+      |x AS (SELECT source, n_tok, CAST(unnest(range(1, n_ep + 1)) AS INT) AS epoch
+      |  FROM e WHERE n_ep > 0)
+      |SELECT source, epoch, CAST(count(*) AS BIGINT) AS n_docs,
+      |CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q245: q240's recursive CC labels + the verified pair list,
     * rolled up per cluster — density as exact integer basis points,

@@ -782,7 +782,12 @@ object SparkEntry {
     // corpus vectors nearest ANY eval-panel vector (paraphrase
     // complement of the n-gram decontam q143/q238)
     "q255_decontam_queue"   -> ((s, d) =>
-      Similarity.decontamQueue(Tables.embeddings(s, d)))
+      Similarity.decontamQueue(Tables.embeddings(s, d))),
+    // q253's capped plan ACTED ON: the q250 expansion rollup computed
+    // from the post-redistribution allocation (the corpus a capped
+    // run actually materializes)
+    "q256_capped_epochs"    -> ((s, d) =>
+      TrainingData.cappedEpochExpand(Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

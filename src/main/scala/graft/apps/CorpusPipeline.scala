@@ -74,7 +74,8 @@ object CorpusPipeline {
           dsirTopN: Option[Int] = None,
           urlHostCap: Option[Int] = None,
           cohesionFloorBp: Option[Long] = None,
-          budgetMult: Option[Int] = None): Report = {
+          budgetMult: Option[Int] = None,
+          capEpochsQ4: Option[Long] = None): Report = {
     // opt-in URL curation stage, FIRST (RefinedWeb §3 ordering: URL
     // mirror-dedup + per-host capping before any content look — the
     // cheapest gate runs before the cascade ever tokenizes a mirror)
@@ -202,16 +203,31 @@ object CorpusPipeline {
     val sharded = budgetMult match {
       case Some(m) =>
         val withSrc = shipped.join(docs.select("doc_id", "source"), Seq("doc_id"))
+        // capEpochsQ4 (opt-in, rides budgetMult): expand by the q253
+        // CAPPED plan (q256) instead of the raw q247 one — the
+        // headroom guard reads the SAME plan the expansion uses, since
+        // redistribution can push an uncapped source's epoch count
+        // past its raw value
+        val planEpochs = capEpochsQ4 match {
+          case Some(c) => TrainingData.cappedBudgetPlan(withSrc, m, c)
+            .select(org.apache.spark.sql.functions.expr(
+              "CAST(epochs_final_q4 div 10000 AS BIGINT)").as("ep"))
+          case None => TrainingData.dataBudgetPlan(withSrc, m)
+            .select(org.apache.spark.sql.functions.expr(
+              "CAST(epochs_q4 div 10000 AS BIGINT)").as("ep"))
+        }
         // max over an EMPTY plan (every earlier stage dropped every
         // doc) is null — guard it so the degenerate run writes empty
         // shards instead of NPE-ing on getLong
-        val maxRow = TrainingData.dataBudgetPlan(withSrc, m)
-          .agg(org.apache.spark.sql.functions
-            .max(org.apache.spark.sql.functions.expr(
-              "CAST(epochs_q4 div 10000 AS BIGINT)"))).head()
+        val maxRow = planEpochs
+          .agg(org.apache.spark.sql.functions.max(col("ep"))).head()
         val maxEpoch = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 1L
         val mult = java.lang.Long.highestOneBit(math.max(maxEpoch, 1L)) * 4L
-        TrainingData.epochExpandedDocs(withSrc, m)
+        val expanded = capEpochsQ4 match {
+          case Some(c) => TrainingData.cappedExpandedDocs(withSrc, m, c)
+          case None => TrainingData.epochExpandedDocs(withSrc, m)
+        }
+        expanded
           .join(shipped.select("doc_id", "text"), Seq("doc_id"))
           .select((col("doc_id") * mult + col("epoch")).as("doc_id"),
             col("text"))

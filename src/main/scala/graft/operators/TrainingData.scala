@@ -525,10 +525,54 @@ object TrainingData {
     * before the caller's own consumption.
     */
   private[graft] def epochExpandedDocs(docs: DataFrame,
-                                       budgetMult: Int): DataFrame = {
-    val plan = dataBudgetPlan(docs, budgetMult)
-      .select(col("source"), col("n_tokens").as("src_tokens"),
-        col("alloc_tokens"), col("epochs_q4"))
+                                       budgetMult: Int): DataFrame =
+    expandByPlan(docs,
+      dataBudgetPlan(docs, budgetMult)
+        .select(col("source"), col("n_tokens").as("src_tokens"),
+          col("alloc_tokens"), col("epochs_q4")))
+
+  /** [[epochExpandedDocs]] driven by the CAPPED plan — q253's
+    * `alloc_final`/`epochs_final_q4` substituted for the raw
+    * allocation, so the expanded corpus physically respects the
+    * epoch cap (and carries the redistribution the uncapped sources
+    * absorbed). The expansion mechanics (full passes + the
+    * md5-thresholded fractional epoch) are [[expandByPlan]] verbatim.
+    */
+  private[graft] def cappedExpandedDocs(docs: DataFrame, budgetMult: Int,
+                                        capEpochsQ4: Long): DataFrame =
+    expandByPlan(docs,
+      cappedBudgetPlan(docs, budgetMult, capEpochsQ4)
+        .select(col("source"), col("n_tokens").as("src_tokens"),
+          col("alloc_final").as("alloc_tokens"),
+          col("epochs_final_q4").as("epochs_q4")))
+
+  /** q256: the CAPPED plan ACTED ON — the q250 rollup (docs/tokens
+    * per source × epoch of the expanded corpus) computed from q253's
+    * post-redistribution allocation instead of the raw q247 one: the
+    * training corpus a capped run actually materializes. A source the
+    * cap binds expands to at most `capEpochsQ4` epochs of itself; an
+    * uncapped source expands PAST its raw allocation by exactly the
+    * redistribution it absorbed. With a non-binding cap this is
+    * row-identical to [[epochExpandByPlan]] (spec-asserted). Scale:
+    * identical to q250 — the #sources plan broadcasts, the expansion
+    * is a map-side bounded `sequence` explode, the rollup is
+    * vocabulary-bounded.
+    */
+  def cappedEpochExpand(docs: DataFrame, budgetMult: Int = 2,
+                        capEpochsQ4: Long = 20000L): DataFrame =
+    cappedExpandedDocs(docs, budgetMult, capEpochsQ4)
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("bigint").as("n_tokens"))
+      .orderBy("source", "epoch")
+
+  /** The (source, src_tokens, alloc_tokens, epochs_q4) plan applied
+    * to the corpus: one output row per (document, pass). The plan
+    * column contract is [[dataBudgetPlan]]'s grid (BIGINT tokens, q4
+    * epochs); [[epochExpandedDocs]] and [[cappedExpandedDocs]] differ
+    * ONLY in the plan they pass.
+    */
+  private def expandByPlan(docs: DataFrame, plan: DataFrame): DataFrame = {
     val u32 = conv(substring(docHash, 1, 8), 16, 10).cast("long")
     docs
       .select(col("doc_id"), col("source"),

@@ -310,6 +310,78 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(corpus.exists(_.getLong(1) > 0L), "no cap ever binds — sweep is vacuous")
   }
 
+  test("cappedEpochExpand: non-binding cap replays the raw expansion; a binding cap bounds every source's passes") {
+    // a cap no source reaches — the capped rollup must be
+    // row-identical to the uncapped q250 rollup
+    val free = TrainingData.cappedEpochExpand(docs, capEpochsQ4 = 10000000L)
+      .collect().map(_.toSeq).toSeq
+    val raw = TrainingData.epochExpandByPlan(docs).collect().map(_.toSeq).toSeq
+    assert(free == raw, "non-binding cap diverged from the raw expansion")
+    // the binding default (2 epochs): no source may expand past
+    // ceil(cap) passes, epochs are contiguous from 1, and every
+    // full epoch replays the whole source
+    val rolled = TrainingData.cappedEpochExpand(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rolled.groupBy(_._1)
+    val plan = TrainingData.cappedBudgetPlan(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(6)).toMap // epochs_final_q4
+    val srcDocs = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rows) =>
+      val eps = rows.map(_._2).sorted
+      assert(eps.last <= 2, s"$src expanded past the 2-epoch cap: ${eps.last}")
+      assert(eps.toSeq == (1 to eps.last), s"$src has non-contiguous epochs")
+      val full = (plan(src) / 10000L).toInt
+      rows.filter(_._2 <= full).foreach { case (_, ep, nDocs, _) =>
+        assert(nDocs == srcDocs(src), s"$src full epoch $ep is not a whole pass")
+      }
+    }
+    // the capped corpus is never larger than the raw one, and on this
+    // corpus the cap actually bites somewhere (q253 spec guarantees a
+    // binding source)
+    val rawBySrc = TrainingData.epochExpandByPlan(docs).collect()
+      .map(r => (r.getString(0), r.getLong(3))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val capBySrc = bySrc.view.mapValues(_.map(_._4).sum).toMap
+    assert(capBySrc.exists { case (s, t) => t < rawBySrc(s) },
+      "the default cap never reduced any source — vacuous on this corpus")
+  }
+
+  test("CorpusPipeline capped profile: shard manifest follows the capped expansion, no source over the cap") {
+    import org.apache.spark.sql.types._
+    val evalSet = docs.filter(col("doc_id") < 3)
+    val base = java.nio.file.Files.createTempDirectory("graft-cp-cap").toString
+    val m = 3
+    val r = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$base/shards", s"$base/jsonl", nShards = 2,
+      budgetMult = Some(m), capEpochsQ4 = Some(20000L))
+    assert(r.shipped > 0, s"$r")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val shippedIds = Tables.jsonl(spark, s"$base/jsonl", schema).select("doc_id")
+    val withSrc = shippedIds
+      .join(docs.select("doc_id", "source", "text"), Seq("doc_id"))
+    // the multiplier, recomputed from the CAPPED plan as the pipeline
+    // derives it
+    val maxRow = TrainingData.cappedBudgetPlan(withSrc, m, 20000L)
+      .agg(max(expr("CAST(epochs_final_q4 div 10000 AS BIGINT)"))).head()
+    val maxEpoch = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 1L
+    val mult = java.lang.Long.highestOneBit(math.max(maxEpoch, 1L)) * 4L
+    val shards = spark.read.parquet(s"$base/shards")
+    val manifest = shards
+      .select((col("doc_id") divide mult).cast("long").as("orig"),
+        (col("doc_id") % mult).cast("int").as("epoch"))
+      .join(docs.select(col("doc_id").as("orig"), col("source")), Seq("orig"))
+      .groupBy("source", "epoch").count()
+    val want = TrainingData.cappedExpandedDocs(withSrc, m, 20000L)
+      .groupBy("source", "epoch").count()
+    assert(manifest.exceptAll(want).count() == 0 &&
+      want.exceptAll(manifest).count() == 0,
+      "shard manifest diverges from the capped expansion")
+    assert(manifest.agg(max("epoch")).head().getInt(0) <= 2,
+      "a shard carries an epoch past the cap")
+  }
+
   test("CorpusPipeline production profile: gate→guarded dedup→budget epochs→shards; manifest pinned") {
     import org.apache.spark.sql.types._
     // the q250/q251 closed loops ON together — the composition a

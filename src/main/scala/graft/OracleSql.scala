@@ -4389,7 +4389,8 @@ object OracleSql {
       ("q253_capped_budget" -> cappedBudgetSql) +
       ("q254_cap_sweep" -> capSweepSql) +
       ("q255_decontam_queue" -> decontamQueueSql) +
-      ("q256_capped_epochs" -> cappedEpochsSql)
+      ("q256_capped_epochs" -> cappedEpochsSql) +
+      ("q257_decontam_sources" -> decontamSourcesSql)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs
@@ -4730,6 +4731,28 @@ object OracleSql {
       |SELECT source, epoch, CAST(count(*) AS BIGINT) AS n_docs,
       |CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q257: q255's pair CTEs, per-doc GROUPED max instead of the
+    * argmax window, joined to documents on the doc_id ↔ vec_id
+    * convention, rolled up per source — the mean is the q245
+    * floor(Σ/n + ½) idiom over exact q6 BIGINTs.
+    */
+  private def decontamSourcesSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_id, v AS ev FROM base WHERE vec_id % 23 = 0),
+      |c AS (SELECT vec_id, v FROM base WHERE vec_id % 23 <> 0),
+      |s AS (SELECT c.vec_id,
+      |  CAST(floor(list_dot_product(c.v, ev.ev) /
+      |    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.ev, ev.ev)))
+      |    * 1e6 + 0.5) AS BIGINT) AS c6
+      |  FROM c CROSS JOIN ev),
+      |m AS (SELECT vec_id, CAST(max(c6) AS BIGINT) AS mc6 FROM s GROUP BY 1),
+      |d AS (SELECT m.mc6, doc.source FROM m
+      |  JOIN documents doc ON doc.doc_id = m.vec_id)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |CAST(max(mc6) AS DOUBLE) / 1e6 AS max_cos,
+      |floor(CAST(sum(mc6) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_cos
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q245: q240's recursive CC labels + the verified pair list,
     * rolled up per cluster — density as exact integer basis points,

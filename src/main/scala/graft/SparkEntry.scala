@@ -787,7 +787,12 @@ object SparkEntry {
     // from the post-redistribution allocation (the corpus a capped
     // run actually materializes)
     "q256_capped_epochs"    -> ((s, d) =>
-      TrainingData.cappedEpochExpand(Tables.documents(s, d)))
+      TrainingData.cappedEpochExpand(Tables.documents(s, d))),
+    // q255 rolled up per source: leak spike (max) vs distributional
+    // closeness (mean) of each source against the eval panel
+    "q257_decontam_sources" -> ((s, d) =>
+      Similarity.decontamBySource(Tables.embeddings(s, d),
+        Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

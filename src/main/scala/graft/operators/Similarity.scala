@@ -1488,16 +1488,9 @@ object Similarity {
     */
   def decontamQueue(emb: DataFrame, modulus: Int = 23,
                     topN: Int = 50): DataFrame = {
-    val base = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"), col("label"))
-    val ev = base.filter(col("vec_id") % modulus === 0)
-      .select(col("vec_id").as("eval_id"), col("v").as("ev"))
-    val corpus = base.filter(col("vec_id") % modulus =!= 0)
     val wDoc = Window.partitionBy("vec_id")
       .orderBy(col("c6").desc, col("eval_id").asc)
-    val perDoc = corpus.crossJoin(broadcast(ev))
-      .withColumn("c6",
-        floor(cosine(col("v"), col("ev")) * 1e6 + 0.5).cast("long"))
+    val perDoc = evalScoredPairs(emb, modulus)
       .withColumn("r", row_number().over(wDoc))
       .filter(col("r") === 1)
     // TakeOrdered bounds the frame to topN BEFORE the rank window
@@ -1507,5 +1500,50 @@ object Similarity {
       .select(col("rk"), col("vec_id"), col("label"), col("eval_id"),
         (col("c6").cast("double") / 1e6).as("max_cos"))
       .orderBy("rk")
+  }
+
+  /** q257: the q255 queue rolled up to the number a curation owner
+    * asks next — per SOURCE, how close is this source to the eval
+    * set: corpus docs scored, the max and the exact-integer mean of
+    * each document's best eval cosine (doc_id ↔ vec_id, the
+    * established [[graft.apps.CorpusPipeline]] semantic-tier
+    * convention). A source whose max_cos spikes while its mean stays
+    * flat leaked a few items (review the q255 queue); a source whose
+    * MEAN is elevated is distributionally close to eval (a sampling
+    * bias question, not a leak). Exactness: per-doc max over q6
+    * BIGINT pair scores; the mean is floor(Σ/n + ½) over exact
+    * integers — the q245 idiom. Scale: unlike the queue, no window —
+    * the per-doc max is a partial-aggregating groupBy (map-side
+    * combine on the broadcast-join output), then an id equi-join to
+    * documents and a vocabulary-bounded rollup.
+    */
+  def decontamBySource(emb: DataFrame, docs: DataFrame,
+                       modulus: Int = 23): DataFrame =
+    evalScoredPairs(emb, modulus)
+      .groupBy("vec_id").agg(max("c6").as("mc6"))
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        (max("mc6").cast("double") / 1e6).as("max_cos"),
+        (floor(sum("mc6").cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("mean_cos"))
+      .orderBy("source")
+
+  /** Every (corpus vector, eval vector) cosine at q6 — the shared
+    * pair frame under [[decontamQueue]] (argmax window) and
+    * [[decontamBySource]] (grouped max): corpus × PANEL, never
+    * corpus × corpus; the panel side broadcasts.
+    */
+  private def evalScoredPairs(emb: DataFrame, modulus: Int): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val ev = base.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+    base.filter(col("vec_id") % modulus =!= 0)
+      .crossJoin(broadcast(ev))
+      .withColumn("c6",
+        floor(cosine(col("v"), col("ev")) * 1e6 + 0.5).cast("long"))
+      .select(col("vec_id"), col("label"), col("eval_id"), col("c6"))
   }
 }

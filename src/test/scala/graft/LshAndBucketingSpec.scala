@@ -340,4 +340,47 @@ class LshAndBucketingSpec extends AnyFunSuite {
         (i + 1, vid, lab, eid, c6.toDouble / 1e6) }
     assert(got.toSeq == want, "native-expression queue diverges from the HOF recompute")
   }
+
+  test("decontamBySource: hand-computed rollup on the planted fixture; corpus totals reconcile with the queue") {
+    import spark.implicits._
+    // the q255 fixture + a source map: docs 7/1 in srcA, 2/3 in srcB
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), 0), (23L, Seq(0f, 1f, 0f), 0),
+      (7L, Seq(2f, 0f, 0f), 1), (1L, Seq(1f, 1f, 0f), 1),
+      (2L, Seq(0f, 3f, 1f), 1), (3L, Seq(-1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq((0L, "srcZ"), (23L, "srcZ"), (7L, "srcA"),
+      (1L, "srcA"), (2L, "srcB"), (3L, "srcB"))
+      .toDF("doc_id", "source")
+    val got = Similarity.decontamBySource(emb, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // srcA: max c6 {1000000, 707107} -> max 1.0, mean floor(1707107/2+.5)=853554
+    // srcB: {948683, 0} -> max .948683, mean floor(948683/2+.5)=474342
+    // srcZ holds only eval ids -> absent from the report
+    assert(got.toSeq == Seq(
+      ("srcA", 2L, 1.0, 0.853554), ("srcB", 2L, 0.948683, 0.474342)))
+    // corpus reconciliation: every source's max_cos must equal the
+    // best q255 per-doc score among its docs (recomputed corpus-wide)
+    val embC = Tables.embeddings(spark, sfDir)
+    val docsC = Tables.documents(spark, sfDir)
+    val bySrc = Similarity.decontamBySource(embC, docsC).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ev = embC.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+    val perDocMax = embC.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") % 23 =!= 0)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"),
+        floor(Similarity.cosineHof(col("v"), col("ev")) * 1e6 + 0.5)
+          .cast("long").as("c6"))
+      .groupBy("vec_id").agg(max("c6").as("mc6"))
+      .join(docsC.select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      .collect().map(r => (r.getString(2), r.getLong(1)))
+    val wantMax = perDocMax.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).max.toDouble / 1e6)).toMap
+    assert(bySrc == wantMax, "per-source rollup diverges from the HOF recompute")
+  }
 }

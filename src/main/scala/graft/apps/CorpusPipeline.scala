@@ -75,7 +75,9 @@ object CorpusPipeline {
           urlHostCap: Option[Int] = None,
           cohesionFloorBp: Option[Long] = None,
           budgetMult: Option[Int] = None,
-          capEpochsQ4: Option[Long] = None): Report = {
+          capEpochsQ4: Option[Long] = None,
+          evalEmbeddings: Option[DataFrame] = None,
+          decontamTopK: Int = 50): Report = {
     // opt-in URL curation stage, FIRST (RefinedWeb §3 ordering: URL
     // mirror-dedup + per-host capping before any content look — the
     // cheapest gate runs before the cascade ever tokenizes a mirror)
@@ -141,7 +143,7 @@ object CorpusPipeline {
     // gone, shipping the content with NO representative; (2) cost —
     // the pairwise cosine tier pays only for documents that can
     // actually ship.
-    val kept = (embeddings match {
+    val kept1 = embeddings match {
       case Some(emb) =>
         val embAlive = emb.join(
           kept0.select(col("doc_id").as("vec_id")), Seq("vec_id"),
@@ -151,6 +153,27 @@ object CorpusPipeline {
           .select(col("drop_id").as("doc_id"))
         kept0.join(drops, Seq("doc_id"), "left_anti")
       case None => kept0
+    }
+    // optional SEMANTIC decontamination tier (the q255 queue ACTED
+    // ON): when an eval-EMBEDDING frame is supplied (the real
+    // benchmark vectors — not the n-gram eval docs above, which
+    // cannot see a paraphrase), the decontamTopK surviving docs
+    // nearest ANY eval vector are anti-joined away. Rank-based, not
+    // threshold-based, for the q255 reason: the right cosine cutoff
+    // is unknowable a priori — review the ranked queue, then set K.
+    // Runs on the semDedup survivors so the cut is spent on docs
+    // that can actually ship; like the semDedup tier, docs without
+    // an embedding pass through untouched.
+    val kept = ((embeddings, evalEmbeddings) match {
+      case (Some(emb), Some(evEmb)) =>
+        val embAlive = emb.join(
+          kept1.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+        val drops = graft.operators.Similarity
+          .decontamDropIds(embAlive, evEmb, decontamTopK)
+          .select(col("vec_id").as("doc_id"))
+        kept1.join(drops, Seq("doc_id"), "left_anti")
+      case _ => kept1
     }).persist(StorageLevel.MEMORY_AND_DISK)
     // optional temperature reweighting of the FINAL corpus (rates are
     // computed on what survived cleaning, which is what trains): lang

@@ -1530,6 +1530,31 @@ object Similarity {
           .as("mean_cos"))
       .orderBy("source")
 
+  /** The q255 queue ACTED ON with an explicit eval-embedding frame —
+    * the ids a semantic-decontamination cut removes: the `topK`
+    * corpus vectors by max cosine to ANY eval vector (ties low
+    * vec_id, rerun-stable). No window: grouped per-doc max (map-side
+    * combine) then a TakeOrdered cut. This is the
+    * [[graft.apps.CorpusPipeline]] tier's kernel (the queue's oracled
+    * math — q255 — against a real benchmark frame instead of the
+    * testdata modulus stand-in); review the ranked [[decontamQueue]]
+    * first to SET topK.
+    */
+  def decontamDropIds(emb: DataFrame, evalEmb: DataFrame,
+                      topK: Int = 50): DataFrame = {
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val panel = evalEmb.select(col("vec_id").as("eval_id"),
+      col("embedding").cast("array<double>").as("ev"))
+    corpus.crossJoin(broadcast(panel))
+      .select(col("vec_id"),
+        floor(cosine(col("v"), col("ev")) * 1e6 + 0.5).cast("long").as("c6"))
+      .groupBy("vec_id").agg(max("c6").as("mc6"))
+      .orderBy(col("mc6").desc, col("vec_id").asc)
+      .limit(topK)
+      .select("vec_id")
+  }
+
   /** Every (corpus vector, eval vector) cosine at q6 — the shared
     * pair frame under [[decontamQueue]] (argmax window) and
     * [[decontamBySource]] (grouped max): corpus × PANEL, never

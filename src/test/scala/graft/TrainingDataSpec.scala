@@ -382,6 +382,49 @@ class TrainingDataSpec extends AnyFunSuite {
       "a shard carries an epoch past the cap")
   }
 
+  test("CorpusPipeline semantic decontam tier: the top-K eval-nearest docs leave the kept set; off = identity") {
+    import org.apache.spark.sql.types._
+    val evalSet = docs.filter(col("doc_id") < 3)
+    val emb = Tables.embeddings(spark, sfDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def shippedIds(jsonlDir: String): Set[Long] =
+      Tables.jsonl(spark, jsonlDir, schema).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    // baseline: embeddings tier on, no eval embeddings
+    val b0 = java.nio.file.Files.createTempDirectory("graft-cp-dc0").toString
+    val r0 = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$b0/shards", s"$b0/jsonl", nShards = 2, embeddings = Some(emb))
+    val s0 = shippedIds(s"$b0/jsonl")
+    assert(s0.size == r0.shipped.toInt && s0.size > 10)
+    // eval embeddings: exact copies of three SURVIVING corpus vectors
+    // under fresh ids — their source docs score cosine 1.0 and must
+    // head the rank-based cut
+    val planted = s0.toSeq.sorted.take(3)
+    val evEmb = emb.filter(col("vec_id").isin(planted: _*))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val b1 = java.nio.file.Files.createTempDirectory("graft-cp-dc1").toString
+    val r1 = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$b1/shards", s"$b1/jsonl", nShards = 2, embeddings = Some(emb),
+      evalEmbeddings = Some(evEmb), decontamTopK = 5)
+    val s1 = shippedIds(s"$b1/jsonl")
+    assert(r1.kept == r0.kept - 5 && s1.size == s0.size - 5,
+      s"the K=5 cut must remove exactly 5 survivors (${r0.kept} -> ${r1.kept})")
+    val dropped = s0 -- s1
+    // the cut is exactly decontamDropIds over the baseline survivors
+    val want = graft.operators.Similarity.decontamDropIds(
+        emb.join(spark.createDataset(s0.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
+          .toDF("vec_id"), Seq("vec_id"), "left_semi"),
+        evEmb, topK = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == want, s"dropped $dropped != queue cut $want")
+    assert(planted.forall(dropped.contains),
+      "a planted exact eval copy survived the decontamination cut")
+    // every stage before the tier is untouched
+    assert((r1.input, r1.urlKept, r1.gated, r1.cleaned) ==
+      ((r0.input, r0.urlKept, r0.gated, r0.cleaned)))
+  }
+
   test("CorpusPipeline production profile: gate→guarded dedup→budget epochs→shards; manifest pinned") {
     import org.apache.spark.sql.types._
     // the q250/q251 closed loops ON together — the composition a

@@ -792,6 +792,11 @@ object SparkEntry {
     // closeness (mean) of each source against the eval panel
     "q257_decontam_sources" -> ((s, d) =>
       Similarity.decontamBySource(Tables.embeddings(s, d),
+        Tables.documents(s, d))),
+    // both decontamination levels reconciled per doc over ONE eval
+    // panel: verbatim / paraphrase / boilerplate / clean quadrants
+    "q258_leak_typology"    -> ((s, d) =>
+      Similarity.leakTypology(Tables.embeddings(s, d),
         Tables.documents(s, d)))
   )
 

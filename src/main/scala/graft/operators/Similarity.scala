@@ -1555,6 +1555,64 @@ object Similarity {
       .select("vec_id")
   }
 
+  /** q258: leak TYPOLOGY — the two decontamination levels judged over
+    * the SAME eval panel (ids ≡ 0 mod `modulus`, documents for the
+    * 3-gram side, embeddings for the cosine side) and reconciled per
+    * document into the quadrant a contamination review triages by:
+    *   - `verbatim`    — in the q255 top-K queue AND shares ≥ 1 eval
+    *                     3-gram: confirmed both ways, remove;
+    *   - `paraphrase`  — queue-only: semantically close with zero
+    *                     lexical overlap, exactly what n-gram
+    *                     decontamination cannot see;
+    *   - `boilerplate` — n-gram-only: shared surface text the
+    *                     embedding does not consider close (template/
+    *                     boilerplate coincidence, usually keep);
+    *   - `clean`       — neither.
+    * Both flags are threshold-free in the q255 sense: queue
+    * membership is the rank-based cut, the n-gram flag is "shares ANY
+    * eval 3-gram" (exact). Per quadrant: doc count, exact-integer
+    * mean of the per-doc max cosine (q6) and of the contamination
+    * share (bp). Documents too short to shingle (< n tokens) count as
+    * zero overlap rather than vanishing.
+    *
+    * Scale: the n-gram side is [[TrainingData.evalDecontaminate]]'s
+    * shingle-keyed equi-join (work ∝ matching shingles); the cosine
+    * side is the broadcast-panel grouped max; the reconciliation is
+    * two id equi-joins and a 4-row rollup.
+    */
+  def leakTypology(emb: DataFrame, docs: DataFrame, modulus: Int = 23,
+                   topK: Int = 50, n: Int = 3): DataFrame = {
+    val evalDocs = docs.filter(col("doc_id") % modulus === 0)
+    val corpusDocs = docs.filter(col("doc_id") % modulus =!= 0)
+    val ngram = TrainingData
+      .evalDecontaminate(corpusDocs, n, evalDocs = Some(evalDocs))
+      .select(col("doc_id").as("vec_id"),
+        expr("CAST((n_overlap * 10000) div n_shingles AS BIGINT)")
+          .as("contam_bp"))
+    val perDoc = evalScoredPairs(emb, modulus)
+      .groupBy("vec_id").agg(max("c6").as("mc6"))
+    val queue = perDoc.orderBy(col("mc6").desc, col("vec_id").asc)
+      .limit(topK).select(col("vec_id"), lit(true).as("in_queue"))
+    perDoc
+      .join(queue, Seq("vec_id"), "left")
+      .join(ngram, Seq("vec_id"), "left")
+      .select(col("mc6"),
+        coalesce(col("in_queue"), lit(false)).as("inq"),
+        coalesce(col("contam_bp"), lit(0L)).as("cbp"))
+      .withColumn("quadrant",
+        when(col("inq") && col("cbp") > 0, "verbatim")
+          .when(col("inq"), "paraphrase")
+          .when(col("cbp") > 0, "boilerplate")
+          .otherwise("clean"))
+      .groupBy("quadrant")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        (floor(sum("mc6").cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("mean_cos"),
+        floor(sum("cbp").cast("double") / count(lit(1)) + 0.5).cast("long")
+          .as("mean_contam_bp"))
+      .orderBy("quadrant")
+  }
+
   /** Every (corpus vector, eval vector) cosine at q6 — the shared
     * pair frame under [[decontamQueue]] (argmax window) and
     * [[decontamBySource]] (grouped max): corpus × PANEL, never

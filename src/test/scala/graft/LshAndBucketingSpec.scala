@@ -383,4 +383,46 @@ class LshAndBucketingSpec extends AnyFunSuite {
       .mapValues(rs => (rs.length.toLong, rs.map(_._2).max.toDouble / 1e6)).toMap
     assert(bySrc == wantMax, "per-source rollup diverges from the HOF recompute")
   }
+
+  test("leakTypology: one planted doc per quadrant, hand-computed means; corpus partition is total") {
+    import spark.implicits._
+    // id 0 is the eval panel on BOTH levels: text "alpha beta gamma
+    // delta" (two eval 3-grams) + direction [1,0,0]
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (7L, Seq(2f, 0f, 0f), 1),      // cos 1.0      -> queue
+      (1L, Seq(1f, 0.1f, 0f), 1),    // cos ~0.995   -> queue
+      (2L, Seq(0f, 0f, 1f), 1),      // cos 0        -> out
+      (3L, Seq(0f, -1f, 0f), 1))     // cos 0        -> out
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "ev", 0L),
+      (7L, "alpha beta gamma extra tokens", "en", "s", 0L), // 1/3 overlap
+      (1L, "unrelated words entirely different", "en", "s", 0L),
+      (2L, "alpha beta gamma unrelated", "en", "s", 0L),    // 1/2 overlap
+      (3L, "zzz yyy xxx www", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Similarity.leakTypology(emb, docs, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // doc 1's cosine through the exact double chain the engine runs
+    val c1 = math.floor(
+      (1.0 * 2.0) / (math.sqrt(1.0 + 0.1f.toDouble * 0.1f.toDouble) * 2.0)
+        * 1e6 + 0.5) / 1e6
+    assert(got.toSeq == Seq(
+      ("boilerplate", 1L, 0.0, 5000L),   // doc 2: 1 of 2 shingles shared
+      ("clean", 1L, 0.0, 0L),            // doc 3
+      ("paraphrase", 1L, c1, 0L),        // doc 1: queue, no overlap
+      ("verbatim", 1L, 1.0, 3333L)),     // doc 7: queue + 1 of 3 shingles
+      s"got ${got.toSeq}")
+    // corpus: the quadrants partition every non-eval vector, and the
+    // queue quadrants together hold exactly topK docs
+    val embC = Tables.embeddings(spark, sfDir)
+    val docsC = Tables.documents(spark, sfDir)
+    val corpus = Similarity.leakTypology(embC, docsC).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCorpus = embC.filter(col("vec_id") % 23 =!= 0).count()
+    assert(corpus.values.sum == nCorpus, "quadrants must partition the corpus")
+    assert(corpus.getOrElse("verbatim", 0L) + corpus.getOrElse("paraphrase", 0L) == 50L,
+      "queue quadrants must hold exactly topK docs")
+  }
 }

@@ -749,6 +749,76 @@ object StreamPipeline {
       }
   }
 
+  /** One arriving vector's decontamination score — the q255 queue's
+    * per-document row, computed at ingest.
+    */
+  case class DecontamScore(vec_id: Long, max_c6: Long, eval_id: Long)
+
+  /** The eval panel as the driver-side array
+    * [[decontamScoreStream]] closes over: (eval_id, vector), sorted
+    * by eval_id ascending (the batch argmax tie contract). Collecting
+    * is deliberate and safe by decontamination's premise — eval
+    * benchmarks are constant-size (10²–10⁴ items); this is metadata,
+    * not data, the same argument as the batch side's broadcast.
+    */
+  def evalPanel(evalEmb: DataFrame): Array[(Long, Array[Double])] =
+    evalEmb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** STREAMING semantic-decontamination scorer — the ingest-time twin
+    * of the q255 per-document row ([[graft.operators.Similarity]]
+    * `decontamQueue` before its global cut): each arriving embedding
+    * is scored against the fixed eval panel and emits (vec_id, max_c6
+    * at the q6 grid, arg-max eval_id with ties to the smallest id —
+    * the batch tie contract). STATELESS — no groupState, no watermark:
+    * the panel is a closure constant, the score is one map, so this
+    * gate runs at ingest line rate and the downstream decides (route
+    * hot rows to review, or feed the batch queue's rank cut).
+    *
+    * The per-pair arithmetic is the batch native CosineSimilarity
+    * fused loop verbatim, then the identical floor(x·10⁶ + ½)
+    * quantization — stream scores equal the batch frame row for row
+    * (spec-asserted).
+    */
+  def decontamScoreStream(stream: DataFrame,
+                          panel: Array[(Long, Array[Double])])
+      : org.apache.spark.sql.Dataset[DecontamScore] = {
+    require(panel.nonEmpty, "decontamScoreStream needs a non-empty eval panel")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        var bestC6 = Long.MinValue
+        var bestId = -1L
+        var p = 0
+        while (p < panel.length) {
+          val (eid, ev) = panel(p)
+          // the batch native CosineSimilarity loop, verbatim
+          val n = math.min(v.length, ev.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < n) {
+            val xi = v(i); val yi = ev(i)
+            dot += xi * yi; na += xi * xi; nb += yi * yi
+            i += 1
+          }
+          val c6 = math.floor(
+            dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong
+          // strict > over the eval_id-ascending panel = ties keep the
+          // smallest eval_id, the batch argmax contract
+          if (c6 > bestC6) { bestC6 = c6; bestId = eid }
+          p += 1
+        }
+        DecontamScore(id, bestC6, bestId)
+      }
+  }
+
   case class OpenPath(lastSec: Long, types: Seq[String], n: Long)
 
   /** A gap-closed session's journey, emitted downstream. */

@@ -814,6 +814,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("decontamScoreStream: shuffled micro-batches equal the batch queue scores bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val panel = StreamPipeline.evalPanel(emb.filter(col("vec_id") % 23 === 0))
+    val rows = emb.filter(col("vec_id") % 23 =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // arrival order must not matter: the scorer is stateless
+    val shuffled = new scala.util.Random(7).shuffle(rows.toSeq)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.decontamScoreStream(stream, panel).toDF(),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-dcscore").toString,
+        queryName = "dcscore_mem").start()
+    try {
+      shuffled.grouped(150).foreach { chunk =>
+        mem.addData(chunk: _*); query.processAllAvailable()
+      }
+      val live = spark.table("dcscore_mem").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the batch queue uncut: same per-doc (max c6, argmax eval_id);
+      // c6 round-trips exactly through the /1e6 display division
+      val batch = graft.operators.Similarity
+        .decontamQueue(emb, topN = Int.MaxValue).collect()
+        .map(r => (r.getLong(1), math.round(r.getDouble(4) * 1e6), r.getLong(3)))
+        .toSet
+      assert(live.size == rows.length, s"${live.size} != ${rows.length}")
+      assert(live == batch, "stream scores must equal the batch queue rows bit for bit")
+    } finally query.stop()
+  }
+
   test("duplicateFlagStream: flags match the batch audit; state survives the batch boundary") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]

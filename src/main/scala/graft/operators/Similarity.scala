@@ -1589,8 +1589,12 @@ object Similarity {
       .select(col("doc_id").as("vec_id"),
         expr("CAST((n_overlap * 10000) div n_shingles AS BIGINT)")
           .as("contam_bp"))
+    // two consumers (the frame itself + the queue cut) — persist the
+    // narrow (id, max) frame so the panel scan runs ONCE; the caller
+    // releases it (the evalDecontaminate/pipelineFunnel contract)
     val perDoc = evalScoredPairs(emb, modulus)
       .groupBy("vec_id").agg(max("c6").as("mc6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queue = perDoc.orderBy(col("mc6").desc, col("vec_id").asc)
       .limit(topK).select(col("vec_id"), lit(true).as("in_queue"))
     perDoc

@@ -4391,7 +4391,8 @@ object OracleSql {
       ("q255_decontam_queue" -> decontamQueueSql) +
       ("q256_capped_epochs" -> cappedEpochsSql) +
       ("q257_decontam_sources" -> decontamSourcesSql) +
-      ("q258_leak_typology" -> leakTypologySql)
+      ("q258_leak_typology" -> leakTypologySql) +
+      ("q259_mixture_drift" -> mixtureDriftSql)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs
@@ -4754,6 +4755,35 @@ object OracleSql {
       |CAST(max(mc6) AS DOUBLE) / 1e6 AS max_cos,
       |floor(CAST(sum(mc6) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_cos
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q259: the q90 snapshot pair (old = id % 11 ≠ 3; new = id % 11 ≠ 0
+    * with the % 13 ' (rev2)' revision — which ADDS a token, so the
+    * text CASE must precede the split), one grouped token sum per
+    * snapshot, full outer on source, shares in exact bp, signed
+    * drift.
+    */
+  private def mixtureDriftSql: String =
+    """WITH o AS (SELECT source,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS old_tokens
+      |  FROM documents WHERE doc_id % 11 <> 3 GROUP BY 1),
+      |n AS (SELECT source,
+      |  CAST(sum(len(string_split(
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' (rev2)' ELSE text END,
+      |    ' '))) AS BIGINT) AS new_tokens
+      |  FROM documents WHERE doc_id % 11 <> 0 GROUP BY 1),
+      |j AS (SELECT coalesce(o.source, n.source) AS source,
+      |  coalesce(o.old_tokens, 0) AS old_tokens,
+      |  coalesce(n.new_tokens, 0) AS new_tokens
+      |  FROM o FULL OUTER JOIN n ON o.source = n.source),
+      |t AS (SELECT CAST(sum(old_tokens) AS BIGINT) AS ot,
+      |  CAST(sum(new_tokens) AS BIGINT) AS nt FROM j),
+      |s AS (SELECT source, old_tokens, new_tokens,
+      |  CAST(CASE WHEN ot > 0 THEN (old_tokens * 10000) // ot ELSE 0 END AS BIGINT) AS share_old_bp,
+      |  CAST(CASE WHEN nt > 0 THEN (new_tokens * 10000) // nt ELSE 0 END AS BIGINT) AS share_new_bp
+      |  FROM j, t)
+      |SELECT source, old_tokens, new_tokens, share_old_bp, share_new_bp,
+      |CAST(share_new_bp - share_old_bp AS BIGINT) AS drift_bp
+      |FROM s ORDER BY source""".stripMargin
 
   /** q258: the q58 shingle chain (eval vocab = doc_id % 23) and the
     * q255 pair chain over the SAME panel, reconciled per doc — queue

@@ -797,7 +797,19 @@ object SparkEntry {
     // panel: verbatim / paraphrase / boilerplate / clean quadrants
     "q258_leak_typology"    -> ((s, d) =>
       Similarity.leakTypology(Tables.embeddings(s, d),
-        Tables.documents(s, d)))
+        Tables.documents(s, d))),
+    // source-mixture drift between the q90 snapshot pair: share
+    // deltas in exact bp — the silent reweighting a crawl refresh
+    // applies to every downstream mixture
+    "q259_mixture_drift"    -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" (rev2)"))).otherwise(col("text")))
+      TrainingData.mixtureDrift(oldSnap, newSnap)
+    })
   )
 
   /** Content-addressed home of the documents table's SimHash pair

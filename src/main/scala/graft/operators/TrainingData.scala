@@ -594,6 +594,46 @@ object TrainingData {
         explode(sequence(lit(1), col("n_epochs"))).as("epoch"))
   }
 
+  /** q259: source-mixture DRIFT between two corpus snapshots — the
+    * question a crawl refresh raises before anyone retrains: did the
+    * SOURCE COMPOSITION move, independent of the per-document churn
+    * [[snapshotDiff]] itemizes? Per source: token mass in each
+    * snapshot, each snapshot's share of its own total in exact basis
+    * points, and the signed share delta. A source whose share drifts
+    * while the corpus totals stay flat silently re-weights every
+    * downstream mixture ([[temperatureMixture]], [[dataBudgetPlan]])
+    * even though no knob changed — this report is where that shows
+    * up first.
+    *
+    * Exactness: pure BIGINT — token sums, share = tokens·10⁴ div
+    * total (zero-total guarded), drift = one signed subtraction.
+    * Sources absent from a snapshot coalesce to 0 tokens via the full
+    * outer join. Scale: one grouped aggregate per snapshot, totals
+    * over the #sources-row frames (the q233 window shape), output ≤
+    * #sources rows.
+    */
+  def mixtureDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def tokens(d: DataFrame, alias: String) =
+      d.select(col("source"), size(split(col("text"), " ")).cast("bigint").as("n"))
+        .groupBy("source").agg(sum("n").cast("bigint").as(alias))
+    val w = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    tokens(oldDocs, "old_tokens")
+      .join(tokens(newDocs, "new_tokens"), Seq("source"), "full_outer")
+      .na.fill(0L, Seq("old_tokens", "new_tokens"))
+      .withColumn("ot", sum("old_tokens").over(w).cast("bigint"))
+      .withColumn("nt", sum("new_tokens").over(w).cast("bigint"))
+      .withColumn("share_old_bp", expr(
+        "CAST(CASE WHEN ot > 0 THEN (old_tokens * 10000) div ot ELSE 0 END AS BIGINT)"))
+      .withColumn("share_new_bp", expr(
+        "CAST(CASE WHEN nt > 0 THEN (new_tokens * 10000) div nt ELSE 0 END AS BIGINT)"))
+      .withColumn("drift_bp",
+        (col("share_new_bp") - col("share_old_bp")).cast("bigint"))
+      .select("source", "old_tokens", "new_tokens",
+        "share_old_bp", "share_new_bp", "drift_bp")
+      .orderBy("source")
+  }
+
   /** Gopher-style repetition gate: fraction of a document's n-token
     * shingles that are repeats (1 - distinct/total). Boilerplate,
     * keyboard-mash, and template spam score high; clean prose scores

@@ -382,6 +382,37 @@ class TrainingDataSpec extends AnyFunSuite {
       "a shard carries an epoch past the cap")
   }
 
+  test("mixtureDrift: hand-computed shares on a planted pair; identity snapshot drifts zero; corpus shares close") {
+    import spark.implicits._
+    def mk(rows: (Long, String, String)*) = rows.toSeq
+      .map { case (id, t, s) => (id, t, "en", s, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val oldSnap = mk((1L, ten, "srcA"), (2L, ten, "srcA"),
+      (3L, ten, "srcB"), (4L, ten, "srcB"))
+    val newSnap = mk((1L, ten, "srcA"),
+      (3L, ten, "srcB"), (4L, ten, "srcB"), (5L, ten, "srcB"),
+      (6L, ten, "srcC"))
+    val got = TrainingData.mixtureDrift(oldSnap, newSnap).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // ot = 40, nt = 50; srcC absent old -> coalesced 0
+    assert(got.toSeq == Seq(
+      ("srcA", 20L, 10L, 5000L, 2000L, -3000L),
+      ("srcB", 20L, 30L, 5000L, 6000L, 1000L),
+      ("srcC", 0L, 10L, 0L, 2000L, 2000L)), got.toSeq.toString)
+    // identity pair: every drift is exactly zero
+    val same = TrainingData.mixtureDrift(docs, docs).collect()
+    assert(same.forall(_.getLong(5) == 0L), "identical snapshots must not drift")
+    // corpus laws: shares fill the bp grid up to floor loss, drift sums
+    // to the difference of the two floor losses (bounded by #sources)
+    val n = same.length
+    Seq(3, 4).foreach { c =>
+      val s = same.map(_.getLong(c)).sum
+      assert(s <= 10000L && s >= 10000L - n, s"share column $c sums to $s")
+    }
+  }
+
   test("CorpusPipeline semantic decontam tier: the top-K eval-nearest docs leave the kept set; off = identity") {
     import org.apache.spark.sql.types._
     val evalSet = docs.filter(col("doc_id") < 3)

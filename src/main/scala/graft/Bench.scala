@@ -414,6 +414,16 @@ object Bench {
       dropAllState()
       if (built) (System.nanoTime() - kmT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
+    // pre-build the bigram LM (q121 scores against it): one model
+    // scan per corpus snapshot. 0 = reused, -1 = failed.
+    val blmT0 = System.nanoTime()
+    val blmBuildSec = try {
+      val built = graft.operators.TextAnalysis.prebuildBigramLm(
+        graft.engine.Tables.documents(spark, sfDir),
+        SparkEntry.bigramLmFor(spark, sfDir))
+      dropAllState()
+      if (built) (System.nanoTime() - blmT0) / 1e9 else 0.0
+    } catch { case _: Throwable => -1.0 }
     // pre-build the positional phrase index (q196 probes it): one
     // trigram adjacency self-join per corpus snapshot. 0 = reused,
     // -1 = failed.
@@ -464,7 +474,8 @@ object Bench {
         SparkEntry.ahashFor(spark, sfDir),
         SparkEntry.kmCellsFor(spark, sfDir),
         SparkEntry.phraseIdxFor(spark, sfDir),
-        SparkEntry.textRankFor(spark, sfDir))
+        SparkEntry.textRankFor(spark, sfDir),
+        SparkEntry.bigramLmFor(spark, sfDir))
         .foreach { d =>
           try touch(new java.io.File(d))
           catch { case _: Throwable => () }
@@ -472,7 +483,7 @@ object Bench {
       pretouchMb = bytes / 1e6
       (System.nanoTime() - touchT0) / 1e9
     } catch { case _: Throwable => -1.0 }
-    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"props_build_sec":${dec(propsBuildSec, 2)},"gt_build_sec":${dec(gtBuildSec, 2)},"ah_build_sec":${dec(ahBuildSec, 2)},"tok_build_sec":${dec(tokBuildSec, 2)},"arm_build_sec":${dec(armBuildSec, 2)},"km_build_sec":${dec(kmBuildSec, 2)},"post_build_sec":${dec(postBuildSec, 2)},"tr_build_sec":${dec(trBuildSec, 2)},"pretouch_sec":${dec(pretouchSec, 2)},"pretouch_mb":${dec(pretouchMb, 1)},"sf":${jsonStr(sfDir)}}""")
+    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"props_build_sec":${dec(propsBuildSec, 2)},"gt_build_sec":${dec(gtBuildSec, 2)},"ah_build_sec":${dec(ahBuildSec, 2)},"tok_build_sec":${dec(tokBuildSec, 2)},"arm_build_sec":${dec(armBuildSec, 2)},"km_build_sec":${dec(kmBuildSec, 2)},"post_build_sec":${dec(postBuildSec, 2)},"tr_build_sec":${dec(trBuildSec, 2)},"blm_build_sec":${dec(blmBuildSec, 2)},"pretouch_sec":${dec(pretouchSec, 2)},"pretouch_mb":${dec(pretouchMb, 1)},"sf":${jsonStr(sfDir)}}""")
 
     // a probe must never abort the run: a broken environment (e.g.
     // missing data dir) should still produce BENCH_META, per-query
@@ -615,7 +626,7 @@ object Bench {
       "pq" -> pqBuildSec, "fam" -> famBuildSec, "props" -> propsBuildSec,
       "gt" -> gtBuildSec, "ah" -> ahBuildSec, "tok" -> tokBuildSec,
       "arm" -> armBuildSec, "km" -> kmBuildSec, "post" -> postBuildSec,
-      "tr" -> trBuildSec, "touch" -> pretouchSec)
+      "tr" -> trBuildSec, "blm" -> blmBuildSec, "touch" -> pretouchSec)
       .map { case (k, v) => jsonStr(k) + ":" + qnum(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${dec(total, 3)},"unit":"sec","enc":"queries[i]=deciseconds of query i+1, capped 999; el/eio=per-5-query max load (cap 9) / log2 MB disk read","queries":$qs,"slowest_sec":$slow,"el":${jsonStr(envLoad)},"eio":${jsonStr(envIo)},"q41_fit_sec":${dec(fitSec, 2)},"builds_sec":$buildsJson$errs,"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")

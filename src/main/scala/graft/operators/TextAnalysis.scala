@@ -431,24 +431,67 @@ object TextAnalysis {
     * keeps `sequence(1, len-1)` ascending (Spark's descending-
     * sequence/ANSI trap — see the charEntropy notes above).
     */
-  def bigramLmScore(docs: DataFrame): DataFrame = {
-    // native generator (graft.functions.CharGramGenerator): the
-    // composable transform+explode form is an interpreted lambda paid
-    // TWICE here (model + scoring) — identical gram multiset,
-    // spec-asserted, every oracle hash unchanged
-    def grams(df: DataFrame) = df.filter(length(col("text")) >= 2)
-      .select(col("doc_id"),
-        graft.functions.CharGramGenerator.chargrams(col("text"), 2).as("bg"))
-    val model = grams(docs).groupBy("bg").agg(count(lit(1)).as("ng"))
+  def bigramLmScore(docs: DataFrame): DataFrame =
+    bigramScoreWith(docs, bigramLmModel(docs))
+
+  /** The corpus' bigram LM itself — (bg, logp), bounded by the
+    * distinct-bigram vocabulary (charset², MBs even for CJK corpora).
+    * `logp` is stored RAW (parquet roundtrips IEEE doubles exactly),
+    * so the cached scorer is bit-identical to the self-computing one.
+    */
+  private[graft] def bigramLmModel(docs: DataFrame): DataFrame =
+    bigramGrams(docs).groupBy("bg").agg(count(lit(1)).as("ng"))
       .withColumn("n1", sum(col("ng")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(substring(col("bg"), 1, 1))))
       .select(col("bg"), log(col("ng") / col("n1")).as("logp"))
-    grams(docs).join(broadcast(model), Seq("bg"))
+
+  // native generator (graft.functions.CharGramGenerator): the
+  // composable transform+explode form is an interpreted lambda paid
+  // twice in the self-computing shape (model + scoring) — identical
+  // gram multiset, spec-asserted, every oracle hash unchanged
+  private def bigramGrams(df: DataFrame) = df.filter(length(col("text")) >= 2)
+    .select(col("doc_id"),
+      graft.functions.CharGramGenerator.chargrams(col("text"), 2).as("bg"))
+
+  private def bigramScoreWith(docs: DataFrame, model: DataFrame): DataFrame =
+    bigramGrams(docs).join(broadcast(model), Seq("bg"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("logp")), 4).as("avg_logp"),
         round(exp(-avg(col("logp"))), 4).as("ppl"))
       .orderBy("doc_id")
+
+  /** Content-addressed home of one corpus' bigram LM
+    * ([[graft.engine.ContentAddress]]); the `n2` in the prefix bakes
+    * the gram order into the address.
+    */
+  def bigramLmDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
+                  base: String): String =
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base, "blm_n2_",
+      "bigramLmDir")
+
+  /** Build the materialized bigram LM under `dir/model` iff missing
+    * (`_SUCCESS`-gated, resumable — the prebuild contract). The model
+    * build was HALF of q121's cost (one of its two corpus scans) and
+    * is a pure function of the corpus, so it runs once per snapshot.
+    */
+  def prebuildBigramLm(docs: DataFrame, dir: String): Boolean = {
+    val mDir = s"$dir/model"
+    val fresh = !graft.engine.ContentAddress.hasSuccess(docs.sparkSession, mDir)
+    if (fresh)
+      bigramLmModel(docs).write.mode("overwrite").parquet(mDir)
+    fresh
+  }
+
+  /** [[bigramLmScore]] against the materialized model: ONE corpus
+    * scan (the scoring pass) + a vocabulary-bounded parquet read that
+    * broadcasts. Bit-identical to the self-computing shape
+    * (spec-asserted) — `logp` roundtrips parquet exactly.
+    */
+  def bigramLmScoreCached(docs: DataFrame, dir: String): DataFrame = {
+    prebuildBigramLm(docs, dir)
+    bigramScoreWith(docs,
+      docs.sparkSession.read.parquet(s"$dir/model"))
   }
 
   // ---- materialized token sufficient statistic ------------------------

@@ -186,6 +186,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       math.abs(r.getDouble(3) - math.exp(-r.getDouble(2))) < 0.01))
   }
 
+  test("bigramLmScoreCached equals the self-computing scorer row for row; rebuild is gated") {
+    val base = java.nio.file.Files.createTempDirectory("graft-blm").toString
+    val dir = TextAnalysis.bigramLmDir(spark,
+      s"$sfDir/documents.parquet", base)
+    val cached = TextAnalysis.bigramLmScoreCached(documents, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val self = TextAnalysis.bigramLmScore(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // bit-identical, not approximately equal: logp roundtrips parquet
+    // exactly, the scoring chain is shared code
+    assert(cached.toSeq == self.toSeq,
+      "cached scorer diverges from the self-computing one")
+    // the second touch must reuse the _SUCCESS-gated model
+    assert(!TextAnalysis.prebuildBigramLm(documents, dir),
+      "prebuild rebuilt an existing model")
+  }
+
   test("CharGramGenerator emits exactly the composable char-gram multiset") {
     import spark.implicits._
     import graft.functions.CharGramGenerator.chargrams

@@ -966,6 +966,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     labeled.unpersist()
   }
 
+  test("semanticDedupCached ≡ semanticDedup row-identical; second call reuses the committed frame") {
+    // the materialized path must be indistinguishable from the
+    // self-computing one: (long, long) labels roundtrip parquet
+    // exactly and the keep verdict recomputes probe-side
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-semcc-spec").toString
+    val dir = Dedup.semCcDir(spark, s"$sfDir/embeddings.parquet", base)
+    val cached = Dedup.semanticDedupCached(embeddings, dir, threshold = 0.3)
+    val self = Dedup.semanticDedup(embeddings, threshold = 0.3)
+    assert(cached.collect().toSeq == self.collect().toSeq,
+      "cached embedding-CC labels diverge from the self-computing path")
+    // reuse: the second call must build nothing
+    assert(!Dedup.prebuildSemanticCc(embeddings, dir, threshold = 0.3),
+      "prebuildSemanticCc rebuilt a committed frame")
+    // the address bakes the threshold: another setting gets its own dir
+    val dir2 = Dedup.semCcDir(spark, s"$sfDir/embeddings.parquet", base,
+      threshold = 0.5)
+    assert(dir2 != dir)
+  }
+
   test("semanticDedup with no near-dup pairs keeps every vector as its own cluster") {
     // threshold above the cosine range → provably empty pair graph →
     // the CC loop must terminate on empty edges and every vector must

@@ -4392,7 +4392,8 @@ object OracleSql {
       ("q256_capped_epochs" -> cappedEpochsSql) +
       ("q257_decontam_sources" -> decontamSourcesSql) +
       ("q258_leak_typology" -> leakTypologySql) +
-      ("q259_mixture_drift" -> mixtureDriftSql)
+      ("q259_mixture_drift" -> mixtureDriftSql) +
+      ("q260_leak_drop_ids" -> leakDropIdsSql)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs
@@ -4830,6 +4831,50 @@ object OracleSql {
       |floor(CAST(sum(mc6) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_cos,
       |CAST(floor(CAST(sum(cbp) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_contam_bp
       |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q260: q258's CTEs with vec_id kept through the quadrant label,
+    * filtered to the drop policy (verbatim always, paraphrase at the
+    * default dropParaphrase = true) — boilerplate/clean never appear.
+    */
+  private def leakDropIdsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+      |       FROM toks WHERE len(tk) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |evv AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+      |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 23 <> 0),
+      |o AS (SELECT doc_id, count(*) AS n_overlap FROM tr
+      |      WHERE shingle IN (SELECT shingle FROM evv) GROUP BY doc_id),
+      |sct AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+      |ng AS (SELECT sct.doc_id,
+      |  CAST((coalesce(o.n_overlap, 0) * 10000) // sct.n_shingles AS BIGINT) AS contam_bp
+      |  FROM sct LEFT JOIN o ON sct.doc_id = o.doc_id),
+      |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_id, v AS evec FROM base WHERE vec_id % 23 = 0),
+      |c AS (SELECT vec_id, v FROM base WHERE vec_id % 23 <> 0),
+      |s AS (SELECT c.vec_id,
+      |  CAST(floor(list_dot_product(c.v, ev.evec) /
+      |    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.evec, ev.evec)))
+      |    * 1e6 + 0.5) AS BIGINT) AS c6
+      |  FROM c CROSS JOIN ev),
+      |m AS (SELECT vec_id, CAST(max(c6) AS BIGINT) AS mc6 FROM s GROUP BY 1),
+      |qd AS (SELECT vec_id, TRUE AS in_queue FROM m
+      |  ORDER BY mc6 DESC, vec_id LIMIT 50),
+      |r AS (SELECT m.vec_id,
+      |  coalesce(qd.in_queue, FALSE) AS inq,
+      |  coalesce(ng.contam_bp, 0) AS cbp
+      |  FROM m LEFT JOIN qd ON m.vec_id = qd.vec_id
+      |  LEFT JOIN ng ON m.vec_id = ng.doc_id),
+      |lab AS (SELECT vec_id,
+      |  CASE WHEN inq AND cbp > 0 THEN 'verbatim'
+      |       WHEN inq THEN 'paraphrase'
+      |       WHEN cbp > 0 THEN 'boilerplate'
+      |       ELSE 'clean' END AS quadrant
+      |  FROM r)
+      |SELECT vec_id, quadrant FROM lab
+      |WHERE quadrant IN ('verbatim', 'paraphrase')
+      |ORDER BY vec_id""".stripMargin
 
   /** q245: q240's recursive CC labels + the verified pair list,
     * rolled up per cluster — density as exact integer basis points,

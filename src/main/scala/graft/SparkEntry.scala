@@ -197,7 +197,8 @@ object SparkEntry {
     // embedding semantic dedup end-to-end: near-dup pairs → connected
     // components → one canonical keeper per cluster, audit-style output
     "q79_semantic_dedup"   -> ((s, d) =>
-      Dedup.semanticDedup(Tables.embeddings(s, d), threshold = 0.3)),
+      Dedup.semanticDedupCached(Tables.embeddings(s, d), semCcFor(s, d),
+        threshold = 0.3)),
     // corpus-wide boilerplate mining: top n-grams by document frequency
     "q80_boilerplate_ngrams" -> ((s, d) =>
       TextAnalysis.boilerplateNgrams(Tables.documents(s, d))),
@@ -811,7 +812,13 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 13 === 0,
           concat(col("text"), lit(" (rev2)"))).otherwise(col("text")))
       TrainingData.mixtureDrift(oldSnap, newSnap)
-    })
+    }),
+    // the q258 typology ACTED ON: the ids a typology-based
+    // decontamination cut removes — verbatim always, paraphrase by
+    // policy, boilerplate spec-proven NEVER
+    "q260_leak_drop_ids"    -> ((s, d) =>
+      Similarity.leakTypologyDropIdsQ(Tables.embeddings(s, d),
+        Tables.documents(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair
@@ -857,6 +864,21 @@ object SparkEntry {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_cc_${new java.io.File(d).getName}_$ph").getAbsolutePath
     Dedup.cascadeDir(s, s"$d/documents.parquet", base)
+  }
+
+  /** Content-addressed home of the embeddings table's materialized
+    * embedding-CC label frame ([[Dedup.prebuildSemanticCc]]) — q79
+    * probes it instead of re-running the pointer-jumping CC loop (many
+    * small jobs, the suite's most burst-sensitive shape) per
+    * invocation; the [[ccCascadeFor]] discipline on the embedding side.
+    */
+  private[graft] def semCcFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_scc_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    Dedup.semCcDir(s, s"$d/embeddings.parquet", base)
   }
 
   /** Content-addressed home of the embeddings table's materialized PQ

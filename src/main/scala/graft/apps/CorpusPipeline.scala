@@ -77,7 +77,19 @@ object CorpusPipeline {
           budgetMult: Option[Int] = None,
           capEpochsQ4: Option[Long] = None,
           evalEmbeddings: Option[DataFrame] = None,
-          decontamTopK: Int = 50): Report = {
+          decontamTopK: Int = 50,
+          typologyDecontam: Boolean = false,
+          dropParaphrase: Boolean = true): Report = {
+    // the semantic-decontamination tier scores CORPUS embeddings
+    // against the eval panel: with evalEmbeddings supplied but no
+    // corpus embeddings the tier has nothing to score and would be
+    // skipped SILENTLY — the caller believes eval leakage was removed
+    // while the corpus ships undecontaminated. A safety-oriented stage
+    // fails loudly instead.
+    require(evalEmbeddings.isEmpty || embeddings.isDefined,
+      "CorpusPipeline: evalEmbeddings supplied without corpus " +
+        "embeddings — the semantic decontamination tier cannot score " +
+        "anything; pass embeddings=Some(...) or drop evalEmbeddings")
     // opt-in URL curation stage, FIRST (RefinedWeb §3 ordering: URL
     // mirror-dedup + per-host capping before any content look — the
     // cheapest gate runs before the cascade ever tokenizes a mirror)
@@ -166,13 +178,34 @@ object CorpusPipeline {
     // an embedding pass through untouched.
     val kept = ((embeddings, evalEmbeddings) match {
       case (Some(emb), Some(evEmb)) =>
+        // kept1's lineage (the whole semDedup tier) is read TWICE in
+        // this branch — the embAlive semi-join and the final anti-join
+        // — so persist it for the branch; released with the run's
+        // other caches below
+        val k1 = kept1.persist(StorageLevel.MEMORY_AND_DISK)
+        extraCaches += k1
         val embAlive = emb.join(
-          kept1.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          k1.select(col("doc_id").as("vec_id")), Seq("vec_id"),
           "left_semi")
-        val drops = graft.operators.Similarity
-          .decontamDropIds(embAlive, evEmb, decontamTopK)
+        // typologyDecontam (opt-in): the q258 quadrant report's
+        // verdict instead of the bare rank cut — verbatim docs
+        // (queue ∩ shared eval n-gram) always go, paraphrase docs
+        // (queue-only) go under the dropParaphrase policy, and
+        // boilerplate docs (n-gram-only surface coincidence) are
+        // NEVER cut by this tier: reconciling the two levels is
+        // exactly what stops a pure n-gram decontam from deleting
+        // template text the embedding says is not close to eval.
+        // The n-gram side scores the post-scrub text both sides
+        // (the same identity the n-gram decontam tier above used).
+        val drops = (if (typologyDecontam)
+          graft.operators.Similarity
+            .leakTypologyDropIds(embAlive, evEmb, k1, scrubbedEval,
+              topK = decontamTopK, dropParaphrase = dropParaphrase)
+        else
+          graft.operators.Similarity
+            .decontamDropIds(embAlive, evEmb, decontamTopK))
           .select(col("vec_id").as("doc_id"))
-        kept1.join(drops, Seq("doc_id"), "left_anti")
+        k1.join(drops, Seq("doc_id"), "left_anti")
       case _ => kept1
     }).persist(StorageLevel.MEMORY_AND_DISK)
     // optional temperature reweighting of the FINAL corpus (rates are

@@ -1539,17 +1539,36 @@ object Similarity {
     * math — q255 — against a real benchmark frame instead of the
     * testdata modulus stand-in); review the ranked [[decontamQueue]]
     * first to SET topK.
+    *
+    * `minCos` (opt-in): a minimum-cosine FLOOR under the rank cut. The
+    * pure rank-based cut always drops exactly topK surviving docs,
+    * even when the best cosine anywhere is ~0 — an overestimated K
+    * would discard clearly clean documents. With the floor set, a doc
+    * is only droppable when its best eval cosine reaches `minCos`, so
+    * the cut can never extend past any plausible similarity; the
+    * default stays floor-free because the right cutoff is corpus
+    * knowledge the queue review produces (set both from the same
+    * review).
     */
   def decontamDropIds(emb: DataFrame, evalEmb: DataFrame,
-                      topK: Int = 50): DataFrame = {
+                      topK: Int = 50,
+                      minCos: Option[Double] = None): DataFrame = {
     val corpus = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val panel = evalEmb.select(col("vec_id").as("eval_id"),
       col("embedding").cast("array<double>").as("ev"))
-    corpus.crossJoin(broadcast(panel))
+    val perDoc = corpus.crossJoin(broadcast(panel))
       .select(col("vec_id"),
         floor(cosine(col("v"), col("ev")) * 1e6 + 0.5).cast("long").as("c6"))
       .groupBy("vec_id").agg(max("c6").as("mc6"))
+    // the floor quantizes through the SAME q6 chain as the scores, so
+    // floor-vs-rank agreement is exact at the quantization boundary
+    val floored = minCos match {
+      case Some(t) =>
+        perDoc.filter(col("mc6") >= math.floor(t * 1e6 + 0.5).toLong)
+      case None => perDoc
+    }
+    floored
       .orderBy(col("mc6").desc, col("vec_id").asc)
       .limit(topK)
       .select("vec_id")
@@ -1579,11 +1598,43 @@ object Similarity {
     * shingle-keyed equi-join (work ∝ matching shingles); the cosine
     * side is the broadcast-panel grouped max; the reconciliation is
     * two id equi-joins and a 4-row rollup.
+    *
+    * Caching contract (the [[TrainingData.evalDecontaminate]] /
+    * pipelineFunnel convention): the narrow per-doc (id, max) frame is
+    * persisted for the lifetime of the returned lazy frame so the
+    * panel scan runs once across its two consumers — a caller invoking
+    * this repeatedly in a long-lived session releases it via
+    * `catalog.clearCache()` (or lets GC reclaim the blocks).
     */
   def leakTypology(emb: DataFrame, docs: DataFrame, modulus: Int = 23,
-                   topK: Int = 50, n: Int = 3): DataFrame = {
-    val evalDocs = docs.filter(col("doc_id") % modulus === 0)
-    val corpusDocs = docs.filter(col("doc_id") % modulus =!= 0)
+                   topK: Int = 50, n: Int = 3): DataFrame =
+    leakQuadrants(
+        emb.filter(col("vec_id") % modulus =!= 0),
+        emb.filter(col("vec_id") % modulus === 0),
+        docs.filter(col("doc_id") % modulus =!= 0),
+        docs.filter(col("doc_id") % modulus === 0),
+        topK, n)
+      .groupBy("quadrant")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        (floor(sum("mc6").cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("mean_cos"),
+        floor(sum("cbp").cast("double") / count(lit(1)) + 0.5).cast("long")
+          .as("mean_contam_bp"))
+      .orderBy("quadrant")
+
+  /** The per-document quadrant frame under [[leakTypology]] (its
+    * rollup input) and [[leakTypologyDropIds]] (its filter input),
+    * with EXPLICIT corpus/eval frames — the [[decontamDropIds]]
+    * convention, so a production run scores its real benchmark
+    * vectors + documents instead of the testdata modulus stand-in.
+    * One row per embedded corpus doc: (vec_id, quadrant, mc6 = q6 max
+    * eval cosine, cbp = exact contamination bp). Same caching
+    * contract as [[leakTypology]] (the per-doc max frame persists for
+    * the lifetime of the returned lazy frame; two consumers read it).
+    */
+  def leakQuadrants(emb: DataFrame, evalEmb: DataFrame,
+                    corpusDocs: DataFrame, evalDocs: DataFrame,
+                    topK: Int = 50, n: Int = 3): DataFrame = {
     val ngram = TrainingData
       .evalDecontaminate(corpusDocs, n, evalDocs = Some(evalDocs))
       .select(col("doc_id").as("vec_id"),
@@ -1592,7 +1643,7 @@ object Similarity {
     // two consumers (the frame itself + the queue cut) — persist the
     // narrow (id, max) frame so the panel scan runs ONCE; the caller
     // releases it (the evalDecontaminate/pipelineFunnel contract)
-    val perDoc = evalScoredPairs(emb, modulus)
+    val perDoc = evalScoredPairsFrames(emb, evalEmb)
       .groupBy("vec_id").agg(max("c6").as("mc6"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queue = perDoc.orderBy(col("mc6").desc, col("vec_id").asc)
@@ -1600,7 +1651,7 @@ object Similarity {
     perDoc
       .join(queue, Seq("vec_id"), "left")
       .join(ngram, Seq("vec_id"), "left")
-      .select(col("mc6"),
+      .select(col("vec_id"), col("mc6"),
         coalesce(col("in_queue"), lit(false)).as("inq"),
         coalesce(col("contam_bp"), lit(0L)).as("cbp"))
       .withColumn("quadrant",
@@ -1608,14 +1659,50 @@ object Similarity {
           .when(col("inq"), "paraphrase")
           .when(col("cbp") > 0, "boilerplate")
           .otherwise("clean"))
-      .groupBy("quadrant")
-      .agg(count(lit(1)).cast("bigint").as("n_docs"),
-        (floor(sum("mc6").cast("double") / count(lit(1)) + 0.5) / 1e6)
-          .as("mean_cos"),
-        floor(sum("cbp").cast("double") / count(lit(1)) + 0.5).cast("long")
-          .as("mean_contam_bp"))
-      .orderBy("quadrant")
   }
+
+  /** q260: the q258 typology ACTED ON — the ids a typology-based
+    * decontamination cut removes, closing the review queue's verdict
+    * into the pipeline the way q255's rank cut did (q256 for the
+    * budget plan). Policy: `verbatim` docs (queue ∩ shared eval
+    * n-gram — confirmed both ways) always go; `paraphrase` docs
+    * (queue-only) go when `dropParaphrase` (the flag a policy review
+    * sets — paraphrase leakage is real contamination but rank-only
+    * evidence); `boilerplate` docs (n-gram-only surface coincidence)
+    * are NEVER dropped by this cut — that is the whole point of
+    * reconciling the two levels instead of unioning them: a pure
+    * n-gram decontam would delete template text the embedding says is
+    * not close to eval. Emits (vec_id, quadrant) ordered by vec_id so
+    * the cut is rerun-stable and auditable.
+    *
+    * Scale: the [[leakQuadrants]] frame (shingle equi-join +
+    * broadcast-panel grouped max + two id equi-joins) and a filter —
+    * nothing new shuffles.
+    */
+  def leakTypologyDropIds(emb: DataFrame, evalEmb: DataFrame,
+                          corpusDocs: DataFrame, evalDocs: DataFrame,
+                          topK: Int = 50, n: Int = 3,
+                          dropParaphrase: Boolean = true): DataFrame =
+    leakQuadrants(emb, evalEmb, corpusDocs, evalDocs, topK, n)
+      .filter(col("quadrant") === "verbatim" ||
+        (lit(dropParaphrase) && col("quadrant") === "paraphrase"))
+      .select(col("vec_id"), col("quadrant"))
+      .orderBy("vec_id")
+
+  /** [[leakTypologyDropIds]] over the testdata modulus stand-in panel
+    * — the q258 convention, so the drop set is oracle-checkable on the
+    * shipped tables.
+    */
+  def leakTypologyDropIdsQ(emb: DataFrame, docs: DataFrame,
+                           modulus: Int = 23, topK: Int = 50,
+                           n: Int = 3,
+                           dropParaphrase: Boolean = true): DataFrame =
+    leakTypologyDropIds(
+      emb.filter(col("vec_id") % modulus =!= 0),
+      emb.filter(col("vec_id") % modulus === 0),
+      docs.filter(col("doc_id") % modulus =!= 0),
+      docs.filter(col("doc_id") % modulus === 0),
+      topK, n, dropParaphrase)
 
   /** Every (corpus vector, eval vector) cosine at q6 — the shared
     * pair frame under [[decontamQueue]] (argmax window) and
@@ -1632,5 +1719,23 @@ object Similarity {
       .withColumn("c6",
         floor(cosine(col("v"), col("ev")) * 1e6 + 0.5).cast("long"))
       .select(col("vec_id"), col("label"), col("eval_id"), col("c6"))
+  }
+
+  /** [[evalScoredPairs]] with EXPLICIT corpus/eval frames (the
+    * [[decontamDropIds]] scoring shape): every (corpus vector, eval
+    * vector) cosine at q6 through the identical fused-kernel +
+    * floor(x·10⁶+½) chain. No `label` requirement — a production
+    * embedding frame carries only (vec_id, embedding).
+    */
+  private def evalScoredPairsFrames(emb: DataFrame,
+                                    evalEmb: DataFrame): DataFrame = {
+    val ev = evalEmb.select(col("vec_id").as("eval_id"),
+      col("embedding").cast("array<double>").as("ev"))
+    emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(ev))
+      .withColumn("c6",
+        floor(cosine(col("v"), col("ev")) * 1e6 + 0.5).cast("long"))
+      .select(col("vec_id"), col("eval_id"), col("c6"))
   }
 }

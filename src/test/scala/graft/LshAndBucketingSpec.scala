@@ -425,4 +425,44 @@ class LshAndBucketingSpec extends AnyFunSuite {
     assert(corpus.getOrElse("verbatim", 0L) + corpus.getOrElse("paraphrase", 0L) == 50L,
       "queue quadrants must hold exactly topK docs")
   }
+
+  test("leakTypologyDropIds: verbatim always cut, paraphrase by policy, boilerplate NEVER") {
+    import spark.implicits._
+    // the q258 planted fixture: doc 7 verbatim, doc 1 paraphrase,
+    // doc 2 boilerplate, doc 3 clean
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (7L, Seq(2f, 0f, 0f), 1),
+      (1L, Seq(1f, 0.1f, 0f), 1),
+      (2L, Seq(0f, 0f, 1f), 1),
+      (3L, Seq(0f, -1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "ev", 0L),
+      (7L, "alpha beta gamma extra tokens", "en", "s", 0L),
+      (1L, "unrelated words entirely different", "en", "s", 0L),
+      (2L, "alpha beta gamma unrelated", "en", "s", 0L),
+      (3L, "zzz yyy xxx www", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = Similarity.leakTypologyDropIdsQ(emb, docs, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(full.toSeq == Seq((1L, "paraphrase"), (7L, "verbatim")),
+      s"got ${full.toSeq}")
+    // policy off: the paraphrase doc survives, verbatim still goes
+    val strict = Similarity.leakTypologyDropIdsQ(emb, docs, topK = 2,
+        dropParaphrase = false)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(strict.toSeq == Seq((7L, "verbatim")), s"got ${strict.toSeq}")
+    // corpus reconciliation: the drop set is exactly the queue
+    // quadrants of the q258 report, and no boilerplate/clean doc ever
+    // appears — however large K gets
+    val embC = Tables.embeddings(spark, sfDir)
+    val docsC = Tables.documents(spark, sfDir)
+    val drops = Similarity.leakTypologyDropIdsQ(embC, docsC).collect()
+    val quad = Similarity.leakTypology(embC, docsC).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(drops.length ==
+      quad.getOrElse("verbatim", 0L) + quad.getOrElse("paraphrase", 0L))
+    assert(drops.forall(r => Set("verbatim", "paraphrase")(r.getString(1))))
+  }
 }

@@ -73,7 +73,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q244_ann_quality" -> "8-row query panel: the exact ground-truth side of the graded-nDCG audit (arms probe the index)",
     "q255_decontam_queue" -> "eval-benchmark panel (modulus-filter stand-in) vs corpus: eval sets are constant-size by decontamination's premise; the corpus side is one linear scan",
     "q257_decontam_sources" -> "the q255 panel again: same broadcast eval side, corpus side one linear scan into a partial-aggregating per-doc max",
-    "q258_leak_typology" -> "the q255 panel a third time (cosine side of the quadrant report); the n-gram side is a shingle equi-join, no BNLJ")
+    "q258_leak_typology" -> "the q255 panel a third time (cosine side of the quadrant report); the n-gram side is a shingle equi-join, no BNLJ",
+    "q260_leak_drop_ids" -> "the q258 quadrant frame filtered to the drop policy — same broadcast eval panel, corpus side one linear scan")
 
   /** Walk a physical plan: unwrap AQE, descend into cached relations,
     * reused exchanges, subquery expressions (scalar + DPP), children.

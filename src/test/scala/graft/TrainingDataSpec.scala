@@ -456,6 +456,99 @@ class TrainingDataSpec extends AnyFunSuite {
       ((r0.input, r0.urlKept, r0.gated, r0.cleaned)))
   }
 
+  test("CorpusPipeline typology decontam tier: the cut equals leakTypologyDropIds; boilerplate docs provably kept") {
+    import org.apache.spark.sql.types._
+    val evalSet = docs.filter(col("doc_id") < 3)
+    val emb = Tables.embeddings(spark, sfDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def shippedIds(jsonlDir: String): Set[Long] =
+      Tables.jsonl(spark, jsonlDir, schema).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    // baseline: embeddings tier on, no typology cut
+    val b0 = java.nio.file.Files.createTempDirectory("graft-cp-ty0").toString
+    val r0 = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$b0/shards", s"$b0/jsonl", nShards = 2, embeddings = Some(emb))
+    val s0 = shippedIds(s"$b0/jsonl")
+    // eval embeddings: exact copies of three surviving corpus vectors
+    val planted = s0.toSeq.sorted.take(3)
+    val evEmb = emb.filter(col("vec_id").isin(planted: _*))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val b1 = java.nio.file.Files.createTempDirectory("graft-cp-ty1").toString
+    val r1 = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$b1/shards", s"$b1/jsonl", nShards = 2, embeddings = Some(emb),
+      evalEmbeddings = Some(evEmb), decontamTopK = 5,
+      typologyDecontam = true)
+    val s1 = shippedIds(s"$b1/jsonl")
+    val dropped = s0 -- s1
+    // the cut is exactly leakTypologyDropIds over the baseline
+    // survivors, scoring the SAME post-scrub text the pipeline used
+    val survDocs = graft.operators.TextAnalysis
+      .piiScrub(docs, ordered = false)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(spark.createDataset(s0.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val scrubbedEval = graft.operators.TextAnalysis
+      .piiScrub(evalSet, ordered = false)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val embAlive = emb.join(survDocs.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val wantRows = graft.operators.Similarity.leakTypologyDropIds(
+        embAlive, evEmb, survDocs, scrubbedEval, topK = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(dropped == wantRows.map(_._1).toSet,
+      s"dropped $dropped != typology cut ${wantRows.map(_._1).toSet}")
+    assert(r1.kept == r0.kept - dropped.size)
+    // the planted exact copies are queue members and must be cut
+    assert(planted.forall(dropped.contains),
+      "a planted exact eval copy survived the typology cut")
+    // boilerplate docs provably KEPT: every doc whose quadrant is
+    // boilerplate (eval n-gram overlap, not in the queue) still ships
+    val quads = graft.operators.Similarity.leakQuadrants(
+        embAlive, evEmb, survDocs, scrubbedEval, topK = 5)
+      .filter(col("quadrant") === "boilerplate")
+      .collect().map(_.getLong(0))
+    assert(quads.nonEmpty,
+      "fixture produced no boilerplate doc — the kept-proof is vacuous")
+    assert(quads.forall(s1.contains),
+      "a boilerplate-quadrant doc was cut by the typology tier")
+  }
+
+  test("CorpusPipeline: evalEmbeddings without corpus embeddings fails loudly, never skips silently") {
+    val evalSet = docs.filter(col("doc_id") < 3)
+    val evEmb = Tables.embeddings(spark, sfDir).limit(3)
+    val base = java.nio.file.Files.createTempDirectory("graft-cp-req").toString
+    val ex = intercept[IllegalArgumentException] {
+      graft.apps.CorpusPipeline.run(docs, evalSet,
+        s"$base/shards", s"$base/jsonl", nShards = 2,
+        evalEmbeddings = Some(evEmb))
+    }
+    assert(ex.getMessage.contains("semantic decontamination"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("decontamDropIds minCos floor: the cut never extends past the similarity floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // panel = exact copies of two corpus vectors (cosine 1.0 hits)
+    val evEmb = emb.filter(col("vec_id").isin(1L, 2L))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    // floor-free: always exactly topK drops, however weak the tail
+    val free = graft.operators.Similarity
+      .decontamDropIds(emb, evEmb, topK = 10)
+      .collect().map(_.getLong(0))
+    assert(free.length == 10)
+    // a floor above the synthetic corpus's near-orthogonal background
+    // (but below 1.0) keeps only the planted exact copies droppable
+    val floored = graft.operators.Similarity
+      .decontamDropIds(emb, evEmb, topK = 10, minCos = Some(0.9))
+      .collect().map(_.getLong(0)).toSet
+    assert(floored == Set(1L, 2L),
+      s"floored cut $floored != the planted exact copies")
+    // an unreachable floor drops nothing — K can never force a cut
+    assert(graft.operators.Similarity
+      .decontamDropIds(emb, evEmb, topK = 10, minCos = Some(1.1)).count() == 0L)
+  }
+
   test("CorpusPipeline production profile: gate→guarded dedup→budget epochs→shards; manifest pinned") {
     import org.apache.spark.sql.types._
     // the q250/q251 closed loops ON together — the composition a

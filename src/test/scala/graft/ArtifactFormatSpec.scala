@@ -69,13 +69,20 @@ class ArtifactFormatSpec extends AnyFunSuite {
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))
     val worst = names.map(_ -> 99.9)           // 999 ds — widest cell
     val qs = Bench.queriesJson(worst)
-    val slow = Bench.slowestJson(worst)        // capped at 8 entries
+    // slowest at worst case now carries [sec, cores] pairs
+    val slow = Bench.slowestJson(worst, names.map(_ -> 99.9).toMap)
     // builds_sec at worst case: every build re-ran at the display cap
-    val builds = """{"ivf":999,"cc":999,"sh":999,"pq":999,"fam":999,"props":999,"gt":999,"ah":999,"tok":999,"arm":999,"km":999,"post":999,"tr":999,"touch":999}"""
+    // (keys MUST track Bench's real list — a stale literal under-models)
+    val builds = Seq("ivf", "cc", "sh", "pq", "fam", "props", "gt", "ah",
+        "tok", "arm", "km", "post", "tr", "blm", "scc", "touch")
+      .map(k => s""""$k":999""").mkString("{", ",", "}")
     // contention digit strings: one char per 5-query block
     val envLen = (names.size + 4) / 5
     val el = "9" * envLen
-    val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","enc":"queries[i]=deciseconds of query i+1, capped 999; el/eio=per-5-query max load (cap 9) / log2 MB disk read","queries":$qs,"slowest_sec":$slow,"el":"$el","eio":"$el","q41_fit_sec":999.99,"builds_sec":$builds,"errs":99,"sf":"sf0.1"}"""
+    // retried at worst case: the 5-entry cap, widest keys and values
+    val retried = (255 to 259)
+      .map(n => s""""$n":[999,999]""").mkString("{", ",", "}")
+    val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","enc":"queries=2-char base36 deciseconds per query, numeric order, cap zz=1295; el/eio/ecpu=per-5-query block max load / log2 MB disk read / cpu-per-wall cores of block's slowest query; slowest=[sec,cores]; retried=[first,retry] sec","queries":$qs,"slowest_sec":$slow,"el":"$el","eio":"$el","ecpu":"$el","l0":99,"q41_fit_sec":999.99,"builds_sec":$builds,"retried":$retried,"errs":99,"sf":"sf0.1"}"""
     // probe count follows Bench's cadence: start + every-30 + the
     // dedicated post-q41 probe + final — derive it from the REAL
     // query count so growth can't silently outrun the model
@@ -90,9 +97,11 @@ class ArtifactFormatSpec extends AnyFunSuite {
     val infoPrefix = 8                // "[info] " on the main line
     assert(mainLine.length + infoPrefix + calBudget + trailerBudget + 4 <= 2000,
       s"artifact tail over budget: main=${mainLine.length}")
-    // the contiguous contract really takes the array path, and the
-    // slowest dict keeps bare-number keys
-    assert(qs.startsWith("[") && qs.endsWith("]"), qs.take(40))
+    // the contiguous contract really takes the base36-string path
+    // (fixed width: 2 chars per query), and the slowest dict keeps
+    // bare-number keys
+    assert(qs.startsWith("\"") && qs.endsWith("\"") &&
+      qs.length == names.size * 2 + 2, qs.take(40))
     assert(slow.contains("\"") && !slow.contains("\"q"), slow)
   }
 
@@ -123,12 +132,35 @@ class ArtifactFormatSpec extends AnyFunSuite {
     } else assert(a == -1L)
   }
 
+  test("cpuDigits reports the block's slowest query's ratio, capped, '-' on no reading") {
+    // block 1: slowest is (5.0 wall, 3.6 cores) -> '4'; block 2:
+    // slowest has ratio 31.2 -> capped '9'; block 3: no bean -> '-'
+    val s = Seq((1.0, 9.0), (5.0, 3.6), (0.1, 1.0), (0.2, 2.0), (0.3, 8.0),
+      (2.0, 31.2), (9.0, -1.0))
+    assert(Bench.cpuDigits(s.take(5)) == "4")
+    // block 2's slowest is the 9 s query, whose bean gave no reading
+    assert(Bench.cpuDigits(s) == "4-", Bench.cpuDigits(s))
+    assert(Bench.cpuDigits(Seq((9.0, -1.0))) == "-")
+  }
+
+  test("slowestJson pairs seconds with effective cores; missing ratio reads -1") {
+    val res = Seq("q7_x" -> 8.5, "q12_y" -> 1.0, "q3_z" -> 2.4)
+    val j = Bench.slowestJson(res, Map("q7_x" -> 12.34))
+    assert(j == """{"7":[8.5,12],"3":[2.4,-1]}""", j)
+  }
+
   test("queriesJson falls back to the dict when query numbers have gaps") {
-    // a non-contiguous contract must never mis-attribute array cells
+    // a non-contiguous contract must never mis-attribute positions
     val gapped = Seq("q1_a" -> 1.0, "q3_b" -> 2.0)
     val qs = Bench.queriesJson(gapped)
     assert(qs == """{"1":1,"3":2}""", qs)
-    // and the contiguous form is positional deciseconds
-    assert(Bench.queriesJson(Seq("q1_a" -> 1.24, "q2_b" -> 0.06)) == "[12,1]")
+    // the contiguous form is fixed-width base36 deciseconds: 1.24 s →
+    // 12 ds → "0c", 0.06 s → 1 ds → "01", 130 s → cap 1295 → "zz"
+    assert(Bench.queriesJson(Seq("q1_a" -> 1.24, "q2_b" -> 0.06)) == "\"0c01\"")
+    assert(Bench.queriesJson(Seq("q1_a" -> 999.0)) == "\"zz\"")
+    assert(Bench.queriesJson(Seq("q1_a" -> 0.0)) == "\"00\"")
+    // decode round-trip at an awkward value: 45.1 s = 451 ds = 12*36+19
+    val enc = Bench.queriesJson(Seq("q1_a" -> 45.1))
+    assert(java.lang.Integer.parseInt(enc.drop(1).dropRight(1), 36) == 451)
   }
 }

@@ -27,7 +27,10 @@ def main(paths):
             line = line.strip()
             if '"metric"' in line:
                 line = line[line.index('{'):]
-                runs.append(json.loads(line)["queries"])
+                q = json.loads(line)["queries"]
+                if isinstance(q, str):  # 2-char base36 ds per query
+                    q = [int(q[j:j + 2], 36) for j in range(0, len(q), 2)]
+                runs.append(q)
                 break
         else:
             raise SystemExit(f"no main line in {p}")

@@ -4393,7 +4393,9 @@ object OracleSql {
       ("q257_decontam_sources" -> decontamSourcesSql) +
       ("q258_leak_typology" -> leakTypologySql) +
       ("q259_mixture_drift" -> mixtureDriftSql) +
-      ("q260_leak_drop_ids" -> leakDropIdsSql)
+      ("q260_leak_drop_ids" -> leakDropIdsSql) +
+      ("q261_cluster_safe_split" -> clusterSafeSplitSql) +
+      ("q262_threshold_sweep" -> thresholdSweepSql)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs
@@ -4875,6 +4877,50 @@ object OracleSql {
       |SELECT vec_id, quadrant FROM lab
       |WHERE quadrant IN ('verbatim', 'paraphrase')
       |ORDER BY vec_id""".stripMargin
+
+  /** q261: q68's recursive CC labels, coalesced onto every document
+    * (own id when unclustered), then the q57 md5 draw keyed on the
+    * CLUSTER id — near-dup members provably share a split.
+    */
+  private def clusterSafeSplitSql: String =
+    "WITH RECURSIVE " + shingleCascade("documents") + ",\n" + jaccardVerify + ",\n" +
+      """pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM und
+        |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |lab AS (SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |alldocs AS (SELECT d.doc_id,
+        |  coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+        |b AS (SELECT doc_id, cluster_id,
+        |  CAST(CAST(concat('0x', substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+        |  FROM alldocs)
+        |SELECT doc_id, cluster_id,
+        |CASE WHEN bucket < 10 THEN 'test' ELSE 'train' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin
+
+  /** q262: the verified-pair CTEs quantized to q4 BIGINT, exploded
+    * over the threshold grid; dropped = distinct higher ids (the
+    * pairwise loser convention), survivors = corpus minus dropped.
+    */
+  private def thresholdSweepSql: String =
+    "WITH RECURSIVE " + shingleCascade("documents") + ",\n" + jaccardVerify + ",\n" +
+      """p AS (SELECT id_b,
+        |  CAST(floor(jaccard * 1e4 + 0.5) AS BIGINT) AS j4
+        |  FROM j WHERE jaccard >= 0.2),
+        |grid AS (SELECT CAST(unnest([2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000]) AS BIGINT) AS t4),
+        |sw AS (SELECT t4, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_dropped
+        |  FROM p JOIN grid ON p.j4 >= grid.t4 GROUP BY t4),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT CAST(grid.t4 AS DOUBLE) / 1e4 AS threshold,
+        |coalesce(sw.n_pairs, 0) AS n_pairs,
+        |coalesce(sw.n_dropped, 0) AS n_dropped,
+        |CAST(tot.n_docs - coalesce(sw.n_dropped, 0) AS BIGINT) AS n_survivors
+        |FROM grid LEFT JOIN sw USING (t4), tot
+        |ORDER BY threshold""".stripMargin
 
   /** q245: q240's recursive CC labels + the verified pair list,
     * rolled up per cluster — density as exact integer basis points,

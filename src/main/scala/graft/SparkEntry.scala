@@ -818,7 +818,20 @@ object SparkEntry {
     // policy, boilerplate spec-proven NEVER
     "q260_leak_drop_ids"    -> ((s, d) =>
       Similarity.leakTypologyDropIdsQ(Tables.embeddings(s, d),
-        Tables.documents(s, d)))
+        Tables.documents(s, d))),
+    // near-dup-leakage-safe split: the md5 draw keyed on the CC
+    // cluster so a 95%-identical twin can never straddle train/test
+    "q261_cluster_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TrainingData.clusterSafeSplit(docs,
+        Dedup.dupClustersCached(docs, ccCascadeFor(s, d)))
+    }),
+    // the dedup threshold chosen on evidence: per candidate jaccard
+    // cut, verified pairs firing + docs dropped + survivors
+    "q262_threshold_sweep"  -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupThresholdSweep(docs, ccCascadeFor(s, d))
+    })
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -1852,6 +1852,63 @@ object Dedup {
     docs.sparkSession.read.parquet(s"$dir/labels").orderBy("doc_id")
   }
 
+  /** q262: dedup THRESHOLD sweep — the jaccard knob chosen on
+    * evidence (the q254 discipline applied to deduplication): for
+    * every candidate threshold at or above the cascade's verify floor,
+    * the corpus-size consequence of adopting it — verified pairs
+    * firing, documents dropped under the pairwise loser convention
+    * (the higher id of each pair, the [[cleaningPipeline]] semantics),
+    * and survivors. Complements q199 (MinHash band calibration = the
+    * probability a pair becomes a CANDIDATE) with the downstream
+    * answer a curation owner actually needs: what does each threshold
+    * COST in documents.
+    *
+    * Thresholds are exact q4 BIGINTs compared against the stored
+    * round-4 jaccard quantized through floor(j·10⁴+½) — no double
+    * comparison anywhere, both engines bit-identical. The grid must
+    * start at the cascade's verify threshold (pairs below it were
+    * never verified — sweeping lower would silently read as "no
+    * cost"); the default grid spans 0.2–0.9 by 0.1 on the default
+    * cascade.
+    *
+    * Scale: one pass over the (id, id, jaccard) pair frame (already
+    * materialized per corpus snapshot), an 8-way grid explode of
+    * pair-bounded rows, one grouped aggregate, and a broadcast
+    * constant-size grid/total join — never touches text.
+    */
+  def dedupThresholdSweep(docs: DataFrame, dir: String,
+                          thresholdsQ4: Seq[Long] =
+                            Seq(2000L, 3000L, 4000L, 5000L, 6000L,
+                              7000L, 8000L, 9000L),
+                          verifyThreshold: Double = 0.2,
+                          bands: Int = 4): DataFrame = {
+    require(thresholdsQ4.nonEmpty &&
+      thresholdsQ4.min >= math.rint(verifyThreshold * 1e4).toLong,
+      "sweep grid must start at or above the cascade's verify threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = nearDupPairsCached(docs, dir, verifyThreshold, bands)
+      .select(col("id_b"),
+        floor(col("jaccard") * 1e4 + 0.5).cast("long").as("j4"))
+    val swept = p
+      .select(col("id_b"), col("j4"),
+        explode(typedLit(thresholdsQ4)).as("t4"))
+      .filter(col("j4") >= col("t4"))
+      .groupBy("t4")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        countDistinct(col("id_b")).cast("bigint").as("n_dropped"))
+    val totals = docs.agg(count(lit(1)).cast("bigint").as("n_docs"))
+    thresholdsQ4.toDF("t4")
+      .join(swept, Seq("t4"), "left")
+      .crossJoin(broadcast(totals))
+      .select((col("t4").cast("double") / 1e4).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_docs") - coalesce(col("n_dropped"), lit(0L)))
+          .cast("bigint").as("n_survivors"))
+      .orderBy("threshold")
+  }
+
   /** [[clusterSizeDistribution]] probing the materialized label frame:
     * two tiny aggregations over (long, long) rows instead of a third
     * full LSH → verify → CC cascade per audit pass.

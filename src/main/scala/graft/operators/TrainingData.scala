@@ -56,6 +56,42 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** q261: NEAR-DUP-leakage-safe train/test split — the
+    * [[deterministicSplit]] hash draw keyed on the near-dup CLUSTER
+    * instead of the document, so every member of a verified near-dup
+    * cluster lands on the same side. This closes the last gap in the
+    * split-leakage story: [[deterministicSplit]] can put A in train
+    * and its 95%-identical twin B in test (evaluating on
+    * near-memorized text), and [[leakageSafeFolds]] only fixes the
+    * EXACT-duplicate case (content-fingerprint keying cannot see a
+    * one-token edit). Keying the md5 bucket on cluster_id (the
+    * cluster's min doc_id; a doc's own id when unclustered) makes
+    * straddling structurally impossible while keeping the assignment
+    * a pure function of corpus content — reruns, backfills, and
+    * incremental ingests stay stable.
+    *
+    * `labels` is the cascade's CC label frame
+    * ([[Dedup.dupClustersCached]] — the materialized corpus-snapshot
+    * build, so the probe is a labels scan + one equi-join + a narrow
+    * hash projection; no new shuffle beyond the label join).
+    */
+  def clusterSafeSplit(docs: DataFrame, labels: DataFrame,
+                       testPct: Int = 10): DataFrame = {
+    require(testPct > 0 && testPct < 100, "testPct must be in (0, 100)")
+    val keyed = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    keyed
+      .withColumn("bucket",
+        (conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).cast("int"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("bucket") < testPct, lit("test"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic data-mixture sampling: keep each document with a
     * per-source probability (the mixture weights of a pretraining data
     * recipe), decided by the same md5 bucket as

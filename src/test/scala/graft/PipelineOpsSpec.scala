@@ -966,6 +966,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     labeled.unpersist()
   }
 
+  test("dedupThresholdSweep: rows recompute from the pair frame; monotone laws; sub-floor grid rejected") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sweep-base").toString
+    val dir = Dedup.cascadeDir(spark, s"$sfDir/documents.parquet", base)
+    val sweep = Dedup.dedupThresholdSweep(documents, dir).collect()
+      .map(r => (math.rint(r.getDouble(0) * 1e4).toLong,
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sweep.map(_._1).toSeq ==
+      Seq(2000L, 3000L, 4000L, 5000L, 6000L, 7000L, 8000L, 9000L))
+    // every row recomputes exactly from the verified pair frame
+    val pairs = Dedup.nearDupPairsCached(documents, dir)
+      .select("id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1e4 + 0.5).toLong))
+    val nDocs = documents.count()
+    sweep.foreach { case (t4, nPairs, nDropped, nSurv) =>
+      val fire = pairs.filter(_._2 >= t4)
+      assert(nPairs == fire.length, s"t4=$t4 pairs")
+      assert(nDropped == fire.map(_._1).distinct.length, s"t4=$t4 dropped")
+      assert(nSurv == nDocs - nDropped, s"t4=$t4 survivors")
+    }
+    // the knob's laws: tightening the threshold can only fire fewer
+    // pairs, drop fewer docs, keep more
+    sweep.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3 && a._4 <= b._4,
+        s"sweep not monotone at ${b._1}")
+    }
+    // a grid below the cascade's verify floor would silently read as
+    // "no cost" — it must be rejected, not answered
+    intercept[IllegalArgumentException] {
+      Dedup.dedupThresholdSweep(documents, dir, thresholdsQ4 = Seq(1000L))
+    }
+  }
+
   test("semanticDedupCached ≡ semanticDedup row-identical; second call reuses the committed frame") {
     // the materialized path must be indistinguishable from the
     // self-computing one: (long, long) labels roundtrip parquet

@@ -456,6 +456,44 @@ class TrainingDataSpec extends AnyFunSuite {
       ((r0.input, r0.urlKept, r0.gated, r0.cleaned)))
   }
 
+  test("clusterSafeSplit: cluster members share a split even when their own hashes straddle; unclustered follow their own draw") {
+    import spark.implicits._
+    def docBucket(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(h, 16) % 100).toInt
+    }
+    // find two ids whose OWN buckets land on opposite sides of a
+    // 50-pct cut — the exact pair a doc-keyed split would straddle
+    val a = (1L to 200L).find(docBucket(_) < 50).get
+    val b = (1L to 200L).find(docBucket(_) >= 50).get
+    val fixture = Seq(a, b, 999L).toDF("doc_id")
+    val labels = Seq((a, math.min(a, b)), (b, math.min(a, b)))
+      .toDF("doc_id", "cluster_id")
+    val got = TrainingData.clusterSafeSplit(fixture, labels, testPct = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the near-dup pair shares the CLUSTER draw — no straddle possible
+    assert(got(a)._2 == got(b)._2,
+      s"cluster members straddled: ${got(a)} vs ${got(b)}")
+    assert(got(a)._1 == math.min(a, b) && got(b)._1 == math.min(a, b))
+    // the unclustered doc keys on its own id, matching the doc draw
+    val expect999 = if (docBucket(999L) < 50) "test" else "train"
+    assert(got(999L) == ((999L, expect999)))
+    // corpus law over the REAL cascade labels: every cluster lands
+    // entirely on one side
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-css-base").toString
+    val dir = graft.operators.Dedup.cascadeDir(
+      spark, s"$sfDir/documents.parquet", base)
+    val corpus = TrainingData.clusterSafeSplit(docs,
+      graft.operators.Dedup.dupClustersCached(docs, dir))
+    assert(corpus.count() == docs.count(), "split must cover every doc")
+    assert(corpus.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count() == 0,
+      "a near-dup cluster straddles train/test")
+  }
+
   test("CorpusPipeline typology decontam tier: the cut equals leakTypologyDropIds; boilerplate docs provably kept") {
     import org.apache.spark.sql.types._
     val evalSet = docs.filter(col("doc_id") < 3)

@@ -54,6 +54,9 @@ object Bands {
     249 -> 7, 250 -> 8, 251 -> 6, 252 -> 8, 253 -> 2, 254 -> 5, 255 -> 8, 256 -> 8,
     257 -> 5, 258 -> 29, 259 -> 4, 260 -> 18,
     // round-16 additions, pinned from their landing-commit probes
-    // (isolated steady ×4 at load ~4): q261 0.6-0.8, q262 0.5-0.7
+    // (isolated steady ×4 at load ~4): q261 0.6-0.8, q262 0.5-0.7;
+    // in-suite across the closing triple both read 0.3-0.4
     261 -> 8, 262 -> 7)
+    // q260 re-pinned from the closing triple (in-suite 2.0-2.4)
+    .updated(260, 21)
 }

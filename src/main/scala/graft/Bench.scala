@@ -654,8 +654,11 @@ object Bench {
             retried(name) = (first._1, second._1)
             // a retry that ERRORED (or ran slower) never displaces the
             // first reading — the retry exists to separate weather
-            // from regression, not to hide a fault
-            if (!errors.contains(name) && second._1 < first._1) second
+            // from regression, not to hide a fault. And a flaky retry
+            // failure must not count the query as errored: the first
+            // attempt SUCCEEDED, and that reading stands
+            if (errors.contains(name)) { errors.remove(name); first }
+            else if (second._1 < first._1) second
             else first
           } else first
         // env + cpu samples reflect the RETAINED attempt

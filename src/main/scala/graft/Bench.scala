@@ -651,15 +651,22 @@ object Bench {
             if (first._1 > 5.0) System.gc()
             prevSectors = diskSectorsRead()
             val second = attempt()
-            retried(name) = (first._1, second._1)
             // a retry that ERRORED (or ran slower) never displaces the
             // first reading — the retry exists to separate weather
-            // from regression, not to hide a fault. And a flaky retry
-            // failure must not count the query as errored: the first
-            // attempt SUCCEEDED, and that reading stands
-            if (errors.contains(name)) { errors.remove(name); first }
-            else if (second._1 < first._1) second
-            else first
+            // from regression, not to hide a fault. A flaky retry
+            // failure neither counts the query as errored (the first
+            // attempt SUCCEEDED and that reading stands) nor records
+            // its wall as a reading: the artifact shows [first, -1]
+            // so a failed attempt can never masquerade as a calm
+            // re-measurement
+            if (errors.contains(name)) {
+              errors.remove(name)
+              retried(name) = (first._1, -1.0)
+              first
+            } else {
+              retried(name) = (first._1, second._1)
+              if (second._1 < first._1) second else first
+            }
           } else first
         // env + cpu samples reflect the RETAINED attempt
         envSamples += ((chosen._3, chosen._4))

@@ -42,7 +42,9 @@ import graft.operators.{Dedup, TextAnalysis, TrainingData}
   * anyway. On exit the run
   * clears EVERY cached frame in the session (`clearCacheOnExit`,
   * default true): the interior stages (`cleaningPipelineClustered`,
-  * `evalDecontaminate`) persist corpus-sized frames whose handles they
+  * `evalDecontaminate`, and the typology tier's `leakQuadrants`
+  * per-doc frame when `typologyDecontam` + `dropParaphrase = false`)
+  * persist corpus-sized frames whose handles they
   * do not expose, so a targeted unpersist cannot reach them and a
   * long-lived session invoking the pipeline repeatedly would
   * accumulate them. Pass false only when the caller owns other live
@@ -90,6 +92,12 @@ object CorpusPipeline {
       "CorpusPipeline: evalEmbeddings supplied without corpus " +
         "embeddings — the semantic decontamination tier cannot score " +
         "anything; pass embeddings=Some(...) or drop evalEmbeddings")
+    // same hazard class, other direction: asking for the typology cut
+    // without the frames it scores would silently skip the tier
+    require(!typologyDecontam ||
+        (embeddings.isDefined && evalEmbeddings.isDefined),
+      "CorpusPipeline: typologyDecontam requires both embeddings and " +
+        "evalEmbeddings — without them the typology tier cannot run")
     // opt-in URL curation stage, FIRST (RefinedWeb §3 ordering: URL
     // mirror-dedup + per-host capping before any content look — the
     // cheapest gate runs before the cascade ever tokenizes a mirror)
@@ -197,10 +205,17 @@ object CorpusPipeline {
         // template text the embedding says is not close to eval.
         // The n-gram side scores the post-scrub text both sides
         // (the same identity the n-gram decontam tier above used).
-        val drops = (if (typologyDecontam)
+        // At dropParaphrase = true the typology drop set is PROVABLY
+        // the rank queue itself (verbatim ∪ paraphrase = exactly the
+        // top-K members, by the quadrant definitions), so the run
+        // takes the cheaper rank kernel and spends the corpus-wide
+        // shingle join only when the policy actually reads the
+        // n-gram flag (dropParaphrase = false: only docs confirmed
+        // BOTH ways are cut).
+        val drops = (if (typologyDecontam && !dropParaphrase)
           graft.operators.Similarity
             .leakTypologyDropIds(embAlive, evEmb, k1, scrubbedEval,
-              topK = decontamTopK, dropParaphrase = dropParaphrase)
+              topK = decontamTopK, dropParaphrase = false)
         else
           graft.operators.Similarity
             .decontamDropIds(embAlive, evEmb, decontamTopK))

@@ -953,6 +953,13 @@ object Dedup {
     */
   def prebuildSemanticCc(emb: DataFrame, dir: String,
                          threshold: Double = 0.3): Boolean = {
+    // the dir's prefix bakes the threshold ([[semCcDir]]); a caller
+    // pairing a dir built for one threshold with another would be
+    // served a committed frame from the WRONG setting — exactly the
+    // staleness the content address exists to prevent, so reject the
+    // mismatch instead of honoring the dir
+    require(dir.contains(s"semcc_t${math.rint(threshold * 1000).toInt}_"),
+      s"prebuildSemanticCc: dir $dir was not addressed for threshold $threshold")
     val labelsDir = s"$dir/labels"
     val fresh = !graft.engine.ContentAddress
       .hasSuccess(emb.sparkSession, labelsDir)

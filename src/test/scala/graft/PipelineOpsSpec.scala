@@ -1013,10 +1013,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     // reuse: the second call must build nothing
     assert(!Dedup.prebuildSemanticCc(embeddings, dir, threshold = 0.3),
       "prebuildSemanticCc rebuilt a committed frame")
-    // the address bakes the threshold: another setting gets its own dir
+    // the address bakes the threshold: another setting gets its own
+    // dir, and pairing a dir with a MISMATCHED threshold is rejected
+    // rather than served from the wrong setting's committed frame
     val dir2 = Dedup.semCcDir(spark, s"$sfDir/embeddings.parquet", base,
       threshold = 0.5)
     assert(dir2 != dir)
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedupCached(embeddings, dir, threshold = 0.5)
+    }
   }
 
   test("semanticDedup with no near-dup pairs keeps every vector as its own cluster") {

@@ -550,6 +550,24 @@ class TrainingDataSpec extends AnyFunSuite {
       "fixture produced no boilerplate doc — the kept-proof is vacuous")
     assert(quads.forall(s1.contains),
       "a boilerplate-quadrant doc was cut by the typology tier")
+    // the strict policy (dropParaphrase = false — the path that
+    // actually reads the n-gram flag in-run): only verbatim docs go,
+    // the cut is a subset of the default policy's, and it equals the
+    // operator over the baseline survivors
+    val b2 = java.nio.file.Files.createTempDirectory("graft-cp-ty2").toString
+    val r2 = graft.apps.CorpusPipeline.run(docs, evalSet,
+      s"$b2/shards", s"$b2/jsonl", nShards = 2, embeddings = Some(emb),
+      evalEmbeddings = Some(evEmb), decontamTopK = 5,
+      typologyDecontam = true, dropParaphrase = false)
+    val dropped2 = s0 -- shippedIds(s"$b2/jsonl")
+    val want2 = graft.operators.Similarity.leakTypologyDropIds(
+        embAlive, evEmb, survDocs, scrubbedEval, topK = 5,
+        dropParaphrase = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped2 == want2, s"strict cut $dropped2 != operator $want2")
+    assert(dropped2.subsetOf(dropped),
+      "the strict (verbatim-only) cut must be a subset of the default cut")
+    assert(r2.kept == r0.kept - dropped2.size)
   }
 
   test("CorpusPipeline: evalEmbeddings without corpus embeddings fails loudly, never skips silently") {
@@ -563,6 +581,15 @@ class TrainingDataSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("semantic decontamination"),
       s"wrong failure: ${ex.getMessage}")
+    // same hazard, other direction: the typology cut without the
+    // frames it scores must fail, not silently skip
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.apps.CorpusPipeline.run(docs, evalSet,
+        s"$base/shards2", s"$base/jsonl2", nShards = 2,
+        typologyDecontam = true)
+    }
+    assert(ex2.getMessage.contains("typologyDecontam"),
+      s"wrong failure: ${ex2.getMessage}")
   }
 
   test("decontamDropIds minCos floor: the cut never extends past the similarity floor") {

@@ -30,6 +30,11 @@ def main(paths):
                 q = json.loads(line)["queries"]
                 if isinstance(q, str):  # 2-char base36 ds per query
                     q = [int(q[j:j + 2], 36) for j in range(0, len(q), 2)]
+                elif isinstance(q, dict):
+                    # the non-contiguous dict fallback carries SECONDS
+                    # keyed by query number — normalize to positional ds
+                    q = [round(q[str(k)] * 10)
+                         for k in sorted(int(k) for k in q)]
                 runs.append(q)
                 break
         else:

@@ -58,6 +58,8 @@ object Bands {
     // (isolated steady ×4 at load ~4): q261 0.6-0.8, q262 0.5-0.7;
     // in-suite across the closing triple both read 0.3-0.4
     261 -> 8, 262 -> 7)
-    // q260 re-pinned from the closing triple (in-suite 2.0-2.4)
-    .updated(260, 21)
+    // re-pins after the round-16 materializations: q260 from the
+    // closing triple; q58/q238 from the shingle-frame probe shape
+    // (in-suite 0.4 each)
+    .updated(260, 16).updated(58, 7).updated(238, 6)
 }

@@ -107,7 +107,11 @@ object SparkEntry {
     // training-data corpus management (deterministic split, eval-set
     // decontamination, repetition quality gate)
     "q57_deterministic_split" -> ((s, d) => TrainingData.deterministicSplit(Tables.documents(s, d))),
-    "q58_decontaminate"    -> ((s, d) => TrainingData.evalDecontaminate(Tables.documents(s, d))),
+    "q58_decontaminate"    -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TrainingData.evalDecontaminate(docs,
+        shingles = Some(Dedup.shingleDocsCached(docs, ccCascadeFor(s, d))))
+    }),
     "q59_repetition_ratio" -> ((s, d) => TrainingData.repetitionRatio(Tables.documents(s, d))),
     // as-of join composed from built-ins (union + window carry-forward)
     "q60_asof_attribution" -> ((s, d) => Joins.clickAttribution(Tables.events(s, d))),
@@ -710,8 +714,11 @@ object SparkEntry {
     // eval-side contamination provenance: per eval doc, hit count,
     // compromised count, and the worst offender — q65's question
     // transposed to the benchmark owner's side
-    "q238_contam_provenance" -> ((s, d) =>
-      TrainingData.contaminationProvenance(Tables.documents(s, d))),
+    "q238_contam_provenance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TrainingData.contaminationProvenance(docs,
+        shingles = Some(Dedup.shingleDocsCached(docs, ccCascadeFor(s, d))))
+    }),
     // video keyframe near-dup: per-frame content fingerprints +
     // heap-capped inverted-index co-occurrence — q211's pair tier
     // for the video payload family
@@ -798,9 +805,11 @@ object SparkEntry {
         Tables.documents(s, d))),
     // both decontamination levels reconciled per doc over ONE eval
     // panel: verbatim / paraphrase / boilerplate / clean quadrants
-    "q258_leak_typology"    -> ((s, d) =>
-      Similarity.leakTypology(Tables.embeddings(s, d),
-        Tables.documents(s, d))),
+    "q258_leak_typology"    -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Similarity.leakTypology(Tables.embeddings(s, d), docs,
+        shingles = Some(Dedup.shingleDocsCached(docs, ccCascadeFor(s, d))))
+    }),
     // source-mixture drift between the q90 snapshot pair: share
     // deltas in exact bp — the silent reweighting a crawl refresh
     // applies to every downstream mixture
@@ -816,9 +825,11 @@ object SparkEntry {
     // the q258 typology ACTED ON: the ids a typology-based
     // decontamination cut removes — verbatim always, paraphrase by
     // policy, boilerplate spec-proven NEVER
-    "q260_leak_drop_ids"    -> ((s, d) =>
-      Similarity.leakTypologyDropIdsQ(Tables.embeddings(s, d),
-        Tables.documents(s, d))),
+    "q260_leak_drop_ids"    -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Similarity.leakTypologyDropIdsQ(Tables.embeddings(s, d), docs,
+        shingles = Some(Dedup.shingleDocsCached(docs, ccCascadeFor(s, d))))
+    }),
     // near-dup-leakage-safe split: the md5 draw keyed on the CC
     // cluster so a 95%-identical twin can never straddle train/test
     "q261_cluster_safe_split" -> ((s, d) => {

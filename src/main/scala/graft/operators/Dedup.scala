@@ -1686,7 +1686,45 @@ object Dedup {
     // the exact set-similarity family's shared scan-side frame
     // (threshold-independent: 60-bit hashed distinct shingle sets)
     val shFresh = prebuildShingleSets(docs, dir)
-    candFresh || pairsFresh || labelsFresh || shFresh
+    // the decontamination family's shared scan-side frame
+    // (threshold-independent: distinct string 3-grams)
+    val sh3Fresh = prebuildShingles3(docs, dir)
+    candFresh || pairsFresh || labelsFresh || shFresh || sh3Fresh
+  }
+
+  /** Build the threshold-independent DISTINCT (doc_id, 3-gram) string
+    * shingle frame into `dir/sh3` iff missing — the scan-side frame
+    * the whole decontamination family re-derived per invocation
+    * (q58's overlap ratios, q238's provenance transpose, q258/q260's
+    * n-gram quadrant flag all start from exactly this explode +
+    * dropDuplicates over the corpus). Production materializes the
+    * shingle table once per corpus snapshot — nobody re-explodes
+    * 100 TB of text per contamination report; here the frame rides
+    * the cascade's content address as a second threshold-independent
+    * tier next to `shsets`. Strings roundtrip parquet exactly, so
+    * cached ≡ self-computing row-identical. Returns true iff a build
+    * happened.
+    */
+  def prebuildShingles3(docs: DataFrame, dir: String, n: Int = 3): Boolean = {
+    val shDir = s"$dir/sh$n"
+    val fresh = !graft.engine.ContentAddress
+      .hasSuccess(docs.sparkSession, shDir)
+    if (fresh)
+      shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+        .write.mode("overwrite").parquet(shDir)
+    fresh
+  }
+
+  /** The materialized distinct (doc_id, shingle) frame, built on
+    * first use ([[prebuildShingles3]]). NOT persisted here: consumers
+    * scan it 1–2 times per plan and the parquet sits in page cache
+    * (pre-touched in the bench; re-readable at production scale),
+    * so pinning executor memory per caller would be the leak pattern
+    * the round-15 ADVICE flagged.
+    */
+  def shingleDocsCached(docs: DataFrame, dir: String, n: Int = 3): DataFrame = {
+    prebuildShingles3(docs, dir, n)
+    docs.sparkSession.read.parquet(s"$dir/sh$n")
   }
 
   /** Build ONLY the threshold-independent `shsets` frame (60-bit

@@ -1607,13 +1607,16 @@ object Similarity {
     * `catalog.clearCache()` (or lets GC reclaim the blocks).
     */
   def leakTypology(emb: DataFrame, docs: DataFrame, modulus: Int = 23,
-                   topK: Int = 50, n: Int = 3): DataFrame =
+                   topK: Int = 50, n: Int = 3,
+                   shingles: Option[DataFrame] = None): DataFrame =
     leakQuadrants(
         emb.filter(col("vec_id") % modulus =!= 0),
         emb.filter(col("vec_id") % modulus === 0),
         docs.filter(col("doc_id") % modulus =!= 0),
         docs.filter(col("doc_id") % modulus === 0),
-        topK, n)
+        topK, n,
+        corpusShingles = shingles.map(_.filter(col("doc_id") % modulus =!= 0)),
+        evalShingles = shingles.map(_.filter(col("doc_id") % modulus === 0)))
       .groupBy("quadrant")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         (floor(sum("mc6").cast("double") / count(lit(1)) + 0.5) / 1e6)
@@ -1634,9 +1637,12 @@ object Similarity {
     */
   def leakQuadrants(emb: DataFrame, evalEmb: DataFrame,
                     corpusDocs: DataFrame, evalDocs: DataFrame,
-                    topK: Int = 50, n: Int = 3): DataFrame = {
+                    topK: Int = 50, n: Int = 3,
+                    corpusShingles: Option[DataFrame] = None,
+                    evalShingles: Option[DataFrame] = None): DataFrame = {
     val ngram = TrainingData
-      .evalDecontaminate(corpusDocs, n, evalDocs = Some(evalDocs))
+      .evalDecontaminate(corpusDocs, n, evalDocs = Some(evalDocs),
+        shingles = corpusShingles, evalShingles = evalShingles)
       .select(col("doc_id").as("vec_id"),
         expr("CAST((n_overlap * 10000) div n_shingles AS BIGINT)")
           .as("contam_bp"))
@@ -1682,8 +1688,11 @@ object Similarity {
   def leakTypologyDropIds(emb: DataFrame, evalEmb: DataFrame,
                           corpusDocs: DataFrame, evalDocs: DataFrame,
                           topK: Int = 50, n: Int = 3,
-                          dropParaphrase: Boolean = true): DataFrame =
-    leakQuadrants(emb, evalEmb, corpusDocs, evalDocs, topK, n)
+                          dropParaphrase: Boolean = true,
+                          corpusShingles: Option[DataFrame] = None,
+                          evalShingles: Option[DataFrame] = None): DataFrame =
+    leakQuadrants(emb, evalEmb, corpusDocs, evalDocs, topK, n,
+        corpusShingles, evalShingles)
       .filter(col("quadrant") === "verbatim" ||
         (lit(dropParaphrase) && col("quadrant") === "paraphrase"))
       .select(col("vec_id"), col("quadrant"))
@@ -1696,13 +1705,16 @@ object Similarity {
   def leakTypologyDropIdsQ(emb: DataFrame, docs: DataFrame,
                            modulus: Int = 23, topK: Int = 50,
                            n: Int = 3,
-                           dropParaphrase: Boolean = true): DataFrame =
+                           dropParaphrase: Boolean = true,
+                           shingles: Option[DataFrame] = None): DataFrame =
     leakTypologyDropIds(
       emb.filter(col("vec_id") % modulus =!= 0),
       emb.filter(col("vec_id") % modulus === 0),
       docs.filter(col("doc_id") % modulus =!= 0),
       docs.filter(col("doc_id") % modulus === 0),
-      topK, n, dropParaphrase)
+      topK, n, dropParaphrase,
+      corpusShingles = shingles.map(_.filter(col("doc_id") % modulus =!= 0)),
+      evalShingles = shingles.map(_.filter(col("doc_id") % modulus === 0)))
 
   /** Every (corpus vector, eval vector) cosine at q6 — the shared
     * pair frame under [[decontamQueue]] (argmax window) and

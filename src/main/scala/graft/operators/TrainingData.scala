@@ -168,12 +168,22 @@ object TrainingData {
     */
   def evalDecontaminate(docs: DataFrame, n: Int = 3,
                         evalDocs: Option[DataFrame] = None,
-                        broadcastVocab: Boolean = false): DataFrame = {
-    val sh = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                        broadcastVocab: Boolean = false,
+                        shingles: Option[DataFrame] = None,
+                        evalShingles: Option[DataFrame] = None): DataFrame = {
+    // `shingles`/`evalShingles` (opt-in, the cascade's `pairs`/`cand`
+    // convention): the ALREADY-DISTINCT (doc_id, shingle) frames for
+    // docs/evalDocs — the materialized [[Dedup.shingleDocsCached]]
+    // tier, so a contamination report never re-explodes the corpus.
+    // A provided frame is a cheap parquet scan, so it is deliberately
+    // NOT persisted (the self-computed explode still is).
+    val sh = shingles.getOrElse(
+      Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val (train, vocab0) = evalDocs match {
       case Some(ev) =>
-        (sh, Dedup.shingleDocs(ev, n).select("shingle").distinct())
+        (sh, evalShingles.getOrElse(Dedup.shingleDocs(ev, n))
+          .select("shingle").distinct())
       case None =>
         (sh.filter(col("doc_id") % 10 =!= 0),
           sh.filter(col("doc_id") % 10 === 0).select("shingle").distinct())
@@ -217,9 +227,14 @@ object TrainingData {
     */
   def contaminationProvenance(docs: DataFrame, n: Int = 3,
                               evalDocs: Option[DataFrame] = None,
-                              threshold: Double = 0.5): DataFrame = {
-    val sh = Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                              threshold: Double = 0.5,
+                              shingles: Option[DataFrame] = None): DataFrame = {
+    // `shingles` (opt-in): the materialized distinct (doc_id, shingle)
+    // frame — the [[evalDecontaminate]] contract; not persisted when
+    // provided (parquet scan), persisted when self-computed
+    val sh = shingles.getOrElse(
+      Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val (train, evalSh) = evalDocs match {
       case Some(ev) =>
         (sh, Dedup.shingleDocs(ev, n).dropDuplicates("doc_id", "shingle"))

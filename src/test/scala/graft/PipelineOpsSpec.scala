@@ -966,6 +966,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     labeled.unpersist()
   }
 
+  test("materialized shingle frame: the whole decontamination family reads it cached ≡ self-computing") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sh3-base").toString
+    val dir = Dedup.cascadeDir(spark, s"$sfDir/documents.parquet", base)
+    val sh = Dedup.shingleDocsCached(documents, dir)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: cached and self-computed runs diverge")
+    // the frame IS the distinct explode
+    same(sh, Dedup.shingleDocs(documents).dropDuplicates("doc_id", "shingle"),
+      "sh3 frame")
+    // every family member, with and without the frame
+    same(graft.operators.TrainingData
+        .evalDecontaminate(documents, shingles = Some(sh)),
+      graft.operators.TrainingData.evalDecontaminate(documents),
+      "q58 decontaminate")
+    same(graft.operators.TrainingData
+        .contaminationProvenance(documents, shingles = Some(sh)),
+      graft.operators.TrainingData.contaminationProvenance(documents),
+      "q238 provenance")
+    val emb = Tables.embeddings(spark, sfDir)
+    same(Similarity.leakTypology(emb, documents, shingles = Some(sh)),
+      Similarity.leakTypology(emb, documents), "q258 typology")
+    same(Similarity.leakTypologyDropIdsQ(emb, documents, shingles = Some(sh)),
+      Similarity.leakTypologyDropIdsQ(emb, documents), "q260 drop ids")
+    // reuse: a second call builds nothing
+    assert(!Dedup.prebuildShingles3(documents, dir),
+      "prebuildShingles3 rebuilt a committed frame")
+  }
+
   test("dedupThresholdSweep: rows recompute from the pair frame; monotone laws; sub-floor grid rejected") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-sweep-base").toString

@@ -819,6 +819,81 @@ object StreamPipeline {
       }
   }
 
+  /** One arriving document's n-gram contamination row — q58's
+    * [[graft.operators.TrainingData.evalDecontaminate]] output,
+    * computed at ingest. Docs too short to shingle emit nothing (the
+    * batch contract: absent from the output).
+    */
+  case class ContamScore(doc_id: Long, n_shingles: Long, n_overlap: Long,
+                         contam_ratio: Double)
+
+  /** The eval n-gram vocabulary [[contamScoreStream]] closes over —
+    * the [[evalPanel]] argument transposed to the lexical level:
+    * distinct `n`-token shingles of the eval corpus, collected once.
+    * Constant-size by decontamination's premise (a benchmark suite's
+    * total text is metadata next to the training stream).
+    */
+  def evalNgramVocab(evalDocs: DataFrame, n: Int = 3): Set[String] =
+    graft.operators.Dedup.shingleDocs(evalDocs, n)
+      .select("shingle").distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** STREAMING n-gram decontamination scorer — the ingest-time twin
+    * of q58's per-document row, and [[decontamScoreStream]]'s lexical
+    * complement (that gate sees paraphrase, this one sees verbatim):
+    * each arriving document is shingled once and scored against the
+    * fixed eval vocabulary, emitting (doc_id, distinct shingles,
+    * overlapping shingles, round-4 contamination ratio). STATELESS —
+    * the vocabulary is a closure constant, the score is one map, so
+    * the gate runs at ingest line rate and downstream applies the
+    * batch tier's `contam_ratio <= τ` cut.
+    *
+    * Tokenization is the native [[graft.functions.ShingleGenerator]]
+    * contract verbatim (split on single space keeping empties, < n
+    * tokens → no row) and the ratio is the batch round-half-up at 4
+    * decimals — stream rows equal the batch frame row for row
+    * (spec-asserted over shuffled micro-batches).
+    */
+  def contamScoreStream(stream: DataFrame, vocab: Set[String],
+                        n: Int = 3)
+      : org.apache.spark.sql.Dataset[ContamScore] = {
+    require(vocab.nonEmpty, "contamScoreStream needs a non-empty eval vocabulary")
+    require(n >= 1, "shingle width must be >= 1")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          // ShingleGenerator.eval verbatim: split(" ", -1) keeps empty
+          // tokens, windows of n joined with a single space
+          val toks = text.split(" ", -1)
+          if (toks.length < n) Iterator.empty
+          else {
+            val distinct = scala.collection.mutable.HashSet.empty[String]
+            var i = 0
+            while (i <= toks.length - n) {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var k = 1
+              while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+              distinct += sb.toString
+              i += 1
+            }
+            var overlap = 0L
+            distinct.foreach(s => if (vocab.contains(s)) overlap += 1)
+            // the batch round(x, 4): HALF_UP on the double's exact
+            // decimal expansion — identical in both engines
+            val ratio = BigDecimal(overlap.toDouble / distinct.size)
+              .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+            Iterator.single(
+              ContamScore(id, distinct.size.toLong, overlap, ratio))
+          }
+        }
+      }
+  }
+
   case class OpenPath(lastSec: Long, types: Seq[String], n: Long)
 
   /** A gap-closed session's journey, emitted downstream. */

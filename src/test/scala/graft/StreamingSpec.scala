@@ -847,6 +847,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("contamScoreStream: shuffled micro-batches equal the batch decontamination rows bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    // the q58 convention: eval = doc_id % 10 == 0, corpus = the rest
+    val vocab = StreamPipeline.evalNgramVocab(
+      docs.filter(col("doc_id") % 10 === 0))
+    val rows = docs.filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // plus a doc too short to shingle — it must emit nothing, like batch
+    val shuffled = new scala.util.Random(11)
+      .shuffle((rows :+ ((999999L, "one two"))).toSeq)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val query = StreamPipeline.appendSink(
+        StreamPipeline.contamScoreStream(stream, vocab).toDF(),
+        format = "memory",
+        checkpointDir = java.nio.file.Files.createTempDirectory("graft-ctscore").toString,
+        queryName = "ctscore_mem").start()
+    try {
+      shuffled.grouped(120).foreach { chunk =>
+        mem.addData(chunk: _*); query.processAllAvailable()
+      }
+      val live = spark.table("ctscore_mem").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = graft.operators.TrainingData.evalDecontaminate(docs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(!live.exists(_._1 == 999999L),
+        "a too-short doc must be absent, the batch contract")
+      assert(live == batch,
+        "stream contamination rows must equal the batch frame bit for bit")
+    } finally query.stop()
+  }
+
   test("duplicateFlagStream: flags match the batch audit; state survives the batch boundary") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]

@@ -62,4 +62,6 @@ object Bands {
     // closing triple; q58/q238 from the shingle-frame probe shape
     // (in-suite 0.4 each)
     .updated(260, 16).updated(58, 7).updated(238, 6)
+    // q263 (round 16): isolated steady 0.45-0.52 at load 3.3
+    .updated(263, 7)
 }

@@ -4395,7 +4395,8 @@ object OracleSql {
       ("q259_mixture_drift" -> mixtureDriftSql) +
       ("q260_leak_drop_ids" -> leakDropIdsSql) +
       ("q261_cluster_safe_split" -> clusterSafeSplitSql) +
-      ("q262_threshold_sweep" -> thresholdSweepSql)
+      ("q262_threshold_sweep" -> thresholdSweepSql) +
+      ("q263_semantic_sweep" -> semanticSweepSql)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs
@@ -4900,6 +4901,32 @@ object OracleSql {
         |SELECT doc_id, cluster_id,
         |CASE WHEN bucket < 10 THEN 'test' ELSE 'train' END AS split
         |FROM b ORDER BY doc_id""".stripMargin
+
+  /** q263: q40's bucketed-cosine pair CTEs quantized to q6 BIGINT,
+    * exploded over the τ grid — the q262 sweep shape on the embedding
+    * side; survivors = vectors minus distinct higher-id losers.
+    */
+  private def semanticSweepSql: String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, CAST(${bucketTerms("v")} AS INT) AS bucket_id FROM base),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |list_dot_product(a.v, c.v) /
+       |(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |FROM b a JOIN b c ON a.bucket_id = c.bucket_id AND a.vec_id < c.vec_id),
+       |q AS (SELECT id_b,
+       |  CAST(floor(round(cos, 6) * 1e6 + 0.5) AS BIGINT) AS c6
+       |  FROM p WHERE cos >= 0.3),
+       |grid AS (SELECT CAST(unnest([300000, 400000, 500000, 600000, 700000, 800000, 900000]) AS BIGINT) AS t6),
+       |sw AS (SELECT t6, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_dropped
+       |  FROM q JOIN grid ON q.c6 >= grid.t6 GROUP BY t6),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings)
+       |SELECT CAST(grid.t6 AS DOUBLE) / 1e6 AS threshold,
+       |coalesce(sw.n_pairs, 0) AS n_pairs,
+       |coalesce(sw.n_dropped, 0) AS n_dropped,
+       |CAST(tot.n_vecs - coalesce(sw.n_dropped, 0) AS BIGINT) AS n_survivors
+       |FROM grid LEFT JOIN sw USING (t6), tot
+       |ORDER BY threshold""".stripMargin
 
   /** q262: the verified-pair CTEs quantized to q4 BIGINT, exploded
     * over the threshold grid; dropped = distinct higher ids (the

@@ -842,7 +842,12 @@ object SparkEntry {
     "q262_threshold_sweep"  -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.dedupThresholdSweep(docs, ccCascadeFor(s, d))
-    })
+    }),
+    // q262's embedding-side twin: the semantic τ knob swept against
+    // the materialized cosine pair frame
+    "q263_semantic_sweep"   -> ((s, d) =>
+      Dedup.semanticThresholdSweep(Tables.embeddings(s, d),
+        semCcFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair

@@ -960,15 +960,74 @@ object Dedup {
     // mismatch instead of honoring the dir
     require(dir.contains(s"semcc_t${math.rint(threshold * 1000).toInt}_"),
       s"prebuildSemanticCc: dir $dir was not addressed for threshold $threshold")
+    // two tiers committing independently (the prebuildCascade resume
+    // semantics): a run that died between them resumes by building
+    // labels FROM the committed pairs instead of re-running the
+    // bucketed cosine join; the pairs tier also serves the τ sweep
+    // (q263) directly
+    val pairsDir = s"$dir/pairs"
     val labelsDir = s"$dir/labels"
-    val fresh = !graft.engine.ContentAddress
-      .hasSuccess(emb.sparkSession, labelsDir)
-    if (fresh)
+    def committed(d: String) = graft.engine.ContentAddress
+      .hasSuccess(emb.sparkSession, d)
+    val pairsFresh = !committed(pairsDir)
+    if (pairsFresh)
+      embeddingNearDup(emb, threshold)
+        .write.mode("overwrite").parquet(pairsDir)
+    val labelsFresh = !committed(labelsDir)
+    if (labelsFresh)
       dupClustersFromPairs(
-          embeddingNearDup(emb, threshold).select("id_a", "id_b"))
+          emb.sparkSession.read.parquet(pairsDir).select("id_a", "id_b"))
         .withColumnRenamed("doc_id", "vec_id")
         .write.mode("overwrite").parquet(labelsDir)
-    fresh
+    pairsFresh || labelsFresh
+  }
+
+  /** q263: the semantic τ knob chosen on evidence — the
+    * [[dedupThresholdSweep]] discipline on the EMBEDDING side: for
+    * every candidate cosine threshold at or above the frame's verify
+    * floor, the pairs firing, the vectors dropped under the pairwise
+    * loser convention (higher vec_id — the [[semanticDedupPrefix]]
+    * arrival-order semantics collapsed to id order), and survivors.
+    * With q262 this completes the pair: the lexical and semantic
+    * dedup knobs are both swept against their materialized pair
+    * frames instead of being guessed.
+    *
+    * Thresholds are exact q6 BIGINTs against the stored round-6
+    * cosine quantized through floor(x·10⁶+½) — the ANN-oracle chain,
+    * no double comparison anywhere. The grid must start at the
+    * frame's verify floor (pairs below it were never generated).
+    */
+  def semanticThresholdSweep(emb: DataFrame, dir: String,
+                             thresholdsQ6: Seq[Long] =
+                               Seq(300000L, 400000L, 500000L, 600000L,
+                                 700000L, 800000L, 900000L),
+                             verifyThreshold: Double = 0.3): DataFrame = {
+    require(thresholdsQ6.nonEmpty &&
+      thresholdsQ6.min >= math.rint(verifyThreshold * 1e6).toLong,
+      "sweep grid must start at or above the frame's verify threshold")
+    prebuildSemanticCc(emb, dir, verifyThreshold)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = spark.read.parquet(s"$dir/pairs")
+      .select(col("id_b"),
+        floor(col("cos_sim") * 1e6 + 0.5).cast("long").as("c6"))
+    val swept = p
+      .select(col("id_b"), col("c6"),
+        explode(typedLit(thresholdsQ6)).as("t6"))
+      .filter(col("c6") >= col("t6"))
+      .groupBy("t6")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        countDistinct(col("id_b")).cast("bigint").as("n_dropped"))
+    val totals = emb.agg(count(lit(1)).cast("bigint").as("n_vecs"))
+    thresholdsQ6.toDF("t6")
+      .join(swept, Seq("t6"), "left")
+      .crossJoin(broadcast(totals))
+      .select((col("t6").cast("double") / 1e6).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L)))
+          .cast("bigint").as("n_survivors"))
+      .orderBy("threshold")
   }
 
   /** [[semanticDedup]] served from the materialized label frame —

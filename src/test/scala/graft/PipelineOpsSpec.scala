@@ -1030,6 +1030,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticThresholdSweep: rows recompute from the cosine pair frame; monotone; sub-floor rejected") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-semsweep-base").toString
+    val dir = Dedup.semCcDir(spark, s"$sfDir/embeddings.parquet", base)
+    val sweep = Dedup.semanticThresholdSweep(embeddings, dir).collect()
+      .map(r => (math.rint(r.getDouble(0) * 1e6).toLong,
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sweep.map(_._1).toSeq ==
+      Seq(300000L, 400000L, 500000L, 600000L, 700000L, 800000L, 900000L))
+    val pairs = Dedup.embeddingNearDup(embeddings, 0.3)
+      .select("id_b", "cos_sim").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1e6 + 0.5).toLong))
+    val nVecs = embeddings.count()
+    sweep.foreach { case (t6, nPairs, nDropped, nSurv) =>
+      val fire = pairs.filter(_._2 >= t6)
+      assert(nPairs == fire.length, s"t6=$t6 pairs")
+      assert(nDropped == fire.map(_._1).distinct.length, s"t6=$t6 dropped")
+      assert(nSurv == nVecs - nDropped, s"t6=$t6 survivors")
+    }
+    sweep.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3 && a._4 <= b._4,
+        s"sweep not monotone at ${b._1}")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.semanticThresholdSweep(embeddings, dir,
+        thresholdsQ6 = Seq(100000L))
+    }
+  }
+
   test("semanticDedupCached ≡ semanticDedup row-identical; second call reuses the committed frame") {
     // the materialized path must be indistinguishable from the
     // self-computing one: (long, long) labels roundtrip parquet

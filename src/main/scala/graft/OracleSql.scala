@@ -4396,7 +4396,21 @@ object OracleSql {
       ("q260_leak_drop_ids" -> leakDropIdsSql) +
       ("q261_cluster_safe_split" -> clusterSafeSplitSql) +
       ("q262_threshold_sweep" -> thresholdSweepSql) +
-      ("q263_semantic_sweep" -> semanticSweepSql)
+      ("q263_semantic_sweep" -> semanticSweepSql) +
+      // q264: the union cascade is bit-identical to a full rebuild, so
+      // the batch-attributable pairs are exactly q33's verified pairs
+      // with ≥1 endpoint in the batch (id ≡ 7 mod 10 on either side)
+      ("q264_cascade_append" ->
+        (shingleCte +
+          """,
+            |sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sset FROM sh GROUP BY doc_id),
+            |j AS (SELECT id_a, id_b,
+            |round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+            |(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+            |FROM cand JOIN sets a ON cand.id_a = a.doc_id JOIN sets b ON cand.id_b = b.doc_id)
+            |SELECT id_a, id_b, jaccard FROM j
+            |WHERE jaccard >= 0.2 AND (id_a % 10 = 7 OR id_b % 10 = 7)
+            |ORDER BY id_a, id_b""".stripMargin))
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs

@@ -847,7 +847,15 @@ object SparkEntry {
     // the materialized cosine pair frame
     "q263_semantic_sweep"   -> ((s, d) =>
       Dedup.semanticThresholdSweep(Tables.embeddings(s, d),
-        semCcFor(s, d)))
+        semCcFor(s, d))),
+    // incremental cascade append: the daily batch (doc_id % 10 == 7)
+    // lands on yesterday's committed cascade without re-shingling the
+    // corpus; reports the batch-attributable verified pairs out of
+    // the union cascade (bit-identical to a full rebuild — every
+    // other cascade consumer's oracle re-checks that contract)
+    "q264_cascade_append"   -> ((s, d) =>
+      Dedup.cascadeAppendNewPairs(Tables.documents(s, d),
+        ccOldCascadeFor(s, d), ccCascadeFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair
@@ -893,6 +901,21 @@ object SparkEntry {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_cc_${new java.io.File(d).getName}_$ph").getAbsolutePath
     Dedup.cascadeDir(s, s"$d/documents.parquet", base)
+  }
+
+  /** Content-addressed home of the YESTERDAY-corpus cascade
+    * (documents minus the `doc_id % 10 == 7` batch) that q264's
+    * incremental append lands on. Same base as [[ccCascadeFor]]; the
+    * `variant` keys the slice, because the content address signs the
+    * corpus FILES and both cascades read the same parquet.
+    */
+  private[graft] def ccOldCascadeFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_cc_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    Dedup.cascadeDir(s, s"$d/documents.parquet", base, variant = "oldm10r7_")
   }
 
   /** Content-addressed home of the embeddings table's materialized

@@ -42,13 +42,14 @@ import graft.operators.{Dedup, TextAnalysis, TrainingData}
   * anyway. On exit the run
   * clears EVERY cached frame in the session (`clearCacheOnExit`,
   * default true): the interior stages (`cleaningPipelineClustered`,
-  * `evalDecontaminate`, and the typology tier's `leakQuadrants`
-  * per-doc frame when `typologyDecontam` + `dropParaphrase = false`)
-  * persist corpus-sized frames whose handles they
-  * do not expose, so a targeted unpersist cannot reach them and a
-  * long-lived session invoking the pipeline repeatedly would
-  * accumulate them. Pass false only when the caller owns other live
-  * caches and accepts releasing this run's blocks lazily via GC.
+  * `evalDecontaminate`) persist corpus-sized frames whose handles
+  * they do not expose, so a targeted unpersist cannot reach them and
+  * a long-lived session invoking the pipeline repeatedly would
+  * accumulate them. The typology tier's `leakQuadrants` per-doc frame
+  * IS reachable (its registerCache hook feeds this run's extraCaches),
+  * so the clearCacheOnExit=false path releases it explicitly. Pass
+  * false only when the caller owns other live caches and accepts
+  * releasing the unregistered interior blocks lazily via GC.
   */
 object CorpusPipeline {
 
@@ -215,7 +216,8 @@ object CorpusPipeline {
         val drops = (if (typologyDecontam && !dropParaphrase)
           graft.operators.Similarity
             .leakTypologyDropIds(embAlive, evEmb, k1, scrubbedEval,
-              topK = decontamTopK, dropParaphrase = false)
+              topK = decontamTopK, dropParaphrase = false,
+              registerCache = extraCaches += _)
         else
           graft.operators.Similarity
             .decontamDropIds(embAlive, evEmb, decontamTopK))

@@ -47,8 +47,49 @@ object Dedup {
     * (spec-asserted, and every downstream oracle hash unchanged).
     */
   def shingleDocs(docs: DataFrame, n: Int = 3): DataFrame =
+    // the width tag rides a second projection: an alias directly on
+    // the generator is rewritten into the Generate node's output
+    // attribute and its explicit metadata is dropped in the process
     docs.select(col("doc_id"),
-      graft.functions.ShingleGenerator.shingles(col("text"), n).as("shingle"))
+        graft.functions.ShingleGenerator.shingles(col("text"), n).as("shingle"))
+      .select(col("doc_id"),
+        col("shingle").as("shingle", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(ShingleNKey, n.toLong).build()))
+
+  /** Column-metadata key carrying the shingle width `n` on a
+    * [[shingleDocs]] frame. Spark persists field metadata through
+    * parquet roundtrips, so the materialized `sh3` tier keeps its
+    * width on disk and a consumer can validate a provided frame
+    * instead of trusting the call site — passing the cached 3-gram
+    * frame into a 4-gram decontamination would otherwise silently mix
+    * widths (eval vocab at n, corpus side at 3) and read as near-zero
+    * contamination.
+    */
+  private[graft] val ShingleNKey = "shingle_n"
+
+  /** The width a shingle frame was built at, from its column
+    * metadata; None for frames predating the tag (treated as the
+    * default width 3 by validators — every committed tier was built
+    * via [[prebuildShingles3]]'s default).
+    */
+  def shingleWidthOf(sh: DataFrame): Option[Int] =
+    sh.schema.fields.find(_.name == "shingle")
+      .filter(_.metadata.contains(ShingleNKey))
+      .map(_.metadata.getLong(ShingleNKey).toInt)
+
+  /** Validator for the provided-shingle-frame contract: a frame whose
+    * recorded width (metadata; 3 when untagged) disagrees with the
+    * requested `n` is rejected loudly instead of producing a
+    * plausible near-zero overlap report.
+    */
+  private[graft] def requireShingleWidth(sh: Option[DataFrame], n: Int,
+                                         what: String): Unit =
+    sh.foreach { f =>
+      val w = shingleWidthOf(f).getOrElse(3)
+      require(w == n,
+        s"$what was built at n=$w but the query asked n=$n — " +
+          "rebuild the frame at the requested width or drop the cache arg")
+    }
 
   /** Per-band MinHash signature: band b's hash of a shingle is
     * md5("b<b>:" ++ shingle); the signature is the per-document min.
@@ -1703,10 +1744,15 @@ object Dedup {
     * would be a durable FS path; here it is the bench tmpdir.
     */
   def cascadeDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
-                 base: String, threshold: Double = 0.2, bands: Int = 4): String = {
+                 base: String, threshold: Double = 0.2, bands: Int = 4,
+                 variant: String = ""): String = {
+    // `variant` distinguishes cascades built over a SLICE of the same
+    // corpus files (the content address signs files, not filters) —
+    // e.g. q264's yesterday-corpus cascade ("oldm10r7") next to the
+    // full-corpus one. Empty keeps every pre-existing address.
     val t = math.rint(threshold * 1000).toInt
     graft.engine.ContentAddress.dirFor(spark, dataPath, base,
-      s"cc${t}b${bands}_", "cascadeDir")
+      s"cc$variant${t}b${bands}_", "cascadeDir")
   }
 
   /** Build the cascade's candidate, pair, and label frames now if
@@ -1732,9 +1778,24 @@ object Dedup {
     if (candFresh)
       minhashCandidatePairs(docs, bands)
         .write.mode("overwrite").parquet(candDir)
+    // the decontamination family's shared scan-side frame
+    // (threshold-independent: distinct string 3-grams) — built BEFORE
+    // the pairs tier since r17, because the verify below reads it
+    val sh3Fresh = prebuildShingles3(docs, dir)
+    // pairs verify FROM the two committed tiers, not from raw text:
+    // (a) a run that died after cand committed RESUMES here without
+    // re-running the LSH cascade (the last tier pair that still
+    // rebuilt from raw shingles — labels already resumed from pairs,
+    // the semcc address resumes from its pairs tier); (b) even a
+    // fully fresh build stops paying the banding twice (cand's
+    // self-join used to run again inside nearDupPairs). Value-identity
+    // with nearDupPairs is spec-proven and oracle-checked (q33 hashes
+    // the frame this writes).
     val pairsFresh = !committed(pairsDir)
     if (pairsFresh)
-      nearDupPairs(docs, threshold, bands)
+      verifyCandidatePairs(
+          docs.sparkSession.read.parquet(s"$dir/sh$DefaultShingleN"),
+          docs.sparkSession.read.parquet(candDir), threshold)
         .write.mode("overwrite").parquet(pairsDir)
     val labelsFresh = !committed(labelsDir)
     if (labelsFresh)
@@ -1745,10 +1806,166 @@ object Dedup {
     // the exact set-similarity family's shared scan-side frame
     // (threshold-independent: 60-bit hashed distinct shingle sets)
     val shFresh = prebuildShingleSets(docs, dir)
-    // the decontamination family's shared scan-side frame
-    // (threshold-independent: distinct string 3-grams)
-    val sh3Fresh = prebuildShingles3(docs, dir)
     candFresh || pairsFresh || labelsFresh || shFresh || sh3Fresh
+  }
+
+  /** The shingle width every cascade tier is built at (and the
+    * untagged-frame default the width validator assumes). */
+  private[graft] val DefaultShingleN = 3
+
+  /** Exact Jaccard verification of a CANDIDATE pair frame against a
+    * distinct (doc_id, shingle) frame — [[nearDupPairs]]'s verify
+    * tail factored out so it can run from COMMITTED tiers: the
+    * cascade's pairs build resumes from `cand`+`sh3` instead of
+    * re-shingling ([[prebuildCascade]]), and the incremental append
+    * verifies only the batch-touching candidates
+    * ([[appendToCascade]]). Row-identical to [[nearDupPairs]] on the
+    * same corpus (spec-proven; q33's oracle hashes the output): the
+    * same size-ratio prefilter with the same rounding slack, the same
+    * narrow intersection join, the same round-4 jaccard cut. Shuffle
+    * contract unchanged — (long, long)/(long, string) rows only, no
+    * array ever crosses an exchange.
+    */
+  def verifyCandidatePairs(sh: DataFrame, cand: DataFrame,
+                           threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0, "threshold must be > 0 (a 0-similarity pair is not a near-dup)")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val candSized = cand.select("id_a", "id_b")
+      .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold - 0.5e-4) * greatest(col("na"), col("nb")).cast("double") - lit(1e-9))
+    candSized
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-band LSH rows (doc_id, band, mh) computed from an
+    * already-distinct (doc_id, shingle) FRAME — the same seeds and
+    * shape as [[minhashCandidatePairs]]'s interior, but sourced from
+    * the materialized `sh3` tier so the append path never re-shingles
+    * raw text.
+    */
+  private def bandRowsFromShingles(sh: DataFrame, bands: Int): DataFrame = {
+    val aggs = (0 until bands).map(b =>
+      min(md5(concat(lit(s"b$b:"), col("shingle")))).as(s"mh$b"))
+    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    (0 until bands)
+      .map(b => sig.select(col("doc_id"), lit(b).as("band"), col(s"mh$b").as("mh")))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Incremental cascade APPEND — the batch-arrival twin of
+    * [[incrementalDedup]] (q65) at the MATERIALIZED-FRAME level,
+    * mirroring [[graft.operators.Similarity.appendToIvfIndex]]'s
+    * bit-identical-to-rebuild contract: given a fully committed
+    * cascade for yesterday's corpus at `oldDir` and today's batch of
+    * NEW documents, commit the union corpus's cascade at `newDir`
+    * re-shingling ONLY the batch. Tier identities (spec-proven
+    * row-equal to `prebuildCascade` over the union):
+    *
+    *  - `sh3`/`shsets` are per-document → old frame ∪ batch frame;
+    *  - `cand`: a pair of OLD docs collides in the union iff it
+    *    collided in the old corpus (band minima are per-document), so
+    *    new candidates are exactly the pairs with ≥1 batch endpoint —
+    *    one (band, mh) equi-join of the union's band rows against the
+    *    BATCH's band rows (build side = the small batch);
+    *  - `pairs`: jaccard is a pure function of the two docs' shingle
+    *    sets → old pairs ∪ verify(new candidates) via
+    *    [[verifyCandidatePairs]];
+    *  - `labels`: connected components must re-close globally (one
+    *    batch doc can merge two old clusters) — rebuilt from the
+    *    union pair frame by [[dupClustersFromPairs]], the cheap tier
+    *    (narrow id pairs, no text).
+    *
+    * At 100 TB this is the daily-crawl landing path: the corpus-wide
+    * explode + LSH self-join (the dominant cost) is paid once per
+    * HISTORY, not once per day. Preconditions: the old cascade's four
+    * scan-side tiers are committed, and batch doc_ids are disjoint
+    * from the old corpus (guarded against the old sh3 tier — docs too
+    * short to shingle are invisible to the guard, so the caller owns
+    * true disjointness, same as [[incrementalDedup]]). Returns true
+    * iff any tier was built (false = full reuse, the prebuild
+    * convention).
+    */
+  def appendToCascade(batch: DataFrame, oldDir: String, newDir: String,
+                      threshold: Double = 0.2, bands: Int = 4): Boolean = {
+    val spark = batch.sparkSession
+    def committed(d: String) = graft.engine.ContentAddress.hasSuccess(spark, d)
+    val sh3 = s"sh$DefaultShingleN"
+    Seq(sh3, "shsets", "cand", "pairs").foreach(t => require(committed(s"$oldDir/$t"),
+      s"appendToCascade requires a committed $t tier at $oldDir"))
+    val tiers = Seq(sh3, "shsets", "cand", "pairs", "labels")
+    if (tiers.forall(t => committed(s"$newDir/$t"))) return false
+    val shOld = spark.read.parquet(s"$oldDir/$sh3")
+    val shB = shingleDocs(batch).dropDuplicates("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(shB.join(shOld.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .isEmpty,
+      "appendToCascade: batch doc_ids overlap the old corpus")
+    val shNew = shOld.unionByName(shB)
+    if (!committed(s"$newDir/$sh3"))
+      shNew.write.mode("overwrite").parquet(s"$newDir/$sh3")
+    if (!committed(s"$newDir/shsets")) {
+      val hb = hashedShingleSets(batch)
+      spark.read.parquet(s"$oldDir/shsets").unionByName(hb)
+        .write.mode("overwrite").parquet(s"$newDir/shsets")
+      hb.unpersist(blocking = false)
+    }
+    // new candidates: union band rows ⋈ batch band rows on (band, mh);
+    // least/greatest restores the id_a < id_b contract for both
+    // old-batch and batch-batch collisions (the latter arrive in both
+    // orders — distinct collapses them, same as the rebuild's)
+    val bandB = bandRowsFromShingles(shB, bands)
+    val bandAll = bandRowsFromShingles(spark.read.parquet(s"$newDir/$sh3"), bands)
+    val newCand = bandAll.as("a").join(bandB.as("b"),
+        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    if (!committed(s"$newDir/cand"))
+      spark.read.parquet(s"$oldDir/cand").unionByName(newCand)
+        .write.mode("overwrite").parquet(s"$newDir/cand")
+    if (!committed(s"$newDir/pairs"))
+      spark.read.parquet(s"$oldDir/pairs")
+        .unionByName(verifyCandidatePairs(
+          spark.read.parquet(s"$newDir/$sh3"), newCand, threshold))
+        .write.mode("overwrite").parquet(s"$newDir/pairs")
+    if (!committed(s"$newDir/labels"))
+      dupClustersFromPairs(
+          spark.read.parquet(s"$newDir/pairs").select("id_a", "id_b"))
+        .write.mode("overwrite").parquet(s"$newDir/labels")
+    shB.unpersist(blocking = false)
+    true
+  }
+
+  /** q264: the incremental append AS A QUERY — the verified near-dup
+    * pairs a daily batch (`doc_id % 10 == 7` stands in for today's
+    * crawl) introduces when it lands on yesterday's committed cascade
+    * (the other 90%, at `oldDir`). Routes through [[appendToCascade]]
+    * into the UNION corpus's cascade address (`newDir` — the same
+    * frame every other cascade consumer probes, so the append's
+    * bit-identical-to-rebuild contract is re-checked by every one of
+    * their oracles), then reports exactly the batch-attributable
+    * pairs: id ordering makes "≥1 endpoint in batch" ⇔ either id ≡ 7
+    * (mod 10).
+    */
+  def cascadeAppendNewPairs(docs: DataFrame, oldDir: String, newDir: String,
+                            threshold: Double = 0.2, bands: Int = 4): DataFrame = {
+    prebuildCascade(docs.filter(col("doc_id") % 10 =!= 7), oldDir, threshold, bands)
+    appendToCascade(docs.filter(col("doc_id") % 10 === 7), oldDir, newDir,
+      threshold, bands)
+    docs.sparkSession.read.parquet(s"$newDir/pairs")
+      .filter(col("id_a") % 10 === 7 || col("id_b") % 10 === 7)
+      .orderBy("id_a", "id_b")
   }
 
   /** Build the threshold-independent DISTINCT (doc_id, 3-gram) string

@@ -1608,7 +1608,8 @@ object Similarity {
     */
   def leakTypology(emb: DataFrame, docs: DataFrame, modulus: Int = 23,
                    topK: Int = 50, n: Int = 3,
-                   shingles: Option[DataFrame] = None): DataFrame =
+                   shingles: Option[DataFrame] = None,
+                   registerCache: DataFrame => Unit = _ => ()): DataFrame =
     leakQuadrants(
         emb.filter(col("vec_id") % modulus =!= 0),
         emb.filter(col("vec_id") % modulus === 0),
@@ -1616,7 +1617,8 @@ object Similarity {
         docs.filter(col("doc_id") % modulus === 0),
         topK, n,
         corpusShingles = shingles.map(_.filter(col("doc_id") % modulus =!= 0)),
-        evalShingles = shingles.map(_.filter(col("doc_id") % modulus === 0)))
+        evalShingles = shingles.map(_.filter(col("doc_id") % modulus === 0)),
+        registerCache = registerCache)
       .groupBy("quadrant")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         (floor(sum("mc6").cast("double") / count(lit(1)) + 0.5) / 1e6)
@@ -1639,7 +1641,8 @@ object Similarity {
                     corpusDocs: DataFrame, evalDocs: DataFrame,
                     topK: Int = 50, n: Int = 3,
                     corpusShingles: Option[DataFrame] = None,
-                    evalShingles: Option[DataFrame] = None): DataFrame = {
+                    evalShingles: Option[DataFrame] = None,
+                    registerCache: DataFrame => Unit = _ => ()): DataFrame = {
     val ngram = TrainingData
       .evalDecontaminate(corpusDocs, n, evalDocs = Some(evalDocs),
         shingles = corpusShingles, evalShingles = evalShingles)
@@ -1647,11 +1650,15 @@ object Similarity {
         expr("CAST((n_overlap * 10000) div n_shingles AS BIGINT)")
           .as("contam_bp"))
     // two consumers (the frame itself + the queue cut) — persist the
-    // narrow (id, max) frame so the panel scan runs ONCE; the caller
-    // releases it (the evalDecontaminate/pipelineFunnel contract)
+    // narrow (id, max) frame so the panel scan runs ONCE, and HAND THE
+    // HANDLE to the caller via registerCache: a long-lived session
+    // (CorpusPipeline with clearCacheOnExit=false, repeated q258/q260
+    // probes) can then release exactly this block instead of either
+    // leaking it or nuking the whole catalog cache
     val perDoc = evalScoredPairsFrames(emb, evalEmb)
       .groupBy("vec_id").agg(max("c6").as("mc6"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(perDoc)
     val queue = perDoc.orderBy(col("mc6").desc, col("vec_id").asc)
       .limit(topK).select(col("vec_id"), lit(true).as("in_queue"))
     perDoc
@@ -1690,9 +1697,10 @@ object Similarity {
                           topK: Int = 50, n: Int = 3,
                           dropParaphrase: Boolean = true,
                           corpusShingles: Option[DataFrame] = None,
-                          evalShingles: Option[DataFrame] = None): DataFrame =
+                          evalShingles: Option[DataFrame] = None,
+                          registerCache: DataFrame => Unit = _ => ()): DataFrame =
     leakQuadrants(emb, evalEmb, corpusDocs, evalDocs, topK, n,
-        corpusShingles, evalShingles)
+        corpusShingles, evalShingles, registerCache)
       .filter(col("quadrant") === "verbatim" ||
         (lit(dropParaphrase) && col("quadrant") === "paraphrase"))
       .select(col("vec_id"), col("quadrant"))

@@ -176,7 +176,13 @@ object TrainingData {
     // docs/evalDocs — the materialized [[Dedup.shingleDocsCached]]
     // tier, so a contamination report never re-explodes the corpus.
     // A provided frame is a cheap parquet scan, so it is deliberately
-    // NOT persisted (the self-computed explode still is).
+    // NOT persisted (the self-computed explode still is). The frame
+    // must carry the requested width (column metadata, untagged = 3):
+    // a cached 3-gram frame fed into an n=4 report would rebuild the
+    // eval vocab at 4 against 3-gram corpus rows and read as
+    // near-zero contamination.
+    Dedup.requireShingleWidth(shingles, n, "shingles frame")
+    Dedup.requireShingleWidth(evalShingles, n, "evalShingles frame")
     val sh = shingles.getOrElse(
       Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -230,8 +236,10 @@ object TrainingData {
                               threshold: Double = 0.5,
                               shingles: Option[DataFrame] = None): DataFrame = {
     // `shingles` (opt-in): the materialized distinct (doc_id, shingle)
-    // frame — the [[evalDecontaminate]] contract; not persisted when
-    // provided (parquet scan), persisted when self-computed
+    // frame — the [[evalDecontaminate]] contract, width-validated the
+    // same way; not persisted when provided (parquet scan), persisted
+    // when self-computed
+    Dedup.requireShingleWidth(shingles, n, "shingles frame")
     val sh = shingles.getOrElse(
       Dedup.shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

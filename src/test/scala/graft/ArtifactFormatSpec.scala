@@ -56,52 +56,66 @@ class ArtifactFormatSpec extends AnyFunSuite {
     assert(Bench.jsonStr("x\ny\rz\tw") == "\"x y z w\"")
   }
 
-  test("the artifact tail fits the driver's 2000-char window at the REAL query count") {
+  test("the artifact tail fits the driver's 2000-char window at 300 queries") {
     // the driver archives the LAST 2000 chars of the run output: the
     // BENCH_CAL line, the main line, and the sbt success trailer must
-    // fit together or the artifact of record loses its front. The
-    // per-query dict hit this wall at 187 queries (~10 worst-case
-    // chars each); the encoding is now a position-addressed array of
-    // integer deciseconds (≤4 chars + comma worst-case per query)
-    // plus a BOUNDED slowest-seconds dict. Build the main line from
-    // the real SparkEntry key set with worst-case values.
-    val names = SparkEntry.queries.keys.toSeq
+    // fit together or the artifact of record loses its front — r16's
+    // suite total was truncated out of BENCH_r16.json at 263 queries
+    // because the model only covered the real count and the line led
+    // with `value`. The model now runs at max(real, 300) queries so
+    // the next ~35 additions can't outrun it silently, with every
+    // r17 field at worst case: a storm run (eio present, retried and
+    // p2 at their caps, slowest at its 14-entry cap, obx spilled).
+    val realNames = SparkEntry.queries.keys.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))
+    val n = math.max(realNames.size, 300)
+    val names = (1 to n).map(i => s"q${i}_x")
     val worst = names.map(_ -> 99.9)           // 999 ds — widest cell
     val qs = Bench.queriesJson(worst)
-    // slowest at worst case now carries [sec, cores] pairs
-    val slow = Bench.slowestJson(worst, names.map(_ -> 99.9).toMap)
+    // slowest at worst case: the 14-entry cap, every entry [sec,cores]
+    val slow = Bench.slowestJson(worst, names.map(_ -> 99.9).toMap,
+      mustInclude = names.toSet)
+    assert(slow.count(_ == '[') == 12, slow)
     // builds_sec at worst case: every build re-ran at the display cap
     // (keys MUST track Bench's real list — a stale literal under-models)
-    val builds = Seq("ivf", "cc", "sh", "pq", "fam", "props", "gt", "ah",
-        "tok", "arm", "km", "post", "tr", "blm", "scc", "touch")
+    val builds = Seq("ivf", "cc", "cco", "sh", "pq", "fam", "props", "gt",
+        "ah", "tok", "arm", "km", "post", "tr", "blm", "scc", "touch")
       .map(k => s""""$k":999""").mkString("{", ",", "}")
     // contention digit strings: one char per 5-query block
-    val envLen = (names.size + 4) / 5
+    val envLen = (n + 4) / 5
     val el = "9" * envLen
-    // retried at worst case: the 5-entry cap, widest keys and values
-    val retried = (255 to 259)
-      .map(n => s""""$n":[999,999]""").mkString("{", ",", "}")
-    val mainLine = s"""{"metric":"total","value":9999.999,"unit":"sec","enc":"queries=2-char base36 deciseconds per query, numeric order, cap zz=1295; el/eio/ecpu=per-5-query block max load / log2 MB disk read / cpu-per-wall cores of block's slowest query; slowest=[sec,cores]; retried=[first,retry] sec","queries":$qs,"slowest_sec":$slow,"el":"$el","eio":"$el","ecpu":"$el","l0":99,"q41_fit_sec":999.99,"builds_sec":$builds,"retried":$retried,"errs":99,"sf":"sf0.1"}"""
+    // retried / p2 at worst case: their 5-entry caps, widest cells
+    val retried = (296 to 300)
+      .map(v => s""""$v":[999,999,99]""").mkString("{", ",", "}")
+    val p2 = (296 to 300)
+      .map(v => s""""$v":[999,999]""").mkString("{", ",", "}")
+    val enc = "q=2ch base36 ds; el,eio,ecpu=5q-block load,log2MB,cores of " +
+      "slowest (eio cut if all-0); slowest=[sec,cores] top8+all >2x-band, " +
+      "obx=capped; retried=[a,b,cores] 5x gate; p2=[a,b] end 2x repass"
+    val mainLine = s"""{"metric":"total","unit":"sec","enc":"$enc","queries":$qs,"el":"$el","ecpu":"$el","eio":"$el","l0":99,"q41_fit_sec":999.99,"builds_sec":$builds,"retried":$retried,"p2":$p2,"errs":99,"slowest_sec":$slow,"obx":99,"value":9999.999,"sf":"sf0.1"}"""
     // probe count follows Bench's cadence: start + every-30 + the
-    // dedicated post-q41 probe + final — derive it from the REAL
-    // query count so growth can't silently outrun the model
-    val nProbes = 2 + SparkEntry.queries.size / 30 + 1
+    // dedicated post-q41 probe + final
+    val nProbes = 2 + n / 30 + 1
     // decisecond-integer quadruples, display-capped at 99 per value:
-    // worst case "[99,99,99,99]," = 14 chars (+1 safety) + frame +
-    // [info]
-    val calBudget = nProbes * 15 + 20 + 8
+    // worst case "[99,99,99,99]," = exactly 14 chars + the
+    // "BENCH_CAL [...]" frame + [info]
+    val calBudget = nProbes * 14 + 13 + 8
     // "[success] Total time: 609 s (10:09), completed <date>" is ~72
     // chars; 100 holds headroom without hoarding the window
     val trailerBudget = 100
     val infoPrefix = 8                // "[info] " on the main line
     assert(mainLine.length + infoPrefix + calBudget + trailerBudget + 4 <= 2000,
       s"artifact tail over budget: main=${mainLine.length}")
+    // the SURVIVAL ORDER contract: value and the adjudication dicts
+    // trail the queries string, so a truncation that does happen eats
+    // per-query detail, never the suite total
+    assert(mainLine.indexOf("\"value\":") > mainLine.indexOf("\"queries\":"))
+    assert(mainLine.indexOf("\"slowest_sec\":") > mainLine.indexOf("\"queries\":"))
     // the contiguous contract really takes the base36-string path
     // (fixed width: 2 chars per query), and the slowest dict keeps
     // bare-number keys
     assert(qs.startsWith("\"") && qs.endsWith("\"") &&
-      qs.length == names.size * 2 + 2, qs.take(40))
+      qs.length == n * 2 + 2, qs.take(40))
     assert(slow.contains("\"") && !slow.contains("\"q"), slow)
   }
 
@@ -147,6 +161,21 @@ class ArtifactFormatSpec extends AnyFunSuite {
     val res = Seq("q7_x" -> 8.5, "q12_y" -> 1.0, "q3_z" -> 2.4)
     val j = Bench.slowestJson(res, Map("q7_x" -> 12.34))
     assert(j == """{"7":[8.5,12],"3":[2.4,-1]}""", j)
+  }
+
+  test("slowestJson includes every mustInclude row (sub-2s too), capped, worst first") {
+    // q12 is under the 2 s floor but over its band — mustInclude pulls
+    // it in so every over-band row carries a cores figure (r17)
+    val res = Seq("q7_x" -> 8.5, "q12_y" -> 1.0, "q3_z" -> 2.4)
+    val j = Bench.slowestJson(res, Map("q12_y" -> 0.9), Set("q12_y"))
+    assert(j == """{"7":[8.5,-1],"3":[2.4,-1],"12":[1,0.9]}""", j)
+    // the cap drops the TAIL (least-slow) and the caller's obx counts
+    // exactly the dropped rows via the shared selection
+    val many = (1 to 40).map(i => s"q${i}_x" -> (i / 10.0))
+    val sel = Bench.slowestSelect(many, many.map(_._1).toSet)
+    assert(sel.size == 40 && sel.head._1 == "q40_x")
+    assert(Bench.slowestJson(many, Map.empty, many.map(_._1).toSet)
+      .count(_ == '[') == 12)
   }
 
   test("queriesJson falls back to the dict when query numbers have gaps") {

@@ -687,6 +687,92 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("appendToCascade: every tier bit-identical to a full rebuild; pairs resume from cand; guard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // batch = doc_id % 10 == 7. Planted cross-batch duplicates use
+    // EXACT copies (identical shingle sets ⇒ identical band minima ⇒
+    // candidate collision guaranteed, no md5 folklore): 17 copies old
+    // doc 5's text, 27 copies old doc 8's; 37/47 are an in-batch dup
+    // pair. The old side keeps its own dup (5,6) so the append must
+    // preserve old pairs AND add cross/batch-batch ones.
+    val textA = (0 until 12).map(i => s"a_$i").mkString(" ")
+    val textD = (0 until 12).map(i => s"d_$i").mkString(" ")
+    val textE = (0 until 14).map(i => s"e_$i").mkString(" ")
+    val fixed = Seq(
+      (5L, textA), (6L, textA), (8L, textD),
+      (17L, textA), (27L, textD), (37L, textE), (47L, textE))
+    val tail = (50L to 99L).map { i =>
+      (i, Seq.fill(10 + rnd.nextInt(6))("t" + rnd.nextInt(12)).mkString(" "))
+    }
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-app-corpus").toString
+    (fixed ++ tail).map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val base = java.nio.file.Files.createTempDirectory("graft-app-base").toString
+    val t = 0.2
+    val oldDir = Dedup.cascadeDir(spark, corpusDir, base, t, variant = "old_")
+    val newDir = Dedup.cascadeDir(spark, corpusDir, base, t, variant = "new_")
+    val fullDir = Dedup.cascadeDir(spark, corpusDir, base, t)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: append and rebuild diverge")
+    assert(Dedup.prebuildCascade(oldDocs, oldDir, t))
+    assert(Dedup.appendToCascade(batch, oldDir, newDir, t),
+      "first append must build")
+    assert(Dedup.prebuildCascade(docs, fullDir, t))
+    // THE contract: every tier of the appended cascade row-equals the
+    // full rebuild's — the batch was the only text ever re-shingled
+    Seq("sh3", "shsets", "cand", "pairs", "labels").foreach { tier =>
+      same(spark.read.parquet(s"$newDir/$tier"),
+        spark.read.parquet(s"$fullDir/$tier"), tier)
+    }
+    // the append really contributed pairs of all three kinds
+    val pairs = spark.read.parquet(s"$newDir/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 6L)), "old-old pair lost")
+    assert(pairs.contains((5L, 17L)) && pairs.contains((6L, 17L)),
+      "old-batch pairs missing")
+    assert(pairs.contains((37L, 47L)), "batch-batch pair missing")
+    // and the labels closed over them: 5,6,17 share one cluster
+    val lab = spark.read.parquet(s"$newDir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lab(5L) == lab(6L) && lab(6L) == lab(17L))
+    // full reuse is a no-op (the prebuild convention)
+    assert(!Dedup.appendToCascade(batch, oldDir, newDir, t))
+    // resident ids in the batch are rejected loudly, never double-added
+    val dir3 = Dedup.cascadeDir(spark, corpusDir, base, t, variant = "g_")
+    intercept[IllegalArgumentException] {
+      Dedup.appendToCascade(batch.unionByName(oldDocs.filter(col("doc_id") === 5L)),
+        oldDir, dir3, t)
+    }
+    // pairs-tier RESUME (r17): kill the pairs+labels commits on the
+    // full dir — the rebuild must complete FROM the committed cand
+    // (cand untouched, no re-LSH) with identical pairs
+    val pairsBefore = spark.read.parquet(s"$fullDir/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(new java.io.File(s"$fullDir/pairs", "_SUCCESS").delete())
+    assert(new java.io.File(s"$fullDir/labels", "_SUCCESS").delete())
+    val candMtime = new java.io.File(s"$fullDir/cand", "_SUCCESS").lastModified()
+    assert(Dedup.prebuildCascade(docs, fullDir, t), "resume must build")
+    assert(new java.io.File(s"$fullDir/cand", "_SUCCESS").lastModified() == candMtime,
+      "resume must NOT rebuild the committed candidate frame")
+    val pairsAfter = spark.read.parquet(s"$fullDir/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(pairsAfter == pairsBefore, "resumed pairs must be identical")
+    // the factored verify itself equals the one-shot operator
+    same(Dedup.verifyCandidatePairs(
+        Dedup.shingleDocs(docs).dropDuplicates("doc_id", "shingle"),
+        Dedup.minhashCandidatePairs(docs), t),
+      Dedup.nearDupPairs(docs, t), "verifyCandidatePairs vs nearDupPairs")
+    spark.catalog.clearCache()
+  }
+
   test("ContentAddress legacy prefixes: old-format dirs pruned, parameterized siblings survive") {
     import spark.implicits._
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-ca-leg").toString
@@ -995,6 +1081,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     // reuse: a second call builds nothing
     assert(!Dedup.prebuildShingles3(documents, dir),
       "prebuildShingles3 rebuilt a committed frame")
+  }
+
+  test("leakQuadrants hands its persisted per-doc frame to registerCache for targeted release") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val registered = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val m = 23
+    val q = Similarity.leakQuadrants(
+      emb.filter(col("vec_id") % m =!= 0), emb.filter(col("vec_id") % m === 0),
+      documents.filter(col("doc_id") % m =!= 0),
+      documents.filter(col("doc_id") % m === 0),
+      registerCache = registered += _)
+    assert(q.count() > 0)
+    // exactly one interior cache, and the handle really releases it —
+    // a clearCacheOnExit=false pipeline run can unpersist THIS block
+    // instead of leaking it or clearing the whole catalog
+    assert(registered.size == 1)
+    assert(registered.head.storageLevel.useMemory)
+    registered.foreach(_.unpersist(blocking = true))
+    assert(!registered.head.storageLevel.useMemory)
   }
 
   test("dedupThresholdSweep: rows recompute from the pair frame; monotone laws; sub-floor grid rejected") {

@@ -820,6 +820,38 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(res(12L) == ((2L, 0L, 0.0)))
   }
 
+  test("shingle width rides the frame: metadata tag, parquet roundtrip, mismatch rejected") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val df = Seq((1L, "a b c d e", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the tag is the width the frame was built at, and it survives the
+    // materialized tier's parquet roundtrip (the contract that lets a
+    // consumer validate a provided frame instead of trusting the call)
+    assert(Dedup.shingleWidthOf(Dedup.shingleDocs(df, 4)) == Some(4))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shn").toString + "/sh4"
+    Dedup.shingleDocs(df, 4).dropDuplicates("doc_id", "shingle")
+      .write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(Dedup.shingleWidthOf(back) == Some(4))
+    // a cached 3-gram frame fed into an n=4 report would read as
+    // near-zero contamination — the width check fails loudly instead
+    val sh3 = Dedup.shingleDocs(df, 3).dropDuplicates("doc_id", "shingle")
+    intercept[IllegalArgumentException] {
+      TrainingData.evalDecontaminate(df, n = 4, shingles = Some(sh3))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.contaminationProvenance(df, n = 4, shingles = Some(sh3))
+    }
+    // matched widths pass (both the tagged and the untagged=3 default)
+    TrainingData.evalDecontaminate(df, n = 4, shingles = Some(back))
+    val untagged = sh3.select(col("doc_id"),
+      col("shingle").cast("string").as("shingle")) // cast strips metadata
+    assert(Dedup.shingleWidthOf(untagged).isEmpty)
+    TrainingData.evalDecontaminate(df, n = 3, shingles = Some(untagged))
+  }
+
   test("contaminationProvenance: worst offender, compromise count, zero-hit row") {
     import spark.implicits._
     // eval doc 0: "a b c d e" → 3 distinct shingles. Training doc 1 is

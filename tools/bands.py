@@ -29,25 +29,28 @@ def main(paths):
                 line = line[line.index('{'):]
                 q = json.loads(line)["queries"]
                 if isinstance(q, str):  # 2-char base36 ds per query
-                    q = [int(q[j:j + 2], 36) for j in range(0, len(q), 2)]
+                    # contiguous contract: position i is query i+1
+                    q = {j // 2 + 1: int(q[j:j + 2], 36)
+                         for j in range(0, len(q), 2)}
                 elif isinstance(q, dict):
                     # the non-contiguous dict fallback carries SECONDS
-                    # keyed by query number — normalize to positional ds
-                    q = [round(q[str(k)] * 10)
-                         for k in sorted(int(k) for k in q)]
+                    # KEYED BY QUERY NUMBER — keep those keys verbatim
+                    # (re-keying positionally would mis-attribute every
+                    # band after the first gap)
+                    q = {int(k): round(v * 10) for k, v in q.items()}
                 runs.append(q)
                 break
         else:
             raise SystemExit(f"no main line in {p}")
-    n = min(len(r) for r in runs)
-    if any(len(r) != n for r in runs):
-        print(f"WARNING: run lengths differ: {[len(r) for r in runs]}",
-              file=sys.stderr)
+    common = set.intersection(*(set(r) for r in runs))
+    if any(set(r) != common for r in runs):
+        print(f"WARNING: run query sets differ; using the "
+              f"{len(common)}-query intersection", file=sys.stderr)
     lo, up = {}, {}
-    for i in range(n):
-        vals = sorted(r[i] for r in runs)
-        lo[i + 1] = vals[0]
-        up[i + 1] = max(2, int(statistics.median(vals)))
+    for k in sorted(common):
+        vals = sorted(r[k] for r in runs)
+        lo[k] = vals[0]
+        up[k] = max(2, int(statistics.median(vals)))
     # Scala map literal, wrapped lines
     items = [f"{q} -> {up[q]}" for q in sorted(up)]
     print("  val upperDs: Map[Int, Int] = Map(")

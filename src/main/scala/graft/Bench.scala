@@ -504,6 +504,18 @@ object Bench {
       dropAllState()
       if (built) (System.nanoTime() - sccT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
+    // pre-build the q265 append fixture's YESTERDAY semcc frame (the
+    // embeddings minus the vec_id % 10 == 7 batch) — the cco story on
+    // the embedding side. 0 = reused, -1 = failed.
+    val sccoT0 = System.nanoTime()
+    val sccoBuildSec = try {
+      val built = graft.operators.Dedup.prebuildSemanticCc(
+        graft.engine.Tables.embeddings(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 7),
+        SparkEntry.semCcOldFor(spark, sfDir))
+      dropAllState()
+      if (built) (System.nanoTime() - sccoT0) / 1e9 else 0.0
+    } catch { case _: Throwable => -1.0 }
     // pre-build the bigram LM (q121 scores against it): one model
     // scan per corpus snapshot. 0 = reused, -1 = failed.
     val blmT0 = System.nanoTime()
@@ -567,7 +579,8 @@ object Bench {
         SparkEntry.phraseIdxFor(spark, sfDir),
         SparkEntry.textRankFor(spark, sfDir),
         SparkEntry.bigramLmFor(spark, sfDir),
-        SparkEntry.semCcFor(spark, sfDir))
+        SparkEntry.semCcFor(spark, sfDir),
+        SparkEntry.semCcOldFor(spark, sfDir))
         .foreach { d =>
           try touch(new java.io.File(d))
           catch { case _: Throwable => () }
@@ -575,7 +588,7 @@ object Bench {
       pretouchMb = bytes / 1e6
       (System.nanoTime() - touchT0) / 1e9
     } catch { case _: Throwable => -1.0 }
-    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"cco_build_sec":${dec(ccoBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"props_build_sec":${dec(propsBuildSec, 2)},"gt_build_sec":${dec(gtBuildSec, 2)},"ah_build_sec":${dec(ahBuildSec, 2)},"tok_build_sec":${dec(tokBuildSec, 2)},"arm_build_sec":${dec(armBuildSec, 2)},"km_build_sec":${dec(kmBuildSec, 2)},"post_build_sec":${dec(postBuildSec, 2)},"tr_build_sec":${dec(trBuildSec, 2)},"blm_build_sec":${dec(blmBuildSec, 2)},"scc_build_sec":${dec(sccBuildSec, 2)},"pretouch_sec":${dec(pretouchSec, 2)},"pretouch_mb":${dec(pretouchMb, 1)},"sf":${jsonStr(sfDir)}}""")
+    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"cco_build_sec":${dec(ccoBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"props_build_sec":${dec(propsBuildSec, 2)},"gt_build_sec":${dec(gtBuildSec, 2)},"ah_build_sec":${dec(ahBuildSec, 2)},"tok_build_sec":${dec(tokBuildSec, 2)},"arm_build_sec":${dec(armBuildSec, 2)},"km_build_sec":${dec(kmBuildSec, 2)},"post_build_sec":${dec(postBuildSec, 2)},"tr_build_sec":${dec(trBuildSec, 2)},"blm_build_sec":${dec(blmBuildSec, 2)},"scc_build_sec":${dec(sccBuildSec, 2)},"scco_build_sec":${dec(sccoBuildSec, 2)},"pretouch_sec":${dec(pretouchSec, 2)},"pretouch_mb":${dec(pretouchMb, 1)},"sf":${jsonStr(sfDir)}}""")
 
     // a probe must never abort the run: a broken environment (e.g.
     // missing data dir) should still produce BENCH_META, per-query
@@ -851,7 +864,7 @@ object Bench {
       "gt" -> gtBuildSec, "ah" -> ahBuildSec, "tok" -> tokBuildSec,
       "arm" -> armBuildSec, "km" -> kmBuildSec, "post" -> postBuildSec,
       "tr" -> trBuildSec, "blm" -> blmBuildSec, "scc" -> sccBuildSec,
-      "touch" -> pretouchSec)
+      "scco" -> sccoBuildSec, "touch" -> pretouchSec)
       .map { case (k, v) => jsonStr(k) + ":" + qnum(v) }
       .mkString("{", ",", "}")
     // eio earns its chars only when disk contention existed: an

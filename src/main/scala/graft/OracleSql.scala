@@ -4410,7 +4410,20 @@ object OracleSql {
             |FROM cand JOIN sets a ON cand.id_a = a.doc_id JOIN sets b ON cand.id_b = b.doc_id)
             |SELECT id_a, id_b, jaccard FROM j
             |WHERE jaccard >= 0.2 AND (id_a % 10 = 7 OR id_b % 10 = 7)
-            |ORDER BY id_a, id_b""".stripMargin))
+            |ORDER BY id_a, id_b""".stripMargin)) +
+      // q265: same argument on the embedding side — the appended semcc
+      // frame equals a full rebuild, so the batch-attributable pairs
+      // are q40's verified pairs with ≥1 endpoint ≡ 7 (mod 10)
+      ("q265_semcc_append" ->
+        s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, CAST(${bucketTerms("v")} AS INT) AS bucket_id FROM base),
+           |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           |list_dot_product(a.v, c.v) /
+           |(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           |FROM b a JOIN b c ON a.bucket_id = c.bucket_id AND a.vec_id < c.vec_id)
+           |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM p
+           |WHERE cos >= 0.3 AND (id_a % 10 = 7 OR id_b % 10 = 7)
+           |ORDER BY id_a, id_b""".stripMargin)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs

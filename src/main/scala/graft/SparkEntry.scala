@@ -855,7 +855,13 @@ object SparkEntry {
     // other cascade consumer's oracle re-checks that contract)
     "q264_cascade_append"   -> ((s, d) =>
       Dedup.cascadeAppendNewPairs(Tables.documents(s, d),
-        ccOldCascadeFor(s, d), ccCascadeFor(s, d)))
+        ccOldCascadeFor(s, d), ccCascadeFor(s, d))),
+    // q264's embedding twin: the daily vector batch lands on
+    // yesterday's committed semcc frame bit-identical to a rebuild,
+    // re-verifying only batch-touching pairs
+    "q265_semcc_append"     -> ((s, d) =>
+      Dedup.semanticAppendNewPairs(Tables.embeddings(s, d),
+        semCcOldFor(s, d), semCcFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair
@@ -931,6 +937,18 @@ object SparkEntry {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_scc_${new java.io.File(d).getName}_$ph").getAbsolutePath
     Dedup.semCcDir(s, s"$d/embeddings.parquet", base)
+  }
+
+  /** The YESTERDAY-corpus semcc frame (embeddings minus the
+    * `vec_id % 10 == 7` batch) that q265's semantic append lands on —
+    * [[ccOldCascadeFor]]'s embedding twin. */
+  private[graft] def semCcOldFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_scc_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    Dedup.semCcDir(s, s"$d/embeddings.parquet", base, variant = "oldm10r7_")
   }
 
   /** Content-addressed home of the embeddings table's materialized PQ

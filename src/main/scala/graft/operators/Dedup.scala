@@ -980,10 +980,15 @@ object Dedup {
     * retired.
     */
   def semCcDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
-               base: String, threshold: Double = 0.3): String = {
+               base: String, threshold: Double = 0.3,
+               variant: String = ""): String = {
+    // `variant` keys a SLICE of the same embedding files (the address
+    // signs files, not filters) — q265's yesterday-corpus frame; it
+    // trails the threshold so prebuildSemanticCc's setting check
+    // (`contains("semcc_t<t>_")`) holds for every variant
     val t = math.rint(threshold * 1000).toInt
     graft.engine.ContentAddress.dirFor(spark, dataPath, base,
-      s"semcc_t${t}_", "semCcDir")
+      s"semcc_t${t}_$variant", "semCcDir")
   }
 
   /** Build the embedding-CC label frame now iff not already committed
@@ -1021,6 +1026,84 @@ object Dedup {
         .withColumnRenamed("doc_id", "vec_id")
         .write.mode("overwrite").parquet(labelsDir)
     pairsFresh || labelsFresh
+  }
+
+  /** Incremental SEMANTIC append — [[appendToCascade]]'s embedding
+    * twin: a batch of NEW vectors lands on a committed semcc frame
+    * ([[prebuildSemanticCc]]) bit-identical to a full rebuild over
+    * the union, re-verifying ONLY batch-touching pairs. The identity
+    * mirrors the lexical one: the LSH bucket is a pure per-vector
+    * function, so two OLD vectors collide in the union iff they
+    * collided before ⇒ new pairs are exactly those with ≥1 batch
+    * endpoint — one bucket equi-join of the union's bucketed vectors
+    * against the BATCH's (build side = the batch), cosine-verified
+    * with the rebuild's exact expression (term order identical, so
+    * the round-6 value is bit-equal); labels re-close globally from
+    * the union pair frame (a batch vector can merge old clusters).
+    * At 100 TB: the daily embedding delta costs a map-side bucketing
+    * of the corpus plus a batch-sized join — never the corpus-wide
+    * bucket self-join again. Preconditions mirror [[appendToCascade]]:
+    * committed old pairs, batch vec_ids disjoint from `oldEmb`.
+    * Returns true iff any tier was built.
+    */
+  def appendToSemanticCc(batch: DataFrame, oldEmb: DataFrame,
+                         oldDir: String, newDir: String,
+                         threshold: Double = 0.3): Boolean = {
+    val spark = batch.sparkSession
+    def committed(d: String) = graft.engine.ContentAddress.hasSuccess(spark, d)
+    val t = math.rint(threshold * 1000).toInt
+    Seq(oldDir, newDir).foreach(d => require(d.contains(s"semcc_t${t}_"),
+      s"appendToSemanticCc: dir $d was not addressed for threshold $threshold"))
+    require(committed(s"$oldDir/pairs"),
+      s"appendToSemanticCc requires a committed pairs tier at $oldDir")
+    if (committed(s"$newDir/pairs") && committed(s"$newDir/labels")) return false
+    require(batch.select("vec_id")
+        .join(oldEmb.select("vec_id"), Seq("vec_id"), "left_semi").isEmpty,
+      "appendToSemanticCc: batch vec_ids overlap the old corpus")
+    def bucketed(e: DataFrame) = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      Similarity.lshBucketId(col("embedding").cast("array<double>")).as("bucket_id"))
+    val bBatch = bucketed(batch)
+    val bUnion = bucketed(oldEmb).unionByName(bBatch)
+    // batch-batch pairs arrive in both orders; values are bit-equal
+    // (cosine is a commutative per-term product in identical index
+    // order), so the (id_a, id_b) dedup keeps the rebuild's single row
+    val newPairs = bUnion.as("a").join(bBatch.as("b"),
+        col("a.bucket_id") === col("b.bucket_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
+        round(col("cos"), 6).as("cos_sim"))
+      .dropDuplicates("id_a", "id_b")
+    if (!committed(s"$newDir/pairs"))
+      spark.read.parquet(s"$oldDir/pairs").unionByName(newPairs)
+        .write.mode("overwrite").parquet(s"$newDir/pairs")
+    if (!committed(s"$newDir/labels"))
+      dupClustersFromPairs(
+          spark.read.parquet(s"$newDir/pairs").select("id_a", "id_b"))
+        .withColumnRenamed("doc_id", "vec_id")
+        .write.mode("overwrite").parquet(s"$newDir/labels")
+    true
+  }
+
+  /** q265: the semantic append AS A QUERY — q264's embedding twin.
+    * The daily vector batch (`vec_id % 10 == 7`) lands on yesterday's
+    * committed semcc frame via [[appendToSemanticCc]] into the UNION
+    * corpus's address (the frame q79/q263 probe, so their oracles
+    * re-check the bit-identical contract), then reports the
+    * batch-attributable verified pairs.
+    */
+  def semanticAppendNewPairs(emb: DataFrame, oldDir: String, newDir: String,
+                             threshold: Double = 0.3): DataFrame = {
+    val old = emb.filter(col("vec_id") % 10 =!= 7)
+    prebuildSemanticCc(old, oldDir, threshold)
+    appendToSemanticCc(emb.filter(col("vec_id") % 10 === 7), old,
+      oldDir, newDir, threshold)
+    emb.sparkSession.read.parquet(s"$newDir/pairs")
+      .filter(col("id_a") % 10 === 7 || col("id_b") % 10 === 7)
+      .orderBy("id_a", "id_b")
   }
 
   /** q263: the semantic τ knob chosen on evidence — the

@@ -79,7 +79,8 @@ class ArtifactFormatSpec extends AnyFunSuite {
     // builds_sec at worst case: every build re-ran at the display cap
     // (keys MUST track Bench's real list — a stale literal under-models)
     val builds = Seq("ivf", "cc", "cco", "sh", "pq", "fam", "props", "gt",
-        "ah", "tok", "arm", "km", "post", "tr", "blm", "scc", "touch")
+        "ah", "tok", "arm", "km", "post", "tr", "blm", "scc", "scco",
+        "touch")
       .map(k => s""""$k":999""").mkString("{", ",", "}")
     // contention digit strings: one char per 5-query block
     val envLen = (n + 4) / 5
@@ -100,9 +101,10 @@ class ArtifactFormatSpec extends AnyFunSuite {
     // worst case "[99,99,99,99]," = exactly 14 chars + the
     // "BENCH_CAL [...]" frame + [info]
     val calBudget = nProbes * 14 + 13 + 8
-    // "[success] Total time: 609 s (10:09), completed <date>" is ~72
-    // chars; 100 holds headroom without hoarding the window
-    val trailerBudget = 100
+    // "[success] Total time: 1391 s (23:11), completed <date>" is a
+    // measured 70-75 chars; 95 holds real headroom without hoarding
+    // the window the 18-build dict now needs
+    val trailerBudget = 95
     val infoPrefix = 8                // "[info] " on the main line
     assert(mainLine.length + infoPrefix + calBudget + trailerBudget + 4 <= 2000,
       s"artifact tail over budget: main=${mainLine.length}")

@@ -773,6 +773,68 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("appendToSemanticCc: tiers bit-identical to a full rebuild; reuse no-op; guard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // batch = vec_id % 10 == 7. Planted EXACT-copy vectors across the
+    // boundary (same vector ⇒ same LSH bucket, cosine exactly 1):
+    // 17 copies old 5, 27/37 are an in-batch dup pair; the rest are
+    // random unit-ish vectors that mostly stay under the threshold.
+    val d = 8
+    def vec(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(d)(r.nextGaussian().toFloat)
+    }
+    val vA = vec(1); val vE = vec(2)
+    val rows = Seq((5L, vA), (6L, vA), (17L, vA), (27L, vE), (37L, vE)) ++
+      (50L to 99L).map(i => (i, vec(100 + rnd.nextInt(40))))
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-sapp-corpus").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    val emb = spark.read.parquet(corpusDir)
+    val oldEmb = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    val base = java.nio.file.Files.createTempDirectory("graft-sapp-base").toString
+    val t = 0.3
+    val oldDir = Dedup.semCcDir(spark, corpusDir, base, t, variant = "old_")
+    val newDir = Dedup.semCcDir(spark, corpusDir, base, t, variant = "new_")
+    val fullDir = Dedup.semCcDir(spark, corpusDir, base, t)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: append and rebuild diverge")
+    assert(Dedup.prebuildSemanticCc(oldEmb, oldDir, t))
+    assert(Dedup.appendToSemanticCc(batch, oldEmb, oldDir, newDir, t))
+    assert(Dedup.prebuildSemanticCc(emb, fullDir, t))
+    Seq("pairs", "labels").foreach { tier =>
+      same(spark.read.parquet(s"$newDir/$tier"),
+        spark.read.parquet(s"$fullDir/$tier"), tier)
+    }
+    // the planted old-batch and batch-batch pairs really landed, and
+    // labels closed over the merged cluster
+    val pairs = spark.read.parquet(s"$newDir/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 17L)) && pairs.contains((6L, 17L)) &&
+      pairs.contains((27L, 37L)), s"planted pairs missing from $pairs")
+    val lab = spark.read.parquet(s"$newDir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lab(5L) == lab(17L) && lab(27L) == lab(37L))
+    assert(!Dedup.appendToSemanticCc(batch, oldEmb, oldDir, newDir, t),
+      "full reuse must be a no-op")
+    val dir3 = Dedup.semCcDir(spark, corpusDir, base, t, variant = "g_")
+    intercept[IllegalArgumentException] {
+      Dedup.appendToSemanticCc(
+        batch.unionByName(oldEmb.filter(col("vec_id") === 5L)),
+        oldEmb, oldDir, dir3, t)
+    }
+    // threshold/address mismatch rejected (the semcc setting check)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToSemanticCc(batch, oldEmb, oldDir, newDir, 0.9)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("ContentAddress legacy prefixes: old-format dirs pruned, parameterized siblings survive") {
     import spark.implicits._
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-ca-leg").toString

@@ -64,4 +64,12 @@ object Bands {
     .updated(260, 16).updated(58, 7).updated(238, 6)
     // q263 (round 16): isolated steady 0.45-0.52 at load 3.3
     .updated(263, 7)
+    // round-17 re-pin (VERDICT item 3): q79 post-restructure isolated
+    // steady 0.49-0.52 (load 1.5), in-suite 0.3-0.4 across the r17
+    // triple — the stale 0.4 predated the q263 pairs-tier restructure
+    .updated(79, 6)
+    // round-17 additions, pinned from their landing-commit probes
+    // (isolated steady x4, load 1.5-1.8): q264 0.52-0.58 (in-suite
+    // 0.3-0.4), q265 0.39-0.46 post-pruning-fix (in-suite 0.2-0.4)
+    .updated(264, 7).updated(265, 6)
 }

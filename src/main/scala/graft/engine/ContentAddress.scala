@@ -69,15 +69,21 @@ object ContentAddress {
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val dir = new java.io.File(base, s"$prefix$h")
     val baseDir = new java.io.File(base)
-    // a legacy name must be EXACTLY legacyPrefix + 16-hex hash: a bare
-    // startsWith would also eat a current dir whose parameterized
-    // prefix extends the legacy one (arms_ vs arms_n4k5v1_)
-    def isLegacy(n: String) = legacyPrefixes.exists(lp =>
+    // a prunable name must be EXACTLY somePrefix + 16-hex hash — for
+    // the CURRENT prefix just as for legacy ones: a bare startsWith
+    // would also eat a sibling whose parameterized prefix EXTENDS this
+    // one (arms_ vs arms_n4k5v1_; semcc_t300_ vs the q265 variant
+    // semcc_t300_oldm10r7_ — the r17 probe caught the main semcc call
+    // deleting the variant frame on every invocation, turning q265's
+    // reuse path into a 2 s rebuild). Same-prefix different-hash
+    // revisions (a changed corpus) still prune.
+    def isRevisionOf(lp: String, n: String) =
       n.length == lp.length + 16 && n.startsWith(lp) &&
-        n.drop(lp.length).forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+        n.drop(lp.length).forall(c => c.isDigit || (c >= 'a' && c <= 'f'))
     if (baseDir.isDirectory)
       baseDir.listFiles().filter(f => f.isDirectory && f.getName != dir.getName &&
-          (f.getName.startsWith(prefix) || isLegacy(f.getName)))
+          (isRevisionOf(prefix, f.getName) ||
+            legacyPrefixes.exists(lp => isRevisionOf(lp, f.getName))))
         .foreach(stale => org.apache.commons.io.FileUtils.deleteQuietly(stale))
     dir.getAbsolutePath
   }

@@ -858,6 +858,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stale.mkdirs())
     graft.operators.Multimodal.ahashDir(spark, corpusDir, base)
     assert(!stale.exists(), "superseded current-prefix revision must be pruned")
+    // a sibling whose parameterized prefix EXTENDS the current one
+    // (the q265 variant shape: semcc_t300_oldm10r7_ under semcc_t300_)
+    // must survive — the r17 bug: bare startsWith pruned the variant
+    // frame on every main-address call, silently turning its
+    // consumer's reuse path into a rebuild
+    val extending = new java.io.File(base, "ah_b48_oldm10r7_" + "0123456789abcdef")
+    assert(extending.mkdirs())
+    graft.operators.Multimodal.ahashDir(spark, corpusDir, base)
+    assert(extending.exists(),
+      "a prefix-extending parameterized sibling must survive pruning")
   }
 
   test("exact-family cached wrappers never commit LSH tiers into another setting's dir") {

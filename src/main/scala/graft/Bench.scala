@@ -285,6 +285,24 @@ object Bench {
     (top ++ extra).distinctBy(_._1).sortBy(-_._2)
   }
 
+  /** Rows whose reading exceeds `factor`× their pinned band, worst
+    * overshoot first — the shared gate behind the end-of-suite p2
+    * repass and the over-band `slowest_sec` inclusion. A query with
+    * no band row is never flagged (absence is always safe — the
+    * Bands contract), so the table can trail the contract without
+    * mis-gating a brand-new query.
+    */
+  private[graft] def overBandRows(results: Seq[(String, Double)],
+                                  bands: Map[Int, Int],
+                                  factor: Double = 2.0): Seq[(String, Double)] = {
+    def overshoot(name: String, v: Double): Double = {
+      val num = name.drop(1).takeWhile(_.isDigit).toInt
+      bands.get(num).fold(0.0)(b => v * 10.0 / b)
+    }
+    results.filter { case (n, v) => overshoot(n, v) > factor }
+      .sortBy { case (n, v) => -overshoot(n, v) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -749,14 +767,9 @@ object Bench {
     // record, not the re-read's.
     val resultsMap = scala.collection.mutable.LinkedHashMap(results0: _*)
     val pass2 = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    def overshoot(name: String, v: Double): Double = {
-      val num = name.drop(1).takeWhile(_.isDigit).toInt
-      Bands.upperDs.get(num).fold(0.0)(b => v * 10.0 / b)
-    }
     val queryFns = SparkEntry.queries
-    resultsMap.toSeq
-      .filter { case (n, v) => !errors.contains(n) && overshoot(n, v) > 2.0 }
-      .sortBy { case (n, v) => -overshoot(n, v) }
+    overBandRows(resultsMap.toSeq.filterNot(r => errors.contains(r._1)),
+        Bands.upperDs)
       .take(5)
       .foreach { case (name, kept) =>
         dropAllState()
@@ -827,8 +840,7 @@ object Bench {
     // either an in-band re-read or the cores that name the starvation);
     // obx counts over-band rows the cap dropped — a truncated storm
     // can never read as a clean run
-    val obNames = results
-      .filter { case (n, v) => overshoot(n, v) > 2.0 }.map(_._1).toSet
+    val obNames = overBandRows(results, Bands.upperDs).map(_._1).toSet
     val slow = slowestJson(results, cpuRatios.toMap, obNames)
     val obDropped = math.max(0, slowestSelect(results, obNames).size - 12)
     val obx = if (obDropped == 0) "" else s""","obx":$obDropped"""

@@ -180,6 +180,19 @@ class ArtifactFormatSpec extends AnyFunSuite {
       .count(_ == '[') == 12)
   }
 
+  test("overBandRows: factor gate, worst-overshoot order, bandless rows never flagged") {
+    val bands = Map(1 -> 5, 2 -> 10, 3 -> 2)
+    val res = Seq("q1_a" -> 1.2,   // 12 ds / 5 = 2.4x -> flagged
+                  "q2_b" -> 1.9,   // 19 ds / 10 = 1.9x -> under the gate
+                  "q3_c" -> 2.0,   // 20 ds / 2 = 10x -> worst
+                  "q4_d" -> 99.0)  // no band row -> never flagged
+    val ob = Bench.overBandRows(res, bands)
+    assert(ob.map(_._1) == Seq("q3_c", "q1_a"), ob)
+    // the 5x in-flight gate is the same rule at a different factor
+    assert(Bench.overBandRows(res, bands, factor = 5.0).map(_._1) == Seq("q3_c"))
+    assert(Bench.overBandRows(res, Map.empty).isEmpty)
+  }
+
   test("queriesJson falls back to the dict when query numbers have gaps") {
     // a non-contiguous contract must never mis-attribute positions
     val gapped = Seq("q1_a" -> 1.0, "q3_b" -> 2.0)

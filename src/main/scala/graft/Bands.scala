@@ -17,59 +17,46 @@ package graft
   * window) crosses it.
   */
 object Bands {
-  // authored by tools/bands.py from the round-16 triple (260-query
-  // binary, el 2-5, eio 0): per-query MEDIAN deciseconds across the
-  // three passes, floored at 2 ds
+  // authored by tools/bands.py from the round-17 triple at the FINAL
+  // 265-query binary (suite totals 149.9 / 164.0 / 172.0 s, l0 1.3-3.8,
+  // el 1-6, eio all-zero): per-query MEDIAN deciseconds across the
+  // three passes, floored at 2 ds. Tighter than the r16 table almost
+  // everywhere (the binary got faster: materialized frames + the
+  // pruning fix); the round's quiet anchor (149.9 s) trips zero
+  // retries and zero p2 re-reads against it.
   val upperDs: Map[Int, Int] = Map(
-    1 -> 7, 2 -> 3, 3 -> 5, 4 -> 8, 5 -> 6, 6 -> 5, 7 -> 6, 8 -> 4,
-    9 -> 2, 10 -> 2, 11 -> 3, 12 -> 4, 13 -> 2, 14 -> 5, 15 -> 6, 16 -> 11,
-    17 -> 11, 18 -> 4, 19 -> 20, 20 -> 6, 21 -> 6, 22 -> 4, 23 -> 3, 24 -> 13,
-    25 -> 9, 26 -> 2, 27 -> 2, 28 -> 6, 29 -> 2, 30 -> 4, 31 -> 6, 32 -> 2,
-    33 -> 2, 34 -> 5, 35 -> 2, 36 -> 5, 37 -> 9, 38 -> 2, 39 -> 8, 40 -> 6,
-    41 -> 42, 42 -> 7, 43 -> 8, 44 -> 5, 45 -> 9, 46 -> 6, 47 -> 2, 48 -> 3,
-    49 -> 2, 50 -> 20, 51 -> 2, 52 -> 43, 53 -> 25, 54 -> 4, 55 -> 11, 56 -> 7,
-    57 -> 2, 58 -> 17, 59 -> 5, 60 -> 8, 61 -> 9, 62 -> 4, 63 -> 7, 64 -> 15,
-    65 -> 28, 66 -> 2, 67 -> 2, 68 -> 3, 69 -> 4, 70 -> 4, 71 -> 2, 72 -> 41,
-    73 -> 2, 74 -> 26, 75 -> 5, 76 -> 9, 77 -> 31, 78 -> 31, 79 -> 4, 80 -> 18,
-    81 -> 25, 82 -> 5, 83 -> 2, 84 -> 5, 85 -> 5, 86 -> 7, 87 -> 13, 88 -> 14,
-    89 -> 3, 90 -> 4, 91 -> 3, 92 -> 5, 93 -> 8, 94 -> 6, 95 -> 11, 96 -> 2,
-    97 -> 3, 98 -> 2, 99 -> 3, 100 -> 3, 101 -> 3, 102 -> 13, 103 -> 4, 104 -> 4,
-    105 -> 3, 106 -> 5, 107 -> 5, 108 -> 27, 109 -> 2, 110 -> 18, 111 -> 4, 112 -> 4,
-    113 -> 2, 114 -> 9, 115 -> 6, 116 -> 7, 117 -> 5, 118 -> 4, 119 -> 12, 120 -> 6,
-    121 -> 24, 122 -> 4, 123 -> 7, 124 -> 9, 125 -> 8, 126 -> 14, 127 -> 6, 128 -> 4,
-    129 -> 3, 130 -> 14, 131 -> 6, 132 -> 4, 133 -> 3, 134 -> 5, 135 -> 3, 136 -> 5,
-    137 -> 4, 138 -> 2, 139 -> 6, 140 -> 2, 141 -> 13, 142 -> 2, 143 -> 3, 144 -> 14,
-    145 -> 2, 146 -> 3, 147 -> 6, 148 -> 3, 149 -> 5, 150 -> 6, 151 -> 7, 152 -> 2,
-    153 -> 5, 154 -> 4, 155 -> 6, 156 -> 4, 157 -> 3, 158 -> 3, 159 -> 4, 160 -> 3,
-    161 -> 3, 162 -> 8, 163 -> 2, 164 -> 7, 165 -> 6, 166 -> 7, 167 -> 10, 168 -> 3,
-    169 -> 15, 170 -> 3, 171 -> 4, 172 -> 3, 173 -> 3, 174 -> 5, 175 -> 6, 176 -> 3,
-    177 -> 8, 178 -> 9, 179 -> 23, 180 -> 18, 181 -> 10, 182 -> 3, 183 -> 18, 184 -> 2,
-    185 -> 3, 186 -> 2, 187 -> 4, 188 -> 5, 189 -> 6, 190 -> 9, 191 -> 11, 192 -> 2,
-    193 -> 10, 194 -> 4, 195 -> 4, 196 -> 9, 197 -> 6, 198 -> 2, 199 -> 31, 200 -> 5,
-    201 -> 7, 202 -> 2, 203 -> 9, 204 -> 3, 205 -> 6, 206 -> 8, 207 -> 11, 208 -> 4,
-    209 -> 3, 210 -> 2, 211 -> 20, 212 -> 6, 213 -> 4, 214 -> 5, 215 -> 14, 216 -> 5,
-    217 -> 6, 218 -> 15, 219 -> 8, 220 -> 4, 221 -> 11, 222 -> 6, 223 -> 6, 224 -> 3,
-    225 -> 2, 226 -> 5, 227 -> 7, 228 -> 13, 229 -> 5, 230 -> 6, 231 -> 2, 232 -> 5,
-    233 -> 3, 234 -> 17, 235 -> 17, 236 -> 7, 237 -> 4, 238 -> 15, 239 -> 8, 240 -> 7,
-    241 -> 2, 242 -> 5, 243 -> 6, 244 -> 16, 245 -> 6, 246 -> 11, 247 -> 3, 248 -> 4,
-    249 -> 7, 250 -> 8, 251 -> 6, 252 -> 8, 253 -> 2, 254 -> 5, 255 -> 8, 256 -> 8,
-    257 -> 5, 258 -> 29, 259 -> 4, 260 -> 18,
-    // round-16 additions, pinned from their landing-commit probes
-    // (isolated steady ×4 at load ~4): q261 0.6-0.8, q262 0.5-0.7;
-    // in-suite across the closing triple both read 0.3-0.4
-    261 -> 8, 262 -> 7)
-    // re-pins after the round-16 materializations: q260 from the
-    // closing triple; q58/q238 from the shingle-frame probe shape
-    // (in-suite 0.4 each)
-    .updated(260, 16).updated(58, 7).updated(238, 6)
-    // q263 (round 16): isolated steady 0.45-0.52 at load 3.3
-    .updated(263, 7)
-    // round-17 re-pin (VERDICT item 3): q79 post-restructure isolated
-    // steady 0.49-0.52 (load 1.5), in-suite 0.3-0.4 across the r17
-    // triple — the stale 0.4 predated the q263 pairs-tier restructure
-    .updated(79, 6)
-    // round-17 additions, pinned from their landing-commit probes
-    // (isolated steady x4, load 1.5-1.8): q264 0.52-0.58 (in-suite
-    // 0.3-0.4), q265 0.39-0.46 post-pruning-fix (in-suite 0.2-0.4)
-    .updated(264, 7).updated(265, 6)
+    1 -> 6, 2 -> 2, 3 -> 4, 4 -> 5, 5 -> 3, 6 -> 4, 7 -> 5, 8 -> 3,
+    9 -> 2, 10 -> 2, 11 -> 3, 12 -> 3, 13 -> 2, 14 -> 4, 15 -> 6, 16 -> 10,
+    17 -> 10, 18 -> 3, 19 -> 16, 20 -> 5, 21 -> 4, 22 -> 4, 23 -> 3, 24 -> 9,
+    25 -> 7, 26 -> 2, 27 -> 2, 28 -> 6, 29 -> 2, 30 -> 4, 31 -> 6, 32 -> 2,
+    33 -> 2, 34 -> 4, 35 -> 2, 36 -> 4, 37 -> 7, 38 -> 2, 39 -> 6, 40 -> 5,
+    41 -> 38, 42 -> 6, 43 -> 6, 44 -> 5, 45 -> 6, 46 -> 4, 47 -> 2, 48 -> 3,
+    49 -> 2, 50 -> 15, 51 -> 2, 52 -> 32, 53 -> 13, 54 -> 3, 55 -> 8, 56 -> 5,
+    57 -> 2, 58 -> 4, 59 -> 4, 60 -> 7, 61 -> 6, 62 -> 2, 63 -> 4, 64 -> 11,
+    65 -> 17, 66 -> 2, 67 -> 2, 68 -> 2, 69 -> 3, 70 -> 2, 71 -> 2, 72 -> 20,
+    73 -> 2, 74 -> 11, 75 -> 2, 76 -> 3, 77 -> 11, 78 -> 14, 79 -> 3, 80 -> 10,
+    81 -> 15, 82 -> 3, 83 -> 2, 84 -> 4, 85 -> 3, 86 -> 5, 87 -> 7, 88 -> 5,
+    89 -> 2, 90 -> 4, 91 -> 2, 92 -> 3, 93 -> 5, 94 -> 5, 95 -> 9, 96 -> 2,
+    97 -> 3, 98 -> 2, 99 -> 2, 100 -> 2, 101 -> 2, 102 -> 9, 103 -> 3, 104 -> 4,
+    105 -> 3, 106 -> 5, 107 -> 5, 108 -> 21, 109 -> 2, 110 -> 16, 111 -> 3, 112 -> 4,
+    113 -> 2, 114 -> 8, 115 -> 5, 116 -> 6, 117 -> 4, 118 -> 3, 119 -> 11, 120 -> 5,
+    121 -> 22, 122 -> 3, 123 -> 5, 124 -> 4, 125 -> 6, 126 -> 6, 127 -> 4, 128 -> 3,
+    129 -> 3, 130 -> 11, 131 -> 5, 132 -> 3, 133 -> 3, 134 -> 4, 135 -> 2, 136 -> 4,
+    137 -> 3, 138 -> 2, 139 -> 5, 140 -> 2, 141 -> 12, 142 -> 2, 143 -> 3, 144 -> 14,
+    145 -> 2, 146 -> 3, 147 -> 6, 148 -> 3, 149 -> 5, 150 -> 6, 151 -> 6, 152 -> 2,
+    153 -> 5, 154 -> 3, 155 -> 5, 156 -> 4, 157 -> 3, 158 -> 2, 159 -> 3, 160 -> 3,
+    161 -> 3, 162 -> 6, 163 -> 2, 164 -> 6, 165 -> 5, 166 -> 7, 167 -> 9, 168 -> 3,
+    169 -> 14, 170 -> 3, 171 -> 4, 172 -> 4, 173 -> 3, 174 -> 6, 175 -> 7, 176 -> 2,
+    177 -> 7, 178 -> 8, 179 -> 20, 180 -> 15, 181 -> 10, 182 -> 3, 183 -> 17, 184 -> 2,
+    185 -> 3, 186 -> 2, 187 -> 4, 188 -> 5, 189 -> 5, 190 -> 9, 191 -> 11, 192 -> 3,
+    193 -> 11, 194 -> 4, 195 -> 3, 196 -> 10, 197 -> 7, 198 -> 2, 199 -> 33, 200 -> 6,
+    201 -> 7, 202 -> 2, 203 -> 10, 204 -> 3, 205 -> 6, 206 -> 10, 207 -> 12, 208 -> 3,
+    209 -> 4, 210 -> 2, 211 -> 21, 212 -> 6, 213 -> 3, 214 -> 5, 215 -> 16, 216 -> 7,
+    217 -> 6, 218 -> 15, 219 -> 8, 220 -> 3, 221 -> 10, 222 -> 7, 223 -> 6, 224 -> 3,
+    225 -> 2, 226 -> 5, 227 -> 7, 228 -> 12, 229 -> 5, 230 -> 6, 231 -> 3, 232 -> 5,
+    233 -> 3, 234 -> 17, 235 -> 17, 236 -> 6, 237 -> 4, 238 -> 5, 239 -> 7, 240 -> 6,
+    241 -> 2, 242 -> 4, 243 -> 6, 244 -> 14, 245 -> 5, 246 -> 8, 247 -> 2, 248 -> 3,
+    249 -> 6, 250 -> 6, 251 -> 6, 252 -> 8, 253 -> 3, 254 -> 6, 255 -> 8, 256 -> 8,
+    257 -> 6, 258 -> 19, 259 -> 5, 260 -> 13, 261 -> 3, 262 -> 4, 263 -> 3, 264 -> 3,
+    265 -> 2)
 }

@@ -395,7 +395,7 @@ object Bench {
       val built = graft.operators.Dedup.prebuildCascade(
         graft.engine.Tables.documents(spark, sfDir)
           .filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7),
-        SparkEntry.ccOldCascadeFor(spark, sfDir))
+        SparkEntry.ccOldCascadeFor(spark, sfDir), labels = false)
       dropAllState()
       if (built) (System.nanoTime() - ccoT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
@@ -530,7 +530,7 @@ object Bench {
       val built = graft.operators.Dedup.prebuildSemanticCc(
         graft.engine.Tables.embeddings(spark, sfDir)
           .filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 7),
-        SparkEntry.semCcOldFor(spark, sfDir))
+        SparkEntry.semCcOldFor(spark, sfDir), labels = false)
       dropAllState()
       if (built) (System.nanoTime() - sccoT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
@@ -768,6 +768,10 @@ object Bench {
     val resultsMap = scala.collection.mutable.LinkedHashMap(results0: _*)
     val pass2 = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val queryFns = SparkEntry.queries
+    // snapshot the q41 fit share BEFORE any p2 re-run can overwrite it:
+    // q41_fit_sec must decompose the RETAINED q41 reading — if a p2
+    // re-read of q41 is discarded, the artifact keeps pass 1's fit
+    val fitSecPass1 = graft.ml.MlQueries.lastFitSec
     overBandRows(resultsMap.toSeq.filterNot(r => errors.contains(r._1)),
         Bands.upperDs)
       .take(5)
@@ -861,8 +865,14 @@ object Bench {
       }.mkString("{", ",", "}")
     // q41_fit_sec: the fit-side share of q41's measured time (see
     // MlQueries.lastFitSec) — printed here because the fit runs inside
-    // the query loop, after BENCH_META is already out
-    val fitSec = graft.ml.MlQueries.lastFitSec
+    // the query loop, after BENCH_META is already out. If q41 went
+    // through the p2 repass, use the live value only when the re-read
+    // was RETAINED; a discarded re-read's fit must not displace the
+    // fit of the reading the artifact actually reports
+    val q41p2Kept = pass2.exists { case (k, (a, b)) =>
+      k.startsWith("q41") && b >= 0 && b < a }
+    val fitSec = if (pass2.keys.exists(_.startsWith("q41")) && !q41p2Kept)
+      fitSecPass1 else graft.ml.MlQueries.lastFitSec
     // builds_sec rides the MAIN line (not only BENCH_META, which
     // prints before the query loop and falls outside the driver's
     // 2000-char tail): the artifact of record is self-adjudicating on

@@ -900,29 +900,36 @@ object SparkEntry {
     * one LSH → verify → CC build serves pair reporting, cluster
     * labeling, the size audit, and cluster-canonical cleaning.
     */
-  private[graft] def ccCascadeFor(s: SparkSession, d: String): String = {
+  /** tmpdir base for one testdata dir's artifacts of one family —
+    * shared by a family's main helper AND its variant twin, so a base
+    * rename can never silently split a frame from its variants (the
+    * pruning, pre-touch, and reuse assumptions all key on the two
+    * living in one base).
+    */
+  private def tmpBase(d: String, kind: String): String = {
     val abs = new java.io.File(d).getAbsolutePath
     val ph = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_cc_${new java.io.File(d).getName}_$ph").getAbsolutePath
-    Dedup.cascadeDir(s, s"$d/documents.parquet", base)
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${kind}_${new java.io.File(d).getName}_$ph").getAbsolutePath
   }
+
+  private[graft] def ccCascadeFor(s: SparkSession, d: String): String =
+    Dedup.cascadeDir(s, s"$d/documents.parquet", tmpBase(d, "cc"))
 
   /** Content-addressed home of the YESTERDAY-corpus cascade
     * (documents minus the `doc_id % 10 == 7` batch) that q264's
     * incremental append lands on. Same base as [[ccCascadeFor]]; the
     * `variant` keys the slice, because the content address signs the
-    * corpus FILES and both cascades read the same parquet.
+    * corpus FILES and both cascades read the same parquet. The
+    * variant string ENCODES the slice definition (mod 10, residue 7):
+    * changing the query's split without renaming the variant would
+    * reuse a stale frame built for the old slice — the same
+    * setting-in-the-prefix discipline as the threshold.
     */
-  private[graft] def ccOldCascadeFor(s: SparkSession, d: String): String = {
-    val abs = new java.io.File(d).getAbsolutePath
-    val ph = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_cc_${new java.io.File(d).getName}_$ph").getAbsolutePath
-    Dedup.cascadeDir(s, s"$d/documents.parquet", base, variant = "oldm10r7_")
-  }
+  private[graft] def ccOldCascadeFor(s: SparkSession, d: String): String =
+    Dedup.cascadeDir(s, s"$d/documents.parquet", tmpBase(d, "cc"),
+      variant = "oldm10r7_")
 
   /** Content-addressed home of the embeddings table's materialized
     * embedding-CC label frame ([[Dedup.prebuildSemanticCc]]) — q79
@@ -930,26 +937,19 @@ object SparkEntry {
     * small jobs, the suite's most burst-sensitive shape) per
     * invocation; the [[ccCascadeFor]] discipline on the embedding side.
     */
-  private[graft] def semCcFor(s: SparkSession, d: String): String = {
-    val abs = new java.io.File(d).getAbsolutePath
-    val ph = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_scc_${new java.io.File(d).getName}_$ph").getAbsolutePath
-    Dedup.semCcDir(s, s"$d/embeddings.parquet", base)
-  }
+  private[graft] def semCcFor(s: SparkSession, d: String): String =
+    Dedup.semCcDir(s, s"$d/embeddings.parquet", tmpBase(d, "scc"))
 
   /** The YESTERDAY-corpus semcc frame (embeddings minus the
     * `vec_id % 10 == 7` batch) that q265's semantic append lands on —
-    * [[ccOldCascadeFor]]'s embedding twin. */
-  private[graft] def semCcOldFor(s: SparkSession, d: String): String = {
-    val abs = new java.io.File(d).getAbsolutePath
-    val ph = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_scc_${new java.io.File(d).getName}_$ph").getAbsolutePath
-    Dedup.semCcDir(s, s"$d/embeddings.parquet", base, variant = "oldm10r7_")
-  }
+    * [[ccOldCascadeFor]]'s embedding twin, with the same
+    * slice-in-the-variant contract (the committed frame has no roster
+    * of its corpus ids to validate against, so the variant string IS
+    * the slice's address — rename it when the split changes).
+    */
+  private[graft] def semCcOldFor(s: SparkSession, d: String): String =
+    Dedup.semCcDir(s, s"$d/embeddings.parquet", tmpBase(d, "scc"),
+      variant = "oldm10r7_")
 
   /** Content-addressed home of the embeddings table's materialized PQ
     * index (codes + codebooks) — the [[ivfIndexFor]] discipline;

@@ -998,7 +998,11 @@ object Dedup {
     * happened.
     */
   def prebuildSemanticCc(emb: DataFrame, dir: String,
-                         threshold: Double = 0.3): Boolean = {
+                         threshold: Double = 0.3,
+                         labels: Boolean = true): Boolean = {
+    // labels = false skips the CC tier (the prebuildCascade rule):
+    // q265's OLD-slice fixture needs only the pairs tier — the append
+    // re-closes CC over the union
     // the dir's prefix bakes the threshold ([[semCcDir]]); a caller
     // pairing a dir built for one threshold with another would be
     // served a committed frame from the WRONG setting — exactly the
@@ -1019,7 +1023,7 @@ object Dedup {
     if (pairsFresh)
       embeddingNearDup(emb, threshold)
         .write.mode("overwrite").parquet(pairsDir)
-    val labelsFresh = !committed(labelsDir)
+    val labelsFresh = labels && !committed(labelsDir)
     if (labelsFresh)
       dupClustersFromPairs(
           emb.sparkSession.read.parquet(pairsDir).select("id_a", "id_b"))
@@ -1098,7 +1102,7 @@ object Dedup {
   def semanticAppendNewPairs(emb: DataFrame, oldDir: String, newDir: String,
                              threshold: Double = 0.3): DataFrame = {
     val old = emb.filter(col("vec_id") % 10 =!= 7)
-    prebuildSemanticCc(old, oldDir, threshold)
+    prebuildSemanticCc(old, oldDir, threshold, labels = false)
     appendToSemanticCc(emb.filter(col("vec_id") % 10 === 7), old,
       oldDir, newDir, threshold)
     emb.sparkSession.read.parquet(s"$newDir/pairs")
@@ -1848,7 +1852,13 @@ object Dedup {
     * build actually happened, false on full reuse.
     */
   def prebuildCascade(docs: DataFrame, dir: String,
-                      threshold: Double = 0.2, bands: Int = 4): Boolean = {
+                      threshold: Double = 0.2, bands: Int = 4,
+                      labels: Boolean = true): Boolean = {
+    // labels = false skips the CC tier — the pointer-jumping loop is
+    // the suite's most burst-sensitive shape, and the q264 OLD-slice
+    // fixture never reads its labels (the append re-closes CC over
+    // the UNION pairs); everything that consumes labels keeps the
+    // default
     // sub-paths via string interpolation, NOT java.io.File: File
     // mangles a URI base (hdfs://x -> /cwd/hdfs:/x), which would pin
     // these prebuilds to the local FS despite hasSuccess's portability
@@ -1880,7 +1890,7 @@ object Dedup {
           docs.sparkSession.read.parquet(s"$dir/sh$DefaultShingleN"),
           docs.sparkSession.read.parquet(candDir), threshold)
         .write.mode("overwrite").parquet(pairsDir)
-    val labelsFresh = !committed(labelsDir)
+    val labelsFresh = labels && !committed(labelsDir)
     if (labelsFresh)
       dupClustersFromPairs(
           docs.sparkSession.read.parquet(pairsDir)
@@ -1982,17 +1992,29 @@ object Dedup {
                       threshold: Double = 0.2, bands: Int = 4): Boolean = {
     val spark = batch.sparkSession
     def committed(d: String) = graft.engine.ContentAddress.hasSuccess(spark, d)
+    // the cascadeDir prefix bakes (threshold, bands) AFTER the variant
+    // (cc<variant><t>b<bands>_): reject dirs addressed for another
+    // setting — the semcc guard's lexical twin, so a mismatched call
+    // can never commit t=0.3-verified pairs into a t=0.2 address that
+    // q33/q68/q72/q104 trust
+    val setting = s"${math.rint(threshold * 1000).toInt}b${bands}_"
+    Seq(oldDir, newDir).foreach(d => require(d.contains(setting),
+      s"appendToCascade: dir $d was not addressed for (threshold=$threshold, bands=$bands)"))
     val sh3 = s"sh$DefaultShingleN"
     Seq(sh3, "shsets", "cand", "pairs").foreach(t => require(committed(s"$oldDir/$t"),
       s"appendToCascade requires a committed $t tier at $oldDir"))
     val tiers = Seq(sh3, "shsets", "cand", "pairs", "labels")
     if (tiers.forall(t => committed(s"$newDir/$t"))) return false
     val shOld = spark.read.parquet(s"$oldDir/$sh3")
-    val shB = shingleDocs(batch).dropDuplicates("doc_id", "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    require(shB.join(shOld.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    // disjointness guard on the batch's raw ids vs the COMMITTED old
+    // tier — checked BEFORE any batch shingling, so the throwing path
+    // computes (and caches) nothing it would leak
+    require(batch.select("doc_id")
+        .join(shOld.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
         .isEmpty,
       "appendToCascade: batch doc_ids overlap the old corpus")
+    val shB = shingleDocs(batch).dropDuplicates("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shNew = shOld.unionByName(shB)
     if (!committed(s"$newDir/$sh3"))
       shNew.write.mode("overwrite").parquet(s"$newDir/$sh3")
@@ -2043,7 +2065,8 @@ object Dedup {
     */
   def cascadeAppendNewPairs(docs: DataFrame, oldDir: String, newDir: String,
                             threshold: Double = 0.2, bands: Int = 4): DataFrame = {
-    prebuildCascade(docs.filter(col("doc_id") % 10 =!= 7), oldDir, threshold, bands)
+    prebuildCascade(docs.filter(col("doc_id") % 10 =!= 7), oldDir, threshold, bands,
+      labels = false)
     appendToCascade(docs.filter(col("doc_id") % 10 === 7), oldDir, newDir,
       threshold, bands)
     docs.sparkSession.read.parquet(s"$newDir/pairs")

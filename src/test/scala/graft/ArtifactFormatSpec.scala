@@ -65,14 +65,14 @@ class ArtifactFormatSpec extends AnyFunSuite {
     // with `value`. The model now runs at max(real, 300) queries so
     // the next ~35 additions can't outrun it silently, with every
     // r17 field at worst case: a storm run (eio present, retried and
-    // p2 at their caps, slowest at its 14-entry cap, obx spilled).
+    // p2 at their caps, slowest at its 12-entry cap, obx spilled).
     val realNames = SparkEntry.queries.keys.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))
     val n = math.max(realNames.size, 300)
     val names = (1 to n).map(i => s"q${i}_x")
     val worst = names.map(_ -> 99.9)           // 999 ds — widest cell
     val qs = Bench.queriesJson(worst)
-    // slowest at worst case: the 14-entry cap, every entry [sec,cores]
+    // slowest at worst case: the 12-entry cap, every entry [sec,cores]
     val slow = Bench.slowestJson(worst, names.map(_ -> 99.9).toMap,
       mustInclude = names.toSet)
     assert(slow.count(_ == '[') == 12, slow)

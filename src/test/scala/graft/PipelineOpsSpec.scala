@@ -751,6 +751,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       Dedup.appendToCascade(batch.unionByName(oldDocs.filter(col("doc_id") === 5L)),
         oldDir, dir3, t)
     }
+    // the APPEND's own mid-death resume: its tiers commit
+    // independently too — kill the labels marker and re-append; only
+    // labels rebuilds (from the committed union pairs), and it
+    // rebuilds identically
+    val appLabels = spark.read.parquet(s"$newDir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(new java.io.File(s"$newDir/labels", "_SUCCESS").delete())
+    val appPairsMtime = new java.io.File(s"$newDir/pairs", "_SUCCESS").lastModified()
+    assert(Dedup.appendToCascade(batch, oldDir, newDir, t),
+      "append must resume a killed tier")
+    assert(new java.io.File(s"$newDir/pairs", "_SUCCESS").lastModified() == appPairsMtime,
+      "append resume must NOT rebuild the committed union pairs")
+    assert(spark.read.parquet(s"$newDir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == appLabels,
+      "resumed append labels must be identical")
     // pairs-tier RESUME (r17): kill the pairs+labels commits on the
     // full dir — the rebuild must complete FROM the committed cand
     // (cand untouched, no re-LSH) with identical pairs
@@ -822,6 +837,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lab(5L) == lab(17L) && lab(27L) == lab(37L))
     assert(!Dedup.appendToSemanticCc(batch, oldEmb, oldDir, newDir, t),
       "full reuse must be a no-op")
+    // mid-death resume: labels rebuild alone (from the committed
+    // union pairs), identically — the appendToCascade law's twin
+    val labBefore = spark.read.parquet(s"$newDir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(new java.io.File(s"$newDir/labels", "_SUCCESS").delete())
+    val pairsMtime = new java.io.File(s"$newDir/pairs", "_SUCCESS").lastModified()
+    assert(Dedup.appendToSemanticCc(batch, oldEmb, oldDir, newDir, t))
+    assert(new java.io.File(s"$newDir/pairs", "_SUCCESS").lastModified() == pairsMtime)
+    assert(spark.read.parquet(s"$newDir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == labBefore)
     val dir3 = Dedup.semCcDir(spark, corpusDir, base, t, variant = "g_")
     intercept[IllegalArgumentException] {
       Dedup.appendToSemanticCc(

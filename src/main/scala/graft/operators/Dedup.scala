@@ -1046,7 +1046,10 @@ object Dedup {
     * the union pair frame (a batch vector can merge old clusters).
     * At 100 TB: the daily embedding delta costs a map-side bucketing
     * of the corpus plus a batch-sized join — never the corpus-wide
-    * bucket self-join again. Preconditions mirror [[appendToCascade]]:
+    * bucket self-join again — and the write side (r18) links the
+    * resident pair history instead of rewriting it
+    * ([[graft.engine.Landing.landDelta]]).
+    * Preconditions mirror [[appendToCascade]]:
     * committed old pairs, batch vec_ids disjoint from `oldEmb`.
     * Returns true iff any tier was built.
     */
@@ -1081,9 +1084,17 @@ object Dedup {
         greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
         round(col("cos"), 6).as("cos_sim"))
       .dropDuplicates("id_a", "id_b")
+    // delta landing (r18, the appendToCascade discipline): the new
+    // pairs tier = the old tier's files hard-linked + only the
+    // batch-endpoint pairs as fresh part files — the resident pair
+    // history never rides through Spark again (at 100 TB the r17
+    // union-rewrite paid a full history copy per batch). Disjointness
+    // keeps the layout row-equal to the rebuild: every delta pair has
+    // ≥1 batch endpoint, which no old pair can have.
     if (!committed(s"$newDir/pairs"))
-      spark.read.parquet(s"$oldDir/pairs").unionByName(newPairs)
-        .write.mode("overwrite").parquet(s"$newDir/pairs")
+      graft.engine.Landing.landDelta(newPairs,
+        s"$oldDir/pairs", s"$newDir/pairs")
+    // labels: full (narrow, cheap) rebuild — CC re-closes globally
     if (!committed(s"$newDir/labels"))
       dupClustersFromPairs(
           spark.read.parquet(s"$newDir/pairs").select("id_a", "id_b"))
@@ -1978,9 +1989,14 @@ object Dedup {
     *    union pair frame by [[dupClustersFromPairs]], the cheap tier
     *    (narrow id pairs, no text).
     *
-    * At 100 TB this is the daily-crawl landing path: the corpus-wide
-    * explode + LSH self-join (the dominant cost) is paid once per
-    * HISTORY, not once per day. Preconditions: the old cascade's four
+    * At 100 TB this is the daily-crawl landing path on BOTH axes:
+    * compute — the corpus-wide explode + LSH self-join (the dominant
+    * cost) is paid once per HISTORY, not once per day; and I/O (r18) —
+    * every resident tier enters the new address by hard link
+    * ([[graft.engine.Landing.landDelta]], zero data bytes) with only
+    * the batch delta written as fresh part files, where the r17 form
+    * re-read and re-wrote the full corpus-sized union per batch.
+    * Preconditions: the old cascade's four
     * scan-side tiers are committed, and batch doc_ids are disjoint
     * from the old corpus (guarded against the old sh3 tier — docs too
     * short to shingle are invisible to the guard, so the caller owns
@@ -2015,40 +2031,55 @@ object Dedup {
       "appendToCascade: batch doc_ids overlap the old corpus")
     val shB = shingleDocs(batch).dropDuplicates("doc_id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shNew = shOld.unionByName(shB)
-    if (!committed(s"$newDir/$sh3"))
-      shNew.write.mode("overwrite").parquet(s"$newDir/$sh3")
-    if (!committed(s"$newDir/shsets")) {
-      val hb = hashedShingleSets(batch)
-      spark.read.parquet(s"$oldDir/shsets").unionByName(hb)
-        .write.mode("overwrite").parquet(s"$newDir/shsets")
-      hb.unpersist(blocking = false)
-    }
-    // new candidates: union band rows ⋈ batch band rows on (band, mh);
-    // least/greatest restores the id_a < id_b contract for both
-    // old-batch and batch-batch collisions (the latter arrive in both
-    // orders — distinct collapses them, same as the rebuild's)
-    val bandB = bandRowsFromShingles(shB, bands)
-    val bandAll = bandRowsFromShingles(spark.read.parquet(s"$newDir/$sh3"), bands)
-    val newCand = bandAll.as("a").join(bandB.as("b"),
-        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-      .distinct()
-    if (!committed(s"$newDir/cand"))
-      spark.read.parquet(s"$oldDir/cand").unionByName(newCand)
-        .write.mode("overwrite").parquet(s"$newDir/cand")
-    if (!committed(s"$newDir/pairs"))
-      spark.read.parquet(s"$oldDir/pairs")
-        .unionByName(verifyCandidatePairs(
-          spark.read.parquet(s"$newDir/$sh3"), newCand, threshold))
-        .write.mode("overwrite").parquet(s"$newDir/pairs")
-    if (!committed(s"$newDir/labels"))
-      dupClustersFromPairs(
-          spark.read.parquet(s"$newDir/pairs").select("id_a", "id_b"))
-        .write.mode("overwrite").parquet(s"$newDir/labels")
-    shB.unpersist(blocking = false)
+    // try/finally (ADVICE r17): a tier write or verify join that
+    // throws mid-append must not leak the cached batch-shingle blocks
+    // for the life of the session
+    try {
+      // DELTA LANDING (r18): every per-document/per-pair tier lands as
+      // the OLD tier's files hard-linked + the batch delta's part
+      // files ([[graft.engine.Landing.landDelta]]) — the resident
+      // history never moves through Spark again. The r17 form
+      // (read(old).unionByName(delta).write(new)) was compute-
+      // incremental but paid a full-corpus READ+WRITE per batch; at
+      // 100 TB that is a daily corpus copy. Delta disjointness makes
+      // the layout row-equal to the rebuild: sh3/shsets deltas carry
+      // only batch doc_ids, cand/pairs deltas only pairs with ≥1
+      // batch endpoint — exactly the rows the old tier cannot contain.
+      if (!committed(s"$newDir/$sh3"))
+        graft.engine.Landing.landDelta(shB, s"$oldDir/$sh3", s"$newDir/$sh3")
+      if (!committed(s"$newDir/shsets")) {
+        val hb = hashedShingleSets(batch)
+        graft.engine.Landing.landDelta(hb, s"$oldDir/shsets", s"$newDir/shsets")
+        hb.unpersist(blocking = false)
+      }
+      // new candidates: union band rows ⋈ batch band rows on (band, mh);
+      // least/greatest restores the id_a < id_b contract for both
+      // old-batch and batch-batch collisions (the latter arrive in both
+      // orders — distinct collapses them, same as the rebuild's)
+      val bandB = bandRowsFromShingles(shB, bands)
+      val bandAll = bandRowsFromShingles(spark.read.parquet(s"$newDir/$sh3"), bands)
+      val newCand = bandAll.as("a").join(bandB.as("b"),
+          col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+        .distinct()
+      if (!committed(s"$newDir/cand"))
+        graft.engine.Landing.landDelta(newCand, s"$oldDir/cand", s"$newDir/cand")
+      if (!committed(s"$newDir/pairs"))
+        graft.engine.Landing.landDelta(
+          verifyCandidatePairs(
+            spark.read.parquet(s"$newDir/$sh3"), newCand, threshold),
+          s"$oldDir/pairs", s"$newDir/pairs")
+      // labels stay a full (cheap, narrow) rebuild: connected
+      // components must re-close globally — one batch doc can merge
+      // two old clusters, so no per-batch delta of the label frame
+      // exists to land
+      if (!committed(s"$newDir/labels"))
+        dupClustersFromPairs(
+            spark.read.parquet(s"$newDir/pairs").select("id_a", "id_b"))
+          .write.mode("overwrite").parquet(s"$newDir/labels")
+    } finally shB.unpersist(blocking = false)
     true
   }
 

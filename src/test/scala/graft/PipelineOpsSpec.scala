@@ -17,6 +17,19 @@ class PipelineOpsSpec extends AnyFunSuite {
   private lazy val documents = Tables.documents(spark, sfDir).cache()
   private lazy val embeddings = Tables.embeddings(spark, sfDir).cache()
 
+  /** (name, size, md5) of every data file in a tier dir — the
+    * resident-untouched evidence for the delta-landing appends. */
+  private def fileSnapshot(dir: String): Set[(String, Long, String)] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map { f =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+        (f.getName, f.length(), md5)
+      }.toSet
+
   test("jsonRoundTrip parses k and re-encodes a canonical envelope") {
     val r = JsonRouting.jsonRoundTrip(events).head()
     assert(!r.isNullAt(1))
@@ -723,8 +736,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
         s"$what: append and rebuild diverge")
     assert(Dedup.prebuildCascade(oldDocs, oldDir, t))
+    // r18 delta-landing law, part 1: snapshot every resident data file
+    // of the old tiers (name, size, md5) BEFORE the append
+    val oldSnap = Seq("sh3", "shsets", "cand", "pairs")
+      .map(tier => tier -> fileSnapshot(s"$oldDir/$tier")).toMap
     assert(Dedup.appendToCascade(batch, oldDir, newDir, t),
       "first append must build")
+    // part 2: the append wrote NOTHING over the resident history — old
+    // files byte-identical, and each one entered the new tier by HARD
+    // LINK (same inode ⇒ zero data bytes moved), the delta riding next
+    // to them as separate part files
+    Seq("sh3", "shsets", "cand", "pairs").foreach { tier =>
+      assert(fileSnapshot(s"$oldDir/$tier") == oldSnap(tier),
+        s"$tier: resident old files changed under the append")
+      oldSnap(tier).foreach { case (name, _, _) =>
+        val o = new java.io.File(s"$oldDir/$tier", name)
+        val n = new java.io.File(s"$newDir/$tier", name)
+        assert(n.isFile, s"$tier/$name: resident file missing from the new tier")
+        assert(java.nio.file.Files.isSameFile(o.toPath, n.toPath),
+          s"$tier/$name: expected a hard link, found a copy")
+      }
+      assert(fileSnapshot(s"$newDir/$tier").size > oldSnap(tier).size,
+        s"$tier: no delta part files landed next to the linked base")
+    }
     assert(Dedup.prebuildCascade(docs, fullDir, t))
     // THE contract: every tier of the appended cascade row-equals the
     // full rebuild's — the batch was the only text ever re-shingled
@@ -820,7 +854,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
         s"$what: append and rebuild diverge")
     assert(Dedup.prebuildSemanticCc(oldEmb, oldDir, t))
+    // r18 delta-landing law (the cascade test's twin): resident pair
+    // files byte-identical across the append and hard-linked into the
+    // new tier, the batch-endpoint delta riding as separate part files
+    val oldSnap = fileSnapshot(s"$oldDir/pairs")
     assert(Dedup.appendToSemanticCc(batch, oldEmb, oldDir, newDir, t))
+    assert(fileSnapshot(s"$oldDir/pairs") == oldSnap,
+      "resident old pair files changed under the append")
+    oldSnap.foreach { case (name, _, _) =>
+      assert(java.nio.file.Files.isSameFile(
+        new java.io.File(s"$oldDir/pairs", name).toPath,
+        new java.io.File(s"$newDir/pairs", name).toPath),
+        s"pairs/$name: expected a hard link, found a copy")
+    }
+    assert(fileSnapshot(s"$newDir/pairs").size > oldSnap.size,
+      "no delta part files landed next to the linked base")
     assert(Dedup.prebuildSemanticCc(emb, fullDir, t))
     Seq("pairs", "labels").foreach { tier =>
       same(spark.read.parquet(s"$newDir/$tier"),
@@ -857,6 +905,101 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.appendToSemanticCc(batch, oldEmb, oldDir, newDir, 0.9)
     }
+    spark.catalog.clearCache()
+  }
+
+  test("chained appends: day-2 lands on day-1's appended frame, both sides ≡ one rebuild") {
+    import spark.implicits._
+    // production is a CHAIN, not one landing: day-2's batch appends to
+    // the address day-1's append produced. Two sequential disjoint
+    // batches must equal one rebuild over all three slices — for the
+    // lexical cascade and the semantic CC — and day-2 must leave
+    // day-1's files byte-identical (the delta layout composes).
+    val rnd = new scala.util.Random(31)
+    val textA = (0 until 12).map(i => s"a_$i").mkString(" ")
+    val textE = (0 until 14).map(i => s"e_$i").mkString(" ")
+    // planted cross-DAY duplicates: 5 (day-0) = 17 (day-1) = 26 (day-2)
+    // forces day-2's labels to re-close a cluster spanning all slices;
+    // 36/46 (both day-2) is an in-batch pair on the last link
+    val fixed = Seq((5L, textA), (17L, textA), (26L, textA),
+      (36L, textE), (46L, textE))
+    val tail = (50L to 89L).map { i =>
+      (i, Seq.fill(10 + rnd.nextInt(6))("c" + rnd.nextInt(12)).mkString(" "))
+    }
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-chain-corpus").toString
+    (fixed ++ tail).map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val day0 = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 6)
+    val b1 = docs.filter(col("doc_id") % 10 === 7)
+    val b2 = docs.filter(col("doc_id") % 10 === 6)
+    val base = java.nio.file.Files.createTempDirectory("graft-chain-base").toString
+    val t = 0.2
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: chained append and rebuild diverge")
+    val d0 = Dedup.cascadeDir(spark, corpusDir, base, t, variant = "d0_")
+    val d1 = Dedup.cascadeDir(spark, corpusDir, base, t, variant = "d1_")
+    val d2 = Dedup.cascadeDir(spark, corpusDir, base, t, variant = "d2_")
+    val full = Dedup.cascadeDir(spark, corpusDir, base, t)
+    assert(Dedup.prebuildCascade(day0, d0, t))
+    assert(Dedup.appendToCascade(b1, d0, d1, t))
+    val day1Snap = Seq("sh3", "shsets", "cand", "pairs")
+      .map(tier => tier -> fileSnapshot(s"$d1/$tier")).toMap
+    assert(Dedup.appendToCascade(b2, d1, d2, t),
+      "day-2 must land on day-1's appended frame")
+    Seq("sh3", "shsets", "cand", "pairs").foreach { tier =>
+      assert(fileSnapshot(s"$d1/$tier") == day1Snap(tier),
+        s"$tier: day-2 changed day-1's files")
+    }
+    assert(Dedup.prebuildCascade(docs, full, t))
+    Seq("sh3", "shsets", "cand", "pairs", "labels").foreach { tier =>
+      same(spark.read.parquet(s"$d2/$tier"),
+        spark.read.parquet(s"$full/$tier"), s"cascade $tier")
+    }
+    // the planted 3-day cluster really closed on day 2
+    val lab = spark.read.parquet(s"$d2/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lab(5L) == lab(17L) && lab(17L) == lab(26L))
+    assert(lab(36L) == lab(46L))
+    // --- the semantic twin ---
+    val d = 8
+    def vec(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(d)(r.nextGaussian().toFloat)
+    }
+    val vA = vec(3)
+    val rows = Seq((5L, vA), (17L, vA), (26L, vA)) ++
+      (50L to 89L).map(i => (i, vec(200 + rnd.nextInt(40))))
+    val embDir = java.nio.file.Files
+      .createTempDirectory("graft-chain-emb").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(embDir)
+    val emb = spark.read.parquet(embDir)
+    val e0 = emb.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 6)
+    val eb1 = emb.filter(col("vec_id") % 10 === 7)
+    val eb2 = emb.filter(col("vec_id") % 10 === 6)
+    val ts = 0.3
+    val s0 = Dedup.semCcDir(spark, embDir, base, ts, variant = "d0_")
+    val s1 = Dedup.semCcDir(spark, embDir, base, ts, variant = "d1_")
+    val s2 = Dedup.semCcDir(spark, embDir, base, ts, variant = "d2_")
+    val sFull = Dedup.semCcDir(spark, embDir, base, ts)
+    assert(Dedup.prebuildSemanticCc(e0, s0, ts))
+    assert(Dedup.appendToSemanticCc(eb1, e0, s0, s1, ts))
+    val s1Snap = fileSnapshot(s"$s1/pairs")
+    assert(Dedup.appendToSemanticCc(eb2, e0.unionByName(eb1), s1, s2, ts))
+    assert(fileSnapshot(s"$s1/pairs") == s1Snap,
+      "semcc: day-2 changed day-1's pair files")
+    assert(Dedup.prebuildSemanticCc(emb, sFull, ts))
+    Seq("pairs", "labels").foreach { tier =>
+      same(spark.read.parquet(s"$s2/$tier"),
+        spark.read.parquet(s"$sFull/$tier"), s"semcc $tier")
+    }
+    val slab = spark.read.parquet(s"$s2/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(slab(5L) == slab(17L) && slab(17L) == slab(26L))
     spark.catalog.clearCache()
   }
 

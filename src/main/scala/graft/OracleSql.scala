@@ -74,10 +74,10 @@ object OracleSql {
     * (0-based, of `m`) covers dims [s·⌊d/m⌋+1 ..], the LAST takes the
     * remainder — the identical split as the Spark side's `subSlice`.
     */
-  private def pqSubSql(s: Int, m: Int): String = {
+  private def pqSubSql(s: Int, m: Int, where: String = ""): String = {
     val hi = if (s == m - 1) "len(v)" else s"${s + 1} * (len(v) // $m)"
     s"""SELECT vec_id, v[$s * (len(v) // $m) + 1 : $hi] AS v
-       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) $where""".stripMargin
   }
 
   /** The shingle → minhash → banding cascade CTEs (3-token shingles,
@@ -4423,7 +4423,39 @@ object OracleSql {
            |FROM b a JOIN b c ON a.bucket_id = c.bucket_id AND a.vec_id < c.vec_id)
            |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM p
            |WHERE cos >= 0.3 AND (id_a % 10 = 7 OR id_b % 10 = 7)
-           |ORDER BY id_a, id_b""".stripMargin)
+           |ORDER BY id_a, id_b""".stripMargin) +
+      // q266: the appended PQ index's batch codes — the codebooks
+      // train on YESTERDAY's slice only (the q192 kmeans recurrence
+      // over vec_id % 10 <> 7), the batch assigns against those FROZEN
+      // books with the same round-6 distance kernel and floor-
+      // quantized dist2; the Spark side must land exactly these rows
+      // as its code delta
+      ("q266_pq_append" ->
+        s"""WITH ${kmeansCtes(4, 3, pqSubSql(0, 2, "WHERE vec_id % 10 <> 7"), "s0")},
+           |${kmeansCtes(4, 3, pqSubSql(1, 2, "WHERE vec_id % 10 <> 7"), "s1")},
+           |b0 AS (${pqSubSql(0, 2, "WHERE vec_id % 10 = 7")}),
+           |b1 AS (${pqSubSql(1, 2, "WHERE vec_id % 10 = 7")}),
+           |f0 AS (SELECT vec_id,
+           |  CAST(list_position(d, list_aggregate(d, 'min')) AS INT) AS code,
+           |  list_aggregate(d, 'min') AS dist_r
+           |  FROM (SELECT vec_id, list_transform(c.cs, cc ->
+           |    CASE WHEN len(v) = 0 THEN 0.0 ELSE
+           |    round(list_reduce(list_transform(v, (el, j) ->
+           |      (el - cc[j]) * (el - cc[j])), (x, y) -> x + y), 6) END) AS d
+           |    FROM b0 CROSS JOIN s0c3 c)),
+           |f1 AS (SELECT vec_id,
+           |  CAST(list_position(d, list_aggregate(d, 'min')) AS INT) AS code,
+           |  list_aggregate(d, 'min') AS dist_r
+           |  FROM (SELECT vec_id, list_transform(c.cs, cc ->
+           |    CASE WHEN len(v) = 0 THEN 0.0 ELSE
+           |    round(list_reduce(list_transform(v, (el, j) ->
+           |      (el - cc[j]) * (el - cc[j])), (x, y) -> x + y), 6) END) AS d
+           |    FROM b1 CROSS JOIN s1c3 c))
+           |SELECT vec_id, 0 AS sub, code,
+           |  floor(dist_r * 10000 + 0.5) / 10000 AS dist2 FROM f0
+           |UNION ALL
+           |SELECT vec_id, 1, code, floor(dist_r * 10000 + 0.5) / 10000 FROM f1
+           |ORDER BY vec_id, sub""".stripMargin)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs

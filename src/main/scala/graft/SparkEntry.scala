@@ -861,7 +861,14 @@ object SparkEntry {
     // re-verifying only batch-touching pairs
     "q265_semcc_append"     -> ((s, d) =>
       Dedup.semanticAppendNewPairs(Tables.embeddings(s, d),
-        semCcOldFor(s, d), semCcFor(s, d)))
+        semCcOldFor(s, d), semCcFor(s, d))),
+    // the PQ-index ingest path: the daily vector batch encodes
+    // map-only against yesterday's FROZEN codebooks and lands as
+    // delta files next to yesterday's codes (zero resident I/O);
+    // reports the batch's codes read back from the appended address
+    "q266_pq_append"        -> ((s, d) =>
+      Similarity.pqAppendBatchCodes(Tables.embeddings(s, d),
+        pqOldIndexFor(s, d), pqAppIndexFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair
@@ -955,14 +962,26 @@ object SparkEntry {
     * index (codes + codebooks) — the [[ivfIndexFor]] discipline;
     * shared by q192/q193/q194.
     */
-  private[graft] def pqIndexFor(s: SparkSession, d: String): String = {
-    val abs = new java.io.File(d).getAbsolutePath
-    val ph = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_pq_${new java.io.File(d).getName}_$ph").getAbsolutePath
-    Similarity.pqIndexDir(s, s"$d/embeddings.parquet", base)
-  }
+  private[graft] def pqIndexFor(s: SparkSession, d: String): String =
+    Similarity.pqIndexDir(s, s"$d/embeddings.parquet", tmpBase(d, "pq"))
+
+  /** The YESTERDAY-corpus PQ index (embeddings minus the
+    * `vec_id % 10 == 7` batch) that q266's append encodes against —
+    * [[semCcOldFor]]'s index-tier twin, same slice-in-the-variant
+    * contract. Frozen: the append never writes here.
+    */
+  private[graft] def pqOldIndexFor(s: SparkSession, d: String): String =
+    Similarity.pqIndexDir(s, s"$d/embeddings.parquet", tmpBase(d, "pq"),
+      variant = "oldm10r7_")
+
+  /** The APPENDED address q266 lands into: yesterday's books and
+    * codes hard-linked + the batch's code delta files — the union
+    * index under snapshot semantics (the old address stays exactly as
+    * signed).
+    */
+  private[graft] def pqAppIndexFor(s: SparkSession, d: String): String =
+    Similarity.pqIndexDir(s, s"$d/embeddings.parquet", tmpBase(d, "pq"),
+      variant = "apnm10r7_")
 
   /** Content-addressed home of the events table's materialized
     * parsed-props long frame — the [[ivfIndexFor]] discipline; shared

@@ -1088,9 +1088,14 @@ object Similarity {
     * corpus snapshot, every ADC consumer probes them.
     */
   def pqIndexDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
-                 base: String, m: Int = 2, k: Int = 4, iters: Int = 3): String =
+                 base: String, m: Int = 2, k: Int = 4, iters: Int = 3,
+                 variant: String = ""): String =
+    // `variant` keys a SLICE of the same embedding files (the address
+    // signs files, not filters) — q266's yesterday-corpus index and
+    // its appended twin; it trails the setting, the semCcDir
+    // convention (prefix-extending siblings survive pruning)
     graft.engine.ContentAddress.dirFor(spark, dataPath, base,
-      s"pq${m}x${k}i${iters}_", "pqIndexDir")
+      s"pq${m}x${k}i${iters}_$variant", "pqIndexDir")
 
   /** Build the PQ index now iff absent (the `prebuildIvfIndex` /
     * `prebuildCascade` warm-up hook): ONE train per subspace feeds
@@ -1126,6 +1131,96 @@ object Similarity {
         .write.mode("overwrite").parquet(booksDir)
     }
     fresh
+  }
+
+  /** Encode vectors against a committed index's FROZEN codebooks —
+    * the append-path encoder: per subspace, the stored (sub, code, cv)
+    * rows repack into the one-row centroid frame [[kmAssign]] takes
+    * (array_sort on the (code, cv) struct restores the 1-based slot
+    * order bit-exactly: round-6 centroid doubles roundtrip parquet),
+    * so a vector's code/dist2 here is bit-equal to what [[pqCodes]]
+    * computes with the live centroids. Map-only per subspace — one
+    * broadcast centroid row against the batch — the shape that makes
+    * a daily ingest a trivial job at any corpus size.
+    */
+  private[graft] def encodeAgainstBooks(vecs: DataFrame, indexDir: String,
+                                        m: Int): DataFrame = {
+    val books = vecs.sparkSession.read.parquet(s"$indexDir/books")
+    (0 until m).map { s =>
+      val cents = books.filter(col("sub") === s)
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("code"), col("cv")))),
+          e => e.getField("cv")).as("cs"))
+      val sub = vecs.select(col("vec_id"),
+        subSlice(col("embedding").cast("array<double>"), s, m).as("v"))
+      kmAssign(sub, cents)
+        .select(col("vec_id"), lit(s).as("sub"), col("cluster").as("code"),
+          (floor(col("dist_r") * 1e4 + 0.5) / 1e4).as("dist2"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Incremental PQ-index APPEND — the last mutable-index family's
+    * ingest path (q264/q265's contract on the PQ tier): a batch of NEW
+    * vectors lands on a committed index ([[prebuildPqIndex]]) with the
+    * codebooks FROZEN — codes are a pure per-vector function of the
+    * books, so the batch encodes map-only ([[encodeAgainstBooks]],
+    * bit-equal to the build-time encoder) and no retraining or
+    * resident I/O ever happens. Delta landing throughout
+    * ([[graft.engine.Landing]]): `books` enters the new address as a
+    * pure hard-link tier (an append never changes it), `codes` as the
+    * old files linked + the batch's part files — at 100 TB the daily
+    * ingest writes batch-sized data and zero resident bytes. ADC
+    * probes over the appended index are bit-identical to an index
+    * whose codes were all encoded against the same books (spec-proven;
+    * q193/q194's oracles pin the probe math itself).
+    *
+    * Preconditions (the [[appendToCascade]] discipline): committed
+    * old codes+books, batch vec_ids disjoint from the resident codes.
+    * Returns true iff the append built the new address (false = both
+    * tiers already committed — the reuse no-op).
+    */
+  def appendToPqIndex(newVecs: DataFrame, oldDir: String, newDir: String,
+                      m: Int = 2): Boolean = {
+    val spark = newVecs.sparkSession
+    def committed(d: String) = graft.engine.ContentAddress.hasSuccess(spark, d)
+    // the prefix bakes (m, k, iters); reject a dir addressed for
+    // another subspace split — a 2-subspace batch landing in a
+    // 4-subspace address would serve half-width codes to every ADC
+    // consumer of that address
+    Seq(oldDir, newDir).foreach(d => require(d.contains(s"pq${m}x"),
+      s"appendToPqIndex: dir $d was not addressed for m=$m subspaces"))
+    require(committed(s"$oldDir/codes") && committed(s"$oldDir/books"),
+      s"appendToPqIndex requires a committed index at $oldDir")
+    if (committed(s"$newDir/codes") && committed(s"$newDir/books")) return false
+    require(newVecs.select("vec_id")
+        .join(spark.read.parquet(s"$oldDir/codes").select("vec_id").distinct(),
+          Seq("vec_id"), "left_semi").isEmpty,
+      "appendToPqIndex: batch vec_ids overlap the resident index")
+    if (!committed(s"$newDir/books"))
+      graft.engine.Landing.linkTier(s"$oldDir/books", s"$newDir/books")
+    if (!committed(s"$newDir/codes"))
+      graft.engine.Landing.landDelta(encodeAgainstBooks(newVecs, oldDir, m),
+        s"$oldDir/codes", s"$newDir/codes")
+    true
+  }
+
+  /** q266: the PQ append AS A QUERY — q264/q265's index-tier sibling.
+    * The daily vector batch (`vec_id % 10 == 7`) encodes against
+    * yesterday's frozen codebooks and lands next to yesterday's codes
+    * by delta files ([[appendToPqIndex]]); reports the batch's landed
+    * codes read back from the appended address. The oracle re-trains
+    * yesterday's books from scratch (the q192 kmeans recurrence over
+    * the OLD slice) and assigns the batch — so the whole chain
+    * (frozen-book repack, map-only encode, delta landing, read-back)
+    * is hash-exact against an independent engine.
+    */
+  def pqAppendBatchCodes(emb: DataFrame, oldDir: String, newDir: String,
+                         m: Int = 2, k: Int = 4, iters: Int = 3): DataFrame = {
+    prebuildPqIndex(emb.filter(col("vec_id") % 10 =!= 7), oldDir, m, k, iters)
+    appendToPqIndex(emb.filter(col("vec_id") % 10 === 7), oldDir, newDir, m)
+    emb.sparkSession.read.parquet(s"$newDir/codes")
+      .filter(col("vec_id") % 10 === 7)
+      .orderBy("vec_id", "sub")
   }
 
   /** [[pqCodes]] served from the materialized index — identical rows

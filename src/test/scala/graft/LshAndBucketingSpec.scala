@@ -202,6 +202,92 @@ class LshAndBucketingSpec extends AnyFunSuite {
     assert(mpA.exceptAll(mpB).count() == 0 && mpB.exceptAll(mpA).count() == 0)
   }
 
+  test("appendToPqIndex: frozen-book encode ≡ stored codes; resident files linked; ADC probes identical") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    val base = java.nio.file.Files.createTempDirectory("graft-pqapp").toString
+    val oldDir = s"$base/pq2x4i3_old"
+    val newDir = s"$base/pq2x4i3_app"
+    def snap(dir: String): Set[(String, Long, String)] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map { f =>
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+          (f.getName, f.length(), md5)
+        }.toSet
+    assert(Similarity.prebuildPqIndex(old, oldDir))
+    // the identity the whole append rests on: re-encoding the TRAINING
+    // vectors against the frozen STORED books reproduces their stored
+    // codes bit-exactly (round-6 centroids roundtrip parquet; the
+    // repacked cs row equals the live training centroids)
+    val enc = Similarity.encodeAgainstBooks(old, oldDir, 2)
+    val stored = spark.read.parquet(s"$oldDir/codes")
+    assert(enc.exceptAll(stored).count() == 0 &&
+      stored.exceptAll(enc).count() == 0,
+      "frozen-book encode diverges from the build-time codes")
+    val snapC = snap(s"$oldDir/codes")
+    val snapB = snap(s"$oldDir/books")
+    assert(Similarity.appendToPqIndex(batch, oldDir, newDir))
+    // resident files byte-identical, and both tiers entered the new
+    // address by hard link (books pure, codes + the batch delta)
+    assert(snap(s"$oldDir/codes") == snapC && snap(s"$oldDir/books") == snapB,
+      "append touched the frozen old index")
+    (snapB.map(("books", _)) ++ snapC.map(("codes", _))).foreach {
+      case (tier, (name, _, _)) =>
+        assert(java.nio.file.Files.isSameFile(
+          new java.io.File(s"$oldDir/$tier", name).toPath,
+          new java.io.File(s"$newDir/$tier", name).toPath),
+          s"$tier/$name: expected a hard link, found a copy")
+    }
+    assert(snap(s"$newDir/books") == snapB, "books must be a pure link tier")
+    assert(snap(s"$newDir/codes").size > snapC.size, "no code delta landed")
+    // the appended address serves the union's codes (m=2 rows per vec)
+    assert(spark.read.parquet(s"$newDir/codes").count() == emb.count() * 2)
+    // full reuse is a no-op
+    assert(!Similarity.appendToPqIndex(batch, oldDir, newDir))
+    // ADC probes over the appended address ≡ a clone index whose codes
+    // were written monolithically from the same frozen books — the
+    // "bit-identical probes" contract
+    val cloneDir = s"$base/pq2x4i3_clone"
+    spark.read.parquet(s"$oldDir/books").write.parquet(s"$cloneDir/books")
+    spark.read.parquet(s"$oldDir/codes")
+      .unionByName(Similarity.encodeAgainstBooks(batch, oldDir, 2))
+      .write.parquet(s"$cloneDir/codes")
+    val viaAppend = Similarity.pqAnnCached(emb, newDir)
+    val viaClone = Similarity.pqAnnCached(emb, cloneDir)
+    assert(viaAppend.exceptAll(viaClone).count() == 0 &&
+      viaClone.exceptAll(viaAppend).count() == 0,
+      "ADC probes diverge between appended and monolithic layouts")
+    // resident ids in the batch are rejected loudly, never double-coded
+    intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(emb, oldDir, s"$base/pq2x4i3_g")
+    }
+    // an address for another subspace split is rejected
+    intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(batch, oldDir, s"$base/pq4x4i3_g", m = 4)
+    }
+    // CHAINED day-2 (the q264/q265 chain law on the PQ tier): a second
+    // disjoint batch lands on the APPENDED address; the two-step chain
+    // equals the one-step append of both batches, and day-1's files
+    // stay byte-identical under day-2's landing
+    val b1 = batch.filter(col("vec_id") % 20 === 7)
+    val b2 = batch.filter(col("vec_id") % 20 === 17)
+    val d1 = s"$base/pq2x4i3_day1"
+    val d2 = s"$base/pq2x4i3_day2"
+    assert(Similarity.appendToPqIndex(b1, oldDir, d1))
+    val day1Codes = snap(s"$d1/codes")
+    assert(Similarity.appendToPqIndex(b2, d1, d2))
+    assert(snap(s"$d1/codes") == day1Codes, "day-2 changed day-1's files")
+    val chained = spark.read.parquet(s"$d2/codes")
+    assert(chained.exceptAll(spark.read.parquet(s"$newDir/codes")).count() == 0 &&
+      spark.read.parquet(s"$newDir/codes").exceptAll(chained).count() == 0,
+      "two-day chain diverges from the one-step append")
+  }
+
   test("appendToIvfIndex: re-appending resident vec_ids is a no-op; staging never leaks") {
     val emb = Tables.embeddings(spark, sfDir)
     val old = emb.filter(col("vec_id") < 300)

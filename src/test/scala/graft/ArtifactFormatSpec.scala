@@ -76,24 +76,30 @@ class ArtifactFormatSpec extends AnyFunSuite {
     val slow = Bench.slowestJson(worst, names.map(_ -> 99.9).toMap,
       mustInclude = names.toSet)
     assert(slow.count(_ == '[') == 12, slow)
-    // builds_sec at worst case: every build re-ran at the display cap
-    // (keys MUST track Bench's real list — a stale literal under-models)
-    val builds = Seq("ivf", "cc", "cco", "sh", "pq", "fam", "props", "gt",
-        "ah", "tok", "arm", "km", "post", "tr", "blm", "scc", "scco",
-        "touch")
-      .map(k => s""""$k":999""").mkString("{", ",", "}")
+    // the r18 spill record at ITS 22-record cap (3 chars each)
+    val ob = Bench.obJson(worst, names.map(_ -> 99.9).toMap)
+    assert(ob.length == 22 * 3 + 2, ob)
+    // builds_sec at worst case: every build re-ran at the r18 display
+    // cap of 99 (exact figures live in BENCH_META; keys MUST track
+    // Bench's real list — a stale literal under-models)
+    val builds = Seq("ivf", "cc", "cco", "sh", "pq", "pqo", "fam",
+        "props", "gt", "ah", "tok", "arm", "km", "post", "tr", "blm",
+        "scc", "scco", "touch")
+      .map(k => s""""$k":99""").mkString("{", ",", "}")
     // contention digit strings: one char per 5-query block
     val envLen = (n + 4) / 5
     val el = "9" * envLen
-    // retried / p2 at worst case: their 5-entry caps, widest cells
+    // retried / p2 at worst case: their 5-entry caps, widest cells at
+    // the r18 99 s display cap (the queries string still carries ds
+    // truth up to 129.5 s — the caps bound only the dict cells)
     val retried = (296 to 300)
-      .map(v => s""""$v":[999,999,99]""").mkString("{", ",", "}")
+      .map(v => s""""$v":[99,99,99]""").mkString("{", ",", "}")
     val p2 = (296 to 300)
-      .map(v => s""""$v":[999,999]""").mkString("{", ",", "}")
-    val enc = "q=2ch base36 ds; el,eio,ecpu=5q-block load,log2MB,cores of " +
-      "slowest (eio cut if all-0); slowest=[sec,cores] top8+all >2x-band, " +
-      "obx=capped; retried=[a,b,cores] 5x gate; p2=[a,b] end 2x repass"
-    val mainLine = s"""{"metric":"total","unit":"sec","enc":"$enc","queries":$qs,"el":"$el","ecpu":"$el","eio":"$el","l0":99,"q41_fit_sec":999.99,"builds_sec":$builds,"retried":$retried,"p2":$p2,"errs":99,"slowest_sec":$slow,"obx":99,"value":9999.999,"sf":"sf0.1"}"""
+      .map(v => s""""$v":[99,99]""").mkString("{", ",", "}")
+    val enc = "q=b36 ds; el,eio,ecpu=5q-blk load,log2MB,cores; " +
+      "slowest=[s,cores] top8+>2xband; ob=q2c1 spill; obx=no-evid; " +
+      "retried=[a,b,c] 5x; p2=[a,b] end 2x; eio cut if 0"
+    val mainLine = s"""{"metric":"total","unit":"sec","enc":"$enc","queries":$qs,"el":"$el","ecpu":"$el","eio":"$el","l0":99,"q41_fit_sec":999,"builds_sec":$builds,"retried":$retried,"p2":$p2,"errs":99,"slowest_sec":$slow,"ob":$ob,"obx":99,"value":9999.999,"sf":"sf0.1"}"""
     // probe count follows Bench's cadence: start + every-30 + the
     // dedicated post-q41 probe + final
     val nProbes = 2 + n / 30 + 1
@@ -102,9 +108,9 @@ class ArtifactFormatSpec extends AnyFunSuite {
     // "BENCH_CAL [...]" frame + [info]
     val calBudget = nProbes * 14 + 13 + 8
     // "[success] Total time: 1391 s (23:11), completed <date>" is a
-    // measured 70-75 chars; 95 holds real headroom without hoarding
-    // the window the 18-build dict now needs
-    val trailerBudget = 95
+    // measured 70-75 chars; 80 holds the 4-digit-seconds case without
+    // hoarding the window the ob record now needs
+    val trailerBudget = 80
     val infoPrefix = 8                // "[info] " on the main line
     assert(mainLine.length + infoPrefix + calBudget + trailerBudget + 4 <= 2000,
       s"artifact tail over budget: main=${mainLine.length}")
@@ -113,6 +119,7 @@ class ArtifactFormatSpec extends AnyFunSuite {
     // per-query detail, never the suite total
     assert(mainLine.indexOf("\"value\":") > mainLine.indexOf("\"queries\":"))
     assert(mainLine.indexOf("\"slowest_sec\":") > mainLine.indexOf("\"queries\":"))
+    assert(mainLine.indexOf("\"value\":") > mainLine.indexOf("\"ob\":"))
     // the contiguous contract really takes the base36-string path
     // (fixed width: 2 chars per query), and the slowest dict keeps
     // bare-number keys
@@ -191,6 +198,33 @@ class ArtifactFormatSpec extends AnyFunSuite {
     // the 5x in-flight gate is the same rule at a different factor
     assert(Bench.overBandRows(res, bands, factor = 5.0).map(_._1) == Seq("q3_c"))
     assert(Bench.overBandRows(res, Map.empty).isEmpty)
+  }
+
+  test("obJson packs [qnum, cores] as fixed-width 3-char base36 records") {
+    // q136 / 3.2 cores: 136 = 3*36+28 -> "3s"; cores rounds to 3 (the
+    // row's seconds are NOT repeated — the queries string carries them
+    // by position)
+    val j = Bench.obJson(Seq("q136_x" -> 1.3), Map("q136_x" -> 3.2))
+    assert(j == "\"3s3\"", j)
+    // decode round-trip on a 2-record string; '-' = no cores reading
+    val j2 = Bench.obJson(Seq("q136_x" -> 1.3, "q9_y" -> 0.55),
+      Map("q136_x" -> 3.2))
+    assert(j2.length == 2 + 2 * 3, j2)
+    val rec2 = j2.drop(1).dropRight(1).drop(3)
+    assert(Integer.parseInt(rec2.take(2), 36) == 9)
+    assert(rec2.last == '-')
+    // caps: cores digit at 9, record count at 22 with the TAIL dropped
+    // (rows arrive worst-first from overBandRows)
+    assert(Bench.obJson(Seq("q1_a" -> 500.0), Map("q1_a" -> 31.0))
+      == "\"019\"")
+    val many = (1 to 30).map(i => s"q${i}_x" -> 1.0)
+    assert(Bench.obJson(many, Map.empty).length == 2 + 22 * 3)
+    assert(Bench.obJson(many, Map.empty).drop(1).take(2) == "01")
+  }
+
+  test("slowestJson display-caps seconds at 99 (queries string keeps ds truth)") {
+    val j = Bench.slowestJson(Seq("q7_x" -> 150.0), Map("q7_x" -> 2.0))
+    assert(j == """{"7":[99,2]}""", j)
   }
 
   test("queriesJson falls back to the dict when query numbers have gaps") {

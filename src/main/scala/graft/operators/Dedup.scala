@@ -78,17 +78,27 @@ object Dedup {
       .map(_.metadata.getLong(ShingleNKey).toInt)
 
   /** Validator for the provided-shingle-frame contract: a frame whose
-    * recorded width (metadata; 3 when untagged) disagrees with the
-    * requested `n` is rejected loudly instead of producing a
-    * plausible near-zero overlap report.
+    * recorded width (metadata) disagrees with the requested `n` is
+    * rejected loudly instead of producing a plausible near-zero
+    * overlap report. An UNTAGGED frame (pre-tag, or metadata-stripped
+    * by a cast/transform) is accepted only at the default width —
+    * every committed tier was built there — and the n≠3 rejection
+    * says honestly that the width is UNKNOWN rather than claiming the
+    * frame "was built at 3" (ADVICE r17: the old message both
+    * under- and over-claimed on legacy frames).
     */
   private[graft] def requireShingleWidth(sh: Option[DataFrame], n: Int,
                                          what: String): Unit =
     sh.foreach { f =>
-      val w = shingleWidthOf(f).getOrElse(3)
-      require(w == n,
-        s"$what was built at n=$w but the query asked n=$n — " +
-          "rebuild the frame at the requested width or drop the cache arg")
+      shingleWidthOf(f) match {
+        case Some(w) => require(w == n,
+          s"$what was built at n=$w but the query asked n=$n — " +
+            "rebuild the frame at the requested width or drop the cache arg")
+        case None => require(n == DefaultShingleN,
+          s"$what carries no shingle_n tag (pre-tag or metadata-stripped), " +
+            s"so its width cannot be verified at n=$n — rebuild it via " +
+            "shingleDocs so the width rides the frame, or drop the cache arg")
+      }
     }
 
   /** Per-band MinHash signature: band b's hash of a shingle is

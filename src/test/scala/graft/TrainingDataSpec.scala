@@ -850,6 +850,15 @@ class TrainingDataSpec extends AnyFunSuite {
       col("shingle").cast("string").as("shingle")) // cast strips metadata
     assert(Dedup.shingleWidthOf(untagged).isEmpty)
     TrainingData.evalDecontaminate(df, n = 3, shingles = Some(untagged))
+    // an untagged frame at n≠3 is rejected with an UNKNOWN-width
+    // message (ADVICE r17): the validator must not claim the frame
+    // "was built at 3" when it cannot know — only that it cannot be
+    // verified at the requested width
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.evalDecontaminate(df, n = 4, shingles = Some(untagged))
+    }
+    assert(e.getMessage.contains("no shingle_n tag"), e.getMessage)
+    assert(!e.getMessage.contains("built at n=3"), e.getMessage)
   }
 
   test("contaminationProvenance: worst offender, compromise count, zero-hit row") {

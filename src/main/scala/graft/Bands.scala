@@ -59,8 +59,8 @@ object Bands {
     249 -> 6, 250 -> 6, 251 -> 6, 252 -> 8, 253 -> 3, 254 -> 6, 255 -> 8, 256 -> 8,
     257 -> 6, 258 -> 19, 259 -> 5, 260 -> 13, 261 -> 3, 262 -> 4, 263 -> 3, 264 -> 3,
     265 -> 2,
-    // landing-commit isolated probe (QueryProbe ×4, reps 2-4 after the
-    // one-time old-index build the bench warm-up absorbs as pqo):
-    // 0.66/0.51/0.58 → median 6 ds
-    266 -> 6)
+    // landing-commit isolated probes (QueryProbe ×4, reps 2-4 after
+    // the one-time old-fixture builds the bench warm-up absorbs as
+    // pqo/sho): q266 0.66/0.51/0.58 → 6 ds; q267 0.61/0.49/0.40 → 5 ds
+    266 -> 6, 267 -> 5)
 }

@@ -454,6 +454,19 @@ object Bench {
       dropAllState()
       if (built) (System.nanoTime() - shT0) / 1e9 else 0.0
     } catch { case _: Throwable => -1.0 }
+    // pre-build the q267 append fixture's YESTERDAY simhash frame
+    // (sig + pairs over the corpus minus the doc_id % 10 == 7 batch) —
+    // the measured q267 is the batch hash + delta landing (or its
+    // reuse check), never the old-slice build. 0 = reused.
+    val shoT0 = System.nanoTime()
+    val shoBuildSec = try {
+      val built = graft.operators.Dedup.prebuildSimhashPairs(
+        graft.engine.Tables.documents(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7),
+        SparkEntry.simhashOldFor(spark, sfDir))
+      dropAllState()
+      if (built) (System.nanoTime() - shoT0) / 1e9 else 0.0
+    } catch { case _: Throwable => -1.0 }
     // pre-build the PQ index (codes + codebooks; q192/q193/q194 probe
     // it): one train per subspace per corpus snapshot. 0 = reused.
     val pqT0 = System.nanoTime()
@@ -645,6 +658,7 @@ object Bench {
         SparkEntry.ccCascadeFor(spark, sfDir),
         SparkEntry.ccOldCascadeFor(spark, sfDir),
         SparkEntry.simhashFor(spark, sfDir),
+        SparkEntry.simhashOldFor(spark, sfDir),
         SparkEntry.pqIndexFor(spark, sfDir),
         SparkEntry.pqOldIndexFor(spark, sfDir),
         SparkEntry.propsFor(spark, sfDir),
@@ -665,7 +679,7 @@ object Bench {
       pretouchMb = bytes / 1e6
       (System.nanoTime() - touchT0) / 1e9
     } catch { case _: Throwable => -1.0 }
-    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"cco_build_sec":${dec(ccoBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"pqo_build_sec":${dec(pqoBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"props_build_sec":${dec(propsBuildSec, 2)},"gt_build_sec":${dec(gtBuildSec, 2)},"ah_build_sec":${dec(ahBuildSec, 2)},"tok_build_sec":${dec(tokBuildSec, 2)},"arm_build_sec":${dec(armBuildSec, 2)},"km_build_sec":${dec(kmBuildSec, 2)},"post_build_sec":${dec(postBuildSec, 2)},"tr_build_sec":${dec(trBuildSec, 2)},"blm_build_sec":${dec(blmBuildSec, 2)},"scc_build_sec":${dec(sccBuildSec, 2)},"scco_build_sec":${dec(sccoBuildSec, 2)},"pretouch_sec":${dec(pretouchSec, 2)},"pretouch_mb":${dec(pretouchMb, 1)},"sf":${jsonStr(sfDir)}}""")
+    println(s"""BENCH_META {"load_avg_start":${dec(loadStart, 2)},"available_processors":${rt.availableProcessors()},"heap_max_gb":${dec(rt.maxMemory() / 1e9, 1)},"spark_cpus":${jsonStr(cpus)},"mlwarm_sec":${dec(mlWarmSec, 2)},"ivf_build_sec":${dec(ivfBuildSec, 2)},"ccpairs_build_sec":${dec(ccBuildSec, 2)},"cco_build_sec":${dec(ccoBuildSec, 2)},"shash_build_sec":${dec(shBuildSec, 2)},"sho_build_sec":${dec(shoBuildSec, 2)},"pq_build_sec":${dec(pqBuildSec, 2)},"pqo_build_sec":${dec(pqoBuildSec, 2)},"fam_build_sec":${dec(famBuildSec, 2)},"props_build_sec":${dec(propsBuildSec, 2)},"gt_build_sec":${dec(gtBuildSec, 2)},"ah_build_sec":${dec(ahBuildSec, 2)},"tok_build_sec":${dec(tokBuildSec, 2)},"arm_build_sec":${dec(armBuildSec, 2)},"km_build_sec":${dec(kmBuildSec, 2)},"post_build_sec":${dec(postBuildSec, 2)},"tr_build_sec":${dec(trBuildSec, 2)},"blm_build_sec":${dec(blmBuildSec, 2)},"scc_build_sec":${dec(sccBuildSec, 2)},"scco_build_sec":${dec(sccoBuildSec, 2)},"pretouch_sec":${dec(pretouchSec, 2)},"pretouch_mb":${dec(pretouchMb, 1)},"sf":${jsonStr(sfDir)}}""")
 
     // a probe must never abort the run: a broken environment (e.g.
     // missing data dir) should still produce BENCH_META, per-query
@@ -975,7 +989,7 @@ object Bench {
     // cost that moved cold-read exposure out of the measured probes
     val buildsJson = Seq(
       "ivf" -> ivfBuildSec, "cc" -> ccBuildSec, "cco" -> ccoBuildSec,
-      "sh" -> shBuildSec,
+      "sh" -> shBuildSec, "sho" -> shoBuildSec,
       "pq" -> pqBuildSec, "pqo" -> pqoBuildSec,
       "fam" -> famBuildSec, "props" -> propsBuildSec,
       "gt" -> gtBuildSec, "ah" -> ahBuildSec, "tok" -> tokBuildSec,

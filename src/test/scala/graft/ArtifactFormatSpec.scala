@@ -72,34 +72,40 @@ class ArtifactFormatSpec extends AnyFunSuite {
     val names = (1 to n).map(i => s"q${i}_x")
     val worst = names.map(_ -> 99.9)           // 999 ds — widest cell
     val qs = Bench.queriesJson(worst)
-    // slowest at worst case: the 12-entry cap, every entry [sec,cores]
-    val slow = Bench.slowestJson(worst, names.map(_ -> 99.9).toMap,
-      mustInclude = names.toSet)
+    // slowest at WORST WIDTH (the r18 review catch: the first 99-cap
+    // model used 2-char cells, but qnum renders any sub-10 s value at
+    // 3 chars — "9.9" — and 3-digit query numbers are the widest
+    // keys): 12 entries, 3-digit keys, 9.9 everywhere
+    val worstSlow = (289 to 300).map(i => s"q${i}_x" -> 9.9)
+    val slow = Bench.slowestJson(worstSlow,
+      worstSlow.map(r => r._1 -> 9.9).toMap, mustInclude = worstSlow.map(_._1).toSet)
     assert(slow.count(_ == '[') == 12, slow)
+    assert(slow.contains("\"300\":[9.9,9.9]"), slow)
     // the r18 spill record at ITS 22-record cap (3 chars each)
     val ob = Bench.obJson(worst, names.map(_ -> 99.9).toMap)
     assert(ob.length == 22 * 3 + 2, ob)
-    // builds_sec at worst case: every build re-ran at the r18 display
-    // cap of 99 (exact figures live in BENCH_META; keys MUST track
+    // builds_sec at worst width (3-char cells; keys MUST track
     // Bench's real list — a stale literal under-models)
     val builds = Seq("ivf", "cc", "cco", "sh", "sho", "pq", "pqo", "fam",
         "props", "gt", "ah", "tok", "arm", "km", "post", "tr", "blm",
         "scc", "scco", "touch")
-      .map(k => s""""$k":99""").mkString("{", ",", "}")
-    // contention digit strings: one char per 5-query block
-    val envLen = (n + 4) / 5
+      .map(k => s""""$k":9.9""").mkString("{", ",", "}")
+    // contention digit strings: one char per 10-query block (r18 —
+    // the honest worst-width model no longer fits three 60-char
+    // strings; per-row specifics live in slowest/ob/retried/p2)
+    val envLen = (n + 9) / 10
     val el = "9" * envLen
-    // retried / p2 at worst case: their 5-entry caps, widest cells at
-    // the r18 99 s display cap (the queries string still carries ds
-    // truth up to 129.5 s — the caps bound only the dict cells)
+    // retried / p2 at worst case: their 5-entry caps, 3-digit keys,
+    // every cell at the 3-char width (the 99 s display cap bounds the
+    // width at "9.9"/"99" — sub-10 s readings are the wide case)
     val retried = (296 to 300)
-      .map(v => s""""$v":[99,99,99]""").mkString("{", ",", "}")
+      .map(v => s""""$v":[9.9,9.9,9.9]""").mkString("{", ",", "}")
     val p2 = (296 to 300)
-      .map(v => s""""$v":[99,99]""").mkString("{", ",", "}")
-    val enc = "q=b36 ds; el,eio,ecpu=5q-blk load,log2MB,cores; " +
+      .map(v => s""""$v":[9.9,9.9]""").mkString("{", ",", "}")
+    val enc = "q=b36 ds; el,eio,ecpu=10q-blk load,log2MB,cores; " +
       "slowest=[s,cores] top8+>2xband; ob=q2c1 spill; obx=no-evid; " +
       "retried=[a,b,c] 5x; p2=[a,b] end 2x; eio cut if 0"
-    val mainLine = s"""{"metric":"total","unit":"sec","enc":"$enc","queries":$qs,"el":"$el","ecpu":"$el","eio":"$el","l0":99,"q41_fit_sec":999,"builds_sec":$builds,"retried":$retried,"p2":$p2,"errs":99,"slowest_sec":$slow,"ob":$ob,"obx":99,"value":9999.999,"sf":"sf0.1"}"""
+    val mainLine = s"""{"metric":"total","unit":"sec","enc":"$enc","queries":$qs,"el":"$el","ecpu":"$el","eio":"$el","l0":99,"q41_fit_sec":9.9,"builds_sec":$builds,"retried":$retried,"p2":$p2,"errs":99,"slowest_sec":$slow,"ob":$ob,"obx":99,"value":9999.999,"sf":"sf0.1"}"""
     // probe count follows Bench's cadence: start + every-30 + the
     // dedicated post-q41 probe + final
     val nProbes = 2 + n / 30 + 1
@@ -128,10 +134,13 @@ class ArtifactFormatSpec extends AnyFunSuite {
     assert(slow.contains("\"") && !slow.contains("\"q"), slow)
   }
 
-  test("envDigits compresses per-query samples into capped block digits") {
-    // 7 queries -> 2 blocks; block 1: max load 3.6 -> '4', io 2+5+0+1+7=15 MB -> log2(16)=4
+  test("envDigits compresses per-query samples into capped 10-query block digits") {
+    // 12 queries -> 2 blocks; block 1: max load 3.6 -> '4',
+    // io 2+5+0+1+7 = 15 MB -> log2(16) = 4
     val samples = Seq((1.0, 2.0), (3.6, 5.0), (2.0, 0.0), (0.4, 1.0),
-      (1.0, 7.0), (0.2, 600.0), (0.1, 0.0))
+      (1.0, 7.0), (0.2, 0.0), (0.1, 0.0), (0.3, 0.0), (0.2, 0.0),
+      (0.1, 0.0),
+      (0.2, 600.0), (0.1, 0.0))
     val (el, eio) = Bench.envDigits(samples)
     assert(el == "40", el)  // block 2: max load 0.2 rounds to 0
     assert(eio == "49", eio)  // block 2: 600 MB -> log2(601)=9.2 -> capped 9
@@ -156,13 +165,15 @@ class ArtifactFormatSpec extends AnyFunSuite {
   }
 
   test("cpuDigits reports the block's slowest query's ratio, capped, '-' on no reading") {
-    // block 1: slowest is (5.0 wall, 3.6 cores) -> '4'; block 2:
-    // slowest has ratio 31.2 -> capped '9'; block 3: no bean -> '-'
+    // block 1 (10 samples): slowest is (5.0 wall, 3.6 cores) -> '4';
+    // block 2: slowest is the 9 s query, whose bean gave no reading
     val s = Seq((1.0, 9.0), (5.0, 3.6), (0.1, 1.0), (0.2, 2.0), (0.3, 8.0),
+      (0.1, 1.0), (0.1, 1.0), (0.1, 1.0), (0.1, 1.0), (0.1, 1.0),
       (2.0, 31.2), (9.0, -1.0))
-    assert(Bench.cpuDigits(s.take(5)) == "4")
-    // block 2's slowest is the 9 s query, whose bean gave no reading
+    assert(Bench.cpuDigits(s.take(10)) == "4")
     assert(Bench.cpuDigits(s) == "4-", Bench.cpuDigits(s))
+    // a block whose slowest ratio is huge caps at 9
+    assert(Bench.cpuDigits(Seq((2.0, 31.2))) == "9")
     assert(Bench.cpuDigits(Seq((9.0, -1.0))) == "-")
   }
 

@@ -62,5 +62,9 @@ object Bands {
     // landing-commit isolated probes (QueryProbe ×4, reps 2-4 after
     // the one-time old-fixture builds the bench warm-up absorbs as
     // pqo/sho): q266 0.66/0.51/0.58 → 6 ds; q267 0.61/0.49/0.40 → 5 ds
-    266 -> 6, 267 -> 5)
+    266 -> 6, 267 -> 5,
+    // q268 isolated probe reps 2-4 after the one-time compaction
+    // commit (1.21/1.00/0.84 at load 1.4): five full-tier count scans
+    // off the compacted address → 10 ds
+    268 -> 10)
 }

@@ -4473,7 +4473,28 @@ object OracleSql {
             |JOIN ssig sb ON c.id_b = sb.doc_id
             |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
             |AND (c.id_a % 10 = 7 OR c.id_b % 10 = 7)
-            |ORDER BY id_a, id_b""".stripMargin))
+            |ORDER BY id_a, id_b""".stripMargin)) +
+      // q268: compaction is content-identity, so every tier count off
+      // the compacted address must equal a from-raw-text re-derivation:
+      // cand = the LSH candidate tier, pairs = jaccard-verified at 0.2,
+      // labels = one row per pair endpoint (CC relabels, never drops),
+      // sh3 = distinct (doc_id, 3-gram), shsets = distinct 60-bit
+      // hashed shingles (md5 prefix, the Spark conv(...,16,10) twin)
+      ("q268_compact_tiers" ->
+        (shingleCte +
+          ",\n" + jaccardVerify +
+          """,
+            |vp AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+            |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            |hs AS (SELECT DISTINCT doc_id,
+            |  CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh),
+            |lnodes AS (SELECT id_a AS d FROM vp UNION SELECT id_b FROM vp)
+            |SELECT 'cand' AS tier, CAST(count(*) AS BIGINT) AS n_rows FROM cand
+            |UNION ALL SELECT 'labels', CAST(count(*) AS BIGINT) FROM lnodes
+            |UNION ALL SELECT 'pairs', CAST(count(*) AS BIGINT) FROM vp
+            |UNION ALL SELECT 'sh3', CAST(count(*) AS BIGINT) FROM dsh
+            |UNION ALL SELECT 'shsets', CAST(count(*) AS BIGINT) FROM hs
+            |ORDER BY tier""".stripMargin))
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs

@@ -875,7 +875,14 @@ object SparkEntry {
     // q71/q229/q234 probe
     "q267_simhash_append"   -> ((s, d) =>
       Dedup.simhashAppendNewPairs(Tables.documents(s, d),
-        simhashOldFor(s, d), simhashFor(s, d)))
+        simhashOldFor(s, d), simhashFor(s, d))),
+    // the delta-landing lifecycle's maintenance half: the main
+    // cascade compacts once into right-sized files (the weekly
+    // OPTIMIZE next to q264's daily append); per-tier row counts off
+    // the compacted address prove the rewrite content-complete
+    "q268_compact_tiers"    -> ((s, d) =>
+      Dedup.cascadeCompactTierCounts(Tables.documents(s, d),
+        ccCascadeFor(s, d), ccCompactFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair
@@ -947,6 +954,16 @@ object SparkEntry {
   private[graft] def ccOldCascadeFor(s: SparkSession, d: String): String =
     Dedup.cascadeDir(s, s"$d/documents.parquet", tmpBase(d, "cc"),
       variant = "oldm10r7_")
+
+  /** The COMPACTED revision of [[ccCascadeFor]]'s cascade — q268's
+    * landing. Same base and content address, `cmp_` variant: the
+    * compacted tiers are content-row-equal but a different file
+    * layout, so they live as a sibling revision the content address
+    * prunes/rebuilds on the same corpus-change trigger as the main.
+    */
+  private[graft] def ccCompactFor(s: SparkSession, d: String): String =
+    Dedup.cascadeDir(s, s"$d/documents.parquet", tmpBase(d, "cc"),
+      variant = "cmp_")
 
   /** Content-addressed home of the embeddings table's materialized
     * embedding-CC label frame ([[Dedup.prebuildSemanticCc]]) — q79

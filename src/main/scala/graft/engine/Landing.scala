@@ -25,10 +25,13 @@ import org.apache.spark.sql.DataFrame
   *    yesterday-snapshot stays exactly as addressed, and pruning a
   *    superseded revision later only unlinks (the shared inodes
   *    survive in whichever address still references them).
-  *  - [[landInto]] (single-address form, the `appendToIvfIndex`
-  *    pattern): the delta's part files are staged outside the live
-  *    directory and moved in by per-file atomic rename — resident
-  *    files untouched, readers mid-append see whole files only.
+  *  - [[linkTier]] (pure-link form): for tiers an append never
+  *    changes (the PQ codebooks), the new address is just the old
+  *    tier's files linked — same commit protocol, no delta.
+  *    (The single-ADDRESS ingest form — stage outside the live dir,
+  *    move part files in by atomic rename — lives in
+  *    `Similarity.appendToIvfIndex`, which additionally handles the
+  *    partitioned bucket layout this flat-tier helper does not.)
   *
   * Like `appendToIvfIndex`, this is deliberately local-FS (java.io /
   * java.nio): the staged-rename and hard-link moves are posix
@@ -77,7 +80,17 @@ object Landing {
     try {
       delta.write.mode("overwrite").parquet(staging)
       require(dest.mkdirs(), s"landDelta: cannot create $newTierDir")
-      dataFiles(new java.io.File(oldTierDir)).foreach(linkOrCopy(_, dest))
+      // a committed tier always has ≥1 data file (Spark writes a
+      // schema-only part file even for an empty frame) — an empty
+      // listing here means the java.io view disagrees with the
+      // caller's Hadoop-FS commit gate (transient IO error, or a
+      // non-local artifact base this local-FS API cannot serve) and
+      // MUST fail loudly rather than commit a tier that silently
+      // lost its resident history (review r18)
+      val resident = dataFiles(new java.io.File(oldTierDir))
+      require(resident.nonEmpty,
+        s"landDelta: no resident data files visible at $oldTierDir")
+      resident.foreach(linkOrCopy(_, dest))
       dataFiles(stagingDir).foreach { f =>
         java.nio.file.Files.move(f.toPath,
           new java.io.File(dest, f.getName).toPath,
@@ -86,6 +99,44 @@ object Landing {
       require(new java.io.File(dest, "_SUCCESS").createNewFile(),
         s"landDelta: cannot commit $newTierDir")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(stagingDir)
+  }
+
+  /** COMPACT `oldTierDir` into `newTierDir`: rewrite the tier's rows
+    * into `ceil(bytes / bytesPerFile)` right-sized files — the
+    * lifecycle counterpart of [[landDelta]]. A delta-landed tier
+    * accumulates one part-file set per batch: after K daily appends a
+    * reader opens O(K × partitions) files, and at 100 TB a year of
+    * dailies is tens of thousands of small files per tier (the
+    * classic small-file problem every table format answers with
+    * periodic compaction — Delta OPTIMIZE / Iceberg rewrite_data_files).
+    * Compaction pays the corpus rewrite ONCE per maintenance interval
+    * instead of the r17 appends' once per day, and the append chain
+    * continues on the compacted address unchanged (same tier names,
+    * same commit gate, content row-equal).
+    *
+    * `coalesce`, not `repartition`: compaction is a bin-packing
+    * rewrite, not a redistribution — coalesce merges input splits
+    * into the target file count with NO shuffle (each writer task
+    * streams ~bytesPerFile of input), so the rewrite is I/O-bound
+    * only. Rows land in fewer files in unchanged order; every tier
+    * frame here is order-free (readers sort or aggregate).
+    *
+    * Returns true iff a rewrite happened (false = `newTierDir`
+    * already committed, the prebuild reuse convention).
+    */
+  def compactTier(spark: org.apache.spark.sql.SparkSession,
+                  oldTierDir: String, newTierDir: String,
+                  bytesPerFile: Long = 128L << 20): Boolean = {
+    if (ContentAddress.hasSuccess(spark, newTierDir)) return false
+    require(new java.io.File(oldTierDir, "_SUCCESS").exists(),
+      s"compactTier requires a committed tier at $oldTierDir")
+    require(bytesPerFile > 0, "bytesPerFile must be positive")
+    val bytes = dataFiles(new java.io.File(oldTierDir)).map(_.length).sum
+    val nFiles = math.max(1L, (bytes + bytesPerFile - 1) / bytesPerFile)
+      .min(Int.MaxValue).toInt
+    spark.read.parquet(oldTierDir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(newTierDir)
+    true
   }
 
   /** Assemble `newTierDir` as a pure LINK of `oldTierDir`'s data files
@@ -98,31 +149,11 @@ object Landing {
     val dest = new java.io.File(newTierDir)
     if (dest.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dest)
     require(dest.mkdirs(), s"linkTier: cannot create $newTierDir")
-    dataFiles(new java.io.File(oldTierDir)).foreach(linkOrCopy(_, dest))
+    val resident = dataFiles(new java.io.File(oldTierDir))
+    require(resident.nonEmpty,
+      s"linkTier: no resident data files visible at $oldTierDir")
+    resident.foreach(linkOrCopy(_, dest))
     require(new java.io.File(dest, "_SUCCESS").createNewFile(),
       s"linkTier: cannot commit $newTierDir")
-  }
-
-  /** Stage `delta` and move its part files into the LIVE committed
-    * tier directory by atomic rename — the single-address ingest form.
-    * Returns the number of data files landed (0 = an empty delta still
-    * lands its schema-only part file; callers that want a true no-op
-    * on an empty batch should check emptiness before calling).
-    */
-  def landInto(delta: DataFrame, tierDir: String): Int = {
-    require(new java.io.File(tierDir, "_SUCCESS").exists(),
-      s"landInto requires a committed tier at $tierDir")
-    val staging = tierDir + ".delta-" + java.util.UUID.randomUUID().toString
-    val stagingDir = new java.io.File(staging)
-    try {
-      delta.write.mode("overwrite").parquet(staging)
-      val files = dataFiles(stagingDir)
-      files.foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(tierDir, f.getName).toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-      files.size
-    } finally org.apache.commons.io.FileUtils.deleteQuietly(stagingDir)
   }
 }

@@ -822,6 +822,10 @@ object Dedup {
     * pigeonhole complete (wider radii need more/smaller blocks).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // validate BEFORE the persist: a rejected radius must not leave a
+    // registered cache entry behind (review r18)
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-block pigeonhole banding guarantees full recall only for maxHamming <= 3")
     // the signature frame feeds 4 block branches on each side of the
     // candidate join plus both verification joins — persist so the
     // token explode + 32-sum aggregate runs once (same contract as
@@ -2130,6 +2134,68 @@ object Dedup {
     docs.sparkSession.read.parquet(s"$newDir/pairs")
       .filter(col("id_a") % 10 === 7 || col("id_b") % 10 === 7)
       .orderBy("id_a", "id_b")
+  }
+
+  /** The cascade's five tier names, in the presentation order q268
+    * reports them — single source of truth for [[compactCascade]] and
+    * [[cascadeCompactTierCounts]]. */
+  private[graft] val CascadeTiers =
+    Seq("cand", "labels", "pairs", s"sh$DefaultShingleN", "shsets")
+
+  /** COMPACT a committed cascade address: rewrite every tier of
+    * `oldDir` into right-sized files at `newDir`
+    * ([[graft.engine.Landing.compactTier]]) — the maintenance
+    * operation that closes the delta-landing lifecycle. The append
+    * chain ([[appendToCascade]]) grows each tier by one part-file set
+    * per batch (linked base + delta, zero resident bytes); compaction
+    * periodically folds the accumulated sets back into
+    * ~`bytesPerFile`-sized files so readers stop paying per-file open
+    * cost, and day-N+1's append lands on the COMPACTED address
+    * unchanged (same tier names and commit gate, content row-equal —
+    * spec-proven, and every cascade oracle re-checks it through the
+    * compacted frame). Tiers commit independently: a death
+    * mid-compaction resumes by compacting only the uncommitted tiers.
+    * At 100 TB this is the weekly OPTIMIZE job next to the daily
+    * append — the corpus rewrite is paid once per maintenance
+    * interval, never per batch. Returns true iff any tier rewrote.
+    */
+  def compactCascade(spark: org.apache.spark.sql.SparkSession,
+                     oldDir: String, newDir: String,
+                     threshold: Double = 0.2, bands: Int = 4,
+                     bytesPerFile: Long = 128L << 20): Boolean = {
+    // same setting-in-the-prefix guard as the append: a compacted
+    // revision must carry the (threshold, bands) its tiers were
+    // verified at — addresses are the only roster the frames have
+    val setting = s"${math.rint(threshold * 1000).toInt}b${bands}_"
+    Seq(oldDir, newDir).foreach(d => require(d.contains(setting),
+      s"compactCascade: dir $d was not addressed for (threshold=$threshold, bands=$bands)"))
+    CascadeTiers.map(t =>
+      graft.engine.Landing.compactTier(spark, s"$oldDir/$t", s"$newDir/$t",
+        bytesPerFile)).exists(identity)
+  }
+
+  /** q268: compaction AS A QUERY — per-tier row counts of the cascade
+    * read from the COMPACTED address. The main cascade (the frame
+    * q33/q68/q72/q104 probe, and the address q264's append lands
+    * into) compacts once into the `cmp_` variant; the report proves
+    * ALL five tiers survived the rewrite row-complete, hash-exact
+    * against a DuckDB oracle that re-derives every tier count from
+    * raw text (LSH cascade + jaccard verify + recursive CC). File
+    * counts are the spec's job (bounded by construction); the QUERY
+    * pins the part that needs an oracle — compaction is content-
+    * identity.
+    */
+  def cascadeCompactTierCounts(docs: DataFrame, mainDir: String,
+                               cmpDir: String, threshold: Double = 0.2,
+                               bands: Int = 4): DataFrame = {
+    prebuildCascade(docs, mainDir, threshold, bands)
+    compactCascade(docs.sparkSession, mainDir, cmpDir, threshold, bands)
+    CascadeTiers.map(t =>
+      docs.sparkSession.read.parquet(s"$cmpDir/$t")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("tier"), col("n_rows")))
+      .reduce(_.unionByName(_))
+      .orderBy("tier")
   }
 
   /** Build the threshold-independent DISTINCT (doc_id, 3-gram) string

@@ -1180,15 +1180,17 @@ object Similarity {
     * tiers already committed — the reuse no-op).
     */
   def appendToPqIndex(newVecs: DataFrame, oldDir: String, newDir: String,
-                      m: Int = 2): Boolean = {
+                      m: Int = 2, k: Int = 4, iters: Int = 3): Boolean = {
     val spark = newVecs.sparkSession
     def committed(d: String) = graft.engine.ContentAddress.hasSuccess(spark, d)
-    // the prefix bakes (m, k, iters); reject a dir addressed for
-    // another subspace split — a 2-subspace batch landing in a
-    // 4-subspace address would serve half-width codes to every ADC
-    // consumer of that address
-    Seq(oldDir, newDir).foreach(d => require(d.contains(s"pq${m}x"),
-      s"appendToPqIndex: dir $d was not addressed for m=$m subspaces"))
+    // the prefix bakes the FULL (m, k, iters) setting ([[pqIndexDir]]);
+    // reject a dir addressed for any other — a 2-subspace batch
+    // landing in a 4-subspace address would serve half-width codes,
+    // and k=4-trained codes in a k=8 address would serve the wrong
+    // codebook cardinality to every ADC consumer (review r18: the
+    // first cut checked only the m fragment)
+    Seq(oldDir, newDir).foreach(d => require(d.contains(s"pq${m}x${k}i${iters}_"),
+      s"appendToPqIndex: dir $d was not addressed for (m=$m, k=$k, iters=$iters)"))
     require(committed(s"$oldDir/codes") && committed(s"$oldDir/books"),
       s"appendToPqIndex requires a committed index at $oldDir")
     if (committed(s"$newDir/codes") && committed(s"$newDir/books")) return false
@@ -1217,7 +1219,8 @@ object Similarity {
   def pqAppendBatchCodes(emb: DataFrame, oldDir: String, newDir: String,
                          m: Int = 2, k: Int = 4, iters: Int = 3): DataFrame = {
     prebuildPqIndex(emb.filter(col("vec_id") % 10 =!= 7), oldDir, m, k, iters)
-    appendToPqIndex(emb.filter(col("vec_id") % 10 === 7), oldDir, newDir, m)
+    appendToPqIndex(emb.filter(col("vec_id") % 10 === 7), oldDir, newDir,
+      m, k, iters)
     emb.sparkSession.read.parquet(s"$newDir/codes")
       .filter(col("vec_id") % 10 === 7)
       .orderBy("vec_id", "sub")

@@ -1077,6 +1077,93 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("compactCascade: content row-equal, files bin-packed, chain continues, tiers resume") {
+    import spark.implicits._
+    // the lifecycle closes: append (delta files accumulate) → compact
+    // (fold into right-sized files, content-identical) → next append
+    // lands on the COMPACTED address ≡ one rebuild. The fixture is the
+    // chained-appends corpus shape: day-0 + batch-1 appended, then
+    // compacted, then batch-2 appended on the compacted revision.
+    val rnd = new scala.util.Random(43)
+    val textA = (0 until 12).map(i => s"a_$i").mkString(" ")
+    val fixed = Seq((5L, textA), (17L, textA), (26L, textA))
+    val tail = (50L to 89L).map { i =>
+      (i, Seq.fill(10 + rnd.nextInt(6))("k" + rnd.nextInt(12)).mkString(" "))
+    }
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-cpt-corpus").toString
+    (fixed ++ tail).map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val day0 = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 6)
+    val b1 = docs.filter(col("doc_id") % 10 === 7)
+    val b2 = docs.filter(col("doc_id") % 10 === 6)
+    val base = java.nio.file.Files.createTempDirectory("graft-cpt-base").toString
+    val t = 0.2
+    val d0 = Dedup.cascadeDir(spark, corpusDir, base, t, variant = "d0_")
+    val d1 = Dedup.cascadeDir(spark, corpusDir, base, t, variant = "d1_")
+    val cmp = Dedup.cascadeDir(spark, corpusDir, base, t, variant = "cmp_")
+    val d2 = Dedup.cascadeDir(spark, corpusDir, base, t, variant = "d2_")
+    val full = Dedup.cascadeDir(spark, corpusDir, base, t)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, what)
+    def nFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    assert(Dedup.prebuildCascade(day0, d0, t))
+    assert(Dedup.appendToCascade(b1, d0, d1, t))
+    val tiers = Seq("sh3", "shsets", "cand", "pairs", "labels")
+    // the appended tiers really carry multiple part-file sets (linked
+    // base + delta) — the small-file shape compaction exists for
+    assert(tiers.take(4).forall(tr => nFiles(s"$d1/$tr") > 1),
+      "fixture must present multi-file tiers to compact")
+    val d1Snap = tiers.map(tr => tr -> fileSnapshot(s"$d1/$tr")).toMap
+    assert(Dedup.compactCascade(spark, d1, cmp, t), "first compaction must build")
+    tiers.foreach { tr =>
+      same(spark.read.parquet(s"$cmp/$tr"), spark.read.parquet(s"$d1/$tr"),
+        s"$tr: compaction changed tier content")
+      // every tier is far below bytesPerFile, so bin-packing must fold
+      // it to exactly one data file
+      assert(nFiles(s"$cmp/$tr") == 1, s"$tr: expected 1 compacted file")
+      assert(fileSnapshot(s"$d1/$tr") == d1Snap(tr),
+        s"$tr: compaction wrote over the source address")
+    }
+    // reuse is a no-op; the guard rejects a wrong-setting address
+    assert(!Dedup.compactCascade(spark, d1, cmp, t))
+    intercept[IllegalArgumentException] {
+      Dedup.compactCascade(spark, d1, cmp, threshold = 0.3)
+    }
+    // tiers commit independently: kill one tier's marker and re-run —
+    // only it rewrites (the others' commit markers keep their mtime)
+    val others = tiers.filterNot(_ == "cand")
+      .map(tr => tr -> new java.io.File(s"$cmp/$tr", "_SUCCESS").lastModified())
+    assert(new java.io.File(s"$cmp/cand", "_SUCCESS").delete())
+    assert(Dedup.compactCascade(spark, d1, cmp, t), "must resume the killed tier")
+    others.foreach { case (tr, m) =>
+      assert(new java.io.File(s"$cmp/$tr", "_SUCCESS").lastModified() == m,
+        s"$tr: resume rewrote a committed tier")
+    }
+    same(spark.read.parquet(s"$cmp/cand"), spark.read.parquet(s"$d1/cand"),
+      "resumed cand tier diverged")
+    // the chain survives compaction: day-2 appends on the COMPACTED
+    // address and still equals one rebuild over all three slices
+    assert(Dedup.appendToCascade(b2, cmp, d2, t),
+      "append must land on a compacted address")
+    assert(Dedup.prebuildCascade(docs, full, t))
+    tiers.foreach { tr =>
+      same(spark.read.parquet(s"$d2/$tr"), spark.read.parquet(s"$full/$tr"),
+        s"$tr: append-on-compacted diverged from the rebuild")
+    }
+    val lab = spark.read.parquet(s"$d2/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lab(5L) == lab(17L) && lab(17L) == lab(26L),
+      "the planted cross-day cluster must close across the compaction")
+    spark.catalog.clearCache()
+  }
+
   test("ContentAddress legacy prefixes: old-format dirs pruned, parameterized siblings survive") {
     import spark.implicits._
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-ca-leg").toString

@@ -66,5 +66,9 @@ object Bands {
     // q268 isolated probe reps 2-4 after the one-time compaction
     // commit (1.21/1.00/0.84 at load 1.4): five full-tier count scans
     // off the compacted address → 10 ds
-    268 -> 10)
+    268 -> 10,
+    // q269 isolated probe reps 2-4 after the four one-time family
+    // compactions (3.07/2.45/1.89 at load 2.0-2.4): one 7-scan union
+    // plan over the compacted simhash/semcc/pq/ivf tiers → 22 ds
+    269 -> 22)
 }

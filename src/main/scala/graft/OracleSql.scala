@@ -4494,7 +4494,42 @@ object OracleSql {
             |UNION ALL SELECT 'pairs', CAST(count(*) AS BIGINT) FROM vp
             |UNION ALL SELECT 'sh3', CAST(count(*) AS BIGINT) FROM dsh
             |UNION ALL SELECT 'shsets', CAST(count(*) AS BIGINT) FROM hs
-            |ORDER BY tier""".stripMargin))
+            |ORDER BY tier""".stripMargin)) +
+      // q269: the q268 argument over the OTHER four families — each
+      // compacted tier's row count re-derived from the raw tables:
+      // simhash sig = one signature per document, pairs = the q71
+      // block-collision + Hamming verify; semcc pairs = the q40 bucket
+      // join at cos >= 0.3, labels = one row per pair endpoint; pq
+      // codes = m rows per vector (m=2), books = m*k (8); ivf index =
+      // one row per vector
+      ("q269_compact_families" ->
+        (s"WITH $simhashCtes,\n" +
+          """blocks AS (SELECT doc_id, 0 AS blk, (simhash >> 0) & 255 AS bv FROM ssig
+            |UNION ALL SELECT doc_id, 1, (simhash >> 8) & 255 FROM ssig
+            |UNION ALL SELECT doc_id, 2, (simhash >> 16) & 255 FROM ssig
+            |UNION ALL SELECT doc_id, 3, (simhash >> 24) & 255 FROM ssig),
+            |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM blocks a
+            |JOIN blocks b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+            |sp AS (SELECT c.id_a, c.id_b FROM scand c
+            |JOIN ssig sa ON c.id_a = sa.doc_id JOIN ssig sb ON c.id_b = sb.doc_id
+            |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+            |""".stripMargin +
+          s"""eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |bk AS (SELECT vec_id, v, CAST(${bucketTerms("v")} AS INT) AS bucket_id FROM eb),
+             |cp AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             |list_dot_product(a.v, c.v) /
+             |(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+             |FROM bk a JOIN bk c ON a.bucket_id = c.bucket_id AND a.vec_id < c.vec_id),
+             |sp2 AS (SELECT id_a, id_b FROM cp WHERE cos >= 0.3),
+             |sno AS (SELECT id_a AS x FROM sp2 UNION SELECT id_b FROM sp2)
+             |SELECT 'ivf' AS family, 'index' AS tier, CAST(count(*) AS BIGINT) AS n_rows FROM embeddings
+             |UNION ALL SELECT 'pq', 'books', CAST(8 AS BIGINT)
+             |UNION ALL SELECT 'pq', 'codes', CAST(2 * count(*) AS BIGINT) FROM embeddings
+             |UNION ALL SELECT 'semcc', 'labels', CAST(count(*) AS BIGINT) FROM sno
+             |UNION ALL SELECT 'semcc', 'pairs', CAST(count(*) AS BIGINT) FROM sp2
+             |UNION ALL SELECT 'simhash', 'pairs', CAST(count(*) AS BIGINT) FROM sp
+             |UNION ALL SELECT 'simhash', 'sig', CAST(count(*) AS BIGINT) FROM ssig
+             |ORDER BY family, tier""".stripMargin))
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs

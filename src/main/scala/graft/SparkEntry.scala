@@ -882,7 +882,17 @@ object SparkEntry {
     // the compacted address prove the rewrite content-complete
     "q268_compact_tiers"    -> ((s, d) =>
       Dedup.cascadeCompactTierCounts(Tables.documents(s, d),
-        ccCascadeFor(s, d), ccCompactFor(s, d)))
+        ccCascadeFor(s, d), ccCompactFor(s, d))),
+    // the maintenance half closed over every materialized family:
+    // SimHash, semantic-CC, PQ, and the bucket-partitioned IVF index
+    // each compact into a cmp_ revision; one report reads all four
+    "q269_compact_families" -> ((s, d) =>
+      Dedup.familyCompactionReport(
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        simhashFor(s, d), simhashCmpFor(s, d),
+        semCcFor(s, d), semCcCmpFor(s, d),
+        pqIndexFor(s, d), pqCmpIndexFor(s, d),
+        ivfIndexFor(s, d), ivfCmpIndexFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair
@@ -964,6 +974,30 @@ object SparkEntry {
   private[graft] def ccCompactFor(s: SparkSession, d: String): String =
     Dedup.cascadeDir(s, s"$d/documents.parquet", tmpBase(d, "cc"),
       variant = "cmp_")
+
+  /** q269's compacted revisions — [[ccCompactFor]]'s siblings for the
+    * other three materialized families (same base as each family's
+    * main address, `cmp_` variant). */
+  private[graft] def simhashCmpFor(s: SparkSession, d: String): String =
+    Dedup.simhashDir(s, s"$d/documents.parquet", tmpBase(d, "sh"),
+      variant = "cmp_")
+
+  private[graft] def semCcCmpFor(s: SparkSession, d: String): String =
+    Dedup.semCcDir(s, s"$d/embeddings.parquet", tmpBase(d, "scc"),
+      variant = "cmp_")
+
+  private[graft] def pqCmpIndexFor(s: SparkSession, d: String): String =
+    Similarity.pqIndexDir(s, s"$d/embeddings.parquet", tmpBase(d, "pq"),
+      variant = "cmp_")
+
+  private[graft] def ivfCmpIndexFor(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val ph = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_${new java.io.File(d).getName}_$ph").getAbsolutePath
+    Similarity.ivfIndexDir(s, s"$d/embeddings.parquet", base, variant = "cmp_")
+  }
 
   /** Content-addressed home of the embeddings table's materialized
     * embedding-CC label frame ([[Dedup.prebuildSemanticCc]]) — q79

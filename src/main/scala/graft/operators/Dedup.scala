@@ -2174,6 +2174,74 @@ object Dedup {
         bytesPerFile)).exists(identity)
   }
 
+  /** [[compactCascade]] for the SimHash family: fold the `sig` and
+    * `pairs` tiers into right-sized files; [[appendToSimhashPairs]]
+    * continues on the compacted address unchanged. */
+  def compactSimhash(spark: org.apache.spark.sql.SparkSession,
+                     oldDir: String, newDir: String, maxHamming: Int = 3,
+                     bytesPerFile: Long = 128L << 20): Boolean = {
+    val setting = s"sh${maxHamming}_"
+    Seq(oldDir, newDir).foreach(d => require(d.contains(setting),
+      s"compactSimhash: dir $d was not addressed for maxHamming=$maxHamming"))
+    Seq("sig", "pairs").map(t =>
+      graft.engine.Landing.compactTier(spark, s"$oldDir/$t", s"$newDir/$t",
+        bytesPerFile)).exists(identity)
+  }
+
+  /** [[compactCascade]] for the semantic-CC family: fold the `pairs`
+    * and `labels` tiers; [[appendToSemanticCc]] continues on the
+    * compacted address unchanged. */
+  def compactSemanticCc(spark: org.apache.spark.sql.SparkSession,
+                        oldDir: String, newDir: String,
+                        threshold: Double = 0.3,
+                        bytesPerFile: Long = 128L << 20): Boolean = {
+    val setting = s"semcc_t${math.rint(threshold * 1000).toInt}_"
+    Seq(oldDir, newDir).foreach(d => require(d.contains(setting),
+      s"compactSemanticCc: dir $d was not addressed for threshold=$threshold"))
+    Seq("pairs", "labels").map(t =>
+      graft.engine.Landing.compactTier(spark, s"$oldDir/$t", s"$newDir/$t",
+        bytesPerFile)).exists(identity)
+  }
+
+  /** q269: the maintenance half CLOSED over every materialized family
+    * — each one now has both an ingest path (q264–q267 + the IVF
+    * append) and a compaction path, and this query reads all four
+    * compacted revisions at once: per-(family, tier) row counts off
+    * the compacted SimHash, semantic-CC, PQ, and IVF addresses,
+    * hash-exact against a DuckDB re-derivation of every count from
+    * the raw tables. One report, seven tiers, four layouts (flat
+    * link+delta tiers and the bucket-partitioned IVF dir) — compaction
+    * is content-identity everywhere or this query's oracle breaks.
+    */
+  def familyCompactionReport(docs: DataFrame, emb: DataFrame,
+                             simMain: String, simCmp: String,
+                             semMain: String, semCmp: String,
+                             pqMain: String, pqCmp: String,
+                             ivfMain: String, ivfCmp: String): DataFrame = {
+    val spark = docs.sparkSession
+    prebuildSimhashPairs(docs, simMain)
+    compactSimhash(spark, simMain, simCmp)
+    prebuildSemanticCc(emb, semMain)
+    compactSemanticCc(spark, semMain, semCmp)
+    Similarity.prebuildPqIndex(emb, pqMain)
+    Similarity.compactPqIndex(spark, pqMain, pqCmp)
+    Similarity.prebuildIvfIndex(emb, ivfMain)
+    Similarity.compactIvfIndex(spark, ivfMain, ivfCmp)
+    def cnt(fam: String, tier: String, dir: String) =
+      spark.read.parquet(dir).agg(count(lit(1)).as("n_rows"))
+        .select(lit(fam).as("family"), lit(tier).as("tier"), col("n_rows"))
+    Seq(
+      cnt("ivf", "index", ivfCmp),
+      cnt("pq", "books", s"$pqCmp/books"),
+      cnt("pq", "codes", s"$pqCmp/codes"),
+      cnt("semcc", "labels", s"$semCmp/labels"),
+      cnt("semcc", "pairs", s"$semCmp/pairs"),
+      cnt("simhash", "pairs", s"$simCmp/pairs"),
+      cnt("simhash", "sig", s"$simCmp/sig"))
+      .reduce(_.unionByName(_))
+      .orderBy("family", "tier")
+  }
+
   /** q268: compaction AS A QUERY — per-tier row counts of the cascade
     * read from the COMPACTED address. The main cascade (the frame
     * q33/q68/q72/q104 probe, and the address q264's append lands

@@ -184,8 +184,14 @@ object Similarity {
     * worse, collapse every corpus to one address.
     */
   def ivfIndexDir(spark: org.apache.spark.sql.SparkSession,
-                  dataPath: String, base: String): String =
-    graft.engine.ContentAddress.dirFor(spark, dataPath, base, "ivf_", "ivfIndexDir")
+                  dataPath: String, base: String,
+                  variant: String = ""): String =
+    // `variant` keys a revision over the same embedding files (the
+    // semCcDir convention) — q269's compacted index lives as a
+    // prefix-extending sibling the content address prunes/rebuilds on
+    // the same corpus-change trigger as the main
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base,
+      s"ivf_$variant", "ivfIndexDir")
 
   /** Bucket-tagged projection of the corpus; also the index row
     * layout. Ensures the partitioned index exists and returns the
@@ -1131,6 +1137,46 @@ object Similarity {
         .write.mode("overwrite").parquet(booksDir)
     }
     fresh
+  }
+
+  /** `Dedup.compactCascade` for the PQ family: fold the `codes` and
+    * `books` tiers into right-sized files
+    * ([[graft.engine.Landing.compactTier]]); [[appendToPqIndex]]
+    * continues on the compacted address unchanged. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     oldDir: String, newDir: String,
+                     m: Int = 2, k: Int = 4, iters: Int = 3,
+                     bytesPerFile: Long = 128L << 20): Boolean = {
+    val setting = s"pq${m}x${k}i${iters}_"
+    Seq(oldDir, newDir).foreach(d => require(d.contains(setting),
+      s"compactPqIndex: dir $d was not addressed for (m=$m, k=$k, iters=$iters)"))
+    Seq("codes", "books").map(t =>
+      graft.engine.Landing.compactTier(spark, s"$oldDir/$t", s"$newDir/$t",
+        bytesPerFile)).exists(identity)
+  }
+
+  /** Compaction for the bucket-PARTITIONED IVF index: after K
+    * [[appendToIvfIndex]] ingests each touched `bucket_id=` partition
+    * carries K part files — this rewrites the index so every bucket's
+    * rows cluster back into one file per shuffle target (the same
+    * repartition-on-bucket + partitionBy write as the original build,
+    * but from the STORED rows: no vector re-hashes through the LSH).
+    * Unlike the flat-tier `coalesce` form this pays one shuffle — the
+    * per-partition-directory layout requires clustering by the
+    * partition column — which is exactly the rebuild's shuffle minus
+    * the bucket computation, paid once per maintenance interval.
+    * Probes over the compacted index are identical (same rows, same
+    * partition pruning). Returns true iff a rewrite happened.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      oldIndexDir: String, newIndexDir: String): Boolean = {
+    if (graft.engine.ContentAddress.hasSuccess(spark, newIndexDir)) return false
+    require(new java.io.File(oldIndexDir, "_SUCCESS").exists(),
+      s"compactIvfIndex requires a committed index at $oldIndexDir")
+    spark.read.parquet(oldIndexDir)
+      .repartition(col("bucket_id"))
+      .write.mode("overwrite").partitionBy("bucket_id").parquet(newIndexDir)
+    true
   }
 
   /** Encode vectors against a committed index's FROZEN codebooks —

@@ -288,6 +288,79 @@ class LshAndBucketingSpec extends AnyFunSuite {
       "two-day chain diverges from the one-step append")
   }
 
+  test("compactPqIndex / compactIvfIndex: row-equal, files folded, ingest continues") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") % 10 =!= 7)
+    val b1 = emb.filter(col("vec_id") % 20 === 7)
+    val b2 = emb.filter(col("vec_id") % 20 === 17)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, what)
+    def nFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    // --- PQ: flat link+delta tiers fold via coalesce ---
+    val base = java.nio.file.Files.createTempDirectory("graft-cptpq").toString
+    val oldDir = s"$base/pq2x4i3_old"
+    val d1 = s"$base/pq2x4i3_d1"
+    val cmp = s"$base/pq2x4i3_cmp"
+    assert(Similarity.prebuildPqIndex(old, oldDir))
+    assert(Similarity.appendToPqIndex(b1, oldDir, d1))
+    assert(nFiles(s"$d1/codes") > 1,
+      "fixture must present a multi-file codes tier (linked base + delta)")
+    assert(Similarity.compactPqIndex(spark, d1, cmp), "first compaction must build")
+    Seq("codes", "books").foreach { t =>
+      same(spark.read.parquet(s"$cmp/$t"), spark.read.parquet(s"$d1/$t"),
+        s"$t: compaction changed tier content")
+      assert(nFiles(s"$cmp/$t") == 1, s"$t: expected 1 compacted file")
+    }
+    assert(!Similarity.compactPqIndex(spark, d1, cmp), "reuse must be a no-op")
+    intercept[IllegalArgumentException] {
+      Similarity.compactPqIndex(spark, d1, cmp, k = 8)
+    }
+    // day-2's ingest on the COMPACTED address codes-equals day-2 on
+    // the uncompacted one — the chain is layout-blind
+    val viaCmp = s"$base/pq2x4i3_viacmp"
+    val viaRaw = s"$base/pq2x4i3_viaraw"
+    assert(Similarity.appendToPqIndex(b2, cmp, viaCmp))
+    assert(Similarity.appendToPqIndex(b2, d1, viaRaw))
+    same(spark.read.parquet(s"$viaCmp/codes"),
+      spark.read.parquet(s"$viaRaw/codes"),
+      "append-on-compacted diverged from append-on-raw")
+    // --- IVF: the bucket-partitioned layout folds per partition ---
+    val i0 = java.nio.file.Files.createTempDirectory("graft-cptivf-live").toString
+    val icmp = java.nio.file.Files.createTempDirectory("graft-cptivf-cmp")
+      .toString + "/idx"
+    val ifull = java.nio.file.Files.createTempDirectory("graft-cptivf-full").toString
+    assert(Similarity.prebuildIvfIndex(old, i0))
+    Similarity.appendToIvfIndex(b1, i0)
+    def bucketDirs(dir: String) =
+      new java.io.File(dir).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("bucket_id=")).toSeq
+    assert(bucketDirs(i0).exists(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet")) > 1),
+      "fixture must present a multi-file bucket partition")
+    assert(Similarity.compactIvfIndex(spark, i0, icmp), "first compaction must build")
+    assert(!Similarity.compactIvfIndex(spark, i0, icmp), "reuse must be a no-op")
+    val cols = Seq("vec_id", "v", "bucket_id").map(col)
+    same(spark.read.parquet(icmp).select(cols: _*),
+      spark.read.parquet(i0).select(cols: _*),
+      "IVF compaction changed index content")
+    bucketDirs(icmp).foreach(d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName}: expected 1 file per compacted bucket"))
+    // ingest continues IN PLACE on the compacted index, and probes
+    // over it equal a monolithic full build
+    Similarity.appendToIvfIndex(b2, icmp)
+    assert(Similarity.prebuildIvfIndex(old.unionByName(b1).unionByName(b2), ifull))
+    val q = old.unionByName(b1).unionByName(b2)
+    val viaC = Similarity.annTopKIvf(q, icmp)
+    val viaF = Similarity.annTopKIvf(q, ifull)
+    assert(viaC.exceptAll(viaF).count() == 0 && viaF.exceptAll(viaC).count() == 0,
+      "probes over the compacted+appended index diverge from a full build")
+  }
+
   test("appendToIvfIndex: re-appending resident vec_ids is a no-op; staging never leaks") {
     val emb = Tables.embeddings(spark, sfDir)
     val old = emb.filter(col("vec_id") < 300)

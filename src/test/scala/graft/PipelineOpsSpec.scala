@@ -1164,6 +1164,114 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("compactSimhash / compactSemanticCc: row-equal, files folded, appends continue") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, what)
+    def nFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    // --- SimHash ---
+    val textA = (0 until 12).map(i => s"ca_$i").mkString(" ")
+    val fixed = Seq((5L, textA), (17L, textA), (26L, textA))
+    val tail = (50L to 89L).map { i =>
+      (i, Seq.fill(10 + rnd.nextInt(6))("cw" + rnd.nextInt(200)).mkString(" "))
+    }
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-cpts-corpus").toString
+    (fixed ++ tail).map { case (i, t) => (i, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val day0 = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 6)
+    val b1 = docs.filter(col("doc_id") % 10 === 7)
+    val b2 = docs.filter(col("doc_id") % 10 === 6)
+    val base = java.nio.file.Files.createTempDirectory("graft-cpts-base").toString
+    val d0 = Dedup.simhashDir(spark, corpusDir, base, variant = "d0_")
+    val d1 = Dedup.simhashDir(spark, corpusDir, base, variant = "d1_")
+    val cmp = Dedup.simhashDir(spark, corpusDir, base, variant = "cmp_")
+    val d2 = Dedup.simhashDir(spark, corpusDir, base, variant = "d2_")
+    val full = Dedup.simhashDir(spark, corpusDir, base)
+    assert(Dedup.prebuildSimhashPairs(day0, d0))
+    assert(Dedup.appendToSimhashPairs(b1, d0, d1))
+    assert(nFiles(s"$d1/sig") > 1,
+      "fixture must present a multi-file sig tier (linked base + delta)")
+    val d1Snap = Seq("sig", "pairs").map(t => t -> fileSnapshot(s"$d1/$t")).toMap
+    assert(Dedup.compactSimhash(spark, d1, cmp), "first compaction must build")
+    Seq("sig", "pairs").foreach { t =>
+      same(spark.read.parquet(s"$cmp/$t"), spark.read.parquet(s"$d1/$t"),
+        s"$t: compaction changed tier content")
+      assert(nFiles(s"$cmp/$t") == 1, s"$t: expected 1 compacted file")
+      assert(fileSnapshot(s"$d1/$t") == d1Snap(t),
+        s"$t: compaction wrote over the source address")
+    }
+    assert(!Dedup.compactSimhash(spark, d1, cmp), "reuse must be a no-op")
+    intercept[IllegalArgumentException] {
+      Dedup.compactSimhash(spark, d1, cmp, maxHamming = 2)
+    }
+    // day-2 lands on the compacted address ≡ one rebuild over all three
+    assert(Dedup.appendToSimhashPairs(b2, cmp, d2),
+      "append must land on a compacted address")
+    assert(Dedup.prebuildSimhashPairs(docs, full))
+    Seq("sig", "pairs").foreach { t =>
+      same(spark.read.parquet(s"$d2/$t"), spark.read.parquet(s"$full/$t"),
+        s"$t: append-on-compacted diverged from the rebuild")
+    }
+    val sp = spark.read.parquet(s"$d2/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp.contains((5L, 17L)) && sp.contains((17L, 26L)),
+      "the planted cross-day pairs must survive the compaction boundary")
+    // --- semantic CC ---
+    val dim = 8
+    def vec(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val vA = vec(3)
+    val rows = Seq((5L, vA), (17L, vA), (26L, vA)) ++
+      (50L to 89L).map(i => (i, vec(300 + rnd.nextInt(40))))
+    val embDir = java.nio.file.Files
+      .createTempDirectory("graft-cpts-emb").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(embDir)
+    val emb = spark.read.parquet(embDir)
+    val e0 = emb.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 6)
+    val eb1 = emb.filter(col("vec_id") % 10 === 7)
+    val eb2 = emb.filter(col("vec_id") % 10 === 6)
+    val ts = 0.3
+    val s0 = Dedup.semCcDir(spark, embDir, base, ts, variant = "d0_")
+    val s1 = Dedup.semCcDir(spark, embDir, base, ts, variant = "d1_")
+    val scmp = Dedup.semCcDir(spark, embDir, base, ts, variant = "cmp_")
+    val s2 = Dedup.semCcDir(spark, embDir, base, ts, variant = "d2_")
+    val sFull = Dedup.semCcDir(spark, embDir, base, ts)
+    assert(Dedup.prebuildSemanticCc(e0, s0, ts))
+    assert(Dedup.appendToSemanticCc(eb1, e0, s0, s1, ts))
+    assert(Dedup.compactSemanticCc(spark, s1, scmp, ts), "first compaction must build")
+    Seq("pairs", "labels").foreach { t =>
+      same(spark.read.parquet(s"$scmp/$t"), spark.read.parquet(s"$s1/$t"),
+        s"semcc $t: compaction changed tier content")
+      assert(nFiles(s"$scmp/$t") == 1, s"semcc $t: expected 1 compacted file")
+    }
+    assert(!Dedup.compactSemanticCc(spark, s1, scmp, ts))
+    intercept[IllegalArgumentException] {
+      Dedup.compactSemanticCc(spark, s1, scmp, threshold = 0.4)
+    }
+    assert(Dedup.appendToSemanticCc(eb2, e0.unionByName(eb1), scmp, s2, ts),
+      "semantic append must land on a compacted address")
+    assert(Dedup.prebuildSemanticCc(emb, sFull, ts))
+    Seq("pairs", "labels").foreach { t =>
+      same(spark.read.parquet(s"$s2/$t"), spark.read.parquet(s"$sFull/$t"),
+        s"semcc $t: append-on-compacted diverged from the rebuild")
+    }
+    val slab = spark.read.parquet(s"$s2/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(slab(5L) == slab(17L) && slab(17L) == slab(26L),
+      "the planted cross-day vector cluster must close across the compaction")
+    spark.catalog.clearCache()
+  }
+
   test("ContentAddress legacy prefixes: old-format dirs pruned, parameterized siblings survive") {
     import spark.implicits._
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-ca-leg").toString

@@ -109,6 +109,63 @@ object StreamPipeline {
       .foreachBatch(fn)
   }
 
+  /** One micro-batch landing on the SimHash append CHAIN — the unit
+    * [[dedupIngestSink]] drives, exposed for direct testing (the
+    * [[writeEpochOnce]] convention). Epoch `epochId`'s batch appends
+    * to the LAST COMMITTED epoch address before it (scanned back on
+    * disk, falling back to `day0Dir`) and lands at
+    * `dirForEpoch(epochId)` via
+    * [[graft.operators.Dedup.appendToSimhashPairs]].
+    *
+    * Exactly-once and crash-safety come from the append's own
+    * content-address contract, with NO driver-side chain state:
+    *  - a REPLAYED epoch (foreachBatch is at-least-once) finds both
+    *    its tiers committed and is a no-op (returns false);
+    *  - a crash MID-append leaves no `_SUCCESS` on the torn tier, and
+    *    the replay resumes it against the same scanned-back oldDir —
+    *    the scan sees only fully-committed epochs, so the resumed
+    *    landing is identical to the uncrashed one;
+    *  - chain-head recovery is pure disk state (the scan), so a
+    *    restarted query — fresh closure, fresh JVM — continues the
+    *    chain instead of re-rooting at day 0. Epoch-id GAPS (batches
+    *    that never fired) just link across.
+    * Returns true iff the epoch actually landed tiers.
+    */
+  def dedupIngestEpoch(batch: DataFrame, epochId: Long, day0Dir: String,
+                       dirForEpoch: Long => String,
+                       maxHamming: Int = 3): Boolean = {
+    val spark = batch.sparkSession
+    def committedAll(d: String) = Seq("sig", "pairs").forall(t =>
+      graft.engine.ContentAddress.hasSuccess(spark, s"$d/$t"))
+    val oldDir = ((epochId - 1) to 0L by -1L).iterator.map(dirForEpoch)
+      .find(committedAll).getOrElse(day0Dir)
+    graft.operators.Dedup.appendToSimhashPairs(batch, oldDir,
+      dirForEpoch(epochId), maxHamming)
+  }
+
+  /** STREAMING dedup ingest: the batch append chain (q267) driven by
+    * Structured Streaming — a crawler stream's micro-batches land on
+    * the materialized SimHash frame exactly once each, and the chain
+    * after N epochs is row-identical to one batch rebuild over
+    * day 0 ∪ all batches (the append law, spec-proven through the
+    * stream). This is the production shape the reference's
+    * checkpointLocation gestures at, applied to INDEX maintenance
+    * rather than row sinks: the same at-least-once foreachBatch
+    * delivery, absorbed here by the append's committed-tier reuse
+    * no-op instead of [[writeEpochOnce]]'s epoch-dir rename. An empty
+    * epoch still lands (schema-only delta) so every fired epoch
+    * address commits. Downstream consumers probe whatever epoch
+    * address is newest-committed — each is a complete frozen snapshot
+    * (linked base + deltas), never a torn view.
+    */
+  def dedupIngestSink(stream: DataFrame, day0Dir: String,
+                      dirForEpoch: Long => String, checkpointDir: String,
+                      maxHamming: Int = 3): DataStreamWriter[Row] =
+    foreachBatchSink(stream, checkpointDir) { (batch, epochId) =>
+      dedupIngestEpoch(batch, epochId, day0Dir, dirForEpoch, maxHamming)
+      ()
+    }
+
   /** Stateful extension: watermarked tumbling-window counts per
     * event_type — the streaming twin of
     * [[graft.operators.Aggregates.hourWindowCounts]]. Late data beyond

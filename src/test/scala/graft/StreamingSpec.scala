@@ -1115,6 +1115,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(!staging.exists(), "staging dir consumed by the commit rename")
   }
 
+  test("dedupIngestSink: streamed epochs chain the simhash append; replay is a no-op; chain ≡ rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(61)
+    // day-0 corpus + two streamed batches; planted exact copies make
+    // 17 (epoch 0) pair with resident 5, and 26 (epoch 1) extend the
+    // chain cross-epoch
+    val textA = (0 until 12).map(i => s"ig_$i").mkString(" ")
+    def doc(i: Long, t: String) = (i, t, "en", "s", 0L)
+    val day0Rows = Seq(doc(5L, textA)) ++ (50L to 79L).map(i =>
+      doc(i, Seq.fill(10 + rnd.nextInt(6))("iw" + rnd.nextInt(200)).mkString(" ")))
+    val b0Rows = Seq(doc(17L, textA)) ++ (80L to 89L).map(i =>
+      doc(i, Seq.fill(10 + rnd.nextInt(6))("iw" + rnd.nextInt(200)).mkString(" ")))
+    val b1Rows = Seq(doc(26L, textA)) ++ (90L to 99L).map(i =>
+      doc(i, Seq.fill(10 + rnd.nextInt(6))("iw" + rnd.nextInt(200)).mkString(" ")))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val base = java.nio.file.Files.createTempDirectory("graft-ing-base").toString
+    val day0Dir = s"$base/sh3_day0"
+    def dirForEpoch(e: Long) = s"$base/sh3_e$e"
+    assert(graft.operators.Dedup.prebuildSimhashPairs(
+      day0Rows.toDF(cols: _*), day0Dir))
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val stream = mem.toDF().toDF(cols: _*)
+    val query = StreamPipeline.dedupIngestSink(stream, day0Dir, dirForEpoch,
+      java.nio.file.Files.createTempDirectory("graft-ing-ckpt").toString).start()
+    try {
+      mem.addData(b0Rows: _*); query.processAllAvailable()
+      mem.addData(b1Rows: _*); query.processAllAvailable()
+    } finally query.stop()
+    // the chain after two streamed epochs ≡ one batch rebuild over
+    // day 0 ∪ both batches — the q267 law, driven through the stream
+    val fullDir = s"$base/sh3_full"
+    assert(graft.operators.Dedup.prebuildSimhashPairs(
+      (day0Rows ++ b0Rows ++ b1Rows).toDF(cols: _*), fullDir))
+    Seq("sig", "pairs").foreach { t =>
+      val a = spark.read.parquet(s"${dirForEpoch(1)}/$t")
+      val b = spark.read.parquet(s"$fullDir/$t")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$t: streamed chain diverges from the batch rebuild")
+    }
+    val pairs = spark.read.parquet(s"${dirForEpoch(1)}/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 17L)) && pairs.contains((17L, 26L)),
+      "planted cross-epoch pairs missing from the streamed chain")
+    // crash-replay: the SAME epoch delivered again (at-least-once
+    // foreachBatch) is absorbed by the committed-tier reuse no-op —
+    // no files move
+    def snap(dir: String) =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val before = Seq("sig", "pairs").map(t => snap(s"${dirForEpoch(1)}/$t"))
+    assert(!StreamPipeline.dedupIngestEpoch(b1Rows.toDF(cols: _*), 1L,
+      day0Dir, dirForEpoch), "re-delivered epoch must be a no-op")
+    assert(Seq("sig", "pairs").map(t => snap(s"${dirForEpoch(1)}/$t")) == before,
+      "replay moved files")
+    // epoch-id gap: epoch 5 fires next (2-4 never did) — the scan-back
+    // links it to epoch 1's committed head, keeping one unbroken chain
+    val b5 = Seq(doc(37L, textA)).toDF(cols: _*)
+    assert(StreamPipeline.dedupIngestEpoch(b5, 5L, day0Dir, dirForEpoch))
+    val p5 = spark.read.parquet(s"${dirForEpoch(5)}/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p5.contains((5L, 37L)) && p5.contains((26L, 37L)),
+      "gap epoch must land on the latest committed head, not day 0")
+  }
+
   test("file streaming source runs the same plan over parquet drops (S2-equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
     val batchDf = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -271,10 +271,18 @@ object Bench {
     * rows dropped by the cap are counted by the caller (`obx`) so a
     * truncated storm never reads as a clean one.
     */
+  /** The adjudication dicts' window-budget caps — ONE definition each
+    * (review r18): main's carried-set/obx accounting subtracts exactly
+    * these, so a one-sided edit would silently strand rows between
+    * "carried by slowest_sec" and "recorded in ob" with obx none the
+    * wiser. */
+  private[graft] val SlowestCap = 12
+  private[graft] val ObCap = 22
+
   private[graft] def slowestJson(results: Seq[(String, Double)],
                                  ratios: Map[String, Double] = Map.empty,
                                  mustInclude: Set[String] = Set.empty,
-                                 cap: Int = 12): String =
+                                 cap: Int = SlowestCap): String =
     slowestSelect(results, mustInclude).take(cap)
       .map { case (k, v) =>
         val num = k.drop(1).takeWhile(_ != '_')
@@ -337,7 +345,7 @@ object Bench {
     */
   private[graft] def obJson(rows: Seq[(String, Double)],
                             ratios: Map[String, Double],
-                            cap: Int = 22): String = {
+                            cap: Int = ObCap): String = {
     val sb = new StringBuilder(math.min(rows.size, cap) * 3 + 2)
     sb += '"'
     rows.take(cap).foreach { case (k, _) =>
@@ -952,12 +960,12 @@ object Bench {
     // rows with NO on-line evidence at all (spill past ob's cap of
     // 22); obx > 0 means the run exceeded the per-row adjudication
     // envelope and is graded wholesale by the el/ecpu digits
-    val carried = slowestSelect(results, obNames).take(12).map(_._1).toSet
+    val carried = slowestSelect(results, obNames).take(SlowestCap).map(_._1).toSet
     val spill = obRows.filterNot(r =>
       carried(r._1) || retried.contains(r._1) || pass2.contains(r._1))
     val obJ = if (spill.isEmpty) "" else
       s""","ob":${obJson(spill, cpuRatios.toMap)}"""
-    val obDropped = math.min(math.max(0, spill.size - 22), 99)
+    val obDropped = math.min(math.max(0, spill.size - ObCap), 99)
     val obx = if (obDropped == 0) "" else s""","obx":$obDropped"""
     // both readings of every retried query, [first, retry, cores] —
     // nonEmpty only when the 5× gate fired (bounded at 5 entries)

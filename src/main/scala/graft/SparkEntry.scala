@@ -919,14 +919,8 @@ object SparkEntry {
     * live index (rebuild churn on every alternation). Shared by
     * q64/q74 so the one build serves every index-backed ANN variant.
     */
-  private[graft] def ivfIndexFor(s: SparkSession, d: String): String = {
-    val abs = new java.io.File(d).getAbsolutePath
-    val ph = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_${new java.io.File(d).getName}_$ph").getAbsolutePath
-    Similarity.ivfIndexDir(s, s"$d/embeddings.parquet", base)
-  }
+  private[graft] def ivfIndexFor(s: SparkSession, d: String): String =
+    Similarity.ivfIndexDir(s, s"$d/embeddings.parquet", tmpBase(d, "ivf"))
 
   /** Content-addressed home of the documents table's materialized
     * dedup cascade (verified pairs + CC labels) — same base-keying
@@ -990,14 +984,9 @@ object SparkEntry {
     Similarity.pqIndexDir(s, s"$d/embeddings.parquet", tmpBase(d, "pq"),
       variant = "cmp_")
 
-  private[graft] def ivfCmpIndexFor(s: SparkSession, d: String): String = {
-    val abs = new java.io.File(d).getAbsolutePath
-    val ph = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_${new java.io.File(d).getName}_$ph").getAbsolutePath
-    Similarity.ivfIndexDir(s, s"$d/embeddings.parquet", base, variant = "cmp_")
-  }
+  private[graft] def ivfCmpIndexFor(s: SparkSession, d: String): String =
+    Similarity.ivfIndexDir(s, s"$d/embeddings.parquet", tmpBase(d, "ivf"),
+      variant = "cmp_")
 
   /** Content-addressed home of the embeddings table's materialized
     * embedding-CC label frame ([[Dedup.prebuildSemanticCc]]) — q79

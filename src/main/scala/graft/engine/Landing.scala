@@ -75,7 +75,17 @@ object Landing {
   def landDelta(delta: DataFrame, oldTierDir: String, newTierDir: String): Unit = {
     val dest = new java.io.File(newTierDir)
     if (dest.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dest)
-    val staging = newTierDir + ".delta-" + java.util.UUID.randomUUID().toString
+    // DETERMINISTIC staging name, not a UUID (review r18): a JVM death
+    // between the staging write and the finally-cleanup would orphan a
+    // UUID-named dir forever — the resume would stage under a fresh
+    // name and ContentAddress pruning removes whole sibling ADDRESSES,
+    // never tier-level litter. With one fixed name per tier the resume
+    // clobbers the torn attempt (overwrite mode) and the finally
+    // deletes it; repeated crashes leave at most one bounded orphan.
+    // Single-writer by contract, like every commit path in this file —
+    // concurrent landings of the SAME newTierDir already race on the
+    // dest drop above.
+    val staging = newTierDir + ".delta-staging"
     val stagingDir = new java.io.File(staging)
     try {
       delta.write.mode("overwrite").parquet(staging)

@@ -259,7 +259,12 @@ object Similarity {
     require(new java.io.File(indexDir, "_SUCCESS").exists(),
       s"appendToIvfIndex requires an existing index at $indexDir")
     val resident = newVecs.sparkSession.read.parquet(indexDir).select("vec_id")
-    val staging = indexDir + ".staging-" + java.util.UUID.randomUUID().toString
+    // deterministic staging (review r18, the Landing.landDelta fix): a
+    // crash between the staging write and the finally-cleanup must
+    // leave an orphan the NEXT append reclaims (overwrite + finally
+    // delete), not a UUID-named dir nothing ever prunes. Single-writer
+    // by contract — the whole mutable-index API is.
+    val staging = indexDir + ".append-staging"
     newVecs.join(resident, Seq("vec_id"), "left_anti")
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"),

@@ -139,7 +139,20 @@ object StreamPipeline {
       graft.engine.ContentAddress.hasSuccess(spark, s"$d/$t"))
     val oldDir = ((epochId - 1) to 0L by -1L).iterator.map(dirForEpoch)
       .find(committedAll).getOrElse(day0Dir)
-    graft.operators.Dedup.appendToSimhashPairs(batch, oldDir,
+    // a STREAM cannot promise id-disjointness the way a curated daily
+    // batch can (re-crawls, upstream at-least-once sources), and the
+    // append's overlap `require` inside foreachBatch would be a poison
+    // pill: the query dies, the checkpoint replays the SAME batch, it
+    // dies again — forever (review r18). So the sink, not the caller,
+    // owns the precondition: drop in-batch duplicate ids, anti-join
+    // away ids already resident in the chain head (a column-pruned
+    // doc_id-only scan), and land only the genuinely-new documents —
+    // the streaming twin of [[dedupOnIngest]], applied to index
+    // maintenance.
+    val fresh = batch.dropDuplicates("doc_id")
+      .join(spark.read.parquet(s"$oldDir/sig").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    graft.operators.Dedup.appendToSimhashPairs(fresh, oldDir,
       dirForEpoch(epochId), maxHamming)
   }
 
@@ -154,9 +167,13 @@ object StreamPipeline {
     * delivery, absorbed here by the append's committed-tier reuse
     * no-op instead of [[writeEpochOnce]]'s epoch-dir rename. An empty
     * epoch still lands (schema-only delta) so every fired epoch
-    * address commits. Downstream consumers probe whatever epoch
-    * address is newest-committed — each is a complete frozen snapshot
-    * (linked base + deltas), never a torn view.
+    * address commits. Re-crawled documents are TOLERATED, not fatal:
+    * ids already resident in the chain are anti-joined away before
+    * the append, so an upstream at-least-once source can never wedge
+    * the query on the append's disjointness guard. Downstream
+    * consumers probe whatever epoch address is newest-committed —
+    * each is a complete frozen snapshot (linked base + deltas), never
+    * a torn view.
     */
   def dedupIngestSink(stream: DataFrame, day0Dir: String,
                       dirForEpoch: Long => String, checkpointDir: String,

@@ -209,16 +209,7 @@ class LshAndBucketingSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft-pqapp").toString
     val oldDir = s"$base/pq2x4i3_old"
     val newDir = s"$base/pq2x4i3_app"
-    def snap(dir: String): Set[(String, Long, String)] =
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith("."))
-        .map { f =>
-          val md5 = java.security.MessageDigest.getInstance("MD5")
-            .digest(java.nio.file.Files.readAllBytes(f.toPath))
-            .map("%02x".format(_)).mkString
-          (f.getName, f.length(), md5)
-        }.toSet
+    def snap(dir: String): Set[(String, Long, String)] = TierFiles.snapshot(dir)
     assert(Similarity.prebuildPqIndex(old, oldDir))
     // the identity the whole append rests on: re-encoding the TRAINING
     // vectors against the frozen STORED books reproduces their stored
@@ -386,7 +377,7 @@ class LshAndBucketingSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     // the staged batch is moved in and the staging dir removed
     val parent = new java.io.File(dirA).getParentFile
-    val stem = new java.io.File(dirA).getName + ".staging-"
+    val stem = new java.io.File(dirA).getName + ".append-staging"
     assert(!parent.listFiles().exists(_.getName.startsWith(stem)),
       "staging directories must be cleaned up")
   }

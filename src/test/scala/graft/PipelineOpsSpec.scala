@@ -20,15 +20,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   /** (name, size, md5) of every data file in a tier dir — the
     * resident-untouched evidence for the delta-landing appends. */
   private def fileSnapshot(dir: String): Set[(String, Long, String)] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith("."))
-      .map { f =>
-        val md5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(java.nio.file.Files.readAllBytes(f.toPath))
-          .map("%02x".format(_)).mkString
-        (f.getName, f.length(), md5)
-      }.toSet
+    TierFiles.snapshot(dir)
 
   test("jsonRoundTrip parses k and re-encodes a canonical envelope") {
     val r = JsonRouting.jsonRoundTrip(events).head()

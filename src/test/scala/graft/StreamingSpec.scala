@@ -1162,6 +1162,9 @@ class StreamingSpec extends AnyFunSuite {
     // crash-replay: the SAME epoch delivered again (at-least-once
     // foreachBatch) is absorbed by the committed-tier reuse no-op —
     // no files move
+    // deliberately (name, size, MTIME), not TierFiles.snapshot's md5:
+    // the replay law is "no write happened at all" — an identical-bytes
+    // rewrite would slip past a content hash
     def snap(dir: String) =
       Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
         .filter(_.isFile).map(f => (f.getName, f.length(), f.lastModified())).toSet
@@ -1171,9 +1174,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(Seq("sig", "pairs").map(t => snap(s"${dirForEpoch(1)}/$t")) == before,
       "replay moved files")
     // epoch-id gap: epoch 5 fires next (2-4 never did) — the scan-back
-    // links it to epoch 1's committed head, keeping one unbroken chain
-    val b5 = Seq(doc(37L, textA)).toDF(cols: _*)
+    // links it to epoch 1's committed head, keeping one unbroken chain.
+    // The batch also RE-CRAWLS resident doc 5 and repeats 37 in-batch:
+    // a stream cannot promise disjointness, so the sink must drop the
+    // resident/duplicate ids instead of dying on the append's guard
+    // (the poison-pill review case: a thrown foreachBatch epoch
+    // replays the identical batch forever)
+    val b5 = (Seq(doc(37L, textA), doc(37L, textA)) ++ day0Rows.take(1))
+      .toDF(cols: _*)
     assert(StreamPipeline.dedupIngestEpoch(b5, 5L, day0Dir, dirForEpoch))
+    val sig5 = spark.read.parquet(s"${dirForEpoch(5)}/sig")
+    assert(sig5.filter(col("doc_id") === 37L).count() == 1,
+      "in-batch duplicate must land once")
+    assert(sig5.filter(col("doc_id") === 5L).count() == 1,
+      "re-crawled resident id must not double-land")
     val p5 = spark.read.parquet(s"${dirForEpoch(5)}/pairs")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p5.contains((5L, 37L)) && p5.contains((26L, 37L)),

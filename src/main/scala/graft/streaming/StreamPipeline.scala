@@ -183,6 +183,39 @@ object StreamPipeline {
       ()
     }
 
+  /** RETENTION for the ingest chain — the third lifecycle leg after
+    * ingest ([[dedupIngestSink]]) and compaction
+    * (`Dedup.compactSimhash`): every epoch address is a complete
+    * frozen snapshot, so a long-running stream accumulates one
+    * directory of hard links per micro-batch — data bytes are shared
+    * (links), but the METADATA grows O(epochs × files) and a year of
+    * epochs is millions of directory entries. This keeps the newest
+    * `keep` fully-committed epoch snapshots at or below `headEpoch`
+    * and deletes every other existing epoch directory — including
+    * torn ones (no `_SUCCESS`; a replay reassembles from scratch, so
+    * discarding a partial landing is always safe). Deleting an old
+    * snapshot only UNLINKS: the kept addresses still reference the
+    * shared inodes, byte-identical (spec-proven by md5 snapshot of
+    * the head across the prune). The scan-back in [[dedupIngestEpoch]]
+    * still finds the kept head, so ingest continues unaffected.
+    * `day0Dir` is not epoch-addressed and is the caller's to retire.
+    * Returns the pruned epoch ids, newest first.
+    */
+  def pruneIngestChain(spark: SparkSession, dirForEpoch: Long => String,
+                       headEpoch: Long, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, "retention must keep at least the chain head")
+    def committedAll(d: String) = Seq("sig", "pairs").forall(t =>
+      graft.engine.ContentAddress.hasSuccess(spark, s"$d/$t"))
+    val existing = (headEpoch to 0L by -1L)
+      .filter(e => new java.io.File(dirForEpoch(e)).exists())
+    val kept = existing.filter(e => committedAll(dirForEpoch(e)))
+      .take(keep).toSet
+    val drop = existing.filterNot(kept)
+    drop.foreach(e => org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dirForEpoch(e))))
+    drop
+  }
+
   /** Stateful extension: watermarked tumbling-window counts per
     * event_type — the streaming twin of
     * [[graft.operators.Aggregates.hourWindowCounts]]. Late data beyond

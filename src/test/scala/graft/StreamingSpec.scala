@@ -1192,6 +1192,29 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p5.contains((5L, 37L)) && p5.contains((26L, 37L)),
       "gap epoch must land on the latest committed head, not day 0")
+    // retention: keep the newest 2 committed snapshots (epochs 5, 1);
+    // epoch 0 and a planted TORN epoch dir (no _SUCCESS) are pruned.
+    // Deleting old snapshots only unlinks — the head's shared-inode
+    // files stay byte-identical across the prune
+    assert(new java.io.File(dirForEpoch(4)).mkdirs())
+    val headSnap = Seq("sig", "pairs").map(t =>
+      TierFiles.snapshot(s"${dirForEpoch(5)}/$t"))
+    val pruned = StreamPipeline.pruneIngestChain(spark, dirForEpoch,
+      headEpoch = 5L, keep = 2)
+    assert(pruned == Seq(4L, 0L), s"pruned $pruned")
+    assert(!new java.io.File(dirForEpoch(0)).exists())
+    assert(!new java.io.File(dirForEpoch(4)).exists(), "torn dir must be pruned")
+    assert(new java.io.File(dirForEpoch(1)).exists() &&
+      new java.io.File(dirForEpoch(5)).exists())
+    assert(Seq("sig", "pairs").map(t =>
+        TierFiles.snapshot(s"${dirForEpoch(5)}/$t")) == headSnap,
+      "head snapshot must be byte-identical across the prune")
+    // ingest continues on the pruned chain: epoch 6 still finds head 5
+    assert(StreamPipeline.dedupIngestEpoch(
+      Seq(doc(46L, textA)).toDF(cols: _*), 6L, day0Dir, dirForEpoch))
+    assert(spark.read.parquet(s"${dirForEpoch(6)}/pairs")
+      .filter(col("id_a") === 37L && col("id_b") === 46L).count() == 1,
+      "post-prune epoch must chain from the kept head")
   }
 
   test("file streaming source runs the same plan over parquet drops (S2-equivalent)") {

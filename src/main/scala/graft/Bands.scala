@@ -70,5 +70,9 @@ object Bands {
     // q269 isolated probe reps 2-4 after the four one-time family
     // compactions (3.07/2.45/1.89 at load 2.0-2.4): one 7-scan union
     // plan over the compacted simhash/semcc/pq/ivf tiers → 22 ds
-    269 -> 22)
+    269 -> 22,
+    // q270 isolated probe reps 2-4 after the one-time old-fixture
+    // build + landing (0.52/0.49/0.48 at load 2.9): one filtered scan
+    // of the landed tf tier → 5 ds
+    270 -> 5)
 }

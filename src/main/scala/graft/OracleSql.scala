@@ -4529,7 +4529,16 @@ object OracleSql {
              |UNION ALL SELECT 'semcc', 'pairs', CAST(count(*) AS BIGINT) FROM sp2
              |UNION ALL SELECT 'simhash', 'pairs', CAST(count(*) AS BIGINT) FROM sp
              |UNION ALL SELECT 'simhash', 'sig', CAST(count(*) AS BIGINT) FROM ssig
-             |ORDER BY family, tier""".stripMargin))
+             |ORDER BY family, tier""".stripMargin)) +
+      // q270: the appended token-tf frame equals a rebuild (per-doc
+      // purity), so the batch's landed rows are exactly a re-tokenize
+      // of the batch slice — q130's split semantics verbatim
+      ("q270_tokentf_append" ->
+        """SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          |      FROM documents WHERE doc_id % 10 = 7)
+          |GROUP BY doc_id, term
+          |ORDER BY doc_id, term""".stripMargin)
 
   /** q250: q247's plan CTEs verbatim, joined back per document; full
     * epochs = epochs_q4 div 10⁴, the fractional epoch admits docs

@@ -892,7 +892,14 @@ object SparkEntry {
         simhashFor(s, d), simhashCmpFor(s, d),
         semCcFor(s, d), semCcCmpFor(s, d),
         pqIndexFor(s, d), pqCmpIndexFor(s, d),
-        ivfIndexFor(s, d), ivfCmpIndexFor(s, d)))
+        ivfIndexFor(s, d), ivfCmpIndexFor(s, d))),
+    // the token family's ingest path — the simplest append instance
+    // (pure per-document aggregate, map-side landing); the batch's
+    // landed rows read back from the address q130/q137/q139/q144/q146
+    // probe
+    "q270_tokentf_append"   -> ((s, d) =>
+      TextAnalysis.tokenTfAppendBatchRows(Tables.documents(s, d),
+        tokenTfOldFor(s, d), tokenTfFor(s, d)))
   )
 
   /** Content-addressed home of the documents table's SimHash pair
@@ -1052,14 +1059,16 @@ object SparkEntry {
     * [[propsFor]] discipline applied to the token family; shared by
     * q130/q137/q139/q144/q146 and the retrieval-arm builds.
     */
-  private[graft] def tokenTfFor(s: SparkSession, d: String): String = {
-    val abs = new java.io.File(d).getAbsolutePath
-    val ph = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_tok_${new java.io.File(d).getName}_$ph").getAbsolutePath
-    TextAnalysis.tokenTfDir(s, s"$d/documents.parquet", base)
-  }
+  private[graft] def tokenTfFor(s: SparkSession, d: String): String =
+    TextAnalysis.tokenTfDir(s, s"$d/documents.parquet", tmpBase(d, "tok"))
+
+  /** The YESTERDAY-corpus token-tf frame (documents minus the
+    * `doc_id % 10 == 7` batch) that q270's append lands on —
+    * [[ccOldCascadeFor]]'s token twin, same slice-in-the-variant
+    * contract. */
+  private[graft] def tokenTfOldFor(s: SparkSession, d: String): String =
+    TextAnalysis.tokenTfDir(s, s"$d/documents.parquet", tmpBase(d, "tok"),
+      variant = "oldm10r7_")
 
   /** Content-addressed home of the documents table's materialized
     * retrieval-arm rankings (+ graded relevance) — shared by

@@ -519,9 +519,54 @@ object TextAnalysis {
     * never serve a stale parse.
     */
   def tokenTfDir(spark: org.apache.spark.sql.SparkSession, dataPath: String,
-                 base: String): String =
-    graft.engine.ContentAddress.dirFor(spark, dataPath, base, "tok_",
-      "tokenTfDir")
+                 base: String, variant: String = ""): String =
+    // `variant` keys a SLICE of the same document files (the semCcDir
+    // convention) — q270's yesterday-corpus frame and its appended twin
+    graft.engine.ContentAddress.dirFor(spark, dataPath, base,
+      s"tok_$variant", "tokenTfDir")
+
+  /** Incremental token-tf APPEND — the q264–q267 contract on the
+    * token family, and its simplest instance: (doc_id, term, tf) is a
+    * PURE per-document aggregate (no cross-document term anywhere in
+    * the tier), so the batch's rows are exactly [[tokenTf]] of the
+    * batch and the landing is map-side only —
+    * [[graft.engine.Landing.landDelta]] links the resident history
+    * and writes the batch-sized delta. Consumers that need corpus
+    * totals (df, PMI, BM25 stats) aggregate AT READ over the landed
+    * frame, which is why the tier stores tf and never df.
+    * Preconditions: committed old tier, batch doc_ids disjoint.
+    * Returns true iff the append built (false = reuse).
+    */
+  def appendToTokenTf(batch: DataFrame, oldDir: String, newDir: String): Boolean = {
+    val spark = batch.sparkSession
+    def committed(d: String) = graft.engine.ContentAddress.hasSuccess(spark, d)
+    require(committed(s"$oldDir/tf"),
+      s"appendToTokenTf requires a committed tf tier at $oldDir")
+    if (committed(s"$newDir/tf")) return false
+    require(batch.select("doc_id")
+        .join(spark.read.parquet(s"$oldDir/tf").select("doc_id").distinct(),
+          Seq("doc_id"), "left_semi").isEmpty,
+      "appendToTokenTf: batch doc_ids overlap the old corpus")
+    graft.engine.Landing.landDelta(tokenTf(batch),
+      s"$oldDir/tf", s"$newDir/tf")
+    true
+  }
+
+  /** q270: the token-family append AS A QUERY — the daily batch
+    * (`doc_id % 10 == 7`) lands on yesterday's committed token-tf
+    * frame and the batch's landed rows read back from the appended
+    * address, hash-exact against a from-raw-text re-tokenization.
+    * Every other token-family consumer (q130/q137/q139/q144/q146)
+    * re-checks the union frame through its own oracle.
+    */
+  def tokenTfAppendBatchRows(docs: DataFrame, oldDir: String,
+                             newDir: String): DataFrame = {
+    prebuildTokenTf(docs.filter(col("doc_id") % 10 =!= 7), oldDir)
+    appendToTokenTf(docs.filter(col("doc_id") % 10 === 7), oldDir, newDir)
+    docs.sparkSession.read.parquet(s"$newDir/tf")
+      .filter(col("doc_id") % 10 === 7)
+      .orderBy("doc_id", "term")
+  }
 
   /** Build the materialized [[tokenTf]] frame under `dir/tf` iff
     * missing (`_SUCCESS`-gated, resumable — the

@@ -44,6 +44,45 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
       TextAnalysis.oovRate(docs), "q146 OOV rate")
   }
 
+  test("appendToTokenTf: tier ≡ rebuild; resident linked; chain; guards") {
+    val docs = Tables.documents(spark, sfDir)
+    val day0 = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 6)
+    val b1 = docs.filter(col("doc_id") % 10 === 7)
+    val b2 = docs.filter(col("doc_id") % 10 === 6)
+    val base = java.nio.file.Files.createTempDirectory("graft-tokapp").toString
+    val path = s"$sfDir/documents.parquet"
+    val d0 = TextAnalysis.tokenTfDir(spark, path, base, variant = "d0_")
+    val d1 = TextAnalysis.tokenTfDir(spark, path, base, variant = "d1_")
+    val d2 = TextAnalysis.tokenTfDir(spark, path, base, variant = "d2_")
+    val full = TextAnalysis.tokenTfDir(spark, path, base)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, what)
+    assert(TextAnalysis.prebuildTokenTf(day0, d0))
+    val snap0 = TierFiles.snapshot(s"$d0/tf")
+    assert(TextAnalysis.appendToTokenTf(b1, d0, d1), "first append must build")
+    // resident files byte-identical and hard-linked into the new tier
+    assert(TierFiles.snapshot(s"$d0/tf") == snap0,
+      "append changed the resident old tier")
+    snap0.foreach { case (name, _, _) =>
+      assert(java.nio.file.Files.isSameFile(
+        new java.io.File(s"$d0/tf", name).toPath,
+        new java.io.File(s"$d1/tf", name).toPath),
+        s"tf/$name: expected a hard link, found a copy")
+    }
+    // chain: day-2 lands on day-1's appended frame; union ≡ rebuild
+    assert(TextAnalysis.appendToTokenTf(b2, d1, d2))
+    assert(TextAnalysis.prebuildTokenTf(docs, full))
+    same(spark.read.parquet(s"$d2/tf"), spark.read.parquet(s"$full/tf"),
+      "chained append diverges from the rebuild")
+    // reuse no-op; overlapping batch rejected loudly
+    assert(!TextAnalysis.appendToTokenTf(b1, d0, d1))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.appendToTokenTf(b1.unionByName(day0.limit(1)), d0,
+        TextAnalysis.tokenTfDir(spark, path, base, variant = "g_"))
+    }
+  }
+
   test("retrieval-arm cached twins: materialized rankings ≡ self-computed") {
     val docs = Tables.documents(spark, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft-arms").toString

@@ -33,9 +33,15 @@ object QueryProbe {
     def load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     for (name <- names; i <- 1 to reps) {
+      val c0 = graft.Bench.processCpuNanos
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"PROBE $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, load $load%.1f)")
+      val wall = System.nanoTime() - t0
+      // effective cores = process-CPU / wall over the measured span —
+      // the single-thread-bound detector (a heavy query reading ~1.0
+      // on a 32-core session is serialized, not slow)
+      val cores = (graft.Bench.processCpuNanos - c0).toDouble / wall
+      println(f"PROBE $name rep $i: ${wall / 1e9}%.2f s ($n rows, load $load%.1f, cores $cores%.1f)")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))

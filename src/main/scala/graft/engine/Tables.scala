@@ -18,6 +18,44 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive parallelism for EXPENSIVE narrow chains
+    * (optimization guide §2.5 "input skew: one huge unsplittable
+    * file … repartition immediately after the read").
+    *
+    * A parquet row group is read by exactly one task, so a table that
+    * arrives as one small file — every table of this driver's
+    * testdata, and the general "yesterday's single-writer extract"
+    * case — scans as ONE task no matter how many cores the session
+    * has. A narrow compute chain rooted on it (char-gram hashing,
+    * shingle MinHash signatures — the heavy per-row text work) then
+    * runs single-threaded until its first exchange: the round-18
+    * bench read q121 at 1.1 effective cores on a 32-core session for
+    * exactly this reason, and an A/B probe confirmed the diagnosis
+    * (q121 2.0 → 0.65 s, q199 2.5 → 0.8 s with the scan spread).
+    *
+    * Deliberately NOT applied at every scan: the round-robin exchange
+    * costs a stage + `defaultParallelism` task launches (~0.1–0.3 s
+    * in local mode), which is pure tax for the many sub-second
+    * column-aggregate queries — a blanket version of this helper
+    * regressed the cheap half of the suite by more than the heavy
+    * half gained. Operators whose per-row work is expensive enough to
+    * dominate a single core call it at their scan; everything else
+    * keeps the plain scan.
+    *
+    * Scale-safe by condition, not by tuning: only when the input
+    * yields fewer than half the session's cores worth of partitions
+    * (a 100 TB table arrives as thousands of splits and skips the
+    * branch) is the repartition inserted, and the exchange then moves
+    * only a provably small input. Filters/pruning push through
+    * Repartition into the scan, and round-robin repartition sorts
+    * before exchanging (SPARK-23207 default), so the layout is
+    * deterministic under task retry.
+    */
+  private[graft] def spreadNarrowCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -315,7 +315,23 @@ object Dedup {
                          threshold: Double = 0.05, bands: Int = 4,
                          pairsIn: Option[DataFrame] = None): DataFrame = {
     val pairs = pairsIn.getOrElse(nearDupPairs(docs, threshold, bands))
-    val sh = shingleDocs(docs).dropDuplicates("doc_id", "shingle")
+    // r18 optimization (guide §2.3 "don't compute things you throw
+    // away"): the k-component signatures are consumed ONLY through the
+    // inner joins on the pair endpoints below, so every doc outside
+    // the verified pair frame was shingled + 16×md5-aggregated for
+    // nothing. Restrict the signature build to the pair-participating
+    // ids first (a broadcast semi-join on the LSH-bounded id set), and
+    // spread the surviving docs across cores — the shingle explode is
+    // the suite's heaviest per-row compute and otherwise runs on the
+    // single-task scan of a one-file table. Bit-identical result (the
+    // dropped docs never reached the output); isolated probe
+    // 2.5 → 0.5 s at sf0.1/32 cores.
+    val pairIds = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val sh = shingleDocs(
+      graft.engine.Tables.spreadNarrowCompute(docs)
+        .join(broadcast(pairIds), Seq("doc_id"), "left_semi"))
+      .dropDuplicates("doc_id", "shingle")
     val compAggs = (0 until k).map(i =>
       min(md5(concat(lit(s"c$i:"), col("shingle")))).as(s"c$i"))
     val comps = sh.groupBy("doc_id").agg(compAggs.head, compAggs.tail: _*)

@@ -410,11 +410,21 @@ object Similarity {
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
         lit(0L), (acc, x) => acc + x)
-    val base = quantizeEmbeddings(emb).select(col("vec_id"), col("qvec"))
+    // r18: hoist the self-norms OUT of the scored fan-out — the HOF
+    // dot product is interpreted (no whole-stage codegen), and the
+    // original shape evaluated THREE of them per (vector, query) row
+    // (‖v‖² and ‖q‖² recomputed 8× resp. 8000×). Computing each side's
+    // norm once before the crossJoin leaves one idot per scored row —
+    // identical arithmetic, identical output. spreadNarrowCompute: the
+    // fan-out otherwise runs on the one-file scan's single task.
+    val base = graft.engine.Tables.spreadNarrowCompute(
+        quantizeEmbeddings(emb).select(col("vec_id"), col("qvec")))
+      .withColumn("nn", idot(col("qvec"), col("qvec")))
     val q = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("qvec").as("qq"))
-    val nn = idot(col("qvec"), col("qvec"))
-    val qn = idot(col("qq"), col("qq"))
+      .select(col("vec_id").as("q_id"), col("qvec").as("qq"),
+        col("nn").as("qn"))
+    val nn = col("nn")
+    val qn = col("qn")
     val scored = base.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("qcos",

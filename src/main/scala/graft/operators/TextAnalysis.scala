@@ -449,9 +449,15 @@ object TextAnalysis {
   // composable transform+explode form is an interpreted lambda paid
   // twice in the self-computing shape (model + scoring) — identical
   // gram multiset, spec-asserted, every oracle hash unchanged
-  private def bigramGrams(df: DataFrame) = df.filter(length(col("text")) >= 2)
-    .select(col("doc_id"),
-      graft.functions.CharGramGenerator.chargrams(col("text"), 2).as("bg"))
+  // r18: spreadNarrowCompute — the char-gram explode is heavy per-row
+  // work on a single-task one-file scan (q121 ran at 1.1 effective
+  // cores on 32); the conditional repartition costs one tiny exchange
+  // and parallelizes both the model build and the scoring pass
+  // (probe: q121 2.0 → 0.65 s). No-op at scale (see Tables).
+  private def bigramGrams(df: DataFrame) =
+    graft.engine.Tables.spreadNarrowCompute(df.filter(length(col("text")) >= 2))
+      .select(col("doc_id"),
+        graft.functions.CharGramGenerator.chargrams(col("text"), 2).as("bg"))
 
   private def bigramScoreWith(docs: DataFrame, model: DataFrame): DataFrame =
     bigramGrams(docs).join(broadcast(model), Seq("bg"))

@@ -1466,8 +1466,14 @@ object EventAnalytics {
     val nStates = states.agg(count(lit(1)).as("n_states"))
     var x = states.crossJoin(broadcast(nStates))
       .selectExpr("state", "CAST(1000000000 div n_states AS BIGINT) AS xv")
+    // r18: broadcast the #states-row mass vector into each step —
+    // x is tiny by construction (one row per event type), so a
+    // broadcast-hash join replaces the per-iteration sort + exchange
+    // of both join sides (guide §3.1); the transition frame stays
+    // persisted and is re-read, never re-shuffled
     for (_ <- 1 to iters)
-      x = ratesFull.join(x.withColumnRenamed("state", "from_type"), Seq("from_type"))
+      x = ratesFull.join(broadcast(x.withColumnRenamed("state", "from_type")),
+          Seq("from_type"))
         .groupBy(col("to_type").as("state"))
         .agg(sum(expr("(xv * q9) div 1000000000")).cast("bigint").as("xv"))
     states.join(x, Seq("state"), "left")

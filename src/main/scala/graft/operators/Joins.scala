@@ -24,13 +24,26 @@ object Joins {
     */
   def revenueByNation(li: DataFrame, ord: DataFrame, cust: DataFrame,
                       nat: DataFrame, reg: DataFrame): DataFrame =
+    // r18 (guide §2.3 "aggregate before you shuffle"): the per-nation
+    // rollup only needs each order's item count and summed item
+    // revenue, so the fact side is pre-aggregated by l_orderkey — the
+    // map-side partial collapses ~4 lineitems/order BEFORE the join
+    // exchange, and the orderkey join then moves one row per order
+    // instead of one per item. Per-item money rounding (the oracle
+    // contract) still happens before any sum; the final round(2)
+    // absorbs double-summation order as it always did. At 100 TB this
+    // is the difference between shuffling the lineitem table and
+    // shuffling one row per order.
     li.withColumn("rev", Projections.moneyRound(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("li_n"), sum("rev").as("li_rev"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("n_items"), round(sum("rev"), 2).as("revenue"))
+      .agg(sum("li_n").cast("bigint").as("n_items"),
+        round(sum("li_rev"), 2).as("revenue"))
       .orderBy("r_name", "n_name")
 
   /** J1 (left outer) + A2: per-customer order count/total including

@@ -93,7 +93,10 @@ object SparkEntry {
     "q47_sessionize"       -> ((s, d) => Aggregates.sessionize(Tables.events(s, d))),
     "q48_distinct_users"   -> ((s, d) => Aggregates.distinctUsersByType(Tables.events(s, d))),
     "q49_approx_distinct"  -> ((s, d) => Aggregates.approxDistinctUsersByType(Tables.events(s, d))),
-    "q50_tfidf_top_term"   -> ((s, d) => TextAnalysis.tfidfTopTerm(Tables.documents(s, d))),
+    "q50_tfidf_top_term"   -> ((s, d) => TextAnalysis.tfidfTopTerm(
+      Tables.documents(s, d),
+      tfIn = Some(TextAnalysis.tokenTfCached(Tables.documents(s, d),
+        tokenTfFor(s, d))))),
     "q51_salted_agg"       -> ((s, d) => SetOps.saltedEventTypeCounts(Tables.events(s, d))),
     // MLlib LSH variants (model-based hash families ⇒ rows-only)
     "q52_minhash_mllib"    -> ((s, d) => Dedup.minhashLshMllib(Tables.documents(s, d))),

@@ -464,7 +464,16 @@ object Dedup {
         val sc = pairs.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
         df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+      // r18: LAZY local checkpoint — eager materialization ran one
+      // Spark job per round just to snapshot the label frame; lazy
+      // keeps the lineage-truncation node (the plan stays flat, the
+      // reason checkpointing exists here) but folds materialization
+      // into the next action that needs it (the every-2nd-round
+      // convergence count), halving the loop's job count. The
+      // reliable-checkpoint arm stays eager: its purpose is fault
+      // tolerance, and a lazy reliable checkpoint would leave rounds
+      // unprotected until the next action.
+      case None => df => df.localCheckpoint(eager = false)
     }
     val edges = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -645,7 +654,12 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
     def fp(df: DataFrame) =
       df.select(col("doc_id"), TextAnalysis.fingerprintCol.as("fingerprint"))
-    val corpusFp = fp(corpus).select("fingerprint").distinct()
+    // r18 (guide §2.4 "a distinct on data that is already unique" —
+    // here: a distinct an anti-join doesn't need): left_anti matches
+    // EXISTENCE, so deduplicating the corpus side first only paid an
+    // extra corpus-wide aggregate exchange for the same result. The
+    // anti-join's own shuffle still dedups nothing — and needs to.
+    val corpusFp = fp(corpus).select("fingerprint")
     fp(batch)
       .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
       .join(corpusFp, Seq("fingerprint"), "left_anti")
@@ -856,7 +870,7 @@ object Dedup {
     * append's union-vs-batch join. */
   private def simhashBlocks(sig: DataFrame): DataFrame =
     (0 until 4).map(b =>
-        sig.select(col("doc_id"), lit(b).as("blk"),
+        sig.select(col("doc_id"), col("simhash"), lit(b).as("blk"),
           shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv")))
       .reduce(_.unionByName(_))
 
@@ -870,18 +884,20 @@ object Dedup {
   def simhashPairsFromSig(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-block pigeonhole banding guarantees full recall only for maxHamming <= 3")
+    // r18: verify fused into the banding join (the q211 rewrite) —
+    // the 8-byte signature rides the block row, so the Hamming check
+    // runs per collision and the ≤ maxHamming filter prunes the
+    // fan-out BEFORE the pair distinct; the two signature back-joins
+    // are gone. Identical rows: a pair colliding in several blocks
+    // computes the same hamming each time, distinct collapses them.
     val blocks = simhashBlocks(sig)
-    val cand = blocks.as("a").join(blocks.as("b"),
+    blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    cand
-      .join(sig.select(col("doc_id").as("id_a"), col("simhash").as("sa")), Seq("id_a"))
-      .join(sig.select(col("doc_id").as("id_b"), col("simhash").as("sb")), Seq("id_b"))
-      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("int"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 
@@ -2930,21 +2946,19 @@ object Dedup {
         val sigAll = spark.read.parquet(s"$newDir/sig")
         // batch-batch collisions arrive in both orders; least/greatest
         // restores id_a < id_b and distinct collapses the mirror row
-        val cand = simhashBlocks(sigAll).as("a")
+        // r18: verify fused into the collide join (the q211 rewrite;
+        // hamming is symmetric, so computing it before least/greatest
+        // restores id order is exact) — the signature back-joins are
+        // gone and the ≤ maxHamming filter prunes before distinct
+        val newPairs = simhashBlocks(sigAll).as("a")
           .join(simhashBlocks(sigB).as("b"),
             col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
               col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-          .distinct()
-        val newPairs = cand
-          .join(sigAll.select(col("doc_id").as("id_a"), col("simhash").as("sa")),
-            Seq("id_a"))
-          .join(sigAll.select(col("doc_id").as("id_b"), col("simhash").as("sb")),
-            Seq("id_b"))
-          .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("int"))
+            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+            expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
           .filter(col("hamming") <= maxHamming)
-          .select("id_a", "id_b", "hamming")
+          .distinct()
         graft.engine.Landing.landDelta(newPairs,
           s"$oldDir/pairs", s"$newDir/pairs")
       }

@@ -150,21 +150,27 @@ object Multimodal {
   private def ahashPairsFrom(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 5,
       "6-block pigeonhole banding guarantees full recall only for maxHamming <= 5")
+    // r18 (guide §2.3/§3): the signature IS 8 bytes, so carry it
+    // through the banding join and verify IN PLACE — the old shape
+    // deduplicated the multi-block candidate fan-out first and then
+    // joined the signature frame twice to fetch back the very hashes
+    // the banding row started from (two extra shuffles of the
+    // candidate set). Now one bit_count per collision row, the
+    // ≤ maxHamming filter prunes the fan-out BEFORE the pair
+    // distinct, and the two back-joins are gone. A pair colliding in
+    // several blocks computes the identical hamming each time, so
+    // the distinct yields exactly the old rows.
     val blocks = (0 until 6).map(b =>
-        sig.select(col("doc_id"), lit(b).as("blk"),
+        sig.select(col("doc_id"), col("ahash"), lit(b).as("blk"),
           shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L)).as("bv")))
       .reduce(_.unionByName(_))
-    val cand = blocks.as("a").join(blocks.as("b"),
+    blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    cand
-      .join(sig.select(col("doc_id").as("id_a"), col("ahash").as("ha")), Seq("id_a"))
-      .join(sig.select(col("doc_id").as("id_b"), col("ahash").as("hb")), Seq("id_b"))
-      .selectExpr("id_a", "id_b",
-        "CAST(bit_count(ha ^ hb) AS INT) AS hamming")
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("CAST(bit_count(a.ahash ^ b.ahash) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 

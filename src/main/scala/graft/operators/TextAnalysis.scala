@@ -120,10 +120,17 @@ object TextAnalysis {
     * count()), so building the query triggers no eager scan and the
     * whole thing stays one lazy plan.
     */
-  def tfidfTopTerm(docs: DataFrame): DataFrame = {
+  def tfidfTopTerm(docs: DataFrame, tfIn: Option[DataFrame] = None): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // r18: the tf frame here IS [[tokenTf]] — the token family's
+    // materialized sufficient statistic (q130/q137/q139/q144/q146 and
+    // the retrieval arms already start from it; its ingest path is
+    // q270). The cached route replaces the corpus re-explode +
+    // (doc, term) aggregate with a narrow parquet scan; rows are the
+    // identical (doc_id, term, tf) frame by definition.
+    val tf = tfIn.getOrElse(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // rank on a 6-decimal rounding so engine-level ln() ulp differences
     // can never reorder near-equal scores (ties fall to the term)

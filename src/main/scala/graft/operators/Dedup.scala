@@ -3009,7 +3009,7 @@ object Dedup {
     * an audit RESULT, not an absent row).
     */
   def sourceOverlapMatrix(docs: DataFrame, n: Int = 8): DataFrame = {
-    val sets = docs.select(col("source"),
+    val sets = graft.engine.Tables.spreadNarrowCompute(docs).select(col("source"),
         graft.functions.GramHashGenerator.gramHashes(col("text"), n).as(Seq("pos", "h")))
       .select("source", "h").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

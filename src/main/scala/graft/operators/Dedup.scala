@@ -973,7 +973,8 @@ object Dedup {
     * from the output (there is no fraction to report).
     */
   def dupNgramFraction(docs: DataFrame, n: Int = 5): DataFrame = {
-    val grams = shingleDocs(docs, n).dropDuplicates("doc_id", "shingle")
+    val grams = shingleDocs(graft.engine.Tables.spreadNarrowCompute(docs), n)
+      .dropDuplicates("doc_id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = grams.groupBy("shingle")
       .agg(count(lit(1)).as("ndocs"))

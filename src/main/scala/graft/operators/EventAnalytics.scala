@@ -1050,10 +1050,14 @@ object EventAnalytics {
     val run = deltas.withColumn("active", sum("net").over(
         Window.partitionBy("di").orderBy("sec")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("mx", max("active").over(Window.partitionBy("di")))
-    val peaks = run.filter(col("active") === col("mx"))
-      .groupBy("di").agg(max("active").as("peak_concurrency"),
-        min("sec").as("peak_sec"))
+    // peak + its earliest tick in ONE aggregate: the lexicographic max
+    // over (active, -sec) IS "max(active), then min(sec) among the
+    // attaining ticks" — all-BIGINT, so the struct ordering is exact
+    // (replaces a whole-partition max window + filter + re-aggregate)
+    val peaks = run.groupBy("di").agg(
+        max(struct(col("active"), (-col("sec")).as("ns"))).as("pk"))
+      .select(col("di"), col("pk.active").as("peak_concurrency"),
+        (-col("pk.ns")).as("peak_sec"))
     val daySessions = clipped.groupBy("di").agg(count(lit(1)).as("n_sessions"))
     peaks.join(daySessions, "di")
       .select(date_add(to_date(lit("1970-01-01")), col("di").cast("int"))

@@ -2398,12 +2398,32 @@ object Dedup {
     val before = Seq("pjpairs_t80", "cjpairs_t90", "snmpairs_t20",
         "winpairs_n3_w4", "candcap_50", "candr2_b4r2")
       .map(s => graft.engine.ContentAddress.hasSuccess(docs.sparkSession, s"$dir/$s"))
-    prefixJaccardJoinCached(docs, dir)
-    containmentJoinCached(docs, dir)
-    snmNearDupsCached(docs, dir)
-    winnowedPairsCached(docs, dir)
-    cappedCandidatePairsCached(docs, dir)
-    fineCandidatePairsCached(docs, dir)
+    // the threshold-independent shingle-set tier FIRST, sequentially —
+    // both verify-join builders read it, and landing it up front means
+    // the concurrent family builds below never race on one directory
+    prebuildShingleSets(docs, dir)
+    // the six family builds are independent jobs writing to six
+    // DISTINCT content-addressed subdirs: overlap them (actions are
+    // only sequential because the driver calls them sequentially), so
+    // one family's straggler tail back-fills with the next family's
+    // tasks. 3 in flight keeps the box busy without the builds
+    // fighting each other for cores; each build's rows are untouched.
+    val builds: Seq[() => Any] = Seq(
+      () => prefixJaccardJoinCached(docs, dir),
+      () => containmentJoinCached(docs, dir),
+      () => snmNearDupsCached(docs, dir),
+      () => winnowedPairsCached(docs, dir),
+      () => cappedCandidatePairsCached(docs, dir),
+      () => fineCandidatePairsCached(docs, dir))
+    if (before.contains(false)) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Any]] = builds.map(b =>
+          new java.util.concurrent.Callable[Any] { def call(): Any = b() })
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      } finally pool.shutdown()
+    } else builds.foreach(_())
     before.contains(false)
   }
 

@@ -692,6 +692,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("prebuildPairFamilies: one concurrent call lands all six tiers; rows equal the self-computing operators; second call reuses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val corpus = (1L to 40L).map { i =>
+      val n = 10 + rnd.nextInt(8)
+      (i, Seq.fill(n)("t" + rnd.nextInt(9)).mkString(" "), "en", "s", 0L)
+    }
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-fam-corpus").toString
+    corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-fam-base").toString
+    val dir = Dedup.cascadeDir(spark, corpusDir, base)
+    // first call: the overlapped builds must land every tier (the six
+    // family subdirs AND the shared shingle-set tier they read)
+    assert(Dedup.prebuildPairFamilies(docs, dir), "first call must build")
+    for (s <- Seq("shsets", "pjpairs_t80", "cjpairs_t90", "snmpairs_t20",
+        "winpairs_n3_w4", "candcap_50", "candr2_b4r2"))
+      assert(graft.engine.ContentAddress.hasSuccess(spark, s"$dir/$s"),
+        s"tier $s missing after the concurrent prebuild")
+    // concurrency must not change a row: probe two families that do
+    // NOT take the shared shingle frame (their builders ran in the
+    // pool alongside the two that do)
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: concurrent build diverges from the self-computed run")
+    same(Dedup.winnowedPairsCached(docs, dir), Dedup.winnowedPairs(docs),
+      "winnowing")
+    same(Dedup.snmNearDupsCached(docs, dir), Dedup.snmNearDups(docs), "snm")
+    same(Dedup.prefixJaccardJoinCached(docs, dir),
+      Dedup.prefixJaccardJoin(docs, 0.8), "prefix jaccard")
+    assert(!Dedup.prebuildPairFamilies(docs, dir),
+      "second call must be a reuse no-op")
+    spark.catalog.clearCache()
+  }
+
   test("appendToCascade: every tier bit-identical to a full rebuild; pairs resume from cand; guard") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)

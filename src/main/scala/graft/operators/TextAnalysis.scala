@@ -1791,20 +1791,37 @@ object TextAnalysis {
     */
   def prebuildRetrievalArms(docs: DataFrame, dir: String,
                             tfFrame: Option[DataFrame] = None): Boolean = {
-    var built = false
-    def need(name: String)(f: => DataFrame): Unit = {
-      val sub = s"$dir/$name"
-      if (!graft.engine.ContentAddress.hasSuccess(docs.sparkSession, sub)) {
-        f.write.mode("overwrite").parquet(sub)
-        built = true
-      }
-    }
     lazy val tf = tfFrame.getOrElse(tokenTf(docs))
-    need("bm25")(bm25TopKFrom(docs, tf, armNQueries, armK))
-    need("tfidf")(tfidfTopKFrom(docs, tf, armNQueries, armK))
-    need("hybrid")(hybridRrfTopKFrom(docs, tf, armNQueries, kEach = 20,
-      kOut = armK, dims = 64, rrfK = 60))
-    need("rel")(relevanceFrom(docs, armNQueries))
-    built
+    val builders: Seq[(String, () => DataFrame)] = Seq(
+      ("bm25", () => bm25TopKFrom(docs, tf, armNQueries, armK)),
+      ("tfidf", () => tfidfTopKFrom(docs, tf, armNQueries, armK)),
+      ("hybrid", () => hybridRrfTopKFrom(docs, tf, armNQueries, kEach = 20,
+        kOut = armK, dims = 64, rrfK = 60)),
+      ("rel", () => relevanceFrom(docs, armNQueries)))
+    val missing = builders.filter { case (name, _) =>
+      !graft.engine.ContentAddress.hasSuccess(docs.sparkSession, s"$dir/$name")
+    }
+    if (missing.nonEmpty) {
+      // the arm builds are independent jobs over the one materialized
+      // tf frame, each writing to its own per-frame-_SUCCESS-gated
+      // subdir — overlap them (the prebuildPairFamilies pattern: one
+      // arm's straggler tail back-fills with the next arm's tasks;
+      // the shared `tf` lazy is forced under its own monitor, and a
+      // plain DataFrame plan is safe to share across driver threads)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, missing.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+          missing.map { case (name, b) =>
+            new java.util.concurrent.Callable[Unit] {
+              def call(): Unit =
+                b().write.mode("overwrite").parquet(s"$dir/$name")
+            }
+          }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      } finally pool.shutdown()
+    }
+    missing.nonEmpty
   }
 }

@@ -104,6 +104,16 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
       TextAnalysis.rboRankings(docs), "q213 RBO")
     same(TextAnalysis.retrievalQualityCached(docs, dir),
       TextAnalysis.retrievalQuality(docs), "q237 retrieval quality")
+    // per-frame resume: losing ONE tier rebuilds just that tier (the
+    // overlapped build must keep the per-frame _SUCCESS gating)
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/tfidf"))
+    assert(TextAnalysis.prebuildRetrievalArms(docs, dir),
+      "losing a tier must trigger a rebuild")
+    same(TextAnalysis.rboRankingsCached(docs, dir),
+      TextAnalysis.rboRankings(docs), "q213 RBO after per-frame resume")
   }
 
   test("phrase-index cached twin: materialized postings ≡ self-computed phraseSearch") {

@@ -1712,13 +1712,18 @@ object Similarity {
   def decontamDropIds(emb: DataFrame, evalEmb: DataFrame,
                       topK: Int = 50,
                       minCos: Option[Double] = None): DataFrame = {
+    // self-norms hoisted out of the corpus × panel fan-out — the
+    // evalScoredPairsFrames argument: bit-identical op order
     val corpus = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("vn", sqrt(dot(col("v"), col("v"))))
     val panel = evalEmb.select(col("vec_id").as("eval_id"),
-      col("embedding").cast("array<double>").as("ev"))
+        col("embedding").cast("array<double>").as("ev"))
+      .withColumn("evn", sqrt(dot(col("ev"), col("ev"))))
     val perDoc = corpus.crossJoin(broadcast(panel))
       .select(col("vec_id"),
-        floor(cosine(col("v"), col("ev")) * 1e6 + 0.5).cast("long").as("c6"))
+        floor(dot(col("v"), col("ev")) / (col("vn") * col("evn"))
+          * 1e6 + 0.5).cast("long").as("c6"))
       .groupBy("vec_id").agg(max("c6").as("mc6"))
     // the floor quantizes through the SAME q6 chain as the scores, so
     // floor-vs-rank agreement is exact at the quantization boundary
@@ -1891,12 +1896,17 @@ object Similarity {
   private def evalScoredPairs(emb: DataFrame, modulus: Int): DataFrame = {
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"), col("label"))
+    // self-norms hoisted out of the corpus × panel fan-out — the
+    // evalScoredPairsFrames argument: bit-identical op order
     val ev = base.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+      .withColumn("evn", sqrt(dot(col("ev"), col("ev"))))
     base.filter(col("vec_id") % modulus =!= 0)
+      .withColumn("vn", sqrt(dot(col("v"), col("v"))))
       .crossJoin(broadcast(ev))
       .withColumn("c6",
-        floor(cosine(col("v"), col("ev")) * 1e6 + 0.5).cast("long"))
+        floor(dot(col("v"), col("ev")) / (col("vn") * col("evn"))
+          * 1e6 + 0.5).cast("long"))
       .select(col("vec_id"), col("label"), col("eval_id"), col("c6"))
   }
 
@@ -1908,13 +1918,23 @@ object Similarity {
     */
   private def evalScoredPairsFrames(emb: DataFrame,
                                     evalEmb: DataFrame): DataFrame = {
+    // self-norms hoisted out of the |corpus| × |panel| fan-out (the
+    // q81 lever): each vector's √(v·v) is computed ONCE per side
+    // instead of once per pair, and the per-pair work drops to the
+    // single fused dot. Bit-identical to the one-pass cosine:
+    // DotProduct(v, v) accumulates xi·xi in the same index order as
+    // CosineSimilarity's na/nb, and the final expression keeps the
+    // identical op order dot / (√na · √nb).
     val ev = evalEmb.select(col("vec_id").as("eval_id"),
-      col("embedding").cast("array<double>").as("ev"))
+        col("embedding").cast("array<double>").as("ev"))
+      .withColumn("evn", sqrt(dot(col("ev"), col("ev"))))
     emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("vn", sqrt(dot(col("v"), col("v"))))
       .crossJoin(broadcast(ev))
       .withColumn("c6",
-        floor(cosine(col("v"), col("ev")) * 1e6 + 0.5).cast("long"))
+        floor(dot(col("v"), col("ev")) / (col("vn") * col("evn"))
+          * 1e6 + 0.5).cast("long"))
       .select(col("vec_id"), col("eval_id"), col("c6"))
   }
 }

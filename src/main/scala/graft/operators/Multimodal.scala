@@ -310,15 +310,17 @@ object Multimodal {
     * a generator — no driver collect, no shuffle.
     */
   def sampleFrames(docs: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame =
+    // generate ONLY the kept frames (stride-stepped sequence) instead
+    // of generating every frame and filtering: 1/stride the substring
+    // copies and generator rows; frame_idx = pos·stride reproduces
+    // the original indices exactly
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(0, greatest(int(length(payload) / $frameBytes) - 1, 0))," +
+          s"transform(sequence(0, greatest(int(length(payload) / $frameBytes) - 1, 0), $stride)," +
           s" i -> substring(payload, i * $frameBytes + 1, $frameBytes))")))
-      .withColumnRenamed("pos", "frame_idx")
-      .withColumnRenamed("col", "frame")
-      .filter(col("frame_idx") % stride === 0)
-      .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+      .select(col("doc_id"), (col("pos") * stride).as("frame_idx"),
+        length(col("col")).as("frame_bytes"))
       .orderBy("doc_id", "frame_idx")
 
   /** q239: video keyframe near-dup — the multimodal family's pair
@@ -341,14 +343,20 @@ object Multimodal {
     */
   def videoNearDups(docs: DataFrame, frameBytes: Int = 32, stride: Int = 4,
                     minShared: Int = 2, maxPosting: Int = 64): DataFrame = {
+    // kept frames generated directly (stride-stepped sequence — the
+    // sampleFrames rewrite) and fingerprinted straight off the frame
+    // BYTES: the old md5(hex(frame)) doubled every frame through a
+    // hex string first, and fp values never surface — only fp
+    // EQUALITY does (posting groups + the pair join), which any
+    // injective fingerprint preserves, so the emitted pairs are
+    // row-identical.
     val frames = docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, greatest(int(length(payload) / $frameBytes) - 1, 0))," +
-          s" i -> substring(payload, i * $frameBytes + 1, $frameBytes))")))
-      .filter(col("pos") % stride === 0)
-      .select(col("doc_id"), md5(hex(col("col"))).as("fp"))
+        explode(expr(
+          s"transform(sequence(0, greatest(int(length(payload) / $frameBytes) - 1, 0), $stride)," +
+          s" i -> substring(payload, i * $frameBytes + 1, $frameBytes))")).as("frame"))
+      .select(col("doc_id"), md5(col("frame")).as("fp"))
       .dropDuplicates("doc_id", "fp")
     val capped = graft.plans.TopK.perKey(
       frames, Seq("fp"), Seq(col("doc_id").asc), maxPosting)

@@ -915,24 +915,76 @@ object Dedup {
                       numHashTables: Int = 4): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     // 3-token shingles (same universe as the md5 cascade): unigram
-    // token sets saturate on small vocabularies, shingles discriminate
+    // token sets saturate on small vocabularies, shingles discriminate.
+    // Project to (doc_id, shingles) before featurization: nothing
+    // downstream reads any other column (r19, guide §2.3).
+    // NO spread on the scan: measured both ways at sf0.1/32 after the
+    // narrow-join rewrite (r19 A/B, 3 reps) — spread 1.75–2.29 s vs
+    // plain 1.54–1.56 s: the exchange plus the extra fit/transform job
+    // launches cost more than the explode parallelism buys, the same
+    // shape the r18 LSH-input spread experiment measured. At 100 TB
+    // the scan arrives multi-split and the helper would be a no-op
+    // anyway.
     val shingled = docs
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= 3)
       .withColumn("shingles",
         expr("transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .select("doc_id", "shingles")
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setBinary(true).setNumFeatures(1 << 18)
-    // both sides of the self-similarity-join read this frame — persist
-    // so shingling+hashing runs once, not twice
     val featured = tf.transform(shingled)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, distanceThreshold, "jaccard_dist")
-      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
-      .select(col("datasetA.doc_id").as("id_a"), col("datasetB.doc_id").as("id_b"),
+    // r19 rewrite (guide §2.3/§3, the §8 narrow-proxy rule): MLlib
+    // still owns the hash family end to end — `model.transform`
+    // computes exactly the hashes `approxSimilarityJoin` would — but
+    // the join mechanics are native and narrow. approxSimilarityJoin
+    // joins full-row STRUCTS on an (entry, DenseVector) key and runs
+    // `distinct()` over structs carrying shingles+features+hashes
+    // before its per-pair distance UDF; here the candidate join and
+    // the pair distinct carry only (doc_id, entry, hash-as-double) —
+    // 20-ish bytes per row instead of the whole document — and the
+    // exact jaccard verify runs once per DISTINCT candidate pair as a
+    // codegen'd array_intersect over per-doc nonzero-index arrays
+    // (extracted once per DOC, not decoded per pair). Output-
+    // equivalence with the MLlib join is pinned by LshAndBucketingSpec
+    // on the real corpus.
+    val nzIdx = udf((v: org.apache.spark.ml.linalg.Vector) => v match {
+      case s: org.apache.spark.ml.linalg.SparseVector =>
+        (0 until s.indices.length).collect {
+          case j if s.values(j) != 0.0 => s.indices(j) }.toArray
+      case d: org.apache.spark.ml.linalg.DenseVector =>
+        (0 until d.size).filter(i => d.values(i) != 0.0).toArray
+    })
+    val hashed = model.transform(featured)
+      .select(col("doc_id"), nzIdx(col("features")).as("idx"), col("hashes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hv = hashed.select(col("doc_id"),
+        posexplode(col("hashes")).as(Seq("entry", "h")))
+      .select(col("doc_id"), col("entry"),
+        org.apache.spark.ml.functions.vector_to_array(col("h")).getItem(0).as("hv"))
+    val cand = hv.as("a").join(hv.as("b"),
+        col("a.entry") === col("b.entry") && col("a.hv") === col("b.hv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // MinHashLSHModel.keyDistance, verbatim semantics: jaccard
+    // distance over the nonzero-index SETS of the two binary feature
+    // vectors (a SparseVector's indices are unique, so the arrays ARE
+    // the sets), computed as 1 - |A∩B| / (|A| + |B| - |A∩B|) with the
+    // division and subtraction in the same order (bit-identical
+    // doubles), then the same strict `< threshold` filter the MLlib
+    // join applies before this query's round(4)
+    val feats = hashed.select(col("doc_id"), col("idx"))
+    val inter = size(array_intersect(col("fa.idx"), col("fb.idx"))).cast("double")
+    val union = (size(col("fa.idx")) + size(col("fb.idx"))).cast("double") - inter
+    cand.join(feats.as("fa"), col("id_a") === col("fa.doc_id"))
+      .join(feats.as("fb"), col("id_b") === col("fb.doc_id"))
+      .withColumn("jaccard_dist", lit(1.0) - inter / union)
+      .filter(col("jaccard_dist") < distanceThreshold)
+      .select(col("id_a"), col("id_b"),
         round(col("jaccard_dist"), 4).as("jaccard_dist"))
       .orderBy("id_a", "id_b")
   }

@@ -28,6 +28,36 @@ class LshAndBucketingSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("native candidate join reproduces approxSimilarityJoin exactly (q52 r19 rewrite)") {
+    // the r19 q52 rewrite keeps MLlib's hash family (fit + transform)
+    // but replaces approxSimilarityJoin's full-row-struct join with a
+    // narrow native one — this pins OUTPUT equality against the MLlib
+    // join itself, on the real corpus, at the query's own threshold
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val docs = Tables.documents(spark, sfDir)
+    val shingled = docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("shingles",
+        expr("transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 18)
+    val featured = tf.transform(shingled)
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(4).setSeed(42L).fit(featured)
+    // the pre-r19 q52 path, verbatim
+    val mllib = model.approxSimilarityJoin(featured, featured, 0.8, "jaccard_dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(col("datasetA.doc_id").as("id_a"), col("datasetB.doc_id").as("id_b"),
+        round(col("jaccard_dist"), 4).as("jaccard_dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val native = Dedup.minhashLshMllib(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native == mllib,
+      s"native-vs-mllib diff: extra=${(native -- mllib).take(5)} missing=${(mllib -- native).take(5)}")
+    assert(native.nonEmpty)
+  }
+
   test("MLlib BucketedRandomProjectionLSH ANN returns ranked neighbors consistent with cosine") {
     val emb = Tables.embeddings(spark, sfDir)
     val ann = Similarity.annMllib(emb, nQueries = 4, k = 5).collect()

@@ -305,6 +305,27 @@ object Bench {
     (top ++ extra).distinctBy(_._1).sortBy(-_._2)
   }
 
+  /** Full name-keyed per-query record (r19, VERDICT item 2): the
+    * driver's PERF diff wants `{"name": sec, …}`, but the 2000-char
+    * tail window physically cannot carry 270 name-keyed entries
+    * (~7 KB; even bare-number decisecond keying is ~2.2 KB before
+    * value/slowest/builds would fit). So the full map rides OUTSIDE
+    * the window: one `BENCH_PERQ` line in the live stdout (printed
+    * before the artifact lines, so at most a harmless mid-JSON
+    * remnant of its tail can land inside the window) plus a
+    * `BENCH_PERQUERY.json` sidecar file in the working directory —
+    * a run launched from the repo leaves its own per-query numbers
+    * on disk where the end-of-round snapshot commit picks them up.
+    * The base36 `queries` string stays the in-window record.
+    */
+  private[graft] def perQueryJson(results: Seq[(String, Double)],
+                                  total: Double, cpus: String,
+                                  sf: String): String =
+    s"""{"metric":"per_query","unit":"sec","per_query":{""" +
+      results.map { case (k, v) => jsonStr(k) + ":" + dec(v, 2) }
+        .mkString(",") +
+      s"""},"value":${dec(math.min(total, 9999.999), 3)},"cpus":${jsonStr(cpus)},"sf":${jsonStr(sf)}}"""
+
   /** Rows whose reading exceeds `factor`× their pinned band, worst
     * overshoot first — the shared gate behind the end-of-suite p2
     * repass and the over-band `slowest_sec` inclusion. A query with
@@ -920,6 +941,17 @@ object Bench {
       .map { case (scan, shuf, io, load) =>
         s"[${ds(scan)},${ds(shuf)},${ds(io)},${ld(load)}]" }
       .mkString("[", ",", "]")
+    // the full name-keyed per-query record (see perQueryJson): its
+    // line prints FIRST so the bulk stays outside the tail window,
+    // and the sidecar file write is fault-isolated like everything
+    // else on the artifact path
+    val perqLine = perQueryJson(results, results.map(_._2).sum, cpus,
+      new java.io.File(sfDir).getName)
+    println("BENCH_PERQ " + perqLine)
+    try {
+      val pq = new java.io.PrintWriter("BENCH_PERQUERY.json")
+      try pq.write(perqLine + "\n") finally pq.close()
+    } catch { case _: Throwable => () }
     // the artifact lines must be the LAST output the driver's
     // 2000-char tail sees: stop Spark FIRST (its shutdown path logs
     // WARNs under load — the r11 artifact lost the main line's front

@@ -238,6 +238,22 @@ class ArtifactFormatSpec extends AnyFunSuite {
     assert(j == """{"7":[99,2]}""", j)
   }
 
+  test("perQueryJson is a valid FULL-NAME-keyed map under a hostile locale") {
+    withLocale(Locale.GERMANY) {
+      val j = Bench.perQueryJson(
+        Seq("q1_hourly_agg" -> 0.42, "q2_project_cast" -> 1.0),
+        1.42, "32", "sf0.1")
+      assert(j ==
+        """{"metric":"per_query","unit":"sec","per_query":{"q1_hourly_agg":0.42,"q2_project_cast":1.00},"value":1.420,"cpus":"32","sf":"sf0.1"}""",
+        j)
+    }
+    // the sidecar exists because the 2000-char tail cannot carry this:
+    // at the real contract size the line is far over the window on its
+    // own — pin that premise so a future shrink revisits the design
+    val real = SparkEntry.queries.keys.toSeq.map(_ -> 0.5)
+    assert(Bench.perQueryJson(real, 137.0, "32", "sf0.1").length > 2000)
+  }
+
   test("queriesJson falls back to the dict when query numbers have gaps") {
     // a non-contiguous contract must never mis-attribute positions
     val gapped = Seq("q1_a" -> 1.0, "q3_b" -> 2.0)

@@ -326,11 +326,17 @@ object Dedup {
     // single-task scan of a one-file table. Bit-identical result (the
     // dropped docs never reached the output); isolated probe
     // 2.5 → 0.5 s at sf0.1/32 cores.
+    // no forced broadcast on the endpoint set (r19, VERDICT item 4):
+    // the pair frame is LSH-bounded but its CARDINALITY is not — at
+    // 100 TB corpus sizes the endpoint set can hold 10⁸+ ids and a
+    // forced broadcast is a driver-OOM risk. The semi-join itself is
+    // the win and is strategy-agnostic; statistics/AQE pick broadcast
+    // at test SFs on their own (plan pinned in plans/r19).
     val pairIds = pairs.select(col("id_a").as("doc_id"))
       .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
     val sh = shingleDocs(
       graft.engine.Tables.spreadNarrowCompute(docs)
-        .join(broadcast(pairIds), Seq("doc_id"), "left_semi"))
+        .join(pairIds, Seq("doc_id"), "left_semi"))
       .dropDuplicates("doc_id", "shingle")
     val compAggs = (0 until k).map(i =>
       min(md5(concat(lit(s"c$i:"), col("shingle")))).as(s"c$i"))
@@ -2452,8 +2458,11 @@ object Dedup {
       .map(s => graft.engine.ContentAddress.hasSuccess(docs.sparkSession, s"$dir/$s"))
     // the threshold-independent shingle-set tier FIRST, sequentially —
     // both verify-join builders read it, and landing it up front means
-    // the concurrent family builds below never race on one directory
-    prebuildShingleSets(docs, dir)
+    // the concurrent family builds below never race on one directory.
+    // Its build flag joins the return value (ADVICE r18): a run that
+    // rebuilt only this tier is a real build, not a reuse no-op, and
+    // fam_build accounting must say so.
+    val shBuilt = prebuildShingleSets(docs, dir)
     // the six family builds are independent jobs writing to six
     // DISTINCT content-addressed subdirs: overlap them (actions are
     // only sequential because the driver calls them sequentially), so
@@ -2467,16 +2476,32 @@ object Dedup {
       () => winnowedPairsCached(docs, dir),
       () => cappedCandidatePairsCached(docs, dir),
       () => fineCandidatePairsCached(docs, dir))
-    if (before.contains(false)) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-      try {
-        import scala.jdk.CollectionConverters._
-        val tasks: Seq[java.util.concurrent.Callable[Any]] = builds.map(b =>
-          new java.util.concurrent.Callable[Any] { def call(): Any = b() })
-        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
-      } finally pool.shutdown()
-    } else builds.foreach(_())
-    before.contains(false)
+    if (before.contains(false)) runBuildPool(builds)
+    else builds.foreach(_())
+    shBuilt || before.contains(false)
+  }
+
+  /** Run independent build thunks in a 3-wide fixed pool (guide §2.6 —
+    * one build's straggler tail back-fills with the next build's
+    * tasks), rethrowing the UNDERLYING build failure rather than the
+    * pool's ExecutionException wrapper (ADVICE r18: callers under the
+    * old sequential path saw the Spark exception itself, and
+    * Bench/driver error reporting keys off that type/message).
+    */
+  private[operators] def runBuildPool(builds: Seq[() => Any]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Any]] = builds.map(b =>
+        new java.util.concurrent.Callable[Any] { def call(): Any = b() })
+      pool.invokeAll(tasks.asJava).asScala.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException
+              if e.getCause != null => throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
   }
 
   /** [[prefixJaccardJoin]] / [[containmentJoin]] / [[noveltyScore]]

@@ -1713,7 +1713,8 @@ object Similarity {
                       topK: Int = 50,
                       minCos: Option[Double] = None): DataFrame = {
     // self-norms hoisted out of the corpus × panel fan-out — the
-    // evalScoredPairsFrames argument: bit-identical op order
+    // evalScoredPairsFrames argument: bit-identical op order, EQUAL
+    // vector dims required (see the precondition note there)
     val corpus = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("vn", sqrt(dot(col("v"), col("v"))))
@@ -1897,7 +1898,8 @@ object Similarity {
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"), col("label"))
     // self-norms hoisted out of the corpus × panel fan-out — the
-    // evalScoredPairsFrames argument: bit-identical op order
+    // evalScoredPairsFrames argument: bit-identical op order, EQUAL
+    // vector dims required (see the precondition note there)
     val ev = base.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("eval_id"), col("v").as("ev"))
       .withColumn("evn", sqrt(dot(col("ev"), col("ev"))))
@@ -1925,6 +1927,13 @@ object Similarity {
     // DotProduct(v, v) accumulates xi·xi in the same index order as
     // CosineSimilarity's na/nb, and the final expression keeps the
     // identical op order dot / (√na · √nb).
+    // PRECONDITION (ADVICE r18, all three hoist sites): corpus and
+    // panel vectors must have EQUAL dims — the fused CosineSimilarity
+    // truncates dot/na/nb to min(numElements) of the two arrays while
+    // the hoisted norms run over each full vector, so a variable-dim
+    // embedding source would silently change scores. Every producer
+    // emits fixed-dim embeddings; VectorExpressionsSpec pins the
+    // equal-dims invariant on the real tables.
     val ev = evalEmb.select(col("vec_id").as("eval_id"),
         col("embedding").cast("array<double>").as("ev"))
       .withColumn("evn", sqrt(dot(col("ev"), col("ev"))))

@@ -1808,19 +1808,9 @@ object TextAnalysis {
       // arm's straggler tail back-fills with the next arm's tasks;
       // the shared `tf` lazy is forced under its own monitor, and a
       // plain DataFrame plan is safe to share across driver threads)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(3, missing.size))
-      try {
-        import scala.jdk.CollectionConverters._
-        val tasks: Seq[java.util.concurrent.Callable[Unit]] =
-          missing.map { case (name, b) =>
-            new java.util.concurrent.Callable[Unit] {
-              def call(): Unit =
-                b().write.mode("overwrite").parquet(s"$dir/$name")
-            }
-          }
-        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
-      } finally pool.shutdown()
+      Dedup.runBuildPool(missing.map { case (name, b) =>
+        () => b().write.mode("overwrite").parquet(s"$dir/$name")
+      })
     }
     missing.nonEmpty
   }

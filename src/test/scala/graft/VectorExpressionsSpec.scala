@@ -104,6 +104,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
       "subwords"))
   }
 
+  test("embedding producers emit fixed-dim vectors (the norm-hoist precondition)") {
+    // the three panel-cosine norm-hoist sites (Similarity
+    // evalScoredPairs/evalScoredPairsFrames/decontamDropIds) are
+    // bit-identical to the fused one-pass cosine ONLY when both
+    // vectors have equal length: CosineSimilarity truncates to
+    // min(numElements) while the hoisted √(v·v) runs over the full
+    // vector. Pin the invariant on the real table so a variable-dim
+    // embedding source fails here, not silently in the scores.
+    val emb = graft.engine.Tables.embeddings(
+      SparkTestSession.spark, SparkTestSession.sfDir)
+    val dims = emb.select(size(col("embedding")).as("d")).distinct().collect()
+    assert(dims.length == 1, s"variable embedding dims: ${dims.toSeq}")
+  }
+
   test("whole-stage codegen survives the native expression (no interpreted fallback)") {
     val df = vecs.as("a").crossJoin(broadcast(vecs.as("b").limit(4)))
       .select(Similarity.cosine(col("a.v"), col("b.v")).as("c"))

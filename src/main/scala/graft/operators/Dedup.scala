@@ -1780,7 +1780,8 @@ object Dedup {
     * and the verify cost is candidate-bounded either way.
     */
   def snmNearDups(docs: DataFrame, threshold: Double = 0.2,
-                  windowSize: Int = 4, keyLen: Int = 24): DataFrame = {
+                  windowSize: Int = 4, keyLen: Int = 24,
+                  shSets: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0, "threshold must be > 0")
     val norm = substring(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 1, keyLen)
@@ -1800,14 +1801,21 @@ object Dedup {
       .unionByName(pass(substring(reverse(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")), 1, keyLen)))
       .distinct()
-    val sh = shingleDocs(docs).dropDuplicates("doc_id", "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r19 (VERDICT item 5): the verify runs on the 60-bit HASHED
+    // shingle-set frame — the same tier prefix-Jaccard and containment
+    // already share (injected by snmNearDupsCached, so the fam build
+    // scans/shingles the corpus once for all three set-similarity
+    // families), and the verify joins shuffle 8-byte longs instead of
+    // shingle strings. Same collision argument as the other two
+    // consumers: ~2⁻⁴⁰ per corpus, and the oracle recomputes from RAW
+    // shingles, so a collision would be caught, not absorbed.
+    val sh = shSets.getOrElse(hashedShingleSets(docs))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     cand
       .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
-      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .join(sh.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"), 4))
@@ -2542,7 +2550,8 @@ object Dedup {
   def snmNearDupsCached(docs: DataFrame, dir: String,
                         threshold: Double = 0.2): DataFrame =
     cachedFamilyPairs(docs, dir, s"snmpairs_t${math.round(threshold * 100)}") {
-      snmNearDups(docs, threshold)
+      snmNearDups(docs, threshold,
+        shSets = Some(hashedShingleSetsCached(docs, dir)))
     }.orderBy("id_a", "id_b")
 
   /** [[winnowedPairs]] served from its materialized frame. */

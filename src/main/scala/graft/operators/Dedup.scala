@@ -33,6 +33,22 @@ object Dedup {
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_dups"))
       .orderBy("keeper_id")
 
+  /** Keeper ids of the exact-dedup canonical step: min doc_id per
+    * distinct text, grouped by md5(text) (r19, guide §2.3 "shuffle
+    * keys instead of payloads"): the aggregate's exchange and hash
+    * map carry a 32-char fingerprint instead of the document — at
+    * 100 TB the difference between shuffling fingerprints and
+    * shuffling the corpus — and the canonical (doc_id, text) rows
+    * come back through a doc_id semi-join that broadcasts at test
+    * SFs. Same oracle-backed collision argument as every md5
+    * fingerprint in this file: the oracles group by RAW text, so a
+    * collision would be caught as a hash mismatch, never absorbed.
+    */
+  private[operators] def exactKeeperIds(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("tk"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
   /** Shingle stream: one row per (doc_id, n-token shingle). Documents
     * shorter than n tokens drop out (consistent with the oracle's
     * WHERE len >= n). Duplicate shingles are kept — min() is
@@ -547,10 +563,10 @@ object Dedup {
                        pairs: Option[DataFrame] = None): DataFrame = {
     val gated = docs.filter(size(split(col("text"), " ")) >= minTokens)
     // read twice (shingle cascade + final anti-join) — persist so the
-    // exact-dedup shuffle over the full text runs once
-    val canonical = gated
-      .groupBy("text").agg(min("doc_id").as("doc_id"))
-      .select("doc_id", "text")
+    // exact-dedup pass runs once; keepers via the md5-keyed aggregate
+    // (exactKeeperIds), so no text crosses the dedup exchange
+    val canonical = gated.select("doc_id", "text")
+      .join(exactKeeperIds(gated), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = pairs match {
       case Some(supplied) =>
@@ -782,9 +798,9 @@ object Dedup {
                                 checkpointDir: Option[String] = None,
                                 cohesionFloorBp: Option[Long] = None): DataFrame = {
     val gated = docs.filter(size(split(col("text"), " ")) >= minTokens)
-    val canonical = gated
-      .groupBy("text").agg(min("doc_id").as("doc_id"))
-      .select("doc_id", "text")
+    // md5-keyed keepers (see exactKeeperIds): no text on the exchange
+    val canonical = gated.select("doc_id", "text")
+      .join(exactKeeperIds(gated), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = pairs match {
       case Some(supplied) =>

@@ -1010,8 +1010,8 @@ object TrainingData {
     val gated = TextAnalysis.gopherGateFilter(docs)
       .select("doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val canon = gated.groupBy("text").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+    // md5-keyed keepers (Dedup.exactKeeperIds): no text on the exchange
+    val canon = Dedup.exactKeeperIds(gated)
     val deduped = gated.join(canon, Seq("doc_id"), "left_semi")
     val contamOk = evalDecontaminate(deduped, evalDocs = Some(evalDocs))
       .filter(col("contam_ratio") <= maxContamRatio)

@@ -246,8 +246,8 @@ object UrlCuration {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gated = TextAnalysis.gopherGateFilter(urlKept).select("doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val canonical = gated.groupBy("text").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+    // md5-keyed keepers (Dedup.exactKeeperIds): no text on the exchange
+    val canonical = Dedup.exactKeeperIds(gated)
     val deduped = gated.join(canonical, Seq("doc_id"), "left_semi")
     val contamOk = TrainingData.evalDecontaminate(deduped, evalDocs = Some(evalDocs))
       .filter(col("contam_ratio") <= maxContamRatio)

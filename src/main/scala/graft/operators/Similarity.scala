@@ -136,10 +136,33 @@ object Similarity {
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(base)
     val queries = base.filter(col("vec_id") < nQueries)
+    // r19 rewrite (the q52 pattern): MLlib still owns the hash family
+    // (model.transform computes exactly the hashes the
+    // approxSimilarityJoin would), but the join mechanics are native
+    // and narrow — the candidate join and pair distinct carry
+    // (vec_id, entry, hash-as-double) instead of full-row structs
+    // with 64-dim vectors, and the euclidean verify (keyDistance
+    // verbatim: sqrt(Vectors.sqdist)) runs once per DISTINCT
+    // candidate pair after id-keyed back-joins attach the two
+    // vectors. Output equality with the MLlib join is pinned by
+    // LshAndBucketingSpec on the real corpus.
+    def hv(df: DataFrame, idAs: String) = model.transform(df)
+      .select(col("vec_id").as(idAs),
+        posexplode(col("hashes")).as(Seq("entry", "h")))
+      .select(col(idAs), col("entry"),
+        org.apache.spark.ml.functions.vector_to_array(col("h")).getItem(0).as("hv"))
+    val cand = hv(queries, "q_id").join(hv(base, "neighbor_id"), Seq("entry", "hv"))
+      .select("q_id", "neighbor_id").distinct()
+    val euclid = udf((x: org.apache.spark.ml.linalg.Vector,
+                      y: org.apache.spark.ml.linalg.Vector) =>
+      math.sqrt(org.apache.spark.ml.linalg.Vectors.sqdist(x, y)))
+    val feats = base.select(col("vec_id"), col("features"))
     val w = Window.partitionBy("q_id").orderBy(col("dist"), col("neighbor_id"))
-    model.approxSimilarityJoin(queries, base, 2.0, "dist")
-      .select(col("datasetA.vec_id").as("q_id"), col("datasetB.vec_id").as("neighbor_id"),
-        round(col("dist"), 6).as("dist"))
+    cand.join(feats.as("fa"), col("q_id") === col("fa.vec_id"))
+      .join(feats.as("fb"), col("neighbor_id") === col("fb.vec_id"))
+      .withColumn("rawd", euclid(col("fa.features"), col("fb.features")))
+      .filter(col("rawd") < 2.0)
+      .select(col("q_id"), col("neighbor_id"), round(col("rawd"), 6).as("dist"))
       .filter(col("q_id") =!= col("neighbor_id"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

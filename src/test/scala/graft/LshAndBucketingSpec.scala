@@ -58,6 +58,34 @@ class LshAndBucketingSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("native candidate join reproduces the BRP approxSimilarityJoin exactly (q53 r19 rewrite)") {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(3).setSeed(42L).fit(base)
+    val queries = base.filter(col("vec_id") < 8)
+    // the pre-r19 q53 path, verbatim
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("neighbor_id"))
+    val mllib = model.approxSimilarityJoin(queries, base, 2.0, "dist")
+      .select(col("datasetA.vec_id").as("q_id"), col("datasetB.vec_id").as("neighbor_id"),
+        round(col("dist"), 6).as("dist"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy("q_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val native = Similarity.annMllib(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(native == mllib,
+      s"native-vs-mllib diff: native=${native.take(5)} mllib=${mllib.take(5)}")
+    assert(native.nonEmpty)
+  }
+
   test("MLlib BucketedRandomProjectionLSH ANN returns ranked neighbors consistent with cosine") {
     val emb = Tables.embeddings(spark, sfDir)
     val ann = Similarity.annMllib(emb, nQueries = 4, k = 5).collect()

@@ -81,15 +81,15 @@ object MlQueries {
     // state to land inside whatever runs next (the r4 q42/q43 spikes)
     train.unpersist(blocking = true)
     // X10+P8: probability vector → array<double>, index P(label=1).
-    // The test split is scored THROUGH a spread (r19): the single-file
-    // scan otherwise serializes the per-row assemble/scale/predict
-    // vector chain on one task (conditional helper — a multi-split
-    // 100 TB scan skips it). Applied after the split, so split
-    // membership is untouched; the 4-row confusion output is
-    // unchanged (A/B-checked, 3 reps) — only the avg_p1 summation
-    // order could move at the last bit, inside this rows-only query's
-    // round(4).
-    val scored = model.transform(graft.engine.Tables.spreadNarrowCompute(test))
+    // r19 note: scoring the test split through spreadNarrowCompute was
+    // tried (parallelizes the per-row assemble/scale/predict chain,
+    // probe A/B read as a wash-to-better) and REVERTED on bench
+    // evidence: the in-suite cold-plan reading pays the extra
+    // exchange + codegen every run — non-fit share 1.9–2.0 s without
+    // vs 2.5–2.7 s with, across four artifact passes. The serialized
+    // scoring task is a single-split test artifact; a multi-split
+    // 100 TB test side parallelizes on its own.
+    val scored = model.transform(test)
       .withColumn("probability_arr",
         org.apache.spark.ml.functions.vector_to_array(col("probability")))
       .withColumn("p1", col("probability_arr")(1))
